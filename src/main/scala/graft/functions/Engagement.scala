@@ -1,0 +1,75 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Engagement-domain scalar derivations, re-expressed as pure Column
+  * expressions (whole-stage-codegen friendly; no UDFs).
+  *
+  * Semantics derive from the reference's Flink job
+  * (`/root/reference/flink-streaming-job/src/main/java/com/cdc/streaming/
+  * EnhancedEngagementStreamingJob.java`):
+  *  - base score CASE:            :320–330
+  *  - log-duration multiplier:    :332–336
+  *  - engagement_seconds:         :292–294
+  *  - engagement_pct:             :296–301
+  *  - event-id normalization:     :521–529
+  *  - multi-format ts parse:      :206–233
+  */
+object Engagement {
+
+  /** Base score per event type (case-insensitive); unknown types get 1.0.
+    * Reference: EnhancedEngagementStreamingJob.java:320–330. */
+  def engagementBase(eventType: Column): Column = {
+    val et = lower(eventType)
+    when(et === "play", 1.0)
+      .when(et === "pause", 0.5)
+      .when(et === "finish", 3.0)
+      .when(et === "click", 0.2)
+      .otherwise(1.0)
+  }
+
+  /** Duration multiplier: min(2.5, ln(duration_ms/1000 + 1)) when
+    * duration > 0, else 1.0. Reference: :332–336. */
+  def durationFactor(durationMs: Column): Column =
+    when(durationMs > 0, least(lit(2.5), log(durationMs / lit(1000.0) + lit(1))))
+      .otherwise(lit(1.0))
+
+  /** engagement_score = round(base * factor, 2). Reference: :320–337. */
+  def engagementScore(eventType: Column, durationMs: Column): Column =
+    round(engagementBase(eventType) * durationFactor(durationMs), 2)
+
+  /** engagement_seconds = duration_ms / 1000.0 (null-through).
+    * Reference: :292–294. */
+  def engagementSeconds(durationMs: Column): Column =
+    (durationMs / lit(1000.0)).cast(DoubleType)
+
+  /** engagement_pct = round(duration_s / length_s * 100, 2); null unless
+    * length > 0 and duration present. Reference: :296–301. */
+  def engagementPct(durationMs: Column, lengthSeconds: Column): Column =
+    when(lengthSeconds > 0 && durationMs.isNotNull,
+      round(durationMs / lit(1000.0) / lengthSeconds * lit(100), 2))
+      .otherwise(lit(null).cast(DoubleType))
+
+  /** Normalize a possibly-string event id to Long; non-numeric ids fall
+    * back to abs(murmur3). Reference: :521–529 (uses Java hashCode there;
+    * the hash family differs by design — only non-numeric ids hit it). */
+  def normalizeEventId(id: Column): Column =
+    coalesce(id.cast(LongType), abs(hash(id)).cast(LongType))
+
+  /** Multi-format timestamp parse: ISO-8601 (with/without offset), three
+    * fractional precisions, bare seconds, then epoch-micros (Debezium
+    * adaptive_time_microseconds). Null if nothing matches.
+    * Reference: :206–233 + enhanced-postgres-connector.json:20. */
+  def parseTimestampMulti(c: Column): Column =
+    coalesce(
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
+      when(c.rlike("^[0-9]{16,}$"), timestamp_micros(c.cast(LongType))))
+}

@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Text-analysis primitives for the document pipeline: normalization,
+  * tokenization, fingerprinting, language-ID heuristics, quality scoring.
+  *
+  * All pure Column expressions (codegen'd, distributed, no driver-side
+  * state) so they hold up on a 100 TB corpus: each is a narrow map over
+  * the `text` column with no shuffle.
+  */
+object TextFunctions {
+
+  /** Lower-cased, whitespace-collapsed text — canonical form for hashing. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Whitespace tokens (of the trimmed text; "" yields a single empty token,
+    * mirroring common split semantics — callers filter if needed). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** 64-bit-ish document fingerprint: first 16 hex chars of md5 of the
+    * normalized text. Stable across engines (md5 is md5 everywhere). */
+  def fingerprint(c: Column): Column =
+    substring(md5(normText(c)), 1, 16)
+
+  /** Word n-gram shingles of the token array (distinct), for Jaccard /
+    * MinHash. n >= 1; documents shorter than n tokens yield the whole
+    * text as a single shingle so they can still bucket. */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    array_distinct(grams)
+  }
+
+  /** Stopword regex per language for the language-ID heuristic. */
+  val langStopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|a|in|is|it|that|for)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|mit|von|zu)\\b",
+    "es" -> "\\b(el|la|los|las|de|que|y|es|en|un)\\b",
+    "fr" -> "\\b(le|la|les|et|de|un|une|est|que|dans)\\b")
+
+  /** Count of stopword hits for one language. */
+  def stopwordHits(c: Column, lang: String): Column = {
+    val pat = langStopwords.toMap.apply(lang)
+    regexp_count(lower(c), lit(pat))
+  }
+
+  /** n-gram/stopword language-ID heuristic: argmax of per-language
+    * stopword hits, ties resolved in en > de > es > fr order; no hits at
+    * all → "und" (undetermined). */
+  def langId(c: Column): Column = {
+    val hits = langStopwords.map { case (l, _) => l -> stopwordHits(c, l) }
+    val maxHits = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und"): Column) { case ((l, h), acc) =>
+      when(h === maxHits && h > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  def punctCount(c: Column): Column = regexp_count(c, lit("[.,;:!?]"))
+
+  /** Heuristic quality score in [0,1]:
+    *   0.5 * min(1, tokens/64)            (length component)
+    * + 0.3 * (1 - min(1, punct/tokens))  (punctuation density)
+    * + 0.2 * min(1, 4*stopwords/tokens)  (stopword-richness / naturalness)
+    * rounded to 4 decimals. Deliberately simple + engine-portable.
+    */
+  def qualityScore(c: Column): Column = {
+    val toks = tokenCount(c).cast(DoubleType)
+    val nTok = when(toks > 0, toks).otherwise(lit(1.0))
+    val punct = punctCount(c).cast(DoubleType)
+    val stop = stopwordHits(c, "en").cast(DoubleType)
+    val q =
+      lit(0.5) * least(lit(1.0), toks / lit(64.0)) +
+      lit(0.3) * (lit(1.0) - least(lit(1.0), punct / nTok)) +
+      lit(0.2) * least(lit(1.0), lit(4.0) * stop / nTok)
+    // floor-based half-up round: bitwise-deterministic across engines
+    // (the formula's finite-decimal fractions DO land on .00005
+    // boundaries, where decimal-string rounding diverges between
+    // engines; floor on the identical binary double cannot).
+    floor(q * lit(10000.0) + lit(0.5)).cast(DoubleType) / lit(10000.0)
+  }
+
+  /** Portable 60-bit integer hash of a string: first 15 hex digits of
+    * md5, as a long. Matches DuckDB `CAST('0x'||substring(md5(s),1,15) AS
+    * BIGINT)` bit-for-bit — used wherever an oracle must reproduce our
+    * hashing (minhash, simhash). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+}

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * `lww` is the batch analog of the reference's ReplacingMergeTree
+  * (/root/reference/sql/clickhouse-init.sql:21–22): rows sharing a key
+  * collapse to the highest-version row (latest event_ts wins; explicit
+  * tiebreak makes it total, unlike ClickHouse's insert-order tie).
+  *
+  * `exactDups` is content-addressed exact dedup (hash-groupBy on a
+  * digest of the payload) — the first rung of the near-dup ladder used
+  * by training-data pipelines. One shuffle on the digest; digest is
+  * computed map-side so only (digest, id) wide rows shuffle if callers
+  * project first.
+  */
+object Dedup {
+
+  /** Last-writer-wins dedup: keep one row per key, max (version, tiebreak). */
+  def lww(df: DataFrame, keys: Seq[Column], version: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(version.desc, tiebreak.desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Exact duplicate groups by md5 of a column: (digest, keep_id = min id,
+    * dup_cnt). Groups with dup_cnt > 1 are duplicate clusters. */
+  def exactGroups(df: DataFrame, payload: Column, id: Column): DataFrame =
+    df.groupBy(md5(payload).as("digest"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Exact-dedup survivor set: one row (the min-id row) per distinct payload. */
+  def exactDedup(df: DataFrame, payload: Column, id: Column): DataFrame = {
+    val w = Window.partitionBy(md5(payload)).orderBy(id.asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Batch analogs of the reference's serving/warehouse aggregations
+  * (SURVEY.md §2.5: A1 hourly MV, A3/A4 running scores, A5 per-minute
+  * top-k, A6 counters, A7 last-event-per-key). Streaming variants live
+  * in graft.streaming.
+  *
+  * All aggregations are hash-based with map-side partial aggregation
+  * (Spark HashAggregateExec partial+final — the same split ClickHouse's
+  * SummingMergeTree performs at merge time, see
+  * /root/reference/sql/clickhouse-init.sql:26–38).
+  *
+  * Sums of doubles go through a DecimalType cast so the result is exact
+  * and independent of partitioning / aggregation order — at 1000
+  * executors a plain double sum is nondeterministic run to run.
+  */
+object Rollups {
+
+  /** Order-independent exact sum of a double column: cast each value to
+    * decimal(28, scale), sum, return double. */
+  def decSum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** A1: tumbling-hour rollup. Dimension columns + count + exact score
+    * sum. Equivalent of the ClickHouse hourly MV
+    * (clickhouse-init.sql:26–38) as a batch groupBy. */
+  def hourlyRollup(df: DataFrame, ts: Column, dims: Seq[Column], score: Column): DataFrame =
+    df.groupBy((date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss").as("hour_ts") +: dims): _*)
+      .agg(count(lit(1)).as("cnt"), decSum(score).as("score_sum"))
+
+  /** A5: per-minute top-k keys by score sum. Minute bucket uses the
+    * reference's yyyyMMddHHmm key shape
+    * (EnhancedEngagementStreamingJob.java:430–436). Deterministic: ties
+    * broken by key ascending. */
+  def minuteTopK(df: DataFrame, ts: Column, key: Column, score: Column, k: Int): DataFrame = {
+    val bucketed = df
+      .groupBy(date_format(ts, "yyyyMMddHHmm").as("minute_bucket"), key.as("key"))
+      .agg(decSum(score).as("score_sum"))
+    val w = Window.partitionBy(col("minute_bucket"))
+      .orderBy(col("score_sum").desc, col("key").asc)
+    bucketed.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** A3/A4: cumulative score per (grouping keys). */
+  def runningScores(df: DataFrame, keys: Seq[Column], score: Column): DataFrame =
+    df.groupBy(keys: _*).agg(decSum(score).as("score_sum"), count(lit(1)).as("events"))
+
+  /** A6: per-key event counters. */
+  def counters(df: DataFrame, key: Column): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("cnt"))
+
+  /** A7: latest row per key, deterministic via (ts desc, tiebreak desc).
+    * Single shuffle on the key; no driver-side state. */
+  def lastPerKey(df: DataFrame, keys: Seq[Column], ts: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ts.desc, tiebreak.desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}

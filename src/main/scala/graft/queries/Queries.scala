@@ -1,0 +1,216 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.{Engagement, TextFunctions, VectorFunctions}
+import graft.ops.{Dedup, Rollups}
+
+/** One registered query per implemented operator (SURVEY.md §2 + the
+  * LLM-data-pipeline extensions). Each entry pairs the Spark
+  * implementation with a semantically-identical DuckDB oracle SQL for
+  * the driver's hash-compare at sf0.01.
+  *
+  * Oracle-parity rules used throughout (see Scaladoc in graft.ops):
+  *  - double sums go through DECIMAL casts (order-independent, exact);
+  *  - per-row doubles that involve transcendental fns are rounded;
+  *  - timestamps are emitted as formatted strings (both engines UTC);
+  *  - rankings always carry an explicit total-order tiebreak.
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Queries {
+
+  // ---- shared expressions -------------------------------------------------
+
+  /** Engagement score applied to the events table, with value (seconds)
+    * scaled to the reference's duration_ms contract. */
+  private def score: Column =
+    Engagement.engagementScore(col("event_type"), col("value") * 1000)
+
+  /** The same expression in DuckDB SQL, operation-for-operation. */
+  private val scoreSql: String =
+    """round((CASE WHEN lower(event_type)='play' THEN 1.0 WHEN lower(event_type)='pause' THEN 0.5 WHEN lower(event_type)='finish' THEN 3.0 WHEN lower(event_type)='click' THEN 0.2 ELSE 1.0 END) * (CASE WHEN value*1000 > 0 THEN least(2.5, ln((value*1000)/1000.0 + 1)) ELSE 1.0 END), 2)"""
+
+  private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  private val tsFull = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val tsFullSql = "%Y-%m-%d %H:%M:%S.%f"
+
+  // ---- registry -----------------------------------------------------------
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // A1 — tumbling-hour warehouse rollup (ClickHouse hourly MV analog).
+    GraftQuery("q_hourly_rollup",
+      (s, dir) => Rollups.hourlyRollup(ev(s, dir), col("ts"), Seq(col("event_type")), score),
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts, event_type, count(*) AS cnt, CAST(sum(CAST($scoreSql AS DECIMAL(28,2))) AS DOUBLE) AS score_sum FROM events GROUP BY 1, 2"""),
+      headline = true),
+
+    // A6 — per-event-type counters (Redis INCR analog).
+    GraftQuery("q_event_counters",
+      (s, dir) => Rollups.counters(ev(s, dir), col("event_type")),
+      Some("SELECT event_type, count(*) AS cnt FROM events GROUP BY 1")),
+
+    // A3/A4 — cumulative per-(user, event_type) scores (Redis ZINCRBY analog).
+    GraftQuery("q_user_scores",
+      (s, dir) => Rollups.runningScores(ev(s, dir), Seq(col("user_id"), col("event_type")), score),
+      Some(s"""SELECT user_id, event_type, CAST(sum(CAST($scoreSql AS DECIMAL(28,2))) AS DOUBLE) AS score_sum, count(*) AS events FROM events GROUP BY 1, 2""")),
+
+    // A7 — latest event per user (Redis SETEX last-event analog).
+    GraftQuery("q_last_event",
+      (s, dir) => Rollups.lastPerKey(ev(s, dir), Seq(col("user_id")), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_id"),
+          date_format(col("ts"), tsFull).as("ts_str"), col("event_type"), col("value")),
+      Some(s"""SELECT user_id, event_id, strftime(ts, '$tsFullSql') AS ts_str, event_type, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""")),
+
+    // A2 — last-writer-wins dedup (ReplacingMergeTree analog), keyed by
+    // (user_id, event_type), version = ts, tiebreak = event_id.
+    GraftQuery("q_dedup_lww",
+      (s, dir) => Dedup.lww(ev(s, dir), Seq(col("user_id"), col("event_type")), col("ts"), col("event_id"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          date_format(col("ts"), tsFull).as("ts_str"), col("value")),
+      Some(s"""SELECT user_id, event_type, event_id, strftime(ts, '$tsFullSql') AS ts_str, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""")),
+
+    // A5 — per-minute top-k by score (Redis minute-bucket ZINCRBY analog).
+    GraftQuery("q_minute_topk",
+      (s, dir) => Rollups.minuteTopK(ev(s, dir), col("ts"), col("user_id"), score, 3)
+        .withColumn("rk", col("rk").cast("int")),
+      Some(s"""SELECT minute_bucket, key, score_sum, CAST(rk AS INTEGER) AS rk FROM (SELECT minute_bucket, key, score_sum, row_number() OVER (PARTITION BY minute_bucket ORDER BY score_sum DESC, key ASC) AS rk FROM (SELECT strftime(ts, '%Y%m%d%H%M') AS minute_bucket, user_id AS key, CAST(sum(CAST($scoreSql AS DECIMAL(28,2))) AS DOUBLE) AS score_sum FROM events GROUP BY 1, 2)) WHERE rk <= 3"""),
+      headline = true),
+
+    // J1 — broadcast left-outer enrichment join (stream x dimension
+    // analog: events fact x customer dim) + P5/P6/P7 derived columns.
+    GraftQuery("q_enrich_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val c = Tables.customer(s, dir)
+        e.join(broadcast(c), e("user_id") === c("c_custkey"), "left")
+          .select(e("event_id"), e("user_id"), c("c_name"), c("c_mktsegment"),
+            col("event_type"),
+            Engagement.engagementScore(col("event_type"), col("value") * 1000).as("engagement_score"),
+            Engagement.engagementSeconds(col("value") * 1000).as("engagement_seconds"),
+            Engagement.engagementPct(col("value") * 1000, col("c_acctbal")).as("engagement_pct"))
+      },
+      Some(s"""SELECT event_id, user_id, c_name, c_mktsegment, event_type, $scoreSql AS engagement_score, (value*1000)/1000.0 AS engagement_seconds, CASE WHEN c_acctbal > 0 THEN round((value*1000)/1000.0/c_acctbal*100, 2) END AS engagement_pct FROM events LEFT JOIN customer ON user_id = c_custkey"""),
+      headline = true),
+
+    // P1/JSON — schema-on-read JSON field extraction from the payload.
+    GraftQuery("q_json_extract",
+      (s, dir) => ev(s, dir).select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS INTEGER) AS k FROM events""")),
+
+    // P8 — event-id normalization (numeric-string path; hash fallback is
+    // unit-tested, not oracle-matched since the hash family differs).
+    GraftQuery("q_event_id_norm",
+      (s, dir) => ev(s, dir).select(col("event_id"),
+        Engagement.normalizeEventId(col("event_id").cast("string")).as("norm_id")),
+      Some("SELECT event_id, CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS norm_id FROM events")),
+
+    // P2 — multi-format timestamp parse, round-tripped through an
+    // ISO-8601 micros string.
+    GraftQuery("q_ts_parse_multi",
+      (s, dir) => ev(s, dir).select(col("event_id"),
+        date_format(
+          Engagement.parseTimestampMulti(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
+          tsFull).as("parsed")),
+      Some(s"""SELECT event_id, strftime(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f'), '$tsFullSql') AS parsed FROM events""")),
+
+    // ---- TPC-H-style relational coverage (scale posture checks) ----------
+
+    GraftQuery("q1_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Rollups.decSum(col("l_quantity"), 2).as("sum_qty"),
+          Rollups.decSum(col("l_extendedprice"), 2).as("sum_base_price"),
+          Rollups.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+          Rollups.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          (sum(col("l_quantity").cast(DecimalType(28, 2))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order")),
+      Some("""SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price, CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"""),
+      headline = true),
+
+    GraftQuery("q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev(s, dir).select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(28, 2))).over(wf).cast("double").as("running_value"),
+          row_number().over(w).as("rn"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"))
+      },
+      Some("""SELECT user_id, event_id, CAST(sum(CAST(value AS DECIMAL(28,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn, lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value FROM events"""),
+      headline = true),
+
+    // ---- documents: text analysis + dedup ladder --------------------------
+
+    GraftQuery("q_token_count",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).as("len_chars")),
+      Some("""SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens, CAST(length(text) AS INTEGER) AS len_chars FROM documents""")),
+
+    GraftQuery("q_fingerprint",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp")),
+      Some("""SELECT doc_id, substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) AS fp FROM documents""")),
+
+    GraftQuery("q_lang_id",
+      (s, dir) => docs(s, dir).select(col("doc_id"), col("lang"),
+        TextFunctions.langId(col("text")).as("lang_pred")),
+      Some {
+        val pats = TextFunctions.langStopwords.toMap
+        def h(l: String) = s"len(regexp_extract_all(lower(text), '${pats(l)}'))"
+        s"""SELECT doc_id, lang, CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en' WHEN hits_de >= hits_es AND hits_de >= hits_fr AND hits_de > 0 THEN 'de' WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es' WHEN hits_fr > 0 THEN 'fr' ELSE 'und' END AS lang_pred FROM (SELECT doc_id, lang, ${h("en")} AS hits_en, ${h("de")} AS hits_de, ${h("es")} AS hits_es, ${h("fr")} AS hits_fr FROM documents)"""
+      }),
+
+    GraftQuery("q_quality_score",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextFunctions.qualityScore(col("text")).as("quality")),
+      Some {
+        val stopPat = TextFunctions.langStopwords.toMap.apply("en")
+        raw"""SELECT doc_id, floor((0.5 * least(1.0, n_tok/64.0) + 0.3 * (1.0 - least(1.0, punct/nt)) + 0.2 * least(1.0, 4.0*stop/nt)) * 10000.0 + 0.5) / 10000.0 AS quality FROM (SELECT doc_id, n_tok, CASE WHEN n_tok > 0 THEN n_tok ELSE 1.0 END AS nt, punct, stop FROM (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct, CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS DOUBLE) AS stop FROM documents))"""
+      }),
+
+    GraftQuery("q_dedup_exact",
+      (s, dir) => Dedup.exactGroups(docs(s, dir), col("text"), col("doc_id")),
+      Some("SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS dup_cnt FROM documents GROUP BY 1"),
+      headline = true),
+
+    // Multimodal plumbing: opaque binary payload column + typed metadata.
+    // (Decode/extract stages live in graft.multimodal with a stubbed codec;
+    // this query exercises the binary-column path both engines can check.)
+    GraftQuery("q_multimodal_meta",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha_hex")),
+      Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS sha_hex FROM documents""")),
+
+    // ---- embeddings: vector math ------------------------------------------
+
+    GraftQuery("q_embedding_norm",
+      (s, dir) => Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
+        round(VectorFunctions.norm(col("embedding")), 4).as("l2_norm")),
+      Some("""SELECT vec_id, label, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 4) AS l2_norm FROM embeddings"""))
+  )
+
+  def runners: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracles: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  def headlines: Seq[GraftQuery] = all.filter(_.headline)
+}
