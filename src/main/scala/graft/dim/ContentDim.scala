@@ -1,0 +1,87 @@
+package graft.dim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mutable-dimension maintenance (SURVEY.md §2.4 J1 / §3.2): the
+  * content table is a tiny, slowly-changing dimension updated by a CDC
+  * stream of upserts and delete tombstones.
+  *
+  * Design (SURVEY §7.4 #1): a snapshot table maintained per micro-batch
+  * via foreachBatch — the engagement stream then broadcast-left-joins
+  * the snapshot, giving the reference's as-of-processing-time join
+  * semantics (events never retro-enrich; deletes stop enrichment from
+  * the next batch on). The snapshot stays small (one row per live key),
+  * so the join side is always broadcastable regardless of fact volume.
+  */
+object ContentDim {
+
+  /** Collapse a batch of change records (columns: id, …, is_delete,
+    * change_seq) to latest-state-per-key, dropping keys whose latest
+    * change is a delete. Deterministic: (change_seq, is_delete) ordering
+    * with delete winning ties (a delete in the same source ts beats the
+    * stale upsert). */
+  def latestState(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("change_seq").desc, col("is_delete").desc)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("is_delete"))
+      .drop("__rn", "is_delete", "change_seq")
+  }
+
+  /** Merge a change batch into an existing snapshot (both keyed by id):
+    * new upserts replace, deletes remove, untouched rows carry over.
+    * This is the foreachBatch MERGE body for streaming maintenance. */
+  def merge(snapshot: DataFrame, changes: DataFrame): DataFrame = {
+    val delta = latestState(changes)
+    val deletedOrReplaced = changes.select(col("id")).distinct()
+    snapshot.join(deletedOrReplaced, Seq("id"), "left_anti")
+      .unionByName(delta)
+  }
+
+  /** Streaming maintenance: apply each micro-batch of content changes to
+    * a parquet snapshot at `path`. Write-then-swap keeps readers
+    * consistent (parquet has no transactional MERGE; at production scale
+    * this is where a Delta/Iceberg MERGE slots in — the logic above is
+    * exactly the MERGE predicate set). */
+  def applyBatch(spark: SparkSession, path: String, changes: DataFrame): Unit = {
+    val current = readSnapshot(spark, path, changes.sparkSession)
+    val next = current match {
+      case Some(snap) => merge(snap, changes)
+      case None       => latestState(changes)
+    }
+    val tmp = path + "_tmp"
+    next.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  private def readSnapshot(spark: SparkSession, path: String,
+      session: SparkSession): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+      Some(session.read.parquet(path))
+    else None
+  }
+
+  def snapshot(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Schema-correct empty dimension (pre-first-change state). */
+  def emptyDim(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("id", StringType),
+        StructField("slug", StringType),
+        StructField("title", StringType),
+        StructField("content_type", StringType),
+        StructField("length_seconds", IntegerType),
+        StructField("publish_ts", StringType))))
+  }
+}

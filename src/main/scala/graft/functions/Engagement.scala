@@ -55,8 +55,13 @@ object Engagement {
   /** Normalize a possibly-string event id to Long; non-numeric ids fall
     * back to abs(murmur3). Reference: :521–529 (uses Java hashCode there;
     * the hash family differs by design — only non-numeric ids hit it). */
-  def normalizeEventId(id: Column): Column =
-    coalesce(id.cast(LongType), abs(hash(id)).cast(LongType))
+  def normalizeEventId(id: Column): Column = {
+    // ANSI-safe: only digit strings reach the cast (Spark 4 ANSI mode
+    // throws on malformed casts); null ids stay null — hash(null) would
+    // otherwise resurrect them as the murmur3 seed.
+    val numeric = when(id.rlike("^-?[0-9]{1,18}$"), id.cast(LongType))
+    when(id.isNotNull, coalesce(numeric, abs(hash(id)).cast(LongType)))
+  }
 
   /** Multi-format timestamp parse: ISO-8601 (with/without offset), three
     * fractional precisions, bare seconds, then epoch-micros (Debezium

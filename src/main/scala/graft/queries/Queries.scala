@@ -6,6 +6,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.cdc.Envelope
+import graft.dim.ContentDim
+import graft.enrich.Enrich
 import graft.functions.{Engagement, TextFunctions, VectorFunctions}
 import graft.ops.{Dedup, Rollups}
 
@@ -45,9 +48,89 @@ object Queries {
   private val tsFull = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val tsFullSql = "%Y-%m-%d %H:%M:%S.%f"
 
+  // ---- CDC wire synthesis (deterministic Debezium-shaped JSON built
+  // from the events table, so unwrap output is oracle-checkable as a
+  // round-trip identity) ----------------------------------------------------
+
+  /** Debezium-enveloped engagement messages synthesized from events. */
+  private def engagementWire(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val after = struct(
+      col("event_id").cast("string").as("id"),
+      concat(lit("content-"), pmod(col("event_id"), lit(40))).as("content_id"),
+      col("user_id").cast("string").as("user_id"),
+      col("event_type").as("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("event_ts"),
+      round(col("value") * 1000, 0).cast("long").as("duration_ms"),
+      lit("web").as("device"),
+      col("props").as("raw_payload"))
+    e.select(to_json(struct(struct(
+      after.as("after"),
+      lit("c").as("op"),
+      col("event_id").as("ts_ms")).as("payload"))).as("value"))
+  }
+
+  /** Debezium-enveloped content changes synthesized from events: every
+    * 10th event_id is a delete tombstone (before-only, op='d'); ts_ms =
+    * event_id gives a deterministic change order per key. */
+  private def contentWire(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+    val id = concat(lit("content-"), pmod(col("event_id"), lit(40)))
+    val isDel = pmod(col("event_id"), lit(10)) === 0
+    val after = struct(
+      id.as("id"),
+      concat(lit("slug-"), id).as("slug"),
+      concat(lit("Title "), id).as("title"),
+      element_at(array(lit("podcast"), lit("video"), lit("newsletter")),
+        (pmod(col("user_id"), lit(3)) + 1).cast("int")).as("content_type"),
+      round(col("value") * 10, 0).cast("int").as("length_seconds"),
+      lit("2024-01-01T00:00:00.000000").as("publish_ts"))
+    val before = struct(id.as("id"))
+    e.select(to_json(struct(struct(
+      when(isDel, before).as("before"),
+      when(!isDel, after).as("after"),
+      when(isDel, lit("d")).otherwise(lit("c")).as("op"),
+      col("event_id").as("ts_ms")).as("payload"))).as("value"))
+  }
+
+  /** Oracle CTE replicating contentWire → unwrapContent → latestState. */
+  private val dimStateSql: String =
+    """WITH ch AS (SELECT 'content-' || CAST(event_id % 40 AS VARCHAR) AS id, 'slug-content-' || CAST(event_id % 40 AS VARCHAR) AS slug, 'Title content-' || CAST(event_id % 40 AS VARCHAR) AS title, CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 'podcast' WHEN 1 THEN 'video' ELSE 'newsletter' END AS content_type, CAST(round(value*10, 0) AS INTEGER) AS length_seconds, '2024-01-01T00:00:00.000000' AS publish_ts, event_id % 10 = 0 AS is_delete, event_id AS change_seq FROM events), dim AS (SELECT id, slug, title, content_type, length_seconds, publish_ts FROM (SELECT *, row_number() OVER (PARTITION BY id ORDER BY change_seq DESC, is_delete DESC) AS rn FROM ch) WHERE rn = 1 AND NOT is_delete)"""
+
   // ---- registry -----------------------------------------------------------
 
   val all: Seq[GraftQuery] = Seq(
+
+    // P1/P2/P8/P4 — Debezium envelope unwrap round-trip: synthesize
+    // enveloped JSON from events, unwrap, and the oracle asserts the
+    // identity directly against the source rows.
+    GraftQuery("q_cdc_unwrap",
+      (s, dir) => Envelope.unwrapEngagement(engagementWire(s, dir))
+        .select(col("event_id"), col("user_id"), col("content_id"),
+          col("event_type"), col("platform"), col("duration_ms"),
+          date_format(col("event_ts"), tsFull).as("event_ts_str"),
+          col("raw_payload")),
+      Some(s"""SELECT event_id, CAST(user_id AS VARCHAR) AS user_id, 'content-' || CAST(event_id % 40 AS VARCHAR) AS content_id, event_type, 'web' AS platform, CAST(round(value*1000, 0) AS BIGINT) AS duration_ms, strftime(ts, '$tsFullSql') AS event_ts_str, props AS raw_payload FROM events""")),
+
+    // P3/J1-state — content CDC unwrap incl. delete tombstones, folded
+    // to latest-state-per-key (the dimension the enrichment joins).
+    GraftQuery("q_cdc_dim_state",
+      (s, dir) => ContentDim.latestState(Envelope.unwrapContent(contentWire(s, dir))),
+      Some(s"""$dimStateSql SELECT * FROM dim""")),
+
+    // §3.1 end-to-end (batch form): unwrap both streams, fold the dim,
+    // broadcast-left-join enrich, derive P5/P6/P7.
+    GraftQuery("q_cdc_enrich_e2e",
+      (s, dir) => {
+        val eng = Envelope.unwrapEngagement(engagementWire(s, dir))
+        val dim = ContentDim.latestState(Envelope.unwrapContent(contentWire(s, dir)))
+        Enrich.enrich(eng, dim)
+          .select(col("event_id"), col("content_id"), col("content_type"),
+            col("length_seconds"), col("engagement_seconds"),
+            col("engagement_pct"), col("engagement_score"))
+      },
+      Some(s"""$dimStateSql, ev AS (SELECT event_id, 'content-' || CAST(event_id % 40 AS VARCHAR) AS content_id, event_type, CAST(round(value*1000, 0) AS BIGINT) AS duration_ms FROM events) SELECT event_id, ev.content_id, content_type, length_seconds, duration_ms/1000.0 AS engagement_seconds, CASE WHEN length_seconds > 0 THEN round(duration_ms/1000.0/length_seconds*100, 2) END AS engagement_pct, round((CASE WHEN lower(event_type)='play' THEN 1.0 WHEN lower(event_type)='pause' THEN 0.5 WHEN lower(event_type)='finish' THEN 3.0 WHEN lower(event_type)='click' THEN 0.2 ELSE 1.0 END) * (CASE WHEN duration_ms > 0 THEN least(2.5, ln(duration_ms/1000.0 + 1)) ELSE 1.0 END), 2) AS engagement_score FROM ev LEFT JOIN dim ON ev.content_id = dim.id"""),
+      headline = true),
 
     // A1 — tumbling-hour warehouse rollup (ClickHouse hourly MV analog).
     GraftQuery("q_hourly_rollup",

@@ -1,0 +1,190 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.cdc.Envelope
+import graft.dim.ContentDim
+import graft.enrich.Enrich
+import graft.ops.Rollups
+
+/** Structured-Streaming wiring of the reference's job graph (SURVEY.md
+  * §3.1–§3.2): CDC sources → unwrap → dim-snapshot broadcast join →
+  * derived columns → fan-out aggregations/sinks.
+  *
+  * Streaming semantics ported (SURVEY §2.8):
+  *  - ST1: 30 s watermark on the engagement stream only;
+  *  - ST2: tumbling 1 h (warehouse rollup) and 1 min (top-k) windows;
+  *  - ST3: TTL'd serving state via mapGroupsWithState processing-time
+  *         timeouts (Redis SETEX/expire analog);
+  *  - ST4: the enrichment path itself is unwatermarked — arbitrarily
+  *         late events still enrich and land, as in the reference; only
+  *         windowed aggregates bound their state with the watermark;
+  *  - ST5: checkpointed exactly-once state + at-least-once sinks, with
+  *         dedupStream/LWW dedup absorbing sink replays.
+  */
+object Pipeline {
+
+  val WatermarkDelay = "30 seconds"
+
+  /** Engagement hot path: raw Kafka-shaped stream (string `value`) →
+    * unwrap → enrich against the dim snapshot at `dimPath`. The static
+    * join side is re-read every micro-batch, which is exactly the
+    * as-of-processing-time semantics of the reference's broadcast state
+    * (deletes/upserts take effect from the next batch). */
+  def enrichedStream(spark: SparkSession, raw: DataFrame, dimPath: String): DataFrame = {
+    val dim = spark.read.parquet(dimPath)
+    Enrich.enrich(Envelope.unwrapEngagement(raw), dim)
+  }
+
+  /** Content dim maintenance: raw content CDC stream → foreachBatch
+    * merge into the parquet snapshot (upsert + delete). */
+  def dimMaintenanceQuery(spark: SparkSession, raw: DataFrame, dimPath: String,
+      checkpoint: String) = {
+    val changes = Envelope.unwrapContent(raw)
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) ContentDim.applyBatch(spark, dimPath, batch)
+      }
+  }
+
+  /** Engagement hot path against a MUTABLE dim: per micro-batch, re-read
+    * the snapshot and broadcast-left-join the batch — upserts/deletes
+    * applied by dimMaintenanceQuery take effect from the next batch,
+    * matching the reference's broadcast-state granularity (§3.2 note:
+    * per-batch replaces per-record; steady state agrees). */
+  def enrichedSink(raw: DataFrame, dimPath: String, checkpoint: String)(
+      write: (DataFrame, Long) => Unit) =
+    raw.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dim =
+          if (fs.exists(new org.apache.hadoop.fs.Path(dimPath)))
+            spark.read.parquet(dimPath)
+          else ContentDim.emptyDim(spark)
+        write(Enrich.enrich(Envelope.unwrapEngagement(batch), dim), id)
+      }
+
+  /** A1: hourly warehouse rollup (append mode once the watermark
+    * passes; generous-watermark divergence documented in SURVEY ST4). */
+  def hourlyRollup(enriched: DataFrame): DataFrame =
+    enriched
+      .withWatermark("event_ts", WatermarkDelay)
+      .groupBy(window(col("event_ts"), "1 hour"),
+        col("content_type"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        Rollups.decSum(col("engagement_score")).as("score_sum"))
+      .select(col("window.start").as("hour_ts"), col("content_type"),
+        col("event_type"), col("cnt"), col("score_sum"))
+
+  /** A5: per-minute score sums per content (top-k read side ranks). */
+  def minuteScores(enriched: DataFrame): DataFrame =
+    enriched
+      .withWatermark("event_ts", WatermarkDelay)
+      .groupBy(window(col("event_ts"), "1 minute"), col("content_id"))
+      .agg(Rollups.decSum(col("engagement_score")).as("score_sum"))
+      .select(date_format(col("window.start"), "yyyyMMddHHmm").as("minute_bucket"),
+        col("content_id"), col("score_sum"))
+
+  /** A3/A4: running per-(user, content) score sums — update-mode
+    * stateful aggregation (Redis ZINCRBY analog). */
+  def runningUserContentScores(enriched: DataFrame): DataFrame =
+    enriched.groupBy(col("user_id"), col("content_id"))
+      .agg(Rollups.decSum(col("engagement_score")).as("score_sum"),
+        count(lit(1)).as("events"))
+
+  /** A6: per-event-type counters, update mode. */
+  def eventTypeCounters(enriched: DataFrame): DataFrame =
+    enriched.groupBy(col("event_type")).count()
+
+  /** A2/ST5: absorb at-least-once duplicate deliveries in-stream.
+    * State is bounded by the watermark (ReplacingMergeTree analog). */
+  def dedupStream(unwrapped: DataFrame): DataFrame =
+    unwrapped.withWatermark("event_ts", WatermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- ST3: TTL'd last-event-per-key state (Redis SETEX analog) ---------
+
+  case class LastEventKey(userId: String, contentId: String)
+  case class LastEventState(json: String, eventTsMicros: Long, expiresAtMs: Long)
+  case class LastEventOut(userId: String, contentId: String, json: String,
+      eventTsMicros: Long, expired: Boolean)
+
+  /** A7 with exact TTL semantics: keep the latest event per
+    * (user, content); evict state `ttlMs` after the last update,
+    * emitting a tombstone row on expiry. mapGroupsWithState is the
+    * stock API for this (SURVEY §7.3).
+    *
+    * `eventTimeTTL = true` expires by watermark (deterministic,
+    * replay/backfill-safe — the right choice for a reprocessable
+    * pipeline; requires a withWatermark upstream). `false` matches
+    * Redis's wall-clock SETEX exactly via processing-time timers —
+    * note those force the engine to run empty micro-batches to fire,
+    * so pair with a trigger interval in production. */
+  def lastEventWithTTL(enriched: DataFrame, ttlMs: Long,
+      eventTimeTTL: Boolean = false,
+      watermarkDelay: String = WatermarkDelay): Dataset[LastEventOut] = {
+    val spark = enriched.sparkSession
+    import spark.implicits._
+    val projected = enriched
+      .select(col("user_id"), col("content_id"),
+        to_json(struct(enriched.columns.map(col): _*)).as("json"),
+        unix_micros(col("event_ts")).as("event_ts_micros"),
+        col("event_ts"))
+    // the event-time-timeout check wants the watermark on this operator's
+    // direct input, so it is (re)applied after the projection
+    val watermarked =
+      if (eventTimeTTL) projected.withWatermark("event_ts", watermarkDelay)
+      else projected
+    val keyed = watermarked
+      .as[(String, String, String, Long, java.sql.Timestamp)]
+      .groupByKey { case (u, c, _, _, _) => LastEventKey(u, c) }
+
+    val timeoutConf =
+      if (eventTimeTTL) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+
+    keyed.mapGroupsWithState[LastEventState, LastEventOut](timeoutConf) {
+      case (key, rows, state) =>
+        if (state.hasTimedOut) {
+          val out = LastEventOut(key.userId, key.contentId, null, 0L, expired = true)
+          state.remove()
+          out
+        } else {
+          val latest = rows.maxBy(_._4)
+          val prevTs = state.getOption.map(_.eventTsMicros).getOrElse(Long.MinValue)
+          val next =
+            if (latest._4 >= prevTs)
+              LastEventState(latest._3, latest._4, 0L)
+            else state.get
+          state.update(next)
+          if (eventTimeTTL) {
+            // timer must sit strictly past the current watermark
+            val target = math.max(next.eventTsMicros / 1000L + ttlMs,
+              state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(target)
+          } else state.setTimeoutDuration(ttlMs)
+          LastEventOut(key.userId, key.contentId, next.json, next.eventTsMicros,
+            expired = false)
+        }
+    }
+  }
+
+  /** K3: enriched → Kafka-outbox-shaped JSON value column. */
+  def outbox(enriched: DataFrame): DataFrame = Enrich.toOutboxJson(enriched)
+
+  /** K1: warehouse append sink as foreachBatch (JDBC/parquet target
+    * injected by the caller; micro-batch = natural insert batching). */
+  def warehouseSink(enriched: DataFrame, checkpoint: String)(
+      write: (DataFrame, Long) => Unit) =
+    enriched.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (df: DataFrame, id: Long) => write(df, id) }
+}

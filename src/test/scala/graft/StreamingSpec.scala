@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.dim.ContentDim
+import graft.streaming.Pipeline
+
+/** Structured-Streaming semantics tests (SURVEY §2.8, §3.1–3.2) driven
+  * by MemoryStream fixtures: dim maintenance with deletes, as-of
+  * enrichment, watermarked hourly rollup, in-stream dedup, TTL state. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def contentUpsert(id: String, ctype: String, len: Int, seq: Long) =
+    s"""{"payload":{"after":{"id":"$id","slug":"s-$id","title":"T $id","content_type":"$ctype","length_seconds":$len,"publish_ts":"2024-01-01T00:00:00"},"op":"u","ts_ms":$seq}}"""
+  private def contentDelete(id: String, seq: Long) =
+    s"""{"payload":{"before":{"id":"$id"},"after":null,"op":"d","ts_ms":$seq}}"""
+  private def engEvent(id: Long, contentId: String, et: String, ts: String,
+      durMs: java.lang.Long) = {
+    val dur = Option(durMs).map(d => s""","duration_ms":$d""").getOrElse("")
+    s"""{"payload":{"after":{"id":"$id","content_id":"$contentId","user_id":"u$id","event_type":"$et","event_ts":"$ts"$dur,"device":"web"},"op":"c","ts_ms":$id}}"""
+  }
+
+  test("dim maintenance + as-of enrichment: upsert enriches next batch, delete stops it") {
+    val dimPath = tmp("dim") + "/snapshot"
+    val contentIn = MemoryStream[String](spark)
+    val engIn = MemoryStream[String](spark)
+
+    val dimQ = Pipeline.dimMaintenanceQuery(spark, contentIn.toDF(), dimPath, tmp("ckp-dim")).start()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val engQ = Pipeline.enrichedSink(engIn.toDF(), dimPath, tmp("ckp-eng")) { (df, _) =>
+      out ++= df.select(col("event_id"), col("content_type"), col("engagement_score").cast("string"))
+        .collect().map(r => (r.getLong(0), Option(r.getString(1)).orNull, r.getString(2)))
+    }.start()
+
+    try {
+      // event before its content exists → not enriched (no retro-enrichment)
+      engIn.addData(engEvent(1, "c1", "play", "2024-01-01T10:00:00", 45000L))
+      engQ.processAllAvailable()
+      assert(out.toList === List((1L, null, "2.5")))
+
+      // upsert c1, then the same-content event enriches
+      contentIn.addData(contentUpsert("c1", "podcast", 300, 1))
+      dimQ.processAllAvailable()
+      engIn.addData(engEvent(2, "c1", "play", "2024-01-01T10:01:00", 45000L))
+      engQ.processAllAvailable()
+      assert(out.toList.contains((2L, "podcast", "2.5")))
+
+      // delete c1 → subsequent events no longer enriched
+      contentIn.addData(contentDelete("c1", 2))
+      dimQ.processAllAvailable()
+      engIn.addData(engEvent(3, "c1", "click", "2024-01-01T10:02:00", null))
+      engQ.processAllAvailable()
+      assert(out.toList.contains((3L, null, "0.2")))
+    } finally { dimQ.stop(); engQ.stop() }
+  }
+
+  test("hourly rollup: windowed agg emits after watermark passes") {
+    val in = MemoryStream[String](spark)
+    val enriched = graft.cdc.Envelope.unwrapEngagement(in.toDF())
+      .withColumn("content_type", lit("podcast"))
+      .withColumn("engagement_score",
+        graft.functions.Engagement.engagementScore(col("event_type"), col("duration_ms")))
+    val q = Pipeline.hourlyRollup(enriched)
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        engEvent(1, "c1", "play", "2024-01-01T10:10:00", 45000L),
+        engEvent(2, "c1", "play", "2024-01-01T10:20:00", 45000L),
+        engEvent(3, "c1", "finish", "2024-01-01T10:30:00", 1800000L))
+      q.processAllAvailable()
+      // advance watermark past 11:00 + 30s → 10:00 window closes
+      in.addData(engEvent(9, "c1", "click", "2024-01-01T11:00:31", null))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT cnt, score_sum FROM rollup_out WHERE event_type IN ('play','finish')")
+        .collect()
+      val byType = spark.sql("SELECT event_type, cnt, score_sum FROM rollup_out").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(byType("play") === ((2L, 5.0)))    // 2 × capped 2.5
+      assert(byType("finish") === ((1L, 7.5)))  // capped 3.0 × 2.5
+    } finally { q.stop() }
+  }
+
+  test("in-stream dedup absorbs duplicate delivery within the watermark") {
+    val in = MemoryStream[String](spark)
+    val q = Pipeline.dedupStream(graft.cdc.Envelope.unwrapEngagement(in.toDF()))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val e = engEvent(7, "c1", "play", "2024-01-01T10:00:00", 1000L)
+      in.addData(e, e) // duplicate in same batch
+      q.processAllAvailable()
+      in.addData(e)    // replay in a later batch
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM dedup_out").count() === 1)
+    } finally { q.stop() }
+  }
+
+  test("TTL last-event state: newest kept per key; watermark-based expiry emits tombstone") {
+    val in = MemoryStream[String](spark)
+    val enriched = graft.cdc.Envelope.unwrapEngagement(in.toDF())
+      .withColumn("user_id",
+        when(col("event_id") <= 3, lit("uA")).otherwise(col("user_id")))
+    val q = Pipeline.lastEventWithTTL(enriched, ttlMs = 3600000L,
+      eventTimeTTL = true, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("ttl_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        engEvent(1, "c1", "play", "2024-01-01T10:00:00", 1000L),
+        engEvent(2, "c1", "pause", "2024-01-01T10:05:00", 2000L))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT json FROM ttl_out WHERE NOT expired AND userId = 'uA' ORDER BY eventTsMicros DESC LIMIT 1")
+        .head.getString(0)
+      assert(last.contains("\"event_id\":2")) // newest event wins within the key
+      // advance the watermark well past uA's 10:05 + 1h TTL, then one
+      // more batch so the timer (set against the previous watermark) fires
+      in.addData(engEvent(4, "c1", "click", "2024-01-01T12:00:00", null))
+      q.processAllAvailable()
+      in.addData(engEvent(5, "c1", "click", "2024-01-01T12:01:00", null))
+      q.processAllAvailable()
+      val expired = spark.sql("SELECT count(*) FROM ttl_out WHERE expired AND userId = 'uA'")
+        .head.getLong(0)
+      assert(expired === 1L)
+    } finally { q.stop() }
+  }
+}
