@@ -1,0 +1,102 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+import graft.functions.TextFunctions
+
+/** MinHash + LSH near-duplicate detection over a text column:
+  * shingle → per-permutation min-hash signature → banded bucket join →
+  * exact-Jaccard verification of candidates.
+  *
+  * Scale design:
+  *  - the signature is a pure map (higher-order array expressions, no
+  *    explode, no shuffle): each doc computes numPerms × |shingles|
+  *    portable md5-derived hashes in one codegen'd projection;
+  *  - the only shuffles are (band_key → docs) for candidate generation
+  *    and the two slim joins that fetch shingle sets for verification —
+  *    both proportional to candidate volume, not corpus size;
+  *  - hashes are md5-prefix-derived (TextFunctions.md5Long) so an
+  *    external oracle can reproduce signatures bit-for-bit.
+  */
+object MinHash {
+
+  final case class Config(
+      numPerms: Int = 16,
+      bands: Int = 4,
+      shingleSize: Int = 3,
+      threshold: Double = 0.7) {
+    def rowsPerBand: Int = numPerms / bands
+    require(numPerms % bands == 0, "bands must divide numPerms")
+  }
+
+  /** Per-permutation hash of one shingle: md5Long over "<perm>:<shingle>". */
+  private def permHash(perm: Column, shingle: Column): Column =
+    TextFunctions.md5Long(concat(perm.cast(StringType), lit(":"), shingle))
+
+  /** doc_id, sh (distinct shingles), signature (array of numPerms mins). */
+  def signatures(docs: DataFrame, id: Column, text: Column, cfg: Config = Config()): DataFrame =
+    docs.select(id.as("doc_id"), TextFunctions.shingles(text, cfg.shingleSize).as("sh"))
+      .withColumn("signature",
+        transform(sequence(lit(0), lit(cfg.numPerms - 1)),
+          j => array_min(transform(col("sh"), s => permHash(j, s)))))
+
+  /** Banded bucket keys: md5 of each signature slice. */
+  private def bandKeys(cfg: Config): Column =
+    transform(sequence(lit(0), lit(cfg.bands - 1)), b =>
+      md5(concat_ws(",",
+        transform(slice(col("signature"), b * lit(cfg.rowsPerBand) + 1, lit(cfg.rowsPerBand)),
+          x => x.cast(StringType)))))
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket. */
+  def candidatePairs(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val bands = sigs
+      .select(col("doc_id"), posexplode(bandKeys(cfg)).as(Seq("band_idx", "band_key")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Candidates with exact Jaccard over the shingle sets, kept when
+    * >= cfg.threshold. Output: doc_a, doc_b, jaccard. */
+  def verifiedPairs(docs: DataFrame, id: Column, text: Column, cfg: Config = Config()): DataFrame = {
+    val sigs = signatures(docs, id, text, cfg).cache()
+    val cands = candidatePairs(sigs, cfg)
+    val sets = sigs.select(col("doc_id"), col("sh"))
+    cands
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
+         size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
+      .filter(col("jaccard") >= cfg.threshold)
+  }
+
+  // ---- DuckDB oracle generation (same constants, same hashes) -----------
+
+  /** DuckDB SQL computing exactly verifiedPairs over table `documents`
+    * (doc_id, text) — machine-generated from the same Config so the
+    * banding, hashing, and verification replicate bit-for-bit. */
+  def oracleSql(cfg: Config = Config()): String = {
+    val shingle =
+      raw"""list_distinct([array_to_string(toks[i:i+${cfg.shingleSize - 1}], ' ') FOR i IN range(1, greatest(len(toks)-${cfg.shingleSize - 1}, 1)+1)])"""
+    val sigExprs = (0 until cfg.numPerms).map { j =>
+      s"""list_min(list_transform(sh, s -> CAST('0x'||substring(md5('$j:'||s),1,15) AS BIGINT)))"""
+    }.mkString("[", ", ", "]")
+    val bandCase = (0 until cfg.bands).map { b =>
+      val lo = b * cfg.rowsPerBand + 1
+      val hi = (b + 1) * cfg.rowsPerBand
+      s"WHEN $b THEN md5(array_to_string(list_transform(signature[$lo:$hi], x -> CAST(x AS VARCHAR)), ','))"
+    }.mkString(" ")
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+sh AS (SELECT doc_id, $shingle AS sh FROM toks),
+sig AS (SELECT doc_id, sh, $sigExprs AS signature FROM sh),
+bands AS (SELECT doc_id, i.i AS band_idx, CASE i.i $bandCase END AS band_key FROM sig, (SELECT unnest(range(${cfg.bands})) AS i) i),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) AS jaccard FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id) WHERE jaccard >= ${cfg.threshold}"""
+  }
+}

@@ -1,0 +1,52 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.functions.TextFunctions
+
+/** Exact all-pairs n-gram Jaccard similarity via a shingle inverted
+  * index: explode shingles, self-join on the shingle, count per pair,
+  * jaccard = |∩| / (|A| + |B| - |∩|).
+  *
+  * This is the exact (non-probabilistic) rung of the dedup ladder. The
+  * inverted-index join bounds work by shared-shingle volume rather than
+  * the quadratic all-pairs space; at 100 TB you'd additionally drop
+  * ultra-frequent shingles (stop-shingles) before the join — the skew
+  * knob is `maxShingleFreq`. */
+object NgramJaccard {
+
+  /** Pairs (doc_a < doc_b) with jaccard >= threshold.
+    * maxShingleFreq <= 0 disables frequency pruning (exact). */
+  def pairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
+      threshold: Double = 0.8, maxShingleFreq: Int = 0): DataFrame = {
+    val sh0 = docs.select(id.as("doc_id"),
+        explode(TextFunctions.shingles(text, n)).as("s"))
+    val sh =
+      if (maxShingleFreq > 0) {
+        val freq = sh0.groupBy("s").count().filter(col("count") <= maxShingleFreq)
+        sh0.join(broadcast(freq.select("s")), Seq("s"))
+      } else sh0
+    val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("common").cast(DoubleType) /
+          (col("sa.n_sh") + col("sb.n_sh") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** DuckDB SQL replicating pairs() (no frequency pruning) over
+    * table `documents`. */
+  def oracleSql(n: Int = 3, threshold: Double = 0.8): String =
+    raw"""WITH sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${n - 1}], ' ') FOR i IN range(1, greatest(len(toks)-${n - 1}, 1)+1)])) AS s FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) WHERE jaccard >= $threshold"""
+}

@@ -283,6 +283,56 @@ object Queries {
 
     // ---- embeddings: vector math ------------------------------------------
 
+    // ---- near-duplicate ladder over documents -----------------------------
+
+    GraftQuery("q_dedup_minhash",
+      (s, dir) => graft.dedup.MinHash.verifiedPairs(docs(s, dir), col("doc_id"), col("text")),
+      Some(graft.dedup.MinHash.oracleSql()),
+      headline = true),
+
+    GraftQuery("q_dedup_simhash",
+      (s, dir) => graft.dedup.SimHash.pairs(docs(s, dir), col("doc_id"), col("text")),
+      Some(graft.dedup.SimHash.oracleSql())),
+
+    GraftQuery("q_dedup_ngram",
+      (s, dir) => graft.dedup.NgramJaccard.pairs(docs(s, dir), col("doc_id"), col("text")),
+      Some(graft.dedup.NgramJaccard.oracleSql())),
+
+    GraftQuery("q_dedup_embedding",
+      (s, dir) => graft.similarity.Ann.cosinePairs(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"), threshold = 0.45),
+      Some(graft.similarity.Ann.cosinePairsOracle(0.45))),
+
+    // ---- similarity search over embeddings --------------------------------
+
+    GraftQuery("q_ann_topk",
+      (s, dir) => graft.similarity.Ann.bruteForceTopK(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") < 20, k = 5),
+      Some(graft.similarity.Ann.bruteForceTopKOracle("vec_id < 20", 5)),
+      headline = true),
+
+    // Approximate variant (LSH buckets + exact re-rank). Not SQL-oracled:
+    // the driver records the weaker rows-only check; recall vs the exact
+    // top-k is asserted in AnnSpec instead.
+    GraftQuery("q_ann_lsh_topk",
+      (s, dir) => graft.similarity.Ann.lshTopK(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") < 20, k = 5, dim = 64, nPlanes = 6),
+      None),
+
+    // Multimodal plumbing end-to-end: synthesize media table → batched
+    // partition-parallel decode (stubbed codec) → feature vectors.
+    // Rows-only check (byte-level decode isn't SQL-expressible).
+    GraftQuery("q_multimodal_features",
+      (s, dir) => {
+        val feats = graft.multimodal.Multimodal.extractFeatures(
+          graft.multimodal.Multimodal.synthesize(docs(s, dir)))
+        feats.toDF().select(col("doc_id"), col("media_type"), col("n_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      },
+      None),
+
     GraftQuery("q_embedding_norm",
       (s, dir) => Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
         round(VectorFunctions.norm(col("embedding")), 4).as("l2_norm")),
