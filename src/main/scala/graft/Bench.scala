@@ -38,7 +38,7 @@ object Bench {
     }
 
     val names = Queries.headlines.map(_.name)
-    names.headOption.foreach(force) // warmup
+    names.foreach(force) // warm codegen/JIT for every plan once
     val results = names.map(n => n -> force(n))
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -68,12 +68,16 @@ object Engagement {
     * adaptive_time_microseconds). Null if nothing matches.
     * Reference: :206–233 + enhanced-postgres-connector.json:20. */
   def parseTimestampMulti(c: Column): Column =
+    // The formats are mutually exclusive (a string with a zone offset
+    // fails every offset-less pattern and vice versa), so branch order
+    // doesn't change semantics — it's ordered most-common-first to keep
+    // the typical row at one parse attempt instead of three.
     coalesce(
-      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
-      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")),
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSS")),
       try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")),
+      try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
       try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSSSSS")),
       try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")),
       when(c.rlike("^[0-9]{16,}$"), timestamp_micros(c.cast(LongType))))

@@ -170,6 +170,23 @@ object Queries {
       Some(s"""SELECT minute_bucket, key, score_sum, CAST(rk AS INTEGER) AS rk FROM (SELECT minute_bucket, key, score_sum, row_number() OVER (PARTITION BY minute_bucket ORDER BY score_sum DESC, key ASC) AS rk FROM (SELECT strftime(ts, '%Y%m%d%H%M') AS minute_bucket, user_id AS key, CAST(sum(CAST($scoreSql AS DECIMAL(28,2))) AS DOUBLE) AS score_sum FROM events GROUP BY 1, 2)) WHERE rk <= 3"""),
       headline = true),
 
+    // A5 via the custom bounded-heap aggregate (partial+final hash agg,
+    // no per-group full sort): top-3 events by score per minute.
+    GraftQuery("q_topk_custom_agg",
+      (s, dir) => {
+        graft.functions.BoundedTopK.register(s)
+        ev(s, dir)
+          .select(date_format(col("ts"), "yyyyMMddHHmm").as("minute_bucket"),
+            col("event_id"), score.as("score"))
+          .groupBy(col("minute_bucket"))
+          .agg(expr("bounded_top_k(score, event_id, 3)").as("topk"))
+          .select(col("minute_bucket"), posexplode(col("topk")).as(Seq("pos", "p")))
+          .select(col("minute_bucket"), col("p.key").as("event_id"),
+            col("p.score").as("score"), (col("pos") + 1).cast("int").as("rk"))
+      },
+      Some(s"""SELECT minute_bucket, event_id, score, CAST(rk AS INTEGER) AS rk FROM (SELECT strftime(ts, '%Y%m%d%H%M') AS minute_bucket, event_id, $scoreSql AS score, row_number() OVER (PARTITION BY strftime(ts, '%Y%m%d%H%M') ORDER BY $scoreSql DESC, event_id ASC) AS rk FROM events) WHERE rk <= 3"""),
+      headline = true),
+
     // J1 — broadcast left-outer enrichment join (stream x dimension
     // analog: events fact x customer dim) + P5/P6/P7 derived columns.
     GraftQuery("q_enrich_join",
@@ -223,6 +240,62 @@ object Queries {
           count(lit(1)).as("count_order")),
       Some("""SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price, CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY 1, 2"""),
       headline = true),
+
+    // TPC-H Q3 shape: 3-way join, filtered dims, grouped revenue, top-10.
+    GraftQuery("q3_topk",
+      (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01 00:00:00"))
+        val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1998-01-01 00:00:00"))
+        val joined = l
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        val grouped = joined.groupBy(col("l_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_orderpriority"))
+          .agg(Rollups.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        grouped.orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
+      },
+      Some("""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""),
+      headline = true),
+
+    // TPC-H Q5 shape: 6-way snowflake join (region→nation→customer→
+    // orders→lineitem→supplier with the co-nation constraint), revenue
+    // per nation. Dims broadcast; the fact table never shuffles pre-agg.
+    GraftQuery("q5_join",
+      (s, dir) => {
+        val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        val n = Tables.nation(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+                  col("o_orderdate") < lit("1998-01-01 00:00:00"))
+        val l = Tables.lineitem(s, dir)
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(su),
+            l("l_suppkey") === su("s_suppkey") && c("c_nationkey") === su("s_nationkey"))
+          .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(Rollups.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      },
+      Some("""SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1"""),
+      headline = true),
+
+    // Per-group top-k (rank window over a grouped aggregate): top-3
+    // parts by retail price within each brand.
+    GraftQuery("q_part_topk",
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+        Tables.part(s, dir)
+          .select(col("p_brand"), col("p_partkey"), col("p_name"), col("p_retailprice"))
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .withColumn("rk", col("rk").cast("int"))
+      },
+      Some("""SELECT p_brand, p_partkey, p_name, p_retailprice, CAST(rk AS INTEGER) AS rk FROM (SELECT p_brand, p_partkey, p_name, p_retailprice, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rk FROM part) WHERE rk <= 3""")),
 
     GraftQuery("q_window_running",
       (s, dir) => {
