@@ -310,6 +310,65 @@ object Queries {
       Some("""SELECT user_id, event_id, CAST(sum(CAST(value AS DECIMAL(28,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value, CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS rn, lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value, lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value FROM events"""),
       headline = true),
 
+    // Hierarchical aggregates: ROLLUP over lineitem flags.
+    GraftQuery("q_rollup",
+      (s, dir) => Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), Rollups.decSum(col("l_quantity"), 2).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    GraftQuery("q_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), Rollups.decSum(col("o_totalprice"), 2).as("sum_price")),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
+
+    // Semi/anti joins: customers with vs without orders.
+    GraftQuery("q_semi_anti",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+        val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), lit("has_orders").as("status"))
+        val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), lit("no_orders").as("status"))
+        semi.unionByName(anti)
+      },
+      Some("""SELECT c_custkey, 'has_orders' AS status FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) UNION ALL SELECT c_custkey, 'no_orders' AS status FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
+
+    // Set operations: user ids seen in events vs the customer key space.
+    GraftQuery("q_setops",
+      (s, dir) => {
+        val ev_ids = ev(s, dir).select(col("user_id").as("id"))
+        val cust = Tables.customer(s, dir).select(col("c_custkey").as("id"))
+        ev_ids.intersect(cust).select(col("id"), lit("both").as("src"))
+          .unionByName(ev_ids.distinct().except(cust).select(col("id"), lit("events_only").as("src")))
+          .unionByName(cust.except(ev_ids).select(col("id"), lit("customer_only").as("src")))
+      },
+      Some("""SELECT id, 'both' AS src FROM (SELECT user_id AS id FROM events INTERSECT SELECT c_custkey FROM customer) UNION ALL SELECT id, 'events_only' AS src FROM (SELECT DISTINCT user_id AS id FROM events EXCEPT SELECT c_custkey FROM customer) UNION ALL SELECT id, 'customer_only' AS src FROM (SELECT c_custkey AS id FROM customer EXCEPT SELECT user_id FROM events)""")),
+
+    // Distinct aggregates (hash-distinct per group, map-side partials).
+    GraftQuery("q_distinct_agg",
+      (s, dir) => ev(s, dir).groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(date_format(col("ts"), "yyyyMMddHHmm")).as("n_minutes"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(DISTINCT strftime(ts, '%Y%m%d%H%M')) AS n_minutes, count(*) AS cnt FROM events GROUP BY 1""")),
+
+    // §2.7 scalar surface: string + date function parity sweep.
+    GraftQuery("q_scalar_funcs",
+      (s, dir) => ev(s, dir).select(
+        col("event_id"),
+        lpad(col("user_id").cast("string"), 6, "0").as("padded"),
+        concat(upper(col("event_type")), lit("#"), lower(col("event_type"))).as("cc"),
+        substring(col("event_type"), 1, 3).as("sub"),
+        date_format(col("ts"), "yyyyMM").as("yyyymm"),
+        date_format(col("ts") - expr("INTERVAL 10 minutes"), tsFull).as("ts_minus_10m"),
+        unix_millis(col("ts")).as("epoch_ms"),
+        abs(col("user_id") - 75).as("abs_diff"),
+        least(col("value"), lit(50.0)).as("capped")),
+      Some(s"""SELECT event_id, lpad(CAST(user_id AS VARCHAR), 6, '0') AS padded, upper(event_type) || '#' || lower(event_type) AS cc, substring(event_type, 1, 3) AS sub, strftime(ts, '%Y%m') AS yyyymm, strftime(ts - INTERVAL 10 MINUTE, '$tsFullSql') AS ts_minus_10m, epoch_ms(ts) AS epoch_ms, abs(user_id - 75) AS abs_diff, least(value, 50.0) AS capped FROM events""")),
+
     // ---- documents: text analysis + dedup ladder --------------------------
 
     GraftQuery("q_token_count",

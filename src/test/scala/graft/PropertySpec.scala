@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.Engagement
+import graft.ops.Dedup
+
+/** Property-based invariants (SURVEY §5) over ScalaCheck generators:
+  * generated cases are batched into one DataFrame per property so Spark
+  * evaluates them in a single job rather than one per sample. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val eventTypes =
+    Gen.oneOf("play", "pause", "finish", "click", "view", "PLAY", "Finish", "other")
+  private val durations =
+    Gen.option(Gen.chooseNum(0L, 3600000L)).map(_.map(java.lang.Long.valueOf).orNull)
+
+  test("property: engagement score is in [0, 7.5] and never null") {
+    val cases = Gen.listOfN(300, Gen.zip(eventTypes, durations)).sample.get
+    val df = cases.map { case (et, d) => (et, Option(d).map(_.toLong)) }.toDF("et", "d")
+    val scores = df.select(Engagement.engagementScore(col("et"), col("d"))).collect()
+    assert(scores.forall(!_.isNullAt(0)))
+    // 0.0 is reachable: a 1 ms duration gives factor ln(1.001) ≈ 0.001,
+    // and round(base*factor, 2) = 0.0 — true of the reference's
+    // Math.round formulation as well (:332–337)
+    assert(scores.forall { r => val s = r.getDouble(0); s >= 0 && s <= 7.5 })
+  }
+
+  test("property: pct is null iff duration null or length <= 0; else in [0, ∞)") {
+    val lens = Gen.option(Gen.chooseNum(-10, 5400)).map(_.map(Integer.valueOf).orNull)
+    val cases = Gen.listOfN(300, Gen.zip(durations, lens)).sample.get
+    val df = cases.map { case (d, l) => (Option(d).map(_.toLong), Option(l).map(_.toInt)) }
+      .toDF("d", "l")
+    val out = df.select(col("d"), col("l"),
+      Engagement.engagementPct(col("d"), col("l")).as("pct")).collect()
+    out.foreach { r =>
+      val dNull = r.isNullAt(0); val lBad = r.isNullAt(1) || r.getInt(1) <= 0
+      if (dNull || lBad) assert(r.isNullAt(2))
+      else assert(!r.isNullAt(2) && r.getDouble(2) >= 0)
+    }
+  }
+
+  test("property: LWW dedup is idempotent and keeps one row per key") {
+    val rows = Gen.listOfN(400,
+      Gen.zip(Gen.chooseNum(0, 25), Gen.chooseNum(0L, 50L), Gen.chooseNum(0L, 1000000L)))
+      .sample.get
+    val df = rows.map { case (k, v, tb) => (k.toLong, v, tb) }.toDF("k", "v", "tb")
+    val once = Dedup.lww(df, Seq(col("k")), col("v"), col("tb"))
+    val twice = Dedup.lww(once, Seq(col("k")), col("v"), col("tb"))
+    assert(once.collect().map(_.toString).sorted.toSeq ===
+      twice.collect().map(_.toString).sorted.toSeq)
+    assert(once.groupBy("k").count().filter(col("count") > 1).count() === 0)
+    assert(once.select("k").distinct().count() === df.select("k").distinct().count())
+  }
+
+  test("property: event-id normalization total on non-null inputs, identity on digits") {
+    val ids = Gen.oneOf(
+      Gen.chooseNum(0L, Long.MaxValue / 2).map(_.toString),
+      Gen.alphaNumStr.suchThat(_.nonEmpty),
+      Gen.const("evt-" + "x" * 30))
+    val cases = Gen.listOfN(300, ids).sample.get
+    val df = cases.toDF("id")
+    val out = df.select(col("id"), Engagement.normalizeEventId(col("id"))).collect()
+    out.foreach { r =>
+      assert(!r.isNullAt(1))
+      if (r.getString(0).matches("^[0-9]{1,18}$"))
+        assert(r.getLong(1) === r.getString(0).toLong)
+    }
+  }
+
+  test("extensions: GraftExtensions wires bounded_top_k into a session builder") {
+    // instantiating and applying must not throw; the function itself is
+    // exercised via BoundedTopK.register in WorkloadTopKSpec
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
