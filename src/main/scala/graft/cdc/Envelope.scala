@@ -70,8 +70,19 @@ object Envelope {
     * event_type, platform, duration_ms, event_ts (parsed), raw_payload.
     * Rows that fail to yield an id are dropped (P4/F2). */
   def unwrapEngagement(raw: DataFrame): DataFrame = {
-    val rec = afterOrRoot(col("value").cast(StringType), engagementRecordSchema)
-    raw.select(rec.as("r"))
+    val value = col("value").cast(StringType)
+    // The id-presence drop (F2/P4) is probed with get_json_object BEFORE
+    // the full parse: it is equivalent (event_id is null exactly when
+    // neither envelope nor flat shape carries an id, or the JSON is
+    // malformed — get_json_object returns null in every such case), and
+    // it keeps Catalyst's filter pushdown from duplicating the whole
+    // to_json/from_json chain into the pushed-down Filter condition.
+    val idProbe = coalesce(
+      get_json_object(value, "$.payload.after.id"),
+      get_json_object(value, "$.id"))
+    val rec = afterOrRoot(value, engagementRecordSchema)
+    raw.filter(idProbe.isNotNull)
+      .select(rec.as("r"))
       .select(
         Engagement.normalizeEventId(col("r.id")).as("event_id"),
         col("r.user_id").as("user_id"),
@@ -81,7 +92,6 @@ object Envelope {
         col("r.duration_ms").as("duration_ms"),
         Engagement.parseTimestampMulti(col("r.event_ts")).as("event_ts"),
         col("r.raw_payload").as("raw_payload"))
-      .filter(col("event_id").isNotNull)
   }
 
   /** P3: unwrap a content CDC stream including delete tombstones. Takes

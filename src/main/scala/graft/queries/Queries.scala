@@ -52,9 +52,12 @@ object Queries {
   // from the events table, so unwrap output is oracle-checkable as a
   // round-trip identity) ----------------------------------------------------
 
-  /** Debezium-enveloped engagement messages synthesized from events. */
+  /** Debezium-enveloped engagement messages synthesized from events.
+    * Repartitioned first: the parquet fixture is a single row group (one
+    * read partition), while the real source is a multi-partition Kafka
+    * topic — without this the per-row JSON work serializes on one core. */
   private def engagementWire(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
+    val e = ev(s, dir).repartition(s.sparkContext.defaultParallelism)
     val after = struct(
       col("event_id").cast("string").as("id"),
       concat(lit("content-"), pmod(col("event_id"), lit(40))).as("content_id"),
@@ -74,7 +77,7 @@ object Queries {
     * 10th event_id is a delete tombstone (before-only, op='d'); ts_ms =
     * event_id gives a deterministic change order per key. */
   private def contentWire(s: SparkSession, dir: String): DataFrame = {
-    val e = ev(s, dir)
+    val e = ev(s, dir).repartition(s.sparkContext.defaultParallelism)
     val id = concat(lit("content-"), pmod(col("event_id"), lit(40)))
     val isDel = pmod(col("event_id"), lit(10)) === 0
     val after = struct(
