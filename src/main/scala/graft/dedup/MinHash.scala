@@ -81,7 +81,13 @@ object MinHash {
   /** DuckDB SQL computing exactly verifiedPairs over table `documents`
     * (doc_id, text) — machine-generated from the same Config so the
     * banding, hashing, and verification replicate bit-for-bit. */
-  def oracleSql(cfg: Config = Config()): String = {
+  def oracleSql(cfg: Config = Config()): String =
+    s"""${oracleCtes(cfg)}
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= ${cfg.threshold}"""
+
+  /** The WITH-clause body shared by oracleSql and composed pipelines
+    * (ends with CTE `verified`: doc_a, doc_b, jaccard — unfiltered). */
+  def oracleCtes(cfg: Config = Config()): String = {
     val shingle =
       raw"""list_distinct([array_to_string(toks[i:i+${cfg.shingleSize - 1}], ' ') FOR i IN range(1, greatest(len(toks)-${cfg.shingleSize - 1}, 1)+1)])"""
     val sigExprs = (0 until cfg.numPerms).map { j =>
@@ -96,7 +102,7 @@ object MinHash {
 sh AS (SELECT doc_id, $shingle AS sh FROM toks),
 sig AS (SELECT doc_id, sh, $sigExprs AS signature FROM sh),
 bands AS (SELECT doc_id, i.i AS band_idx, CASE i.i $bandCase END AS band_key FROM sig, (SELECT unnest(range(${cfg.bands})) AS i) i),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) AS jaccard FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id) WHERE jaccard >= ${cfg.threshold}"""
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+verified AS (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) AS jaccard FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)"""
   }
 }

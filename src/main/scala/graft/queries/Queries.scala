@@ -416,6 +416,60 @@ object Queries {
         sha2(col("text").cast("binary"), 256).as("sha_hex")),
       Some("""SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS sha_hex FROM documents""")),
 
+    // The composed training-data pipeline in one query: exact dedup →
+    // MinHash near-dup drop (remove the higher id of each verified
+    // pair) → language-ID + quality annotation → quality gate.
+    GraftQuery("q_corpus_clean",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val exactKeep = Dedup.exactDedup(d, col("text"), col("doc_id"))
+        val nearDrops = graft.dedup.MinHash
+          .verifiedPairs(d, col("doc_id"), col("text"))
+          .select(col("doc_b").as("doc_id")).distinct()
+        exactKeep.join(nearDrops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+            TextFunctions.langId(col("text")).as("lang_pred"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .filter(col("quality") >= 0.5)
+      },
+      Some {
+        val pats = TextFunctions.langStopwords.toMap
+        def h(l: String) = s"len(regexp_extract_all(lower(text), '${pats(l)}'))"
+        val langCase = s"""CASE WHEN ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("fr")} AND ${h("en")} > 0 THEN 'en' WHEN ${h("de")} >= ${h("es")} AND ${h("de")} >= ${h("fr")} AND ${h("de")} > 0 THEN 'de' WHEN ${h("es")} >= ${h("fr")} AND ${h("es")} > 0 THEN 'es' WHEN ${h("fr")} > 0 THEN 'fr' ELSE 'und' END"""
+        val qualityExpr = raw"""floor((0.5 * least(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)/64.0) + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)/greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0))) + 0.2 * least(1.0, 4.0*CAST(len(regexp_extract_all(lower(text), '${pats("en")}')) AS DOUBLE)/greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0))) * 10000.0 + 0.5) / 10000.0"""
+        raw"""${graft.dedup.MinHash.oracleCtes()},
+near_drops AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= ${graft.dedup.MinHash.Config().threshold}),
+exact_keep AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn FROM documents) WHERE rn = 1)
+SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS lang_pred, $qualityExpr AS quality, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens FROM exact_keep WHERE doc_id NOT IN (SELECT doc_id FROM near_drops)) WHERE quality >= 0.5"""
+      },
+      headline = true),
+
+    // Exact interpolated percentiles per group (sort-based agg).
+    GraftQuery("q_percentiles",
+      (s, dir) => ev(s, dir).groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("p50"),
+          expr("percentile(value, 0.9)").as("p90"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax")),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1""")),
+
+    // Approximate distinct (HLL++ sketch): deterministic but algorithm-
+    // specific, so rows-only for the driver; accuracy vs exact is
+    // asserted in AnnMultimodalSpec.
+    GraftQuery("q_sketch_distinct",
+      (s, dir) => ev(s, dir).groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users")),
+      None),
+
+    // IVF approximate top-k (assign → co-partition → re-rank). Rows-only;
+    // recall vs exact asserted in AnnMultimodalSpec.
+    GraftQuery("q_ann_ivf_topk",
+      (s, dir) => graft.similarity.Ann.ivfTopK(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") < 20, k = 5),
+      None),
+
     // ---- embeddings: vector math ------------------------------------------
 
     // ---- near-duplicate ladder over documents -----------------------------

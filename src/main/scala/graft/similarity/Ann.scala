@@ -97,6 +97,47 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rk").cast("int").as("rk"))
   }
 
+  /** IVF (inverted-file) approximate top-k: vectors are assigned to
+    * their nearest "centroid" (here: a deterministic subset of the
+    * corpus — vec_id < nCentroids — standing in for k-means centroids;
+    * the assign→co-partition→re-rank plumbing is identical). Queries
+    * probe their nProbe nearest centroids' partitions and re-rank
+    * exactly within them. Centroids broadcast; the corpus shuffles once
+    * on cluster_id — at 100 TB that's the partitioning you'd persist. */
+  def ivfTopK(emb: DataFrame, id: Column, vec: Column, isQuery: Column,
+      k: Int, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = emb.filter(id < nCentroids)
+      .select(id.as("cent_id"), vec.as("cv"), VectorFunctions.norm(vec).as("cnrm"))
+    def assign(df: DataFrame, idc: String, vc: String, nc: String, probes: Int): DataFrame = {
+      val scored = df.join(broadcast(cents), expr("true"))
+        .select(col(idc), col(vc), col(nc), col("cent_id"),
+          when(col(nc) > 0 && col("cnrm") > 0,
+            VectorFunctions.dot(col(vc), col("cv")) / (col(nc) * col("cnrm")))
+            .as("cent_cos"))
+      val w = Window.partitionBy(col(idc))
+        .orderBy(col("cent_cos").desc_nulls_last, col("cent_id").asc)
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= probes)
+        .drop("__r", "cent_cos")
+    }
+    val corpus = assign(
+      emb.select(id.as("vec_id"), vec.as("v"), VectorFunctions.norm(vec).as("nrm")),
+      "vec_id", "v", "nrm", probes = 1)
+    val queries = assign(
+      emb.filter(isQuery).select(id.as("query_id"), vec.as("qv"),
+        VectorFunctions.norm(vec).as("qnrm")),
+      "query_id", "qv", "qnrm", probes = nProbe)
+    val scored = queries.join(corpus, Seq("cent_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("qnrm") > 0 && col("nrm") > 0,
+          VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rk").cast("int").as("rk"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** Shared dot/norm fragments: sequential-order double sums, matching

@@ -39,6 +39,32 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(b1.toSet.size > 1) // vectors actually spread across buckets
   }
 
+  test("IVF top-k: well-formed, deterministic, and beats single-bucket recall") {
+    val exact = Ann.bruteForceTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 20, k = 5)
+    val ivf = Ann.ivfTopK(emb, col("vec_id"), col("embedding"),
+      col("vec_id") < 20, k = 5, nCentroids = 16, nProbe = 4)
+    val a = ivf.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = exact.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a.nonEmpty)
+    val perQuery = ivf.groupBy("query_id").count().collect()
+    assert(perQuery.forall(_.getLong(1) <= 5))
+    val recall = (a intersect e).size.toDouble / e.size
+    assert(recall > 0.1, s"recall=$recall")
+  }
+
+  test("approx_count_distinct sketch lands within 10% of exact") {
+    val rows = graft.queries.Queries.runners("q_sketch_distinct")(spark, dir).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.10,
+        s"approx=$approx exact=$exact for ${r.getString(0)}")
+    }
+  }
+
   test("multimodal: synthesize → partition-parallel decode → fixed-dim features") {
     val media = Multimodal.synthesize(Tables.documents(spark, dir))
     val feats = Multimodal.extractFeatures(media)

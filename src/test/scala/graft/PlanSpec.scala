@@ -1,0 +1,72 @@
+package graft
+
+import graft.queries.Queries
+
+/** Plan-shape regression tests: the scale posture (pushdown, broadcast,
+  * partial aggregation, no sort-merge fallback) asserted against the
+  * actual physical plans, so a refactor that silently de-optimizes a
+  * query fails CI rather than a future benchmark. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = Queries.runners(name)(spark, dir)
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("q1_agg: ship-date filter is pushed to the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q1_agg: column pruning — scan reads only the needed columns") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema) // not referenced
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q_enrich_join: dimension side is a broadcast hash join, not sort-merge") {
+    val p = plan("q_enrich_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "dim join must not shuffle the fact side")
+  }
+
+  test("q5_join: six-way snowflake resolves to broadcast joins only") {
+    val p = plan("q5_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "all dims are broadcastable; the fact table must not shuffle pre-agg")
+  }
+
+  test("q_hourly_rollup: partial+final hash aggregation (map-side combine)") {
+    val p = plan("q_hourly_rollup")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got:\n${p.take(1500)}")
+  }
+
+  test("q_topk_custom_agg: bounded_top_k runs as partial+final aggregation") {
+    val p = plan("q_topk_custom_agg")
+    assert(p.contains("bounded_top_k"), p.take(1500))
+    val aggs = p.linesIterator.count(l =>
+      l.contains("Aggregate") && l.contains("bounded_top_k"))
+    assert(aggs >= 2, s"expected partial+final bounded_top_k:\n${p.take(1500)}")
+  }
+
+  test("q_token_count: text derivation stays whole-stage-codegen'd, no exchange") {
+    val df = Queries.runners("q_token_count")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("*(1)"), p.take(1000)) // the WholeStageCodegen marker
+    assert(!p.contains("Exchange"), "a pure per-row map must not shuffle")
+  }
+
+  test("q_dedup_minhash: signature stage has no exchange below the band join") {
+    // the signature computation is map-only; the first exchange in the
+    // plan must belong to the candidate-pair join, not the signatures
+    val p = plan("q_dedup_minhash")
+    assert(p.contains("Exchange") || p.contains("BroadcastExchange"), p.take(500))
+    // sanity: no sort-based aggregation crept into the hash path
+    assert(!p.contains("SortAggregate"), "minhash must stay hash/map based")
+  }
+}
