@@ -54,6 +54,34 @@ object Rollups {
   def counters(df: DataFrame, key: Column): DataFrame =
     df.groupBy(key).agg(count(lit(1)).as("cnt"))
 
+  /** Sessionization: gap-based session windows per key (a new session
+    * starts when the gap since the previous event reaches `gap`).
+    * Batch form of Spark's session_window; works in streaming too. */
+  def sessionize(df: DataFrame, ts: Column, key: Column, gap: String): DataFrame =
+    df.groupBy(session_window(ts, gap).as("sw"), key)
+      .agg(count(lit(1)).as("cnt"), decSum(col("value")).as("value_sum"))
+      .select(
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        key, col("cnt"), col("value_sum"))
+
+  /** Skew-resistant two-stage sum (SURVEY §7.4 #6): rows are salted into
+    * `buckets` sub-groups, partially aggregated, then re-aggregated on
+    * the true key. Decimal-exact, so the result equals the direct sum;
+    * at 1000 executors this is what keeps one hot key from pinning a
+    * single reducer. `saltSrc` should be a high-cardinality column. */
+  def saltedSum(df: DataFrame, keys: Seq[Column], value: Column,
+      saltSrc: Column, buckets: Int = 16, scale: Int = 2): DataFrame = {
+    val stage1 = df
+      .withColumn("__salt", pmod(hash(saltSrc), lit(buckets)))
+      .groupBy(keys :+ col("__salt"): _*)
+      .agg(sum(value.cast(DecimalType(28, scale))).as("__partial"),
+        count(lit(1)).as("__cnt"))
+    stage1.groupBy(keys: _*)
+      .agg(sum(col("__partial")).cast("double").as("value_sum"),
+        sum(col("__cnt")).as("cnt"))
+  }
+
   /** A7: latest row per key, deterministic via (ts desc, tiebreak desc).
     * Single shuffle on the key; no driver-side state. */
   def lastPerKey(df: DataFrame, keys: Seq[Column], ts: Column, tiebreak: Column): DataFrame = {

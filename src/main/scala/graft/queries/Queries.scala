@@ -228,6 +228,19 @@ object Queries {
           tsFull).as("parsed")),
       Some(s"""SELECT event_id, strftime(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f'), '$tsFullSql') AS parsed FROM events""")),
 
+    // Gap-based sessionization (5-minute inactivity gap) per user —
+    // Spark session_window vs an islands-formulation oracle.
+    GraftQuery("q_session_window",
+      (s, dir) => Rollups.sessionize(ev(s, dir), col("ts"), col("user_id"), "5 minutes"),
+      Some(s"""WITH marked AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events), sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked) SELECT strftime(min(ts), '$tsFullSql') AS session_start, strftime(max(ts) + INTERVAL 5 MINUTE, '$tsFullSql') AS session_end, user_id, count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value_sum FROM sess GROUP BY user_id, sid"""),
+      headline = true),
+
+    // Skew-resistant salted aggregation — must equal the direct sum.
+    GraftQuery("q_salted_agg",
+      (s, dir) => Rollups.saltedSum(ev(s, dir), Seq(col("event_type")),
+        col("value"), saltSrc = col("event_id")),
+      Some("""SELECT event_type, CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value_sum, count(*) AS cnt FROM events GROUP BY 1""")),
+
     // ---- TPC-H-style relational coverage (scale posture checks) ----------
 
     GraftQuery("q1_agg",

@@ -106,6 +106,63 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("update-mode running scores and counters accumulate across batches") {
+    val in = MemoryStream[String](spark)
+    val enriched = graft.cdc.Envelope.unwrapEngagement(in.toDF())
+      .withColumn("engagement_score",
+        graft.functions.Engagement.engagementScore(col("event_type"), col("duration_ms")))
+    val scoresQ = Pipeline.runningUserContentScores(enriched)
+      .writeStream.format("memory").queryName("scores_out")
+      .outputMode(OutputMode.Update).start()
+    val countersQ = Pipeline.eventTypeCounters(enriched)
+      .writeStream.format("memory").queryName("counters_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(engEvent(1, "c1", "play", "2024-01-01T10:00:00", 45000L))
+      scoresQ.processAllAvailable(); countersQ.processAllAvailable()
+      in.addData(engEvent(1, "c1", "play", "2024-01-01T10:01:00", 45000L))
+      scoresQ.processAllAvailable(); countersQ.processAllAvailable()
+      // update mode re-emits the key each batch; latest emission wins
+      val latest = spark.sql(
+        "SELECT score_sum, events FROM scores_out ORDER BY events DESC LIMIT 1").head
+      assert(latest.getDouble(0) === 5.0 && latest.getLong(1) === 2L)
+      val cnt = spark.sql(
+        "SELECT count FROM counters_out ORDER BY count DESC LIMIT 1").head.getLong(0)
+      assert(cnt === 2L)
+    } finally { scoresQ.stop(); countersQ.stop() }
+  }
+
+  test("outbox serializes enriched rows to JSON values, omitting nulls") {
+    val in = MemoryStream[String](spark)
+    val q = Pipeline.outbox(graft.cdc.Envelope.unwrapEngagement(in.toDF()))
+      .writeStream.format("memory").queryName("outbox_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(engEvent(5, "c2", "click", "2024-01-01T10:00:00", null))
+      q.processAllAvailable()
+      val v = spark.sql("SELECT value FROM outbox_out").head.getString(0)
+      assert(v.contains("\"event_id\":5"))
+      assert(v.contains("\"content_id\":\"c2\""))
+      assert(!v.contains("duration_ms")) // null fields omitted (K3 parity)
+    } finally { q.stop() }
+  }
+
+  test("streaming warehouse sink: replayed batches dedup via LWW read") {
+    val path = tmp("whs") + "/t"
+    val in = MemoryStream[String](spark)
+    val enriched = graft.cdc.Envelope.unwrapEngagement(in.toDF())
+    val q = Pipeline.warehouseSink(enriched, tmp("ckp-wh")) { (df, _) =>
+      graft.sinks.Warehouse.append(df, path)
+    }.start()
+    try {
+      val e = engEvent(11, "c1", "play", "2024-01-01T10:00:00", 1000L)
+      in.addData(e); q.processAllAvailable()
+      in.addData(e); q.processAllAvailable() // at-least-once replay
+      assert(spark.read.parquet(path).count() === 2)
+      assert(graft.sinks.Warehouse.read(spark, path).count() === 1)
+    } finally { q.stop() }
+  }
+
   test("TTL last-event state: newest kept per key; watermark-based expiry emits tombstone") {
     val in = MemoryStream[String](spark)
     val enriched = graft.cdc.Envelope.unwrapEngagement(in.toDF())
