@@ -1,0 +1,90 @@
+package graft.jobs
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.sinks.Warehouse
+import graft.sources.Workload
+import graft.streaming.Pipeline
+
+/** The full §3.1/§3.2 job graph wired end-to-end on live streams — the
+  * reference's deployed topology minus the external transports:
+  *
+  *   workload rate-stream → Debezium-shaped JSON   (stands in for Kafka)
+  *     ├─ content changes → foreachBatch dim merge (snapshot parquet)
+  *     └─ engagement → unwrap → broadcast enrich → fan-out:
+  *          ├─ warehouse append (LWW parquet, month-partitioned)
+  *          ├─ hourly rollup (watermarked, append)
+  *          └─ per-type counters (update)
+  *
+  * `runMain graft.jobs.StreamingDemo [seconds] [eventsPerSecond]`
+  * runs the graph for a bounded wall-clock window and prints sink row
+  * counts — a smoke harness, not a benchmark.
+  */
+object StreamingDemo {
+  def main(args: Array[String]): Unit = {
+    val runSeconds = if (args.nonEmpty) args(0).toInt else 15
+    val rate = if (args.length > 1) args(1).toInt else 5000
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val work = Files.createTempDirectory("graft-demo").toString
+    val dimPath = s"$work/dim"
+    val whPath = s"$work/warehouse"
+
+    // seed the dimension with 15 content rows (init.sql-style seed)
+    graft.dim.ContentDim.applyBatch(spark, dimPath,
+      graft.cdc.Envelope.unwrapContent(
+        spark.range(15).select(concat(lit("{\"payload\":{\"after\":{\"id\":\"content-"),
+          col("id"), lit("\",\"content_type\":\"podcast\",\"length_seconds\":300,"
+            + "\"publish_ts\":\"2024-01-01T00:00:00\"},\"op\":\"c\",\"ts_ms\":1}}"))
+          .as("value"))))
+
+    val wire = Workload.asDebeziumJson(Workload.stream(spark, rate))
+
+    val warehouseQ = Pipeline.enrichedSink(wire, dimPath, s"$work/ckp-wh") {
+      (df, _) => Warehouse.append(df.filter(col("event_ts").isNotNull), whPath)
+    }.trigger(Trigger.ProcessingTime("2 seconds")).start()
+
+    val enrichedForAggs = Pipeline.enrichedStream(spark, wire, dimPath)
+    val rollupQ = Pipeline.hourlyRollup(enrichedForAggs)
+      .writeStream.format("memory").queryName("rollup")
+      .option("checkpointLocation", s"$work/ckp-rollup")
+      .outputMode(OutputMode.Append).start()
+    val countersQ = Pipeline.eventTypeCounters(enrichedForAggs)
+      .writeStream.format("memory").queryName("counters")
+      .option("checkpointLocation", s"$work/ckp-counters")
+      .outputMode(OutputMode.Update).start()
+
+    Thread.sleep(runSeconds * 1000L)
+    // wait for at least one committed warehouse batch so the stop below
+    // doesn't leave only aborted task files behind
+    val deadline = System.currentTimeMillis() + 120000
+    while (Seq(warehouseQ, countersQ).exists(
+        _.recentProgress.count(_.numInputRows > 0) < 1) &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(500)
+    // NOTE: no processAllAvailable here — the rate source produces
+    // continuously, so "all available" never drains; bounded runs stop.
+    Seq(warehouseQ, rollupQ, countersQ).foreach(_.stop())
+
+    val whRows = Warehouse.read(spark, whPath).count()
+    val enrichedPct = Warehouse.read(spark, whPath)
+      .filter(col("content_type").isNotNull).count().toDouble / math.max(whRows, 1)
+    val counters = spark.sql("SELECT * FROM counters").collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    println(s"[demo] warehouse rows (deduped): $whRows")
+    println(f"[demo] enriched fraction: ${enrichedPct * 100}%.1f%%")
+    println(s"[demo] counters: $counters")
+    println(s"[demo] throughput ~ ${whRows / math.max(runSeconds, 1)} events/s over $runSeconds s")
+    spark.stop()
+  }
+}

@@ -363,6 +363,24 @@ object Queries {
       },
       Some("""SELECT id, 'both' AS src FROM (SELECT user_id AS id FROM events INTERSECT SELECT c_custkey FROM customer) UNION ALL SELECT id, 'events_only' AS src FROM (SELECT DISTINCT user_id AS id FROM events EXCEPT SELECT c_custkey FROM customer) UNION ALL SELECT id, 'customer_only' AS src FROM (SELECT c_custkey AS id FROM customer EXCEPT SELECT user_id FROM events)""")),
 
+    // Full-outer join: per-user event spend vs the customer roster —
+    // unmatched sides survive with nulls on both wings.
+    GraftQuery("q_full_outer",
+      (s, dir) => {
+        val spend = ev(s, dir).groupBy(col("user_id"))
+          .agg(Rollups.decSum(col("value"), 2).as("total_value"))
+        val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+        spend.join(c, spend("user_id") === c("c_custkey"), "full_outer")
+          .select(col("user_id"), col("c_custkey"), col("c_name"), col("total_value"))
+      },
+      Some("""SELECT user_id, c_custkey, c_name, total_value FROM (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value FROM events GROUP BY 1) FULL OUTER JOIN customer ON user_id = c_custkey""")),
+
+    // Cartesian product (explicit cross join).
+    GraftQuery("q_cross_join",
+      (s, dir) => Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+        .select(col("r_name"), col("n_name")),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
     // Distinct aggregates (hash-distinct per group, map-side partials).
     GraftQuery("q_distinct_agg",
       (s, dir) => ev(s, dir).groupBy(col("event_type"))
