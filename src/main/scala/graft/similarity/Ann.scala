@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StringType}
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{TextFunctions, VectorExpressions, VectorFunctions}
+import org.apache.spark.sql.functions.call_function
 
 /** Similarity search over an `array<float>` embedding column.
   *
@@ -24,6 +25,13 @@ import graft.functions.{TextFunctions, VectorFunctions}
   */
 object Ann {
 
+  /** Codegen'd native dot (graft.functions.DoubleDot) — registered per
+    * session, bit-identical to VectorFunctions.dot. */
+  private def nat(df: DataFrame)(a: Column, b: Column): Column = {
+    VectorExpressions.register(df.sparkSession)
+    call_function("graft_dot", a, b)
+  }
+
   /** All pairs (a < b) with cosine >= threshold. */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
     val e = emb.select(id.as("vec_id"), vec.as("v"),
@@ -31,7 +39,7 @@ object Ann {
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         when(col("a.nrm") > 0 && col("b.nrm") > 0,
-          VectorFunctions.dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          nat(emb)(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
@@ -46,7 +54,7 @@ object Ann {
     val scored = queries.join(e, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         when(col("qnrm") > 0 && col("nrm") > 0,
-          VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
@@ -89,7 +97,7 @@ object Ann {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         when(col("qnrm") > 0 && col("nrm") > 0,
-          VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
@@ -112,7 +120,7 @@ object Ann {
       val scored = df.join(broadcast(cents), expr("true"))
         .select(col(idc), col(vc), col(nc), col("cent_id"),
           when(col(nc) > 0 && col("cnrm") > 0,
-            VectorFunctions.dot(col(vc), col("cv")) / (col(nc) * col("cnrm")))
+            nat(emb)(col(vc), col("cv")) / (col(nc) * col("cnrm")))
             .as("cent_cos"))
       val w = Window.partitionBy(col(idc))
         .orderBy(col("cent_cos").desc_nulls_last, col("cent_id").asc)
@@ -130,7 +138,7 @@ object Ann {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         when(col("qnrm") > 0 && col("nrm") > 0,
-          VectorFunctions.dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)

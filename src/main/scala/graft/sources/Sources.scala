@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** S1–S4 source constructors. The Kafka readers mirror the reference's
+  * consumer settings (EnhancedEngagementStreamingJob.java:76–107):
+  * latest offsets, value-only deserialization, no auto-commit (Spark
+  * tracks offsets in the checkpoint, which is what replaces the
+  * reference's group-offset management / ST7 replay-by-reset).
+  *
+  * No broker exists in this environment, so these are exercised through
+  * their MemoryStream-shaped equivalents in tests — the unwrap contract
+  * downstream (a string `value` column) is identical.
+  */
+object Sources {
+
+  val EngagementTopic = "cdc.public.engagement_events"
+  val ContentTopic = "cdc.public.content"
+
+  /** S1: the engagement CDC stream. `minPartitions` maps Kafka's 4-way
+    * topic parallelism up to the cluster's cores. */
+  def kafkaEngagement(spark: SparkSession, brokers: String,
+      startingOffsets: String = "latest", minPartitions: Option[Int] = None): DataFrame =
+    kafkaValue(spark, brokers, EngagementTopic, startingOffsets, minPartitions)
+
+  /** S2: the content-dimension CDC stream (no watermark downstream —
+    * dimension updates are not event-timed). */
+  def kafkaContent(spark: SparkSession, brokers: String,
+      startingOffsets: String = "latest"): DataFrame =
+    kafkaValue(spark, brokers, ContentTopic, startingOffsets, None)
+
+  private def kafkaValue(spark: SparkSession, brokers: String, topic: String,
+      startingOffsets: String, minPartitions: Option[Int]): DataFrame = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .option("failOnDataLoss", "false")
+    minPartitions.foreach(n => r.option("minPartitions", n))
+    r.load().selectExpr("CAST(value AS STRING) AS value")
+  }
+
+  /** S3: dimension snapshot scan (JDBC in the reference; any batch
+    * relation here — the enrichment only needs (id, content_type,
+    * length_seconds)). */
+  def dimSnapshot(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** S4: CDC initial snapshot + change stream = a batch seed unioned
+    * with the live stream, both in the same wire shape. */
+  def seedPlusStream(seed: DataFrame, stream: DataFrame): DataFrame =
+    seed.unionByName(stream)
+}

@@ -39,6 +39,22 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(b1.toSet.size > 1) // vectors actually spread across buckets
   }
 
+  test("native graft_dot is bit-identical to the HOF dot on real embeddings") {
+    graft.functions.VectorExpressions.register(spark)
+    val both = emb.select(
+      graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")).as("hof"),
+      call_function("graft_dot", col("embedding"), col("embedding")).as("native"))
+    assert(both.filter(col("hof") =!= col("native")).count() === 0)
+    // null element and length mismatch → null (zip_with/aggregate parity)
+    import spark.implicits._
+    val edge = Seq(
+      (Array(1f, 2f), Array(1f, 2f, 3f)),
+      (Array(1f, 2f), Array(3f, 4f))).toDF("a", "b")
+    val out = edge.select(call_function("graft_dot", col("a"), col("b"))).collect()
+    assert(out(0).isNullAt(0)) // length mismatch
+    assert(out(1).getDouble(0) === 11.0)
+  }
+
   test("IVF top-k: well-formed, deterministic, and beats single-bucket recall") {
     val exact = Ann.bruteForceTopK(emb, col("vec_id"), col("embedding"),
       col("vec_id") < 20, k = 5)
