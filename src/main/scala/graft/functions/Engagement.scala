@@ -36,9 +36,20 @@ object Engagement {
     when(durationMs > 0, least(lit(2.5), log(durationMs / lit(1000.0) + lit(1))))
       .otherwise(lit(1.0))
 
-  /** engagement_score = round(base * factor, 2). Reference: :320–337. */
+  /** Two-decimal rounding with the reference's exact semantics:
+    * `Math.round(x * 100.0) / 100.0` — i.e. floor(x*100 + 0.5) on the
+    * binary double. This is deliberately NOT Spark's `round` (which
+    * rounds the shortest decimal representation): at exact .xx5
+    * boundaries — reachable for pct where duration/(10·length) is a
+    * terminating decimal — the two disagree, and only the floor form is
+    * reproducible across engines. */
+  private def round2(x: Column): Column =
+    floor(x * lit(100.0) + lit(0.5)).cast(DoubleType) / lit(100.0)
+
+  /** engagement_score = Math.round(base * factor * 100) / 100.
+    * Reference: :320–337. */
   def engagementScore(eventType: Column, durationMs: Column): Column =
-    round(engagementBase(eventType) * durationFactor(durationMs), 2)
+    round2(engagementBase(eventType) * durationFactor(durationMs))
 
   /** engagement_seconds = duration_ms / 1000.0 (null-through).
     * Reference: :292–294. */
@@ -49,7 +60,7 @@ object Engagement {
     * length > 0 and duration present. Reference: :296–301. */
   def engagementPct(durationMs: Column, lengthSeconds: Column): Column =
     when(lengthSeconds > 0 && durationMs.isNotNull,
-      round(durationMs / lit(1000.0) / lengthSeconds * lit(100), 2))
+      round2(durationMs / lit(1000.0) / lengthSeconds * lit(100)))
       .otherwise(lit(null).cast(DoubleType))
 
   /** Normalize a possibly-string event id to Long; non-numeric ids fall

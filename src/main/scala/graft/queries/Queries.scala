@@ -40,7 +40,7 @@ object Queries {
 
   /** The same expression in DuckDB SQL, operation-for-operation. */
   private val scoreSql: String =
-    """round((CASE WHEN lower(event_type)='play' THEN 1.0 WHEN lower(event_type)='pause' THEN 0.5 WHEN lower(event_type)='finish' THEN 3.0 WHEN lower(event_type)='click' THEN 0.2 ELSE 1.0 END) * (CASE WHEN value*1000 > 0 THEN least(2.5, ln((value*1000)/1000.0 + 1)) ELSE 1.0 END), 2)"""
+    """floor((CASE WHEN lower(event_type)='play' THEN 1.0 WHEN lower(event_type)='pause' THEN 0.5 WHEN lower(event_type)='finish' THEN 3.0 WHEN lower(event_type)='click' THEN 0.2 ELSE 1.0 END) * (CASE WHEN value*1000 > 0 THEN least(2.5, ln((value*1000)/1000.0 + 1)) ELSE 1.0 END) * 100.0 + 0.5)/100.0"""
 
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
@@ -132,7 +132,7 @@ object Queries {
             col("length_seconds"), col("engagement_seconds"),
             col("engagement_pct"), col("engagement_score"))
       },
-      Some(s"""$dimStateSql, ev AS (SELECT event_id, 'content-' || CAST(event_id % 40 AS VARCHAR) AS content_id, event_type, CAST(round(value*1000, 0) AS BIGINT) AS duration_ms FROM events) SELECT event_id, ev.content_id, content_type, length_seconds, duration_ms/1000.0 AS engagement_seconds, CASE WHEN length_seconds > 0 THEN round(duration_ms/1000.0/length_seconds*100, 2) END AS engagement_pct, round((CASE WHEN lower(event_type)='play' THEN 1.0 WHEN lower(event_type)='pause' THEN 0.5 WHEN lower(event_type)='finish' THEN 3.0 WHEN lower(event_type)='click' THEN 0.2 ELSE 1.0 END) * (CASE WHEN duration_ms > 0 THEN least(2.5, ln(duration_ms/1000.0 + 1)) ELSE 1.0 END), 2) AS engagement_score FROM ev LEFT JOIN dim ON ev.content_id = dim.id"""),
+      Some(s"""$dimStateSql, ev AS (SELECT event_id, 'content-' || CAST(event_id % 40 AS VARCHAR) AS content_id, event_type, CAST(round(value*1000, 0) AS BIGINT) AS duration_ms FROM events) SELECT event_id, ev.content_id, content_type, length_seconds, duration_ms/1000.0 AS engagement_seconds, CASE WHEN length_seconds > 0 THEN floor((duration_ms/1000.0/length_seconds*100)*100.0 + 0.5)/100.0 END AS engagement_pct, floor((CASE WHEN lower(event_type)='play' THEN 1.0 WHEN lower(event_type)='pause' THEN 0.5 WHEN lower(event_type)='finish' THEN 3.0 WHEN lower(event_type)='click' THEN 0.2 ELSE 1.0 END) * (CASE WHEN duration_ms > 0 THEN least(2.5, ln(duration_ms/1000.0 + 1)) ELSE 1.0 END) * 100.0 + 0.5)/100.0 AS engagement_score FROM ev LEFT JOIN dim ON ev.content_id = dim.id"""),
       headline = true),
 
     // A1 — tumbling-hour warehouse rollup (ClickHouse hourly MV analog).
@@ -203,7 +203,7 @@ object Queries {
             Engagement.engagementSeconds(col("value") * 1000).as("engagement_seconds"),
             Engagement.engagementPct(col("value") * 1000, col("c_acctbal")).as("engagement_pct"))
       },
-      Some(s"""SELECT event_id, user_id, c_name, c_mktsegment, event_type, $scoreSql AS engagement_score, (value*1000)/1000.0 AS engagement_seconds, CASE WHEN c_acctbal > 0 THEN round((value*1000)/1000.0/c_acctbal*100, 2) END AS engagement_pct FROM events LEFT JOIN customer ON user_id = c_custkey"""),
+      Some(s"""SELECT event_id, user_id, c_name, c_mktsegment, event_type, $scoreSql AS engagement_score, (value*1000)/1000.0 AS engagement_seconds, CASE WHEN c_acctbal > 0 THEN floor(((value*1000)/1000.0/c_acctbal*100)*100.0 + 0.5)/100.0 END AS engagement_pct FROM events LEFT JOIN customer ON user_id = c_custkey"""),
       headline = true),
 
     // P1/JSON — schema-on-read JSON field extraction from the payload.
