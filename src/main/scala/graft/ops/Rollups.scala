@@ -33,6 +33,13 @@ object Rollups {
     df.groupBy((date_format(date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss").as("hour_ts") +: dims): _*)
       .agg(count(lit(1)).as("cnt"), decSum(score).as("score_sum"))
 
+  /** A1 as a materialized view: same rollup but with a timestamp-typed
+    * hour_ts so graft.plans.MvRouting can substitute it for the base
+    * aggregation (the query's date_trunc output type must match). */
+  def hourlyRollupMv(df: DataFrame, ts: Column, dims: Seq[Column], score: Column): DataFrame =
+    df.groupBy((date_trunc("hour", ts).as("hour_ts") +: dims): _*)
+      .agg(count(lit(1)).as("cnt"), decSum(score).as("score_sum"))
+
   /** A5: per-minute top-k keys by score sum. Minute bucket uses the
     * reference's yyyyMMddHHmm key shape
     * (EnhancedEngagementStreamingJob.java:430–436). Deterministic: ties

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Rollups
+import graft.plans.MvRouting
+import graft.sources.Workload
+
+/** The MV-routing optimizer rule: hourly-rollup-shaped aggregates over
+  * the fact table are rewritten onto the precomputed rollup; filtered
+  * or foreign-shaped queries are left alone. */
+class MvRoutingSpec extends SparkSpec {
+
+  private lazy val (factPath, mvPath) = {
+    val base = Files.createTempDirectory("mv").toString
+    val fact = Workload.batch(spark, 20000)
+      .select(col("event_ts"),
+        element_at(array(lit("podcast"), lit("video"), lit("newsletter")),
+          (pmod(col("id"), lit(3)) + 1).cast("int")).as("content_type"),
+        col("event_type"),
+        graft.functions.Engagement
+          .engagementScore(col("event_type"), col("duration_ms")).as("engagement_score"))
+    fact.write.parquet(s"$base/fact")
+    val factDf = spark.read.parquet(s"$base/fact")
+    Rollups.hourlyRollupMv(factDf, col("event_ts"),
+        Seq(col("content_type"), col("event_type")), col("engagement_score"))
+      .write.parquet(s"$base/mv")
+    (s"$base/fact", s"$base/mv")
+  }
+
+  private def withRule[T](f: => T): T = {
+    val rule = MvRouting(spark, factPath, mvPath)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try f finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == rule)
+    }
+  }
+
+  private def rollupQuery() =
+    spark.read.parquet(factPath)
+      .groupBy(date_trunc("hour", col("event_ts")).as("hour_ts"),
+        col("content_type"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Rollups.decSum(col("engagement_score")).as("score_sum"))
+
+  test("matching aggregate routes to the MV and results are identical") {
+    val direct = rollupQuery().collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    withRule {
+      val routed = rollupQuery()
+      val physical = routed.queryExecution.executedPlan.toString()
+      assert(physical.contains(mvPath), "plan must scan the MV")
+      assert(!physical.contains(factPath), "plan must not scan the fact table")
+      val got = routed.collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got === direct)
+    }
+  }
+
+  test("coarser grouping (event_type only) still routes and re-aggregates") {
+    val q = spark.read.parquet(factPath).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val direct = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    withRule {
+      val routed = spark.read.parquet(factPath).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(routed.queryExecution.executedPlan.toString().contains(mvPath))
+      assert(routed.collect().map(r => (r.getString(0), r.getLong(1))).toSet === direct)
+    }
+  }
+
+  test("filtered aggregate does NOT route (the MV cannot answer it)") {
+    withRule {
+      val q = spark.read.parquet(factPath)
+        .filter(col("content_type") === "podcast")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      val physical = q.queryExecution.executedPlan.toString()
+      assert(physical.contains(factPath), "filtered query must hit the fact table")
+    }
+  }
+
+  test("foreign aggregate (different function) does NOT route") {
+    withRule {
+      val q = spark.read.parquet(factPath)
+        .groupBy(col("event_type")).agg(max(col("engagement_score")).as("mx"))
+      assert(q.queryExecution.executedPlan.toString().contains(factPath))
+    }
+  }
+}
