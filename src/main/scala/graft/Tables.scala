@@ -20,6 +20,11 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // defensively enable the nanos-as-long legacy read: callers (e.g.
+    // the driver's own smoke session) may not have set it, and without
+    // it Spark refuses TIMESTAMP(NANOS) parquet outright
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
