@@ -389,6 +389,23 @@ object Queries {
           count(lit(1)).as("cnt")),
       Some("""SELECT event_type, count(DISTINCT user_id) AS n_users, count(DISTINCT strftime(ts, '%Y%m%d%H%M')) AS n_minutes, count(*) AS cnt FROM events GROUP BY 1""")),
 
+    // Pivot: per-user event-type count matrix (explicit value list for
+    // deterministic output columns).
+    GraftQuery("q_pivot",
+      (s, dir) => ev(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count(),
+      // NULLIF: a user with zero events of a type gets NULL from Spark's
+      // pivot (no cell) but 0 from a FILTER count — align on NULL.
+      Some("""SELECT user_id, NULLIF(count(*) FILTER (WHERE event_type = 'click'), 0) AS click, NULLIF(count(*) FILTER (WHERE event_type = 'error'), 0) AS error, NULLIF(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase, NULLIF(count(*) FILTER (WHERE event_type = 'signup'), 0) AS signup, NULLIF(count(*) FILTER (WHERE event_type = 'view'), 0) AS view FROM events GROUP BY 1""")),
+
+    // Ordered collect/string aggregation (deterministic via sort).
+    GraftQuery("q_string_agg",
+      (s, dir) => ev(s, dir).groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types"),
+          size(collect_set(col("event_type"))).as("n_types")),
+      Some("""SELECT user_id, array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types, CAST(len(list(DISTINCT event_type)) AS INTEGER) AS n_types FROM events GROUP BY 1""")),
+
     // §2.7 scalar surface: string + date function parity sweep.
     GraftQuery("q_scalar_funcs",
       (s, dir) => ev(s, dir).select(
