@@ -22,25 +22,35 @@ import graft.functions.TextFunctions
   */
 object MinHash {
 
+  /** hashFamily:
+    *  - "md5": portable md5-prefix hashing — bit-reproducible in DuckDB,
+    *    used wherever an oracle must replicate signatures;
+    *  - "xx": xxhash64 with the permutation as seed — ~4× faster (no
+    *    string concat, no hex decode), the production default for a
+    *    100 TB dedup pass where no external oracle replays the hashes.
+    */
   final case class Config(
       numPerms: Int = 16,
       bands: Int = 4,
       shingleSize: Int = 3,
-      threshold: Double = 0.7) {
+      threshold: Double = 0.7,
+      hashFamily: String = "md5") {
     def rowsPerBand: Int = numPerms / bands
     require(numPerms % bands == 0, "bands must divide numPerms")
+    require(hashFamily == "md5" || hashFamily == "xx", "hashFamily in {md5, xx}")
   }
 
-  /** Per-permutation hash of one shingle: md5Long over "<perm>:<shingle>". */
-  private def permHash(perm: Column, shingle: Column): Column =
-    TextFunctions.md5Long(concat(perm.cast(StringType), lit(":"), shingle))
+  /** Per-permutation hash of one shingle. */
+  private def permHash(perm: Column, shingle: Column, cfg: Config): Column =
+    if (cfg.hashFamily == "xx") xxhash64(perm, shingle)
+    else TextFunctions.md5Long(concat(perm.cast(StringType), lit(":"), shingle))
 
   /** doc_id, sh (distinct shingles), signature (array of numPerms mins). */
   def signatures(docs: DataFrame, id: Column, text: Column, cfg: Config = Config()): DataFrame =
     docs.select(id.as("doc_id"), TextFunctions.shingles(text, cfg.shingleSize).as("sh"))
       .withColumn("signature",
         transform(sequence(lit(0), lit(cfg.numPerms - 1)),
-          j => array_min(transform(col("sh"), s => permHash(j, s)))))
+          j => array_min(transform(col("sh"), s => permHash(j, s, cfg)))))
 
   /** Banded bucket keys: md5 of each signature slice. */
   private def bandKeys(cfg: Config): Column =
