@@ -73,6 +73,21 @@ class EnvelopeSpec extends SparkSpec {
     assert(merged.map(_.getAs[String]("id")).toSeq === Seq("c0", "c2"))
   }
 
+  test("enriched output projects onto the declared 13-field schema, session_id extracted") {
+    val events = Envelope.unwrapEngagement(Seq(envelopedPlay).toDF("value"))
+    val dim = ContentDim.latestState(Envelope.unwrapContent(
+      Seq(contentUpsert("c1", "podcast", 300, 1)).toDF("value")))
+    val out = Schemas.toEnrichedEvent(Enrich.enrich(events, dim))
+    assert(out.schema.fieldNames.toSeq === Schemas.enrichedEvent.fieldNames.toSeq)
+    val row = out.head
+    assert(row.getAs[String]("session_id") === null) // raw_payload {"s":1} has no session_id
+    val withSess = Envelope.unwrapEngagement(Seq(
+      envelopedPlay.replace("{\\\"s\\\":1}", "{\\\"session_id\\\":\\\"sess-9\\\"}"))
+      .toDF("value"))
+    val r2 = Schemas.toEnrichedEvent(Enrich.enrich(withSess, dim)).head
+    assert(r2.getAs[String]("session_id") === "sess-9")
+  }
+
   test("enrichment is left-outer: unknown content passes through with null dims but a score") {
     val events = Envelope.unwrapEngagement(Seq(envelopedPlay, flatClick).toDF("value"))
     val dim = ContentDim.latestState(Envelope.unwrapContent(
