@@ -163,6 +163,37 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("late data (ST4): stateless enrichment accepts it; watermarked rollup drops it") {
+    val in = MemoryStream[String](spark)
+    val unwrapped = graft.cdc.Envelope.unwrapEngagement(in.toDF())
+    val enriched = unwrapped
+      .withColumn("content_type", lit("podcast"))
+      .withColumn("engagement_score",
+        graft.functions.Engagement.engagementScore(col("event_type"), col("duration_ms")))
+    val statelessQ = unwrapped.writeStream.format("memory")
+      .queryName("late_stateless").outputMode(OutputMode.Append).start()
+    val rollupQ = Pipeline.hourlyRollup(enriched).writeStream.format("memory")
+      .queryName("late_rollup").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(engEvent(1, "c1", "play", "2024-01-01T12:00:00", 1000L))
+      statelessQ.processAllAvailable(); rollupQ.processAllAvailable()
+      // event 3 hours late, far past the 30 s watermark
+      in.addData(engEvent(2, "c1", "play", "2024-01-01T09:00:00", 1000L))
+      statelessQ.processAllAvailable(); rollupQ.processAllAvailable()
+      // advance far enough to close every window that could exist
+      in.addData(engEvent(3, "c1", "click", "2024-01-01T14:00:00", null))
+      statelessQ.processAllAvailable(); rollupQ.processAllAvailable()
+      // stateless path: all 3 events pass through, including the late one
+      assert(spark.sql("SELECT count(*) FROM late_stateless").head.getLong(0) === 3)
+      // windowed path: the 09:00 hour never materializes (documented
+      // divergence from the reference's accept-everything warehouse)
+      val hours = spark.sql("SELECT CAST(hour_ts AS STRING) FROM late_rollup")
+        .collect().map(_.getString(0)).toSet
+      assert(!hours.exists(_.contains("09:00")), hours.toString)
+      assert(hours.exists(_.contains("12:00")))
+    } finally { statelessQ.stop(); rollupQ.stop() }
+  }
+
   test("checkpoint restart: resumed query skips processed offsets (ST5/ST7)") {
     val srcDir = tmp("src-files")
     val ckp = tmp("ckp-restart")
