@@ -313,6 +313,31 @@ object Queries {
       },
       Some("""SELECT p_brand, p_partkey, p_name, p_retailprice, CAST(rk AS INTEGER) AS rk FROM (SELECT p_brand, p_partkey, p_name, p_retailprice, row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rk FROM part) WHERE rk <= 3""")),
 
+    // Analytic-function sweep: ranking distributions + frame endpoints.
+    GraftQuery("q_window_ranks",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ev(s, dir).select(col("user_id"), col("event_id"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("value")).over(full).as("first_v"),
+          last(col("value")).over(full).as("last_v"))
+      },
+      Some("""SELECT user_id, event_id, CAST(ntile(4) OVER w AS INTEGER) AS quartile, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd, first_value(value) OVER wf AS first_v, last_value(value) OVER wf AS last_v FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), wf AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
+
+    // Correlated aggregate subquery (TPC-H Q2 shape): events at their
+    // user's personal maximum value.
+    GraftQuery("q_correlated_max",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val mx = e.groupBy(col("user_id").as("mu")).agg(max(col("value")).as("mv"))
+        e.join(broadcast(mx), e("user_id") === col("mu") && e("value") === col("mv"))
+          .select(col("user_id"), col("event_id"), col("value"))
+      },
+      Some("""SELECT user_id, event_id, value FROM events e WHERE value = (SELECT max(value) FROM events m WHERE m.user_id = e.user_id)""")),
+
     GraftQuery("q_window_running",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
