@@ -163,6 +163,34 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("stream-stream join retro-matches buffered events — why the dim-snapshot design won (J1)") {
+    // SURVEY §2.4 J1 picked foreachBatch dim-snapshot (option a) over a
+    // stream-stream join (option b) because Spark's stream-stream join
+    // BUFFERS the fact side: an event arriving before its content row is
+    // retro-enriched when the content arrives — the reference's
+    // as-of-processing-time broadcast state never does that. This test
+    // pins the divergence that drove the design.
+    val engIn = MemoryStream[String](spark)
+    val contentIn = MemoryStream[String](spark)
+    val events = graft.cdc.Envelope.unwrapEngagement(engIn.toDF())
+      .select(col("event_id"), col("content_id"))
+    val content = graft.cdc.Envelope.unwrapContent(contentIn.toDF())
+      .select(col("id"), col("content_type"))
+    val q = events.join(content, col("content_id") === col("id"))
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append).start()
+    try {
+      engIn.addData(engEvent(1, "cX", "play", "2024-01-01T10:00:00", 1000L))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ss_join").head.getLong(0) === 0)
+      // content arrives AFTER the event — stream-stream join emits the
+      // retro-match; the dim-snapshot pipeline (tested above) does not
+      contentIn.addData(contentUpsert("cX", "podcast", 300, 1))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ss_join").head.getLong(0) === 1)
+    } finally { q.stop() }
+  }
+
   test("late data (ST4): stateless enrichment accepts it; watermarked rollup drops it") {
     val in = MemoryStream[String](spark)
     val unwrapped = graft.cdc.Envelope.unwrapEngagement(in.toDF())
