@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{MinHash, NgramJaccard, SimHash}
+
+/** Cross-operator invariants of the near-dup ladder. */
+class DedupLadderSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = Tables.documents(spark, dir)
+
+  test("minhash-verified pairs ⊆ exact n-gram jaccard pairs at the same threshold") {
+    val cfg = MinHash.Config() // threshold 0.7, shingle 3 — same shingles
+    val lsh = MinHash.verifiedPairs(docs, col("doc_id"), col("text"), cfg)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = NgramJaccard.pairs(docs, col("doc_id"), col("text"),
+        n = cfg.shingleSize, threshold = cfg.threshold)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact),
+      s"LSH found pairs exact disagrees with: ${lsh -- exact}")
+    // and at jaccard ~0.97+ (the planted near-dups) recall should be high
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall > 0.8, s"recall=$recall over ${exact.size} exact pairs")
+  }
+
+  test("xx hash family finds the same high-similarity pairs as md5") {
+    val md5Pairs = MinHash.verifiedPairs(docs, col("doc_id"), col("text"),
+        MinHash.Config(hashFamily = "md5"))
+      .filter(col("jaccard") >= 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xxPairs = MinHash.verifiedPairs(docs, col("doc_id"), col("text"),
+        MinHash.Config(hashFamily = "xx"))
+      .filter(col("jaccard") >= 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // different hash families, same banding math: near-identical pairs
+    // should be caught by both (banding probability ≈ 1 at j ≥ 0.95)
+    assert(md5Pairs.nonEmpty && xxPairs.nonEmpty)
+    assert((md5Pairs intersect xxPairs).size.toDouble / md5Pairs.size > 0.9)
+  }
+
+  test("simhash near-pairs have genuinely small hamming distance, symmetric") {
+    val pairs = SimHash.pairs(docs, col("doc_id"), col("text"), maxHamming = 3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1))) // canonical order
+  }
+}
