@@ -31,6 +31,12 @@ object Tables {
     else df
   }
 
+  /** Register every table as a temp view so the whole engine surface is
+    * also reachable through plain `spark.sql` (the DataFrame API and SQL
+    * compile to the same plans). */
+  def createViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
   def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

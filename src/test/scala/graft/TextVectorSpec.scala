@@ -69,6 +69,19 @@ class TextVectorSpec extends SparkSpec {
     assert(df.select(VectorFunctions.cosine(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("SQL frontend: registered views answer spark.sql queries") {
+    Tables.createViews(spark, "/root/testdata/sf0.001")
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY 1""").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaDf = Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .groupBy(col("l_returnflag"))
+      .agg(graft.ops.Rollups.decSum(col("l_quantity"), 2).as("sum_qty")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(viaSql === viaDf)
+  }
+
   test("LWW dedup: idempotent, keeps max version with tiebreak") {
     val df = Seq(
       ("k1", 10L, 1L, "old"), ("k1", 20L, 2L, "new"),
