@@ -228,6 +228,31 @@ object Queries {
           tsFull).as("parsed")),
       Some(s"""SELECT event_id, strftime(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'), '%Y-%m-%dT%H:%M:%S.%f'), '$tsFullSql') AS parsed FROM events""")),
 
+    // TPC-H Q6 shape: selective scan + arithmetic aggregate, no join —
+    // the canonical pushdown/pruning benchmark.
+    GraftQuery("q6_filter_agg",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00") &&
+                col("l_shipdate") < lit("1998-01-01 00:00:00") &&
+                col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+                col("l_quantity") < 24)
+        .agg(Rollups.decSum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("cnt")),
+      Some("""SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue, count(*) AS cnt FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"""),
+      headline = true),
+
+    // arg_max/arg_min aggregates (A7 as an aggregate function):
+    // deterministic via a fixed-width (ts || id) ordering key.
+    GraftQuery("q_argmax",
+      (s, dir) => {
+        val ordKey = concat(date_format(col("ts"), tsFull),
+          lpad(col("event_id").cast("string"), 10, "0"))
+        ev(s, dir).groupBy(col("user_id"))
+          .agg(max_by(col("event_id"), ordKey).as("last_event_id"),
+            min_by(col("event_id"), ordKey).as("first_event_id"))
+      },
+      Some(s"""SELECT user_id, arg_max(event_id, strftime(ts, '$tsFullSql') || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS last_event_id, arg_min(event_id, strftime(ts, '$tsFullSql') || lpad(CAST(event_id AS VARCHAR), 10, '0')) AS first_event_id FROM events GROUP BY 1""")),
+
     // Gap-based sessionization (5-minute inactivity gap) per user —
     // Spark session_window vs an islands-formulation oracle.
     GraftQuery("q_session_window",
@@ -474,6 +499,30 @@ object Queries {
         val stopPat = TextFunctions.langStopwords.toMap.apply("en")
         raw"""SELECT doc_id, floor((0.5 * least(1.0, n_tok/64.0) + 0.3 * (1.0 - least(1.0, punct/nt)) + 0.2 * least(1.0, 4.0*stop/nt)) * 10000.0 + 0.5) / 10000.0 AS quality FROM (SELECT doc_id, n_tok, CASE WHEN n_tok > 0 THEN n_tok ELSE 1.0 END AS nt, punct, stop FROM (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct, CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS DOUBLE) AS stop FROM documents))"""
       }),
+
+    // BPE-ish subword token estimate: letter-runs, digit-runs, and
+    // single punctuation each count as one token (the cheap proxy for
+    // tokenizer-budget accounting in a corpus pipeline).
+    GraftQuery("q_token_bpe",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("n_bpe"),
+        TextFunctions.tokenCount(col("text")).as("n_ws")),
+      Some(raw"""SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws FROM documents""")),
+
+    // Polynomial rolling-hash fingerprint over the token stream
+    // (order-sensitive, unlike the md5 content fingerprint): a left fold
+    // of (acc*131 + tokenHash) mod (2^31-1).
+    GraftQuery("q_rolling_hash",
+      (s, dir) => {
+        val P = 2147483647L
+        docs(s, dir).select(col("doc_id"),
+          aggregate(
+            transform(TextFunctions.tokens(col("text")),
+              t => TextFunctions.md5Long(t) % lit(P)),
+            lit(0L),
+            (a, h) => (a * lit(131L) + h) % lit(P)).as("rhash"))
+      },
+      Some(raw"""SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(regexp_split_to_array(trim(text), '\s+'), t -> CAST('0x'||substring(md5(t),1,15) AS BIGINT) % 2147483647)), (a, b) -> (a * 131 + b) % 2147483647) AS rhash FROM documents""")),
 
     GraftQuery("q_dedup_exact",
       (s, dir) => Dedup.exactGroups(docs(s, dir), col("text"), col("doc_id")),
