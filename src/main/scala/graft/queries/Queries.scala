@@ -644,6 +644,25 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
       },
       None),
 
+    // Symmetric int8 quantization round-trip (vector-storage infra for
+    // a training pipeline): per-vector scale = max|x|, q = round-to-int8,
+    // reported as the max absolute dequantization error. All arithmetic
+    // in portable floor-form.
+    GraftQuery("q_embedding_quantize",
+      (s, dir) => {
+        val v = col("embedding").cast("array<double>")
+        val scale = array_max(transform(v, x => abs(x)))
+        val quant = transform(v, x => floor(x / scale * 127 + lit(0.5)))
+        val err = array_max(zip_with(v, quant,
+          (x, q) => abs(x - q * scale / 127)))
+        Tables.embeddings(s, dir).select(col("vec_id"),
+          when(scale > 0, floor(err * lit(1e6) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L)).as("max_err_millionths"),
+          when(scale > 0, floor(scale * lit(1e6) + lit(0.5)).cast("long"))
+            .otherwise(lit(0L)).as("scale_millionths"))
+      },
+      Some("""SELECT vec_id, CASE WHEN scale > 0 THEN CAST(floor(list_max(list_transform(range(1, len(v)+1), i -> abs(v[i] - floor(v[i]/scale*127 + 0.5) * scale / 127))) * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS max_err_millionths, CASE WHEN scale > 0 THEN CAST(floor(scale * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS scale_millionths FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""")),
+
     GraftQuery("q_embedding_norm",
       (s, dir) => Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
         round(VectorFunctions.norm(col("embedding")), 4).as("l2_norm")),

@@ -163,6 +163,34 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("streaming sessionization: session closes after the gap passes the watermark") {
+    val in = MemoryStream[String](spark)
+    val events = graft.cdc.Envelope.unwrapEngagement(in.toDF())
+      .withWatermark("event_ts", "0 seconds")
+      .withColumn("user_id",
+        when(col("event_id") <= 2, lit("uA")).otherwise(col("user_id")))
+      .withColumn("value", col("duration_ms").cast("double") / 1000)
+      .withColumnRenamed("event_ts", "ts")
+    val q = graft.ops.Rollups.sessionize(events, col("ts"), col("user_id"), "5 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        engEvent(1, "c1", "play", "2024-01-01T10:00:00", 1000L),
+        engEvent(2, "c1", "play", "2024-01-01T10:03:00", 2000L)) // same session
+      q.processAllAvailable()
+      // advance watermark far past 10:03 + 5 min → session closes
+      in.addData(engEvent(3, "c1", "click", "2024-01-01T11:00:00", null))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT session_start, session_end, cnt FROM sess_out").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getString(0) === "2024-01-01 10:00:00.000000")
+      assert(rows(0).getString(1) === "2024-01-01 10:08:00.000000") // last + gap
+      assert(rows(0).getLong(2) === 2L)
+    } finally { q.stop() }
+  }
+
   test("stream-stream join retro-matches buffered events — why the dim-snapshot design won (J1)") {
     // SURVEY §2.4 J1 picked foreachBatch dim-snapshot (option a) over a
     // stream-stream join (option b) because Spark's stream-stream join
