@@ -92,6 +92,22 @@ object Pipeline {
       .select(date_format(col("window.start"), "yyyyMMddHHmm").as("minute_bucket"),
         col("content_id"), col("score_sum"))
 
+  /** A5 read side: per micro-batch, rank the minute buckets and keep
+    * top-k per minute — the ZREVRANGE consumer re-expressed as a
+    * foreachBatch over the update-mode aggregate (the aggregate state
+    * stays in the engine; only k rows per minute leave it). */
+  def minuteTopKSink(enriched: DataFrame, k: Int, checkpoint: String)(
+      write: DataFrame => Unit) =
+    minuteScores(enriched).writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("minute_bucket"))
+          .orderBy(col("score_sum").desc, col("content_id").asc)
+        write(batch.withColumn("rk", row_number().over(w)).filter(col("rk") <= k))
+      }
+
   /** A3/A4: running per-(user, content) score sums — update-mode
     * stateful aggregation (Redis ZINCRBY analog). */
   def runningUserContentScores(enriched: DataFrame): DataFrame =

@@ -61,6 +61,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "a pure per-row map must not shuffle")
   }
 
+  test("partitioned corpus write prunes partitions on read (O5)") {
+    val base = java.nio.file.Files.createTempDirectory("prune").toString
+    Queries.runners("q_corpus_clean")(spark, dir)
+      .write.partitionBy("lang_pred").parquet(s"$base/corpus")
+    val read = spark.read.parquet(s"$base/corpus")
+      .filter(org.apache.spark.sql.functions.col("lang_pred") === "en")
+    val plan = read.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(lang_pred"), plan.take(1200))
+    assert(read.count() > 0)
+  }
+
   test("q_dedup_minhash: signature stage has no exchange below the band join") {
     // the signature computation is map-only; the first exchange in the
     // plan must belong to the candidate-pair join, not the signatures

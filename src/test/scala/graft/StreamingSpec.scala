@@ -163,6 +163,29 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("minute top-k read side: at most k content ids per minute leave the engine") {
+    val in = MemoryStream[String](spark)
+    val enriched = graft.cdc.Envelope.unwrapEngagement(in.toDF())
+      .withColumn("engagement_score",
+        graft.functions.Engagement.engagementScore(col("event_type"), col("duration_ms")))
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, Int)]()
+    val q = Pipeline.minuteTopKSink(enriched, k = 2, tmp("ckp-topk")) { df =>
+      out ++= df.select(col("minute_bucket"), col("content_id"), col("rk"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    }.start()
+    try {
+      in.addData(
+        engEvent(1, "cA", "finish", "2024-01-01T10:00:10", 1800000L), // 7.5
+        engEvent(2, "cB", "play", "2024-01-01T10:00:20", 45000L),     // 2.5
+        engEvent(3, "cC", "click", "2024-01-01T10:00:30", null),      // 0.2
+        engEvent(4, "cD", "click", "2024-01-01T10:00:40", null))      // 0.2
+      q.processAllAvailable()
+      val minute = out.filter(_._1 == "202401011000")
+      assert(minute.map(_._2).toSet === Set("cA", "cB")) // top-2 only
+      assert(minute.forall(_._3 <= 2))
+    } finally { q.stop() }
+  }
+
   test("streaming sessionization: session closes after the gap passes the watermark") {
     val in = MemoryStream[String](spark)
     val events = graft.cdc.Envelope.unwrapEngagement(in.toDF())
