@@ -389,6 +389,27 @@ object Queries {
         .agg(count(lit(1)).as("cnt"), Rollups.decSum(col("o_totalprice"), 2).as("sum_price")),
       Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")),
 
+    // GROUPING SETS — exercised through the SQL frontend (temp views +
+    // spark.sql), proving the whole surface is SQL-reachable.
+    GraftQuery("q_grouping_sets",
+      (s, dir) => {
+        Tables.createViews(s, dir)
+        s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+                 FROM lineitem
+                 GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")),
+
+    // Regex group extraction + multi-granularity date truncation.
+    GraftQuery("q_regexp_extract",
+      (s, dir) => ev(s, dir).select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int").as("k_extracted"),
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week_start"),
+        date_format(date_trunc("quarter", col("ts")), "yyyy-MM-dd").as("quarter_start"),
+        date_format(date_trunc("month", col("ts")), "yyyy-MM-dd").as("month_start")),
+      Some(raw"""SELECT event_id, CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER) AS k_extracted, strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start, strftime(date_trunc('quarter', ts), '%Y-%m-%d') AS quarter_start, strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_start FROM events""")),
+
     // Semi/anti joins: customers with vs without orders.
     GraftQuery("q_semi_anti",
       (s, dir) => {
