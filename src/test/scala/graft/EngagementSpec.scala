@@ -35,6 +35,10 @@ class EngagementSpec extends SparkSpec {
     assert(scoreOf("pause", 7389L) === Some(expected))
   }
 
+  test("score: negative duration → factor 1.0 (not ln of a negative)") {
+    assert(scoreOf("play", -500L) === Some(1.0))
+  }
+
   test("score: case-insensitive event types; unknown type → base 1.0") {
     assert(scoreOf("FINISH", 1800000L) === Some(7.5))
     assert(scoreOf("purchase", null) === Some(1.0))

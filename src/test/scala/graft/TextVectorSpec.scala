@@ -44,6 +44,19 @@ class TextVectorSpec extends SparkSpec {
     assert(out.toSeq === Seq("en", "de", "es", "und"))
   }
 
+  test("langId: empty and whitespace-only text → und; quality stays in [0,1]") {
+    val df = Seq("", "   ", "zzz").toDF("t") // ("a" alone IS an en stopword)
+    val out = df.select(TextFunctions.langId(col("t")),
+      TextFunctions.qualityScore(col("t"))).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("und", "und", "und"))
+    assert(out.forall { r => val q = r.getDouble(1); q >= 0.0 && q <= 1.0 })
+  }
+
+  test("vector dot: length mismatch yields null (zip_with pads with null)") {
+    val df = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.dot(col("a"), col("b"))).head.isNullAt(0))
+  }
+
   test("md5Long: matches first 15 hex digits of md5, non-negative") {
     val df = Seq("hello").toDF("t")
     val got = df.select(TextFunctions.md5Long(col("t"))).head.getLong(0)
