@@ -37,6 +37,20 @@ case class BoundedTopK(
 
   require(k > 0, "k must be positive")
 
+  /** Input-type contract: (score: double, key: bigint). Checked at
+    * ANALYSIS time with the signature in the message — without this, a
+    * SQL call like bounded_top_k(an_int_col, …) only failed at
+    * execution with a bare ClassCastException. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (scoreChild.dataType == DoubleType && keyChild.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bounded_top_k(score: double, key: bigint, k: int) — got " +
+        s"(${scoreChild.dataType.simpleString}, ${keyChild.dataType.simpleString}); " +
+        "cast narrower numerics explicitly")
+  }
+
   private val ord: Ordering[(Double, Long)] = Ordering.by(p => (-p._1, p._2))
 
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] = ArrayBuffer.empty

@@ -69,9 +69,12 @@ object Engagement {
   def normalizeEventId(id: Column): Column = {
     // ANSI-safe: only digit strings reach the cast (Spark 4 ANSI mode
     // throws on malformed casts); null ids stay null — hash(null) would
-    // otherwise resurrect them as the murmur3 seed.
+    // otherwise resurrect them as the murmur3 seed. The hash is widened
+    // to long BEFORE abs: abs(Int.MinValue) has no int representation
+    // (ANSI throws, legacy stays negative), so the ~1-in-2^32 id hashing
+    // to MinValue would otherwise break the non-negative contract.
     val numeric = when(id.rlike("^-?[0-9]{1,18}$"), id.cast(LongType))
-    when(id.isNotNull, coalesce(numeric, abs(hash(id)).cast(LongType)))
+    when(id.isNotNull, coalesce(numeric, abs(hash(id).cast(LongType))))
   }
 
   /** Multi-format timestamp parse: ISO-8601 (with/without offset), three

@@ -89,10 +89,10 @@ object Rollups {
         sum(col("__cnt")).as("cnt"))
   }
 
-  /** A7: latest row per key, deterministic via (ts desc, tiebreak desc).
-    * Single shuffle on the key; no driver-side state. */
-  def lastPerKey(df: DataFrame, keys: Seq[Column], ts: Column, tiebreak: Column): DataFrame = {
-    val w = Window.partitionBy(keys: _*).orderBy(ts.desc, tiebreak.desc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-  }
+  /** A7: latest row per key — the same contract as last-writer-wins
+    * dedup with (version = ts), so it delegates to the single
+    * formulation in [[Dedup.lww]] (one shuffle on the key, no
+    * driver-side state). */
+  def lastPerKey(df: DataFrame, keys: Seq[Column], ts: Column, tiebreak: Column): DataFrame =
+    Dedup.lww(df, keys, ts, tiebreak)
 }

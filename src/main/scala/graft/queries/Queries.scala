@@ -353,12 +353,16 @@ object Queries {
       Some("""SELECT user_id, event_id, CAST(ntile(4) OVER w AS INTEGER) AS quartile, percent_rank() OVER w AS pr, cume_dist() OVER w AS cd, first_value(value) OVER wf AS first_v, last_value(value) OVER wf AS last_v FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id), wf AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""")),
 
     // Correlated aggregate subquery (TPC-H Q2 shape): events at their
-    // user's personal maximum value.
+    // user's personal maximum value. Window-max formulation: one shuffle
+    // on user_id, no broadcast — the join-the-aggregate-back alternative
+    // broadcasts one row PER USER, which grows with the key space and
+    // becomes a memory bomb at fact scale.
     GraftQuery("q_correlated_max",
       (s, dir) => {
-        val e = ev(s, dir)
-        val mx = e.groupBy(col("user_id").as("mu")).agg(max(col("value")).as("mv"))
-        e.join(broadcast(mx), e("user_id") === col("mu") && e("value") === col("mv"))
+        val w = Window.partitionBy(col("user_id"))
+        ev(s, dir)
+          .withColumn("__mv", max(col("value")).over(w))
+          .filter(col("value") === col("__mv"))
           .select(col("user_id"), col("event_id"), col("value"))
       },
       Some("""SELECT user_id, event_id, value FROM events e WHERE value = (SELECT max(value) FROM events m WHERE m.user_id = e.user_id)""")),
@@ -596,14 +600,20 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
           min(col("value")).as("vmin"), max(col("value")).as("vmax")),
       Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1""")),
 
-    // Approximate distinct (HLL++ sketch): deterministic but algorithm-
-    // specific, so rows-only for the driver; accuracy vs exact is
-    // asserted in AnnMultimodalSpec.
+    // Approximate distinct (HLL++ sketch). The sketch value itself is
+    // algorithm-specific, so the oracle-checked surface is the exact
+    // count plus a deterministic accuracy BOOLEAN (|approx - exact| <=
+    // 10% of exact): the oracle emits TRUE, so any sketch drift past the
+    // bound hash-mismatches. Absolute accuracy is additionally asserted
+    // in AnnMultimodalSpec.
     GraftQuery("q_sketch_distinct",
       (s, dir) => ev(s, dir).groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          countDistinct(col("user_id")).as("exact_users")),
-      None),
+          countDistinct(col("user_id")).as("exact_users"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")) <=
+            col("exact_users") * lit(0.1)).as("within_10pct")),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_10pct FROM events GROUP BY 1""")),
 
     // IVF approximate top-k (assign → co-partition → re-rank). Rows-only;
     // recall vs exact asserted in AnnMultimodalSpec.

@@ -72,12 +72,13 @@ class AnnMultimodalSpec extends SparkSpec {
   }
 
   test("approx_count_distinct sketch lands within 10% of exact") {
+    // the query itself now emits the accuracy boolean (oracle-checked:
+    // the DuckDB side emits TRUE, so a drifting sketch hash-mismatches)
     val rows = graft.queries.Queries.runners("q_sketch_distinct")(spark, dir).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact < 0.10,
-        s"approx=$approx exact=$exact for ${r.getString(0)}")
+      assert(r.getAs[Boolean]("within_10pct"), r.toString)
+      assert(r.getAs[Long]("exact_users") > 0)
     }
   }
 

@@ -72,6 +72,16 @@ class PlanSpec extends SparkSpec {
     assert(read.count() > 0)
   }
 
+  test("q_correlated_max: no broadcast fed by an aggregate (window form)") {
+    // the per-user max must NOT be computed as a groupBy + broadcast
+    // join-back: that broadcasts one row per user — unbounded at fact
+    // scale. The window formulation has exactly one exchange (on
+    // user_id) and no broadcast at all.
+    val p = plan("q_correlated_max")
+    assert(!p.contains("BroadcastExchange"), p.take(1500))
+    assert(p.contains("Window"), p.take(1500))
+  }
+
   test("q_dedup_minhash: signature stage has no exchange below the band join") {
     // the signature computation is map-only; the first exchange in the
     // plan must belong to the candidate-pair join, not the signatures
