@@ -615,13 +615,17 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
             col("exact_users") * lit(0.1)).as("within_10pct")),
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_10pct FROM events GROUP BY 1""")),
 
-    // IVF approximate top-k (assign → co-partition → re-rank). Rows-only;
-    // recall vs exact asserted in AnnMultimodalSpec.
+    // IVF approximate top-k with REAL k-means centroids (deterministic
+    // Lloyd's — KMeans.fit): assign → co-partition → re-rank. The
+    // oracle replays the ENTIRE fit (init, 5 iterations, quantized
+    // means) plus probing in DuckDB, so the approximate path is
+    // hash-checked end to end, not just rows-counted.
     GraftQuery("q_ann_ivf_topk",
       (s, dir) => graft.similarity.Ann.ivfTopK(
         Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
         isQuery = col("vec_id") < 20, k = 5),
-      None),
+      Some(graft.similarity.Ann.ivfTopKOracle("vec_id < 20", k = 5,
+        nCentroids = 16, nProbe = 2, kmeansIters = 5, dim = 64))),
 
     // ---- embeddings: vector math ------------------------------------------
 
@@ -640,10 +644,23 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
       (s, dir) => graft.dedup.NgramJaccard.pairs(docs(s, dir), col("doc_id"), col("text")),
       Some(graft.dedup.NgramJaccard.oracleSql())),
 
+    // Exact all-pairs baseline (O(N²) theta join — the verification
+    // rung; the scale path is q_dedup_embedding_lsh below).
     GraftQuery("q_dedup_embedding",
       (s, dir) => graft.similarity.Ann.cosinePairs(
         Tables.embeddings(s, dir), col("vec_id"), col("embedding"), threshold = 0.45),
       Some(graft.similarity.Ann.cosinePairsOracle(0.45))),
+
+    // LSH-bucketed embedding near-dup pairs: multi-table hyperplane
+    // buckets → distinct candidates → exact cosine verify (the MinHash
+    // band→verify pattern on vectors — no cartesian join anywhere,
+    // PlanSpec-pinned). Output ⊆ q_dedup_embedding by construction;
+    // recall vs exact asserted in DedupLadderSpec.
+    GraftQuery("q_dedup_embedding_lsh",
+      (s, dir) => graft.similarity.Ann.lshCosinePairs(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        threshold = 0.45, dim = 64),
+      Some(graft.similarity.Ann.lshCosinePairsOracle(0.45, dim = 64))),
 
     // ---- similarity search over embeddings --------------------------------
 
@@ -654,14 +671,17 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
       Some(graft.similarity.Ann.bruteForceTopKOracle("vec_id < 20", 5)),
       headline = true),
 
-    // Approximate variant (LSH buckets + exact re-rank). Not SQL-oracled:
-    // the driver records the weaker rows-only check; recall vs the exact
-    // top-k is asserted in AnnSpec instead.
+    // Approximate variant (multi-probe LSH buckets + exact re-rank).
+    // All hashing is deterministic md5, so the oracle replays bucket
+    // assignment, hamming-1 probes, and the re-rank bit-for-bit —
+    // recall vs the exact top-k is additionally asserted in
+    // AnnMultimodalSpec.
     GraftQuery("q_ann_lsh_topk",
       (s, dir) => graft.similarity.Ann.lshTopK(
         Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
         isQuery = col("vec_id") < 20, k = 5, dim = 64, nPlanes = 6),
-      None),
+      Some(graft.similarity.Ann.lshTopKOracle("vec_id < 20", k = 5,
+        dim = 64, nPlanes = 6))),
 
     // Multimodal plumbing end-to-end: synthesize media table → batched
     // partition-parallel decode (stubbed codec) → feature vectors.

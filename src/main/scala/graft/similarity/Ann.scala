@@ -11,17 +11,24 @@ import org.apache.spark.sql.functions.call_function
 /** Similarity search over an `array<float>` embedding column.
   *
   *  - `cosinePairs` / `bruteForceTopK`: exact baselines (all-pairs /
-  *    query-cross-corpus). Correct at any scale but O(N·M); the norm is
-  *    precomputed per row so each pair costs one dot product.
-  *  - `lshTopK`: the scale path — random-hyperplane LSH buckets
-  *    (hyperplanes derived from md5 so they're deterministic and
-  *    engine-reproducible), candidates = same-bucket rows, exact
-  *    re-rank within candidates. Bucket join replaces the cross join,
-  *    turning O(N·M) into O(candidate volume).
+  *    query-cross-corpus). Correct at any scale but O(N·M) — the
+  *    verification rung, never the production path.
+  *  - `lshCosinePairs`: the scale path for thresholded near-dup pairs —
+  *    multi-table random-hyperplane buckets generate candidates, exact
+  *    cosine verifies them (the MinHash band→verify pattern on
+  *    vectors). Shuffles ∝ candidate volume, not N².
+  *  - `lshTopK`: approximate top-k via multi-probe LSH — corpus
+  *    bucketed once, queries probe hamming-1 neighbors, exact re-rank
+  *    within candidates.
+  *  - `ivfTopK`: IVF with REAL k-means centroids ([[KMeans.fit]] —
+  *    deterministic Lloyd's): assign → co-partition join on cluster →
+  *    exact re-rank. The corpus shuffles once on cluster_id — at
+  *    100 TB that's the partitioning you'd persist.
   *
-  * An IVF variant would swap bucket assignment for nearest-centroid
-  * (k-means); the plumbing (assign → co-partition join → re-rank) is
-  * identical, which is why LSH is the variant shipped first.
+  * All hashing is md5-derived (deterministic), and k-means is
+  * engineered for bit-reproducibility, so every variant — including
+  * the approximate ones — has a machine-generated DuckDB oracle that
+  * replays bucketing/centroids exactly and hash-matches end to end.
   */
 object Ann {
 
@@ -32,7 +39,8 @@ object Ann {
     call_function("graft_dot", a, b)
   }
 
-  /** All pairs (a < b) with cosine >= threshold. */
+  /** All pairs (a < b) with cosine >= threshold. EXACT baseline: a
+    * deliberate O(N²) theta join — use [[lshCosinePairs]] at scale. */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
     val e = emb.select(id.as("vec_id"), vec.as("v"),
       VectorFunctions.norm(vec).as("nrm"))
@@ -69,14 +77,58 @@ object Ann {
       (pmod(TextFunctions.md5Long(concat(lit(i.toString), lit(":"), j.cast(StringType))),
         lit(2001)) - 1000) / lit(1000.0))
 
-  /** Sign-bucket of a vector under nPlanes hyperplanes, as a BIGINT. */
-  def lshBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+  /** Sign-bucket of a vector under nPlanes hyperplanes, as a BIGINT.
+    * `planeOffset` shifts the hyperplane family, giving independent
+    * hash tables for multi-table LSH (table t uses planes
+    * [t*nPlanes, (t+1)*nPlanes)). */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, planeOffset: Int = 0): Column =
     (0 until nPlanes).foldLeft(lit(0L)) { (acc, i) =>
       acc + when(
-        aggregate(zip_with(vec.cast("array<double>"), hyperplane(i, dim), (x, h) => x * h),
+        aggregate(zip_with(vec.cast("array<double>"), hyperplane(planeOffset + i, dim),
+            (x, h) => x * h),
           lit(0.0), (a, x) => a + x) > 0,
         lit(1L << i)).otherwise(lit(0L))
     }
+
+  /** Thresholded cosine pairs WITHOUT the all-pairs join — the scale
+    * path for embedding near-dup dedup, mirroring MinHash band→verify:
+    *
+    *  1. each vector gets one sign-bucket per hash table (nTables
+    *     independent hyperplane families — map-only, no shuffle);
+    *  2. candidates = distinct pairs sharing any (table, bucket) —
+    *     the only joins, ∝ candidate volume;
+    *  3. exact cosine verification keeps pairs >= threshold, so output
+    *     ⊆ the exact [[cosinePairs]] result by construction.
+    *
+    * Recall/efficiency knob: P(pair at cosine c collides in one table)
+    * = (1 - acos(c)/π)^nPlanes; missing all tables is (1-p)^nTables.
+    * The defaults (2 planes × 8 tables) give >0.98 recall at c=0.45;
+    * for a high-similarity dedup pass (c >= 0.8, the realistic
+    * near-dup regime) raise nPlanes to 8–12 for far smaller buckets at
+    * the same recall. */
+  def lshCosinePairs(emb: DataFrame, id: Column, vec: Column, threshold: Double,
+      dim: Int, nPlanes: Int = 2, nTables: Int = 8): DataFrame = {
+    val e = emb.select(id.as("vec_id"), vec.as("v"),
+      VectorFunctions.norm(vec).as("nrm"),
+      array((0 until nTables).map(t =>
+        lshBucket(vec, dim, nPlanes, planeOffset = t * nPlanes)): _*).as("buckets"))
+    val bucketed = e
+      .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+    val cands = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val vecs = e.select(col("vec_id"), col("v"), col("nrm"))
+    cands
+      .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
+      .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        when(col("va.nrm") > 0 && col("vb.nrm") > 0,
+          nat(emb)(col("va.v"), col("vb.v")) / (col("va.nrm") * col("vb.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 
   /** Approximate top-k via MULTI-PROBE LSH: the corpus is bucketed once;
     * each query probes its own bucket plus every bucket at hamming
@@ -105,35 +157,26 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rk").cast("int").as("rk"))
   }
 
-  /** IVF (inverted-file) approximate top-k: vectors are assigned to
-    * their nearest "centroid" (here: a deterministic subset of the
-    * corpus — vec_id < nCentroids — standing in for k-means centroids;
-    * the assign→co-partition→re-rank plumbing is identical). Queries
-    * probe their nProbe nearest centroids' partitions and re-rank
-    * exactly within them. Centroids broadcast; the corpus shuffles once
-    * on cluster_id — at 100 TB that's the partitioning you'd persist. */
+  /** IVF (inverted-file) approximate top-k with REAL trained centroids:
+    * [[KMeans.fit]] runs deterministic Lloyd's iterations, corpus
+    * vectors are assigned to their nearest centroid, queries probe
+    * their nProbe nearest centroids' partitions and re-rank exactly
+    * within them. Centroids broadcast (k rows); the corpus shuffles
+    * once on cluster_id — at 100 TB that's the partitioning you'd
+    * persist as the index. */
   def ivfTopK(emb: DataFrame, id: Column, vec: Column, isQuery: Column,
-      k: Int, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cents = emb.filter(id < nCentroids)
-      .select(id.as("cent_id"), vec.as("cv"), VectorFunctions.norm(vec).as("cnrm"))
-    def assign(df: DataFrame, idc: String, vc: String, nc: String, probes: Int): DataFrame = {
-      val scored = df.join(broadcast(cents), expr("true"))
-        .select(col(idc), col(vc), col(nc), col("cent_id"),
-          when(col(nc) > 0 && col("cnrm") > 0,
-            nat(emb)(col(vc), col("cv")) / (col(nc) * col("cnrm")))
-            .as("cent_cos"))
-      val w = Window.partitionBy(col(idc))
-        .orderBy(col("cent_cos").desc_nulls_last, col("cent_id").asc)
-      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= probes)
-        .drop("__r", "cent_cos")
-    }
-    val corpus = assign(
-      emb.select(id.as("vec_id"), vec.as("v"), VectorFunctions.norm(vec).as("nrm")),
-      "vec_id", "v", "nrm", probes = 1)
-    val queries = assign(
-      emb.filter(isQuery).select(id.as("query_id"), vec.as("qv"),
+      k: Int, nCentroids: Int = 16, nProbe: Int = 2, kmeansIters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = KMeans.centroidFrame(spark,
+      KMeans.fit(emb, id, vec, nCentroids, kmeansIters))
+    val corpus = KMeans.assign(
+      emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"),
+        VectorFunctions.norm(vec).as("nrm")),
+      cents, probes = 1)
+    val queries = KMeans.assign(
+      emb.filter(isQuery).select(id.as("query_id"), vec.cast("array<double>").as("qv"),
         VectorFunctions.norm(vec).as("qnrm")),
-      "query_id", "qv", "qnrm", probes = nProbe)
+      cents, probes = nProbe, idCol = "query_id", vCol = "qv", nCol = "qnrm")
     val scored = queries.join(corpus, Seq("cent_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
@@ -155,6 +198,15 @@ object Ann {
     s"list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)])"
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
+  /** DuckDB replica of [[lshBucket]] on a DOUBLE[] column `v`: per
+    * plane, the dot against the md5-derived hyperplane (same left-fold
+    * order), sign-tested into bit i. */
+  private def lshBucketSql(v: String, dim: Int, nPlanes: Int, planeOffset: Int = 0): String =
+    (0 until nPlanes).map { b =>
+      val p = planeOffset + b
+      s"(CASE WHEN list_sum([$v[j]*((CAST('0x'||substring(md5('$p:'||CAST(j-1 AS VARCHAR)),1,15) AS BIGINT) % 2001 - 1000)/1000.0) FOR j IN range(1, ${dim + 1})]) > 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
   def cosinePairsOracle(threshold: Double): String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings)
 SELECT id_a, id_b, cosine FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) END AS cosine FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cosine >= $threshold"""
@@ -164,4 +216,43 @@ SELECT id_a, id_b, cosine FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b, CASE 
 q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM e WHERE $queryPred),
 scored AS (SELECT query_id, vec_id, CASE WHEN qnrm > 0 AND nrm > 0 THEN ${dotSql("qv", "v")} / (qnrm * nrm) END AS cosine FROM q JOIN e ON query_id <> vec_id)
 SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= $k"""
+
+  /** DuckDB SQL replaying [[lshTopK]] exactly: same md5 hyperplanes,
+    * same buckets, same hamming-1 probes, same re-rank. */
+  def lshTopKOracle(queryPred: String, k: Int, dim: Int, nPlanes: Int): String = {
+    val probeList = ("bucket0" +: (0 until nPlanes).map(i => s"xor(bucket0, ${1L << i})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+b AS (SELECT vec_id, v, nrm, ${lshBucketSql("v", dim, nPlanes)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, qv, qnrm, unnest([$probeList]) AS bucket FROM (SELECT vec_id, v AS qv, nrm AS qnrm, bucket AS bucket0 FROM b WHERE $queryPred)),
+scored AS (SELECT query_id, b.vec_id, CASE WHEN qnrm > 0 AND nrm > 0 THEN ${dotSql("qv", "v")} / (qnrm * nrm) END AS cosine FROM q JOIN b ON q.bucket = b.bucket WHERE query_id <> b.vec_id)
+SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= $k"""
+  }
+
+  /** DuckDB SQL replaying [[lshCosinePairs]] exactly: one bucket CTE
+    * per hash table (UNION ALL), distinct same-bucket candidates,
+    * exact cosine verify. */
+  def lshCosinePairsOracle(threshold: Double, dim: Int,
+      nPlanes: Int = 2, nTables: Int = 8): String = {
+    val tables = (0 until nTables).map { t =>
+      s"SELECT vec_id, $t AS tbl, ${lshBucketSql("v", dim, nPlanes, t * nPlanes)} AS bucket FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+b AS ($tables),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+SELECT id_a, id_b, cosine FROM (SELECT id_a, id_b, CASE WHEN ea.nrm > 0 AND eb.nrm > 0 THEN ${dotSql("ea.v", "eb.v")} / (ea.nrm * eb.nrm) END AS cosine FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id) WHERE cosine >= $threshold"""
+  }
+
+  /** DuckDB SQL replaying [[ivfTopK]] exactly — including the whole
+    * k-means fit ([[KMeans.oracleCtes]]): final centroids → corpus
+    * assignment (probes=1) → query assignment (probes=nProbe) →
+    * co-cluster join → exact re-rank. */
+  def ivfTopKOracle(queryPred: String, k: Int, nCentroids: Int, nProbe: Int,
+      kmeansIters: Int, dim: Int): String = {
+    val cos = s"CASE WHEN e.nrm > 0 AND c.cnrm > 0 THEN ${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm) END"
+    s"""${KMeans.oracleCtes(nCentroids, kmeansIters, dim)},
+corpus AS (SELECT vec_id, v, nrm, cent_id FROM (SELECT e.vec_id, e.v, e.nrm, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM e, cents_$kmeansIters c) WHERE rn = 1),
+queries AS (SELECT query_id, qv, qnrm, cent_id FROM (SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM e, cents_$kmeansIters c WHERE $queryPred) WHERE rn <= $nProbe),
+scored AS (SELECT query_id, corpus.vec_id, CASE WHEN qnrm > 0 AND nrm > 0 THEN ${dotSql("qv", "v")} / (qnrm * nrm) END AS cosine FROM queries JOIN corpus ON queries.cent_id = corpus.cent_id WHERE query_id <> corpus.vec_id)
+SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= $k"""
+  }
 }

@@ -71,6 +71,30 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(recall > 0.1, s"recall=$recall")
   }
 
+  test("IVF with trained k-means: recall@5 >= 0.9 on planted clusters") {
+    import spark.implicits._
+    val dim = 16
+    // deterministic pseudo-random in [-1, 1] (no RNG state)
+    def rnd(i: Long, j: Int): Double =
+      (((i * 1315423911L + j * 2654435761L) & 0xffffL).toDouble / 32768.0) - 1.0
+    val centers = Array.tabulate(8, dim)((c, j) => rnd(c * 977L, j) * 10.0)
+    val rows = for { c <- 0 until 8; m <- 0 until 30 } yield {
+      val id = (c * 30 + m).toLong
+      (id, Array.tabulate(dim)(j => (centers(c)(j) + rnd(id + 7919L, j) * 0.5).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val isQuery = col("vec_id") % 30 === 0 // one query per planted cluster
+    val exact = Ann.bruteForceTopK(emb, col("vec_id"), col("embedding"), isQuery, k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.ivfTopK(emb, col("vec_id"), col("embedding"), isQuery,
+        k = 5, nCentroids = 8, nProbe = 2, kmeansIters = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall over ${exact.size} exact results")
+  }
+
   test("approx_count_distinct sketch lands within 10% of exact") {
     // the query itself now emits the accuracy boolean (oracle-checked:
     // the DuckDB side emits TRUE, so a drifting sketch hash-mismatches)

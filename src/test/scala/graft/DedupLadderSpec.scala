@@ -40,6 +40,20 @@ class DedupLadderSpec extends SparkSpec {
     assert((md5Pairs intersect xxPairs).size.toDouble / md5Pairs.size > 0.9)
   }
 
+  test("LSH embedding pairs ⊆ exact cosine pairs, recall >= 0.9") {
+    val emb = Tables.embeddings(spark, dir)
+    val lsh = graft.similarity.Ann.lshCosinePairs(emb, col("vec_id"),
+        col("embedding"), threshold = 0.45, dim = 64)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.similarity.Ann.cosinePairs(emb, col("vec_id"),
+        col("embedding"), threshold = 0.45)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(exact), s"LSH emitted non-exact pairs: ${lsh -- exact}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall over ${exact.size} exact pairs")
+  }
+
   test("simhash near-pairs have genuinely small hamming distance, symmetric") {
     val pairs = SimHash.pairs(docs, col("doc_id"), col("text"), maxHamming = 3).collect()
     assert(pairs.nonEmpty)

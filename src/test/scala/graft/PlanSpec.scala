@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1500))
   }
 
+  test("q_dedup_embedding_lsh: no cartesian product anywhere in the plan") {
+    // the whole point of the LSH variant: candidates come from a
+    // bucket-equality join, never an all-pairs theta join
+    val p = plan("q_dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
   test("q_dedup_minhash: signature stage has no exchange below the band join") {
     // the signature computation is map-only; the first exchange in the
     // plan must belong to the candidate-pair join, not the signatures
