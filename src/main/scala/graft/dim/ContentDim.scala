@@ -40,37 +40,27 @@ object ContentDim {
       .unionByName(delta)
   }
 
-  /** Streaming maintenance: apply each micro-batch of content changes to
-    * a parquet snapshot at `path`. Write-then-swap keeps readers
-    * consistent (parquet has no transactional MERGE; at production scale
-    * this is where a Delta/Iceberg MERGE slots in — the logic above is
-    * exactly the MERGE predicate set). */
+  /** Streaming maintenance: apply each micro-batch of content changes
+    * to the snapshot table at `path`, committed transactionally through
+    * [[graft.sinks.SnapshotStore]] (new snapshot dir + atomic pointer
+    * flip — the ClickHouse-part-swap atomicity rebuilt on a plain FS).
+    * A concurrent enrichment batch resolves either the old or the new
+    * snapshot, never a missing or half-replaced one; data files are
+    * immutable, so a reader that already planned against the previous
+    * version cannot hit FileNotFound (the previous version survives
+    * until vacuum, which keeps the last two). */
   def applyBatch(spark: SparkSession, path: String, changes: DataFrame): Unit = {
-    val current = readSnapshot(spark, path, changes.sparkSession)
-    val next = current match {
+    val next = graft.sinks.SnapshotStore.read(spark, path) match {
       case Some(snap) => merge(snap, changes)
       case None       => latestState(changes)
     }
-    val tmp = path + "_tmp"
-    next.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    graft.sinks.SnapshotStore.commitReplace(spark, path, next.coalesce(1))
+    graft.sinks.SnapshotStore.vacuum(spark, path, keepManifests = 2)
   }
 
-  private def readSnapshot(spark: SparkSession, path: String,
-      session: SparkSession): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(new org.apache.hadoop.fs.Path(path)))
-      Some(session.read.parquet(path))
-    else None
-  }
-
+  /** The live snapshot (empty dim before the first commit). */
   def snapshot(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.sinks.SnapshotStore.read(spark, path).getOrElse(emptyDim(spark))
 
   /** Schema-correct empty dimension (pre-first-change state). */
   def emptyDim(spark: SparkSession): DataFrame = {

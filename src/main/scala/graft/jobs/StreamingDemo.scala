@@ -54,8 +54,10 @@ object StreamingDemo {
     // broadcast + parquet commit) — the throughput knob for micro-batch
     // pipelines; the per-row cost itself is ~250k events/s on this box
     // (see Bench q_enrich_join)
+    // null event_ts rows land with a substituted processing timestamp
+    // (the reference's sink fallback) — Warehouse.append handles it
     val warehouseQ = Pipeline.enrichedSink(wire, dimPath, s"$work/ckp-wh") {
-      (df, _) => Warehouse.append(df.filter(col("event_ts").isNotNull), whPath)
+      (df, _) => Warehouse.append(df, whPath)
     }.trigger(Trigger.ProcessingTime("5 seconds")).start()
 
     val enrichedForAggs = Pipeline.enrichedStream(spark, wire, dimPath)

@@ -1,0 +1,196 @@
+package graft.sinks
+
+import java.nio.charset.StandardCharsets
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Transactional snapshot commits on a plain filesystem — the atomicity
+  * the reference gets for free from ClickHouse part-swaps
+  * (/root/reference/sql/clickhouse-init.sql:21–23), rebuilt as a
+  * minimal manifest-pointer log (no Delta/Iceberg available offline):
+  *
+  * {{{
+  *   <base>/_manifests/m0000000042    manifest: one data-file relative path per line
+  *   <base>/data/<partition dirs>/part-*.parquet   immutable data files
+  *   <base>/_stage/<uuid>/            transient write staging
+  * }}}
+  *
+  * The LIVE snapshot is the highest-versioned manifest — the same
+  * last-log-entry-wins protocol as Delta's transaction log, with no
+  * mutable pointer file at all:
+  *  - data files and manifests are IMMUTABLE once published — commits
+  *    only add files and rename one new manifest into place (a
+  *    create-without-overwrite rename: atomic on POSIX/HDFS, and it
+  *    FAILS if the version already exists, which surfaces a concurrent
+  *    writer instead of silently losing a commit);
+  *  - a reader therefore resolves either the previous or the new
+  *    manifest — never a missing or half-written table;
+  *  - `vacuum` deletes files unreferenced by the newest `keepManifests`
+  *    manifests, so an in-flight reader of the previous version stays
+  *    valid through the next commit.
+  *
+  * Single writer assumed (a streaming foreachBatch serializes batches;
+  * compaction is maintenance run against quiesced or closed
+  * partitions) — this is Delta's model minus optimistic concurrency,
+  * which one pointer file cannot arbitrate. At 100 TB the partition-
+  * scoped commit is the workhorse: compacting one closed month touches
+  * that month's files and a few KB of manifest, never the table.
+  */
+object SnapshotStore {
+
+  private def conf(spark: SparkSession) = spark.sparkContext.hadoopConfiguration
+  private def fs(spark: SparkSession, base: String): FileSystem =
+    new Path(base).getFileSystem(conf(spark))
+
+  private def manifestDir(base: String) = new Path(base, "_manifests")
+  private def dataDir(base: String) = s"$base/data"
+
+  // ---- small file IO ------------------------------------------------------
+
+  private def writeFile(f: FileSystem, p: Path, content: String): Unit = {
+    val out = f.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readFile(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  // ---- manifest resolution ------------------------------------------------
+
+  /** Name of the live manifest (highest version), if any commit has
+    * happened. */
+  def currentManifest(spark: SparkSession, base: String): Option[String] = {
+    val f = fs(spark, base)
+    if (!f.exists(manifestDir(base))) None
+    else f.listStatus(manifestDir(base)).iterator
+      .map(_.getPath.getName).filter(_.startsWith("m"))
+      .maxByOption(manifestVersion)
+  }
+
+  private def manifestVersion(name: String): Long = name.stripPrefix("m").toLong
+
+  private def manifestFiles(spark: SparkSession, base: String, name: String): Seq[String] = {
+    val content = readFile(fs(spark, base), new Path(manifestDir(base), name))
+    content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Relative data-file paths of the live snapshot (empty if none). */
+  def listFiles(spark: SparkSession, base: String): Seq[String] =
+    currentManifest(spark, base).map(manifestFiles(spark, base, _)).getOrElse(Nil)
+
+  /** The live snapshot as a DataFrame (partition columns recovered from
+    * the relative paths via basePath), or None when no commit exists or
+    * the live manifest is empty. */
+  def read(spark: SparkSession, base: String): Option[DataFrame] = {
+    val files = listFiles(spark, base)
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", dataDir(base))
+      .parquet(files.map(f => s"${dataDir(base)}/$f"): _*))
+  }
+
+  // ---- commits ------------------------------------------------------------
+
+  /** Write `df` to staging, move its parquet files under data/
+    * (preserving partition subdirs), return their relative paths. The
+    * files are invisible to readers until a manifest references them. */
+  private def stageWrite(spark: SparkSession, base: String, df: DataFrame,
+      partitionBy: Seq[String]): Seq[String] = {
+    val f = fs(spark, base)
+    val stage = s"$base/_stage/${UUID.randomUUID()}"
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(stage)
+    val stagePath = new Path(stage)
+    val stageUri = f.makeQualified(stagePath).toUri
+    val it = f.listFiles(stagePath, true)
+    val rels = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val status = it.next()
+      val p = status.getPath
+      if (p.getName.endsWith(".parquet")) {
+        val rel = stageUri.relativize(f.makeQualified(p).toUri).getPath
+        val dest = new Path(s"${dataDir(base)}/$rel")
+        f.mkdirs(dest.getParent)
+        if (!f.rename(p, dest))
+          throw new java.io.IOException(s"failed to move staged file $p to $dest")
+        rels += rel
+      }
+    }
+    f.delete(stagePath, true)
+    rels.result()
+  }
+
+  /** Publish `files` as the next snapshot: write the manifest to a temp
+    * name, then rename it into place. The rename is atomic and fails on
+    * an existing destination — a lost race to the version number aborts
+    * loudly rather than dropping a commit. */
+  private def commitManifest(spark: SparkSession, base: String, files: Seq[String]): Unit = {
+    val f = fs(spark, base)
+    val next = currentManifest(spark, base).map(manifestVersion(_) + 1).getOrElse(0L)
+    val name = f"m$next%010d"
+    f.mkdirs(manifestDir(base))
+    val tmp = new Path(manifestDir(base), s".tmp-${UUID.randomUUID()}")
+    writeFile(f, tmp, files.mkString("\n"))
+    if (!f.rename(tmp, new Path(manifestDir(base), name)))
+      throw new java.io.IOException(
+        s"snapshot commit conflict: version $name already exists under $base")
+  }
+
+  /** Replace the whole table with `df` (dim-snapshot swap, full
+    * compaction). */
+  def commitReplace(spark: SparkSession, base: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit =
+    commitManifest(spark, base, stageWrite(spark, base, df, partitionBy))
+
+  /** Append `df` to the table. Atomic for readers too: the batch's
+    * files appear all-at-once at pointer flip, never half-written. */
+  def commitAppend(spark: SparkSession, base: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val existing = listFiles(spark, base)
+    commitManifest(spark, base, existing ++ stageWrite(spark, base, df, partitionBy))
+  }
+
+  /** Replace exactly one partition's files with `df` (which must be the
+    * new content of that partition, carrying the partition column):
+    * the partition-scoped compaction path — closed partitions commit
+    * without touching the rest of the table. */
+  def commitReplacePartition(spark: SparkSession, base: String, df: DataFrame,
+      partitionCol: String, partitionValue: String): Unit = {
+    val kept = listFiles(spark, base)
+      .filterNot(_.startsWith(s"$partitionCol=$partitionValue/"))
+    commitManifest(spark, base, kept ++ stageWrite(spark, base, df, Seq(partitionCol)))
+  }
+
+  // ---- retention ----------------------------------------------------------
+
+  /** Drop manifests older than the newest `keepManifests` and delete
+    * data files no surviving manifest references. keepManifests >= 2
+    * keeps the previous snapshot alive for in-flight readers. */
+  def vacuum(spark: SparkSession, base: String, keepManifests: Int = 2): Unit = {
+    val f = fs(spark, base)
+    if (!f.exists(manifestDir(base))) return
+    val manifests = f.listStatus(manifestDir(base)).map(_.getPath.getName)
+      .filter(_.startsWith("m")).sortBy(manifestVersion)
+    if (manifests.length <= keepManifests) return
+    val (drop, keep) = manifests.splitAt(manifests.length - keepManifests)
+    val referenced = keep.flatMap(manifestFiles(spark, base, _)).toSet
+    val dataPath = new Path(dataDir(base))
+    if (f.exists(dataPath)) {
+      val dataUri = f.makeQualified(dataPath).toUri
+      val it = f.listFiles(dataPath, true)
+      while (it.hasNext) {
+        val p = it.next().getPath
+        val rel = dataUri.relativize(f.makeQualified(p).toUri).getPath
+        if (p.getName.endsWith(".parquet") && !referenced.contains(rel))
+          f.delete(p, false)
+      }
+    }
+    drop.foreach(m => f.delete(new Path(manifestDir(base), m), false))
+  }
+}

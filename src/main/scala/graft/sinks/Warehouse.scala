@@ -26,37 +26,50 @@ import graft.ops.Dedup
 object Warehouse {
 
   /** Append a batch, partitioned by event month for pruning + bounded
-    * compaction scope. */
-  def append(batch: DataFrame, path: String): Unit =
-    batch
-      .withColumn("event_month", date_format(col("event_ts"), "yyyyMM"))
+    * compaction scope. A null event_ts is substituted with the
+    * processing timestamp rather than dropped, matching the reference's
+    * sink fallback (EnhancedEngagementStreamingJob.java:536–540).
+    * Committed through [[SnapshotStore]], so the batch's files become
+    * visible to readers all-at-once (at-least-once delivery is still
+    * possible across restarts — the LWW read/compact absorbs it — but
+    * a reader never sees a torn batch). */
+  def append(batch: DataFrame, path: String): Unit = {
+    val stamped = batch
       .withColumn("processed_ts", current_timestamp())
-      .write.mode("append").partitionBy("event_month").parquet(path)
+      .withColumn("event_ts", coalesce(col("event_ts"), col("processed_ts")))
+      .withColumn("event_month", date_format(col("event_ts"), "yyyyMM"))
+    SnapshotStore.commitAppend(batch.sparkSession, path, stamped,
+      partitionBy = Seq("event_month"))
+  }
 
-  /** Exact read: LWW per event_id (FINAL analog). */
+  /** Exact read: LWW per event_id (FINAL analog) over the live
+    * snapshot. */
   def read(spark: SparkSession, path: String): DataFrame =
-    Dedup.lww(spark.read.parquet(path),
+    Dedup.lww(
+      SnapshotStore.read(spark, path).getOrElse(
+        throw new IllegalStateException(s"no warehouse snapshot at $path")),
       Seq(col("event_id")), col("event_ts"), col("processed_ts"))
 
-  /** Merge-time dedup: rewrite the table (or one month partition) with
-    * duplicates collapsed. */
+  /** Merge-time dedup (ClickHouse OPTIMIZE analog): rewrite the table —
+    * or just one month partition — with duplicates collapsed, committed
+    * atomically via the manifest pointer. Month-scoped compaction only
+    * rewrites that month's files; the rest of the table is carried by
+    * manifest reference, which is what keeps compaction O(partition)
+    * instead of O(table) at 100 TB (target closed months, like the
+    * reference compacts sealed ClickHouse parts). Assumes the writer is
+    * quiesced for the targeted scope (single-writer log). */
   def compact(spark: SparkSession, path: String, month: Option[String] = None): Unit = {
-    val src = spark.read.parquet(path)
-    val scoped = month.fold(src)(m => src.filter(col("event_month") === m))
-    val deduped = Dedup.lww(scoped,
-      Seq(col("event_id")), col("event_ts"), col("processed_ts"))
-    val tmp = path + "_compact_tmp"
-    deduped.write.mode("overwrite").partitionBy("event_month").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val src = SnapshotStore.read(spark, path).getOrElse(return)
     month match {
       case None =>
-        fs.delete(new org.apache.hadoop.fs.Path(path), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+        val deduped = Dedup.lww(src,
+          Seq(col("event_id")), col("event_ts"), col("processed_ts"))
+        SnapshotStore.commitReplace(spark, path, deduped, Seq("event_month"))
       case Some(m) =>
-        val part = new org.apache.hadoop.fs.Path(s"$path/event_month=$m")
-        fs.delete(part, true)
-        fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/event_month=$m"), part)
-        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        val deduped = Dedup.lww(src.filter(col("event_month") === m),
+          Seq(col("event_id")), col("event_ts"), col("processed_ts"))
+        SnapshotStore.commitReplacePartition(spark, path, deduped, "event_month", m)
     }
+    SnapshotStore.vacuum(spark, path, keepManifests = 2)
   }
 }

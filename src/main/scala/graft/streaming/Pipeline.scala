@@ -29,12 +29,18 @@ object Pipeline {
   val WatermarkDelay = "30 seconds"
 
   /** Engagement hot path: raw Kafka-shaped stream (string `value`) →
-    * unwrap → enrich against the dim snapshot at `dimPath`. The static
-    * join side is re-read every micro-batch, which is exactly the
-    * as-of-processing-time semantics of the reference's broadcast state
-    * (deletes/upserts take effect from the next batch). */
+    * unwrap → enrich against the dim snapshot at `dimPath`.
+    *
+    * PINNED-SNAPSHOT semantics: a stream-static join resolves the
+    * static side's file listing once at plan time, so this path joins
+    * the dim version that was live when the stream started — later
+    * upserts/deletes from dimMaintenanceQuery are NOT picked up. That
+    * is safe (SnapshotStore data files are immutable, so the pinned
+    * version can't hit FileNotFound mid-stream) but stale; for a
+    * MUTABLE dim use [[enrichedSink]], which re-resolves the snapshot
+    * pointer inside every micro-batch. */
   def enrichedStream(spark: SparkSession, raw: DataFrame, dimPath: String): DataFrame = {
-    val dim = spark.read.parquet(dimPath)
+    val dim = ContentDim.snapshot(spark, dimPath)
     Enrich.enrich(Envelope.unwrapEngagement(raw), dim)
   }
 
@@ -61,13 +67,10 @@ object Pipeline {
     raw.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dim =
-          if (fs.exists(new org.apache.hadoop.fs.Path(dimPath)))
-            spark.read.parquet(dimPath)
-          else ContentDim.emptyDim(spark)
+        // resolve the snapshot POINTER inside the batch: each batch
+        // joins the dim version live at batch start (atomic via
+        // SnapshotStore — never a half-replaced snapshot)
+        val dim = ContentDim.snapshot(batch.sparkSession, dimPath)
         write(Enrich.enrich(Envelope.unwrapEngagement(batch), dim), id)
       }
 

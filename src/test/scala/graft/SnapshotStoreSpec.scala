@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{SnapshotStore, Warehouse}
+
+/** Transactional-commit guarantees of the manifest-pointer log: atomic
+  * replace/append, partition-scoped commits, retention, and — the
+  * headline — concurrent readers through compactions/swaps seeing
+  * either the old or the new snapshot, never neither. */
+class SnapshotStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString + "/t"
+
+  test("append then read round-trips; appends are all-or-nothing to readers") {
+    val base = tmp("ss-append")
+    SnapshotStore.commitAppend(spark, base, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    SnapshotStore.commitAppend(spark, base, Seq((3L, "c")).toDF("id", "v"))
+    val got = SnapshotStore.read(spark, base).get.orderBy("id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("replace swaps the visible snapshot; old files survive until vacuum") {
+    val base = tmp("ss-replace")
+    SnapshotStore.commitReplace(spark, base, Seq((1L, "old")).toDF("id", "v"))
+    val oldFiles = SnapshotStore.listFiles(spark, base)
+    SnapshotStore.commitReplace(spark, base, Seq((2L, "new"), (3L, "new")).toDF("id", "v"))
+    assert(SnapshotStore.read(spark, base).get.count() === 2)
+    // previous version's files still exist (in-flight reader safety)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(oldFiles.forall(f =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$base/data/$f"))))
+    // a third commit + vacuum(keep 2) drops the first version's files
+    SnapshotStore.commitReplace(spark, base, Seq((4L, "n3")).toDF("id", "v"))
+    SnapshotStore.vacuum(spark, base, keepManifests = 2)
+    assert(oldFiles.exists(f =>
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$base/data/$f"))))
+    assert(SnapshotStore.read(spark, base).get.count() === 1)
+  }
+
+  test("partition-scoped replace rewrites only that partition's files") {
+    val base = tmp("ss-part")
+    SnapshotStore.commitAppend(spark, base,
+      Seq((1L, "202401"), (2L, "202401"), (3L, "202402")).toDF("id", "m"),
+      partitionBy = Seq("m"))
+    val before = SnapshotStore.listFiles(spark, base)
+    val keptBefore = before.filter(_.startsWith("m=202402/"))
+    SnapshotStore.commitReplacePartition(spark, base,
+      Seq((9L, "202401")).toDF("id", "m"), "m", "202401")
+    val after = SnapshotStore.listFiles(spark, base)
+    // untouched partition carried by reference — same physical files
+    assert(after.filter(_.startsWith("m=202402/")).toSet === keptBefore.toSet)
+    val rows = SnapshotStore.read(spark, base).get
+      .select("id").as[Long].collect().sorted
+    assert(rows.toSeq === Seq(3L, 9L))
+  }
+
+  test("concurrent reader through repeated compactions: old or new, never neither") {
+    val base = tmp("ss-conc")
+    // seed: 300 rows with duplicate event_ids (3 deliveries each)
+    val batch = spark.range(300)
+      .select((col("id") % 100).as("event_id"),
+        lit("2024-01-15 10:00:00").cast("timestamp").as("event_ts"),
+        lit("play").as("event_type"))
+    Warehouse.append(batch, base)
+    val failure = new AtomicReference[Throwable](null)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          // LWW read must always see exactly the 100 distinct events —
+          // an in-between state (missing table, half-swapped files)
+          // would throw or return a different count
+          val n = Warehouse.read(spark, base).count()
+          assert(n === 100L, s"inconsistent snapshot: $n rows")
+          reads.incrementAndGet()
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    try {
+      for (_ <- 1 to 4) {
+        Warehouse.compact(spark, base) // full rewrite + pointer flip + vacuum
+        Warehouse.append(batch, base)  // re-introduce duplicates
+      }
+      Warehouse.compact(spark, base, month = Some("202401"))
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(failure.get() === null, s"concurrent reader failed: ${failure.get()}")
+    assert(reads.get() > 0, "reader never completed a read during the writes")
+    assert(Warehouse.read(spark, base).count() === 100)
+  }
+
+  test("dim swap under a concurrent reader: every read is a full snapshot") {
+    val base = tmp("ss-dim")
+    def changes(n: Int, seq: Long) = spark.range(n)
+      .select(concat(lit("content-"), col("id")).as("id"),
+        lit("s").as("slug"), lit("T").as("title"),
+        lit("podcast").as("content_type"), lit(300).as("length_seconds"),
+        lit("2024-01-01T00:00:00").as("publish_ts"),
+        lit(false).as("is_delete"), lit(seq).as("change_seq"))
+    graft.dim.ContentDim.applyBatch(spark, base, changes(10, 1))
+    val failure = new AtomicReference[Throwable](null)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          val n = graft.dim.ContentDim.snapshot(spark, base).count()
+          // every committed version has >= 10 live keys; a torn swap
+          // would throw or show a partial table
+          assert(n >= 10L, s"partial snapshot: $n rows")
+        }
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    try {
+      for (i <- 2 to 6) graft.dim.ContentDim.applyBatch(spark, base, changes(10 + i, i.toLong))
+    } finally {
+      stop.set(true)
+      reader.join(60000)
+    }
+    assert(failure.get() === null, s"concurrent dim reader failed: ${failure.get()}")
+    assert(graft.dim.ContentDim.snapshot(spark, base).count() === 16)
+  }
+}

@@ -158,8 +158,32 @@ class StreamingSpec extends SparkSpec {
       val e = engEvent(11, "c1", "play", "2024-01-01T10:00:00", 1000L)
       in.addData(e); q.processAllAvailable()
       in.addData(e); q.processAllAvailable() // at-least-once replay
-      assert(spark.read.parquet(path).count() === 2)
+      // raw (pre-LWW) data files hold both deliveries
+      assert(spark.read.parquet(s"$path/data").count() === 2)
       assert(graft.sinks.Warehouse.read(spark, path).count() === 1)
+    } finally { q.stop() }
+  }
+
+  test("warehouse sink: null event_ts lands with substituted processing time") {
+    val path = tmp("whn") + "/t"
+    val in = MemoryStream[String](spark)
+    val enriched = graft.cdc.Envelope.unwrapEngagement(in.toDF())
+    val q = Pipeline.warehouseSink(enriched, tmp("ckp-whn")) { (df, _) =>
+      graft.sinks.Warehouse.append(df, path)
+    }.start()
+    try {
+      // no event_ts field at all → unwrap yields null event_ts; the sink
+      // must substitute processed_ts instead of dropping the row
+      // (reference: EnhancedEngagementStreamingJob.java:536–540)
+      in.addData(
+        s"""{"payload":{"after":{"id":"77","content_id":"c9","user_id":"u77","event_type":"play","device":"web"},"op":"c","ts_ms":77}}""")
+      q.processAllAvailable()
+      val rows = graft.sinks.Warehouse.read(spark, path)
+        .select(col("event_id"), col("event_ts"), col("processed_ts")).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getLong(0) === 77L)
+      assert(!rows.head.isNullAt(1)) // substituted, not null
+      assert(rows.head.getTimestamp(1) === rows.head.getTimestamp(2))
     } finally { q.stop() }
   }
 

@@ -44,10 +44,11 @@ class WorkloadTopKSpec extends SparkSpec {
       .select(col("id").as("event_id"), col("event_ts"), col("event_type"), col("duration_ms"))
     Warehouse.append(batch, path)
     Warehouse.append(batch, path) // duplicate delivery (replay)
-    assert(spark.read.parquet(path).count() === 1000) // raw: dups present
+    // raw storage (live manifest's files) holds both deliveries
+    assert(graft.sinks.SnapshotStore.read(spark, path).get.count() === 1000)
     assert(Warehouse.read(spark, path).count() === 500) // FINAL-analog read
     Warehouse.compact(spark, path)
-    assert(spark.read.parquet(path).count() === 500)   // merged storage
+    assert(graft.sinks.SnapshotStore.read(spark, path).get.count() === 500) // merged
     assert(Warehouse.read(spark, path).count() === 500)
   }
 
