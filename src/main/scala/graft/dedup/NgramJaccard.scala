@@ -12,21 +12,44 @@ import graft.functions.TextFunctions
   *
   * This is the exact (non-probabilistic) rung of the dedup ladder. The
   * inverted-index join bounds work by shared-shingle volume rather than
-  * the quadratic all-pairs space; at 100 TB you'd additionally drop
-  * ultra-frequent shingles (stop-shingles) before the join — the skew
-  * knob is `maxShingleFreq`. */
+  * the quadratic all-pairs space — EXCEPT around ultra-frequent
+  * "stop-shingles" ("of the and" in every document), where one hot
+  * shingle makes the self-join quadratic in its posting-list length.
+  * The skew guard is therefore ON by default: shingles appearing in
+  * more than `maxShingleFreq` documents contribute no pair evidence
+  * (they carry ~zero similarity signal anyway), and the dropped
+  * stop-shingle count is logged so a capped run is never silent.
+  * Set sizes stay UNcapped, so jaccard is an underestimate for pairs
+  * whose overlap was mostly stop-shingles — the conservative direction
+  * for dedup (never inflates similarity).
+  */
 object NgramJaccard {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Stop-shingles: those appearing in more than `maxShingleFreq`
+    * documents. Small by construction (a natural-language corpus has a
+    * short ultra-frequent head), hence broadcastable. */
+  def stopShingles(docs: DataFrame, id: Column, text: Column, n: Int,
+      maxShingleFreq: Int): DataFrame =
+    docs.select(id.as("doc_id"), explode(TextFunctions.shingles(text, n)).as("s"))
+      .groupBy("s").count().filter(col("count") > maxShingleFreq)
+      .select("s")
+
   /** Pairs (doc_a < doc_b) with jaccard >= threshold.
-    * maxShingleFreq <= 0 disables frequency pruning (exact). */
+    * maxShingleFreq <= 0 disables frequency pruning (fully exact). */
   def pairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
-      threshold: Double = 0.8, maxShingleFreq: Int = 0): DataFrame = {
+      threshold: Double = 0.8, maxShingleFreq: Int = 128): DataFrame = {
     val sh0 = docs.select(id.as("doc_id"),
         explode(TextFunctions.shingles(text, n)).as("s"))
     val sh =
       if (maxShingleFreq > 0) {
-        val freq = sh0.groupBy("s").count().filter(col("count") <= maxShingleFreq)
-        sh0.join(broadcast(freq.select("s")), Seq("s"))
+        val hot = stopShingles(docs, id, text, n, maxShingleFreq).persist()
+        val nHot = hot.count() // tiny by construction; logged contract
+        if (nHot > 0)
+          log.warn(s"NgramJaccard: dropping $nHot stop-shingles with doc-frequency > " +
+            s"$maxShingleFreq from pair evidence (set sizes stay uncapped)")
+        sh0.join(broadcast(hot), Seq("s"), "left_anti")
       } else sh0
     val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),
@@ -42,11 +65,18 @@ object NgramJaccard {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** DuckDB SQL replicating pairs() (no frequency pruning) over
-    * table `documents`. */
-  def oracleSql(n: Int = 3, threshold: Double = 0.8): String =
-    raw"""WITH sh AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${n - 1}], ' ') FOR i IN range(1, greatest(len(toks)-${n - 1}, 1)+1)])) AS s FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+  /** DuckDB SQL replicating pairs() — including the stop-shingle cap —
+    * over table `documents`. */
+  def oracleSql(n: Int = 3, threshold: Double = 0.8, maxShingleFreq: Int = 128): String = {
+    val prune =
+      if (maxShingleFreq > 0)
+        s""",
+hot AS (SELECT s FROM (SELECT s, count(*) AS c FROM sh0 GROUP BY 1) WHERE c > $maxShingleFreq),
+sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 ANTI JOIN hot ON sh0.s = hot.s)"""
+      else ",\nsh AS (SELECT doc_id, s FROM sh0)"
+    raw"""WITH sh0 AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${n - 1}], ' ') FOR i IN range(1, greatest(len(toks)-${n - 1}, 1)+1)])) AS s FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents))$prune,
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY 1),
 common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT doc_a, doc_b, jaccard FROM (SELECT doc_a, doc_b, CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) AS jaccard FROM common JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id) WHERE jaccard >= $threshold"""
+  }
 }

@@ -36,17 +36,29 @@ import org.apache.spark.sql.types._
 case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String)
     extends Rule[LogicalPlan] {
 
-  private def isFactScan(plan: LogicalPlan): Boolean = {
-    // the child must be the fact relation, optionally under projections —
-    // no Filter allowed (a filtered agg must not route; the MV has
-    // already collapsed the rows a filter would need)
-    val ok = plan.collect {
-      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
-        fs.location.rootPaths.exists(_.toString.contains(factPath))
+  /** WHITELIST match: the aggregate's child must be the fact relation
+    * reachable through ONLY Project/SubqueryAlias nodes. Anything else
+    * between the Aggregate and the scan — Filter, Limit, Sample,
+    * Generate/explode, Window, a join (even fact-to-fact) — changes the
+    * row multiset the aggregate sees, which the collapsed MV cannot
+    * answer; a blacklist of known-bad nodes would silently mis-route
+    * every node type it forgot. */
+  @scala.annotation.tailrec
+  private def isFactScan(plan: LogicalPlan): Boolean = plan match {
+    case p: org.apache.spark.sql.catalyst.plans.logical.Project => isFactScan(p.child)
+    case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias => isFactScan(s.child)
+    case LogicalRelation(fsRel: HadoopFsRelation, _, _, _, _) => pathMatches(fsRel)
+    case _ => false
+  }
+
+  /** Exact/child path equality against factPath (String.contains would
+    * also match /data/fact_archive or /data/fact-copy). */
+  private def pathMatches(fsRel: HadoopFsRelation): Boolean = {
+    val target = new org.apache.hadoop.fs.Path(factPath).toUri.getPath
+    fsRel.location.rootPaths.exists { p =>
+      val rp = p.toUri.getPath
+      rp == target || rp.startsWith(target + "/")
     }
-    ok.nonEmpty && ok.forall(identity) && plan.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
-    }.isEmpty
   }
 
   private def rollupPlan(): LogicalPlan =

@@ -54,6 +54,32 @@ class DedupLadderSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall over ${exact.size} exact pairs")
   }
 
+  test("ngram stop-shingle cap: planted hot shingle is dropped, true pair survives") {
+    import spark.implicits._
+    // 60 docs sharing one ultra-frequent shingle ("the quick brown");
+    // tails are unique except docs 0 and 1, which are identical — the
+    // one true near-dup pair.
+    val rows = (0 until 60).map { i =>
+      val tailOf = if (i == 1) 0 else i
+      val tail = (0 until 25).map(k => s"tok${tailOf}x$k").mkString(" ")
+      (i.toLong, s"the quick brown $tail")
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val hot = NgramJaccard.stopShingles(docs, col("doc_id"), col("text"),
+      n = 3, maxShingleFreq = 20).as[String].collect()
+    assert(hot.toSeq === Seq("the quick brown"))
+    val capped = NgramJaccard.pairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.8, maxShingleFreq = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(capped.map(p => (p._1, p._2)).toSet === Set((0L, 1L)))
+    assert(capped.head._3 >= 0.9) // (s-1)/(s+1): only 1 shingle lost evidence
+    // exact (uncapped) run agrees on the pair set for this corpus
+    val exact = NgramJaccard.pairs(docs, col("doc_id"), col("text"),
+        n = 3, threshold = 0.8, maxShingleFreq = 0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((0L, 1L)))
+  }
+
   test("simhash near-pairs have genuinely small hamming distance, symmetric") {
     val pairs = SimHash.pairs(docs, col("doc_id"), col("text"), maxHamming = 3).collect()
     assert(pairs.nonEmpty)

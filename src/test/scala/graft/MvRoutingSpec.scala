@@ -91,4 +91,44 @@ class MvRoutingSpec extends SparkSpec {
       assert(q.queryExecution.executedPlan.toString().contains(factPath))
     }
   }
+
+  test("aggregate over LIMIT does NOT route (whitelist, not blacklist)") {
+    withRule {
+      val q = spark.read.parquet(factPath).limit(100)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      assert(q.queryExecution.executedPlan.toString().contains(factPath),
+        "a limited aggregate sees a different row multiset than the MV")
+    }
+  }
+
+  test("aggregate over a fact self-join does NOT route") {
+    withRule {
+      val f = spark.read.parquet(factPath)
+      val q = f.as("a").join(f.as("b"), Seq("event_type"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      assert(q.queryExecution.executedPlan.toString().contains(factPath))
+    }
+  }
+
+  test("aggregate over explode does NOT route") {
+    withRule {
+      val q = spark.read.parquet(factPath)
+        .withColumn("x", explode(array(lit(1), lit(2))))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      assert(q.queryExecution.executedPlan.toString().contains(factPath))
+    }
+  }
+
+  test("a sibling path sharing the fact prefix does NOT route") {
+    // fact_archive shares the string prefix of factPath — contains()
+    // matching would route it
+    val archive = factPath + "_archive"
+    spark.read.parquet(factPath).limit(500).write.mode("overwrite").parquet(archive)
+    withRule {
+      val q = spark.read.parquet(archive)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+      assert(q.queryExecution.executedPlan.toString().contains(archive))
+      assert(!q.queryExecution.executedPlan.toString().contains(mvPath))
+    }
+  }
 }
