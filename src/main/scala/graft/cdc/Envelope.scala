@@ -53,46 +53,56 @@ object Envelope {
         StructField("table", StringType),
         StructField("ts_ms", LongType)))))))))
 
-  /** Enveloped-or-flat record extraction: payload.after when the
-    * envelope parsed, else the root parsed as a bare record (the
-    * connector's ExtractNewRecordState unwrap may already have
-    * flattened it — the reference handles both, :164–168). */
-  private def afterOrRoot(value: Column, record: StructType): Column = {
-    val env = from_json(value, envelopeSchema(record))
-    val flat = from_json(value, record)
-    when(env("payload").isNotNull && env("payload")("after").isNotNull, env("payload")("after"))
-      .otherwise(flat)
-  }
+  /** COMBINED wire schema: the record's fields at the root (for the
+    * connector's ExtractNewRecordState-flattened shape) plus the
+    * Debezium payload envelope — so ONE from_json serves both message
+    * shapes. A flat message populates the root fields (payload stays
+    * null); an enveloped one populates payload.* (root fields stay
+    * null). Halves the intrinsic parse work vs parsing each shape
+    * separately. */
+  private def combinedSchema(record: StructType): StructType =
+    StructType(record.fields :+
+      StructField("payload", envelopeSchema(record).fields.head.dataType))
+
+  /** Parse the wire ONCE and materialize the result behind an explode
+    * barrier: `explode(array(parsed))` introduces a Generate node, and
+    * CollapseProject cannot inline expressions through Generate — so
+    * every downstream field extraction reads the one materialized
+    * struct attribute instead of re-running Jackson. Without the
+    * barrier, collapsing the projections re-evaluates from_json once
+    * per referencing expression (measured ~2.5× the whole unwrap cost
+    * at sf0.1). */
+  private def parsedOnce(raw: DataFrame, record: StructType): DataFrame =
+    raw.select(explode(array(
+      from_json(col("value").cast(StringType), combinedSchema(record)))).as("j"))
+
+  private def hasAfter: Column =
+    col("j.payload").isNotNull && col("j.payload.after").isNotNull
+
+  /** Enveloped-or-flat field: payload.after.f when the envelope carries
+    * a record, else the root field (the reference accepts both shapes,
+    * :164–168). */
+  private def rec(f: String): Column =
+    when(hasAfter, col(s"j.payload.after.$f")).otherwise(col(s"j.$f"))
 
   /** P1+P2+P8: unwrap an engagement-events CDC stream. Input: a
     * DataFrame with a string `value` column (Kafka value). Output
     * columns: event_id (normalized long), user_id, content_id,
     * event_type, platform, duration_ms, event_ts (parsed), raw_payload.
-    * Rows that fail to yield an id are dropped (P4/F2). */
-  def unwrapEngagement(raw: DataFrame): DataFrame = {
-    val value = col("value").cast(StringType)
-    // The id-presence drop (F2/P4) is probed with get_json_object BEFORE
-    // the full parse: it is equivalent (event_id is null exactly when
-    // neither envelope nor flat shape carries an id, or the JSON is
-    // malformed — get_json_object returns null in every such case), and
-    // it keeps Catalyst's filter pushdown from duplicating the whole
-    // to_json/from_json chain into the pushed-down Filter condition.
-    val idProbe = coalesce(
-      get_json_object(value, "$.payload.after.id"),
-      get_json_object(value, "$.id"))
-    val rec = afterOrRoot(value, engagementRecordSchema)
-    raw.filter(idProbe.isNotNull)
-      .select(rec.as("r"))
+    * Rows that fail to yield an id are dropped (P4/F2) — malformed
+    * JSON parses to a null struct (PERMISSIVE), which has no id. */
+  def unwrapEngagement(raw: DataFrame): DataFrame =
+    parsedOnce(raw, engagementRecordSchema)
+      .filter(rec("id").isNotNull)
       .select(
-        Engagement.normalizeEventId(col("r.id")).as("event_id"),
-        col("r.user_id").as("user_id"),
-        col("r.content_id").as("content_id"),
-        col("r.event_type").as("event_type"),
-        col("r.device").as("platform"),
-        col("r.duration_ms").as("duration_ms"),
-        Engagement.parseTimestampMulti(col("r.event_ts")).as("event_ts"),
-        col("r.raw_payload").as("raw_payload"))
-  }
+        Engagement.normalizeEventId(rec("id")).as("event_id"),
+        rec("user_id").as("user_id"),
+        rec("content_id").as("content_id"),
+        rec("event_type").as("event_type"),
+        rec("device").as("platform"),
+        rec("duration_ms").as("duration_ms"),
+        Engagement.parseTimestampMulti(rec("event_ts")).as("event_ts"),
+        rec("raw_payload").as("raw_payload"))
 
   /** P3: unwrap a content CDC stream including delete tombstones. Takes
     * payload.after for upserts; for op in {d, D} with null after, emits
@@ -101,26 +111,20 @@ object Envelope {
     * is_delete, change_seq (source ts_ms for LWW ordering). Rows with
     * no id are dropped (F3). */
   def unwrapContent(raw: DataFrame): DataFrame = {
-    val value = col("value").cast(StringType)
-    val env = from_json(value, envelopeSchema(contentRecordSchema))
-    val flat = from_json(value, contentRecordSchema)
-    val hasAfter = env("payload").isNotNull && env("payload")("after").isNotNull
-    val isDelete = env("payload").isNotNull &&
-      env("payload")("after").isNull && upper(env("payload")("op")) === "D"
-    raw.select(
-        when(hasAfter, env("payload")("after")("id"))
-          .when(isDelete, env("payload")("before")("id"))
-          .otherwise(flat("id")).as("id"),
-        when(hasAfter, env("payload")("after")("slug")).otherwise(flat("slug")).as("slug"),
-        when(hasAfter, env("payload")("after")("title")).otherwise(flat("title")).as("title"),
-        when(hasAfter, env("payload")("after")("content_type"))
-          .otherwise(flat("content_type")).as("content_type"),
-        when(hasAfter, env("payload")("after")("length_seconds"))
-          .otherwise(flat("length_seconds")).as("length_seconds"),
-        when(hasAfter, env("payload")("after")("publish_ts"))
-          .otherwise(flat("publish_ts")).as("publish_ts"),
+    val isDelete = col("j.payload").isNotNull &&
+      col("j.payload.after").isNull && upper(col("j.payload.op")) === "D"
+    parsedOnce(raw, contentRecordSchema)
+      .select(
+        when(hasAfter, col("j.payload.after.id"))
+          .when(isDelete, col("j.payload.before.id"))
+          .otherwise(col("j.id")).as("id"),
+        rec("slug").as("slug"),
+        rec("title").as("title"),
+        rec("content_type").as("content_type"),
+        rec("length_seconds").as("length_seconds"),
+        rec("publish_ts").as("publish_ts"),
         coalesce(isDelete, lit(false)).as("is_delete"),
-        coalesce(env("payload")("ts_ms"), lit(0L)).as("change_seq"))
+        coalesce(col("j.payload.ts_ms"), lit(0L)).as("change_seq"))
       .filter(col("id").isNotNull)
   }
 
