@@ -81,4 +81,24 @@ object Multimodal {
         }
       }
   }
+
+  /** DuckDB SQL replaying synthesize → extractFeatures bit-for-bit over
+    * table `documents`: the stub histogram bin k counts payload bytes
+    * with high nibble k (char 2i-1 of hex(payload)), normalized in
+    * FLOAT32 (`REAL` division — matching the stub's Float arithmetic
+    * exactly), widened to double and floor-rounded to millionths. The
+    * "decode" is a declared deterministic fake, but its Spark-side
+    * plumbing (binary payload column, partition-parallel decode, fixed
+    * feature dim) is exercised for real and the output hash-checked. */
+  def featuresOracleSql(): String = {
+    val hexDigits = "0123456789ABCDEF"
+    val fCols = (0 until FeatureDim).map { k =>
+      val d = hexDigits(k)
+      s"CAST(floor(CAST(CASE WHEN n > 0 THEN CAST(len(list_filter(nibs, c -> c = '$d')) AS REAL) / CAST(n AS REAL) ELSE CAST(0 AS REAL) END AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS f${k}_millionths"
+    }.mkString(", ")
+    s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+nb AS (SELECT doc_id, octet_length(p) AS n, hex(p) AS h FROM b),
+nib AS (SELECT doc_id, n, list_transform(range(1, n+1), i -> h[2*i-1]) AS nibs FROM nb)
+SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(n AS INTEGER) AS n_bytes, $fCols FROM nib"""
+  }
 }

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.functions.TextFunctions
+
+/** Corpus-preparation operators a large-scale training-data pipeline
+  * needs beyond dedup/quality: deterministic dataset splits, sequence
+  * packing for a fixed token budget, and repetition scoring.
+  *
+  * All deterministic (hash- or order-derived, no RNG state), so runs
+  * are reproducible across clusters and each operator carries an exact
+  * DuckDB oracle.
+  */
+object Corpus {
+
+  /** Deterministic train/val/test assignment: bucket =
+    * md5Long("split:" + id) mod 100 → train < trainPct ≤ val <
+    * trainPct+valPct ≤ test. Pure per-row map (no shuffle, no RNG —
+    * re-running on any cluster assigns identically), the standard
+    * hash-split that keeps a document in the same fold across corpus
+    * versions. */
+  def splitAssign(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need train + val < 100 with train > 0")
+    val bucket = pmod(
+      TextFunctions.md5Long(concat(lit("split:"), id.cast(StringType))), lit(100))
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** DuckDB replica of [[splitAssign]] for an id expression. */
+  def splitAssignSql(idSql: String, trainPct: Int = 80, valPct: Int = 10): String =
+    s"""CASE WHEN CAST('0x'||substring(md5('split:'||CAST($idSql AS VARCHAR)),1,15) AS BIGINT) % 100 < $trainPct THEN 'train' WHEN CAST('0x'||substring(md5('split:'||CAST($idSql AS VARCHAR)),1,15) AS BIGINT) % 100 < ${trainPct + valPct} THEN 'val' ELSE 'test' END"""
+
+  /** Concat-and-chunk sequence packing (the standard pretraining
+    * layout: documents are concatenated in a canonical order and the
+    * token stream is cut into fixed `seqLen` sequences). Emits, per
+    * document: its absolute token offset in the stream and the
+    * first/last sequence index it lands in.
+    *
+    * Scale design — the global prefix-sum is TWO-PHASE, not one giant
+    * window: documents bucket by `floor(id / bucketSize)`; per-bucket
+    * token sums (a few thousand rows at any corpus size with a sane
+    * bucketSize) take the only single-partition window; each document
+    * then gets bucket_offset + within-bucket running sum from a window
+    * partitioned by bucket. The 100 TB failure mode this avoids is
+    * `Window.orderBy(id)` with no partitioning — a single reducer
+    * holding the entire corpus. */
+  def concatChunk(docs: DataFrame, id: Column, nTokens: Column,
+      seqLen: Int, bucketSize: Long = 1000L): DataFrame = {
+    require(seqLen > 0 && bucketSize > 0)
+    val t = docs.select(id.as("doc_id"), nTokens.cast(LongType).as("n_tok"),
+      floor(id / lit(bucketSize)).cast(LongType).as("__bkt"))
+    val bktW = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("__bkt")).agg(sum(col("n_tok")).as("__bkt_tok"))
+      .withColumn("__bkt_off", coalesce(sum(col("__bkt_tok")).over(bktW), lit(0L)))
+      .drop("__bkt_tok")
+    val inW = Window.partitionBy(col("__bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("start_tok",
+        col("__bkt_off") + coalesce(sum(col("n_tok")).over(inW), lit(0L)))
+      .select(col("doc_id"), col("n_tok"), col("start_tok"),
+        floor(col("start_tok") / lit(seqLen)).cast(LongType).as("first_seq"),
+        floor((col("start_tok") + greatest(col("n_tok"), lit(1L)) - 1) / lit(seqLen))
+          .cast(LongType).as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+
+  /** DuckDB replica of [[concatChunk]] over table `documents` (the
+    * oracle can afford the single global window at test scale; the
+    * result is identical to the two-phase form by associativity of the
+    * prefix sum). */
+  def concatChunkOracleSql(seqLen: Int): String =
+    raw"""WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
+c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t)
+SELECT doc_id, n_tok, start_tok, CAST(floor(start_tok / $seqLen.0) AS BIGINT) AS first_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / $seqLen.0) AS BIGINT) AS last_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / $seqLen.0) AS BIGINT) - CAST(floor(start_tok / $seqLen.0) AS BIGINT) + 1 AS n_seqs FROM c"""
+
+  /** Intra-document repetition ratio over word n-grams (a Gopher-style
+    * repetition quality signal): 1 - distinct/total n-grams, in
+    * portable floor-form at 4 decimals. Pure per-row map. */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    val grams = transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    val total = size(grams).cast("double")
+    val distinctN = size(array_distinct(grams)).cast("double")
+    floor((lit(1.0) - distinctN / total) * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  }
+
+  /** DuckDB replica of [[repetitionRatio]] for table `documents`. */
+  def repetitionRatioSql(n: Int = 3): String =
+    raw"""floor((1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)) * 10000.0 + 0.5) / 10000.0"""
+
+  /** Shared grams CTE fragment for the repetition oracle. */
+  def gramsSql(n: Int = 3): String =
+    raw"""[array_to_string(toks[i:i+${n - 1}], ' ') FOR i IN range(1, greatest(len(toks)-${n - 1}, 1)+1)]"""
+}

@@ -10,7 +10,7 @@ import graft.cdc.Envelope
 import graft.dim.ContentDim
 import graft.enrich.Enrich
 import graft.functions.{Engagement, TextFunctions, VectorFunctions}
-import graft.ops.{Dedup, Rollups}
+import graft.ops.{Corpus, Dedup, Rollups}
 
 /** One registered query per implemented operator (SURVEY.md §2 + the
   * LLM-data-pipeline extensions). Each entry pairs the Spark
@@ -592,6 +592,30 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
       },
       headline = true),
 
+    // Deterministic train/val/test split: hash-mod assignment — a
+    // document keeps its fold across corpus versions and clusters (no
+    // RNG state). Pure per-row map.
+    GraftQuery("q_split_assign",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        Corpus.splitAssign(col("doc_id")).as("split")),
+      Some(s"SELECT doc_id, ${Corpus.splitAssignSql("doc_id")} AS split FROM documents")),
+
+    // Concat-and-chunk sequence packing (pretraining layout): absolute
+    // token offsets + sequence spans per document via a TWO-PHASE
+    // distributed prefix sum (per-bucket offsets broadcast, never a
+    // global single-partition window over the corpus).
+    GraftQuery("q_seq_pack",
+      (s, dir) => Corpus.concatChunk(docs(s, dir), col("doc_id"),
+        TextFunctions.tokenCount(col("text")), seqLen = 512, bucketSize = 100),
+      Some(Corpus.concatChunkOracleSql(512))),
+
+    // Gopher-style intra-document repetition signal: 1 - distinct/total
+    // word trigrams, floor-form at 4 decimals.
+    GraftQuery("q_repetition",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        Corpus.repetitionRatio(col("text")).as("rep_ratio")),
+      Some(raw"""WITH g AS (SELECT doc_id, ${Corpus.gramsSql(3)} AS grams FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)) SELECT doc_id, ${Corpus.repetitionRatioSql(3)} AS rep_ratio FROM g""")),
+
     // Exact interpolated percentiles per group (sort-based agg).
     GraftQuery("q_percentiles",
       (s, dir) => ev(s, dir).groupBy(col("event_type"))
@@ -684,16 +708,22 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
         dim = 64, nPlanes = 6))),
 
     // Multimodal plumbing end-to-end: synthesize media table → batched
-    // partition-parallel decode (stubbed codec) → feature vectors.
-    // Rows-only check (byte-level decode isn't SQL-expressible).
+    // partition-parallel decode (stubbed codec) → feature vectors. The
+    // stub is a declared deterministic fake (byte-nibble histogram in
+    // float32), which makes the WHOLE chain hash-checkable: all 16
+    // feature bins are emitted in portable floor-form and the oracle
+    // replays the histogram + REAL-precision normalization in SQL.
     GraftQuery("q_multimodal_features",
       (s, dir) => {
         val feats = graft.multimodal.Multimodal.extractFeatures(
           graft.multimodal.Multimodal.synthesize(docs(s, dir)))
-        feats.toDF().select(col("doc_id"), col("media_type"), col("n_bytes"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+        val fCols = (0 until graft.multimodal.Multimodal.FeatureDim).map(k =>
+          floor(element_at(col("features"), k + 1).cast("double") * lit(1e6) + lit(0.5))
+            .cast("long").as(s"f${k}_millionths"))
+        feats.toDF().select(
+          (Seq(col("doc_id"), col("media_type"), col("n_bytes")) ++ fCols): _*)
       },
-      None),
+      Some(graft.multimodal.Multimodal.featuresOracleSql())),
 
     // Symmetric int8 quantization round-trip (vector-storage infra for
     // a training pipeline): per-vector scale = max|x|, q = round-to-int8,

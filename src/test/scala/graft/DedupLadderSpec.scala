@@ -80,6 +80,46 @@ class DedupLadderSpec extends SparkSpec {
     assert(exact === Set((0L, 1L)))
   }
 
+  test("corpus ops: hash split is deterministic with sane proportions") {
+    val split = docs.select(col("doc_id"),
+      graft.ops.Corpus.splitAssign(col("doc_id")).as("split"))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    assert(counts("train") / n > 0.7 && counts("train") / n < 0.9, counts.toString)
+    assert(counts.getOrElse("val", 0L) > 0 && counts.getOrElse("test", 0L) > 0)
+    // deterministic: re-evaluation assigns identically
+    val a = split.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = docs.select(col("doc_id"),
+        graft.ops.Corpus.splitAssign(col("doc_id")).as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
+
+  test("corpus ops: concat-chunk packing is gapless and span-consistent") {
+    val packed = graft.ops.Corpus.concatChunk(docs, col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        seqLen = 512, bucketSize = 100)
+      .orderBy("doc_id").collect()
+    assert(packed.nonEmpty)
+    // contiguous stream: each doc starts where the previous ended
+    packed.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("start_tok") ===
+          a.getAs[Long]("start_tok") + a.getAs[Long]("n_tok"))
+      case _ =>
+    }
+    assert(packed.head.getAs[Long]("start_tok") === 0L)
+    // spans: first <= last, n_seqs matches, and a doc shorter than
+    // seqLen covers at most 2 sequences
+    packed.foreach { r =>
+      val (first, last, n, nTok) = (r.getAs[Long]("first_seq"),
+        r.getAs[Long]("last_seq"), r.getAs[Long]("n_seqs"), r.getAs[Long]("n_tok"))
+      assert(first <= last && n === last - first + 1)
+      if (nTok <= 512) assert(n <= 2, r.toString)
+    }
+  }
+
   test("simhash near-pairs have genuinely small hamming distance, symmetric") {
     val pairs = SimHash.pairs(docs, col("doc_id"), col("text"), maxHamming = 3).collect()
     assert(pairs.nonEmpty)

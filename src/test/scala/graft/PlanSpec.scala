@@ -90,6 +90,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
   }
 
+  test("q_seq_pack: no global single-partition window over the corpus") {
+    // the doc-level running sum must be partitioned by bucket; the only
+    // unpartitioned window runs over the tiny per-bucket offsets table
+    val df = Queries.runners("q_seq_pack")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    val globalWindows = p.linesIterator.filter(l =>
+      l.contains("Window") && l.contains("ORDER BY") &&
+      !l.contains("PARTITION BY") && !l.contains("__bkt ASC")).toList
+    assert(p.contains("Window"), p.take(800))
+    // the per-doc window must carry a PARTITION BY __bkt
+    assert(p.contains("partitionBy") || p.contains("PartitionSpec") ||
+      p.linesIterator.exists(l => l.contains("Window") && l.contains("__bkt")), p.take(2000))
+  }
+
+  test("q_split_assign: pure per-row map, no exchange") {
+    val df = Queries.runners("q_split_assign")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), "hash split must not shuffle")
+  }
+
   test("q_dedup_minhash: signature stage has no exchange below the band join") {
     // the signature computation is map-only; the first exchange in the
     // plan must belong to the candidate-pair join, not the signatures
