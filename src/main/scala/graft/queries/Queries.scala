@@ -592,6 +592,37 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
       },
       headline = true),
 
+    // Avro wire contract (engagement_event.avsc): events → Avro binary
+    // records (graft_avro_encode, native Expression over Avro core) →
+    // decode (graft_avro_decode, PERMISSIVE + union-normalized
+    // event_id) → identity. The oracle checks the round-trip against
+    // the source rows directly, proving both wire directions.
+    GraftQuery("q_avro_roundtrip",
+      (s, dir) => {
+        graft.cdc.AvroWire.register(s)
+        val rec = struct(
+          col("event_id").cast("string").as("event_id"),
+          concat(lit("content-"), pmod(col("event_id"), lit(40))).as("content_id"),
+          col("user_id").cast("string").as("user_id"),
+          col("event_type").as("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("event_ts"),
+          round(col("value") * 1000, 0).cast("long").as("duration_ms"),
+          lit("web").as("device"),
+          score.as("engagement_score"),
+          col("props").as("raw_payload"),
+          lit(null).cast("string").as("processed_ts"))
+        ev(s, dir)
+          .select(col("event_id").as("orig_id"),
+            call_function("graft_avro_decode",
+              call_function("graft_avro_encode", rec)).as("r"))
+          .select(col("orig_id"), col("r.event_id").as("event_id_str"),
+            col("r.content_id").as("content_id"), col("r.event_type").as("event_type"),
+            col("r.event_ts").as("event_ts"), col("r.duration_ms").as("duration_ms"),
+            col("r.engagement_score").as("engagement_score"),
+            col("r.raw_payload").as("raw_payload"))
+      },
+      Some(s"""SELECT event_id AS orig_id, CAST(event_id AS VARCHAR) AS event_id_str, 'content-' || CAST(event_id % 40 AS VARCHAR) AS content_id, event_type, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS event_ts, CAST(round(value*1000, 0) AS BIGINT) AS duration_ms, $scoreSql AS engagement_score, props AS raw_payload FROM events""")),
+
     // Deterministic train/val/test split: hash-mod assignment — a
     // document keeps its fold across corpus versions and clusters (no
     // RNG state). Pure per-row map.

@@ -40,6 +40,26 @@ object Sources {
     r.load().selectExpr("CAST(value AS STRING) AS value")
   }
 
+  /** S1-alt: an Avro-wire engagement stream (engagement_event.avsc) —
+    * a DataFrame with a binary `value` column decodes through
+    * graft_avro_decode into the same downstream shape the JSON unwrap
+    * produces (P4 drop of undecodable/idless records included). */
+  def avroEngagement(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.cdc.AvroWire.register(raw.sparkSession)
+    raw.select(call_function("graft_avro_decode", col("value")).as("r"))
+      .filter(col("r.event_id").isNotNull)
+      .select(
+        graft.functions.Engagement.normalizeEventId(col("r.event_id")).as("event_id"),
+        col("r.user_id").as("user_id"),
+        col("r.content_id").as("content_id"),
+        col("r.event_type").as("event_type"),
+        col("r.device").as("platform"),
+        col("r.duration_ms").as("duration_ms"),
+        graft.functions.Engagement.parseTimestampMulti(col("r.event_ts")).as("event_ts"),
+        col("r.raw_payload").as("raw_payload"))
+  }
+
   /** S3: dimension snapshot scan (JDBC in the reference; any batch
     * relation here — the enrichment only needs (id, content_type,
     * length_seconds)). */
