@@ -55,9 +55,10 @@ object StreamingDemo {
     // pipelines; the per-row cost itself is ~250k events/s on this box
     // (see Bench q_enrich_join)
     // null event_ts rows land with a substituted processing timestamp
-    // (the reference's sink fallback) — Warehouse.append handles it
+    // (the reference's sink fallback); the batch-id tag makes restart
+    // replays a no-op (exactly-once landing)
     val warehouseQ = Pipeline.enrichedSink(wire, dimPath, s"$work/ckp-wh") {
-      (df, _) => Warehouse.append(df, whPath)
+      (df, id) => Warehouse.appendOnce(df, whPath, id)
     }.trigger(Trigger.ProcessingTime("5 seconds")).start()
 
     val enrichedForAggs = Pipeline.enrichedStream(spark, wire, dimPath)

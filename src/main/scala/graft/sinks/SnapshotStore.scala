@@ -76,9 +76,25 @@ object SnapshotStore {
 
   private def manifestVersion(name: String): Long = name.stripPrefix("m").toLong
 
-  private def manifestFiles(spark: SparkSession, base: String, name: String): Seq[String] = {
+  private def manifestLines(spark: SparkSession, base: String, name: String): Seq[String] = {
     val content = readFile(fs(spark, base), new Path(manifestDir(base), name))
     content.split("\n").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private def manifestFiles(spark: SparkSession, base: String, name: String): Seq[String] =
+    manifestLines(spark, base, name).filterNot(_.startsWith("#"))
+
+  /** True if any retained manifest carries `#tag=<tag>` — the
+    * idempotence probe for [[commitAppend]]'s tag. The memory window is
+    * bounded by vacuum's keepManifests; a checkpointed streaming sink
+    * only ever replays its most recent batch, which by construction is
+    * within the last two manifests. */
+  def hasTag(spark: SparkSession, base: String, tag: String): Boolean = {
+    val f = fs(spark, base)
+    f.exists(manifestDir(base)) &&
+      f.listStatus(manifestDir(base)).iterator.map(_.getPath.getName)
+        .filter(_.startsWith("m"))
+        .exists(m => manifestLines(spark, base, m).contains(s"#tag=$tag"))
   }
 
   /** Relative data-file paths of the live snapshot (empty if none). */
@@ -130,13 +146,17 @@ object SnapshotStore {
     * name, then rename it into place. The rename is atomic and fails on
     * an existing destination — a lost race to the version number aborts
     * loudly rather than dropping a commit. */
-  private def commitManifest(spark: SparkSession, base: String, files: Seq[String]): Unit = {
+  private def commitManifest(spark: SparkSession, base: String, files: Seq[String],
+      tag: Option[String] = None): Unit = {
     val f = fs(spark, base)
     val next = currentManifest(spark, base).map(manifestVersion(_) + 1).getOrElse(0L)
     val name = f"m$next%010d"
     f.mkdirs(manifestDir(base))
     val tmp = new Path(manifestDir(base), s".tmp-${UUID.randomUUID()}")
-    writeFile(f, tmp, files.mkString("\n"))
+    // the tag travels INSIDE the manifest (a '#'-comment line), so
+    // tag visibility and file visibility are the same atomic rename —
+    // no window where a batch is committed but untagged
+    writeFile(f, tmp, (tag.map(t => s"#tag=$t").toSeq ++ files).mkString("\n"))
     if (!f.rename(tmp, new Path(manifestDir(base), name)))
       throw new java.io.IOException(
         s"snapshot commit conflict: version $name already exists under $base")
@@ -149,11 +169,15 @@ object SnapshotStore {
     commitManifest(spark, base, stageWrite(spark, base, df, partitionBy))
 
   /** Append `df` to the table. Atomic for readers too: the batch's
-    * files appear all-at-once at pointer flip, never half-written. */
+    * files appear all-at-once at manifest publish, never half-written.
+    * With a `tag` (e.g. a streaming batch id), the commit becomes
+    * IDEMPOTENT: a replay of an already-committed tag is a no-op —
+    * exactly-once landing on top of an at-least-once sink. */
   def commitAppend(spark: SparkSession, base: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, tag: Option[String] = None): Unit = {
+    if (tag.exists(hasTag(spark, base, _))) return
     val existing = listFiles(spark, base)
-    commitManifest(spark, base, existing ++ stageWrite(spark, base, df, partitionBy))
+    commitManifest(spark, base, existing ++ stageWrite(spark, base, df, partitionBy), tag)
   }
 
   /** Replace exactly one partition's files with `df` (which must be the

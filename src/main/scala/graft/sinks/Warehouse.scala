@@ -33,13 +33,23 @@ object Warehouse {
     * visible to readers all-at-once (at-least-once delivery is still
     * possible across restarts — the LWW read/compact absorbs it — but
     * a reader never sees a torn batch). */
-  def append(batch: DataFrame, path: String): Unit = {
+  def append(batch: DataFrame, path: String): Unit =
+    appendTagged(batch, path, tag = None)
+
+  /** Idempotent streaming append: pass the micro-batch id and a replay
+    * of an already-committed batch becomes a no-op (the tag travels in
+    * the manifest, same atomic publish as the data) — exactly-once
+    * landing instead of LWW-absorbed duplicates. */
+  def appendOnce(batch: DataFrame, path: String, batchId: Long): Unit =
+    appendTagged(batch, path, Some(s"batch=$batchId"))
+
+  private def appendTagged(batch: DataFrame, path: String, tag: Option[String]): Unit = {
     val stamped = batch
       .withColumn("processed_ts", current_timestamp())
       .withColumn("event_ts", coalesce(col("event_ts"), col("processed_ts")))
       .withColumn("event_month", date_format(col("event_ts"), "yyyyMM"))
     SnapshotStore.commitAppend(batch.sparkSession, path, stamped,
-      partitionBy = Seq("event_month"))
+      partitionBy = Seq("event_month"), tag = tag)
   }
 
   /** Exact read: LWW per event_id (FINAL analog) over the live

@@ -60,6 +60,18 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(rows.toSeq === Seq(3L, 9L))
   }
 
+  test("appendOnce: replaying the same batch id is a no-op (exactly-once landing)") {
+    val base = tmp("ss-once")
+    val batch = spark.range(10).select(col("id").as("event_id"),
+      lit("2024-02-01 00:00:00").cast("timestamp").as("event_ts"))
+    Warehouse.appendOnce(batch, base, batchId = 0)
+    Warehouse.appendOnce(batch, base, batchId = 0) // restart replay
+    // raw storage (no LWW applied) — the replay must not land twice
+    assert(SnapshotStore.read(spark, base).get.count() === 10)
+    Warehouse.appendOnce(batch, base, batchId = 1)
+    assert(SnapshotStore.read(spark, base).get.count() === 20)
+  }
+
   test("concurrent reader through repeated compactions: old or new, never neither") {
     val base = tmp("ss-conc")
     // seed: 300 rows with duplicate event_ids (3 deliveries each)
