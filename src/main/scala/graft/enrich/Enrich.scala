@@ -1,6 +1,7 @@
 package graft.enrich
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Engagement
@@ -41,4 +42,48 @@ object Enrich {
     * omitted, like the reference's Jackson NON_NULL mapper :366–381). */
   def toOutboxJson(enriched: DataFrame): DataFrame =
     enriched.select(to_json(struct(enriched.columns.map(col): _*)).as("value"))
+
+  /** AS-OF (event-time temporal) join — the event-time complement to
+    * [[enrich]]'s as-of-processing-time snapshot join: each left row
+    * picks the latest right version with version ts <= the left ts,
+    * per key (SCD-2-style point-in-time enrichment).
+    *
+    * Spark has no ASOF JOIN operator; the naive range-join formulation
+    * (l JOIN r ON key AND r.ts <= l.ts, then max) explodes into
+    * O(|versions per key| × |events|) intermediate rows. This is the
+    * textbook distributed as-of instead: UNION both sides, ONE shuffle
+    * on the key, one within-partition sort by (ts, side), and a
+    * running `last(payload, ignoreNulls)` window carries the newest
+    * right payload forward onto every left row. Right versions sort
+    * BEFORE left rows at equal ts (<= semantics, matching DuckDB's
+    * ASOF `>=`).
+    *
+    * `right` must be unique per (key, ts) — pre-collapse versions with
+    * [[graft.ops.Dedup.lww]] otherwise. Left rows with no version at
+    * or before them keep a null payload (left-outer semantics).
+    *
+    * Output: every `left` column plus `right`'s non-key/ts columns. */
+  def asOfJoin(left: DataFrame, leftKey: Column, leftTs: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column): DataFrame = {
+    val payloadCols = right.columns.map(col) // carried as one struct
+    val l = left
+      .withColumn("__key", leftKey).withColumn("__ts", leftTs)
+      .withColumn("__side", lit(0))
+      .withColumn("__payload", lit(null).cast(
+        right.select(struct(payloadCols: _*)).schema.head.dataType))
+    val r = right
+      .withColumn("__key", rightKey).withColumn("__ts", rightTs)
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", struct(payloadCols: _*))
+      .select(l.columns.map(c =>
+        if (left.columns.contains(c)) lit(null).cast(l.schema(c).dataType).as(c)
+        else col(c)): _*)
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .select(left.columns.map(col) :+ col("__asof").as("asof"): _*)
+  }
 }

@@ -592,6 +592,35 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
       },
       headline = true),
 
+    // AS-OF (event-time temporal) join: every event picks the latest
+    // version row at-or-before its timestamp per key — SCD-2-style
+    // point-in-time enrichment, implemented union+window (ONE key
+    // shuffle, no range-join row explosion; Spark has no native ASOF).
+    // Version history synthesized deterministically from events; the
+    // oracle uses DuckDB's native ASOF LEFT JOIN.
+    GraftQuery("q_asof_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val key = concat(lit("content-"), pmod(col("event_id"), lit(40)))
+        val left = e.select(col("event_id"), key.as("content_key"), col("ts"))
+        val versions = e.filter(pmod(col("event_id"), lit(7)) === 0)
+          .select(key.as("vkey"), col("ts").as("vts"),
+            (floor(col("value") * 100 + lit(0.5)) / 100).as("price"),
+            col("event_id").as("vid"))
+        val deduped = Dedup.lww(versions, Seq(col("vkey"), col("vts")),
+            col("vid"), col("vid"))
+          .select("vkey", "vts", "price")
+        Enrich.asOfJoin(left, col("content_key"), col("ts"),
+            deduped, col("vkey"), col("vts"))
+          .select(col("event_id"), col("content_key"),
+            date_format(col("ts"), tsFull).as("ts_str"),
+            col("asof.price").as("price_asof"),
+            date_format(col("asof.vts"), tsFull).as("version_ts"))
+      },
+      Some(s"""WITH l AS (SELECT event_id, 'content-' || CAST(event_id % 40 AS VARCHAR) AS content_key, ts FROM events),
+v AS (SELECT 'content-' || CAST(event_id % 40 AS VARCHAR) AS vkey, ts AS vts, floor(value*100 + 0.5)/100 AS price FROM events WHERE event_id % 7 = 0 QUALIFY row_number() OVER (PARTITION BY vkey, ts ORDER BY event_id DESC) = 1)
+SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, price AS price_asof, strftime(vts, '$tsFullSql') AS version_ts FROM l ASOF LEFT JOIN v ON l.content_key = v.vkey AND l.ts >= v.vts""")),
+
     // Avro wire contract (engagement_event.avsc): events → Avro binary
     // records (graft_avro_encode, native Expression over Avro core) →
     // decode (graft_avro_decode, PERMISSIVE + union-normalized

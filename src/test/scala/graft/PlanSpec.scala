@@ -110,6 +110,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "hash split must not shuffle")
   }
 
+  test("q_asof_join: union+window form — no join operator, no row explosion") {
+    // the naive formulation (theta join on key AND ts range, then max)
+    // explodes to |versions|x|events| rows per key; the as-of must
+    // compile to union + ONE keyed window, with no join at all
+    val df = Queries.runners("q_asof_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("Window"), p.take(1000))
+    assert(!p.contains("Join"), "as-of must not use a join operator:\n" + p.take(2000))
+  }
+
   test("q_dedup_minhash: signature stage has no exchange below the band join") {
     // the signature computation is map-only; the first exchange in the
     // plan must belong to the candidate-pair join, not the signatures
