@@ -621,6 +621,28 @@ SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS la
 v AS (SELECT 'content-' || CAST(event_id % 40 AS VARCHAR) AS vkey, ts AS vts, floor(value*100 + 0.5)/100 AS price FROM events WHERE event_id % 7 = 0 QUALIFY row_number() OVER (PARTITION BY vkey, ts ORDER BY event_id DESC) = 1)
 SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, price AS price_asof, strftime(vts, '$tsFullSql') AS version_ts FROM l ASOF LEFT JOIN v ON l.content_key = v.vkey AND l.ts >= v.vts""")),
 
+    // Range (point-in-interval) join, bucketed: Spark compiles the bare
+    // theta form to a BroadcastNestedLoopJoin (O(|l|·|r|)); here both
+    // sides key by a coarse time bucket and an ordinary equi-join
+    // localizes candidates (PlanSpec pins no-BNLJ). Intervals
+    // synthesized deterministically from events; exact-theta oracle.
+    GraftQuery("q_range_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val pts = e.select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+        val iv = e.filter(pmod(col("event_id"), lit(11)) === 0)
+          .select(col("event_id").as("interval_id"),
+            unix_micros(col("ts")).as("start_us"),
+            (unix_micros(col("ts")) +
+              (pmod(col("event_id"), lit(10)) + 1) * lit(60000000L)).as("end_us"))
+        graft.ops.RangeJoin.pointInInterval(pts, col("ts_us"), iv,
+            col("start_us"), col("end_us"), bucketWidth = 600000000L) // 10 min
+          .select("event_id", "interval_id", "ts_us", "start_us", "end_us")
+      },
+      Some("""WITH p AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+iv AS (SELECT event_id AS interval_id, epoch_us(ts) AS start_us, epoch_us(ts) + (event_id % 10 + 1) * 60000000 AS end_us FROM events WHERE event_id % 11 = 0)
+SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us >= start_us AND ts_us < end_us""")),
+
     // Avro wire contract (engagement_event.avsc): events → Avro binary
     // records (graft_avro_encode, native Expression over Avro core) →
     // decode (graft_avro_decode, PERMISSIVE + union-normalized

@@ -120,6 +120,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "as-of must not use a join operator:\n" + p.take(2000))
   }
 
+  test("q_range_join: bucketed equi-join, never a nested-loop theta join") {
+    val df = Queries.runners("q_range_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    assert(p.contains("Join"), p.take(1500)) // it IS a (hash/merge) join
+  }
+
   test("q_dedup_minhash: signature stage has no exchange below the band join") {
     // the signature computation is map-only; the first exchange in the
     // plan must belong to the candidate-pair join, not the signatures
