@@ -5,12 +5,14 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.BoundedTopK
+import graft.cdc.{AvroDecodeEngagement, AvroEncodeEngagement}
+import graft.functions.{BoundedTopK, DoubleDot}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * functions at session build time, the deployment path for clusters
   * (`--conf spark.sql.extensions=graft.GraftExtensions`). Interactive
-  * sessions can equivalently call BoundedTopK.register(spark). */
+  * sessions can equivalently call the per-object register(spark)
+  * helpers. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -24,6 +26,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"k must be an int literal, got $other")
         }
         BoundedTopK(exprs.head, exprs(1), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DoubleDot].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "graft_dot(a, b)")
+        DoubleDot(exprs.head, exprs(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_avro_encode"),
+      new ExpressionInfo(classOf[AvroEncodeEngagement].getName, "graft_avro_encode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_avro_encode(struct)")
+        AvroEncodeEngagement(exprs.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_avro_decode"),
+      new ExpressionInfo(classOf[AvroDecodeEngagement].getName, "graft_avro_decode"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "graft_avro_decode(binary)")
+        AvroDecodeEngagement(exprs.head)
       }))
   }
 }

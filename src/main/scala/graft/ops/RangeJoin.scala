@@ -36,7 +36,11 @@ object RangeJoin {
       // end - 1 (an interval ending exactly on a bucket boundary does
       // not reach into the next bucket)
       .withColumn("__be", floor((end - 1) / lit(bucketWidth)).cast(LongType))
-      .withColumn("__b", explode(sequence(col("__bs"), col("__be"))))
+      // greatest() guards degenerate (empty) intervals where end <= start:
+      // Spark's sequence(a, b) with b < a would generate a DESCENDING
+      // range; the exact filter below still removes any such candidates,
+      // but the bucket list must stay well-formed
+      .withColumn("__b", explode(sequence(col("__bs"), greatest(col("__bs"), col("__be")))))
       .drop("__bs", "__be")
     l.join(r, Seq("__b"))
       .filter(ts >= start && ts < end)

@@ -70,9 +70,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("extensions: GraftExtensions wires bounded_top_k into a session builder") {
-    // instantiating and applying must not throw; the function itself is
-    // exercised via BoundedTopK.register in WorkloadTopKSpec
+  test("property: asOfJoin equals the naive latest-at-or-before computation") {
+    val events = Gen.listOfN(200,
+        Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 100L))).sample.get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k.toLong, t) }
+    val versionsRaw = Gen.listOfN(40,
+        Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 100L), Gen.chooseNum(0, 1000)))
+      .sample.get.map { case (k, t, p) => (k.toLong, t, p.toDouble) }
+    // asOfJoin contract: right unique per (key, ts)
+    val versions = versionsRaw.groupBy(v => (v._1, v._2)).map(_._2.maxBy(_._3)).toSeq
+    val l = events.toDF("eid", "k", "t")
+    val r = versions.toDF("vk", "vt", "p")
+    val got = graft.enrich.Enrich.asOfJoin(l, col("k"), col("t"), r, col("vk"), col("vt"))
+      .select(col("eid"), col("asof.p").as("p")).collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+    val expected = events.map { case (eid, k, t) =>
+      eid -> versions.filter(v => v._1 == k && v._2 <= t)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("property: bucketed range join equals the exact theta join (incl. empty intervals)") {
+    val points = Gen.listOfN(200, Gen.chooseNum(0L, 1000L)).sample.get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val intervals = Gen.listOfN(30,
+        Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 100L))).sample.get
+      .zipWithIndex.map { case ((s, len), i) => (i.toLong, s, s + len) } // len 0 = empty
+    val p = points.toDF("pid", "ts")
+    val iv = intervals.toDF("iid", "s", "e")
+    val got = graft.ops.RangeJoin.pointInInterval(p, col("ts"), iv,
+        col("s"), col("e"), bucketWidth = 64)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (pid, t) <- points; (iid, s, e) <- intervals if t >= s && t < e
+    } yield (pid, iid)).toSet
+    assert(got === expected)
+  }
+
+  test("extensions: GraftExtensions wires all custom functions into a session builder") {
+    // instantiating and applying must not throw; the functions are
+    // exercised via their register(spark) paths elsewhere
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
   }
