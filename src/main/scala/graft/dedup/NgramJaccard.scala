@@ -44,12 +44,20 @@ object NgramJaccard {
         explode(TextFunctions.shingles(text, n)).as("s"))
     val sh =
       if (maxShingleFreq > 0) {
-        val hot = stopShingles(docs, id, text, n, maxShingleFreq).persist()
-        val nHot = hot.count() // tiny by construction; logged contract
-        if (nHot > 0)
-          log.warn(s"NgramJaccard: dropping $nHot stop-shingles with doc-frequency > " +
-            s"$maxShingleFreq from pair evidence (set sizes stay uncapped)")
-        sh0.join(broadcast(hot), Seq("s"), "left_anti")
+        // the hot set is tiny by construction (the ultra-frequent head
+        // of a natural-language corpus), so it is materialized to the
+        // driver once — this both IS the logged contract and turns the
+        // pruning into an O(1)-per-row InSet filter instead of a join;
+        // when nothing is hot (the common case) the plan is untouched
+        val hot = stopShingles(docs, id, text, n, maxShingleFreq)
+          .collect().map(_.getString(0))
+        if (hot.isEmpty) sh0
+        else {
+          log.warn(s"NgramJaccard: dropping ${hot.length} stop-shingles with " +
+            s"doc-frequency > $maxShingleFreq from pair evidence " +
+            "(set sizes stay uncapped)")
+          sh0.filter(!col("s").isInCollection(hot))
+        }
       } else sh0
     val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a").join(sh.as("b"),

@@ -46,16 +46,17 @@ object ContentDim {
     * flip — the ClickHouse-part-swap atomicity rebuilt on a plain FS).
     * A concurrent enrichment batch resolves either the old or the new
     * snapshot, never a missing or half-replaced one; data files are
-    * immutable, so a reader that already planned against the previous
-    * version cannot hit FileNotFound (the previous version survives
-    * until vacuum, which keeps the last two). */
+    * immutable, so an already-planned reader survives the next
+    * keepManifests-1 commits (retention of 4 here = three dim updates
+    * of slack for a long-running enrich batch — size it to reader
+    * latency, it is a knob not a proof). */
   def applyBatch(spark: SparkSession, path: String, changes: DataFrame): Unit = {
     val next = graft.sinks.SnapshotStore.read(spark, path) match {
       case Some(snap) => merge(snap, changes)
       case None       => latestState(changes)
     }
     graft.sinks.SnapshotStore.commitReplace(spark, path, next.coalesce(1))
-    graft.sinks.SnapshotStore.vacuum(spark, path, keepManifests = 2)
+    graft.sinks.SnapshotStore.vacuum(spark, path, keepManifests = 4)
   }
 
   /** The live snapshot (empty dim before the first commit). */

@@ -52,9 +52,15 @@ case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String)
   }
 
   /** Exact/child path equality against factPath (String.contains would
-    * also match /data/fact_archive or /data/fact-copy). */
+    * also match /data/fact_archive or /data/fact-copy). factPath is
+    * qualified against its filesystem first, so a RELATIVE factPath
+    * still matches the relation's absolute root paths instead of
+    * silently never routing. */
   private def pathMatches(fsRel: HadoopFsRelation): Boolean = {
-    val target = new org.apache.hadoop.fs.Path(factPath).toUri.getPath
+    val raw = new org.apache.hadoop.fs.Path(factPath)
+    val target = raw
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(raw).toUri.getPath
     fsRel.location.rootPaths.exists { p =>
       val rp = p.toUri.getPath
       rp == target || rp.startsWith(target + "/")

@@ -84,18 +84,21 @@ object SnapshotStore {
   private def manifestFiles(spark: SparkSession, base: String, name: String): Seq[String] =
     manifestLines(spark, base, name).filterNot(_.startsWith("#"))
 
-  /** True if any retained manifest carries `#tag=<tag>` — the
-    * idempotence probe for [[commitAppend]]'s tag. The memory window is
-    * bounded by vacuum's keepManifests; a checkpointed streaming sink
-    * only ever replays its most recent batch, which by construction is
-    * within the last two manifests. */
-  def hasTag(spark: SparkSession, base: String, tag: String): Boolean = {
-    val f = fs(spark, base)
-    f.exists(manifestDir(base)) &&
-      f.listStatus(manifestDir(base)).iterator.map(_.getPath.getName)
-        .filter(_.startsWith("m"))
-        .exists(m => manifestLines(spark, base, m).contains(s"#tag=$tag"))
-  }
+  /** Newest-first cap on the tag lines carried from one manifest to the
+    * next: the idempotence window covers the last MaxTags tagged
+    * commits no matter how many compactions or vacuums run in between
+    * (a checkpointed streaming sink only ever replays its most recent
+    * batch, so 100 is three orders of magnitude of slack). */
+  val MaxTags = 100
+
+  /** True if the LIVE manifest carries `#tag=<tag>` — the idempotence
+    * probe for [[commitAppend]]'s tag. O(one manifest read): every
+    * commit copies the newest MaxTags tag lines forward, so the live
+    * manifest alone holds the whole window and old manifests never
+    * need scanning. */
+  def hasTag(spark: SparkSession, base: String, tag: String): Boolean =
+    currentManifest(spark, base)
+      .exists(m => manifestLines(spark, base, m).contains(s"#tag=$tag"))
 
   /** Relative data-file paths of the live snapshot (empty if none). */
   def listFiles(spark: SparkSession, base: String): Seq[String] =
@@ -149,14 +152,20 @@ object SnapshotStore {
   private def commitManifest(spark: SparkSession, base: String, files: Seq[String],
       tag: Option[String] = None): Unit = {
     val f = fs(spark, base)
-    val next = currentManifest(spark, base).map(manifestVersion(_) + 1).getOrElse(0L)
+    val current = currentManifest(spark, base)
+    val next = current.map(manifestVersion(_) + 1).getOrElse(0L)
     val name = f"m$next%010d"
     f.mkdirs(manifestDir(base))
     val tmp = new Path(manifestDir(base), s".tmp-${UUID.randomUUID()}")
-    // the tag travels INSIDE the manifest (a '#'-comment line), so
-    // tag visibility and file visibility are the same atomic rename —
-    // no window where a batch is committed but untagged
-    writeFile(f, tmp, (tag.map(t => s"#tag=$t").toSeq ++ files).mkString("\n"))
+    // tags travel INSIDE the manifest ('#'-comment lines), so tag
+    // visibility and file visibility share the one atomic rename — and
+    // EVERY commit (append, replace, compaction) carries the newest
+    // MaxTags tags forward, so the idempotence window survives
+    // compaction and vacuum instead of dying with its own manifest
+    val carried = current
+      .map(manifestLines(spark, base, _).filter(_.startsWith("#tag="))).getOrElse(Nil)
+    val tags = (carried ++ tag.map(t => s"#tag=$t")).takeRight(MaxTags)
+    writeFile(f, tmp, (tags ++ files).mkString("\n"))
     if (!f.rename(tmp, new Path(manifestDir(base), name)))
       throw new java.io.IOException(
         s"snapshot commit conflict: version $name already exists under $base")
@@ -216,5 +225,20 @@ object SnapshotStore {
       }
     }
     drop.foreach(m => f.delete(new Path(manifestDir(base), m), false))
+  }
+
+  /** Remove crashed-write leftovers: `_stage` dirs and `.tmp-*`
+    * manifest files (a completed commit always deletes its stage and
+    * renames its tmp). REQUIRES a fully quiesced table — unlike
+    * [[vacuum]], this must NOT run alongside a writer, whose in-flight
+    * staging dir is indistinguishable from an orphan. */
+  def cleanOrphans(spark: SparkSession, base: String): Unit = {
+    val f = fs(spark, base)
+    val stageRoot = new Path(base, "_stage")
+    if (f.exists(stageRoot)) f.delete(stageRoot, true)
+    if (f.exists(manifestDir(base)))
+      f.listStatus(manifestDir(base)).iterator
+        .filter(_.getPath.getName.startsWith(".tmp-"))
+        .foreach(s => f.delete(s.getPath, false))
   }
 }

@@ -38,10 +38,17 @@ object Warehouse {
 
   /** Idempotent streaming append: pass the micro-batch id and a replay
     * of an already-committed batch becomes a no-op (the tag travels in
-    * the manifest, same atomic publish as the data) — exactly-once
-    * landing instead of LWW-absorbed duplicates. */
-  def appendOnce(batch: DataFrame, path: String, batchId: Long): Unit =
+    * the manifest, same atomic publish as the data, and is carried
+    * forward across later commits — the window is SnapshotStore.MaxTags
+    * batches) — exactly-once landing instead of LWW-absorbed
+    * duplicates. Every 16th batch also vacuums, so the manifest log
+    * stays bounded on a long-running stream without waiting for a
+    * compaction pass. */
+  def appendOnce(batch: DataFrame, path: String, batchId: Long): Unit = {
     appendTagged(batch, path, Some(s"batch=$batchId"))
+    if (batchId % 16 == 0)
+      SnapshotStore.vacuum(batch.sparkSession, path, keepManifests = 2)
+  }
 
   private def appendTagged(batch: DataFrame, path: String, tag: Option[String]): Unit = {
     val stamped = batch

@@ -40,7 +40,13 @@ object Pipeline {
     * MUTABLE dim use [[enrichedSink]], which re-resolves the snapshot
     * pointer inside every micro-batch. */
   def enrichedStream(spark: SparkSession, raw: DataFrame, dimPath: String): DataFrame = {
-    val dim = ContentDim.snapshot(spark, dimPath)
+    // fail fast rather than silently pinning an EMPTY dim for the
+    // stream's whole lifetime: with no snapshot committed yet, every
+    // future batch would emit null enrichment forever with no error
+    val dim = graft.sinks.SnapshotStore.read(spark, dimPath).getOrElse(
+      throw new IllegalStateException(
+        s"no dim snapshot committed at $dimPath — seed the dimension before " +
+        "starting a pinned-snapshot stream, or use enrichedSink for a mutable dim"))
     Enrich.enrich(Envelope.unwrapEngagement(raw), dim)
   }
 

@@ -72,6 +72,31 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, base).get.count() === 20)
   }
 
+  test("idempotence tag survives compactions and vacuums (carried forward)") {
+    val base = tmp("ss-tagcarry")
+    val batch = spark.range(10).select(col("id").as("event_id"),
+      lit("2024-03-01 00:00:00").cast("timestamp").as("event_ts"))
+    Warehouse.appendOnce(batch, base, batchId = 5)
+    // two maintenance passes: the original tagged manifest is vacuumed
+    // away, but every commit copies tags forward
+    Warehouse.compact(spark, base)
+    Warehouse.compact(spark, base)
+    Warehouse.appendOnce(batch, base, batchId = 5) // crash-replay after maintenance
+    assert(SnapshotStore.read(spark, base).get.count() === 10) // still once
+  }
+
+  test("cleanOrphans removes crashed-write leftovers, table stays readable") {
+    val base = tmp("ss-orphans")
+    SnapshotStore.commitReplace(spark, base, Seq((1L, "a")).toDF("id", "v"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$base/_stage/dead-uuid"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$base/_manifests/.tmp-dead")).close()
+    SnapshotStore.cleanOrphans(spark, base)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_stage")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/_manifests/.tmp-dead")))
+    assert(SnapshotStore.read(spark, base).get.count() === 1)
+  }
+
   test("concurrent reader through repeated compactions: old or new, never neither") {
     val base = tmp("ss-conc")
     // seed: 300 rows with duplicate event_ids (3 deliveries each)
