@@ -39,10 +39,10 @@ object Bench {
 
     val names = Queries.headlines.map(_.name)
     names.foreach(force) // warm codegen/JIT for every plan once
-    // best-of-2 timed runs: the local VM is noisy and min-of-n is the
+    // best-of-3 timed runs: the local VM is noisy and min-of-n is the
     // standard way to read steady-state latency through that noise
     val results = names.map { n =>
-      val t = Seq(force(n), force(n)).filter(_ >= 0)
+      val t = Seq(force(n), force(n), force(n)).filter(_ >= 0)
       n -> (if (t.isEmpty) -1.0 else t.min)
     }
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

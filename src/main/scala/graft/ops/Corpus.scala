@@ -79,7 +79,7 @@ object Corpus {
     * prefix sum). */
   def concatChunkOracleSql(seqLen: Int): String =
     raw"""WITH t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents),
-c AS (SELECT doc_id, n_tok, coalesce(sum(n_tok) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok FROM t)
+c AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t)
 SELECT doc_id, n_tok, start_tok, CAST(floor(start_tok / $seqLen.0) AS BIGINT) AS first_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / $seqLen.0) AS BIGINT) AS last_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / $seqLen.0) AS BIGINT) - CAST(floor(start_tok / $seqLen.0) AS BIGINT) + 1 AS n_seqs FROM c"""
 
   /** Intra-document repetition ratio over word n-grams (a Gopher-style

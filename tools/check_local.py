@@ -40,6 +40,17 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
             n_fail += 1
             continue
+        # Driver's hash compare is type/repr-sensitive: e.g. DuckDB widens
+        # sum(BIGINT) to HUGEINT, which pandas renders as float64, so an
+        # int64 spark column hash-mismatches even when values are equal
+        # (bit us on q_seq_pack in r02). Flag dtype-KIND mismatches
+        # (int vs float vs object vs datetime) even when values compare.
+        tmis = [(c, str(sdf[c].dtype), str(odf[c].dtype))
+                for c in scols if sdf[c].dtype.kind != odf[c].dtype.kind]
+        if tmis:
+            print(f"FAIL {name}: dtype-kind mismatch {tmis}")
+            n_fail += 1
+            continue
         s = sdf[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
         o = odf[ocols].sort_values(ocols, kind="mergesort").reset_index(drop=True)
         if len(s) != len(o):
