@@ -1,0 +1,119 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Connected components over an undirected edge list — the step that
+  * turns near-duplicate PAIRS (MinHash/SimHash/embedding verified
+  * pairs) into duplicate GROUPS so a corpus clean can keep exactly one
+  * representative per group. The reference pipeline stops at
+  * pair-level LWW collapse (ClickHouse ReplacingMergeTree,
+  * /root/reference/sql/clickhouse-init.sql:21–22); transitive grouping
+  * is the corpus-scale generalization every training-data dedup needs
+  * (A ~ B ~ C must collapse to ONE kept doc even when A ~ C was never
+  * emitted as a pair).
+  *
+  * Algorithm: min-label propagation with pointer jumping, pure
+  * DataFrame ops (no GraphX, no RDDs):
+  *   - every node starts labeled with its own id;
+  *   - each round a node takes the min label over itself and its
+  *     neighbors (one shuffle on dst), then labels are path-compressed
+  *     by one `label := label(label)` join (pointer jumping), giving
+  *     the O(log n)-round convergence of the hash-to-min family rather
+  *     than O(diameter);
+  *   - each round ends in `localCheckpoint` so the plan/lineage stays
+  *     O(1) deep regardless of iteration count (an iterative join
+  *     without this re-executes the whole history every round);
+  *   - convergence is detected by a SINGLE scalar: sum(label) is
+  *     strictly decreasing while any label changes (labels only ever
+  *     decrease), so an unchanged sum — compared as exact decimal, no
+  *     overflow at any node count — is a sound fixpoint test costing
+  *     one tiny aggregate per round, not a join.
+  *
+  * 100 TB posture: per round this is one shuffle of the edge list on
+  * dst plus one shuffle of the label table on id — both key-partitioned
+  * hash joins Catalyst/AQE can plan; nothing is ever collected except
+  * the one convergence scalar. Near-dup graphs are unions of
+  * near-cliques, so rounds-to-converge is small (≤ ~log of the largest
+  * chain); `maxIter` bounds the worst case.
+  */
+object Components {
+
+  /** Label every node with the minimum node id in its connected
+    * component. `edges` must have two Long columns (any orientation,
+    * self-loops and duplicates tolerated); `nodes` is one Long id
+    * column covering at least the edge endpoints (isolated nodes keep
+    * their own id as the component). Output: (id, component). */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column,
+      nodes: DataFrame, nodeId: Column, maxIter: Int = 25): DataFrame = {
+    require(maxIter > 0)
+    val e = edges.select(src.as("src"), dst.as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .localCheckpoint()
+
+    var labels = nodes.select(nodeId.as("id"), nodeId.as("comp")).localCheckpoint()
+    def labelSum(l: DataFrame): java.math.BigDecimal = {
+      val d = l.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
+
+    var prevSum = labelSum(labels)
+    var it = 0
+    var converged = false
+    while (it < maxIter && !converged) {
+      val nbrMin = und.join(labels.hint("shuffle_hash"), col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"))
+      // pointer jumping: follow the label one hop (comp := comp(comp))
+      val jumped = stepped.as("a")
+        .join(stepped.select(col("id").as("jid"), col("comp").as("jcomp")).as("j"),
+          col("a.comp") === col("jid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("jcomp"), col("a.comp")).as("comp"))
+      val next = jumped.localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      labels = next
+      prevSum = nextSum
+      it += 1
+    }
+    labels
+  }
+
+  /** Duplicate grouping for a document table: components over a
+    * verified near-dup pair list, every document labeled, plus the
+    * group size and a keep flag (representative = min doc_id in the
+    * component). Output: (doc_id, component, group_size, keep). */
+  def dupGroups(docs: DataFrame, id: Column, pairs: DataFrame,
+      a: Column, b: Column, maxIter: Int = 25): DataFrame = {
+    val comps = connectedComponents(pairs, a, b, docs.select(id.as("__nid")),
+      col("__nid"), maxIter)
+    val sizes = comps.groupBy(col("comp")).agg(count(lit(1)).as("group_size"))
+    comps.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("component"),
+        col("group_size"), (col("id") === col("comp")).as("keep"))
+  }
+
+  /** DuckDB oracle for [[dupGroups]]: recursive min-label closure over
+    * the same pair list. `pairCte` must be the name of a CTE exposing
+    * (doc_a, doc_b); the caller embeds this after its pair-generation
+    * CTEs. Every doc in `documents` appears; singletons keep doc_id. */
+  def dupGroupsOracleTail(pairCte: String): String =
+    s"""und AS (SELECT doc_a AS src, doc_b AS dst FROM $pairCte WHERE doc_a <> doc_b
+         UNION ALL SELECT doc_b, doc_a FROM $pairCte WHERE doc_a <> doc_b),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT und.dst AS node, reach.lbl FROM reach JOIN und ON und.src = reach.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+gsz AS (SELECT component, count(*) AS group_size FROM comp GROUP BY component)
+SELECT comp.doc_id, comp.component, gsz.group_size,
+       comp.doc_id = comp.component AS keep
+FROM comp JOIN gsz USING (component)"""
+}

@@ -742,6 +742,27 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       Some(graft.dedup.MinHash.oracleSql()),
       headline = true),
 
+    // Transitive duplicate GROUPS from the verified MinHash pairs:
+    // connected components via DataFrame min-label propagation (pointer-
+    // jumped, localCheckpoint-bounded lineage). Oracle replays the same
+    // pair list through a recursive min-label closure in DuckDB.
+    GraftQuery("q_dup_groups",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = graft.dedup.MinHash
+          .verifiedPairs(d, col("doc_id"), col("text"))
+          .select(col("doc_a"), col("doc_b"))
+        graft.dedup.Components.dupGroups(
+          d, col("doc_id"), pairs, col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val cfg = graft.dedup.MinHash.Config()
+        graft.dedup.MinHash.oracleCtes(cfg).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+          s""",
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
+""" + graft.dedup.Components.dupGroupsOracleTail("pairs")
+      }),
+
     GraftQuery("q_dedup_simhash",
       (s, dir) => graft.dedup.SimHash.pairs(docs(s, dir), col("doc_id"), col("text")),
       Some(graft.dedup.SimHash.oracleSql())),
