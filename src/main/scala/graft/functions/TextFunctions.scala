@@ -87,6 +87,29 @@ object TextFunctions {
     floor(q * lit(10000.0) + lit(0.5)).cast(DoubleType) / lit(10000.0)
   }
 
+  // PII regexes: a deliberately portable RE2/Java common subset (no
+  // backreferences, no lookaround) so engine and oracle match the same
+  // spans. Redaction order is fixed (email, then IP, then phone) —
+  // earlier replacements cannot create later patterns' text.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\+[0-9]{1,3}[ -]?\\(?[0-9]{2,4}\\)?[ -]?[0-9]{3,4}[ -]?[0-9]{3,4}"
+  val UrlRe = "https?://[^ \\t\\n]+"
+
+  /** Redact emails, IPv4 addresses, and international-format phone
+    * numbers to typed placeholders — the pre-training scrub pass. Pure
+    * per-row map (three codegen'd regexp_replace, no shuffle). */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** All http(s) URLs in the text, as an array (document order). */
+  def extractUrls(c: Column): Column =
+    regexp_extract_all(c, lit(UrlRe), lit(0))
+
   /** Portable 60-bit integer hash of a string: first 15 hex digits of
     * md5, as a long. Matches DuckDB `CAST('0x'||substring(md5(s),1,15) AS
     * BIGINT)` bit-for-bit — used wherever an oracle must reproduce our

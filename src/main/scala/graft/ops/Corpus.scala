@@ -37,6 +37,36 @@ object Corpus {
   def splitAssignSql(idSql: String, trainPct: Int = 80, valPct: Int = 10): String =
     s"""CASE WHEN CAST('0x'||substring(md5('split:'||CAST($idSql AS VARCHAR)),1,15) AS BIGINT) % 100 < $trainPct THEN 'train' WHEN CAST('0x'||substring(md5('split:'||CAST($idSql AS VARCHAR)),1,15) AS BIGINT) % 100 < ${trainPct + valPct} THEN 'val' ELSE 'test' END"""
 
+  /** Deterministic per-stratum sampling keep-predicate: a document is
+    * kept when md5Long("sample:" + stratum + ":" + id) mod 10000 falls
+    * under its stratum's rate (in basis points). Pure per-row map — no
+    * shuffle, no RNG state — so the SAME documents are kept on any
+    * cluster, any partitioning, any rerun: the property that makes
+    * corpus down-sampling reproducible and incremental (new documents
+    * never change old keep decisions, unlike rand()-based sampling).
+    * Rates are per-stratum fractions in [0,1]; unlisted strata use
+    * `defaultRate`. */
+  def sampleKeep(stratum: Column, id: Column,
+      rates: Seq[(String, Double)], defaultRate: Double): Column = {
+    require((defaultRate +: rates.map(_._2)).forall(r => r >= 0 && r <= 1))
+    val bucket = pmod(TextFunctions.md5Long(
+      concat(lit("sample:"), stratum.cast(StringType), lit(":"),
+        id.cast(StringType))), lit(10000L))
+    val bps = rates.foldRight(lit(math.round(defaultRate * 10000))) {
+      case ((k, v), acc) => when(stratum === k, lit(math.round(v * 10000))).otherwise(acc)
+    }
+    bucket < bps
+  }
+
+  /** DuckDB replica of [[sampleKeep]] as a boolean SQL expression. */
+  def sampleKeepSql(stratumSql: String, idSql: String,
+      rates: Seq[(String, Double)], defaultRate: Double): String = {
+    val cases = rates.map { case (k, v) =>
+      s"WHEN $stratumSql = '$k' THEN ${math.round(v * 10000)}"
+    }.mkString(" ")
+    s"""CAST('0x'||substring(md5('sample:'||CAST($stratumSql AS VARCHAR)||':'||CAST($idSql AS VARCHAR)),1,15) AS BIGINT) % 10000 < (CASE $cases ELSE ${math.round(defaultRate * 10000)} END)"""
+  }
+
   /** Concat-and-chunk sequence packing (the standard pretraining
     * layout: documents are concatenated in a canonical order and the
     * token stream is cut into fixed `seqLen` sequences). Emits, per

@@ -10,7 +10,7 @@ import graft.cdc.Envelope
 import graft.dim.ContentDim
 import graft.enrich.Enrich
 import graft.functions.{Engagement, TextFunctions, VectorFunctions}
-import graft.ops.{Corpus, Dedup, Rollups}
+import graft.ops.{Corpus, Dedup, Retrieval, Rollups}
 
 /** One registered query per implemented operator (SURVEY.md §2 + the
   * LLM-data-pipeline extensions). Each entry pairs the Spark
@@ -43,6 +43,28 @@ object Queries {
     """floor((CASE WHEN lower(event_type)='play' THEN 1.0 WHEN lower(event_type)='pause' THEN 0.5 WHEN lower(event_type)='finish' THEN 3.0 WHEN lower(event_type)='click' THEN 0.2 ELSE 1.0 END) * (CASE WHEN value*1000 > 0 THEN least(2.5, ln((value*1000)/1000.0 + 1)) ELSE 1.0 END) * 100.0 + 0.5)/100.0"""
 
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** Fixed BM25 query-term bag (order matters: scores sum in this order). */
+  private val bm25Terms = Seq("spark", "stream", "vector", "hash")
+
+  /** Per-lang keep rates for the stratified-sample query. */
+  private val stratRates = Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.05)
+
+  /** Planted contact string for the PII/URL queries: the synthetic
+    * corpus carries no PII, so both engines append the identical
+    * email/phone/IP/URL text and the redaction/extraction itself is
+    * what the oracle checks. */
+  private def piiText(id: Column, text: Column): Column =
+    concat(text,
+      lit(" contact user"), id.cast("string"),
+      lit("@mail.example.com or +1 (555) 010-"),
+      (lit(1000L) + pmod(id, lit(9000L))).cast("string"),
+      lit(" from 10."), pmod(id, lit(256L)).cast("string"),
+      lit(".0.1 see https://ex.example/d/"), id.cast("string"))
+
+  /** DuckDB twin of [[piiText]]. */
+  private def piiTextSql(idSql: String, textSql: String): String =
+    s"$textSql || ' contact user' || CAST($idSql AS VARCHAR) || '@mail.example.com or +1 (555) 010-' || CAST(1000 + $idSql % 9000 AS VARCHAR) || ' from 10.' || CAST($idSql % 256 AS VARCHAR) || '.0.1 see https://ex.example/d/' || CAST($idSql AS VARCHAR)"
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
   private val tsFull = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -691,6 +713,47 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         TextFunctions.tokenCount(col("text")), seqLen = 512, bucketSize = 100),
       Some(Corpus.concatChunkOracleSql(512))),
 
+    // Deterministic stratified sampling: per-lang keep rates via
+    // hash-mod in basis points — reproducible on any cluster, and new
+    // documents never flip old keep decisions (unlike rand()).
+    GraftQuery("q_stratified_sample",
+      (s, dir) => docs(s, dir)
+        .filter(Corpus.sampleKeep(col("lang"), col("doc_id"), stratRates, 0.10))
+        .select(col("doc_id"), col("lang"), col("source")),
+      Some(s"""SELECT doc_id, lang, source FROM documents WHERE ${Corpus.sampleKeepSql("lang", "doc_id", stratRates, 0.10)}""")),
+
+    // PII scrub: email/IPv4/phone → typed placeholders, fixed pass
+    // order, portable RE2/Java regex subset. The synthetic corpus has
+    // no PII, so both engines plant identical contact strings first —
+    // the redaction itself is what's under test.
+    GraftQuery("q_pii_redact",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextFunctions.redactPii(piiText(col("doc_id"), col("text"))).as("clean")),
+      Some(s"""SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(${piiTextSql("doc_id", "text")}, '${TextFunctions.EmailRe}', '<EMAIL>', 'g'), '${TextFunctions.Ipv4Re}', '<IP>', 'g'), '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS clean FROM documents""")),
+
+    // URL extraction over the same planted text (pipe-joined for a
+    // hash-stable scalar column).
+    GraftQuery("q_url_extract",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        array_join(TextFunctions.extractUrls(piiText(col("doc_id"), col("text"))), "|")
+          .as("urls")),
+      Some(s"""SELECT doc_id, array_to_string(regexp_extract_all(${piiTextSql("doc_id", "text")}, '${TextFunctions.UrlRe}'), '|') AS urls FROM documents""")),
+
+    // Incremental (CDC-style) read of the SnapshotStore manifest log:
+    // two commits into a scratch store, then changesBetween reads back
+    // exactly the appended batch — a manifest set-difference, no scan
+    // of unchanged files.
+    GraftQuery("q_snapshot_changes",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_snapchg").toString
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+        graft.sinks.SnapshotStore.commitReplace(s, tmp, d.filter(col("doc_id") < 300))
+        graft.sinks.SnapshotStore.commitAppend(s, tmp, d.filter(col("doc_id") >= 300))
+        graft.sinks.SnapshotStore.changesBetween(s, tmp, 0L, 1L)
+          .getOrElse(sys.error("empty snapshot diff"))
+      },
+      Some("SELECT doc_id, lang, source FROM documents WHERE doc_id >= 300")),
+
     // Gopher-style intra-document repetition signal: 1 - distinct/total
     // word trigrams, floor-form at 4 decimals.
     GraftQuery("q_repetition",
@@ -741,6 +804,15 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       (s, dir) => graft.dedup.MinHash.verifiedPairs(docs(s, dir), col("doc_id"), col("text")),
       Some(graft.dedup.MinHash.oracleSql()),
       headline = true),
+
+    // BM25 ranked retrieval (Lucene idf form): one partial+final stats
+    // aggregate broadcast back over the corpus, per-row tf array ops,
+    // TakeOrderedAndProject top-k. Score floor-rounded at 4 decimals for
+    // cross-engine ln stability; ties total-ordered by doc_id.
+    GraftQuery("q_bm25_topk",
+      (s, dir) => Retrieval.bm25TopK(docs(s, dir), col("doc_id"),
+        col("text"), bm25Terms, k = 20),
+      Some(Retrieval.bm25OracleSql(bm25Terms, k = 20))),
 
     // Transitive duplicate GROUPS from the verified MinHash pairs:
     // connected components via DataFrame min-label propagation (pointer-

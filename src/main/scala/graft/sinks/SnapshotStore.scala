@@ -104,6 +104,36 @@ object SnapshotStore {
   def listFiles(spark: SparkSession, base: String): Seq[String] =
     currentManifest(spark, base).map(manifestFiles(spark, base, _)).getOrElse(Nil)
 
+  /** All committed manifest versions, ascending. */
+  def versions(spark: SparkSession, base: String): Seq[Long] = {
+    val f = fs(spark, base)
+    if (!f.exists(manifestDir(base))) Nil
+    else f.listStatus(manifestDir(base)).iterator
+      .map(_.getPath.getName).filter(_.startsWith("m"))
+      .map(manifestVersion).toSeq.sorted
+  }
+
+  /** Incremental (CDC-style) read of the manifest log: rows in data
+    * files that manifest `vTo` lists but `vFrom` does not — for an
+    * append-only writer this is exactly the rows committed in
+    * (vFrom, vTo]. Compaction rewrites files, so a file-level diff
+    * across a compaction over-reports; consumers needing exactness
+    * across compactions read through the LWW/FINAL path instead.
+    * Scale posture: the diff is
+    * a manifest-list set difference (driver-side metadata, two small
+    * file reads) — no data is scanned beyond the changed files. Pass
+    * vFrom < 0 for "everything up to vTo" (version numbers start at 0). */
+  def changesBetween(spark: SparkSession, base: String,
+      vFrom: Long, vTo: Long): Option[DataFrame] = {
+    val from: Set[String] =
+      if (vFrom < 0) Set.empty
+      else manifestFiles(spark, base, f"m$vFrom%010d").toSet
+    val added = manifestFiles(spark, base, f"m$vTo%010d").filterNot(from)
+    if (added.isEmpty) None
+    else Some(spark.read.option("basePath", dataDir(base))
+      .parquet(added.map(f => s"${dataDir(base)}/$f"): _*))
+  }
+
   /** The live snapshot as a DataFrame (partition columns recovered from
     * the relative paths via basePath), or None when no commit exists or
     * the live manifest is empty. */

@@ -110,6 +110,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), "hash split must not shuffle")
   }
 
+  test("q_bm25_topk: stats broadcast back over the corpus, top-k is TakeOrdered") {
+    val p = plan("q_bm25_topk")
+    // corpus side never shuffles: the only join is the broadcast of the
+    // one-row stats aggregate, and the global top-k is TakeOrdered (heap
+    // per partition + driver merge), not a global sort
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle for a scalar join")
+  }
+
+  test("q_stratified_sample: pure per-row filter, no exchange") {
+    val p = plan("q_stratified_sample")
+    assert(!p.contains("Exchange"), "hash sampling must not shuffle")
+  }
+
+  test("q_pii_redact: per-row regex maps stay whole-stage-codegen'd, no exchange") {
+    val p = plan("q_pii_redact")
+    assert(!p.contains("Exchange"), "redaction must not shuffle")
+    assert(p.contains("*(1)"), p.take(800)) // the WholeStageCodegen marker
+  }
+
   test("q_asof_join: union+window form — no join operator, no row explosion") {
     // the naive formulation (theta join on key AND ts range, then max)
     // explodes to |versions|x|events| rows per key; the as-of must

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ops.{Corpus, Retrieval}
+
+/** BM25 retrieval, stratified sampling, and PII-scrub behavior. */
+class RetrievalCorpusSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bm25 ranks term-dense docs above term-free docs, rank is total-ordered") {
+    val docs = Seq(
+      (1L, "spark stream spark stream spark"),
+      (2L, "spark and nothing else here today"),
+      (3L, "completely unrelated words only here"),
+      (4L, "stream stream stream stream stream")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("spark", "stream"), k = 4).collect()
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2, 3, 4)) // ranks dense
+    val byRank = out.sortBy(_.getInt(2)).map(_.getLong(0)).toSeq
+    assert(byRank.head == 1L, s"two-term doc must win: $byRank")
+    assert(byRank.last == 3L, s"term-free doc must be last: $byRank")
+    // scores are non-increasing in rank
+    val scores = out.sortBy(_.getInt(2)).map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("bm25 idf down-weights a term every document contains") {
+    val docs = Seq(
+      (1L, "common rare"),
+      (2L, "common common"),
+      (3L, "common stuff")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("common", "rare"), k = 3).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 1 holds the rare term once -> must beat doc 2's doubled common
+    assert(out(1L) > out(2L))
+  }
+
+  test("stratified sample keeps ~rate per stratum and is deterministic") {
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val keep = Corpus.sampleKeep(col("lang"), col("doc_id"),
+      Seq("en" -> 0.5, "de" -> 0.1), 0.0)
+    val kept = docs.filter(keep).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("en") - 500L) < 60, s"en kept ${kept("en")} of 1000")
+    assert(math.abs(kept("de") - 100L) < 40, s"de kept ${kept("de")} of 1000")
+    // rerun identical (hash-derived, no RNG)
+    val again = docs.filter(keep).agg(sum("doc_id")).head.getLong(0)
+    val first = docs.filter(keep).agg(sum("doc_id")).head.getLong(0)
+    assert(again == first)
+  }
+
+  test("pii redaction replaces email, ip, phone; leaves clean text alone") {
+    val rows = Seq(
+      (1L, "write to a.user+tag@sub.example.co.uk for info"),
+      (2L, "server at 192.168.001.1 responded"),
+      (3L, "call +44 20 7946 0958 now"),
+      (4L, "us format +1 (555) 010-1234 works"),
+      (5L, "no pii in this sentence at all"),
+      (6L, "version 1.2.3 is not an ip")).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextFunctions.redactPii(col("text")).as("clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "write to <EMAIL> for info")
+    assert(out(2L) == "server at <IP> responded")
+    assert(out(3L) == "call <PHONE> now")
+    assert(out(4L) == "us format <PHONE> works")
+    assert(out(5L) == "no pii in this sentence at all")
+    assert(out(6L) == "version 1.2.3 is not an ip") // needs 4 octets
+  }
+
+  test("url extraction finds every url in order") {
+    val out = Seq((1L, "see https://a.example/x then http://b.example/y?z=1 end"))
+      .toDF("doc_id", "text")
+      .select(array_join(TextFunctions.extractUrls(col("text")), "|"))
+      .head.getString(0)
+    assert(out == "https://a.example/x|http://b.example/y?z=1")
+  }
+}

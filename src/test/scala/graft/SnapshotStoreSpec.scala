@@ -25,6 +25,28 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("changesBetween reads exactly the appended batch; versions list ascends") {
+    val base = tmp("ss-changes")
+    SnapshotStore.commitReplace(spark, base, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    SnapshotStore.commitAppend(spark, base, Seq((3L, "c"), (4L, "d")).toDF("id", "v"))
+    SnapshotStore.commitAppend(spark, base, Seq((5L, "e")).toDF("id", "v"))
+    assert(SnapshotStore.versions(spark, base) == Seq(0L, 1L, 2L))
+    // one-commit delta
+    val d01 = SnapshotStore.changesBetween(spark, base, 0L, 1L).get
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(d01 == Seq(3L, 4L))
+    // multi-commit delta accumulates
+    val d02 = SnapshotStore.changesBetween(spark, base, 0L, 2L).get
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(d02 == Seq(3L, 4L, 5L))
+    // full history from before the first commit
+    val dAll = SnapshotStore.changesBetween(spark, base, -1L, 2L).get
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(dAll == Seq(1L, 2L, 3L, 4L, 5L))
+    // empty delta -> None
+    assert(SnapshotStore.changesBetween(spark, base, 2L, 2L).isEmpty)
+  }
+
   test("replace swaps the visible snapshot; old files survive until vacuum") {
     val base = tmp("ss-replace")
     SnapshotStore.commitReplace(spark, base, Seq((1L, "old")).toDF("id", "v"))
