@@ -257,6 +257,41 @@ object SnapshotStore {
     drop.foreach(m => f.delete(new Path(manifestDir(base), m), false))
   }
 
+  // ---- incremental consumption --------------------------------------------
+
+  /** Exactly-once incremental processing of the manifest log — the
+    * streaming-consumption twin of [[changesBetween]]. Reads the last
+    * processed version from `checkpointFile`, hands every later
+    * commit's rows to `f` as ONE batch tagged with the new high
+    * version, then advances the checkpoint by atomic tmp-write+rename.
+    * Returns Some(processed version) or None when already up to date.
+    *
+    * Delivery contract (mirrors Structured Streaming's): a crash after
+    * `f` but before the checkpoint rename replays the batch —
+    * at-least-once into `f` — so an `f` that lands through
+    * [[commitAppend]] with the batch version as the idempotence tag is
+    * exactly-once end-to-end. Driver-side work is two small file reads
+    * and a rename; data reads touch only the files new manifests added. */
+  def processNew(spark: SparkSession, base: String, checkpointFile: String)(
+      f: (DataFrame, Long) => Unit): Option[Long] = {
+    val hfs = fs(spark, base)
+    val ckPath = new Path(checkpointFile)
+    val last: Long =
+      if (hfs.exists(ckPath)) readFile(hfs, ckPath).trim.toLong else -1L
+    val current = versions(spark, base).lastOption.getOrElse(-1L)
+    if (current <= last) return None
+    changesBetween(spark, base, last, current).foreach(df => f(df, current))
+    val tmp = new Path(ckPath.getParent, s".tmp-ck-${UUID.randomUUID()}")
+    hfs.mkdirs(ckPath.getParent)
+    writeFile(hfs, tmp, current.toString)
+    if (!hfs.rename(tmp, ckPath)) {
+      hfs.delete(ckPath, false)
+      if (!hfs.rename(tmp, ckPath))
+        throw new java.io.IOException(s"cannot advance checkpoint $ckPath")
+    }
+    Some(current)
+  }
+
   /** Remove crashed-write leftovers: `_stage` dirs and `.tmp-*`
     * manifest files (a completed commit always deletes its stage and
     * renames its tmp). REQUIRES a fully quiesced table — unlike

@@ -47,6 +47,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.changesBetween(spark, base, 2L, 2L).isEmpty)
   }
 
+  test("processNew: each commit processed once; replay only if checkpoint lost") {
+    val base = tmp("ss-follow")
+    val ck = base + "-ck/version"
+    var seen = Vector.empty[(Set[Long], Long)]
+    def drain(): Unit = SnapshotStore.processNew(spark, base, ck) { (df, v) =>
+      seen :+= (df.collect().map(_.getLong(0)).toSet, v)
+    }
+    drain() // empty store -> no-op
+    assert(seen.isEmpty)
+    SnapshotStore.commitAppend(spark, base, Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    drain()
+    assert(seen == Vector((Set(1L, 2L), 0L)))
+    drain() // caught up -> no-op
+    assert(seen.size == 1)
+    // two commits between drains arrive as ONE batch at the high version
+    SnapshotStore.commitAppend(spark, base, Seq((3L, "c")).toDF("id", "v"))
+    SnapshotStore.commitAppend(spark, base, Seq((4L, "d")).toDF("id", "v"))
+    drain()
+    assert(seen.last == ((Set(3L, 4L), 2L)))
+    // exactly-once composition: landing through a tagged commitAppend
+    // makes a replayed batch a no-op
+    val out = tmp("ss-follow-out")
+    def land(df: org.apache.spark.sql.DataFrame, v: Long): Unit =
+      SnapshotStore.commitAppend(spark, out, df, tag = Some(s"v$v"))
+    land(Seq((9L, "x")).toDF("id", "v"), 7L)
+    land(Seq((9L, "x")).toDF("id", "v"), 7L) // replay
+    assert(SnapshotStore.read(spark, out).get.count() == 1)
+  }
+
   test("replace swaps the visible snapshot; old files survive until vacuum") {
     val base = tmp("ss-replace")
     SnapshotStore.commitReplace(spark, base, Seq((1L, "old")).toDF("id", "v"))
