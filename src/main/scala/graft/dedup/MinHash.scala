@@ -34,10 +34,12 @@ object MinHash {
       bands: Int = 4,
       shingleSize: Int = 3,
       threshold: Double = 0.7,
-      hashFamily: String = "md5") {
+      hashFamily: String = "md5",
+      maxBandBucket: Int = 256) {
     def rowsPerBand: Int = numPerms / bands
     require(numPerms % bands == 0, "bands must divide numPerms")
     require(hashFamily == "md5" || hashFamily == "xx", "hashFamily in {md5, xx}")
+    require(maxBandBucket > 1, "maxBandBucket must allow at least a pair")
   }
 
   /** Per-permutation hash of one shingle. */
@@ -59,17 +61,41 @@ object MinHash {
         transform(slice(col("signature"), b * lit(cfg.rowsPerBand) + 1, lit(cfg.rowsPerBand)),
           x => x.cast(StringType)))))
 
-  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket. */
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
+    *
+    * Skew guard (default ON): band buckets holding more than
+    * cfg.maxBandBucket docs are skipped before the self-join —
+    * otherwise one thousand-way cluster of identical documents (the
+    * classic crawl pathology) contributes O(n²) pairs and pins a single
+    * reducer. Such clusters are exactly what the EXACT-dedup rung
+    * already collapses, so dropping their buckets here loses nothing in
+    * the composed ladder; audit what the cap skipped via
+    * [[oversizedBuckets]]. The size window shuffles on the same
+    * (band_idx, band_key) the join hashes on, so AQE reuses the
+    * partitioning — the guard adds no extra exchange of the bands. */
   def candidatePairs(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
     val bands = sigs
       .select(col("doc_id"), posexplode(bandKeys(cfg)).as(Seq("band_idx", "band_key")))
-    bands.as("a").join(bands.as("b"),
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")
+    val capped = bands
+      .withColumn("__bsz", count(lit(1)).over(w))
+      .filter(col("__bsz") <= cfg.maxBandBucket)
+      .drop("__bsz")
+    capped.as("a").join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  /** Audit surface for the candidate-join skew guard: the band buckets
+    * the cap skipped, with their sizes. Empty on a healthy corpus. */
+  def oversizedBuckets(sigs: DataFrame, cfg: Config = Config()): DataFrame =
+    sigs.select(col("doc_id"), posexplode(bandKeys(cfg)).as(Seq("band_idx", "band_key")))
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > cfg.maxBandBucket)
 
   /** Candidates with exact Jaccard over the shingle sets, kept when
     * >= cfg.threshold. Output: doc_a, doc_b, jaccard. */
@@ -112,7 +138,8 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= ${cfg.threshold}"""
 sh AS (SELECT doc_id, $shingle AS sh FROM toks),
 sig AS (SELECT doc_id, sh, $sigExprs AS signature FROM sh),
 bands AS (SELECT doc_id, i.i AS band_idx, CASE i.i $bandCase END AS band_key FROM sig, (SELECT unnest(range(${cfg.bands})) AS i) i),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+bcap AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= ${cfg.maxBandBucket}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bcap a JOIN bcap b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 verified AS (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) AS jaccard FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)"""
   }
 }

@@ -769,6 +769,37 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
           min(col("value")).as("vmin"), max(col("value")).as("vmax")),
       Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1""")),
 
+    // Approximate percentile sketch (same boolean-accuracy treatment as
+    // the HLL sketch): the t-digest-style approx value is
+    // algorithm-specific, so the checked surface is the exact quantile
+    // plus a deterministic |approx-exact| <= 5% bound.
+    GraftQuery("q_quantile_sketch",
+      (s, dir) => ev(s, dir).groupBy(col("event_type"))
+        .agg(expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+          expr("percentile(value, 0.5)").as("exact_p50"))
+        .select(col("event_type"), col("exact_p50"),
+          (abs(col("approx_p50") - col("exact_p50")) <=
+            abs(col("exact_p50")) * lit(0.05)).as("within_5pct")),
+      Some("""SELECT event_type, quantile_cont(value, 0.5) AS exact_p50, TRUE AS within_5pct FROM events GROUP BY 1""")),
+
+    // Percentile-gated length filter (training-corpus outlier trim):
+    // exact token-length p05/p95 reduce to ONE row, broadcast back, and
+    // gate the corpus — no corpus shuffle, the same one-pass-stats shape
+    // as BM25.
+    GraftQuery("q_length_filter",
+      (s, dir) => {
+        val base = docs(s, dir).select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        val bounds = base.agg(
+          expr("percentile(n_tok, 0.05)").as("lo"),
+          expr("percentile(n_tok, 0.95)").as("hi"))
+        base.crossJoin(broadcast(bounds))
+          .filter(col("n_tok").cast("double") >= col("lo") &&
+            col("n_tok").cast("double") <= col("hi"))
+          .select(col("doc_id"), col("n_tok"))
+      },
+      Some(raw"""WITH base AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM documents), b AS (SELECT quantile_cont(n_tok, 0.05) AS lo, quantile_cont(n_tok, 0.95) AS hi FROM base) SELECT doc_id, n_tok FROM base, b WHERE CAST(n_tok AS DOUBLE) >= lo AND CAST(n_tok AS DOUBLE) <= hi""")),
+
     // Approximate distinct (HLL++ sketch). The sketch value itself is
     // algorithm-specific, so the oracle-checked surface is the exact
     // count plus a deterministic accuracy BOOLEAN (|approx - exact| <=

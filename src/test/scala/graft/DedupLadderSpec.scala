@@ -25,6 +25,32 @@ class DedupLadderSpec extends SparkSpec {
     assert(recall > 0.8, s"recall=$recall over ${exact.size} exact pairs")
   }
 
+  test("band-bucket cap defuses a planted identical-doc cluster, keeps real pairs") {
+    import spark.implicits._
+    val clusterText = "the same exact document repeated verbatim in every crawl snapshot"
+    val planted =
+      (0L until 300L).map(i => (i, clusterText)) ++ // 300-way identical cluster
+      Seq(
+        (1000L, "a genuinely near duplicate pair of documents differing in one tail token alpha"),
+        (1001L, "a genuinely near duplicate pair of documents differing in one tail token beta"),
+        (2000L, "an entirely unrelated singleton document about something else altogether"))
+    val df = planted.toDF("doc_id", "text")
+    val cfg = MinHash.Config(maxBandBucket = 256)
+    val sigs = MinHash.signatures(df, col("doc_id"), col("text"), cfg)
+    // the cap reports the oversized buckets (one per band for the cluster)
+    val over = MinHash.oversizedBuckets(sigs, cfg).collect()
+    assert(over.nonEmpty && over.forall(_.getLong(2) == 300L), over.mkString(","))
+    // candidate volume stays tiny: the 300-way cluster (≈45k raw pairs)
+    // is dropped; the genuine near-dup pair survives the banding
+    val cands = MinHash.candidatePairs(sigs, cfg)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.size < 100, s"cap failed: ${cands.size} candidates")
+    assert(cands.contains((1000L, 1001L)), s"real pair lost: $cands")
+    // and uncapped, the cluster would have exploded — the guard is live
+    val raw = MinHash.candidatePairs(sigs, cfg.copy(maxBandBucket = 100000))
+    assert(raw.count() > 40000L)
+  }
+
   test("xx hash family finds the same high-similarity pairs as md5") {
     val md5Pairs = MinHash.verifiedPairs(docs, col("doc_id"), col("text"),
         MinHash.Config(hashFamily = "md5"))
