@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 import org.apache.spark.sql.types.IntegerType
 
 import graft.cdc.{AvroDecodeEngagement, AvroEncodeEngagement}
-import graft.functions.{BoundedTopK, DoubleDot}
+import graft.functions.{BoundedTopK, DoubleDot, MisraGries}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * functions at session build time, the deployment path for clusters
@@ -26,6 +26,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"k must be an int literal, got $other")
         }
         BoundedTopK(exprs.head, exprs(1), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "misra_gries(item, k)")
+        val k = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"k must be an int literal, got $other")
+        }
+        MisraGries(exprs.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),

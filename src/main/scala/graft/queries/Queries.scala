@@ -769,6 +769,32 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
           min(col("value")).as("vmin"), max(col("value")).as("vmax")),
       Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1""")),
 
+    // Misra–Gries heavy hitters (custom partial+final
+    // TypedImperativeAggregate, k counters per partition regardless of
+    // item cardinality). Raw counter values depend on merge order, but
+    // the MG GUARANTEE does not: every item with true frequency >
+    // N/(k+1) is captured, and estimates undercount by at most N/(k+1)
+    // — so the oracle-checked surface is the exact heavy-hitter set
+    // plus those two deterministic booleans.
+    GraftQuery("q_heavy_hitters",
+      (s, dir) => {
+        graft.functions.MisraGries.register(s)
+        val e = ev(s, dir)
+        val tot = e.agg(count(lit(1)).as("n"))
+        val exact = e.groupBy(col("event_type")).agg(count(lit(1)).as("cnt"))
+        val sk = e.agg(expr("misra_gries(event_type, 8)").as("hh"))
+          .select(explode(col("hh")).as("it"))
+          .select(col("it.item").as("event_type"), col("it.est").as("est"))
+        exact.crossJoin(broadcast(tot))
+          .filter(col("cnt") > col("n") / lit(9.0))
+          .join(sk, Seq("event_type"), "left")
+          .select(col("event_type"), col("cnt"),
+            col("est").isNotNull.as("captured"),
+            (col("est").isNotNull && col("est") <= col("cnt") &&
+              col("est") >= col("cnt") - col("n") / lit(9.0)).as("est_bounded"))
+      },
+      Some("""WITH tot AS (SELECT count(*) AS n FROM events), ex AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1) SELECT event_type, cnt, TRUE AS captured, TRUE AS est_bounded FROM ex, tot WHERE cnt > n / 9.0""")),
+
     // Approximate percentile sketch (same boolean-accuracy treatment as
     // the HLL sketch): the t-digest-style approx value is
     // algorithm-specific, so the checked surface is the exact quantile

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.MisraGries
+
+/** Misra–Gries heavy-hitters guarantee under adversarial cardinality
+  * and arbitrary partitioning. */
+class MisraGriesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // 5000 noise items (one occurrence each) + two planted heavy items:
+  // "hot" at ~30%, "warm" at ~15% of N.
+  private def fixture(parts: Int) = {
+    val noise = (0 until 5000).map(i => s"item_$i")
+    val hot = Seq.fill(3000)("hot")
+    val warm = Seq.fill(1500)("warm")
+    // interleave deterministically so partitions see mixed traffic
+    val all = (noise ++ hot ++ warm).zipWithIndex
+      .sortBy { case (s, i) => (i * 2654435761L) % 9500 }
+      .map(_._1)
+    all.toDF("item").repartition(parts)
+  }
+
+  private def sketch(parts: Int, k: Int): Map[String, Long] = {
+    MisraGries.register(spark)
+    fixture(parts).agg(expr(s"misra_gries(item, $k)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("heavy items survive any partitioning; estimates undercount within N/(k+1)") {
+    val n = 9500.0
+    val k = 16
+    for (parts <- Seq(1, 7, 32)) {
+      val hh = sketch(parts, k)
+      assert(hh.size <= k, s"sketch overflow: ${hh.size}")
+      assert(hh.contains("hot") && hh.contains("warm"), s"lost a heavy item at parts=$parts: ${hh.keys}")
+      assert(hh("hot") <= 3000 && hh("hot") >= 3000 - n / (k + 1), s"hot=${hh("hot")}")
+      assert(hh("warm") <= 1500 && hh("warm") >= 1500 - n / (k + 1), s"warm=${hh("warm")}")
+    }
+  }
+
+  test("k larger than cardinality degenerates to exact counts") {
+    MisraGries.register(spark)
+    val hh = Seq("a", "b", "a", "c", "a", "b").toDF("item")
+      .repartition(3)
+      .agg(expr("misra_gries(item, 10)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("analysis-time type check rejects non-string items") {
+    MisraGries.register(spark)
+    val e = intercept[Exception] {
+      spark.range(5).agg(expr("misra_gries(id, 4)")).collect()
+    }
+    assert(e.getMessage.contains("misra_gries"), e.getMessage)
+  }
+}
