@@ -54,6 +54,30 @@ class MisraGriesSpec extends SparkSpec {
     assert(hh == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("works as a streaming aggregate: trending items in complete mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    MisraGries.register(spark)
+    val in = MemoryStream[String](spark)
+    val q = in.toDF().toDF("item")
+      .agg(expr("misra_gries(item, 4)").as("hh"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("mg_trending").start()
+    try {
+      in.addData(Seq.fill(50)("hot") ++ (1 to 30).map(i => s"n$i"): _*)
+      q.processAllAvailable()
+      in.addData(Seq.fill(40)("hot") ++ Seq.fill(25)("warm"))
+      q.processAllAvailable()
+      val hh = spark.table("mg_trending")
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // N=145, k=4: anything above 145/5=29 must be present
+      assert(hh.contains("hot") && hh.contains("warm"), hh.toString)
+      assert(hh("hot") <= 90 && hh("hot") >= 90 - 29, hh.toString)
+    } finally q.stop()
+  }
+
   test("analysis-time type check rejects non-string items") {
     MisraGries.register(spark)
     val e = intercept[Exception] {
