@@ -134,6 +134,18 @@ object SnapshotStore {
       .parquet(added.map(f => s"${dataDir(base)}/$f"): _*))
   }
 
+  /** Time travel: the snapshot as of manifest version `v` (None if that
+    * manifest is empty). Manifests are immutable and survive until
+    * [[vacuum]] drops them, so any retained version reads with full
+    * snapshot isolation — the batch analog of reprocessing from an old
+    * offset. Throws FileNotFoundException for a vacuumed/unknown version. */
+  def readVersion(spark: SparkSession, base: String, v: Long): Option[DataFrame] = {
+    val files = manifestFiles(spark, base, f"m$v%010d")
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", dataDir(base))
+      .parquet(files.map(f => s"${dataDir(base)}/$f"): _*))
+  }
+
   /** The live snapshot as a DataFrame (partition columns recovered from
     * the relative paths via basePath), or None when no commit exists or
     * the live manifest is empty. */

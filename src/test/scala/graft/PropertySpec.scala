@@ -109,6 +109,44 @@ class PropertySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("property: connected components are a fixpoint (re-running on the labeled graph is identity)") {
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0L, 39L), Gen.chooseNum(0L, 39L)))
+    val edges = edgeGen.sample.get.toDF("src", "dst")
+    val nodes = (0L until 40L).toDF("id")
+    val labels = graft.dedup.Components.connectedComponents(
+      edges, col("src"), col("dst"), nodes, col("id"))
+    val lmap = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every endpoint pair of an edge carries the same label
+    edges.collect().foreach { r =>
+      assert(lmap(r.getLong(0)) == lmap(r.getLong(1)), s"edge ${r} crosses components")
+    }
+    // labels are component minima: label <= id, and the label node labels itself
+    lmap.foreach { case (id, l) =>
+      assert(l <= id && lmap(l) == l, s"node $id label $l")
+    }
+    // idempotence: collapsing edges to label space and re-running changes nothing
+    val collapsed = edges.select(col("src"), col("dst")).collect()
+      .map(r => (lmap(r.getLong(0)), lmap(r.getLong(1)))).toSeq.toDF("src", "dst")
+    val again = graft.dedup.Components.connectedComponents(
+      collapsed, col("src"), col("dst"), nodes, col("id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lmap.foreach { case (id, l) => assert(again(l) == l, s"fixpoint broken at $l") }
+  }
+
+  test("property: sample keep-sets are monotone in rate (ramping a rate only adds docs)") {
+    val ids = (0L until 1500L).toDF("doc_id")
+      .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(3))))
+    def keepSet(r1: Double, r2: Double): Set[Long] =
+      ids.filter(graft.ops.Corpus.sampleKeep(col("lang"), col("doc_id"),
+        Seq("l0" -> r1, "l1" -> r2), 0.2))
+        .collect().map(_.getLong(0)).toSet
+    val small = keepSet(0.1, 0.3)
+    val big = keepSet(0.4, 0.9)
+    assert(small.subsetOf(big),
+      s"rate ramp flipped ${(small -- big).size} prior keep decisions")
+  }
+
   test("extensions: GraftExtensions wires all custom functions into a session builder") {
     // instantiating and applying must not throw; the functions are
     // exercised via their register(spark) paths elsewhere

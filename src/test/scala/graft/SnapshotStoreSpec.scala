@@ -47,6 +47,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.changesBetween(spark, base, 2L, 2L).isEmpty)
   }
 
+  test("readVersion time-travels to any retained manifest") {
+    val base = tmp("ss-tt")
+    SnapshotStore.commitReplace(spark, base, Seq((1L, "a")).toDF("id", "v"))
+    SnapshotStore.commitAppend(spark, base, Seq((2L, "b")).toDF("id", "v"))
+    SnapshotStore.commitReplace(spark, base, Seq((9L, "z")).toDF("id", "v"))
+    def idsAt(v: Long) = SnapshotStore.readVersion(spark, base, v).get
+      .collect().map(_.getLong(0)).toSet
+    assert(idsAt(0L) == Set(1L))
+    assert(idsAt(1L) == Set(1L, 2L))
+    assert(idsAt(2L) == Set(9L))
+    // live read = newest version
+    assert(SnapshotStore.read(spark, base).get.collect().map(_.getLong(0)).toSet == Set(9L))
+    // vacuum drops old manifests; retained ones still read
+    SnapshotStore.vacuum(spark, base, keepManifests = 1)
+    intercept[java.io.FileNotFoundException](idsAt(0L))
+    assert(idsAt(2L) == Set(9L))
+  }
+
   test("processNew: each commit processed once; replay only if checkpoint lost") {
     val base = tmp("ss-follow")
     val ck = base + "-ck/version"
