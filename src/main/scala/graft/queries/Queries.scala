@@ -62,6 +62,19 @@ object Queries {
       lit(" from 10."), pmod(id, lit(256L)).cast("string"),
       lit(".0.1 see https://ex.example/d/"), id.cast("string"))
 
+  /** DuckDB twins of TextFunctions.langId / qualityScore over column
+    * `text` — shared by the corpus-clean and training-pipeline oracles. */
+  private val langCaseSql: String = {
+    val pats = TextFunctions.langStopwords.toMap
+    def h(l: String) = s"len(regexp_extract_all(lower(text), '${pats(l)}'))"
+    s"""CASE WHEN ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("fr")} AND ${h("en")} > 0 THEN 'en' WHEN ${h("de")} >= ${h("es")} AND ${h("de")} >= ${h("fr")} AND ${h("de")} > 0 THEN 'de' WHEN ${h("es")} >= ${h("fr")} AND ${h("es")} > 0 THEN 'es' WHEN ${h("fr")} > 0 THEN 'fr' ELSE 'und' END"""
+  }
+
+  private val qualitySqlExpr: String = {
+    val pats = TextFunctions.langStopwords.toMap
+    raw"""floor((0.5 * least(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)/64.0) + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)/greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0))) + 0.2 * least(1.0, 4.0*CAST(len(regexp_extract_all(lower(text), '${pats("en")}')) AS DOUBLE)/greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0))) * 10000.0 + 0.5) / 10000.0"""
+  }
+
   /** DuckDB twin of [[piiText]]. */
   private def piiTextSql(idSql: String, textSql: String): String =
     s"$textSql || ' contact user' || CAST($idSql AS VARCHAR) || '@mail.example.com or +1 (555) 010-' || CAST(1000 + $idSql % 9000 AS VARCHAR) || ' from 10.' || CAST($idSql % 256 AS VARCHAR) || '.0.1 see https://ex.example/d/' || CAST($idSql AS VARCHAR)"
@@ -603,14 +616,10 @@ object Queries {
           .filter(col("quality") >= 0.5)
       },
       Some {
-        val pats = TextFunctions.langStopwords.toMap
-        def h(l: String) = s"len(regexp_extract_all(lower(text), '${pats(l)}'))"
-        val langCase = s"""CASE WHEN ${h("en")} >= ${h("de")} AND ${h("en")} >= ${h("es")} AND ${h("en")} >= ${h("fr")} AND ${h("en")} > 0 THEN 'en' WHEN ${h("de")} >= ${h("es")} AND ${h("de")} >= ${h("fr")} AND ${h("de")} > 0 THEN 'de' WHEN ${h("es")} >= ${h("fr")} AND ${h("es")} > 0 THEN 'es' WHEN ${h("fr")} > 0 THEN 'fr' ELSE 'und' END"""
-        val qualityExpr = raw"""floor((0.5 * least(1.0, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)/64.0) + 0.3 * (1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)/greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0))) + 0.2 * least(1.0, 4.0*CAST(len(regexp_extract_all(lower(text), '${pats("en")}')) AS DOUBLE)/greatest(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE), 1.0))) * 10000.0 + 0.5) / 10000.0"""
         raw"""${graft.dedup.MinHash.oracleCtes()},
 near_drops AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= ${graft.dedup.MinHash.Config().threshold}),
 exact_keep AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn FROM documents) WHERE rn = 1)
-SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCase AS lang_pred, $qualityExpr AS quality, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens FROM exact_keep WHERE doc_id NOT IN (SELECT doc_id FROM near_drops)) WHERE quality >= 0.5"""
+SELECT doc_id, lang_pred, quality, n_tokens FROM (SELECT doc_id, $langCaseSql AS lang_pred, $qualitySqlExpr AS quality, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens FROM exact_keep WHERE doc_id NOT IN (SELECT doc_id FROM near_drops)) WHERE quality >= 0.5"""
       },
       headline = true),
 
@@ -768,6 +777,52 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
           expr("percentile(value, 0.9)").as("p90"),
           min(col("value")).as("vmin"), max(col("value")).as("vmax")),
       Some("""SELECT event_type, quantile_cont(value, 0.5) AS p50, quantile_cont(value, 0.9) AS p90, min(value) AS vmin, max(value) AS vmax FROM events GROUP BY 1""")),
+
+    // The WHOLE pretraining data pipeline as ONE declarative plan —
+    // exact dedup → near-dup drop → quality gate → stratified sample →
+    // percentile length trim → split assignment → sequence packing —
+    // with one machine-composed oracle built from the per-stage SQL
+    // fragments. Every stage keeps its individual scale posture
+    // (map-only signatures, broadcast one-row stats, two-phase prefix
+    // sum); composing them adds no new shuffle of the corpus.
+    GraftQuery("q_training_pipeline",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val exactKeep = Dedup.exactDedup(d, col("text"), col("doc_id"))
+        val nearDrops = graft.dedup.MinHash
+          .verifiedPairs(d, col("doc_id"), col("text"))
+          .select(col("doc_b").as("doc_id")).distinct()
+        val gated = exactKeep.join(nearDrops, Seq("doc_id"), "left_anti")
+          .filter(TextFunctions.qualityScore(col("text")) >= 0.5)
+        val sampled = gated
+          .filter(Corpus.sampleKeep(col("lang"), col("doc_id"), stratRates, 0.10))
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        val bounds = sampled.agg(
+          expr("percentile(n_tok, 0.05)").as("lo"),
+          expr("percentile(n_tok, 0.95)").as("hi"))
+        val kept = sampled.crossJoin(broadcast(bounds))
+          .filter(col("n_tok").cast("double") >= col("lo") &&
+            col("n_tok").cast("double") <= col("hi"))
+          .select(col("doc_id"), col("lang"), col("n_tok"))
+        Corpus.concatChunk(kept, col("doc_id"), col("n_tok"),
+            seqLen = 512, bucketSize = 100)
+          .join(kept.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"),
+            Corpus.splitAssign(col("doc_id")).as("split"),
+            col("n_tok"), col("start_tok"), col("first_seq"), col("n_seqs"))
+      },
+      Some {
+        raw"""${graft.dedup.MinHash.oracleCtes()},
+near_drops AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= ${graft.dedup.MinHash.Config().threshold}),
+exact_keep AS (SELECT doc_id, text, lang FROM (SELECT doc_id, text, lang, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn FROM documents) WHERE rn = 1),
+gated AS (SELECT doc_id, lang, text FROM exact_keep WHERE doc_id NOT IN (SELECT doc_id FROM near_drops) AND $qualitySqlExpr >= 0.5),
+sampled AS (SELECT doc_id, lang, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok FROM gated WHERE ${Corpus.sampleKeepSql("lang", "doc_id", stratRates, 0.10)}),
+b AS (SELECT quantile_cont(n_tok, 0.05) AS lo, quantile_cont(n_tok, 0.95) AS hi FROM sampled),
+kept AS (SELECT doc_id, lang, n_tok FROM sampled, b WHERE CAST(n_tok AS DOUBLE) >= lo AND CAST(n_tok AS DOUBLE) <= hi),
+c AS (SELECT doc_id, lang, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM kept)
+SELECT doc_id, lang, ${Corpus.splitAssignSql("doc_id")} AS split, n_tok, start_tok, CAST(floor(start_tok / 512.0) AS BIGINT) AS first_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 512.0) AS BIGINT) - CAST(floor(start_tok / 512.0) AS BIGINT) + 1 AS n_seqs FROM c"""
+      }),
 
     // Misra–Gries heavy hitters (custom partial+final
     // TypedImperativeAggregate, k counters per partition regardless of

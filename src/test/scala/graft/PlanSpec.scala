@@ -131,6 +131,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*(1)"), p.take(800)) // the WholeStageCodegen marker
   }
 
+  test("q_training_pipeline: composed stages add no cartesian and no global corpus window") {
+    val p = plan("q_training_pipeline")
+    assert(!p.contains("CartesianProduct"), "no stage may cartesian the corpus")
+    // the packing window must be partitioned by bucket (two-phase prefix
+    // sum) — same invariant as q_seq_pack, preserved through composition
+    assert(p.linesIterator.exists(l => l.contains("Window") && l.contains("__bkt")),
+      p.take(2000))
+  }
+
   test("q_asof_join: union+window form — no join operator, no row explosion") {
     // the naive formulation (theta join on key AND ts range, then max)
     // explodes to |versions|x|events| rows per key; the as-of must
