@@ -40,13 +40,27 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Components {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Label every node with the minimum node id in its connected
     * component. `edges` must have two Long columns (any orientation,
     * self-loops and duplicates tolerated); `nodes` is one Long id
     * column covering at least the edge endpoints (isolated nodes keep
-    * their own id as the component). Output: (id, component). */
+    * their own id as the component). Output: (id, component).
+    *
+    * If `maxIter` is exhausted before the fixpoint a WARNING is logged
+    * and the partially-merged labels are returned — callers needing a
+    * hard signal should use [[connectedComponentsConverged]]. */
   def connectedComponents(edges: DataFrame, src: Column, dst: Column,
-      nodes: DataFrame, nodeId: Column, maxIter: Int = 25): DataFrame = {
+      nodes: DataFrame, nodeId: Column, maxIter: Int = 25): DataFrame =
+    connectedComponentsConverged(edges, src, dst, nodes, nodeId, maxIter)._1
+
+  /** [[connectedComponents]] plus the convergence flag: `false` means
+    * the iteration cap fired before the fixpoint, so labels may still
+    * hold multiple representatives per true component (downstream
+    * dupGroups would under-merge). */
+  def connectedComponentsConverged(edges: DataFrame, src: Column, dst: Column,
+      nodes: DataFrame, nodeId: Column, maxIter: Int = 25): (DataFrame, Boolean) = {
     require(maxIter > 0)
     val e = edges.select(src.as("src"), dst.as("dst"))
     val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -82,7 +96,10 @@ object Components {
       prevSum = nextSum
       it += 1
     }
-    labels
+    if (!converged)
+      log.warn(s"connectedComponents hit maxIter=$maxIter before the " +
+        "fixpoint — labels are partially merged (components may be split)")
+    (labels, converged)
   }
 
   /** Duplicate grouping for a document table: components over a

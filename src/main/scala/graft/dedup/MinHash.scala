@@ -64,33 +64,42 @@ object MinHash {
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band bucket.
     *
     * Skew guard (default ON): band buckets holding more than
-    * cfg.maxBandBucket docs are skipped before the self-join —
+    * cfg.maxBandBucket docs do NOT enter the all-pairs self-join —
     * otherwise one thousand-way cluster of identical documents (the
     * classic crawl pathology) contributes O(n²) pairs and pins a single
-    * reducer. Such clusters are exactly what the EXACT-dedup rung
-    * already collapses, so dropping their buckets here loses nothing in
-    * the composed ladder; audit what the cap skipped via
-    * [[oversizedBuckets]]. The size window shuffles on the same
-    * (band_idx, band_key) the join hashes on, so AQE reuses the
-    * partitioning — the guard adds no extra exchange of the bands. */
+    * reducer. Oversized buckets instead degrade to a STAR: every member
+    * pairs with the bucket's min doc_id — O(n) pairs per bucket — so a
+    * >cap family of near-identical-but-NOT-byte-identical documents
+    * (boilerplate/template crawl families, which exact dedup cannot
+    * collapse) stays connected through its hub and the downstream
+    * connected-components grouping still merges it. Nothing is silently
+    * dropped; audit which buckets degraded via [[oversizedBuckets]].
+    * The size/min window shuffles on the same (band_idx, band_key) the
+    * join hashes on, so AQE reuses the partitioning — the guard adds no
+    * extra exchange of the bands. */
   def candidatePairs(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
     val bands = sigs
       .select(col("doc_id"), posexplode(bandKeys(cfg)).as(Seq("band_idx", "band_key")))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")
-    val capped = bands
+    val stats = bands
       .withColumn("__bsz", count(lit(1)).over(w))
-      .filter(col("__bsz") <= cfg.maxBandBucket)
-      .drop("__bsz")
-    capped.as("a").join(capped.as("b"),
+      .withColumn("__bmin", min(col("doc_id")).over(w))
+    val capped = stats.filter(col("__bsz") <= cfg.maxBandBucket)
+      .drop("__bsz", "__bmin")
+    val allPairs = capped.as("a").join(capped.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val star = stats
+      .filter(col("__bsz") > cfg.maxBandBucket && col("doc_id") =!= col("__bmin"))
+      .select(col("__bmin").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.union(star).distinct()
   }
 
   /** Audit surface for the candidate-join skew guard: the band buckets
-    * the cap skipped, with their sizes. Empty on a healthy corpus. */
+    * the cap degraded to star connectivity, with their sizes. Empty on
+    * a healthy corpus. */
   def oversizedBuckets(sigs: DataFrame, cfg: Config = Config()): DataFrame =
     sigs.select(col("doc_id"), posexplode(bandKeys(cfg)).as(Seq("band_idx", "band_key")))
       .groupBy(col("band_idx"), col("band_key"))
@@ -138,8 +147,8 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= ${cfg.threshold}"""
 sh AS (SELECT doc_id, $shingle AS sh FROM toks),
 sig AS (SELECT doc_id, sh, $sigExprs AS signature FROM sh),
 bands AS (SELECT doc_id, i.i AS band_idx, CASE i.i $bandCase END AS band_key FROM sig, (SELECT unnest(range(${cfg.bands})) AS i) i),
-bcap AS (SELECT * FROM bands QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= ${cfg.maxBandBucket}),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bcap a JOIN bcap b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+bstat AS (SELECT *, count(*) OVER (PARTITION BY band_idx, band_key) AS bsz, min(doc_id) OVER (PARTITION BY band_idx, band_key) AS bmin FROM bands),
+cand AS (SELECT DISTINCT doc_a, doc_b FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bstat a JOIN bstat b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id WHERE a.bsz <= ${cfg.maxBandBucket} UNION ALL SELECT bmin, doc_id FROM bstat WHERE bsz > ${cfg.maxBandBucket} AND doc_id <> bmin)),
 verified AS (SELECT doc_a, doc_b, CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(sa.sh || sb.sh)) AS jaccard FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id)"""
   }
 }

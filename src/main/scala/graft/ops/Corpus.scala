@@ -62,7 +62,9 @@ object Corpus {
   def sampleKeepSql(stratumSql: String, idSql: String,
       rates: Seq[(String, Double)], defaultRate: Double): String = {
     val cases = rates.map { case (k, v) =>
-      s"WHEN $stratumSql = '$k' THEN ${math.round(v * 10000)}"
+      // escape embedded quotes so a stratum like "it's" can't malform
+      // the oracle SQL (the engine side via when() needs no escaping)
+      s"WHEN $stratumSql = '${k.replace("'", "''")}' THEN ${math.round(v * 10000)}"
     }.mkString(" ")
     s"""CAST('0x'||substring(md5('sample:'||CAST($stratumSql AS VARCHAR)||':'||CAST($idSql AS VARCHAR)),1,15) AS BIGINT) % 10000 < (CASE $cases ELSE ${math.round(defaultRate * 10000)} END)"""
   }

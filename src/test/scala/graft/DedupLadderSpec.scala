@@ -40,15 +40,39 @@ class DedupLadderSpec extends SparkSpec {
     // the cap reports the oversized buckets (one per band for the cluster)
     val over = MinHash.oversizedBuckets(sigs, cfg).collect()
     assert(over.nonEmpty && over.forall(_.getLong(2) == 300L), over.mkString(","))
-    // candidate volume stays tiny: the 300-way cluster (≈45k raw pairs)
-    // is dropped; the genuine near-dup pair survives the banding
+    // candidate volume stays O(n): the 300-way cluster (≈45k raw pairs)
+    // degrades to a 299-pair star on doc 0; the genuine pair survives
     val cands = MinHash.candidatePairs(sigs, cfg)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(cands.size < 100, s"cap failed: ${cands.size} candidates")
+    assert(cands.size < 400, s"cap failed: ${cands.size} candidates")
     assert(cands.contains((1000L, 1001L)), s"real pair lost: $cands")
+    // star connectivity: every cluster member still pairs with the hub
+    assert((1L until 300L).forall(i => cands.contains((0L, i))),
+      s"star broken: ${(1L until 300L).filterNot(i => cands.contains((0L, i))).take(5)}")
     // and uncapped, the cluster would have exploded — the guard is live
     val raw = MinHash.candidatePairs(sigs, cfg.copy(maxBandBucket = 100000))
     assert(raw.count() > 40000L)
+  }
+
+  test("star degradation keeps a >cap NEAR-identical family in one dup group") {
+    import spark.implicits._
+    // 40 docs sharing a long common body but each with a unique tail
+    // token — NOT byte-identical, so exact dedup cannot collapse them;
+    // with the cap at 8 every band bucket is oversized. The star must
+    // keep the family connected end-to-end through dupGroups.
+    val body = (0 until 30).map(k => s"boilerplate$k").mkString(" ")
+    val fam = (0L until 40L).map(i => (i, s"$body unique$i"))
+    val df = (fam :+ ((500L, "totally different text about some other topic entirely")))
+      .toDF("doc_id", "text")
+    val cfg = MinHash.Config(maxBandBucket = 8, threshold = 0.6)
+    val pairs = MinHash.verifiedPairs(df, col("doc_id"), col("text"), cfg)
+    val groups = graft.dedup.Components.dupGroups(
+      df, col("doc_id"), pairs, col("doc_a"), col("doc_b"))
+    val comps = groups.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component")).toMap
+    assert((0L until 40L).forall(comps(_) == 0L),
+      s"family split: ${comps.filter(_._1 < 40).values.toSet}")
+    assert(comps(500L) === 500L) // singleton untouched
   }
 
   test("xx hash family finds the same high-similarity pairs as md5") {
