@@ -10,7 +10,7 @@ import graft.cdc.Envelope
 import graft.dim.ContentDim
 import graft.enrich.Enrich
 import graft.functions.{Engagement, TextFunctions, VectorFunctions}
-import graft.ops.{Corpus, Dedup, Retrieval, Rollups}
+import graft.ops.{Corpus, Decontaminate, Dedup, Retrieval, Rollups, UnigramLm}
 
 /** One registered query per implemented operator (SURVEY.md §2 + the
   * LLM-data-pipeline extensions). Each entry pairs the Spark
@@ -781,6 +781,28 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       },
       Some("SELECT doc_id, lang, source FROM documents WHERE doc_id >= 300")),
 
+    // Benchmark decontamination: every 20th document's 10-token prefix
+    // plays the "eval benchmark"; docs sharing any 5-gram with it are
+    // flagged. Eval grams broadcast (benchmarks are small); the corpus
+    // never shuffles — only matched grams do.
+    GraftQuery("q_decontaminate",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val eval = d.filter(pmod(col("doc_id"), lit(20)) === 0)
+          .select(concat_ws(" ",
+            slice(TextFunctions.tokens(col("text")), 1, 10)).as("eval_text"))
+        Decontaminate.overlap(d, col("doc_id"), col("text"),
+          eval, col("eval_text"), n = 5)
+      },
+      Some(Decontaminate.oracleSql("doc_id % 20 = 0", 10, n = 5))),
+
+    // Corpus-trained unigram LM quality signal: mean token log-prob per
+    // document, per-token log-probs quantized to exact BIGINTs so the
+    // sum is order-independent across engines.
+    GraftQuery("q_unigram_logprob",
+      (s, dir) => UnigramLm.scoreDocs(docs(s, dir), col("doc_id"), col("text")),
+      Some(UnigramLm.oracleSql)),
+
     // Gopher-style intra-document repetition signal: 1 - distinct/total
     // word trigrams, floor-form at 4 decimals.
     GraftQuery("q_repetition",
@@ -870,24 +892,32 @@ SELECT doc_id, lang, ${Corpus.splitAssignSql("doc_id")} AS split, n_tok, start_t
 
     // Approximate percentile sketch (same boolean-accuracy treatment as
     // the HLL sketch): the sketch value is algorithm-specific, so the
-    // checked surface is the exact quantile plus a boolean derived from
-    // the sketch's ACTUAL guarantee — approx_percentile(…, acc) returns
-    // a value whose RANK is within p ± 1/acc of the target (a rank
-    // bound, not a relative-value bound, so it holds on skewed
-    // distributions and medians near 0). The gate brackets the approx
-    // between the exact percentiles at p ∓ 2/acc: the doubled epsilon
-    // absorbs the ±1-rank floor/ceil slack of interpolation at small N.
+    // checked surface is the exact quantile plus a boolean testing the
+    // sketch's ACTUAL contract — approx_percentile(…, acc) returns an
+    // element whose RANK is within p ± 1/acc of the target. The gate
+    // counts elements below/at the returned value and checks that rank
+    // window directly (±1 for boundary ties) — a rank bound, not a
+    // relative-value bound, so it holds on skewed distributions,
+    // medians near 0, and small groups where interpolated percentiles
+    // sit between data elements.
     GraftQuery("q_quantile_sketch",
       (s, dir) => {
-        val eps = 2.0 / 1000.0 // 2 × the 1/accuracy rank-error guarantee
-        ev(s, dir).groupBy(col("event_type"))
+        val eps = 1.0 / 1000.0 // the sketch's 1/accuracy rank guarantee
+        val e = ev(s, dir)
+        val sk = e.groupBy(col("event_type"))
           .agg(expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
             expr("percentile(value, 0.5)").as("exact_p50"),
-            expr(s"percentile(value, ${0.5 - eps})").as("rank_lo"),
-            expr(s"percentile(value, ${0.5 + eps})").as("rank_hi"))
+            count(lit(1)).as("n"))
+        e.join(broadcast(sk), "event_type") // 5 groups — dimension-bounded
+          .groupBy(col("event_type"))
+          .agg(first(col("exact_p50")).as("exact_p50"),
+            first(col("n")).as("n"),
+            sum(when(col("value") < col("approx_p50"), 1L).otherwise(0L)).as("n_lt"),
+            sum(when(col("value") <= col("approx_p50"), 1L).otherwise(0L)).as("n_le"))
           .select(col("event_type"), col("exact_p50"),
-            (col("approx_p50") >= col("rank_lo") &&
-              col("approx_p50") <= col("rank_hi")).as("within_rank_err"))
+            (col("n_lt") <= (lit(0.5) + lit(eps)) * col("n") + lit(1.0) &&
+              col("n_le") >= (lit(0.5) - lit(eps)) * col("n") - lit(1.0))
+              .as("within_rank_err"))
       },
       Some("""SELECT event_type, quantile_cont(value, 0.5) AS exact_p50, TRUE AS within_rank_err FROM events GROUP BY 1""")),
 

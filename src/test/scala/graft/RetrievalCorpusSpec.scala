@@ -80,4 +80,38 @@ class RetrievalCorpusSpec extends SparkSpec {
       .head.getString(0)
     assert(out == "https://a.example/x|http://b.example/y?z=1")
   }
+
+  test("decontamination flags exact and partial benchmark overlap only") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // the "benchmark" doc
+      (2L, "prefix words then alpha beta gamma delta epsilon tail"), // overlaps
+      (3L, "totally clean document with no shared fivegram at all"),
+      (4L, "alpha beta gamma but only four grams delta")) // < 5-gram overlap
+      .toDF("doc_id", "text")
+    val eval = docs.filter(col("doc_id") === 1L).select(col("text").as("eval_text"))
+    val out = graft.ops.Decontaminate.overlap(docs, col("doc_id"), col("text"),
+        eval, col("eval_text"), n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L)._2, "benchmark doc itself must be flagged")
+    assert(out(2L) == (1L, true), s"partial overlap missed: ${out(2L)}")
+    assert(out(3L) == (0L, false))
+    assert(out(4L) == (0L, false), "4-token overlap must not trip a 5-gram gate")
+  }
+
+  test("unigram LM: corpus-typical doc scores above rare-token doc") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the rug"),
+      (3L, "the cat sat on the mat"),
+      (4L, "zyx qwv jkl pqr stu vwx")) // all-rare gibberish
+      .toDF("doc_id", "text")
+    val out = graft.ops.UnigramLm.scoreDocs(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(1L) > out(4L), s"typical ${out(1L)} vs gibberish ${out(4L)}")
+    assert(out(1L) == out(3L), "identical docs must score identically")
+    // mean log-prob is negative and bounded by ln(1/T) (modulo the two
+    // floor quantizations, each worth up to 1e-4)
+    val n = 24.0
+    assert(out.values.forall(v => v < 0 && v >= math.log(1.0 / n) - 3e-4))
+  }
 }
