@@ -803,6 +803,27 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       (s, dir) => UnigramLm.scoreDocs(docs(s, dir), col("doc_id"), col("text")),
       Some(UnigramLm.oracleSql)),
 
+    // Min/max file-stats data skipping: a range-partitioned snapshot
+    // commit records per-file stats in the manifest; the range read
+    // opens only intersecting files (manifest metadata decides — zero
+    // data IO for skipped files) and must return exactly the full-scan
+    // filter's rows, which is what the oracle checks.
+    // NOTE: side-effecting like q_snapshot_changes (scratch store per
+    // invocation, deleted on JVM exit) — never headline/benched.
+    GraftQuery("q_snapshot_skip",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_snapskip")
+        deleteRecursivelyOnExit(tmpPath)
+        val d = docs(s, dir).select(col("doc_id"), col("lang"), col("source"))
+          .repartitionByRange(8, col("doc_id"))
+        graft.sinks.SnapshotStore.commitReplace(s, tmpPath.toString, d,
+          statsCols = Seq("doc_id"))
+        graft.sinks.SnapshotStore.readRange(s, tmpPath.toString, "doc_id", 200, 350)
+          .getOrElse(sys.error("all files pruned"))
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("SELECT doc_id, lang, source FROM documents WHERE doc_id >= 200 AND doc_id <= 350")),
+
     // Gopher-style intra-document repetition signal: 1 - distinct/total
     // word trigrams, floor-form at 4 decimals.
     GraftQuery("q_repetition",

@@ -5,6 +5,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, input_file_name, max, min}
 
 /** Transactional snapshot commits on a plain filesystem — the atomicity
   * the reference gets for free from ClickHouse part-swaps
@@ -37,6 +38,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * which one pointer file cannot arbitrate. At 100 TB the partition-
   * scoped commit is the workhorse: compacting one closed month touches
   * that month's files and a few KB of manifest, never the table.
+  *
+  * DATA SKIPPING: commits may record per-file min/max statistics for
+  * chosen numeric columns as `#stats=` manifest lines (the same idea as
+  * Delta's file stats / ClickHouse's sparse index). A range read then
+  * prunes whole files from the manifest ALONE — zero data IO for files
+  * whose [min,max] misses the query interval. Stats ride the manifest,
+  * so they carry forward with their files across appends/compactions
+  * and die with them at vacuum. Files without stats are always read
+  * (conservative), so skipping is purely an optimization, never a
+  * correctness risk.
   */
 object SnapshotStore {
 
@@ -192,7 +203,7 @@ object SnapshotStore {
     * an existing destination — a lost race to the version number aborts
     * loudly rather than dropping a commit. */
   private def commitManifest(spark: SparkSession, base: String, files: Seq[String],
-      tag: Option[String] = None): Unit = {
+      tag: Option[String] = None, newStats: Seq[String] = Nil): Unit = {
     val f = fs(spark, base)
     val current = currentManifest(spark, base)
     val next = current.map(manifestVersion(_) + 1).getOrElse(0L)
@@ -204,20 +215,31 @@ object SnapshotStore {
     // EVERY commit (append, replace, compaction) carries the newest
     // MaxTags tags forward, so the idempotence window survives
     // compaction and vacuum instead of dying with its own manifest
-    val carried = current
-      .map(manifestLines(spark, base, _).filter(_.startsWith("#tag="))).getOrElse(Nil)
+    val currentLines = current.map(manifestLines(spark, base, _)).getOrElse(Nil)
+    val carried = currentLines.filter(_.startsWith("#tag="))
     val tags = (carried ++ tag.map(t => s"#tag=$t")).takeRight(MaxTags)
-    writeFile(f, tmp, (tags ++ files).mkString("\n"))
+    // stats lines travel with their file: carried while the file stays
+    // in the manifest, dropped the moment the file is (files going away
+    // at compaction must not leave ghost stats behind)
+    val live = files.toSet
+    val carriedStats = currentLines
+      .filter(_.startsWith(StatsPrefix))
+      .filter(l => statsLineFile(l).exists(live))
+    writeFile(f, tmp, (tags ++ carriedStats ++ newStats ++ files).mkString("\n"))
     if (!f.rename(tmp, new Path(manifestDir(base), name)))
       throw new java.io.IOException(
         s"snapshot commit conflict: version $name already exists under $base")
   }
 
   /** Replace the whole table with `df` (dim-snapshot swap, full
-    * compaction). */
+    * compaction). `statsCols` opts the commit into per-file min/max
+    * recording for those (numeric) columns. */
   def commitReplace(spark: SparkSession, base: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil): Unit =
-    commitManifest(spark, base, stageWrite(spark, base, df, partitionBy))
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
+    val staged = stageWrite(spark, base, df, partitionBy)
+    commitManifest(spark, base, staged,
+      newStats = computeStats(spark, base, staged, statsCols))
+  }
 
   /** Append `df` to the table. Atomic for readers too: the batch's
     * files appear all-at-once at manifest publish, never half-written.
@@ -225,10 +247,13 @@ object SnapshotStore {
     * IDEMPOTENT: a replay of an already-committed tag is a no-op —
     * exactly-once landing on top of an at-least-once sink. */
   def commitAppend(spark: SparkSession, base: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil, tag: Option[String] = None): Unit = {
+      partitionBy: Seq[String] = Nil, tag: Option[String] = None,
+      statsCols: Seq[String] = Nil): Unit = {
     if (tag.exists(hasTag(spark, base, _))) return
     val existing = listFiles(spark, base)
-    commitManifest(spark, base, existing ++ stageWrite(spark, base, df, partitionBy), tag)
+    val staged = stageWrite(spark, base, df, partitionBy)
+    commitManifest(spark, base, existing ++ staged, tag,
+      newStats = computeStats(spark, base, staged, statsCols))
   }
 
   /** Replace exactly one partition's files with `df` (which must be the
@@ -236,10 +261,104 @@ object SnapshotStore {
     * the partition-scoped compaction path — closed partitions commit
     * without touching the rest of the table. */
   def commitReplacePartition(spark: SparkSession, base: String, df: DataFrame,
-      partitionCol: String, partitionValue: String): Unit = {
+      partitionCol: String, partitionValue: String,
+      statsCols: Seq[String] = Nil): Unit = {
     val kept = listFiles(spark, base)
       .filterNot(_.startsWith(s"$partitionCol=$partitionValue/"))
-    commitManifest(spark, base, kept ++ stageWrite(spark, base, df, Seq(partitionCol)))
+    val staged = stageWrite(spark, base, df, Seq(partitionCol))
+    commitManifest(spark, base, kept ++ staged,
+      newStats = computeStats(spark, base, staged, statsCols))
+  }
+
+  // ---- per-file column statistics (data skipping) -------------------------
+
+  private val StatsPrefix = "#stats="
+
+  private def statsLineFile(line: String): Option[String] =
+    line.stripPrefix(StatsPrefix).split("\t", 2).headOption
+
+  /** Min/max per column for the new files, as manifest `#stats=` lines.
+    * One aggregate over JUST the staged batch (grouped by physical
+    * file), collected as one row PER NEW FILE — manifest-scale
+    * metadata, the same order of driver-side state as the manifest
+    * write itself, never proportional to the table. Values are widened
+    * one ulp each way so the double encoding can never round a true
+    * boundary out of its own file (longs past 2^53). Null-only columns
+    * are omitted (the file is then always read for them). */
+  private def computeStats(spark: SparkSession, base: String,
+      newRels: Seq[String], statsCols: Seq[String]): Seq[String] = {
+    if (statsCols.isEmpty || newRels.isEmpty) return Nil
+    val abs = newRels.map(r => s"${dataDir(base)}/$r")
+    val df = spark.read.option("basePath", dataDir(base)).parquet(abs: _*)
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"__min_$c"),
+      max(col(c)).cast("double").as(s"__max_$c")))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    rows.toSeq.flatMap { r =>
+      newRels.find(rel => r.getString(0).endsWith(rel)).map { rel =>
+        val parts = statsCols.flatMap { c =>
+          (Option(r.getAs[java.lang.Double](s"__min_$c")),
+            Option(r.getAs[java.lang.Double](s"__max_$c"))) match {
+            case (Some(lo), Some(hi)) =>
+              Some(s"$c=${Math.nextDown(lo.doubleValue)},${Math.nextUp(hi.doubleValue)}")
+            case _ => None
+          }
+        }
+        s"$StatsPrefix$rel\t${parts.mkString(";")}"
+      }
+    }
+  }
+
+  /** Recorded per-file stats of the live snapshot:
+    * rel path → column → (min, max). Files or columns without recorded
+    * stats are simply absent. */
+  def fileStats(spark: SparkSession, base: String): Map[String, Map[String, (Double, Double)]] =
+    currentManifest(spark, base).toSeq
+      .flatMap(m => manifestLines(spark, base, m))
+      .filter(_.startsWith(StatsPrefix))
+      .flatMap { line =>
+        line.stripPrefix(StatsPrefix).split("\t", 2) match {
+          case Array(rel, spec) =>
+            val cols = spec.split(";").iterator.filter(_.nonEmpty).flatMap { p =>
+              p.split("=", 2) match {
+                case Array(c, mm) => mm.split(",", 2) match {
+                  case Array(lo, hi) => Some(c -> (lo.toDouble, hi.toDouble))
+                  case _ => None
+                }
+                case _ => None
+              }
+            }.toMap
+            Some(rel -> cols)
+          case _ => None
+        }
+      }.toMap
+
+  /** Live-snapshot files whose recorded [min,max] for `column`
+    * intersects [lo, hi]; files without stats for the column are
+    * conservatively kept. Pure manifest metadata — no data IO. */
+  def pruneFiles(spark: SparkSession, base: String, column: String,
+      lo: Double, hi: Double): Seq[String] = {
+    val st = fileStats(spark, base)
+    listFiles(spark, base).filter { f =>
+      st.get(f).flatMap(_.get(column)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+  }
+
+  /** Range read with file skipping: only files surviving [[pruneFiles]]
+    * are opened (parquet row-group pushdown then prunes further inside
+    * them), and the row-level filter is applied on top so the result is
+    * EXACTLY the full-scan filter's. None when every file was skipped. */
+  def readRange(spark: SparkSession, base: String, column: String,
+      lo: Double, hi: Double): Option[DataFrame] = {
+    val files = pruneFiles(spark, base, column, lo, hi)
+    if (files.isEmpty) None
+    else Some(spark.read.option("basePath", dataDir(base))
+      .parquet(files.map(f => s"${dataDir(base)}/$f"): _*)
+      .filter(col(column) >= lo && col(column) <= hi))
   }
 
   // ---- retention ----------------------------------------------------------

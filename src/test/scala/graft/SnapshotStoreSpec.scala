@@ -236,4 +236,46 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(failure.get() === null, s"concurrent dim reader failed: ${failure.get()}")
     assert(graft.dim.ContentDim.snapshot(spark, base).count() === 16)
   }
+
+  test("file stats skip non-matching files; result equals the full-scan filter") {
+    val base = tmp("ss-skip")
+    val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
+      .repartitionByRange(8, col("id"))
+    SnapshotStore.commitReplace(spark, base, df, statsCols = Seq("id"))
+    val all = SnapshotStore.listFiles(spark, base)
+    assert(all.size === 8)
+    assert(SnapshotStore.fileStats(spark, base).size === 8)
+    // a narrow range must hit a strict subset of the files — pure
+    // manifest metadata decides, no data IO
+    val pruned = SnapshotStore.pruneFiles(spark, base, "id", 100, 130)
+    assert(pruned.size <= 2, s"skipping ineffective: ${pruned.size} of 8 files")
+    // and the skipping read returns exactly the full-scan filter's rows
+    val out = SnapshotStore.readRange(spark, base, "id", 100, 130).get
+    assert(out.select("id").collect().map(_.getLong(0)).toSet === (100L to 130L).toSet)
+    // a range outside the table skips every file
+    assert(SnapshotStore.readRange(spark, base, "id", 5000, 6000).isEmpty)
+    // a column without stats is conservatively unpruned
+    assert(SnapshotStore.pruneFiles(spark, base, "v", 0, 0).size === 8)
+  }
+
+  test("file stats carry forward with their files across appends") {
+    val base = tmp("ss-skip-carry")
+    SnapshotStore.commitReplace(spark, base,
+      spark.range(0, 500).toDF("id").repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    SnapshotStore.commitAppend(spark, base,
+      spark.range(500, 1000).toDF("id").repartitionByRange(4, col("id")),
+      statsCols = Seq("id"))
+    assert(SnapshotStore.listFiles(spark, base).size === 8)
+    assert(SnapshotStore.fileStats(spark, base).size === 8) // old stats carried
+    val lowFiles = SnapshotStore.pruneFiles(spark, base, "id", 0, 10)
+    val highFiles = SnapshotStore.pruneFiles(spark, base, "id", 990, 999)
+    assert(lowFiles.size === 1 && highFiles.size === 1)
+    assert(lowFiles.toSet.intersect(highFiles.toSet).isEmpty)
+    // stats die with their files: replacing the table drops old lines
+    SnapshotStore.commitReplace(spark, base,
+      spark.range(0, 10).toDF("id"), statsCols = Seq("id"))
+    val st = SnapshotStore.fileStats(spark, base)
+    assert(st.keySet === SnapshotStore.listFiles(spark, base).toSet)
+  }
 }
