@@ -987,6 +987,16 @@ SELECT doc_id, lang, ${Corpus.splitAssignSql("doc_id")} AS split, n_tok, start_t
       Some(graft.similarity.Ann.ivfTopKOracle("vec_id < 20", k = 5,
         nCentroids = 16, nProbe = 2, kmeansIters = 5, dim = 64))),
 
+    // Product quantization (the IVF-PQ compression rung): 4 subspaces
+    // of 16 dims, each with its own deterministic 8-entry k-means
+    // codebook; every vector becomes 4 small codes. The oracle replays
+    // all 4 fits bit-for-bit (same machinery as the IVF oracle).
+    GraftQuery("q_pq_codes",
+      (s, dir) => graft.similarity.Pq.codes(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        m = 4, k = 8, iters = 2, dim = 64),
+      Some(graft.similarity.Pq.codesOracle(m = 4, k = 8, iters = 2, dim = 64))),
+
     // ---- embeddings: vector math ------------------------------------------
 
     // ---- near-duplicate ladder over documents -----------------------------

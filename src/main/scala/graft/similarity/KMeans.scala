@@ -135,23 +135,31 @@ object KMeans {
 
   /** Sequential-fold dot product (DuckDB list_sum == Spark aggregate()
     * left fold, bit-for-bit — validated by the MinHash/ANN oracles). */
-  private def dotSql(a: String, b: String): String =
+  private[similarity] def dotSql(a: String, b: String): String =
     s"list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)])"
 
   /** CTEs replaying fit() bit-for-bit over table `embeddings`
     * (vec_id, embedding). Emits CTEs `e` (corpus) and `cents_$iters`
     * (cent_id, cv, cnrm) — the final trained centroids. */
-  def oracleCtes(k: Int, iters: Int, dim: Int): String = {
+  def oracleCtes(k: Int, iters: Int, dim: Int): String =
+    "WITH " + ctes(k, iters, dim)
+
+  /** The CTE list of [[oracleCtes]] WITHOUT the WITH keyword, with every
+    * CTE name prefixed — composable, so one query can replay several
+    * independent fits (the PQ oracle trains one codebook per subspace).
+    * `vecSql` is the DOUBLE[]-typed vector expression to cluster. */
+  def ctes(k: Int, iters: Int, dim: Int, prefix: String = "",
+      vecSql: String = "CAST(embedding AS DOUBLE[])"): String = {
     val cos = s"CASE WHEN e.nrm > 0 AND c.cnrm > 0 THEN ${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm) END"
     val sb = new StringBuilder
-    sb ++= s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(${dotSql("CAST(embedding AS DOUBLE[])", "CAST(embedding AS DOUBLE[])")}) AS nrm FROM embeddings),
-cents_0 AS (SELECT CAST(row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS INTEGER) AS cent_id, v AS cv, nrm AS cnrm FROM (SELECT vec_id, v, nrm, CAST('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS h FROM e ORDER BY h ASC, vec_id ASC LIMIT $k))"""
+    sb ++= s"""${prefix}e AS (SELECT vec_id, $vecSql AS v, sqrt(${dotSql(vecSql, vecSql)}) AS nrm FROM embeddings),
+${prefix}cents_0 AS (SELECT CAST(row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS INTEGER) AS cent_id, v AS cv, nrm AS cnrm FROM (SELECT vec_id, v, nrm, CAST('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS h FROM ${prefix}e ORDER BY h ASC, vec_id ASC LIMIT $k))"""
     for (t <- 1 to iters) {
       val p = t - 1
       sb ++= s""",
-assign_$t AS (SELECT vec_id, v, cent_id FROM (SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM e, cents_$p c) WHERE rn = 1),
-means_$t AS (SELECT cent_id, j, CAST(sum(CAST(floor(v[j]*$QuantScale + 0.5) AS BIGINT)) AS DOUBLE) / (count(*)*$QuantScale) AS x FROM assign_$t, (SELECT unnest(range(1, ${dim + 1})) AS j) GROUP BY cent_id, j),
-cents_$t AS (SELECT c.cent_id, coalesce(m.cv, c.cv) AS cv, sqrt(${dotSql("coalesce(m.cv, c.cv)", "coalesce(m.cv, c.cv)")}) AS cnrm FROM cents_$p c LEFT JOIN (SELECT cent_id, list(x ORDER BY j ASC) AS cv FROM means_$t GROUP BY cent_id) m ON c.cent_id = m.cent_id)"""
+${prefix}assign_$t AS (SELECT vec_id, v, cent_id FROM (SELECT e.vec_id, e.v, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM ${prefix}e e, ${prefix}cents_$p c) WHERE rn = 1),
+${prefix}means_$t AS (SELECT cent_id, j, CAST(sum(CAST(floor(v[j]*$QuantScale + 0.5) AS BIGINT)) AS DOUBLE) / (count(*)*$QuantScale) AS x FROM ${prefix}assign_$t, (SELECT unnest(range(1, ${dim + 1})) AS j) GROUP BY cent_id, j),
+${prefix}cents_$t AS (SELECT c.cent_id, coalesce(m.cv, c.cv) AS cv, sqrt(${dotSql("coalesce(m.cv, c.cv)", "coalesce(m.cv, c.cv)")}) AS cnrm FROM ${prefix}cents_$p c LEFT JOIN (SELECT cent_id, list(x ORDER BY j ASC) AS cv FROM ${prefix}means_$t GROUP BY cent_id) m ON c.cent_id = m.cent_id)"""
     }
     sb.toString
   }

@@ -95,6 +95,38 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall over ${exact.size} exact results")
   }
 
+  test("PQ codes: in-range, deterministic, and same-cluster vectors agree") {
+    import spark.implicits._
+    val dim = 16
+    def rnd(i: Long, j: Int): Double =
+      (((i * 1315423911L + j * 2654435761L) & 0xffffL).toDouble / 32768.0) - 1.0
+    val centers = Array.tabulate(4, dim)((c, j) => rnd(c * 977L, j) * 10.0)
+    val rows = for { c <- 0 until 4; m <- 0 until 20 } yield {
+      val id = (c * 20 + m).toLong
+      (id, Array.tabulate(dim)(j => (centers(c)(j) + rnd(id + 7919L, j) * 0.2).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val m = 2; val k = 4
+    val out = graft.similarity.Pq.codes(emb, col("vec_id"), col("embedding"),
+      m = m, k = k, iters = 3, dim = dim)
+    val got = out.collect().map(r =>
+      r.getLong(0) -> (0 until m).map(i => r.getInt(i + 1))).toMap
+    assert(got.size === rows.size)
+    assert(got.values.forall(_.forall(c => c >= 0 && c < k)))
+    // tightly planted clusters collapse to one code word per cluster
+    // in (nearly) every subspace
+    val agree = (0 until 4).count { c =>
+      val cluster = (0 until 20).map(mm => got((c * 20 + mm).toLong))
+      cluster.distinct.size == 1
+    }
+    assert(agree >= 3, s"only $agree/4 planted clusters code-collapsed")
+    // deterministic re-run
+    val again = graft.similarity.Pq.codes(emb, col("vec_id"), col("embedding"),
+      m = m, k = k, iters = 3, dim = dim)
+      .collect().map(r => r.getLong(0) -> (0 until m).map(i => r.getInt(i + 1))).toMap
+    assert(again === got)
+  }
+
   test("approx_count_distinct sketch lands within 10% of exact") {
     // the query itself now emits the accuracy boolean (oracle-checked:
     // the DuckDB side emits TRUE, so a drifting sketch hash-mismatches)
