@@ -166,4 +166,23 @@ class PlanSpec extends SparkSpec {
     // sanity: no sort-based aggregation crept into the hash path
     assert(!p.contains("SortAggregate"), "minhash must stay hash/map based")
   }
+
+  test("q_decontaminate: eval grams broadcast — the corpus side never sort-merges") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "gram match must broadcast the (small) eval side, not shuffle the corpus:\n" +
+        p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q_unigram_logprob: vocab count is partial+final hash aggregation") {
+    val p = plan("q_unigram_logprob")
+    // map-side combine on the token explode: partial_count before the
+    // exchange, merge/final after — the shuffle carries vocabulary
+    // volume, not corpus volume
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(3000))
+    assert(!p.contains("SortAggregate"), "vocab agg must stay hash-based")
+  }
 }
