@@ -28,16 +28,25 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     substring(md5(normText(c)), 1, 16)
 
+  /** Evaluate `arr` ONCE per row and build a derived column from the
+    * bound value. Column expressions have no let-binding, so a lambda
+    * that references its own input expression re-evaluates that
+    * expression per element — for a regex-split token array inside a
+    * per-gram transform that is an O(n²)-work trap (measured 5× on the
+    * shingle path). Wrapping the input as a 1-element array and
+    * transforming binds it to a lambda VARIABLE, evaluated once. */
+  def bindOnce(arr: Column)(f: Column => Column): Column =
+    element_at(transform(array(arr), f), 1)
+
   /** Word n-gram shingles of the token array (distinct), for Jaccard /
     * MinHash. n >= 1; documents shorter than n tokens yield the whole
     * text as a single shingle so they can still bucket. */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    array_distinct(grams)
-  }
+  def shingles(c: Column, n: Int): Column =
+    bindOnce(tokens(c)) { toks =>
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
 
   /** Stopword regex per language for the language-ID heuristic. */
   val langStopwords: Seq[(String, String)] = Seq(

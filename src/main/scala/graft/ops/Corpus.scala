@@ -117,15 +117,16 @@ SELECT doc_id, n_tok, start_tok, CAST(floor(start_tok / $seqLen.0) AS BIGINT) AS
   /** Intra-document repetition ratio over word n-grams (a Gopher-style
     * repetition quality signal): 1 - distinct/total n-grams, in
     * portable floor-form at 4 decimals. Pure per-row map. */
-  def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val toks = TextFunctions.tokens(text)
-    val grams = transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    val total = size(grams).cast("double")
-    val distinctN = size(array_distinct(grams)).cast("double")
-    floor((lit(1.0) - distinctN / total) * lit(10000.0) + lit(0.5)) / lit(10000.0)
-  }
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    TextFunctions.bindOnce(TextFunctions.tokens(text)) { toks =>
+      TextFunctions.bindOnce(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n))))) { grams =>
+        val total = size(grams).cast("double")
+        val distinctN = size(array_distinct(grams)).cast("double")
+        floor((lit(1.0) - distinctN / total) * lit(10000.0) + lit(0.5)) / lit(10000.0)
+      }
+    }
 
   /** DuckDB replica of [[repetitionRatio]] for table `documents`. */
   def repetitionRatioSql(n: Int = 3): String =

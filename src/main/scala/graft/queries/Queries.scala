@@ -794,14 +794,16 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         Decontaminate.overlap(d, col("doc_id"), col("text"),
           eval, col("eval_text"), n = 5)
       },
-      Some(Decontaminate.oracleSql("doc_id % 20 = 0", 10, n = 5))),
+      Some(Decontaminate.oracleSql("doc_id % 20 = 0", 10, n = 5)),
+      headline = true),
 
     // Corpus-trained unigram LM quality signal: mean token log-prob per
     // document, per-token log-probs quantized to exact BIGINTs so the
     // sum is order-independent across engines.
     GraftQuery("q_unigram_logprob",
       (s, dir) => UnigramLm.scoreDocs(docs(s, dir), col("doc_id"), col("text")),
-      Some(UnigramLm.oracleSql)),
+      Some(UnigramLm.oracleSql),
+      headline = true),
 
     // Min/max file-stats data skipping: a range-partitioned snapshot
     // commit records per-file stats in the manifest; the range read
