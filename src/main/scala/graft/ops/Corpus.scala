@@ -114,6 +114,50 @@ object Corpus {
 c AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t)
 SELECT doc_id, n_tok, start_tok, CAST(floor(start_tok / $seqLen.0) AS BIGINT) AS first_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / $seqLen.0) AS BIGINT) AS last_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / $seqLen.0) AS BIGINT) - CAST(floor(start_tok / $seqLen.0) AS BIGINT) + 1 AS n_seqs FROM c"""
 
+  /** Domain-mixing rates — the planning step of a target-mixture
+    * corpus build (the DoReMi/Pile-style "x% web, y% code, z% books"
+    * recipe): given target token SHARES per stratum, compute the
+    * per-stratum acceptance rate that realizes the mixture exactly at
+    * the maximum achievable budget. budget = min_s(tokens_s / share_s)
+    * (the binding stratum samples at rate 1.0; every other stratum
+    * down-samples to keep the ratio). Feed the rates into
+    * [[sampleKeep]] for the deterministic apply step.
+    *
+    * One groupBy(stratum) aggregate (map-side combine, stratum
+    * cardinality is tiny) plus a one-row broadcast scalar — the corpus
+    * itself is never shuffled. Rates are floor-rounded at 6 decimals
+    * for cross-engine hash parity. */
+  def mixtureRates(docs: DataFrame, stratum: Column, nTokens: Column,
+      shares: Seq[(String, Double)]): DataFrame = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0))
+    val t = docs.select(stratum.as("stratum"), nTokens.cast(LongType).as("n_tok"))
+      .groupBy(col("stratum")).agg(sum(col("n_tok")).as("tokens"))
+    val shareCol = shares.foldRight(lit(null).cast("double")) {
+      case ((k, v), acc) => when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    val w = t.withColumn("target_share", shareCol)
+      .filter(col("target_share").isNotNull)
+    val budget = w.agg(
+      min(col("tokens").cast("double") / col("target_share")).as("budget"))
+    w.crossJoin(broadcast(budget))
+      .select(col("stratum"), col("tokens"), col("target_share"),
+        (floor(least(lit(1.0),
+          col("target_share") * col("budget") / col("tokens").cast("double"))
+          * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("rate"))
+  }
+
+  /** DuckDB replica of [[mixtureRates]] over table `documents` with a
+    * column-name stratum and whitespace token counts. */
+  def mixtureRatesOracleSql(stratumCol: String, shares: Seq[(String, Double)]): String = {
+    val caseArms = shares.map { case (k, v) =>
+      s"WHEN '${k.replace("'", "''")}' THEN CAST($v AS DOUBLE)"
+    }.mkString(" ")
+    raw"""WITH t AS (SELECT $stratumCol AS stratum, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens FROM documents GROUP BY 1),
+w AS (SELECT stratum, tokens, CASE stratum $caseArms ELSE NULL END AS target_share FROM t WHERE CASE stratum $caseArms ELSE NULL END IS NOT NULL),
+b AS (SELECT min(CAST(tokens AS DOUBLE) / target_share) AS budget FROM w)
+SELECT stratum, tokens, target_share, floor(least(1.0, target_share * budget / CAST(tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rate FROM w, b"""
+  }
+
   /** Intra-document repetition ratio over word n-grams (a Gopher-style
     * repetition quality signal): 1 - distinct/total n-grams, in
     * portable floor-form at 4 decimals. Pure per-row map. */

@@ -62,6 +62,10 @@ object Queries {
   /** Per-lang keep rates for the stratified-sample query. */
   private val stratRates = Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.05)
 
+  /** Target token shares for the domain-mixture query. */
+  private val mixShares = Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2,
+    "fr" -> 0.1, "zh" -> 0.1)
+
   /** Planted contact string for the PII/URL queries: the synthetic
     * corpus carries no PII, so both engines append the identical
     * email/phone/IP/URL text and the redaction/extraction itself is
@@ -825,6 +829,15 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
           .select(col("doc_id"), col("lang"), col("source"))
       },
       Some("SELECT doc_id, lang, source FROM documents WHERE doc_id >= 200 AND doc_id <= 350")),
+
+    // Domain-mixture planning: per-lang token counts vs target shares →
+    // the acceptance rates realizing the mixture at the max achievable
+    // budget (binding stratum at rate 1.0). One tiny aggregate + a
+    // one-row broadcast; the corpus never shuffles.
+    GraftQuery("q_mix_weights",
+      (s, dir) => Corpus.mixtureRates(docs(s, dir), col("lang"),
+        TextFunctions.tokenCount(col("text")), mixShares),
+      Some(Corpus.mixtureRatesOracleSql("lang", mixShares))),
 
     // Gopher-style intra-document repetition signal: 1 - distinct/total
     // word trigrams, floor-form at 4 decimals.

@@ -98,6 +98,28 @@ class RetrievalCorpusSpec extends SparkSpec {
     assert(out(4L) == (0L, false), "4-token overlap must not trip a 5-gram gate")
   }
 
+  test("mixture rates realize the target shares at the max achievable budget") {
+    val docs = Seq(
+      (1L, "en", "a " * 999 + "a"),   // en: 1000 tokens
+      (2L, "de", "b " * 299 + "b"),   // de: 300
+      (3L, "zh", "c " * 99 + "c"))    // zh: 100
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ops.Corpus.mixtureRates(docs, col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")),
+        Seq("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // budget = min(1000/0.5, 300/0.3, 100/0.2) = 500 → binding stratum zh
+    assert(out("zh")._3 === 1.0)           // binding stratum keeps all
+    assert(out("en")._3 === 0.25)          // 0.5*500/1000
+    assert(out("de")._3 === 0.5)           // 0.3*500/300
+    // realized mixture: rate_s * tokens_s / budget == share_s exactly
+    val budget = 500.0
+    out.foreach { case (_, (toks, share, rate)) =>
+      assert(math.abs(rate * toks / budget - share) < 1e-4)
+    }
+  }
+
   test("unigram LM: corpus-typical doc scores above rare-token doc") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
