@@ -360,4 +360,38 @@ class StreamingSpec extends SparkSpec {
       assert(expired === 1L)
     } finally { q.stop() }
   }
+
+  test("streaming corpus ingest: gate + cross-batch dedup + exactly-once landing") {
+    val base = tmp("ingest-store") + "/t"
+    val goodText = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river where it drinks in the morning light of a calm day"
+    val otherText = "a completely different document about streams of data " +
+      "and the engines that process them for training large models today"
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", tmp("ingest-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.CorpusIngest.ingestBatch(spark, base, batch, id)
+      }
+      .start()
+    try {
+      // batch 0: a good doc, its in-batch duplicate, and garbage
+      in.addData((1L, goodText), (2L, goodText), (3L, "%%% !!!"))
+      q.processAllAvailable()
+      val s1 = graft.sinks.SnapshotStore.read(spark, base).get
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(s1 === Set(1L), s"batch 0 landed $s1")
+      // batch 1: a cross-batch duplicate of doc 1 plus one new doc
+      in.addData((4L, goodText), (5L, otherText))
+      q.processAllAvailable()
+      val s2 = graft.sinks.SnapshotStore.read(spark, base).get
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(s2 === Set(1L, 5L), s"batch 1 landed $s2")
+      // replay of an already-committed batch id is a no-op (the tag)
+      graft.streaming.CorpusIngest.ingestBatch(spark, base,
+        Seq((5L, otherText)).toDF("doc_id", "text"), batchId = 1L)
+      assert(graft.sinks.SnapshotStore.read(spark, base).get.count() === 2L)
+    } finally { q.stop() }
+  }
 }
