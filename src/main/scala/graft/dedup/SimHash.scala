@@ -22,11 +22,14 @@ object SimHash {
   val Chunks = 4            // supports maxHamming <= 3 by pigeonhole
   val ChunkBits: Int = Bits / Chunks
 
-  /** The 60-bit simhash of a text column, as one BIGINT expression. */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => TextFunctions.md5Long(t))
-    simhashOfHashes(hashes)
-  }
+  /** The 60-bit simhash of a text column, as one BIGINT expression.
+    * The token-hash array is bound once ([[TextFunctions.bindOnce]]) —
+    * the 60 per-bit folds reference a lambda variable, not 60 copies of
+    * the tokenize+md5 tree. */
+  def simhash(text: Column): Column =
+    TextFunctions.bindOnce(
+      transform(TextFunctions.tokens(text), t => TextFunctions.md5Long(t)))(
+      simhashOfHashes)
 
   /** Materialize token hashes once, then fold 60 per-bit scores. */
   private def simhashOfHashes(hashes: Column): Column =

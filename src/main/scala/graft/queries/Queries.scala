@@ -1122,16 +1122,26 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
     // in portable floor-form.
     GraftQuery("q_embedding_quantize",
       (s, dir) => {
-        val v = col("embedding").cast("array<double>")
-        val scale = array_max(transform(v, x => abs(x)))
-        val quant = transform(v, x => floor(x / scale * 127 + lit(0.5)))
-        val err = array_max(zip_with(v, quant,
-          (x, q) => abs(x - q * scale / 127)))
-        Tables.embeddings(s, dir).select(col("vec_id"),
-          when(scale > 0, floor(err * lit(1e6) + lit(0.5)).cast("long"))
-            .otherwise(lit(0L)).as("max_err_millionths"),
-          when(scale > 0, floor(scale * lit(1e6) + lit(0.5)).cast("long"))
-            .otherwise(lit(0L)).as("scale_millionths"))
+        // scale and quant are bound once per row (bindOnce) — inlining
+        // the scale tree into the per-element lambdas would re-reduce
+        // the whole vector per component (O(d²) per row)
+        val out = TextFunctions.bindOnce(col("embedding").cast("array<double>")) { v =>
+          TextFunctions.bindOnce(array_max(transform(v, x => abs(x)))) { scale =>
+            TextFunctions.bindOnce(
+              transform(v, x => floor(x / scale * 127 + lit(0.5)))) { quant =>
+              val err = array_max(zip_with(v, quant,
+                (x, q) => abs(x - q * scale / 127)))
+              struct(
+                when(scale > 0, floor(err * lit(1e6) + lit(0.5)).cast("long"))
+                  .otherwise(lit(0L)).as("max_err_millionths"),
+                when(scale > 0, floor(scale * lit(1e6) + lit(0.5)).cast("long"))
+                  .otherwise(lit(0L)).as("scale_millionths"))
+            }
+          }
+        }
+        Tables.embeddings(s, dir).select(col("vec_id"), out.as("o"))
+          .select(col("vec_id"), col("o.max_err_millionths"),
+            col("o.scale_millionths"))
       },
       Some("""SELECT vec_id, CASE WHEN scale > 0 THEN CAST(floor(list_max(list_transform(range(1, len(v)+1), i -> abs(v[i] - floor(v[i]/scale*127 + 0.5) * scale / 127))) * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS max_err_millionths, CASE WHEN scale > 0 THEN CAST(floor(scale * 1e6 + 0.5) AS BIGINT) ELSE 0 END AS scale_millionths FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))""")),
 
