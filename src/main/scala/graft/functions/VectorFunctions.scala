@@ -25,11 +25,14 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; null when either norm is 0. */
-  def cosine(a: Column, b: Column): Column = {
-    val na = norm(a)
-    val nb = norm(b)
-    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
-      .otherwise(lit(null).cast(DoubleType))
-  }
+  /** Cosine similarity; null when either norm is 0. Norms are bound
+    * once (each appears in both the guard and the division — inlined,
+    * each would fold its whole array twice). */
+  def cosine(a: Column, b: Column): Column =
+    TextFunctions.bindOnce(norm(a)) { na =>
+      TextFunctions.bindOnce(norm(b)) { nb =>
+        when(na > 0 && nb > 0, dot(a, b) / (na * nb))
+          .otherwise(lit(null).cast(DoubleType))
+      }
+    }
 }

@@ -45,6 +45,46 @@ object Decontaminate {
         (coalesce(col("n_hit"), lit(0L)) >= minHits).as("contaminated"))
   }
 
+  /** Cross-document duplication rate — the RefinedWeb-style corpus
+    * health signal: for each document, the fraction of its distinct
+    * n-grams that also occur in at least one OTHER document. High rates
+    * mark boilerplate/template families that survive document-level
+    * dedup. Output: (doc_id, n_grams, n_dup, dup_rate) with dup_rate
+    * floor-rounded at 4 decimals.
+    *
+    * Unlike [[overlap]] there is no small side to broadcast — the gram
+    * document-frequency table is corpus-sized, so this is the one
+    * honest corpus-volume shuffle in the text ladder: gram DF with
+    * map-side partial aggregation, then a key-partitioned join of the
+    * exploded grams against the df>1 subset, re-aggregated per doc.
+    * Hot grams are exactly what AQE skew-split handles. */
+  def gramDupRate(docs: DataFrame, id: Column, text: Column,
+      n: Int = 5): DataFrame = {
+    val base = docs.select(id.as("doc_id"),
+      TextFunctions.shingles(text, n).as("sh"))
+    val grams = base.select(col("doc_id"), explode(col("sh")).as("gram"))
+    // grams are distinct within a doc, so count(*) is the doc frequency
+    val gdf = grams.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val hits = grams.join(gdf.filter(col("df") > 1), "gram")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    base.select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (floor(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams")
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("dup_rate"))
+  }
+
+  /** DuckDB replica of [[gramDupRate]] over table `documents`. */
+  def gramDupRateOracleSql(n: Int = 5): String =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+sh AS (SELECT doc_id, ${shinglesSql("toks", n)} AS sh FROM toks),
+dg AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+gdf AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM dg GROUP BY gram),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM dg JOIN gdf USING (gram) WHERE df > 1 GROUP BY doc_id)
+SELECT s.doc_id, CAST(len(s.sh) AS BIGINT) AS n_grams, CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup, floor(CAST(coalesce(h.n_dup, 0) AS DOUBLE) / len(s.sh) * 10000.0 + 0.5) / 10000.0 AS dup_rate
+FROM sh s LEFT JOIN hits h ON s.doc_id = h.doc_id"""
+
   /** DuckDB shingle expression matching [[TextFunctions.shingles]] over
     * a token-array SQL expression (distinct word n-grams; shorter-than-n
     * docs yield the whole text as one shingle). */

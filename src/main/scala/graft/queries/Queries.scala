@@ -801,6 +801,15 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       Some(Decontaminate.oracleSql("doc_id % 20 = 0", 10, n = 5)),
       headline = true),
 
+    // Cross-document duplication rate: fraction of each doc's 5-grams
+    // occurring in any other doc — the boilerplate/template signal
+    // document-level dedup misses. The one honest corpus-volume shuffle
+    // in the text ladder (gram DF with map-side partials).
+    GraftQuery("q_gram_dup_rate",
+      (s, dir) => Decontaminate.gramDupRate(docs(s, dir), col("doc_id"),
+        col("text"), n = 5),
+      Some(Decontaminate.gramDupRateOracleSql(n = 5))),
+
     // Corpus-trained unigram LM quality signal: mean token log-prob per
     // document, per-token log-probs quantized to exact BIGINTs so the
     // sum is order-independent across engines.

@@ -98,6 +98,22 @@ class RetrievalCorpusSpec extends SparkSpec {
     assert(out(4L) == (0L, false), "4-token overlap must not trip a 5-gram gate")
   }
 
+  test("gram dup rate: shared boilerplate scores high, unique docs zero") {
+    val boiler = (0 until 10).map(k => s"template$k").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler unique alpha ending one"),
+      (2L, s"$boiler unique beta ending two"),
+      (3L, "entirely original words that appear nowhere else at all today"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.Decontaminate.gramDupRate(docs, col("doc_id"), col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(3L)._3 === 0.0)
+    // docs 1 and 2 share the 6 all-template 5-grams of the 10-token
+    // prefix plus the 7th gram ending at the common token "unique"
+    assert(out(1L)._2 === 7L && out(2L)._2 === 7L, out.toString)
+    assert(out(1L)._3 > 0.5)
+  }
+
   test("mixture rates realize the target shares at the max achievable budget") {
     val docs = Seq(
       (1L, "en", "a " * 999 + "a"),   // en: 1000 tokens
