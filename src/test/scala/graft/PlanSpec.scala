@@ -177,6 +177,19 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_mix_weights: one tiny aggregate + broadcast scalar, no sort-merge join") {
+    val p = plan("q_mix_weights")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "budget scalar must broadcast:\n" + p.take(2000))
+  }
+
+  test("q_gram_dup_rate: gram DF aggregates with map-side partials") {
+    val p = plan("q_gram_dup_rate")
+    assert(p.contains("partial_count") || p.contains("Partial"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q_unigram_logprob: vocab count is partial+final hash aggregation") {
     val p = plan("q_unigram_logprob")
     // map-side combine on the token explode: partial_count before the
