@@ -125,4 +125,36 @@ object TextFunctions {
     * hashing (minhash, simhash). */
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** ln(2) literal shared by engine and oracle (base-2 entropy). */
+  val Ln2: Double = 0.6931471805599453
+
+  /** Shannon entropy of the character distribution in MICRO-bits, as an
+    * exact BIGINT — low values flag repeated-char/gibberish documents
+    * (a standard corpus quality gate). Each distinct character's
+    * -p·log2(p) term is quantized to an integer before summing, so the
+    * total is independent of the distinct-char enumeration order (which
+    * engines do NOT agree on) and of any parallel summation order.
+    * Pure per-row map; the character array and each p bind once. */
+  def charEntropyMicros(c: Column): Column =
+    bindOnce(filter(split(c, ""), ch => ch =!= lit(""))) { chars =>
+      bindOnce(size(chars).cast("double")) { n =>
+        aggregate(
+          transform(array_distinct(chars), ch =>
+            bindOnce(size(filter(chars, x => x === ch)).cast("double") / n) { p =>
+              floor((lit(0.0) - p * log(p)) / lit(Ln2) * lit(1000000.0)
+                + lit(0.5)).cast("long")
+            }),
+          lit(0L), (acc, x) => acc + x)
+      }
+    }
+
+  /** DuckDB replica of [[charEntropyMicros]] over table `documents` —
+    * same quantized terms, same exact integer sum. */
+  def charEntropyOracleSql: String = {
+    val cnt = "CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)"
+    s"""WITH cs AS (SELECT doc_id, list_filter(regexp_split_to_array(text, ''), x -> x <> '') AS chars FROM documents),
+b AS (SELECT doc_id, chars, CAST(len(chars) AS DOUBLE) AS n FROM cs)
+SELECT doc_id, CAST(coalesce(list_sum(list_transform(list_distinct(chars), c -> CAST(floor((0.0 - ($cnt / n) * ln($cnt / n)) / $Ln2 * 1000000.0 + 0.5) AS BIGINT))), 0) AS BIGINT) AS entropy_micros FROM b"""
+  }
 }

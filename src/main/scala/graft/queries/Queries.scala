@@ -801,6 +801,15 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       Some(Decontaminate.oracleSql("doc_id % 20 = 0", 10, n = 5)),
       headline = true),
 
+    // Character-distribution Shannon entropy (micro-bits, exact BIGINT):
+    // low entropy flags repeated-char/gibberish docs. Per-term integer
+    // quantization makes the sum independent of the distinct-char
+    // enumeration order, which engines do not agree on.
+    GraftQuery("q_char_entropy",
+      (s, dir) => docs(s, dir).select(col("doc_id"),
+        TextFunctions.charEntropyMicros(col("text")).as("entropy_micros")),
+      Some(TextFunctions.charEntropyOracleSql)),
+
     // Cross-document duplication rate: fraction of each doc's 5-grams
     // occurring in any other doc — the boilerplate/template signal
     // document-level dedup misses. The one honest corpus-volume shuffle

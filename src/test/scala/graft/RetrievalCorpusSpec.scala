@@ -98,6 +98,20 @@ class RetrievalCorpusSpec extends SparkSpec {
     assert(out(4L) == (0L, false), "4-token overlap must not trip a 5-gram gate")
   }
 
+  test("char entropy: zero for repeated char, 2 bits for uniform-4, ranks gibberish") {
+    val docs = Seq(
+      (1L, "aaaaaaaa"),           // one symbol → 0 bits
+      (2L, "abcdabcd"),           // uniform over 4 → exactly 2 bits
+      (3L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextFunctions.charEntropyMicros(col("text")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 0L)
+    assert(out(2L) === 2000000L, s"uniform-4 gave ${out(2L)}")
+    assert(out(3L) > 3000000L, s"natural text gave ${out(3L)}") // > 3 bits
+  }
+
   test("gram dup rate: shared boilerplate scores high, unique docs zero") {
     val boiler = (0 until 10).map(k => s"template$k").mkString(" ")
     val docs = Seq(
