@@ -27,9 +27,20 @@ object CorpusIngest {
   /** Land one micro-batch. `batch` must carry (doc_id, text, …); rows
     * below `minQuality` drop, byte-identical texts collapse to the min
     * doc_id, texts already in the store are skipped, and the append is
-    * idempotent under replays of the same `batchId`. */
+    * idempotent under replays of the same `batchId`.
+    *
+    * The against-the-store dedup runs behind a BLOOM PRE-FILTER
+    * ([[graft.functions.BloomFunctions]]): a compact bloom over the
+    * store's fingerprints broadcasts to the batch, rows the bloom has
+    * definitely never seen skip the anti-join entirely, and only the
+    * (rare) possible-duplicate rows pay the exact join — false
+    * positives are caught there, false negatives cannot occur. In
+    * steady state most of a batch is new, so the shuffle input shrinks
+    * to a sliver; at warehouse scale the bloom would be maintained
+    * incrementally rather than re-aggregated per batch. */
   def ingestBatch(spark: SparkSession, base: String, batch: DataFrame,
-      batchId: Long, minQuality: Double = 0.2): Unit = {
+      batchId: Long, minQuality: Double = 0.2,
+      bloomBits: Long = 1L << 22): Unit = {
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     val inBatch = batch
       .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
@@ -38,8 +49,23 @@ object CorpusIngest {
       .filter(col("__rn") === 1).drop("__rn")
     val fresh = SnapshotStore.read(spark, base) match {
       case Some(existing) =>
-        inBatch.join(existing.select(col("fp").as("__efp")),
-          col("fp") === col("__efp"), "left_anti")
+        graft.functions.BloomFunctions.register(spark)
+        // the bloom binary is the broadcast side by definition (a few
+        // hundred KB at the default sizing) — might_contain requires a
+        // constant filter, so it rides into the plan as a literal
+        val bfBytes = existing.agg(
+          expr(s"graft_bloom_agg(xxhash64(fp), CAST(${1L << 20} AS BIGINT), " +
+            s"CAST($bloomBits AS BIGINT))")).head.getAs[Array[Byte]](0)
+        if (bfBytes == null) inBatch // store holds zero rows
+        else {
+          val probed = inBatch.withColumn("__maybe",
+            call_function("graft_might_contain", lit(bfBytes), xxhash64(col("fp"))))
+          val definiteNew = probed.filter(!col("__maybe")).drop("__maybe")
+          val confirmedNew = probed.filter(col("__maybe")).drop("__maybe")
+            .join(existing.select(col("fp").as("__efp")),
+              col("fp") === col("__efp"), "left_anti")
+          definiteNew.unionByName(confirmedNew)
+        }
       case None => inBatch
     }
     SnapshotStore.commitAppend(spark, base, fresh, tag = Some(s"ingest-$batchId"))

@@ -116,4 +116,27 @@ class TextVectorSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted
     assert(survivors.toSeq === Seq(1L, 3L))
   }
+
+  test("bloom functions: no false negatives, mostly-true rejection of unseen keys") {
+    graft.functions.BloomFunctions.register(spark)
+    val seen = spark.range(0, 1000).toDF("k")
+    seen.createOrReplaceTempView("bloom_seen")
+    val bf = spark.sql(
+      "SELECT graft_bloom_agg(xxhash64(k), CAST(1000 AS BIGINT), CAST(65536 AS BIGINT)) AS bf FROM bloom_seen")
+    bf.createOrReplaceTempView("bloom_bf")
+    // every seen key must hit (no false negatives — the semi-join safety
+    // property CorpusIngest relies on); the filter must be a constant or
+    // scalar subquery, hence the (SELECT bf …) form
+    val misses = spark.sql(
+      """SELECT count(*) FROM bloom_seen
+         WHERE NOT graft_might_contain((SELECT bf FROM bloom_bf), xxhash64(k))""")
+      .head.getLong(0)
+    assert(misses === 0L)
+    // unseen keys are mostly rejected (bloom actually filters)
+    val fp = spark.sql(
+      """SELECT count(*) FROM (SELECT id + 100000 AS k FROM range(1000))
+         WHERE graft_might_contain((SELECT bf FROM bloom_bf), xxhash64(k))""")
+      .head.getLong(0)
+    assert(fp < 100L, s"false-positive count $fp of 1000")
+  }
 }
