@@ -237,6 +237,38 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(graft.dim.ContentDim.snapshot(spark, base).count() === 16)
   }
 
+  test("summing MV: incremental maintenance equals full recompute; replay is a no-op") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.DecimalType
+    val src = tmp("sum-src")
+    val mv = tmp("sum-mv")
+    val ck = tmp("sum-ck") + "/ck"
+    def partial(df: DataFrame): DataFrame = df.groupBy("k")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v").cast(DecimalType(28, 2))).as("s"))
+    def mergedMap() = graft.sinks.SummingStore
+      .read(spark, mv, Seq("k"), Seq("cnt", "s")).get
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue)).toMap
+
+    SnapshotStore.commitAppend(spark, src,
+      Seq(("a", 1.5), ("b", 2.0), ("a", 3.0)).toDF("k", "v"))
+    assert(graft.sinks.SummingStore.maintain(spark, src, ck, mv)(partial) === Some(0L))
+    SnapshotStore.commitAppend(spark, src, Seq(("a", 10.0), ("c", 7.0)).toDF("k", "v"))
+    assert(graft.sinks.SummingStore.maintain(spark, src, ck, mv)(partial) === Some(1L))
+    assert(graft.sinks.SummingStore.maintain(spark, src, ck, mv)(partial) === None)
+    // merge-on-read equals the full recompute over all source rows
+    assert(mergedMap() === Map("a" -> (3L, 14.5), "b" -> (1L, 2.0), "c" -> (1L, 7.0)))
+    // lost checkpoint → re-drain carries the same version tag → no-op
+    new java.io.File(ck).delete()
+    graft.sinks.SummingStore.maintain(spark, src, ck, mv)(partial)
+    assert(mergedMap() === Map("a" -> (3L, 14.5), "b" -> (1L, 2.0), "c" -> (1L, 7.0)))
+    // OPTIMIZE analog: one part, same answer
+    graft.sinks.SummingStore.compact(spark, mv, Seq("k"), Seq("cnt", "s"))
+    assert(SnapshotStore.listFiles(spark, mv).size <= 4) // one write's files
+    assert(mergedMap() === Map("a" -> (3L, 14.5), "b" -> (1L, 2.0), "c" -> (1L, 7.0)))
+  }
+
   test("file stats skip non-matching files; result equals the full-scan filter") {
     val base = tmp("ss-skip")
     val df = spark.range(1000).select(col("id"), (col("id") % 7).as("v"))
