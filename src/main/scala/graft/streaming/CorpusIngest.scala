@@ -49,7 +49,10 @@ object CorpusIngest {
       .filter(col("__rn") === 1).drop("__rn")
     val fresh = SnapshotStore.read(spark, base) match {
       case Some(existing) =>
+        // streaming foreachBatch hands DataFrames bound to a CLONED
+        // session with its own function registry — register on both
         graft.functions.BloomFunctions.register(spark)
+        graft.functions.BloomFunctions.register(batch.sparkSession)
         // the bloom binary is the broadcast side by definition (a few
         // hundred KB at the default sizing) — might_contain requires a
         // constant filter, so it rides into the plan as a literal
