@@ -857,6 +857,31 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         TextFunctions.tokenCount(col("text")), mixShares),
       Some(Corpus.mixtureRatesOracleSql("lang", mixShares))),
 
+    // SummingMergeTree-style incremental MV: two source commits, two
+    // maintenance drains (each partial-aggregating ONLY its new rows),
+    // then the FINAL merge-on-read — which must equal a direct GROUP BY
+    // over all the source rows, exactly what the oracle computes.
+    // NOTE: side-effecting like q_snapshot_changes (scratch stores per
+    // invocation, deleted on JVM exit) — never headline/benched.
+    GraftQuery("q_summing_mv",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_summv")
+        deleteRecursivelyOnExit(tmpP)
+        val src = s"$tmpP/src"; val mv = s"$tmpP/mv"; val ck = s"$tmpP/ck"
+        val d = docs(s, dir).select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"))
+        def partial(df: DataFrame): DataFrame = df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("n_tok").cast(DecimalType(28, 0))).as("s"))
+        graft.sinks.SnapshotStore.commitAppend(s, src, d.filter(col("doc_id") < 300))
+        graft.sinks.SummingStore.maintain(s, src, ck, mv)(partial)
+        graft.sinks.SnapshotStore.commitAppend(s, src, d.filter(col("doc_id") >= 300))
+        graft.sinks.SummingStore.maintain(s, src, ck, mv)(partial)
+        graft.sinks.SummingStore.read(s, mv, Seq("lang"), Seq("cnt", "s")).get
+          .select(col("lang"), col("cnt"), col("s").cast("long").as("tok_sum"))
+      },
+      Some(raw"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok_sum FROM documents GROUP BY lang""")),
+
     // Gopher-style intra-document repetition signal: 1 - distinct/total
     // word trigrams, floor-form at 4 decimals.
     GraftQuery("q_repetition",
