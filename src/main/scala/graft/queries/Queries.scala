@@ -857,6 +857,33 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         TextFunctions.tokenCount(col("text")), mixShares),
       Some(Corpus.mixtureRatesOracleSql("lang", mixShares))),
 
+    // Bloom semi-join guarantees as a hard oracle row: build a bloom
+    // over every distinct user_id, probe all of them plus 1000 planted
+    // never-seen keys. missed == 0 is the filter's contract (no false
+    // negatives); the false-positive fraction staying under 5% checks
+    // the sizing. Both are deterministic: the bloom bit array is an OR
+    // of per-row insertions, so partition merge order cannot change it.
+    GraftQuery("q_bloom_semi",
+      (s, dir) => {
+        graft.functions.BloomFunctions.register(s)
+        val users = ev(s, dir).select(col("user_id")).distinct()
+        val bfBytes = users.agg(
+          expr("graft_bloom_agg(xxhash64(user_id), CAST(100000 AS BIGINT), CAST(1048576 AS BIGINT))"))
+          .head.getAs[Array[Byte]](0)
+        val hit = call_function("graft_might_contain",
+          lit(bfBytes), xxhash64(col("k")))
+        val seenMissed = users.select(col("user_id").as("k"))
+          .agg(sum(when(!hit, 1L).otherwise(0L)).as("m")).head.getLong(0)
+        val ghosts = s.range(1000)
+          .select(concat(lit("ghost-"), col("id").cast("string")).as("k"))
+        val fp = ghosts.agg(sum(when(hit, 1L).otherwise(0L)).as("fp")).head.getLong(0)
+        val nUsers = users.count()
+        import s.implicits._
+        Seq((nUsers + 1000L, seenMissed == 0L, fp < 50L))
+          .toDF("n_probes", "all_seen_hit", "fp_under_5pct")
+      },
+      Some("""SELECT CAST(count(DISTINCT user_id) + 1000 AS BIGINT) AS n_probes, TRUE AS all_seen_hit, TRUE AS fp_under_5pct FROM events""")),
+
     // SummingMergeTree-style incremental MV: two source commits, two
     // maintenance drains (each partial-aggregating ONLY its new rows),
     // then the FINAL merge-on-read — which must equal a direct GROUP BY
