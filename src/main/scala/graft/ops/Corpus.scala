@@ -146,16 +146,33 @@ SELECT doc_id, n_tok, start_tok, CAST(floor(start_tok / $seqLen.0) AS BIGINT) AS
           * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("rate"))
   }
 
-  /** DuckDB replica of [[mixtureRates]] over table `documents` with a
-    * column-name stratum and whitespace token counts. */
-  def mixtureRatesOracleSql(stratumCol: String, shares: Seq[(String, Double)]): String = {
+  /** Shared CTE body of the mixture-rate oracle (ends with CTE `mr`:
+    * stratum, tokens, target_share, rate). */
+  def mixtureRatesOracleCtes(stratumCol: String, shares: Seq[(String, Double)]): String = {
     val caseArms = shares.map { case (k, v) =>
       s"WHEN '${k.replace("'", "''")}' THEN CAST($v AS DOUBLE)"
     }.mkString(" ")
-    raw"""WITH t AS (SELECT $stratumCol AS stratum, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens FROM documents GROUP BY 1),
+    raw"""t AS (SELECT $stratumCol AS stratum, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens FROM documents GROUP BY 1),
 w AS (SELECT stratum, tokens, CASE stratum $caseArms ELSE NULL END AS target_share FROM t WHERE CASE stratum $caseArms ELSE NULL END IS NOT NULL),
-b AS (SELECT min(CAST(tokens AS DOUBLE) / target_share) AS budget FROM w)
-SELECT stratum, tokens, target_share, floor(least(1.0, target_share * budget / CAST(tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rate FROM w, b"""
+b AS (SELECT min(CAST(tokens AS DOUBLE) / target_share) AS budget FROM w),
+mr AS (SELECT stratum, tokens, target_share, floor(least(1.0, target_share * budget / CAST(tokens AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS rate FROM w, b)"""
+  }
+
+  /** DuckDB replica of [[mixtureRates]] over table `documents` with a
+    * column-name stratum and whitespace token counts. */
+  def mixtureRatesOracleSql(stratumCol: String, shares: Seq[(String, Double)]): String =
+    s"""WITH ${mixtureRatesOracleCtes(stratumCol, shares)}
+SELECT stratum, tokens, target_share, rate FROM mr"""
+
+  /** [[sampleKeep]] with the rate coming from a COLUMN (a planned rate
+    * joined in, e.g. [[mixtureRates]] output) instead of a literal
+    * table — same hash, same bucket space, so planning and applying
+    * compose without re-deriving literals. */
+  def sampleKeepByRate(stratum: Column, id: Column, rate: Column): Column = {
+    val bucket = pmod(TextFunctions.md5Long(
+      concat(lit("sample:"), stratum.cast(StringType), lit(":"),
+        id.cast(StringType))), lit(10000L))
+    bucket < floor(rate * lit(10000.0) + lit(0.5))
   }
 
   /** Intra-document repetition ratio over word n-grams (a Gopher-style

@@ -909,6 +909,25 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       },
       Some(raw"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok_sum FROM documents GROUP BY lang""")),
 
+    // Mixture planning APPLIED: the per-lang rates from q_mix_weights
+    // broadcast-join back onto the corpus and gate it through the same
+    // deterministic hash-mod sampling — plan and apply compose into one
+    // declarative plan (a tiny agg + a one-row scalar + a broadcast
+    // join; the corpus still never shuffles).
+    GraftQuery("q_mix_apply",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val rates = Corpus.mixtureRates(d, col("lang"),
+            TextFunctions.tokenCount(col("text")), mixShares)
+          .select(col("stratum").as("lang"), col("rate"))
+        d.join(broadcast(rates), "lang")
+          .filter(Corpus.sampleKeepByRate(col("lang"), col("doc_id"), col("rate")))
+          .select(col("doc_id"), col("lang"))
+      },
+      Some(s"""WITH ${Corpus.mixtureRatesOracleCtes("lang", mixShares)}
+SELECT d.doc_id, d.lang FROM documents d JOIN mr ON d.lang = mr.stratum
+WHERE CAST('0x'||substring(md5('sample:'||d.lang||':'||CAST(d.doc_id AS VARCHAR)),1,15) AS BIGINT) % 10000 < floor(mr.rate * 10000.0 + 0.5)""")),
+
     // Gopher-style intra-document repetition signal: 1 - distinct/total
     // word trigrams, floor-form at 4 decimals.
     GraftQuery("q_repetition",
