@@ -1101,6 +1101,16 @@ SELECT doc_id, lang, ${Corpus.splitAssignSql("doc_id")} AS split, n_tok, start_t
         m = 4, k = 8, iters = 2, dim = 64),
       Some(graft.similarity.Pq.codesOracle(m = 4, k = 8, iters = 2, dim = 64))),
 
+    // IVF-PQ search (the billion-scale ANN flagship): IVF cells prune
+    // candidates, similarity is exact-query-vs-PQ-reconstruction (ADC).
+    // The oracle replays the ENTIRE index build — IVF fit + 4 subspace
+    // codebook fits + reconstruction — and the search, hash-matching.
+    GraftQuery("q_ivf_pq_topk",
+      (s, dir) => graft.similarity.Pq.ivfPqTopK(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") < 20, k = 5),
+      Some(graft.similarity.Pq.ivfPqOracle("vec_id < 20", k = 5))),
+
     // ---- embeddings: vector math ------------------------------------------
 
     // ---- near-duplicate ladder over documents -----------------------------

@@ -1,6 +1,7 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -45,6 +46,102 @@ object Pq {
         .select(col("vec_id"), col("cent_id").as(s"code_$i"))
     }
     parts.reduce((a, b) => a.join(b, "vec_id"))
+  }
+
+  /** IVF-PQ top-k — the billion-scale ANN flagship (how FAISS-style
+    * indexes search 10⁹ vectors in RAM): IVF clustering prunes the
+    * candidate set to the query's nProbe nearest cells, and within
+    * them similarity is computed ASYMMETRICALLY (exact query against
+    * the PQ-RECONSTRUCTED corpus vector — the ADC scheme, which beats
+    * quantizing both sides). The corpus's full vectors are needed only
+    * at index build; search touches codes + codebooks.
+    *
+    * Scale posture: both codebook kinds broadcast (k and m×k rows);
+    * the corpus partitions once by IVF cell; a query fans out nProbe×
+    * and joins co-clustered — identical shape to [[Ann.ivfTopK]], but
+    * the join side carries reconstructed (deterministic) vectors built
+    * from broadcast codebooks instead of raw corpus vectors.
+    *
+    * Determinism: reconstruction concatenates quantized-integer-mean
+    * sub-centroids, so every approx_cosine is an IEEE-identical double
+    * in any engine — the DuckDB oracle replays the whole index build
+    * and search, hash-matching end to end. */
+  def ivfPqTopK(emb: DataFrame, id: Column, vec: Column, isQuery: Column,
+      k: Int, nCentroids: Int = 8, nProbe: Int = 2, ivfIters: Int = 3,
+      m: Int = 4, pqK: Int = 8, pqIters: Int = 2, dim: Int = 64): DataFrame = {
+    require(m > 0 && dim % m == 0)
+    val spark = emb.sparkSession
+    val sub = dim / m
+    val ivfCents = KMeans.centroidFrame(spark,
+      KMeans.fit(emb, id, vec, nCentroids, ivfIters))
+    val corpusIvf = KMeans.assign(
+      emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"),
+        VectorFunctions.norm(vec).as("nrm")),
+      ivfCents, probes = 1)
+      .select(col("vec_id"), col("cent_id"))
+    // per-subspace codebooks; each vector's cell is reconstructed from
+    // its nearest sub-centroid (broadcast joins, k rows each)
+    val recon = (0 until m).foldLeft(corpusIvf) { (acc, i) =>
+      val sv = slice(vec, i * sub + 1, sub)
+      val book = KMeans.centroidFrame(spark,
+        KMeans.fit(emb, id, sv, pqK, pqIters))
+      val coded = KMeans.assign(
+        emb.select(id.as("vec_id"), sv.cast("array<double>").as("v"),
+          VectorFunctions.norm(sv).as("nrm")),
+        book, probes = 1)
+        .select(col("vec_id"), col("cent_id").as("__code"))
+        .join(broadcast(book.select(col("cent_id").as("__code"),
+          col("cv").as(s"__cv_$i"))), "__code")
+        .select(col("vec_id"), col(s"__cv_$i"))
+      acc.join(coded, "vec_id")
+    }
+      .withColumn("rv", concat((0 until m).map(i => col(s"__cv_$i")): _*))
+      .withColumn("rnrm", VectorFunctions.norm(col("rv")))
+      .select(col("vec_id"), col("cent_id"), col("rv"), col("rnrm"))
+    val queries = KMeans.assign(
+      emb.filter(isQuery).select(id.as("query_id"),
+        vec.cast("array<double>").as("qv"), VectorFunctions.norm(vec).as("qnrm")),
+      ivfCents, probes = nProbe, idCol = "query_id", vCol = "qv", nCol = "qnrm")
+    val scored = queries.join(recon, Seq("cent_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("qnrm") > 0 && col("rnrm") > 0,
+          VectorFunctions.dot(col("qv"), col("rv")) / (col("qnrm") * col("rnrm")))
+          .as("approx_cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cosine").desc_nulls_last, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("approx_cosine"),
+        col("rk").cast("int").as("rk"))
+  }
+
+  /** DuckDB SQL replaying [[ivfPqTopK]] — IVF fit + m PQ fits +
+    * reconstruction + ADC search, one query. */
+  def ivfPqOracle(queryPred: String, k: Int, nCentroids: Int = 8,
+      nProbe: Int = 2, ivfIters: Int = 3, m: Int = 4, pqK: Int = 8,
+      pqIters: Int = 2, dim: Int = 64): String = {
+    val sub = dim / m
+    val ivf = KMeans.ctes(nCentroids, ivfIters, dim, prefix = "ivf_")
+    val fits = (0 until m).map { i =>
+      val lo = i * sub + 1
+      val hi = (i + 1) * sub
+      KMeans.ctes(pqK, pqIters, sub, prefix = s"s${i}_",
+        vecSql = s"(CAST(embedding AS DOUBLE[]))[$lo:$hi]")
+    }.mkString(",\n")
+    val cosIvf = s"CASE WHEN e.nrm > 0 AND c.cnrm > 0 THEN ${KMeans.dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm) END"
+    val codeCtes = (0 until m).map { i =>
+      s"""ccv_$i AS (SELECT vec_id, cv AS cv_$i FROM (SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cosIvf) DESC NULLS LAST, c.cent_id ASC) AS rn FROM s${i}_e e, s${i}_cents_$pqIters c) a JOIN s${i}_cents_$pqIters b ON a.cent_id = b.cent_id WHERE a.rn = 1)"""
+    }.mkString(",\n")
+    val rvConcat = (0 until m).map(i => s"cv_$i").mkString(" || ")
+    val joins = (1 until m).map(i => s"JOIN ccv_$i USING (vec_id)").mkString(" ")
+    s"""WITH $ivf,
+$fits,
+corpus_ivf AS (SELECT vec_id, cent_id FROM (SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cosIvf) DESC NULLS LAST, c.cent_id ASC) AS rn FROM ivf_e e, ivf_cents_$ivfIters c) WHERE rn = 1),
+$codeCtes,
+recon AS (SELECT vec_id, cent_id, rv, sqrt(${KMeans.dotSql("rv", "rv")}) AS rnrm FROM (SELECT corpus_ivf.vec_id, corpus_ivf.cent_id, $rvConcat AS rv FROM corpus_ivf JOIN ccv_0 USING (vec_id) $joins)),
+queries AS (SELECT query_id, qv, qnrm, cent_id FROM (SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cosIvf) DESC NULLS LAST, c.cent_id ASC) AS rn FROM ivf_e e, ivf_cents_$ivfIters c WHERE $queryPred) WHERE rn <= $nProbe),
+scored AS (SELECT query_id, recon.vec_id, CASE WHEN qnrm > 0 AND rnrm > 0 THEN ${KMeans.dotSql("qv", "rv")} / (qnrm * rnrm) END AS approx_cosine FROM queries JOIN recon ON queries.cent_id = recon.cent_id WHERE query_id <> recon.vec_id)
+SELECT query_id, vec_id, approx_cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= $k"""
   }
 
   /** DuckDB SQL replaying [[codes]] exactly over table `embeddings`

@@ -95,6 +95,41 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall over ${exact.size} exact results")
   }
 
+  test("IVF-PQ: well-formed top-k from the query's own planted cluster") {
+    import spark.implicits._
+    val dim = 16
+    def rnd(i: Long, j: Int): Double =
+      (((i * 1315423911L + j * 2654435761L) & 0xffffL).toDouble / 32768.0) - 1.0
+    val centers = Array.tabulate(4, dim)((c, j) => rnd(c * 977L, j) * 10.0)
+    val rows = for { c <- 0 until 4; mm <- 0 until 25 } yield {
+      val id = (c * 25 + mm).toLong
+      (id, Array.tabulate(dim)(j => (centers(c)(j) + rnd(id + 7919L, j) * 0.3).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = graft.similarity.Pq.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+      isQuery = col("vec_id") % 25 === 0, k = 5,
+      nCentroids = 4, nProbe = 2, ivfIters = 3, m = 2, pqK = 4, pqIters = 2, dim = dim)
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    // well-formed: 4 queries × 5 results, ranks 1..5
+    assert(got.length === 20, got.length.toString)
+    assert(got.groupBy(_._1).values.forall(_.map(_._3).sorted.sameElements(1 to 5)))
+    // a clear majority of candidates come from the query's own planted
+    // cluster, and the TOP hit always does (tiny m=2/k=4 codebooks
+    // reconstruct coarsely, so some tail cross-talk is expected — the
+    // exactness story is the oracle, this is the shape check)
+    val sameCluster = got.count { case (q, v, _) => q / 25 === v / 25 }
+    assert(sameCluster >= 12, s"$sameCluster/20 same-cluster")
+    val top1Same = got.filter(_._3 == 1).count { case (q, v, _) => q / 25 === v / 25 }
+    assert(top1Same >= 3, s"$top1Same/4 rank-1 hits in-cluster")
+    // deterministic re-run
+    val again = graft.similarity.Pq.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+      isQuery = col("vec_id") % 25 === 0, k = 5,
+      nCentroids = 4, nProbe = 2, ivfIters = 3, m = 2, pqK = 4, pqIters = 2, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(again.toSeq === got.toSeq)
+  }
+
   test("PQ codes: in-range, deterministic, and same-cluster vectors agree") {
     import spark.implicits._
     val dim = 16
