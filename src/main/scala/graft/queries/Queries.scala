@@ -311,6 +311,28 @@ object Queries {
       Some(s"""WITH marked AS (SELECT user_id, ts, value, CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS new_sess FROM events), sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM marked) SELECT strftime(min(ts), '$tsFullSql') AS session_start, strftime(max(ts) + INTERVAL 5 MINUTE, '$tsFullSql') AS session_end, user_id, count(*) AS cnt, CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value_sum FROM sess GROUP BY user_id, sid"""),
       headline = true),
 
+    // ClickHouse windowFunnel analog: view → click → purchase within 7
+    // days of the first view, chained first-match semantics. Relational
+    // stage-chain form (no per-user collected arrays): each stage is a
+    // user-keyed partial+final hash agg over an ever-shrinking survivor
+    // set, so the 100 TB cost is bounded by the step-1 population.
+    GraftQuery("q_funnel",
+      (s, dir) => graft.ops.Funnel.windowFunnel(ev(s, dir),
+        col("user_id"), col("ts"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        window = "7 DAYS"),
+      Some(graft.ops.Funnel.windowFunnelOracleSql(
+        "view", "click", "purchase", "7 DAY"))),
+
+    // ClickHouse retention analog: day-0 cohorts by first event date,
+    // re-activity at +1/+3/+7 days. Shuffle volume = distinct
+    // (user, active-day) pairs, not events.
+    GraftQuery("q_retention",
+      (s, dir) => graft.ops.Funnel.retention(ev(s, dir),
+        col("user_id"), col("ts"), offsets = Seq(1, 3, 7)),
+      Some(graft.ops.Funnel.retentionOracleSql(Seq(1, 3, 7)))),
+
     // Skew-resistant salted aggregation — must equal the direct sum.
     GraftQuery("q_salted_agg",
       (s, dir) => Rollups.saltedSum(ev(s, dir), Seq(col("event_type")),

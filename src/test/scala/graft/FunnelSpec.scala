@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Funnel
+
+/** Semantics of the windowFunnel / retention analogs on planted
+  * fixtures: step ordering, window bound from the FIRST step, users
+  * missing step 1 excluded, retention cohort/offset counting. */
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowFunnel chains first-match steps inside the window of step 1") {
+    val events = Seq(
+      // u1: clean view -> click -> purchase chain, all inside 1 hour
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:10:00"), "click"),
+      (1L, ts("2024-01-01 00:20:00"), "purchase"),
+      // u2: purchase BEFORE the first click — must not count as step 3
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:05:00"), "purchase"),
+      (2L, ts("2024-01-01 00:10:00"), "click"),
+      // u3: click falls outside the 1-hour window of the first view
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 02:00:00"), "click"),
+      // u4: no view at all — not part of the funnel population
+      (4L, ts("2024-01-01 00:00:00"), "click"),
+      (4L, ts("2024-01-01 00:01:00"), "purchase"),
+      // u5: click ok, purchase at +65min — past the window anchored at t1
+      (5L, ts("2024-01-01 00:00:00"), "view"),
+      (5L, ts("2024-01-01 00:30:00"), "click"),
+      (5L, ts("2024-01-01 01:05:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+
+    val out = Funnel.windowFunnel(events, col("user_id"), col("ts"),
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"), window = "1 HOUR")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(out === Map(1L -> 4L, 2L -> 3L, 3L -> 1L))
+  }
+
+  test("retention counts re-activity at exact day offsets per cohort") {
+    val events = Seq(
+      // cohort 2024-01-01: A active +1 and +3; B never returns
+      (10L, ts("2024-01-01 09:00:00")), (10L, ts("2024-01-02 09:00:00")),
+      (10L, ts("2024-01-04 09:00:00")),
+      (11L, ts("2024-01-01 10:00:00")),
+      // cohort 2024-01-02: C active +1 only
+      (12L, ts("2024-01-02 12:00:00")), (12L, ts("2024-01-03 12:00:00"))
+    ).toDF("user_id", "ts")
+
+    val out = Funnel.retention(events, col("user_id"), col("ts"), Seq(1, 3))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    assert(out === Map(
+      "2024-01-01" -> ((2L, 1L, 1L)),
+      "2024-01-02" -> ((1L, 1L, 0L))))
+  }
+}
