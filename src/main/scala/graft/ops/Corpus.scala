@@ -175,6 +175,64 @@ SELECT stratum, tokens, target_share, rate FROM mr"""
     bucket < floor(rate * lit(10000.0) + lit(0.5))
   }
 
+  /** C4-style SPAN-level exact dedup: each document is cut into
+    * consecutive `spanTokens`-token spans; only the globally FIRST
+    * occurrence of each span text survives (first = min (doc_id, pos)),
+    * and documents are reassembled from their surviving spans in
+    * order. This removes boilerplate repeated ACROSS documents that
+    * document-level dedup cannot see (the C4 pipeline's repeated-span
+    * rule, adapted to token spans since this corpus has no line
+    * structure). Output: (doc_id, kept_spans, total_spans, clean_text)
+    * for every input document — emptied documents stay visible with
+    * kept_spans = 0.
+    *
+    * Scale design: first-occurrence is a partial+final hash aggregate
+    * min(struct(doc_id, pos)) keyed by span — NOT a row_number window —
+    * so a boilerplate span duplicated a million times collapses to one
+    * row per map partition before the shuffle; the verify join back is
+    * on the same span key, reusing the aggregate's partitioning. The
+    * reassembly groupBy(doc_id) shuffles only surviving spans. */
+  def spanDedup(docs: DataFrame, id: Column, text: Column,
+      spanTokens: Int = 8): DataFrame = {
+    require(spanTokens > 0)
+    val spanned = docs.select(id.as("doc_id"),
+      posexplode(TextFunctions.bindOnce(TextFunctions.tokens(text)) { toks =>
+        transform(
+          sequence(lit(0),
+            ceil(size(toks).cast("double") / lit(spanTokens)).cast("int") - 1),
+          c => concat_ws(" ", slice(toks, c * spanTokens + 1, lit(spanTokens))))
+      }))
+      .toDF("doc_id", "pos", "span")
+    val firsts = spanned.groupBy(col("span"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val kept = spanned.join(firsts, "span")
+      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+      .select(col("doc_id"), col("pos"), col("span"))
+    val reassembled = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("kept_spans"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("span")))),
+        x => x("span"))).as("clean_text"))
+    spanned.groupBy(col("doc_id")).agg(count(lit(1)).as("total_spans"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
+        col("total_spans"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB replica of [[spanDedup]] over table `documents` (the oracle
+    * uses the row_number-window first-occurrence form — identical
+    * result, simpler SQL; the engine's min-struct aggregate is the
+    * scale-out formulation of the same total order). */
+  def spanDedupOracleSql(spanTokens: Int = 8): String =
+    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+spans AS (SELECT doc_id, c AS pos, array_to_string(t[c*$spanTokens+1:c*$spanTokens+$spanTokens], ' ') AS span FROM toks, LATERAL unnest(range(0, CAST(ceil(len(t)/$spanTokens.0) AS BIGINT))) AS u(c)),
+kept AS (SELECT doc_id, pos, span FROM (SELECT doc_id, pos, span, row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn FROM spans) WHERE rn = 1),
+ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_spans, string_agg(span, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_spans FROM spans GROUP BY doc_id)
+SELECT tot.doc_id, coalesce(kept_spans, 0) AS kept_spans, total_spans, coalesce(clean_text, '') AS clean_text FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"""
+
   /** Intra-document repetition ratio over word n-grams (a Gopher-style
     * repetition quality signal): 1 - distinct/total n-grams, in
     * portable floor-form at 4 decimals. Pure per-row map. */

@@ -841,6 +841,16 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         col("text"), n = 5),
       Some(Decontaminate.gramDupRateOracleSql(n = 5))),
 
+    // C4-style span-level exact dedup: only the globally-first
+    // occurrence of every 8-token span survives; documents reassemble
+    // from surviving spans (emptied docs stay visible, kept_spans = 0).
+    // First-occurrence is a min-struct partial+final hash agg keyed by
+    // span — never a global row_number sort.
+    GraftQuery("q_para_dedup",
+      (s, dir) => Corpus.spanDedup(docs(s, dir), col("doc_id"), col("text"),
+        spanTokens = 8),
+      Some(Corpus.spanDedupOracleSql(spanTokens = 8))),
+
     // Corpus-trained unigram LM quality signal: mean token log-prob per
     // document, per-token log-probs quantized to exact BIGINTs so the
     // sum is order-independent across engines.
