@@ -96,6 +96,52 @@ object TextFunctions {
     floor(q * lit(10000.0) + lit(0.5)).cast(DoubleType) / lit(10000.0)
   }
 
+  /** Gopher-style rule-based quality signals (Rae et al. 2021 §A1.1.2,
+    * the standard pre-training document filter), computed per document
+    * as one pure map: token count, mean word length, symbol-to-word
+    * ratio, alphabetic-word ratio, English stopword hits, and the
+    * composite pass verdict over the published bounds (50 ≤ words ≤
+    * 100k, 3 ≤ mean len ≤ 10, symbol ratio < 0.1, ≥ 80% alphabetic
+    * words, ≥ 2 stopwords). Ratios are floor-rounded at 4 decimals and
+    * the verdict compares the ROUNDED values, so engine and oracle can
+    * never disagree at a bound. Returns a struct column:
+    * (n_tok, mean_word_len, symbol_ratio, alpha_ratio, stop_hits, passes). */
+  def gopherSignals(text: Column): Column =
+    bindOnce(filter(tokens(lower(text)), t => t =!= lit(""))) { toks =>
+      bindOnce(greatest(size(toks), lit(1)).cast("double")) { n =>
+        val floor4 = (c: Column) =>
+          floor(c * lit(10000.0) + lit(0.5)).cast(DoubleType) / lit(10000.0)
+        val nTok = size(toks).cast("long")
+        val meanLen = floor4(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / n)
+        val symRatio = floor4(
+          size(filter(toks, t => t.rlike("#|\\.\\.\\."))).cast("double") / n)
+        val alphaRatio = floor4(
+          size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n)
+        val stopHits = stopwordHits(text, "en").cast("long")
+        struct(
+          nTok.as("n_tok"), meanLen.as("mean_word_len"),
+          symRatio.as("symbol_ratio"), alphaRatio.as("alpha_ratio"),
+          stopHits.as("stop_hits"),
+          (nTok >= 50 && nTok <= 100000 &&
+            meanLen >= 3.0 && meanLen <= 10.0 &&
+            symRatio < 0.1 && alphaRatio > 0.8 && stopHits >= 2).as("passes"))
+      }
+    }
+
+  /** DuckDB replica of [[gopherSignals]] over table `documents`. */
+  def gopherSignalsOracleSql: String = {
+    val f4 = (e: String) => s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+    val meanLen = f4("CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / n")
+    val symR = f4("CAST(len(list_filter(toks, t -> regexp_matches(t, '#|\\.\\.\\.'))) AS DOUBLE) / n")
+    val alphaR = f4("CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n")
+    val stopPat = langStopwords.toMap.apply("en")
+    raw"""WITH tk AS (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks FROM documents),
+b AS (SELECT doc_id, text, toks, CAST(greatest(len(toks), 1) AS DOUBLE) AS n FROM tk),
+sig AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, $meanLen AS mean_word_len, $symR AS symbol_ratio, $alphaR AS alpha_ratio, CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS BIGINT) AS stop_hits FROM b)
+SELECT doc_id, n_tok, mean_word_len, symbol_ratio, alpha_ratio, stop_hits, (n_tok >= 50 AND n_tok <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio < 0.1 AND alpha_ratio > 0.8 AND stop_hits >= 2) AS passes FROM sig"""
+  }
+
   // PII regexes: a deliberately portable RE2/Java common subset (no
   // backreferences, no lookaround) so engine and oracle match the same
   // spans. Redaction order is fixed (email, then IP, then phone) —

@@ -841,6 +841,18 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         col("text"), n = 5),
       Some(Decontaminate.gramDupRateOracleSql(n = 5))),
 
+    // Gopher rule-based quality filter (Rae et al. 2021): per-doc
+    // signals + composite verdict at the published bounds, pure per-row
+    // map; the verdict compares floor-rounded values so the oracle can
+    // never flip at a boundary.
+    GraftQuery("q_gopher_rules",
+      (s, dir) => docs(s, dir)
+        .select(col("doc_id"), TextFunctions.gopherSignals(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_tok"), col("g.mean_word_len"),
+          col("g.symbol_ratio"), col("g.alpha_ratio"), col("g.stop_hits"),
+          col("g.passes")),
+      Some(TextFunctions.gopherSignalsOracleSql)),
+
     // C4-style span-level exact dedup: only the globally-first
     // occurrence of every 8-token span survives; documents reassemble
     // from surviving spans (emptied docs stay visible, kept_spans = 0).
