@@ -49,12 +49,53 @@ object UnigramLm {
           / lit(10000.0)).as("avg_logprob"))
   }
 
+  /** CTE body shared by the oracles (ends with CTE `sc`: doc_id, dl,
+    * avg_logprob — the [[scoreDocs]] result). */
+  def oracleCtes: String =
+    raw"""toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM toks),
+vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+pt AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE)/CAST(t_total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_q FROM toks JOIN vocab USING (tok), tot),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, floor(CAST(sum(lp_q) AS DOUBLE)/count(*)/100.0 + 0.5)/10000.0 AS avg_logprob FROM pt GROUP BY doc_id)"""
+
   /** DuckDB replica of [[scoreDocs]] over table `documents` — same
     * quantization, same exact integer sum, same floor-4 mean. */
   def oracleSql: String =
-    raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM toks),
-vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-pt AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE)/CAST(t_total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_q FROM toks JOIN vocab USING (tok), tot)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, floor(CAST(sum(lp_q) AS DOUBLE)/count(*)/100.0 + 0.5)/10000.0 AS avg_logprob FROM pt GROUP BY doc_id"""
+    s"WITH $oracleCtes\nSELECT doc_id, dl, avg_logprob FROM sc"
+
+  // the 1/3 and 2/3 tertile points, materialized through Scala doubles
+  // so engine and oracle parse the IDENTICAL IEEE literal
+  private val P1 = (1.0 / 3).toString
+  private val P2 = (2.0 / 3).toString
+
+  /** CCNet-style perplexity bucketing (head / middle / tail thirds of
+    * the corpus by LM score — CCNet §4.3, with the unigram model above
+    * standing in for KenLM): tertile CUT VALUES come from one exact-
+    * percentile aggregate over the integer-scaled score, broadcast back
+    * over the corpus — NOT a global ntile window (which would order the
+    * whole corpus in a single reducer at 100 TB). Scores compare as
+    * exact 4-decimal-scaled BIGINTs; higher score = more corpus-typical
+    * = head. Output: (doc_id, lp4 BIGINT, bucket STRING). */
+  def pplBuckets(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    // floor(x*1e4 + 0.5), not a truncating cast: avg_logprob is an
+    // integer/1e4, but x*1e4 can land 1 ulp below the integer
+    val sc = scoreDocs(docs, id, text)
+      .select(col("doc_id"),
+        floor(col("avg_logprob") * lit(10000.0) + lit(0.5)).cast("long").as("lp4"))
+    val cuts = sc.agg(
+      expr(s"percentile(lp4, ${P1}D)").as("c1"),
+      expr(s"percentile(lp4, ${P2}D)").as("c2"))
+    sc.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("lp4"),
+        when(col("lp4").cast("double") >= col("c2"), "head")
+          .when(col("lp4").cast("double") < col("c1"), "tail")
+          .otherwise("middle").as("bucket"))
+  }
+
+  /** DuckDB replica of [[pplBuckets]] over table `documents`. */
+  def pplBucketsOracleSql: String =
+    s"""WITH $oracleCtes,
+lp AS (SELECT doc_id, CAST(floor(avg_logprob * 10000.0 + 0.5) AS BIGINT) AS lp4 FROM sc),
+cuts AS (SELECT quantile_cont(lp4, $P1) AS c1, quantile_cont(lp4, $P2) AS c2 FROM lp)
+SELECT doc_id, lp4, CASE WHEN CAST(lp4 AS DOUBLE) >= c2 THEN 'head' WHEN CAST(lp4 AS DOUBLE) < c1 THEN 'tail' ELSE 'middle' END AS bucket FROM lp, cuts"""
 }

@@ -871,6 +871,13 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       Some(UnigramLm.oracleSql),
       headline = true),
 
+    // CCNet-style perplexity bucketing: head/middle/tail thirds by
+    // unigram-LM score. Tertile cuts come from ONE exact-percentile
+    // aggregate broadcast back — never a global ntile window.
+    GraftQuery("q_ppl_buckets",
+      (s, dir) => UnigramLm.pplBuckets(docs(s, dir), col("doc_id"), col("text")),
+      Some(UnigramLm.pplBucketsOracleSql)),
+
     // Min/max file-stats data skipping: a range-partitioned snapshot
     // commit records per-file stats in the manifest; the range read
     // opens only intersecting files (manifest metadata decides — zero
