@@ -1227,6 +1227,16 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
         threshold = 0.45, dim = 64),
       Some(graft.similarity.Ann.lshCosinePairsOracle(0.45, dim = 64))),
 
+    // SemDeDup: semantic dedup via k-means clusters + within-cluster
+    // cosine near-dup (keep-lowest-id). Pair volume is bounded by
+    // cluster sizes, never O(N²); the oracle replays the whole fit.
+    GraftQuery("q_semdedup",
+      (s, dir) => graft.similarity.Ann.semDedup(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        threshold = 0.45),
+      Some(graft.similarity.Ann.semDedupOracle(0.45,
+        nCentroids = 16, kmeansIters = 5, dim = 64))),
+
     // ---- similarity search over embeddings --------------------------------
 
     GraftQuery("q_ann_topk",

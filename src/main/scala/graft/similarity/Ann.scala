@@ -189,6 +189,39 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rk").cast("int").as("rk"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup via k-means
+    * clustering + WITHIN-CLUSTER cosine near-dup. Every vector is
+    * assigned to its nearest trained centroid ([[KMeans.fit]] —
+    * deterministic Lloyd's); pairs are generated only inside a cluster
+    * (the self-join key is cent_id, so the shuffle and the pair volume
+    * are bounded by cluster sizes — the paper's trick for avoiding the
+    * all-pairs O(N²) of [[cosinePairs]] at web scale); a vector is
+    * dropped when a LOWER-id vector in its cluster sits within the
+    * cosine threshold (keep-lowest-id is the deterministic stand-in for
+    * the paper's keep-farthest-from-centroid tie-break). Output:
+    * (vec_id, cent_id, keep) for the whole corpus. */
+  def semDedup(emb: DataFrame, id: Column, vec: Column, threshold: Double,
+      nCentroids: Int = 16, kmeansIters: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    val cents = KMeans.centroidFrame(spark,
+      KMeans.fit(emb, id, vec, nCentroids, kmeansIters))
+    val corpus = KMeans.assign(
+      emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"),
+        VectorFunctions.norm(vec).as("nrm")),
+      cents, probes = 1)
+    val pairs = corpus.as("a").join(corpus.as("b"),
+        col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("id_b"),
+        when(col("a.nrm") > 0 && col("b.nrm") > 0,
+          nat(emb)(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val dropped = pairs.select(col("id_b").as("vec_id")).distinct()
+      .withColumn("__drop", lit(true))
+    corpus.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"), col("__drop").isNull.as("keep"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** Shared dot/norm fragments: sequential-order double sums, matching
@@ -240,6 +273,18 @@ SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_n
 b AS ($tables),
 cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b FROM b a JOIN b b2 ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
 SELECT id_a, id_b, cosine FROM (SELECT id_a, id_b, CASE WHEN ea.nrm > 0 AND eb.nrm > 0 THEN ${dotSql("ea.v", "eb.v")} / (ea.nrm * eb.nrm) END AS cosine FROM cand JOIN e ea ON id_a = ea.vec_id JOIN e eb ON id_b = eb.vec_id) WHERE cosine >= $threshold"""
+  }
+
+  /** DuckDB SQL replaying [[semDedup]] exactly — k-means fit, corpus
+    * assignment, within-cluster pairs, keep-lowest-id drop rule. */
+  def semDedupOracle(threshold: Double, nCentroids: Int, kmeansIters: Int,
+      dim: Int): String = {
+    val cos = s"CASE WHEN e.nrm > 0 AND c.cnrm > 0 THEN ${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm) END"
+    s"""${KMeans.oracleCtes(nCentroids, kmeansIters, dim)},
+corpus AS (SELECT vec_id, v, nrm, cent_id FROM (SELECT e.vec_id, e.v, e.nrm, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM e, cents_$kmeansIters c) WHERE rn = 1),
+pairs AS (SELECT b.vec_id AS id_b, CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) END AS cosine FROM corpus a JOIN corpus b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+drp AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= $threshold)
+SELECT c.vec_id, c.cent_id, (d.vec_id IS NULL) AS keep FROM corpus c LEFT JOIN drp d ON c.vec_id = d.vec_id"""
   }
 
   /** DuckDB SQL replaying [[ivfTopK]] exactly — including the whole

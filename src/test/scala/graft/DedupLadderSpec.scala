@@ -104,6 +104,24 @@ class DedupLadderSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall over ${exact.size} exact pairs")
   }
 
+  test("semDedup drops ⊆ exact cosine near-dup set; kept+dropped = corpus") {
+    val emb = Tables.embeddings(spark, dir)
+    val sem = graft.similarity.Ann.semDedup(emb, col("vec_id"),
+        col("embedding"), threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2)))
+    val n = emb.count()
+    assert(sem.length == n, "every corpus vector gets a verdict")
+    val droppedIds = sem.filter(!_._2).map(_._1).toSet
+    assert(droppedIds.nonEmpty)
+    // every dropped vector is the HIGHER id of some exact near-dup pair
+    // (the cluster restriction can only shrink the pair set)
+    val exactHigher = graft.similarity.Ann.cosinePairs(emb, col("vec_id"),
+        col("embedding"), threshold = 0.45)
+      .select("id_b").collect().map(_.getLong(0)).toSet
+    assert(droppedIds.subsetOf(exactHigher),
+      s"semDedup dropped non-near-dup ids: ${droppedIds -- exactHigher}")
+  }
+
   test("ngram stop-shingle cap: planted hot shingle is dropped, true pair survives") {
     import spark.implicits._
     // 60 docs sharing one ultra-frequent shingle ("the quick brown");
