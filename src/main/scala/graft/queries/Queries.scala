@@ -440,6 +440,22 @@ object Queries {
       },
       Some("""SELECT user_id, event_id, value FROM events e WHERE value = (SELECT max(value) FROM events m WHERE m.user_id = e.user_id)""")),
 
+    // Time-based RANGE window frame (the sliding-aggregate idiom ROWS
+    // frames can't express): trailing 1-hour sum/count per user. Both
+    // engines frame on epoch MICROS (the ts precision), so peer-row
+    // and boundary semantics are identical; the sum goes through the
+    // DECIMAL cast for order-independent exactness.
+    GraftQuery("q_sliding_window",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3599999999L, 0)
+        ev(s, dir).select(col("user_id"), col("event_id"),
+          sum(col("value").cast(DecimalType(28, 2))).over(w).cast("double")
+            .as("trail_1h_sum"),
+          count(lit(1)).over(w).as("trail_1h_cnt"))
+      },
+      Some("""SELECT user_id, event_id, CAST(sum(CAST(value AS DECIMAL(28,2))) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_1h_sum, count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS trail_1h_cnt FROM events""")),
+
     GraftQuery("q_window_running",
       (s, dir) => {
         val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
