@@ -440,6 +440,27 @@ object Queries {
       },
       Some("""SELECT user_id, event_id, value FROM events e WHERE value = (SELECT max(value) FROM events m WHERE m.user_id = e.user_id)""")),
 
+    // Skew-salted shuffle JOIN (the join-side complement of
+    // q_salted_agg): fact rows salt 8 ways, the dim replicates 8x, the
+    // hot key spreads over 8 reducers. Salt never escapes — the result
+    // is row-identical to the plain join, which is what the oracle is.
+    GraftQuery("q_skew_join",
+      (s, dir) => {
+        val fact = Tables.lineitem(s, dir).select(
+          col("l_partkey").as("partkey"), col("l_extendedprice"),
+          col("l_discount"), col("l_orderkey"), col("l_linenumber"))
+        val dim = Tables.part(s, dir).select(
+          col("p_partkey").as("partkey"), col("p_brand"))
+        graft.ops.Skew.saltedJoin(fact, dim, "partkey",
+            saltSrc = col("l_orderkey") * lit(7) + col("l_linenumber"),
+            buckets = 8)
+          .groupBy(col("p_brand"))
+          .agg(Rollups.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("cnt"))
+      },
+      Some("""SELECT p_brand, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue, count(*) AS cnt FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""")),
+
     // Time-based RANGE window frame (the sliding-aggregate idiom ROWS
     // frames can't express): trailing 1-hour sum/count per user. Both
     // engines frame on epoch MICROS (the ts precision), so peer-row
