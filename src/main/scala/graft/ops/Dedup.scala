@@ -25,6 +25,26 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** CollapsingMergeTree FINAL analog (the third MergeTree engine of
+    * the reference's warehouse family, after Replacing → [[lww]] and
+    * Summing → graft.sinks.SummingStore): rows carry sign ∈ {+1, -1}
+    * (state row / cancel of a previously-written state row). Per key,
+    * the highest-version +1 row survives iff sum(sign) > 0; fully
+    * cancelled keys vanish. ONE partial+final hash aggregate keyed by
+    * `keys` — an exact integer sign sum plus max_by over the +1 rows —
+    * no per-group sort, no windows, so it holds the same 100 TB posture
+    * as every other rollup. `version` must be totally ordered per key
+    * (pass a struct with a tiebreak). */
+  def collapse(df: DataFrame, keys: Seq[Column], sign: Column,
+      version: Column): DataFrame = {
+    val payload = struct(df.columns.map(col): _*)
+    df.groupBy(keys: _*)
+      .agg(sum(sign).as("__net"),
+        max_by(payload, when(sign > 0, version)).as("__p"))
+      .filter(col("__net") > 0)
+      .select(col("__p.*"))
+  }
+
   /** Exact duplicate groups by md5 of a column: (digest, keep_id = min id,
     * dup_cnt). Groups with dup_cnt > 1 are duplicate clusters. */
   def exactGroups(df: DataFrame, payload: Column, id: Column): DataFrame =

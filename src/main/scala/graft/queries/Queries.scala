@@ -217,6 +217,35 @@ object Queries {
           date_format(col("ts"), tsFull).as("ts_str"), col("value")),
       Some(s"""SELECT user_id, event_type, event_id, strftime(ts, '$tsFullSql') AS ts_str, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""")),
 
+    // CollapsingMergeTree FINAL analog (completing the MergeTree
+    // family: Replacing = q_dedup_lww, Summing = q_summing_mv). A
+    // collapsing stream is synthesized from events per (user_id,
+    // event_type) — every event writes its +1 state and a -1 cancel of
+    // the predecessor — then collapsed back in ONE hash aggregate
+    // (sign sum + max_by over +1 rows). FINAL must equal the
+    // independent last-writer-wins formulation, which is the oracle.
+    GraftQuery("q_collapsing",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        val base = ev(s, dir).select(col("user_id"), col("event_type"),
+          col("event_id"), col("ts"), col("value"))
+        val withPrev = base.withColumn("prev",
+          lag(struct(col("event_id"), col("ts"), col("value")), 1).over(w))
+        val plus = withPrev.select(col("user_id"), col("event_type"),
+          col("event_id"), col("ts"), col("value"), lit(1).as("sign"))
+        val minus = withPrev.filter(col("prev").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            col("prev.event_id").as("event_id"), col("prev.ts").as("ts"),
+            col("prev.value").as("value"), lit(-1).as("sign"))
+        Dedup.collapse(plus.unionByName(minus),
+            Seq(col("user_id"), col("event_type")), col("sign"),
+            version = struct(col("ts"), col("event_id")))
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            date_format(col("ts"), tsFull).as("ts_str"), col("value"))
+      },
+      Some(s"""SELECT user_id, event_type, event_id, strftime(ts, '$tsFullSql') AS ts_str, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""")),
+
     // A5 — per-minute top-k by score (Redis minute-bucket ZINCRBY analog).
     GraftQuery("q_minute_topk",
       (s, dir) => Rollups.minuteTopK(ev(s, dir), col("ts"), col("user_id"), score, 3)
