@@ -187,11 +187,16 @@ SELECT stratum, tokens, target_share, rate FROM mr"""
     * kept_spans = 0.
     *
     * Scale design: first-occurrence is a partial+final hash aggregate
-    * min(struct(doc_id, pos)) keyed by span — NOT a row_number window —
-    * so a boilerplate span duplicated a million times collapses to one
-    * row per map partition before the shuffle; the verify join back is
-    * on the same span key, reusing the aggregate's partitioning. The
-    * reassembly groupBy(doc_id) shuffles only surviving spans. */
+    * keyed by span — NOT a row_number window — so a boilerplate span
+    * duplicated a million times collapses to one row per map partition
+    * before the shuffle; the verify join back is on the same span key,
+    * reusing the aggregate's partitioning. The (doc_id, pos) order is
+    * packed into ONE BIGINT (doc_id·2²⁰ + pos) because min over a
+    * struct falls back to SortAggregate while min over a long stays in
+    * the hash-aggregate + whole-stage-codegen path (verified via
+    * explain). Bound: < 2²⁰ spans per document (an 8-million-token doc
+    * at the default span size) and doc_id < 2⁴³. The reassembly
+    * groupBy(doc_id) shuffles only surviving spans. */
   def spanDedup(docs: DataFrame, id: Column, text: Column,
       spanTokens: Int = 8): DataFrame = {
     require(spanTokens > 0)
@@ -203,10 +208,10 @@ SELECT stratum, tokens, target_share, rate FROM mr"""
           c => concat_ws(" ", slice(toks, c * spanTokens + 1, lit(spanTokens))))
       }))
       .toDF("doc_id", "pos", "span")
-    val firsts = spanned.groupBy(col("span"))
-      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+    val orderKey = col("doc_id").cast(LongType) * lit(1L << 20) + col("pos")
+    val firsts = spanned.groupBy(col("span")).agg(min(orderKey).as("fkey"))
     val kept = spanned.join(firsts, "span")
-      .filter(col("doc_id") === col("f.doc_id") && col("pos") === col("f.pos"))
+      .filter(orderKey === col("fkey"))
       .select(col("doc_id"), col("pos"), col("span"))
     val reassembled = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("kept_spans"),
