@@ -37,7 +37,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = Queries.headlines.map(_.name)
+    // optional args (local probing only — the driver passes none):
+    // explicit query names to time instead of the headline set
+    val names = if (args.nonEmpty) args.toSeq else Queries.headlines.map(_.name)
     names.foreach(force) // warm codegen/JIT for every plan once
     // best-of-3 timed runs: the local VM is noisy and min-of-n is the
     // standard way to read steady-state latency through that noise

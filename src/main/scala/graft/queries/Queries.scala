@@ -352,7 +352,8 @@ object Queries {
           col("event_type") === "purchase"),
         window = "7 DAYS"),
       Some(graft.ops.Funnel.windowFunnelOracleSql(
-        "view", "click", "purchase", "7 DAY"))),
+        "view", "click", "purchase", "7 DAY")),
+      headline = true),
 
     // ClickHouse retention analog: day-0 cohorts by first event date,
     // re-activity at +1/+3/+7 days. Shuffle volume = distinct
@@ -927,7 +928,8 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
     GraftQuery("q_para_dedup",
       (s, dir) => Corpus.spanDedup(docs(s, dir), col("doc_id"), col("text"),
         spanTokens = 8),
-      Some(Corpus.spanDedupOracleSql(spanTokens = 8))),
+      Some(Corpus.spanDedupOracleSql(spanTokens = 8)),
+      headline = true),
 
     // Corpus-trained unigram LM quality signal: mean token log-prob per
     // document, per-token log-probs quantized to exact BIGINTs so the

@@ -198,4 +198,48 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("Partial"), p.take(3000))
     assert(!p.contains("SortAggregate"), "vocab agg must stay hash-based")
   }
+
+  test("q_para_dedup: first-occurrence is a hash aggregate, never a sort") {
+    val p = plan("q_para_dedup")
+    // the packed BIGINT order key keeps min() in the hash-agg codegen
+    // path; a struct min would silently fall back to SortAggregate
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("q_funnel: stage chain is hash aggregates, no cartesian, no corpus window") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    // no single-partition window anywhere (levels come from joins+aggs)
+    assert(!p.contains("Window"), "funnel must not use window functions")
+  }
+
+  test("q_ppl_buckets: tertile cuts broadcast — no global ntile window") {
+    val p = plan("q_ppl_buckets")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(!p.contains("Window"), "bucketing must not sort the corpus globally")
+  }
+
+  test("saltedJoin: with broadcast disabled, the join keys include the salt") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fact = Tables.lineitem(spark, dir)
+        .select(col("l_partkey").as("partkey"), col("l_extendedprice"),
+          col("l_orderkey"))
+      val dim = Tables.part(spark, dir)
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      val p = graft.ops.Skew.saltedJoin(fact, dim, "partkey",
+          saltSrc = col("l_orderkey"), buckets = 8)
+        .queryExecution.executedPlan.toString()
+      // the shuffle join must key on (partkey, __salt) so a hot partkey
+      // spreads over 8 reducers
+      assert(p.contains("__salt"), p.take(3000))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        p.take(3000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
