@@ -92,6 +92,35 @@ sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, floor(CAST(sum(lp_q) AS DO
           .otherwise("middle").as("bucket"))
   }
 
+  /** Tokenizer-coverage signal: build the top-`vocabSize` token
+    * vocabulary (by count, ties → token asc — a total order both
+    * engines replay) and score every document's out-of-vocabulary
+    * rate. The vocabulary build is a partial+final hash aggregate
+    * followed by a global top-k (TakeOrdered — k rows, never a full
+    * sort) that BROADCASTS back over the exploded tokens; per-doc
+    * re-aggregation is the only other shuffle. Output: (doc_id, n_tok,
+    * in_vocab, oov_rate floor-4). */
+  def vocabOov(docs: DataFrame, id: Column, text: Column,
+      vocabSize: Int): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextFunctions.tokens(lower(text))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok").as("vtok"))
+    toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), count(col("vtok")).as("in_vocab"))
+      .select(col("doc_id"), col("n_tok"), col("in_vocab"),
+        (floor((lit(1.0) - col("in_vocab").cast("double") / col("n_tok"))
+          * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("oov_rate"))
+  }
+
+  /** DuckDB replica of [[vocabOov]] over table `documents`. */
+  def vocabOovOracleSql(vocabSize: Int): String =
+    raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
+vocab AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT $vocabSize))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(count(vtok) AS BIGINT) AS in_vocab, floor((1.0 - CAST(count(vtok) AS DOUBLE)/count(*)) * 10000.0 + 0.5)/10000.0 AS oov_rate FROM toks LEFT JOIN vocab ON toks.tok = vocab.vtok GROUP BY doc_id"""
+
   /** DuckDB replica of [[pplBuckets]] over table `documents`. */
   def pplBucketsOracleSql: String =
     s"""WITH $oracleCtes,

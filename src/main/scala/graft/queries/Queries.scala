@@ -939,6 +939,14 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       Some(UnigramLm.oracleSql),
       headline = true),
 
+    // Tokenizer-coverage: top-20 vocabulary (count desc, token asc — a
+    // replayable total order) broadcast back over the corpus, per-doc
+    // OOV rate. Vocab is a hash agg + TakeOrdered, never a full sort.
+    GraftQuery("q_vocab_oov",
+      (s, dir) => UnigramLm.vocabOov(docs(s, dir), col("doc_id"), col("text"),
+        vocabSize = 20),
+      Some(UnigramLm.vocabOovOracleSql(vocabSize = 20))),
+
     // CCNet-style perplexity bucketing: head/middle/tail thirds by
     // unigram-LM score. Tertile cuts come from ONE exact-percentile
     // aggregate broadcast back — never a global ntile window.
