@@ -217,6 +217,31 @@ object Queries {
           date_format(col("ts"), tsFull).as("ts_str"), col("value")),
       Some(s"""SELECT user_id, event_type, event_id, strftime(ts, '$tsFullSql') AS ts_str, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""")),
 
+    // Per-group z-score anomaly detection (the monitoring-dashboard
+    // staple over the events stream): group moments come from EXACT
+    // decimal sums (S, SS) — order-independent on any partitioning —
+    // then mean/sd/z derive through identical IEEE arithmetic in both
+    // engines; z floor-rounds at 4 decimals and the outlier flag
+    // compares the rounded value. One partial+final agg (5 rows)
+    // broadcast back over the facts.
+    GraftQuery("q_anomaly_zscore",
+      (s, dir) => {
+        val stats = ev(s, dir).groupBy(col("event_type").as("et"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(28, 2))).cast("double").as("s1"),
+            sum((col("value") * col("value")).cast(DecimalType(28, 4)))
+              .cast("double").as("s2"))
+        val mean = col("s1") / col("n")
+        val variance = (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)
+        ev(s, dir).join(broadcast(stats), col("event_type") === col("et"))
+          .select(col("event_id"), col("event_type"), col("value"),
+            when(variance > 0,
+              floor((col("value") - mean) / sqrt(variance) * lit(10000.0) + lit(0.5))
+                / lit(10000.0)).as("z"))
+          .withColumn("is_outlier", when(col("z").isNotNull, abs(col("z")) > lit(3.0)))
+      },
+      Some("""WITH stats AS (SELECT event_type AS et, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS s1, CAST(sum(CAST(value*value AS DECIMAL(28,4))) AS DOUBLE) AS s2 FROM events GROUP BY 1), z AS (SELECT event_id, event_type, value, CASE WHEN (s2 - s1*s1/n)/(n-1) > 0 THEN floor((value - s1/n)/sqrt((s2 - s1*s1/n)/(n-1)) * 10000.0 + 0.5)/10000.0 END AS z FROM events JOIN stats ON event_type = et) SELECT event_id, event_type, value, z, CASE WHEN z IS NOT NULL THEN abs(z) > 3.0 END AS is_outlier FROM z""")),
+
     // CollapsingMergeTree FINAL analog (completing the MergeTree
     // family: Replacing = q_dedup_lww, Summing = q_summing_mv). A
     // collapsing stream is synthesized from events per (user_id,
