@@ -217,6 +217,23 @@ object Queries {
           date_format(col("ts"), tsFull).as("ts_str"), col("value")),
       Some(s"""SELECT user_id, event_type, event_id, strftime(ts, '$tsFullSql') AS ts_str, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""")),
 
+    // Equi-width histogram of value per event_type (the ClickHouse
+    // histogram()/width_bucket dashboard idiom): global min/max from
+    // one exact agg broadcast back, 10 buckets, last bucket closed.
+    // Bucket arithmetic is identical IEEE on identical doubles.
+    GraftQuery("q_histogram",
+      (s, dir) => {
+        val b = ev(s, dir).agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+        val nb = 10
+        val w = (col("hi") - col("lo")) / lit(nb)
+        ev(s, dir).crossJoin(broadcast(b))
+          .select(col("event_type"),
+            least(greatest(floor((col("value") - col("lo")) / w), lit(0.0)),
+              lit((nb - 1).toDouble)).cast("int").as("bucket"))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(count(lit(1)).as("cnt")) },
+      Some("""WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events) SELECT event_type, CAST(least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0.0), 9.0) AS INTEGER) AS bucket, count(*) AS cnt FROM events, b GROUP BY 1, 2""")),
+
     // Per-group z-score anomaly detection (the monitoring-dashboard
     // staple over the events stream): group moments come from EXACT
     // decimal sums (S, SS) — order-independent on any partitioning —
