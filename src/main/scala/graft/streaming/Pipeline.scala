@@ -201,6 +201,49 @@ object Pipeline {
     }
   }
 
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+  case class FunnelUpdate(userId: Long, level: Int)
+
+  /** Incremental streaming funnel: the real-time counterpart of the
+    * batch windowFunnel (graft.ops.Funnel) — per-user level tracked in
+    * mapGroupsWithState and re-emitted on every update. Semantics match
+    * the batch chain for in-order arrival: t1 = first step-1 event;
+    * t_k = first step-k event after t_{k-1} and within `windowMicros`
+    * of t1. Cross-batch LATE steps cannot retro-fill an earlier slot
+    * (state only moves forward) — the same accept-late-divergence class
+    * as ST4, documented rather than hidden. State is 3 longs per user;
+    * rows within a batch process in (ts, step) order so batch contents
+    * never depend on shuffle arrival order.
+    *
+    * Input columns: user_id (long), event_ts (timestamp), step (int,
+    * 1-based). */
+  def streamingFunnel(steps: DataFrame, windowMicros: Long): Dataset[FunnelUpdate] = {
+    val spark = steps.sparkSession
+    import spark.implicits._
+    val Unset = Long.MinValue
+    steps.select(col("user_id").cast("long"),
+        unix_micros(col("event_ts")).as("ts_us"), col("step").cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, step) =>
+            if (step == 1 && st.t1 == Unset)
+              st = st.copy(t1 = ts)
+            else if (step == 2 && st.t2 == Unset && st.t1 != Unset &&
+              ts > st.t1 && ts <= st.t1 + windowMicros)
+              st = st.copy(t2 = ts)
+            else if (step == 3 && st.t3 == Unset && st.t2 != Unset &&
+              ts > st.t2 && ts <= st.t1 + windowMicros)
+              st = st.copy(t3 = ts)
+          }
+          state.update(st)
+          val level = Seq(st.t1, st.t2, st.t3).takeWhile(_ != Unset).size
+          FunnelUpdate(user, level)
+      }
+  }
+
   /** K3: enriched → Kafka-outbox-shaped JSON value column. */
   def outbox(enriched: DataFrame): DataFrame = Enrich.toOutboxJson(enriched)
 

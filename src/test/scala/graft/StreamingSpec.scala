@@ -132,6 +132,38 @@ class StreamingSpec extends SparkSpec {
     } finally { scoresQ.stop(); countersQ.stop() }
   }
 
+  test("streaming funnel advances levels across batches, ignores out-of-order steps") {
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, Int)](spark)
+    val q = Pipeline.streamingFunnel(
+        in.toDF().toDF("user_id", "event_ts", "step"),
+        windowMicros = 3600L * 1000000L) // 1 hour
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Update).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def levels: Map[Long, Int] =
+      spark.sql("SELECT userId, level FROM funnel_out").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._1)
+        .map { case (u, vs) => u -> vs.map(_._2).max } // latest = max here
+    try {
+      // u1 walks the funnel across three batches; u2's purchase arrives
+      // before any click so it must NOT advance past level 1
+      in.addData((1L, ts("2024-01-01 00:00:00"), 1), (2L, ts("2024-01-01 00:00:00"), 1))
+      q.processAllAvailable()
+      assert(levels === Map(1L -> 1, 2L -> 1))
+      in.addData((1L, ts("2024-01-01 00:10:00"), 2), (2L, ts("2024-01-01 00:05:00"), 3))
+      q.processAllAvailable()
+      assert(levels === Map(1L -> 2, 2L -> 1))
+      in.addData((1L, ts("2024-01-01 00:20:00"), 3))
+      q.processAllAvailable()
+      assert(levels === Map(1L -> 3, 2L -> 1))
+      // a step-2 event outside u2's window does not advance it
+      in.addData((2L, ts("2024-01-01 02:00:00"), 2))
+      q.processAllAvailable()
+      assert(levels === Map(1L -> 3, 2L -> 1))
+    } finally { q.stop() }
+  }
+
   test("outbox serializes enriched rows to JSON values, omitting nulls") {
     val in = MemoryStream[String](spark)
     val q = Pipeline.outbox(graft.cdc.Envelope.unwrapEngagement(in.toDF()))
