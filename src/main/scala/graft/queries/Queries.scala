@@ -217,6 +217,49 @@ object Queries {
           date_format(col("ts"), tsFull).as("ts_str"), col("value")),
       Some(s"""SELECT user_id, event_type, event_id, strftime(ts, '$tsFullSql') AS ts_str, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""")),
 
+    // Mode (most frequent value) per group with a total-order tiebreak
+    // (highest count, then lowest value) — the ClickHouse topK(1)/
+    // DuckDB mode() idiom in replayable relational form: two hash aggs
+    // + a broadcast of the per-group maxima.
+    GraftQuery("q_mode",
+      (s, dir) => {
+        val c = ev(s, dir).groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        val m = c.groupBy(col("event_type").as("et")).agg(max(col("cnt")).as("mx"))
+        c.join(broadcast(m), col("event_type") === col("et") && col("cnt") === col("mx"))
+          .groupBy(col("event_type"), col("mx").as("cnt"))
+          .agg(min(col("user_id")).as("mode_user"))
+          .select(col("event_type"), col("mode_user"), col("cnt")) },
+      Some("""WITH c AS (SELECT event_type, user_id, count(*) AS cnt FROM events GROUP BY 1, 2), m AS (SELECT event_type AS et, max(cnt) AS mx FROM c GROUP BY 1) SELECT event_type, min(user_id) AS mode_user, mx AS cnt FROM c JOIN m ON event_type = et AND cnt = mx GROUP BY event_type, mx""")),
+
+    // Pearson correlation + population covariance per group from EXACT
+    // decimal moment sums (n, Sx, Sy, Sxx, Syy, Sxy) — the only
+    // cross-engine-safe formulation: the five sums are exact on any
+    // partitioning, and corr/covar derive through identical IEEE
+    // arithmetic, floor-rounded at 6 decimals.
+    GraftQuery("q_corr",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val agg = li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(28, 2))).cast("double").as("sx"),
+            sum(col("l_extendedprice").cast(DecimalType(28, 2))).cast("double").as("sy"),
+            sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(28, 4)))
+              .cast("double").as("sxx"),
+            sum((col("l_extendedprice") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+              .cast("double").as("syy"),
+            sum((col("l_quantity") * col("l_extendedprice")).cast(DecimalType(28, 4)))
+              .cast("double").as("sxy"))
+        val n = col("n").cast("double")
+        val covP = (col("sxy") - col("sx") * col("sy") / n) / n
+        val corr = (n * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(n * col("sxx") - col("sx") * col("sx")) *
+           sqrt(n * col("syy") - col("sy") * col("sy")))
+        agg.select(col("l_returnflag"), col("n"),
+          (floor(corr * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("corr_qty_price"),
+          (floor(covP * lit(1000000.0) + lit(0.5)) / lit(1000000.0)).as("covar_pop")) },
+      Some("""WITH a AS (SELECT l_returnflag, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sx, CAST(sum(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sy, CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx, CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS syy, CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy FROM lineitem GROUP BY 1) SELECT l_returnflag, n, floor((CAST(n AS DOUBLE)*sxy - sx*sy) / (sqrt(CAST(n AS DOUBLE)*sxx - sx*sx) * sqrt(CAST(n AS DOUBLE)*syy - sy*sy)) * 1000000.0 + 0.5)/1000000.0 AS corr_qty_price, floor((sxy - sx*sy/CAST(n AS DOUBLE))/CAST(n AS DOUBLE) * 1000000.0 + 0.5)/1000000.0 AS covar_pop FROM a""")),
+
     // Equi-width histogram of value per event_type (the ClickHouse
     // histogram()/width_bucket dashboard idiom): global min/max from
     // one exact agg broadcast back, 10 buckets, last bucket closed.
