@@ -129,18 +129,25 @@ object TextFunctions {
       }
     }
 
-  /** DuckDB replica of [[gopherSignals]] over table `documents`. */
-  def gopherSignalsOracleSql: String = {
+  /** CTE body of the [[gopherSignals]] oracle over source relation
+    * `src` (doc_id, text), prefixed for composability. Ends with CTE
+    * `${p}gsig`: (doc_id, n_tok, mean_word_len, symbol_ratio,
+    * alpha_ratio, stop_hits, passes). */
+  def gopherSignalsOracleCtes(src: String = "documents", p: String = ""): String = {
     val f4 = (e: String) => s"floor(($e) * 10000.0 + 0.5) / 10000.0"
     val meanLen = f4("CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / n")
     val symR = f4("CAST(len(list_filter(toks, t -> regexp_matches(t, '#|\\.\\.\\.'))) AS DOUBLE) / n")
     val alphaR = f4("CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n")
     val stopPat = langStopwords.toMap.apply("en")
-    raw"""WITH tk AS (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks FROM documents),
-b AS (SELECT doc_id, text, toks, CAST(greatest(len(toks), 1) AS DOUBLE) AS n FROM tk),
-sig AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, $meanLen AS mean_word_len, $symR AS symbol_ratio, $alphaR AS alpha_ratio, CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS BIGINT) AS stop_hits FROM b)
-SELECT doc_id, n_tok, mean_word_len, symbol_ratio, alpha_ratio, stop_hits, (n_tok >= 50 AND n_tok <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_ratio < 0.1 AND alpha_ratio > 0.8 AND stop_hits >= 2) AS passes FROM sig"""
+    raw"""${p}tk AS (SELECT doc_id, text, list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), t -> t <> '') AS toks FROM $src),
+${p}tkb AS (SELECT doc_id, text, toks, CAST(greatest(len(toks), 1) AS DOUBLE) AS n FROM ${p}tk),
+${p}gsig AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok, $meanLen AS mean_word_len, $symR AS symbol_ratio, $alphaR AS alpha_ratio, CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS BIGINT) AS stop_hits, (CAST(len(toks) AS BIGINT) >= 50 AND CAST(len(toks) AS BIGINT) <= 100000 AND $meanLen >= 3.0 AND $meanLen <= 10.0 AND $symR < 0.1 AND $alphaR > 0.8 AND CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS BIGINT) >= 2) AS passes FROM ${p}tkb)"""
   }
+
+  /** DuckDB replica of [[gopherSignals]] over table `documents`. */
+  def gopherSignalsOracleSql: String =
+    s"""WITH ${gopherSignalsOracleCtes()}
+SELECT doc_id, n_tok, mean_word_len, symbol_ratio, alpha_ratio, stop_hits, passes FROM gsig"""
 
   // PII regexes: a deliberately portable RE2/Java common subset (no
   // backreferences, no lookaround) so engine and oracle match the same

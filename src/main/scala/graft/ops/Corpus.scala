@@ -226,16 +226,25 @@ SELECT stratum, tokens, target_share, rate FROM mr"""
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** CTE body of the [[spanDedup]] oracle over source relation `src`
+    * (must expose doc_id, text), every CTE name prefixed — composable
+    * into larger pipeline oracles (the KMeans.ctes pattern). Ends with
+    * CTEs `${p}ka` (doc_id, kept_spans, clean_text — survivors only)
+    * and `${p}tot` (doc_id, total_spans). */
+  def spanDedupOracleCtes(spanTokens: Int = 8, src: String = "documents",
+      p: String = ""): String =
+    raw"""${p}toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM $src),
+${p}spans AS (SELECT doc_id, c AS pos, array_to_string(t[c*$spanTokens+1:c*$spanTokens+$spanTokens], ' ') AS span FROM ${p}toks, LATERAL unnest(range(0, CAST(ceil(len(t)/$spanTokens.0) AS BIGINT))) AS u(c)),
+${p}kept AS (SELECT doc_id, pos, span FROM (SELECT doc_id, pos, span, row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn FROM ${p}spans) WHERE rn = 1),
+${p}ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_spans, string_agg(span, ' ' ORDER BY pos) AS clean_text FROM ${p}kept GROUP BY doc_id),
+${p}tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_spans FROM ${p}spans GROUP BY doc_id)"""
+
   /** DuckDB replica of [[spanDedup]] over table `documents` (the oracle
     * uses the row_number-window first-occurrence form — identical
-    * result, simpler SQL; the engine's min-struct aggregate is the
+    * result, simpler SQL; the engine's packed-min aggregate is the
     * scale-out formulation of the same total order). */
   def spanDedupOracleSql(spanTokens: Int = 8): String =
-    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
-spans AS (SELECT doc_id, c AS pos, array_to_string(t[c*$spanTokens+1:c*$spanTokens+$spanTokens], ' ') AS span FROM toks, LATERAL unnest(range(0, CAST(ceil(len(t)/$spanTokens.0) AS BIGINT))) AS u(c)),
-kept AS (SELECT doc_id, pos, span FROM (SELECT doc_id, pos, span, row_number() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn FROM spans) WHERE rn = 1),
-ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_spans, string_agg(span, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id),
-tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_spans FROM spans GROUP BY doc_id)
+    s"""WITH ${spanDedupOracleCtes(spanTokens)}
 SELECT tot.doc_id, coalesce(kept_spans, 0) AS kept_spans, total_spans, coalesce(clean_text, '') AS clean_text FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"""
 
   /** Intra-document repetition ratio over word n-grams (a Gopher-style

@@ -49,19 +49,21 @@ object UnigramLm {
           / lit(10000.0)).as("avg_logprob"))
   }
 
-  /** CTE body shared by the oracles (ends with CTE `sc`: doc_id, dl,
-    * avg_logprob — the [[scoreDocs]] result). */
-  def oracleCtes: String =
-    raw"""toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM documents),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM toks),
-vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-pt AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE)/CAST(t_total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_q FROM toks JOIN vocab USING (tok), tot),
-sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, floor(CAST(sum(lp_q) AS DOUBLE)/count(*)/100.0 + 0.5)/10000.0 AS avg_logprob FROM pt GROUP BY doc_id)"""
+  /** CTE body shared by the oracles, over source relation `src`
+    * (doc_id, text) with prefixed CTE names for composability. Ends
+    * with CTE `${p}sc`: doc_id, dl, avg_logprob — the [[scoreDocs]]
+    * result. */
+  def oracleCtes(src: String = "documents", p: String = ""): String =
+    raw"""${p}toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok FROM $src),
+${p}tot AS (SELECT CAST(count(*) AS BIGINT) AS t_total FROM ${p}toks),
+${p}vocab AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ${p}toks GROUP BY tok),
+${p}pt AS (SELECT doc_id, CAST(floor(ln(CAST(cnt AS DOUBLE)/CAST(t_total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_q FROM ${p}toks JOIN ${p}vocab USING (tok), ${p}tot),
+${p}sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, floor(CAST(sum(lp_q) AS DOUBLE)/count(*)/100.0 + 0.5)/10000.0 AS avg_logprob FROM ${p}pt GROUP BY doc_id)"""
 
   /** DuckDB replica of [[scoreDocs]] over table `documents` — same
     * quantization, same exact integer sum, same floor-4 mean. */
   def oracleSql: String =
-    s"WITH $oracleCtes\nSELECT doc_id, dl, avg_logprob FROM sc"
+    s"WITH ${oracleCtes()}\nSELECT doc_id, dl, avg_logprob FROM sc"
 
   // the 1/3 and 2/3 tertile points, materialized through Scala doubles
   // so engine and oracle parse the IDENTICAL IEEE literal
@@ -121,10 +123,16 @@ sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl, floor(CAST(sum(lp_q) AS DO
 vocab AS (SELECT tok AS vtok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok ORDER BY cnt DESC, tok ASC LIMIT $vocabSize))
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, CAST(count(vtok) AS BIGINT) AS in_vocab, floor((1.0 - CAST(count(vtok) AS DOUBLE)/count(*)) * 10000.0 + 0.5)/10000.0 AS oov_rate FROM toks LEFT JOIN vocab ON toks.tok = vocab.vtok GROUP BY doc_id"""
 
+  /** CTE body of the [[pplBuckets]] oracle over `src`, prefixed. Ends
+    * with CTE `${p}pb`: (doc_id, lp4, bucket). */
+  def pplBucketsOracleCtes(src: String = "documents", p: String = ""): String =
+    s"""${oracleCtes(src, p)},
+${p}lp AS (SELECT doc_id, CAST(floor(avg_logprob * 10000.0 + 0.5) AS BIGINT) AS lp4 FROM ${p}sc),
+${p}cuts AS (SELECT quantile_cont(lp4, $P1) AS c1, quantile_cont(lp4, $P2) AS c2 FROM ${p}lp),
+${p}pb AS (SELECT doc_id, lp4, CASE WHEN CAST(lp4 AS DOUBLE) >= c2 THEN 'head' WHEN CAST(lp4 AS DOUBLE) < c1 THEN 'tail' ELSE 'middle' END AS bucket FROM ${p}lp, ${p}cuts)"""
+
   /** DuckDB replica of [[pplBuckets]] over table `documents`. */
   def pplBucketsOracleSql: String =
-    s"""WITH $oracleCtes,
-lp AS (SELECT doc_id, CAST(floor(avg_logprob * 10000.0 + 0.5) AS BIGINT) AS lp4 FROM sc),
-cuts AS (SELECT quantile_cont(lp4, $P1) AS c1, quantile_cont(lp4, $P2) AS c2 FROM lp)
-SELECT doc_id, lp4, CASE WHEN CAST(lp4 AS DOUBLE) >= c2 THEN 'head' WHEN CAST(lp4 AS DOUBLE) < c1 THEN 'tail' ELSE 'middle' END AS bucket FROM lp, cuts"""
+    s"""WITH ${pplBucketsOracleCtes()}
+SELECT doc_id, lp4, bucket FROM pb"""
 }

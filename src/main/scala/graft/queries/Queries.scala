@@ -1162,6 +1162,31 @@ WHERE CAST('0x'||substring(md5('sample:'||d.lang||':'||CAST(d.doc_id AS VARCHAR)
     // fragments. Every stage keeps its individual scale posture
     // (map-only signatures, broadcast one-row stats, two-phase prefix
     // sum); composing them adds no new shuffle of the corpus.
+    // The 2024-generation pipeline composed from the late round-4 ops,
+    // one declarative plan + one machine-composed oracle: span-level
+    // exact dedup (reassembled docs, emptied docs dropped) → Gopher
+    // rule gate on the CLEANED text → unigram-LM perplexity tertiles
+    // trained on the survivors → tail third dropped. Stage oracles
+    // compose via prefixed CTEs (sd/gp/lm), so one DuckDB query replays
+    // all three stages end to end.
+    GraftQuery("q_training_pipeline2",
+      (s, dir) => {
+        val cleaned = Corpus.spanDedup(docs(s, dir), col("doc_id"), col("text"),
+            spanTokens = 8)
+          .filter(col("kept_spans") > 0)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val gated = cleaned
+          .filter(TextFunctions.gopherSignals(col("text")).getField("passes"))
+        UnigramLm.pplBuckets(gated, col("doc_id"), col("text"))
+          .filter(col("bucket") =!= "tail")
+      },
+      Some(s"""WITH ${Corpus.spanDedupOracleCtes(8, "documents", "sd")},
+cleaned AS (SELECT doc_id, clean_text AS text FROM sdka WHERE kept_spans > 0),
+${TextFunctions.gopherSignalsOracleCtes("cleaned", "gp")},
+gated AS (SELECT c.doc_id, c.text FROM cleaned c JOIN gpgsig g USING (doc_id) WHERE g.passes),
+${UnigramLm.pplBucketsOracleCtes("gated", "lm")}
+SELECT doc_id, lp4, bucket FROM lmpb WHERE bucket <> 'tail'""")),
+
     GraftQuery("q_training_pipeline",
       (s, dir) => {
         val d = docs(s, dir)
