@@ -38,6 +38,20 @@ object ScaleProbe {
     time("exact dedup groups") {
       graft.ops.Dedup.exactGroups(docs, col("text"), col("doc_id")).count()
     }
+    time("span dedup 100k docs (~800k spans)") {
+      graft.ops.Corpus.spanDedup(docs, col("doc_id"), col("text")).count()
+    }
+    // 10M synthetic events over 100k users for the funnel chain
+    val events = spark.range(10000000L).select(
+      pmod(col("id"), lit(100000L)).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 7919L).as("ts"),
+      element_at(typedLit(Seq("view", "click", "purchase", "other")),
+        (pmod(hash(col("id")), lit(4)) + 1).cast("int")).as("event_type"))
+    time("windowFunnel 10M events / 100k users") {
+      graft.ops.Funnel.windowFunnel(events, col("user_id"), col("ts"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), window = "30 DAYS").count()
+    }
     spark.stop()
   }
 }
