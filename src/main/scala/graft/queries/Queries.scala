@@ -217,6 +217,21 @@ object Queries {
           date_format(col("ts"), tsFull).as("ts_str"), col("value")),
       Some(s"""SELECT user_id, event_type, event_id, strftime(ts, '$tsFullSql') AS ts_str, value FROM events QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1""")),
 
+    // Event-type transition matrix (behavior-flow / Sankey feed): per
+    // user-ordered stream, count each (prev_type → type) bigram. The
+    // lag window partitions by user (bounded state per user), the count
+    // rolls up with map-side partials.
+    GraftQuery("q_transition_matrix",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        ev(s, dir)
+          .select(col("user_id"), col("event_type"),
+            lag(col("event_type"), 1).over(w).as("prev_type"))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type"))
+          .agg(count(lit(1)).as("cnt")) },
+      Some("""SELECT prev_type, event_type, count(*) AS cnt FROM (SELECT event_type, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) WHERE prev_type IS NOT NULL GROUP BY 1, 2""")),
+
     // Mode (most frequent value) per group with a total-order tiebreak
     // (highest count, then lowest value) — the ClickHouse topK(1)/
     // DuckDB mode() idiom in replayable relational form: two hash aggs
