@@ -55,6 +55,50 @@ class PropertySpec extends SparkSpec {
     assert(once.select("k").distinct().count() === df.select("k").distinct().count())
   }
 
+  test("property: collapse of a balanced cancel stream equals LWW of the +1 rows") {
+    // random per-key state sequences; synthesize (+1 state, -1 cancel of
+    // predecessor) exactly like q_collapsing, collapse, compare to LWW
+    val rows = Gen.listOfN(300,
+      Gen.zip(Gen.chooseNum(0, 20), Gen.chooseNum(0L, 100000L)))
+      .sample.get.distinct // distinct (k, ver) so version order is total
+    val df = rows.map { case (k, ver) => (k.toLong, ver, s"state-$k-$ver") }
+      .toDF("k", "ver", "state")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("ver"))
+    val withPrev = df.withColumn("prev",
+      lag(struct(col("ver"), col("state")), 1).over(w))
+    val plus = withPrev.select(col("k"), col("ver"), col("state"), lit(1).as("sign"))
+    val minus = withPrev.filter(col("prev").isNotNull)
+      .select(col("k"), col("prev.ver").as("ver"),
+        col("prev.state").as("state"), lit(-1).as("sign"))
+    val collapsed = Dedup.collapse(plus.unionByName(minus),
+        Seq(col("k")), col("sign"), col("ver"))
+      .select("k", "ver", "state")
+    val lww = Dedup.lww(df, Seq(col("k")), col("ver"), col("ver"))
+      .select("k", "ver", "state")
+    assert(collapsed.collect().map(_.toString).sorted.toSeq ===
+      lww.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("property: funnel step counts are monotone non-increasing") {
+    val rows = Gen.listOfN(500, Gen.zip(
+      Gen.chooseNum(0, 40), Gen.chooseNum(0L, 3600L), Gen.chooseNum(1, 3)))
+      .sample.get
+    val df = rows.map { case (u, off, step) =>
+      (u.toLong, java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(off)), step)
+    }.toDF("user_id", "ts", "step")
+    val out = graft.ops.Funnel.windowFunnel(df, col("user_id"), col("ts"),
+        Seq(col("step") === 1, col("step") === 2, col("step") === 3),
+        window = "30 MINUTES")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts = (1L to 3L).map(s => out.getOrElse(s, 0L))
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2), counts.toString)
+    // and every user with a step-1 event is counted at step 1
+    val step1Users = rows.filter(_._3 == 1).map(_._1).distinct.size.toLong
+    assert(counts(0) === step1Users)
+  }
+
   test("property: event-id normalization total on non-null inputs, identity on digits") {
     val ids = Gen.oneOf(
       Gen.chooseNum(0L, Long.MaxValue / 2).map(_.toString),
