@@ -884,6 +884,32 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
     // decode (graft_avro_decode, PERMISSIVE + union-normalized
     // event_id) → identity. The oracle checks the round-trip against
     // the source rows directly, proving both wire directions.
+    // File-format round-trips beyond parquet/avro (§2.1/§2.9): the
+    // projected events table writes to CSV (header, quoted) AND JSON
+    // Lines, reads back with the explicit schema, and the output is the
+    // three-way intersection base ∩ csv ∩ jsonl — identical to the
+    // identity projection (the oracle) ONLY if both formats round-trip
+    // every value (doubles survive via shortest-repr printing, which
+    // Double.parseDouble inverts exactly). Side-effecting scratch dir
+    // (deleted on JVM exit) like q_snapshot_changes — never headline.
+    GraftQuery("q_file_roundtrip",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_filert")
+        deleteRecursivelyOnExit(tmpPath)
+        val base = ev(s, dir).select(col("event_id"),
+          date_format(col("ts"), tsFull).as("ts_str"), col("user_id"),
+          col("event_type"), col("value"), col("props"))
+        base.write.mode("overwrite").option("header", "true")
+          .csv(s"$tmpPath/csv")
+        base.write.mode("overwrite").json(s"$tmpPath/jsonl")
+        val schema = base.schema
+        val fromCsv = s.read.schema(schema).option("header", "true")
+          .csv(s"$tmpPath/csv")
+        val fromJson = s.read.schema(schema).json(s"$tmpPath/jsonl")
+        base.intersect(fromCsv).intersect(fromJson)
+      },
+      Some(s"""SELECT event_id, strftime(ts, '$tsFullSql') AS ts_str, user_id, event_type, value, props FROM events""")),
+
     GraftQuery("q_avro_roundtrip",
       (s, dir) => {
         graft.cdc.AvroWire.register(s)
