@@ -1436,6 +1436,14 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
       (s, dir) => graft.dedup.NgramJaccard.pairs(docs(s, dir), col("doc_id"), col("text")),
       Some(graft.dedup.NgramJaccard.oracleSql())),
 
+    // Edit-distance fuzzy pairs: prefix-block candidates + levenshtein
+    // verify (the record-linkage rung between exact and set-similarity
+    // dedup; both engines implement unit-cost levenshtein).
+    GraftQuery("q_dedup_fuzzy",
+      (s, dir) => graft.dedup.EditDistance.pairs(docs(s, dir),
+        col("doc_id"), col("text")),
+      Some(graft.dedup.EditDistance.oracleSql())),
+
     // Exact all-pairs baseline (O(N²) theta join — the verification
     // rung; the scale path is q_dedup_embedding_lsh below).
     GraftQuery("q_dedup_embedding",
