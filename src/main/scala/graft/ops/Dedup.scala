@@ -30,11 +30,15 @@ object Dedup {
     * Summing → graft.sinks.SummingStore): rows carry sign ∈ {+1, -1}
     * (state row / cancel of a previously-written state row). Per key,
     * the highest-version +1 row survives iff sum(sign) > 0; fully
-    * cancelled keys vanish. ONE partial+final hash aggregate keyed by
+    * cancelled keys vanish. ONE partial+final aggregate keyed by
     * `keys` — an exact integer sign sum plus max_by over the +1 rows —
-    * no per-group sort, no windows, so it holds the same 100 TB posture
-    * as every other rollup. `version` must be totally ordered per key
-    * (pass a struct with a tiebreak). */
+    * no windows and no second shuffle. The struct-valued max_by buffer
+    * is not fixed-width, so Spark plans this as partial+final
+    * SortAggregate rather than HashAggregate; the property that
+    * matters at 100 TB survives: the map-side partial collapses each
+    * partition to ONE row per key before the shuffle (the alternative
+    * row_number-window form would shuffle every raw row). `version`
+    * must be totally ordered per key (pass a struct with a tiebreak). */
   def collapse(df: DataFrame, keys: Seq[Column], sign: Column,
       version: Column): DataFrame = {
     val payload = struct(df.columns.map(col): _*)
