@@ -714,6 +714,21 @@ object Queries {
       // pivot (no cell) but 0 from a FILTER count — align on NULL.
       Some("""SELECT user_id, NULLIF(count(*) FILTER (WHERE event_type = 'click'), 0) AS click, NULLIF(count(*) FILTER (WHERE event_type = 'error'), 0) AS error, NULLIF(count(*) FILTER (WHERE event_type = 'purchase'), 0) AS purchase, NULLIF(count(*) FILTER (WHERE event_type = 'signup'), 0) AS signup, NULLIF(count(*) FILTER (WHERE event_type = 'view'), 0) AS view FROM events GROUP BY 1""")),
 
+    // UNPIVOT (melt) — the §2.6 inverse of pivot: the wide per-type
+    // count table melts back to long form, dropping the NULL cells
+    // pivot created, so pivot ∘ unpivot must equal the plain grouped
+    // counts — which is exactly the oracle.
+    GraftQuery("q_unpivot",
+      (s, dir) => ev(s, dir).groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("error"), col("purchase"),
+            col("signup"), col("view")),
+          "event_type", "cnt")
+        .filter(col("cnt").isNotNull),
+      Some("""SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2""")),
+
     // Ordered collect/string aggregation (deterministic via sort).
     GraftQuery("q_string_agg",
       (s, dir) => ev(s, dir).groupBy(col("user_id"))
