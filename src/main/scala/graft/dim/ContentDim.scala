@@ -30,6 +30,24 @@ object ContentDim {
       .drop("__rn", "is_delete", "change_seq")
   }
 
+  /** SCD Type-2 history from the same change stream [[latestState]]
+    * folds to Type-1: every upsert opens a version valid from its
+    * change_seq until the NEXT change of the key (upsert or delete);
+    * deletes close the prior version without opening one; the open
+    * version (valid_to_seq IS NULL) is current. One lead() window
+    * partitioned by key — state per group is bounded by that key's
+    * change count, never corpus-wide. */
+  def scd2History(changes: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("change_seq"), col("is_delete"))
+    changes
+      .withColumn("valid_to_seq", lead(col("change_seq"), 1).over(w))
+      .filter(!col("is_delete"))
+      .withColumn("is_current", col("valid_to_seq").isNull)
+      .withColumnRenamed("change_seq", "valid_from_seq")
+      .drop("is_delete")
+  }
+
   /** Merge a change batch into an existing snapshot (both keyed by id):
     * new upserts replace, deletes remove, untouched rows carry over.
     * This is the foreachBatch MERGE body for streaming maintenance. */

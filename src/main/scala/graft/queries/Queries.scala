@@ -172,6 +172,16 @@ object Queries {
       (s, dir) => ContentDim.latestState(Envelope.unwrapContent(contentWire(s, dir))),
       Some(s"""$dimStateSql SELECT * FROM dim""")),
 
+    // SCD Type-2 dimension HISTORY from the same CDC stream the Type-1
+    // fold consumes: each upsert's validity interval runs to the next
+    // change of that key; deletes close without opening; the open
+    // version is current. One per-key lead() window.
+    GraftQuery("q_scd2_history",
+      (s, dir) => ContentDim.scd2History(Envelope.unwrapContent(contentWire(s, dir)))
+        .select(col("id"), col("content_type"), col("length_seconds"),
+          col("valid_from_seq"), col("valid_to_seq"), col("is_current")),
+      Some("""WITH ch AS (SELECT 'content-' || CAST(event_id % 40 AS VARCHAR) AS id, CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 'podcast' WHEN 1 THEN 'video' ELSE 'newsletter' END AS content_type, CAST(round(value*10, 0) AS INTEGER) AS length_seconds, event_id % 10 = 0 AS is_delete, event_id AS change_seq FROM events), h AS (SELECT *, lead(change_seq) OVER (PARTITION BY id ORDER BY change_seq, is_delete) AS valid_to_seq FROM ch) SELECT id, content_type, length_seconds, change_seq AS valid_from_seq, valid_to_seq, valid_to_seq IS NULL AS is_current FROM h WHERE NOT is_delete""")),
+
     // §3.1 end-to-end (batch form): unwrap both streams, fold the dim,
     // broadcast-left-join enrich, derive P5/P6/P7.
     GraftQuery("q_cdc_enrich_e2e",
