@@ -182,6 +182,17 @@ object Queries {
           col("valid_from_seq"), col("valid_to_seq"), col("is_current")),
       Some("""WITH ch AS (SELECT 'content-' || CAST(event_id % 40 AS VARCHAR) AS id, CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 'podcast' WHEN 1 THEN 'video' ELSE 'newsletter' END AS content_type, CAST(round(value*10, 0) AS INTEGER) AS length_seconds, event_id % 10 = 0 AS is_delete, event_id AS change_seq FROM events), h AS (SELECT *, lead(change_seq) OVER (PARTITION BY id ORDER BY change_seq, is_delete) AS valid_to_seq FROM ch) SELECT id, content_type, length_seconds, change_seq AS valid_from_seq, valid_to_seq, valid_to_seq IS NULL AS is_current FROM h WHERE NOT is_delete""")),
 
+    // Point-in-time (time-travel) read against the SCD2 history: the
+    // dimension state AS OF change_seq 500 — interval-containment
+    // filter over the history, no extra shuffle.
+    GraftQuery("q_scd2_asof",
+      (s, dir) => ContentDim.scd2History(Envelope.unwrapContent(contentWire(s, dir)))
+        .filter(col("valid_from_seq") <= 500 &&
+          (col("valid_to_seq").isNull || col("valid_to_seq") > 500))
+        .select(col("id"), col("content_type"), col("length_seconds"),
+          col("valid_from_seq")),
+      Some("""WITH ch AS (SELECT 'content-' || CAST(event_id % 40 AS VARCHAR) AS id, CASE CAST(user_id % 3 AS INTEGER) WHEN 0 THEN 'podcast' WHEN 1 THEN 'video' ELSE 'newsletter' END AS content_type, CAST(round(value*10, 0) AS INTEGER) AS length_seconds, event_id % 10 = 0 AS is_delete, event_id AS change_seq FROM events), h AS (SELECT *, lead(change_seq) OVER (PARTITION BY id ORDER BY change_seq, is_delete) AS valid_to_seq FROM ch) SELECT id, content_type, length_seconds, change_seq AS valid_from_seq FROM h WHERE NOT is_delete AND change_seq <= 500 AND (valid_to_seq IS NULL OR valid_to_seq > 500)""")),
+
     // §3.1 end-to-end (batch form): unwrap both streams, fold the dim,
     // broadcast-left-join enrich, derive P5/P6/P7.
     GraftQuery("q_cdc_enrich_e2e",
