@@ -8,9 +8,11 @@ import graft.queries.Queries
   * prints ONE JSON line {"metric":…,"value":…,"queries":{…},"sf":…}.
   *
   * Each query is forced end-to-end with a noop-format write (computes
-  * every column, unlike count() which lets Catalyst prune the plan). A
-  * warmup pass on the first query absorbs JVM/codegen startup so the
-  * numbers reflect steady-state execution.
+  * every column, unlike count() which lets Catalyst prune the plan).
+  * One warmup pass per plan absorbs JVM/codegen startup; each query is
+  * then timed median-of-N (default 5) with the min/median/max spread
+  * emitted so run-to-run JVM noise is visible instead of silently
+  * polluting the headline number.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,15 +43,24 @@ object Bench {
     // explicit query names to time instead of the headline set
     val names = if (args.nonEmpty) args.toSeq else Queries.headlines.map(_.name)
     names.foreach(force) // warm codegen/JIT for every plan once
-    // best-of-3 timed runs: the local VM is noisy and min-of-n is the
-    // standard way to read steady-state latency through that noise
+    // Median-of-5 timed runs per query: sub-second queries in a shared
+    // JVM swing up to 5x between single shots (GC, JIT recompiles), so
+    // a single sample can't distinguish a real 2x regression from
+    // noise. The headline number is the median; min/max are emitted
+    // alongside so a reader can see the spread a given run had.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     val results = names.map { n =>
-      val t = Seq(force(n), force(n), force(n)).filter(_ >= 0)
-      n -> (if (t.isEmpty) -1.0 else t.min)
+      val t = Seq.fill(iters)(force(n)).filter(_ >= 0).sorted
+      if (t.isEmpty) n -> (-1.0, -1.0, -1.0)
+      else n -> (t.head, t(t.length / 2), t.last)
     }
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def f(d: Double) = "%.4f".format(d)
+    val qs = results.map { case (k, (_, med, _)) => s""""$k":${f(med)}""" }.mkString("{", ",", "}")
+    val spread = results.map { case (k, (mn, med, mx)) =>
+      s""""$k":{"min":${f(mn)},"median":${f(med)},"max":${f(mx)}}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -116,17 +116,23 @@ case class BoundedTopK(
 
 object BoundedTopK {
   /** Register `bounded_top_k(score, key, k)` for SQL/expr use in this
-    * session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bounded_top_k",
-      exprs => {
-        require(exprs.length == 3, "bounded_top_k(score, key, k)")
-        val k = exprs(2) match {
-          case Literal(v: Int, IntegerType) => v
-          case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
-        }
-        BoundedTopK(exprs.head, exprs(1), k).toAggregateExpression()
-      },
-      "built-in")
+    * session (idempotent: a no-op if already present, so repeated calls
+    * don't spam replace-function warnings). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("bounded_top_k")
+    if (!registry.functionExists(ident)) {
+      registry.createOrReplaceTempFunction(
+        "bounded_top_k",
+        exprs => {
+          require(exprs.length == 3, "bounded_top_k(score, key, k)")
+          val k = exprs(2) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(s"k must be an int literal, got $other")
+          }
+          BoundedTopK(exprs.head, exprs(1), k).toAggregateExpression()
+        },
+        "built-in")
+    }
+  }
 }

@@ -95,10 +95,17 @@ case class DoubleDot(left: Expression, right: Expression) extends BinaryExpressi
 }
 
 object VectorExpressions {
-  /** Register `graft_dot(a, b)` in the session (idempotent). */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => { require(exprs.length == 2, "graft_dot(a, b)"); DoubleDot(exprs.head, exprs(1)) },
-      "built-in")
+  /** Register `graft_dot(a, b)` in the session (idempotent: a no-op if
+    * already present, so repeated calls don't spam replace-function
+    * warnings). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    val ident = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")
+    if (!registry.functionExists(ident)) {
+      registry.createOrReplaceTempFunction(
+        "graft_dot",
+        exprs => { require(exprs.length == 2, "graft_dot(a, b)"); DoubleDot(exprs.head, exprs(1)) },
+        "built-in")
+    }
+  }
 }
