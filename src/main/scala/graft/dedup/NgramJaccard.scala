@@ -28,8 +28,9 @@ object NgramJaccard {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Stop-shingles: those appearing in more than `maxShingleFreq`
-    * documents. Small by construction (a natural-language corpus has a
-    * short ultra-frequent head), hence broadcastable. */
+    * documents. Small on natural-language corpora (a short
+    * ultra-frequent head) but potentially huge on template-heavy
+    * crawls — callers must size-probe before collecting (see pairs). */
   def stopShingles(docs: DataFrame, id: Column, text: Column, n: Int,
       maxShingleFreq: Int): DataFrame =
     docs.select(id.as("doc_id"), explode(TextFunctions.shingles(text, n)).as("s"))
@@ -37,26 +38,42 @@ object NgramJaccard {
       .select("s")
 
   /** Pairs (doc_a < doc_b) with jaccard >= threshold.
-    * maxShingleFreq <= 0 disables frequency pruning (fully exact). */
+    * maxShingleFreq <= 0 disables frequency pruning (fully exact).
+    *
+    * The stop-shingle prune has two physical paths chosen at runtime by
+    * the ACTUAL hot-set size, never assumed: on a natural corpus the
+    * >maxShingleFreq head is tiny, so it is collected once and applied
+    * as an O(1)-per-row InSet filter; on a template-heavy / adversarial
+    * corpus the head can run to millions of shingles, where a driver
+    * collect would OOM — past `maxHotSetSize` the prune switches to a
+    * distributed left-anti join against the hot-shingle table instead
+    * (same semantics, bounded driver memory). The chosen path is
+    * logged, so a capped or degraded run is never silent. */
   def pairs(docs: DataFrame, id: Column, text: Column, n: Int = 3,
-      threshold: Double = 0.8, maxShingleFreq: Int = 128): DataFrame = {
+      threshold: Double = 0.8, maxShingleFreq: Int = 128,
+      maxHotSetSize: Int = 10000): DataFrame = {
     val sh0 = docs.select(id.as("doc_id"),
         explode(TextFunctions.shingles(text, n)).as("s"))
     val sh =
       if (maxShingleFreq > 0) {
-        // the hot set is tiny by construction (the ultra-frequent head
-        // of a natural-language corpus), so it is materialized to the
-        // driver once — this both IS the logged contract and turns the
-        // pruning into an O(1)-per-row InSet filter instead of a join;
-        // when nothing is hot (the common case) the plan is untouched
-        val hot = stopShingles(docs, id, text, n, maxShingleFreq)
-          .collect().map(_.getString(0))
-        if (hot.isEmpty) sh0
-        else {
+        val hotDf = stopShingles(docs, id, text, n, maxShingleFreq)
+        // probe the size WITHOUT materializing rows on the driver: only
+        // up to maxHotSetSize+1 rows survive the limit, so the count is
+        // bounded however pathological the corpus is
+        val hotProbe = hotDf.limit(maxHotSetSize + 1).count()
+        if (hotProbe == 0L) sh0
+        else if (hotProbe <= maxHotSetSize) {
+          val hot = hotDf.collect().map(_.getString(0))
           log.warn(s"NgramJaccard: dropping ${hot.length} stop-shingles with " +
-            s"doc-frequency > $maxShingleFreq from pair evidence " +
-            "(set sizes stay uncapped)")
+            s"doc-frequency > $maxShingleFreq from pair evidence via the " +
+            "InSet fast path (set sizes stay uncapped)")
           sh0.filter(!col("s").isInCollection(hot))
+        } else {
+          log.warn(s"NgramJaccard: hot set exceeds $maxHotSetSize stop-shingles " +
+            s"(doc-frequency > $maxShingleFreq); pruning via distributed " +
+            "anti-join instead of a driver collect (set sizes stay uncapped)")
+          sh0.join(hotDf.withColumnRenamed("s", "hot_s"),
+            col("s") === col("hot_s"), "left_anti")
         }
       } else sh0
     val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))

@@ -148,6 +148,56 @@ class DedupLadderSpec extends SparkSpec {
     assert(exact === Set((0L, 1L)))
   }
 
+  test("ngram hot-set overflow switches to the anti-join path with identical results") {
+    import spark.implicits._
+    // template-heavy corpus: a 5-token shared boilerplate prefix makes
+    // THREE hot shingles, so with maxHotSetSize = 2 the driver-collect
+    // InSet path must NOT run — the distributed anti-join takes over.
+    // Both paths must produce byte-identical pair sets.
+    val rows = (0 until 60).map { i =>
+      val tailOf = if (i == 1) 0 else i
+      val tail = (0 until 25).map(k => s"tok${tailOf}x$k").mkString(" ")
+      (i.toLong, s"aa bb cc dd ee $tail")
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val hotCount = NgramJaccard.stopShingles(docs, col("doc_id"), col("text"),
+      n = 3, maxShingleFreq = 20).count()
+    assert(hotCount === 3L) // "aa bb cc", "bb cc dd", "cc dd ee"
+    def run(maxHotSetSize: Int) =
+      NgramJaccard.pairs(docs, col("doc_id"), col("text"),
+          n = 3, threshold = 0.8, maxShingleFreq = 20, maxHotSetSize = maxHotSetSize)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaAntiJoin = run(maxHotSetSize = 2)   // 3 > 2 → fallback
+    val viaInSet = run(maxHotSetSize = 10000)  // 3 <= 10000 → fast path
+    assert(viaAntiJoin === viaInSet)
+    assert(viaAntiJoin.map(p => (p._1, p._2)) === Set((0L, 1L)))
+  }
+
+  test("fuzzy dedup suffix block catches head-edited pairs the prefix block misses") {
+    import spark.implicits._
+    val body = (0 until 30).map(k => s"word$k").mkString(" ")
+    val planted = Seq(
+      (0L, s"aaaa $body"),                     // head-edited near-dup pair:
+      (1L, s"ZZZZ $body"),                     //   4 edits, all in char 1-4,
+                                               //   so the 12-char prefix
+                                               //   blocks disagree
+      (2L, s"shared prefix block here $body tail0"), // tail-edited pair: the
+      (3L, s"shared prefix block here $body tail1"), //   classic prefix case
+      (4L, "an unrelated singleton about nothing in particular at all")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.EditDistance.pairs(planted, col("doc_id"), col("text"),
+        maxDist = 16, blockChars = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (0,1) is ONLY reachable via the suffix block; (2,3) via the prefix
+    assert(got === Set((0L, 1L), (2L, 3L)))
+    // and each candidate pair is emitted exactly once even when both
+    // blocks match (byte-identical docs share prefix AND suffix)
+    val twins = Seq((10L, body), (11L, body)).toDF("doc_id", "text")
+    val twinPairs = graft.dedup.EditDistance.pairs(twins, col("doc_id"), col("text"))
+      .collect()
+    assert(twinPairs.length === 1 && twinPairs.head.getInt(2) === 0)
+  }
+
   test("corpus ops: hash split is deterministic with sane proportions") {
     val split = docs.select(col("doc_id"),
       graft.ops.Corpus.splitAssign(col("doc_id")).as("split"))
