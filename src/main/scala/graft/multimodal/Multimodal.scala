@@ -62,11 +62,20 @@ object Multimodal {
     }
   }
 
-  /** Partition-parallel feature extraction: the decoder is applied
-    * per-partition (mapPartitions ≈ mapInPandas batch shape: amortize
-    * per-task decoder setup across the partition's rows, never collect
-    * to the driver). */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  /** The decoder contract: bytes in, fixed-dim float feature vector
+    * out. Must be `Serializable` (it ships to executors) and
+    * deterministic (re-execution of a failed task must reproduce it).
+    * A real deployment injects codec + model inference here; this
+    * environment injects [[decodeStub]]. */
+  type Decoder = Array[Byte] => Array[Float]
+
+  /** Partition-parallel feature extraction: the INJECTED decoder is
+    * applied per-partition (mapPartitions ≈ mapInPandas batch shape:
+    * amortize per-task decoder setup across the partition's rows,
+    * never collect to the driver). Swapping the stub for a real
+    * JPEG/WAV decoder changes only the argument, none of the plan. */
+  def extractFeatures(media: DataFrame,
+      decoder: Decoder = decodeStub): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "media_type", "format", "width", "height",
@@ -77,9 +86,29 @@ object Multimodal {
         rows.map { r =>
           MediaFeatures(r.doc_id, r.media_type,
             Option(r.payload).map(_.length).getOrElse(0),
-            decodeStub(r.payload))
+            decoder(r.payload))
         }
       }
+  }
+
+  /** The composed end-to-end pipeline: synthesize media columns →
+    * decode features (injected decoder) → k-means cluster → semantic
+    * near-dup verdict within clusters ([[graft.similarity.Ann.semDedup]]
+    * over the decoded features). One Spark plan, no driver
+    * materialization beyond the k×dim centroids; at 100 TB the shape is
+    * identical — decode is map-only, clustering bounds the pair join.
+    * Output: (doc_id, media_type, n_bytes, cent_id, keep). */
+  def pipeline(docs: DataFrame, threshold: Double, nCentroids: Int = 8,
+      kmeansIters: Int = 3, decoder: Decoder = decodeStub): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val feats = extractFeatures(synthesize(docs), decoder).toDF()
+    val emb = feats.select(col("doc_id").as("vec_id"), col("features").as("embedding"))
+    val verdict = graft.similarity.Ann.semDedup(
+      emb, col("vec_id"), col("embedding"), threshold, nCentroids, kmeansIters)
+    feats.select(col("doc_id"), col("media_type"), col("n_bytes"))
+      .join(verdict.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("media_type"), col("n_bytes"),
+        col("cent_id"), col("keep"))
   }
 
   /** DuckDB SQL replaying synthesize → extractFeatures bit-for-bit over
@@ -90,15 +119,51 @@ object Multimodal {
     * "decode" is a declared deterministic fake, but its Spark-side
     * plumbing (binary payload column, partition-parallel decode, fixed
     * feature dim) is exercised for real and the output hash-checked. */
+  /** Bin k of the stub histogram as a DOUBLE-typed DuckDB expression
+    * over columns (n, nibs) — REAL division replaying the stub's Float
+    * arithmetic, then widened to double exactly like Spark's
+    * float→double cast. */
+  private def binSql(k: Int): String = {
+    val d = "0123456789ABCDEF"(k)
+    s"CAST(CASE WHEN n > 0 THEN CAST(len(list_filter(nibs, c -> c = '$d')) AS REAL) / CAST(n AS REAL) ELSE CAST(0 AS REAL) END AS DOUBLE)"
+  }
+
+  private val mediaTypeSql =
+    "CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+
+  /** CTEs computing (vec_id, media_type, n_bytes, v DOUBLE[16]) — the
+    * synthesize→decode stages — as CTE `featsrc` over `documents`. */
+  private def featSrcCtes: String =
+    s"""mb AS (SELECT doc_id, encode(text) AS p FROM documents),
+mnb AS (SELECT doc_id, octet_length(p) AS n, hex(p) AS h FROM mb),
+mnib AS (SELECT doc_id, n, list_transform(range(1, n+1), i -> h[2*i-1]) AS nibs FROM mnb),
+featsrc AS (SELECT doc_id AS vec_id, $mediaTypeSql AS media_type, CAST(n AS INTEGER) AS n_bytes, ${(0 until FeatureDim).map(binSql).mkString("[", ", ", "]")} AS v FROM mnib)"""
+
   def featuresOracleSql(): String = {
-    val hexDigits = "0123456789ABCDEF"
     val fCols = (0 until FeatureDim).map { k =>
-      val d = hexDigits(k)
-      s"CAST(floor(CAST(CASE WHEN n > 0 THEN CAST(len(list_filter(nibs, c -> c = '$d')) AS REAL) / CAST(n AS REAL) ELSE CAST(0 AS REAL) END AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS f${k}_millionths"
+      s"CAST(floor(${binSql(k)} * 1000000.0 + 0.5) AS BIGINT) AS f${k}_millionths"
     }.mkString(", ")
     s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
 nb AS (SELECT doc_id, octet_length(p) AS n, hex(p) AS h FROM b),
 nib AS (SELECT doc_id, n, list_transform(range(1, n+1), i -> h[2*i-1]) AS nibs FROM nb)
-SELECT doc_id, CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type, CAST(n AS INTEGER) AS n_bytes, $fCols FROM nib"""
+SELECT doc_id, $mediaTypeSql AS media_type, CAST(n AS INTEGER) AS n_bytes, $fCols FROM nib"""
+  }
+
+  /** DuckDB SQL replaying [[pipeline]] end-to-end — synthesize, stub
+    * decode, the whole k-means fit ([[graft.similarity.KMeans.ctes]]
+    * over the feature vectors), within-cluster cosine pairs, and the
+    * keep-lowest-id drop rule — bit-for-bit hash-checkable. */
+  def pipelineOracleSql(threshold: Double, nCentroids: Int = 8,
+      kmeansIters: Int = 3): String = {
+    import graft.similarity.KMeans
+    def dot(a: String, b: String) = KMeans.dotSql(a, b)
+    val cos = s"CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN ${dot("a.v", "b.v")} / (a.nrm * b.nrm) END"
+    val centCos = s"CASE WHEN e.nrm > 0 AND c.cnrm > 0 THEN ${dot("e.v", "c.cv")} / (e.nrm * c.cnrm) END"
+    s"""WITH $featSrcCtes,
+${KMeans.ctes(nCentroids, kmeansIters, FeatureDim, vecSql = "v", fromSql = "featsrc")},
+corpus AS (SELECT vec_id, v, nrm, cent_id FROM (SELECT e.vec_id, e.v, e.nrm, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($centCos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM e, cents_$kmeansIters c) WHERE rn = 1),
+prs AS (SELECT b.vec_id AS id_b, $cos AS cosine FROM corpus a JOIN corpus b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
+drp AS (SELECT DISTINCT id_b AS vec_id FROM prs WHERE cosine >= $threshold)
+SELECT c.vec_id AS doc_id, f.media_type, f.n_bytes, c.cent_id, (d.vec_id IS NULL) AS keep FROM corpus c JOIN featsrc f ON c.vec_id = f.vec_id LEFT JOIN drp d ON c.vec_id = d.vec_id"""
   }
 }

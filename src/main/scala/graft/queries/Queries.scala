@@ -1547,6 +1547,16 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
       },
       Some(graft.multimodal.Multimodal.featuresOracleSql())),
 
+    // The composed multimodal PIPELINE: synthesize → injected decoder
+    // (stub here; the signature is the swap point for a real codec) →
+    // k-means clustering over the decoded features → within-cluster
+    // semantic near-dup verdict. One plan end-to-end; the oracle
+    // replays every stage including the k-means fit.
+    GraftQuery("q_multimodal_pipeline",
+      (s, dir) => graft.multimodal.Multimodal.pipeline(
+        docs(s, dir), threshold = 0.999),
+      Some(graft.multimodal.Multimodal.pipelineOracleSql(0.999))),
+
     // Symmetric int8 quantization round-trip (vector-storage infra for
     // a training pipeline): per-vector scale = max|x|, q = round-to-int8,
     // reported as the max absolute dequantization error. All arithmetic

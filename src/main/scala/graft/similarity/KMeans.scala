@@ -135,7 +135,7 @@ object KMeans {
 
   /** Sequential-fold dot product (DuckDB list_sum == Spark aggregate()
     * left fold, bit-for-bit — validated by the MinHash/ANN oracles). */
-  private[similarity] def dotSql(a: String, b: String): String =
+  private[graft] def dotSql(a: String, b: String): String =
     s"list_sum([$a[i]*$b[i] FOR i IN range(1, len($a)+1)])"
 
   /** CTEs replaying fit() bit-for-bit over table `embeddings`
@@ -147,12 +147,16 @@ object KMeans {
   /** The CTE list of [[oracleCtes]] WITHOUT the WITH keyword, with every
     * CTE name prefixed — composable, so one query can replay several
     * independent fits (the PQ oracle trains one codebook per subspace).
-    * `vecSql` is the DOUBLE[]-typed vector expression to cluster. */
+    * `vecSql` is the DOUBLE[]-typed vector expression to cluster;
+    * `fromSql` the source relation carrying (vec_id, the vecSql inputs)
+    * — a table name or an earlier CTE (the multimodal pipeline oracle
+    * clusters decoded feature vectors, not the embeddings table). */
   def ctes(k: Int, iters: Int, dim: Int, prefix: String = "",
-      vecSql: String = "CAST(embedding AS DOUBLE[])"): String = {
+      vecSql: String = "CAST(embedding AS DOUBLE[])",
+      fromSql: String = "embeddings"): String = {
     val cos = s"CASE WHEN e.nrm > 0 AND c.cnrm > 0 THEN ${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm) END"
     val sb = new StringBuilder
-    sb ++= s"""${prefix}e AS (SELECT vec_id, $vecSql AS v, sqrt(${dotSql(vecSql, vecSql)}) AS nrm FROM embeddings),
+    sb ++= s"""${prefix}e AS (SELECT vec_id, $vecSql AS v, sqrt(${dotSql(vecSql, vecSql)}) AS nrm FROM $fromSql),
 ${prefix}cents_0 AS (SELECT CAST(row_number() OVER (ORDER BY h ASC, vec_id ASC) - 1 AS INTEGER) AS cent_id, v AS cv, nrm AS cnrm FROM (SELECT vec_id, v, nrm, CAST('0x'||substring(md5(CAST(vec_id AS VARCHAR)),1,15) AS BIGINT) AS h FROM ${prefix}e ORDER BY h ASC, vec_id ASC LIMIT $k))"""
     for (t <- 1 to iters) {
       val p = t - 1

@@ -188,6 +188,39 @@ class AnnMultimodalSpec extends SparkSpec {
       again.sortBy(_.doc_id).map(_.features.toSeq).toSeq)
   }
 
+  test("multimodal: injected decoder replaces the stub, plan unchanged") {
+    val media = Multimodal.synthesize(Tables.documents(spark, dir))
+    // a custom decoder: constant-dim vector carrying payload length in
+    // slot 0 — proves extractFeatures runs the INJECTED function, not
+    // the stub, through the same mapPartitions plumbing
+    val custom: Multimodal.Decoder = { bytes =>
+      val v = new Array[Float](Multimodal.FeatureDim)
+      v(0) = if (bytes == null) -1f else bytes.length.toFloat
+      v
+    }
+    val rows = Multimodal.extractFeatures(media, custom).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.features.length === Multimodal.FeatureDim))
+    assert(rows.forall(r => r.features(0) === r.n_bytes.toFloat))
+    assert(rows.forall(r => r.features.drop(1).forall(_ === 0f)))
+  }
+
+  test("multimodal pipeline: every doc gets a verdict; dropped docs have a kept lower-id cluster-mate") {
+    val out = Multimodal.pipeline(Tables.documents(spark, dir), threshold = 0.999)
+      .collect()
+    assert(out.length === 500)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val dropped = out.filter(!_.getAs[Boolean]("keep"))
+    assert(dropped.nonEmpty) // planted near-dups share byte histograms
+    assert(out.exists(_.getAs[Boolean]("keep")))
+    // every cluster retains at least one kept member, and the lowest id
+    // in each cluster is always kept (the keep-lowest-id rule)
+    out.groupBy(_.getAs[Int]("cent_id")).foreach { case (_, members) =>
+      val lowest = members.minBy(_.getAs[Long]("doc_id"))
+      assert(lowest.getAs[Boolean]("keep"), s"lowest id dropped: $lowest")
+    }
+  }
+
   test("frame sampling stub: n chunks covering the payload") {
     val payload = Array.tabulate[Byte](100)(_.toByte)
     val frames = Multimodal.frameSampleStub(payload, 4)
