@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.sinks.SnapshotStore
+
+/** Materialized BM25 inverted index — the amortized-build production
+  * path that [[Retrieval]]'s own docs name: instead of re-scanning the
+  * corpus per query (right for a fixed small term set, wrong for a
+  * query WORKLOAD), the index is built once and maintained
+  * incrementally, and each query touches only the postings of its own
+  * terms.
+  *
+  * Layout (two [[SnapshotStore]] tables under one base dir):
+  *  - `postings` — (term, doc_id, dl, tf): one row per distinct
+  *    (term, doc) pair. Term-pruned at read time, so a query scans
+  *    |postings(terms)|, not the corpus.
+  *  - `doclens` — (doc_id, dl): the document-length table BM25's
+  *    normalization needs; also supplies corpus stats (N, Σdl) with a
+  *    one-pass agg over a table ~1/1000 the corpus bytes.
+  *
+  * Incremental maintenance: [[maintain]] drives [[SnapshotStore.processNew]]
+  * over a corpus store — each new corpus commit appends its docs'
+  * postings/doclens (disjoint doc_ids ⇒ append-correct), exactly-once
+  * via the store's checkpoint. df/N/Σdl are derived at query time from
+  * the index tables, so they stay correct under appends with no
+  * stats-invalidation logic.
+  *
+  * Determinism: scores are BIT-IDENTICAL to [[Retrieval.bm25TopK]] —
+  * per-term tf slots are aggregated into fixed positions and summed in
+  * the same left-to-right term order (adding an exact 0.0 for absent
+  * terms, which is the identity the brute force also produces), avgdl
+  * is the same exact-BIGINT Σdl/N, and the same floor-4 rounding
+  * applies. q_bm25_indexed therefore shares q_bm25_topk's oracle.
+  */
+object Bm25Index {
+
+  /** Tokenize exactly as [[Retrieval.bm25TopK]] does. */
+  private def tokenized(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), TextFunctions.tokens(lower(text)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+
+  /** Postings rows for a doc batch: (term, doc_id, dl, tf). One
+    * explode + one (term, doc) hash-agg — map-side combinable. */
+  def postingsOf(docs: DataFrame, id: Column, text: Column): DataFrame =
+    tokenized(docs, id, text)
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Doc-length rows for a doc batch: (doc_id, dl). */
+  def doclensOf(docs: DataFrame, id: Column, text: Column): DataFrame =
+    tokenized(docs, id, text).select("doc_id", "dl")
+
+  private def postingsBase(indexBase: String) = s"$indexBase/postings"
+  private def doclensBase(indexBase: String) = s"$indexBase/doclens"
+
+  /** Append one doc batch to the index (both tables), idempotent under
+    * replay via the SnapshotStore dedupe tag. */
+  def appendBatch(spark: SparkSession, indexBase: String, docs: DataFrame,
+      id: Column, text: Column, tag: String): Unit = {
+    SnapshotStore.commitAppend(spark, postingsBase(indexBase),
+      postingsOf(docs, id, text), tag = Some(s"postings-$tag"))
+    SnapshotStore.commitAppend(spark, doclensBase(indexBase),
+      doclensOf(docs, id, text), tag = Some(s"doclens-$tag"))
+  }
+
+  /** Catch the index up with a corpus SnapshotStore: index every corpus
+    * commit newer than the checkpoint (exactly-once). Returns the
+    * corpus version indexed up to, None if already current. The corpus
+    * table must be append-only (docs are immutable in the training
+    * pipeline); replacing/deleting docs needs a rebuild. */
+  def maintain(spark: SparkSession, corpusBase: String, indexBase: String,
+      id: String = "doc_id", text: String = "text"): Option[Long] =
+    SnapshotStore.processNew(spark, corpusBase, s"$indexBase/_corpus_ck") {
+      (df, v) => appendBatch(spark, indexBase, df, col(id), col(text), s"v$v")
+    }
+
+  /** Top-k documents by BM25 via the index — same output contract and
+    * bit-identical scores to [[Retrieval.bm25TopK]]. The corpus is
+    * never touched: term-pruned postings + the doclens table are the
+    * only inputs. */
+  def bm25TopK(spark: SparkSession, indexBase: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): DataFrame = {
+    require(terms.nonEmpty && k > 0)
+    val postings = SnapshotStore.read(spark, postingsBase(indexBase))
+      .getOrElse(throw new IllegalStateException(s"no postings at $indexBase"))
+    val doclens = SnapshotStore.read(spark, doclensBase(indexBase))
+      .getOrElse(throw new IllegalStateException(s"no doclens at $indexBase"))
+
+    // term-pruned postings: the only corpus-proportional input a query
+    // reads is |postings(terms)| — the parquet scan prunes on term
+    val matched = postings.filter(col("term").isInCollection(terms))
+
+    // single stats row: N + Σdl from doclens, per-term df from the
+    // pruned postings (df = # postings of the term) — broadcastable
+    val dfAggs = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("term") === t, 1L).otherwise(0L)), lit(0L)).as(s"df_$i")
+    }
+    val dfRow = matched.groupBy().agg(dfAggs.head, dfAggs.tail: _*)
+    val nRow = doclens.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val stats = nRow.crossJoin(dfRow)
+
+    // fixed tf slots per doc: one posting per (term, doc), so the sum
+    // just places it; absent terms become exact 0.0 contributions below
+    val slotAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf"))).as(s"tf_$i")
+    }
+    val perDoc = matched.groupBy("doc_id", "dl").agg(slotAggs.head, slotAggs.tail: _*)
+
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
+    val termScores = terms.indices.map { i =>
+      val dfT = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      val tf = coalesce(col(s"tf_$i"), lit(0L)).cast("double")
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }
+    val score = termScores.reduce(_ + _)
+    val matchedScores = scored.select(col("doc_id"),
+      (floor(score * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("score"))
+
+    // docs with no query term score an exact 0.0 in the brute force and
+    // can surface in the top-k only when matches are scarce — pad from
+    // the (small) doclens table, never the corpus
+    val zeroScores = doclens
+      .join(matchedScores.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0.0).as("score"))
+
+    matchedScores.union(zeroScores)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)))
+  }
+}

@@ -1443,6 +1443,29 @@ SELECT doc_id, lang, ${Corpus.splitAssignSql("doc_id")} AS split, n_tok, start_t
         col("text"), bm25Terms, k = 20),
       Some(Retrieval.bm25OracleSql(bm25Terms, k = 20))),
 
+    // BM25 via the MATERIALIZED inverted index (graft.ops.Bm25Index):
+    // corpus lands in a SnapshotStore in two commits, the index catches
+    // up incrementally after each (processNew-driven, exactly-once),
+    // then the query touches only term-pruned postings + doclens. The
+    // oracle is q_bm25_topk's own brute-force SQL — the gate thereby
+    // enforces bit-identical scores between the two paths.
+    // NOTE: side-effecting like q_snapshot_changes (scratch stores per
+    // invocation, deleted on JVM exit) — never headline/benched.
+    GraftQuery("q_bm25_indexed",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_bm25idx")
+        deleteRecursivelyOnExit(tmpPath)
+        val corpus = s"$tmpPath/corpus"
+        val idx = s"$tmpPath/index"
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        graft.sinks.SnapshotStore.commitAppend(s, corpus, d.filter(col("doc_id") < 250))
+        graft.ops.Bm25Index.maintain(s, corpus, idx)
+        graft.sinks.SnapshotStore.commitAppend(s, corpus, d.filter(col("doc_id") >= 250))
+        graft.ops.Bm25Index.maintain(s, corpus, idx)
+        graft.ops.Bm25Index.bm25TopK(s, idx, bm25Terms, k = 20)
+      },
+      Some(Retrieval.bm25OracleSql(bm25Terms, k = 20))),
+
     // Transitive duplicate GROUPS from the verified MinHash pairs:
     // connected components via DataFrame min-label propagation (pointer-
     // jumped, localCheckpoint-bounded lineage). Oracle replays the same

@@ -39,6 +39,58 @@ class RetrievalCorpusSpec extends SparkSpec {
     assert(out(1L) > out(2L))
   }
 
+  test("bm25 inverted index: incremental build, bit-identical to brute force") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25idx_spec")
+    try {
+      val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("text"))
+      val corpus = s"$tmp/corpus"
+      val idx = s"$tmp/index"
+      // two corpus commits, index catches up after each (incremental)
+      graft.sinks.SnapshotStore.commitAppend(spark, corpus,
+        docs.filter(col("doc_id") < 250))
+      assert(graft.ops.Bm25Index.maintain(spark, corpus, idx).contains(0L))
+      graft.sinks.SnapshotStore.commitAppend(spark, corpus,
+        docs.filter(col("doc_id") >= 250))
+      assert(graft.ops.Bm25Index.maintain(spark, corpus, idx).contains(1L))
+      // already current → no-op
+      assert(graft.ops.Bm25Index.maintain(spark, corpus, idx).isEmpty)
+      val terms = Seq("spark", "stream", "vector", "hash")
+      val viaIndex = graft.ops.Bm25Index.bm25TopK(spark, idx, terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      val brute = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+          terms, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      assert(viaIndex === brute) // ids, SCORES (bitwise), and ranks
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(tmp).sorted(Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
+  test("bm25 index top-k pads with zero-score docs when matches are scarce") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25pad_spec")
+    try {
+      val docs = Seq(
+        (1L, "zzyzx appears only here"),
+        (2L, "no query words at all"),
+        (3L, "nothing relevant either")).toDF("doc_id", "text")
+      val corpus = s"$tmp/corpus"; val idx = s"$tmp/index"
+      graft.sinks.SnapshotStore.commitAppend(spark, corpus, docs)
+      graft.ops.Bm25Index.maintain(spark, corpus, idx)
+      val out = graft.ops.Bm25Index.bm25TopK(spark, idx, Seq("zzyzx"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+      // matched doc first, then zero-score docs by id — the brute-force order
+      assert(out.map(_._1) === Seq(1L, 2L, 3L))
+      assert(out.head._2 > 0.0 && out.tail.forall(_._2 === 0.0))
+    } finally {
+      import java.util.Comparator
+      java.nio.file.Files.walk(tmp).sorted(Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   test("stratified sample keeps ~rate per stratum and is deterministic") {
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
