@@ -426,4 +426,51 @@ class StreamingSpec extends SparkSpec {
       assert(graft.sinks.SnapshotStore.read(spark, base).get.count() === 2L)
     } finally { q.stop() }
   }
+
+  test("failure injection: crash after store-commit before checkpoint → restart appends once") {
+    // The at-least-once window the exactly-once contract must close:
+    // foreachBatch commits batch N to the SnapshotStore, then the
+    // process dies BEFORE Structured Streaming records batch N in the
+    // checkpoint. On restart the engine replays batch N (same id, same
+    // data) — the store's idempotence tag must absorb the replay.
+    val base = tmp("crash-store") + "/t"
+    val ck = tmp("crash-ck")
+    val textA = "first document long enough to clear the ingest quality " +
+      "gate with ordinary english words in an ordinary order every day"
+    val textB = "second document also long enough to clear the quality " +
+      "gate carrying different ordinary words in a different order now"
+    def startQuery(in: MemoryStream[(Long, String)]) =
+      in.toDF().toDF("doc_id", "text")
+        .writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.streaming.CorpusIngest.ingestBatch(spark, base, batch, id)
+        }
+        .start()
+    val in = MemoryStream[(Long, String)](spark)
+    val q1 = startQuery(in)
+    try {
+      in.addData((1L, textA))
+      q1.processAllAvailable() // batch 0 fully committed (store + checkpoint)
+    } finally q1.stop()
+    // the "crash": batch 1's foreachBatch ran to completion against the
+    // store, but the engine died before advancing the checkpoint — so
+    // the checkpoint still says "last committed = batch 0"
+    graft.streaming.CorpusIngest.ingestBatch(spark, base,
+      Seq((2L, textB)).toDF("doc_id", "text"), batchId = 1L)
+    assert(graft.sinks.SnapshotStore.read(spark, base).get.count() === 2L)
+    // restart from the SAME checkpoint; the engine re-delivers the data
+    // as batch 1 — without the tag this would double-append doc 2
+    val q2 = startQuery(in)
+    try {
+      in.addData((2L, textB))
+      q2.processAllAvailable()
+      val rows = graft.sinks.SnapshotStore.read(spark, base).get
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(rows === Seq(1L, 2L), s"replayed batch duplicated rows: $rows")
+      // and the store carries exactly one committed version per batch
+      val versions = graft.sinks.SnapshotStore.versions(spark, base)
+      assert(versions.size === 2, s"expected 2 commits, got $versions")
+    } finally q2.stop()
+  }
 }
