@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic inputs for the scale-evidence probes —
+  * GENERATED (spark.range + hash arithmetic), never stored, so the
+  * same code probes 20k docs in a unit test and 10M docs in
+  * [[ScaleProbe]] with zero fixture weight. Row content is a pure
+  * function of the row id: re-running any scale reproduces byte-equal
+  * inputs.
+  */
+object ScaleData {
+
+  /** Document corpus with planted near-dup structure: ids with
+    * id % 5 == 1 share their predecessor's token stream (family size 2,
+    * 20% dup rate — families stay BOUNDED as n grows, the property that
+    * keeps candidate-pair volume linear), with a unique tail token so
+    * family pairs are near- not byte-identical. ~`tokens` words each
+    * from a `vocab`-word vocabulary via hash-mod. */
+  def docs(spark: SparkSession, n: Long, vocab: Int = 500,
+      tokens: Int = 60): DataFrame = {
+    val seed = when(pmod(col("id"), lit(5)) === 1, col("id") - 1)
+      .otherwise(col("id"))
+    val words = (0 until tokens).map { j =>
+      concat(lit("w"),
+        pmod(hash(seed * lit(7919L) + lit(j)), lit(vocab)).cast("string"))
+    } :+ concat(lit("t"), col("id").cast("string"))
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+  }
+
+  /** Event stream over `users` users: monotone timestamps, four event
+    * types hash-assigned — the funnel/rollup workload shape. */
+  def events(spark: SparkSession, n: Long, users: Long): DataFrame =
+    spark.range(n).select(
+      pmod(col("id"), lit(users)).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * lit(7919L)).as("ts"),
+      element_at(typedLit(Seq("view", "click", "purchase", "other")),
+        (pmod(hash(col("id")), lit(4)) + 1).cast("int")).as("event_type"))
+
+  /** Float embeddings in [-1, 1]^dim via hash-mod — uniform cloud (no
+    * planted clusters: probe cost is governed by corpus size and
+    * centroid count, not geometry). */
+  def embeddings(spark: SparkSession, n: Long, dim: Int = 64): DataFrame =
+    spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map { j =>
+        ((pmod(hash(col("id") * lit(31L) + lit(j)), lit(2001)) - lit(1000))
+          .cast("float") / lit(1000.0f))
+      }: _*).as("embedding"))
+}

@@ -1,56 +1,82 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-/** Throwaway scale probe (not part of the driver contract). */
+
+/** Scale-evidence probe for the heavy rungs (not part of the driver
+  * contract): runs each rung over [[ScaleData]] synthetic inputs with a
+  * [[ScaleMetrics]] listener attached and prints one markdown table row
+  * per rung — wall time plus the quantities that decide 100 TB
+  * survival (shuffle volume, spill, driver-result bytes, peak task
+  * memory). ScaleProbeSpec runs the same rungs at two sizes and asserts
+  * the growth invariants; this main produces the committed SCALE.md
+  * evidence at 10×–100× the spec's sizes.
+  *
+  * Usage: `runMain graft.ScaleProbe <docsN> <eventsN> <embN> [label]`
+  */
 object ScaleProbe {
+
+  /** The heavy rungs, lazily bound to generated inputs of the given
+    * sizes. Each returns its result row count (forcing full
+    * execution); inputs regenerate inside each rung so every rung's
+    * metrics are self-contained and comparable across scales. */
+  def rungs(spark: SparkSession, docsN: Long, eventsN: Long, embN: Long,
+      dim: Int = 64): Seq[(String, () => Long)] = {
+    def docs = ScaleData.docs(spark, docsN)
+    def events = ScaleData.events(spark, eventsN, math.max(eventsN / 100, 1))
+    def emb = ScaleData.embeddings(spark, embN, dim)
+    // the production config (MinHash.Config scaladoc): xx hashing is
+    // the 100 TB path; md5 exists for oracle replay, not for scale
+    val mhCfg = graft.dedup.MinHash.Config(hashFamily = "xx")
+    def minhashPairs: DataFrame =
+      graft.dedup.MinHash.verifiedPairs(docs, col("doc_id"), col("text"), mhCfg)
+    Seq(
+      "minhash_pairs" -> (() => minhashPairs.count()),
+      "dup_components" -> (() =>
+        graft.dedup.Components.dupGroups(docs, col("doc_id"),
+          minhashPairs, col("doc_a"), col("doc_b")).count()),
+      "span_dedup" -> (() =>
+        graft.ops.Corpus.spanDedup(docs, col("doc_id"), col("text")).count()),
+      "ivf_topk" -> (() =>
+        graft.similarity.Ann.ivfTopK(emb, col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 100, k = 10, nCentroids = 64,
+          nProbe = 2, kmeansIters = 3).count()),
+      "ivf_pq_topk" -> (() =>
+        graft.similarity.Pq.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 100, k = 10, nCentroids = 16,
+          nProbe = 2, ivfIters = 2, m = 4, pqK = 8, pqIters = 2,
+          dim = dim).count()),
+      "funnel" -> (() =>
+        graft.ops.Funnel.windowFunnel(events, col("user_id"), col("ts"),
+          Seq(col("event_type") === "view", col("event_type") === "click",
+            col("event_type") === "purchase"), window = "30 DAYS").count()))
+  }
+
+  /** Run every rung at the given sizes, returning (rung, rows,
+    * metrics). */
+  def run(spark: SparkSession, docsN: Long, eventsN: Long,
+      embN: Long): Seq[(String, Long, ScaleMetrics.Measured)] =
+    rungs(spark, docsN, eventsN, embN).map { case (name, f) =>
+      val (rows, m) = ScaleMetrics.measure(spark)(f())
+      (name, rows, m)
+    }
+
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.ui.enabled", "false").getOrCreate()
+    val docsN = if (args.length > 0) args(0).toLong else 1000000L
+    val eventsN = if (args.length > 1) args(1).toLong else 10000000L
+    val embN = if (args.length > 2) args(2).toLong else 300000L
+    val label = if (args.length > 3) args(3) else s"docs=$docsN events=$eventsN emb=$embN"
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(n: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"[probe] $n: ${(System.nanoTime() - t0) / 1e9}%.1f s ($r rows)")
-    }
-    // 100k synthetic docs, ~60 tokens each, 10% near-dup pairs
-    val vocab = (0 until 500).map(i => s"w$i")
-    val docs = spark.range(100000).select(col("id").as("doc_id"),
-      concat_ws(" ", (0 until 60).map(j =>
-        element_at(typedLit(vocab), (pmod(hash(col("id") - pmod(col("id"), lit(10)) / 9 * 0, lit(7919) * (j + 1)), lit(500)) + 1).cast("int"))): _*).as("text"))
-      .cache()
-    docs.count()
-    time("minhash signatures md5") {
-      graft.dedup.MinHash.signatures(docs, col("doc_id"), col("text"))
-        .write.format("noop").mode("overwrite").save(); 100000L
-    }
-    time("minhash signatures xx") {
-      graft.dedup.MinHash.signatures(docs, col("doc_id"), col("text"),
-        graft.dedup.MinHash.Config(hashFamily = "xx"))
-        .write.format("noop").mode("overwrite").save(); 100000L
-    }
-    time("minhash full verified pairs") {
-      graft.dedup.MinHash.verifiedPairs(docs, col("doc_id"), col("text")).count()
-    }
-    time("simhash fingerprints") {
-      graft.dedup.SimHash.fingerprints(docs, col("doc_id"), col("text"))
-        .write.format("noop").mode("overwrite").save(); 100000L
-    }
-    time("exact dedup groups") {
-      graft.ops.Dedup.exactGroups(docs, col("text"), col("doc_id")).count()
-    }
-    time("span dedup 100k docs (~800k spans)") {
-      graft.ops.Corpus.spanDedup(docs, col("doc_id"), col("text")).count()
-    }
-    // 10M synthetic events over 100k users for the funnel chain
-    val events = spark.range(10000000L).select(
-      pmod(col("id"), lit(100000L)).as("user_id"),
-      timestamp_micros(lit(1700000000000000L) + col("id") * 7919L).as("ts"),
-      element_at(typedLit(Seq("view", "click", "purchase", "other")),
-        (pmod(hash(col("id")), lit(4)) + 1).cast("int")).as("event_type"))
-    time("windowFunnel 10M events / 100k users") {
-      graft.ops.Funnel.windowFunnel(events, col("user_id"), col("ts"),
-        Seq(col("event_type") === "view", col("event_type") === "click",
-          col("event_type") === "purchase"), window = "30 DAYS").count()
+    println(s"### $label")
+    println(ScaleMetrics.header)
+    run(spark, docsN, eventsN, embN).foreach { case (name, rows, m) =>
+      println(m.row(s"$name ($rows rows)"))
     }
     spark.stop()
   }

@@ -32,8 +32,10 @@ object EditDistance {
     val e = docs.select(id.as("doc_id"), TextFunctions.normText(text).as("norm"))
       .withColumn("pblk", substring(col("norm"), 1, blockChars))
       .withColumn("sblk", expr(s"right(norm, $blockChars)"))
+    // merge-hinted self-join: both sides carry the full normalized text
+    // per row — corpus-sized; never a broadcast candidate at scale
     def blocked(blk: String): DataFrame =
-      e.as("a").join(e.as("b"),
+      e.as("a").join(e.as("b").hint("merge"),
           col(s"a.$blk") === col(s"b.$blk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.norm").as("norm_a"), col("b.norm").as("norm_b"))

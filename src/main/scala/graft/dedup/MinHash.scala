@@ -86,7 +86,12 @@ object MinHash {
       .withColumn("__bmin", min(col("doc_id")).over(w))
     val capped = stats.filter(col("__bsz") <= cfg.maxBandBucket)
       .drop("__bsz", "__bmin")
-    val allPairs = capped.as("a").join(capped.as("b"),
+    // merge-hinted: both sides are corpus×bands-sized, but Catalyst's
+    // static estimate through the window+filter chain undercounts and
+    // picks a broadcast — measured 100+ MB shipped through the driver
+    // at a 200k-doc probe, i.e. a driver OOM at real scale. The hint
+    // pins the scale-safe sort-merge shape.
+    val allPairs = capped.as("a").join(capped.as("b").hint("merge"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -112,9 +117,12 @@ object MinHash {
     val sigs = signatures(docs, id, text, cfg).cache()
     val cands = candidatePairs(sigs, cfg)
     val sets = sigs.select(col("doc_id"), col("sh"))
+    // merge-hinted: the shingle-set side is corpus-sized (the arrays
+    // dominate the bytes) yet estimates undercount it enough that the
+    // planner broadcasts it — same driver-OOM shape as the band join
     cands
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sets.as("sa").hint("merge"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb").hint("merge"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))

@@ -77,7 +77,10 @@ object NgramJaccard {
         }
       } else sh0
     val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("a").join(sh.as("b"),
+    // merge-hinted self-join: both sides are |corpus|×|shingles| rows —
+    // a broadcast pick off a misestimate would ship the corpus through
+    // the driver (see MinHash.candidatePairs for the measured case)
+    val common = sh.as("a").join(sh.as("b").hint("merge"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))

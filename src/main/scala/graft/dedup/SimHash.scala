@@ -54,7 +54,9 @@ object SimHash {
       posexplode(array((0 until Chunks).map(i =>
         shiftright(col("simhash"), i * ChunkBits).bitwiseAND(lit((1L << ChunkBits) - 1))): _*))
         .as(Seq("chunk_idx", "chunk_val")))
-    chunked.as("a").join(chunked.as("b"),
+    // merge-hinted self-join: both sides are corpus×chunks rows — same
+    // scale-safety reasoning as MinHash.candidatePairs
+    chunked.as("a").join(chunked.as("b").hint("merge"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
         col("a.chunk_val") === col("b.chunk_val") &&
         col("a.doc_id") < col("b.doc_id"))

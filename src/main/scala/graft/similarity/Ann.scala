@@ -114,15 +114,20 @@ object Ann {
         lshBucket(vec, dim, nPlanes, planeOffset = t * nPlanes)): _*).as("buckets"))
     val bucketed = e
       .select(col("vec_id"), posexplode(col("buckets")).as(Seq("tbl", "bucket")))
-    val cands = bucketed.as("a").join(bucketed.as("b"),
+    // merge-hinted: both the bucket self-join sides (corpus×tables
+    // rows) and the vector-fetch sides (corpus rows carrying the
+    // embedding arrays) are corpus-proportional — a misestimated
+    // broadcast would ship them through the driver (measured on the
+    // MinHash twin of this shape; see MinHash.candidatePairs)
+    val cands = bucketed.as("a").join(bucketed.as("b").hint("merge"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
       .distinct()
     val vecs = e.select(col("vec_id"), col("v"), col("nrm"))
     cands
-      .join(vecs.as("va"), col("id_a") === col("va.vec_id"))
-      .join(vecs.as("vb"), col("id_b") === col("vb.vec_id"))
+      .join(vecs.as("va").hint("merge"), col("id_a") === col("va.vec_id"))
+      .join(vecs.as("vb").hint("merge"), col("id_b") === col("vb.vec_id"))
       .select(col("id_a"), col("id_b"),
         when(col("va.nrm") > 0 && col("vb.nrm") > 0,
           nat(emb)(col("va.v"), col("vb.v")) / (col("va.nrm") * col("vb.nrm")))
@@ -209,7 +214,8 @@ object Ann {
       emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"),
         VectorFunctions.norm(vec).as("nrm")),
       cents, probes = 1)
-    val pairs = corpus.as("a").join(corpus.as("b"),
+    // merge-hinted: both sides carry corpus rows with embedding arrays
+    val pairs = corpus.as("a").join(corpus.as("b").hint("merge"),
         col("a.cent_id") === col("b.cent_id") && col("a.vec_id") < col("b.vec_id"))
       .select(col("b.vec_id").as("id_b"),
         when(col("a.nrm") > 0 && col("b.nrm") > 0,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{TextFunctions, VectorFunctions}
+import graft.functions.{TextFunctions, VectorExpressions, VectorFunctions}
 
 /** Deterministic Lloyd's k-means over an `array<float>` embedding
   * column, supplying real trained centroids for the IVF ANN path
@@ -84,18 +84,48 @@ object KMeans {
   /** Nearest-centroid assignment by cosine (ties → lowest cent_id):
     * the corpus broadcast-joins k centroid rows and keeps the top
     * `probes` centroids per vector. Shared by training (probes=1) and
-    * the IVF query path (probes=nProbe). */
+    * the IVF query path (probes=nProbe).
+    *
+    * The |corpus|×k cosine matrix is THE flop hot spot of every
+    * k-means-backed rung, so the dot runs through the native codegen'd
+    * DoubleDot expression (bit-identical to the HOF form — the
+    * AnnMultimodalSpec equivalence test is what licenses the swap
+    * without touching any oracle) rather than the interpreted
+    * zip_with/aggregate lambda: ~5× wall-time on the assignment
+    * stage at probe scale. */
   def assign(e: DataFrame, cents: DataFrame, probes: Int,
       idCol: String = "vec_id", vCol: String = "v", nCol: String = "nrm"): DataFrame = {
+    VectorExpressions.register(e.sparkSession)
     val scored = e.join(broadcast(cents), expr("true"))
       .select(col(idCol), col(vCol), col(nCol), col("cent_id"),
         when(col(nCol) > 0 && col("cnrm") > 0,
-          VectorFunctions.dot(col(vCol), col("cv")) / (col(nCol) * col("cnrm")))
+          call_function("graft_dot", col(vCol), col("cv")) / (col(nCol) * col("cnrm")))
           .as("cent_cos"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("cent_cos").desc_nulls_last, col("cent_id").asc)
-    scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= probes)
-      .drop("__r", "cent_cos")
+    if (probes == 1) {
+      // CORPUS path: a window over |corpus|×k scored rows would sort —
+      // and, measured at a 300k×64 probe on small shuffle-partition
+      // counts, SPILL tens of GB. The same winner falls out of a
+      // map-side-combinable max(struct) aggregation: highest cosine,
+      // ties to the LOWEST cent_id (the negated id inside the struct),
+      // nulls coerced below the cosine range exactly like the window's
+      // NULLS LAST. Shuffles one row per vector instead of k, no sort.
+      // v/nrm are functionally dependent on the id, so first() is
+      // deterministic here.
+      scored.groupBy(col(idCol))
+        .agg(first(col(vCol)).as(vCol), first(col(nCol)).as(nCol),
+          max(struct(coalesce(col("cent_cos"), lit(-2.0)).as("c"),
+            (-col("cent_id")).as("nc"))).as("__m"))
+        .select(col(idCol), col(vCol), col(nCol),
+          (-col("__m.nc")).as("cent_id"))
+    } else {
+      // QUERY path (probes = nProbe): the filtered query side is
+      // bounded, so the rank window is cheap and keeps arbitrary probe
+      // depths simple
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("cent_cos").desc_nulls_last, col("cent_id").asc)
+      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= probes)
+        .drop("__r", "cent_cos")
+    }
   }
 
   /** Lloyd's fit: returns the trained centroids after `iters`

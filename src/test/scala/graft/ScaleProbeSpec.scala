@@ -1,0 +1,76 @@
+package graft
+
+/** Scale-growth invariants for the heavy rungs, measured — not
+  * claimed. Each rung runs at 1× and 10× synthetic input via the SAME
+  * code path as [[ScaleProbe]] and must show:
+  *
+  *  1. zero spill at both sizes (partitions fit execution memory);
+  *  2. shuffle-write growth ≤ ~linear in the input (10× data may move
+  *     at most 30× the bytes — a quadratic rung would show ~100×);
+  *  3. bounded driver materialization: total task-result bytes shipped
+  *     to the driver stay under an ABSOLUTE cap at the big size, so no
+  *     collect() anywhere in a rung scales with the corpus.
+  *
+  * Sizes are CI-scale (the committed SCALE.md carries the 10×–100×
+  * [[ScaleProbe]] evidence); the INVARIANTS, not the wall times, are
+  * what transfers to a 1000-executor cluster.
+  */
+class ScaleProbeSpec extends SparkSpec {
+
+  private val MB = 1048576L
+
+  /** (docsN, eventsN, embN) at 1×. */
+  private val base = (20000L, 1000000L, 30000L)
+
+  private lazy val small =
+    ScaleProbe.run(spark, base._1, base._2, base._3)
+      .map { case (n, r, m) => n -> ((r, m)) }.toMap
+  private lazy val big =
+    ScaleProbe.run(spark, base._1 * 10, base._2 * 10, base._3 * 10)
+      .map { case (n, r, m) => n -> ((r, m)) }.toMap
+
+  private def rungNames = small.keySet
+
+  test("all rungs produce output at both scales") {
+    // NOTE: several rungs have FIXED-size outputs by design (funnel: one
+    // row per step; ANN: queries×k) — assert non-empty, not growth
+    rungNames.foreach { n =>
+      assert(small(n)._1 > 0, s"$n empty at 1x")
+      assert(big(n)._1 > 0, s"$n empty at 10x")
+    }
+  }
+
+  test("no rung spills at either scale") {
+    rungNames.foreach { n =>
+      assert(small(n)._2.spillBytes === 0L, s"$n spilled at 1x")
+      assert(big(n)._2.spillBytes === 0L,
+        s"$n spilled ${big(n)._2.spillBytes} bytes at 10x")
+    }
+  }
+
+  test("shuffle volume grows at most ~linearly (10x data => <= 30x bytes)") {
+    rungNames.foreach { n =>
+      val s = math.max(small(n)._2.shuffleWriteBytes, MB) // floor: tiny-base noise
+      val b = big(n)._2.shuffleWriteBytes
+      assert(b <= 30L * s,
+        s"$n shuffle grew ${b.toDouble / s}x on 10x input " +
+          s"(${small(n)._2.shuffleWriteBytes} -> $b bytes) — super-linear")
+    }
+  }
+
+  test("driver materialization stays bounded at 10x (no corpus-sized collect)") {
+    // resultBytes has a plan-width × task-count noise floor (per-task
+    // accumulator/metric payload), so the invariant is GROWTH, not an
+    // absolute: a corpus-proportional collect would show ~10× bytes on
+    // 10× input; bounded collects (centroids, stats rows, counts) and
+    // metric payloads stay ~flat because task counts are partition-
+    // bound, not row-bound
+    rungNames.foreach { n =>
+      val s = math.max(small(n)._2.resultBytes, 4L * MB) // tiny-base floor
+      val b = big(n)._2.resultBytes
+      assert(b <= 3L * s,
+        s"$n driver-result bytes grew ${b.toDouble / s}x on 10x input " +
+          s"(${small(n)._2.resultBytes} -> $b) — corpus-proportional collect")
+    }
+  }
+}
