@@ -268,4 +268,36 @@ SELECT tot.doc_id, coalesce(kept_spans, 0) AS kept_spans, total_spans, coalesce(
   /** Shared grams CTE fragment for the repetition oracle. */
   def gramsSql(n: Int = 3): String =
     raw"""[array_to_string(toks[i:i+${n - 1}], ' ') FOR i IN range(1, greatest(len(toks)-${n - 1}, 1)+1)]"""
+
+  /** RAG-style overlapping token-window chunking: each document explodes
+    * into `chunkTokens`-token chunks whose starts advance by `stride`
+    * tokens (overlap = chunkTokens - stride) — the standard
+    * retrieval-corpus prep step upstream of embedding. Pure per-row
+    * generate+explode: NO shuffle at all, and the output volume is
+    * bounded by corpus_tokens/stride × chunkTokens, so the plan is a
+    * single narrow map stage at any corpus size. Chunk ids are
+    * (doc_id, chunk_idx) — stable under corpus growth, so downstream
+    * embedding stores can upsert incrementally.
+    * Output: (doc_id, chunk_idx, start_tok, n_tokens, chunk_text). */
+  def chunkOverlap(docs: DataFrame, id: Column, text: Column,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkTokens >= stride,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    docs.select(id.as("doc_id"), TextFunctions.tokens(text).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride)))
+          .as(Seq("chunk_idx", "start_tok")))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(size(col("toks")) - col("start_tok"), lit(chunkTokens))
+          .as("n_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start_tok") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+  }
+
+  /** DuckDB replica of [[chunkOverlap]] over table `documents`: starts
+    * are c*stride for c in [0, ceil(len/stride)) — the same index set
+    * Spark's sequence(0, len-1, stride) enumerates. */
+  def chunkOverlapOracleSql(chunkTokens: Int, stride: Int): String =
+    raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+SELECT doc_id, CAST(c AS INTEGER) AS chunk_idx, CAST(c * $stride AS INTEGER) AS start_tok, CAST(least(len(toks) - c * $stride, $chunkTokens) AS INTEGER) AS n_tokens, array_to_string(toks[c * $stride + 1:c * $stride + $chunkTokens], ' ') AS chunk_text FROM t, LATERAL unnest(range(0, CAST(ceil(len(toks) / $stride.0) AS BIGINT))) AS u(c)"""
 }

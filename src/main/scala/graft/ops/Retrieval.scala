@@ -83,4 +83,49 @@ stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_d
 scored AS (SELECT doc_id, floor(($termExprs) * 10000.0 + 0.5) / 10000.0 AS score FROM base, (SELECT *, CAST(sum_dl AS DOUBLE) / n AS avgdl FROM stats))
 SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM scored ORDER BY score DESC, doc_id ASC LIMIT $k"""
   }
+
+  /** Per-document top-k salient terms (keyword extraction for corpus
+    * exploration / near-dup explanation): rank a document's terms by
+    * (tf DESC, df ASC, term ASC) — a TOTAL INTEGER order both engines
+    * replay exactly, immune to the last-ulp ln() rank flips a
+    * float-ordered tf-idf rank would risk — and carry the conventional
+    * tf·ln(N/df) weight as a floor-4 payload column.
+    *
+    * Plan: one token explode → per-(doc,term) count (map-side combine
+    * collapses repeats before the shuffle) → per-term document
+    * frequency (vocabulary volume, aggregated FROM tf so the corpus is
+    * read once) → tf⋈df shuffle-hash join on term (vocabulary-sized
+    * build side; hot terms are AQE skew-split territory) → N broadcast
+    * → per-doc window top-k, partitioned on the doc_id the tf
+    * aggregate already hashed. No driver state, no global sort.
+    * Output: (doc_id, rank, term, tf, df, tfidf). */
+  def tfIdfTopTerms(docs: DataFrame, id: Column, text: Column,
+      k: Int = 3): DataFrame = {
+    val toks = docs.select(id.as("doc_id"),
+      explode(TextFunctions.tokens(lower(text))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfT, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        (floor(col("tf").cast("double")
+            * log(col("n_docs").cast("double") / col("df").cast("double"))
+            * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("tfidf"))
+  }
+
+  /** DuckDB replica of [[tfIdfTopTerms]] over table `documents`. */
+  def tfIdfOracleSql(k: Int = 3): String =
+    raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT doc_id, rank, term, tf, df, floor(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS tfidf
+FROM (SELECT doc_id, term, tf, df, n_docs, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS INTEGER) AS rank FROM tf JOIN dft USING (term), n)
+WHERE rank <= $k"""
 }

@@ -1116,6 +1116,42 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       (s, dir) => UnigramLm.pplBuckets(docs(s, dir), col("doc_id"), col("text")),
       Some(UnigramLm.pplBucketsOracleSql)),
 
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram
+    // log p_target/p_raw per document, target = English docs. Bucket
+    // log-ratios quantized to BIGINT then summed exactly — the
+    // UnigramLm order-independence trick; the 64-row ratio table
+    // broadcasts back over the corpus.
+    GraftQuery("q_dsir_weights",
+      (s, dir) => graft.ops.Dsir.importanceWeights(docs(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en"),
+      Some(graft.ops.Dsir.oracleSql("lang = 'en'"))),
+
+    // DSIR selection: keep the top-30% of documents by importance
+    // log-weight; the cut is one exact-percentile aggregate broadcast
+    // back (never a global sort), weights compare as exact BIGINTs.
+    GraftQuery("q_dsir_select",
+      (s, dir) => graft.ops.Dsir.selectTop(docs(s, dir),
+        col("doc_id"), col("text"), col("lang") === "en", keepFraction = 0.3),
+      Some(graft.ops.Dsir.selectOracleSql("lang = 'en'", keepFraction = 0.3))),
+
+    // RAG chunking: overlapping 32-token windows advancing by 24 (8
+    // tokens of overlap) — pure per-row generate+explode, zero shuffle,
+    // stable (doc_id, chunk_idx) identity for incremental re-embedding.
+    GraftQuery("q_chunk_overlap",
+      (s, dir) => Corpus.chunkOverlap(docs(s, dir), col("doc_id"),
+        col("text"), chunkTokens = 32, stride = 24),
+      Some(Corpus.chunkOverlapOracleSql(chunkTokens = 32, stride = 24))),
+
+    // Per-doc top-3 salient terms: (tf desc, df asc, term asc) — a
+    // total integer order both engines replay — with the tf·ln(N/df)
+    // weight as a floor-4 payload. tf agg has map-side combine; df is
+    // aggregated from tf (corpus read once); doc window reuses the tf
+    // hash partitioning.
+    GraftQuery("q_tfidf_topterms",
+      (s, dir) => graft.ops.Retrieval.tfIdfTopTerms(docs(s, dir),
+        col("doc_id"), col("text"), k = 3),
+      Some(graft.ops.Retrieval.tfIdfOracleSql(k = 3))),
+
     // Min/max file-stats data skipping: a range-partitioned snapshot
     // commit records per-file stats in the manifest; the range read
     // opens only intersecting files (manifest metadata decides — zero
