@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -37,16 +38,23 @@ object Dsir {
         explode(TextFunctions.tokens(lower(text))).as("tok"))
       .select(col("doc_id"), col("is_target"),
         pmod(TextFunctions.md5Long(col("tok")), lit(buckets.toLong)).as("bucket"))
-    val rawB = toks.groupBy(col("bucket")).agg(count(lit(1)).as("raw_cnt"))
-    val tgtB = toks.filter(col("is_target"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("tgt_cnt"))
-    val totals = toks.agg(count(lit(1)).as("raw_total"),
-      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("tgt_total"))
+    // ONE stats pass over the exploded tokens gives both distributions
+    // (raw + target counts per bucket); the grand totals then reduce the
+    // ≤ `buckets`-row table, NOT the corpus — so the whole scoring plan
+    // reads the corpus exactly twice (stats pass + scoring pass).
+    val bucketCnt = toks.groupBy(col("bucket")).agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("tgt_cnt"))
+    // grand totals as a window sum OVER THE BUCKET TABLE (≤ `buckets`
+    // rows through a single-partition exchange — bounded by construction,
+    // never the corpus), so no third corpus pass and no scalar cross join
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // ≤ `buckets` rows: the smoothed log p_target/p_raw ratio per bucket,
     // quantized so per-doc sums are exact integers in any order.
-    val lr = rawB.join(tgtB, Seq("bucket"), "left")
-      .na.fill(0L, Seq("tgt_cnt"))
-      .crossJoin(broadcast(totals))
+    val lr = bucketCnt
+      .withColumn("raw_total", sum(col("raw_cnt")).over(wAll))
+      .withColumn("tgt_total", sum(col("tgt_cnt")).over(wAll))
       .select(col("bucket"),
         floor((log((col("tgt_cnt") + 1).cast("double") /
                    (col("tgt_total") + buckets).cast("double"))

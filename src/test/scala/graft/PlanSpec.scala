@@ -242,4 +242,30 @@ class PlanSpec extends SparkSpec {
         p.take(3000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q_chunk_overlap: pure generate+project, no exchange at all") {
+    val p = plan("q_chunk_overlap")
+    assert(p.contains("Generate"), p.take(1000))
+    assert(!p.contains("Exchange"), "chunking must be a narrow map stage")
+  }
+
+  test("q_dsir_weights: corpus exploded exactly twice, ratio table broadcast") {
+    val p = plan("q_dsir_weights")
+    // one token explode for the bucket stats pass, one for scoring —
+    // a third Generate means the totals branch regressed to a corpus pass
+    val explodes = p.linesIterator.count(l =>
+      l.contains("Generate explode"))
+    assert(explodes === 2, s"expected 2 corpus explodes, got $explodes:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), "bucket ratios must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "the corpus must never shuffle for the 64-row ratio join")
+  }
+
+  test("q_tfidf_topterms: per-doc top-k runs through WindowGroupLimit") {
+    val p = plan("q_tfidf_topterms")
+    // rank<=k is pushed into the window operator (partial top-k before
+    // the doc_id exchange), not applied as a post-sort filter
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
