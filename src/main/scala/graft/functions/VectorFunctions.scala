@@ -35,4 +35,23 @@ object VectorFunctions {
           .otherwise(lit(null).cast(DoubleType))
       }
     }
+
+  /** Feature-hashing vectorizer (the "hashing trick"): a token array
+    * becomes a `dim`-bucket term-count vector, v[j] = |{t : md5(t) mod
+    * dim = j}| as double. Deterministic (no fitted vocabulary, no
+    * driver state), so new corpus shards embed identically on any
+    * executor — the property that makes it the bootstrap embedder for
+    * chunk retrieval before a learned model exists. The bucket list is
+    * bound once (md5 per token computed once, not once per lane). */
+  def hashingVectorizer(toks: Column, dim: Int): Column =
+    TextFunctions.bindOnce(
+      transform(toks, t => pmod(TextFunctions.md5Long(t), lit(dim.toLong)))) {
+      bkts =>
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          size(filter(bkts, b => b === j.cast("long"))).cast("double"))
+    }
+
+  /** DuckDB twin of [[hashingVectorizer]] over a token-list SQL expr. */
+  def hashingVectorizerSql(toksSql: String, dim: Int): String =
+    s"[CAST(len(list_filter(list_transform($toksSql, t -> CAST('0x'||substring(md5(t),1,15) AS BIGINT) % $dim), b -> b = j)) AS DOUBLE) FOR j IN range(0, $dim)]"
 }

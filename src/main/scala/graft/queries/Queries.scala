@@ -1152,6 +1152,35 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         col("doc_id"), col("text"), k = 3),
       Some(graft.ops.Retrieval.tfIdfOracleSql(k = 3))),
 
+    // The composed RAG indexing pipeline in one plan: overlapping chunk
+    // windows → feature-hash chunk embeddings (deterministic, no fitted
+    // vocab) → cosine top-5 retrieval for the first chunk of docs 0-2.
+    // Chunk ids BIGINT-pack (doc_id, chunk_idx) like span dedup. The
+    // retrieval rung here is the brute-force verification baseline
+    // (bounded: 3 query chunks); the production swap-in at corpus scale
+    // is Ann.ivfTopK/lshTopK over the same (chunk_id, emb) relation.
+    GraftQuery("q_rag_pipeline",
+      (s, dir) => {
+        val chunks = Corpus.chunkOverlap(docs(s, dir), col("doc_id"),
+            col("text"), chunkTokens = 32, stride = 24)
+          .select((col("doc_id") * 65536 + col("chunk_idx")).as("chunk_id"),
+            graft.functions.VectorFunctions.hashingVectorizer(
+              TextFunctions.tokens(lower(col("chunk_text"))), dim = 16).as("emb"))
+        graft.similarity.Ann.bruteForceTopK(chunks, col("chunk_id"), col("emb"),
+          isQuery = pmod(col("chunk_id"), lit(65536L)) === 0 &&
+            col("chunk_id") < lit(3L * 65536), k = 5)
+      },
+      Some {
+        val toksSql = raw"regexp_split_to_array(trim(lower(chunk_text)), '\s+')"
+        raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+ch AS (SELECT doc_id * 65536 + c AS chunk_id, array_to_string(toks[c * 24 + 1:c * 24 + 32], ' ') AS chunk_text FROM t, LATERAL unnest(range(0, CAST(ceil(len(toks) / 24.0) AS BIGINT))) AS u(c)),
+e AS (SELECT chunk_id, ${graft.functions.VectorFunctions.hashingVectorizerSql(toksSql, 16)} AS v FROM ch),
+e2 AS (SELECT chunk_id, v, sqrt(list_sum([v[i]*v[i] FOR i IN range(1, len(v)+1)])) AS nrm FROM e),
+q AS (SELECT chunk_id AS query_id, v AS qv, nrm AS qnrm FROM e2 WHERE chunk_id % 65536 = 0 AND chunk_id < 196608),
+scored AS (SELECT query_id, chunk_id AS vec_id, CASE WHEN qnrm > 0 AND nrm > 0 THEN list_sum([qv[i]*v[i] FOR i IN range(1, len(qv)+1)]) / (qnrm * nrm) END AS cosine FROM q JOIN e2 ON query_id <> chunk_id)
+SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= 5"""
+      }),
+
     // Min/max file-stats data skipping: a range-partitioned snapshot
     // commit records per-file stats in the manifest; the range read
     // opens only intersecting files (manifest metadata decides — zero

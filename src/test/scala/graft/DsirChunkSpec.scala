@@ -85,6 +85,26 @@ class DsirChunkSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSet === (1L to 20L).toSet)
   }
 
+  // ---- hashing vectorizer -------------------------------------------------
+
+  test("hashingVectorizer: bucket counts sum to the token count, " +
+      "identical tokens land in identical buckets") {
+    import graft.functions.{TextFunctions, VectorFunctions}
+    val docs = Seq((1L, "a b c a b a"), (2L, "a a a a a a")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        VectorFunctions.hashingVectorizer(
+          TextFunctions.tokens(col("text")), dim = 8).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out(1L).sum === 6.0)
+    assert(out(2L).sum === 6.0)
+    // doc2 is one token repeated: exactly one hot bucket of 6
+    assert(out(2L).count(_ > 0) === 1)
+    assert(out(2L).max === 6.0)
+    // "a" contributes to the same bucket in both docs
+    val aBucket = out(2L).indexWhere(_ > 0)
+    assert(out(1L)(aBucket) >= 3.0)
+  }
+
   // ---- TF-IDF top terms ---------------------------------------------------
 
   test("tfIdfTopTerms: rank order is (tf desc, df asc, term asc)") {
