@@ -49,7 +49,15 @@ object ScaleProbe {
       "funnel" -> (() =>
         graft.ops.Funnel.windowFunnel(events, col("user_id"), col("ts"),
           Seq(col("event_type") === "view", col("event_type") === "click",
-            col("event_type") === "purchase"), window = "30 DAYS").count()))
+            col("event_type") === "purchase"), window = "30 DAYS").count()),
+      // token-explode aggregation rungs: shuffle must track corpus
+      // tokens (linear), driver results must stay count-sized
+      "tfidf_topterms" -> (() =>
+        graft.ops.Retrieval.tfIdfTopTerms(docs, col("doc_id"), col("text"),
+          k = 3).count()),
+      "dsir_weights" -> (() =>
+        graft.ops.Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+          isTarget = pmod(col("doc_id"), lit(3)) === 0).count()))
   }
 
   /** Run every rung at the given sizes, returning (rung, rows,
@@ -66,6 +74,9 @@ object ScaleProbe {
     val eventsN = if (args.length > 1) args(1).toLong else 10000000L
     val embN = if (args.length > 2) args(2).toLong else 300000L
     val label = if (args.length > 3) args(3) else s"docs=$docsN events=$eventsN emb=$embN"
+    // optional fifth arg: comma-separated rung names to probe just those
+    val only: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").toSet) else None
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -75,9 +86,12 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
     println(s"### $label")
     println(ScaleMetrics.header)
-    run(spark, docsN, eventsN, embN).foreach { case (name, rows, m) =>
-      println(m.row(s"$name ($rows rows)"))
-    }
+    rungs(spark, docsN, eventsN, embN)
+      .filter(r => only.forall(_.contains(r._1)))
+      .foreach { case (name, f) =>
+        val (rows, m) = ScaleMetrics.measure(spark)(f())
+        println(m.row(s"$name ($rows rows)"))
+      }
     spark.stop()
   }
 }

@@ -91,26 +91,35 @@ SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) A
     * float-ordered tf-idf rank would risk — and carry the conventional
     * tf·ln(N/df) weight as a floor-4 payload column.
     *
-    * Plan: one token explode → per-(doc,term) count (map-side combine
-    * collapses repeats before the shuffle) → per-term document
-    * frequency (vocabulary volume, aggregated FROM tf so the corpus is
-    * read once) → tf⋈df shuffle-hash join on term (vocabulary-sized
-    * build side; hot terms are AQE skew-split territory) → N broadcast
-    * → per-doc window top-k, partitioned on the doc_id the tf
-    * aggregate already hashed. No driver state, no global sort.
+    * Plan: term frequencies are computed INSIDE each row (distinct-term
+    * HOF over the token array — tf is a per-document quantity, so it
+    * never needs a shuffle; a naive groupBy(doc, term) formulation has
+    * group cardinality ≈ corpus tokens, and the 100×-scale probe
+    * measured its hash-aggregate spilling 28-31 GB because text
+    * amplifies ~10× into (doc,term) rows however the input is split) →
+    * per-term document frequency (vocabulary-bounded hash aggregate) →
+    * tf⋈df shuffle-hash join on term (vocabulary-sized build side,
+    * hinted: sort-merge would sort the doc×term relation; hot terms are
+    * AQE skew-split territory) → N broadcast → per-doc window top-k
+    * (WindowGroupLimit prunes to k per doc map-side before the
+    * exchange). No driver state, no global sort.
     * Output: (doc_id, rank, term, tf, df, tfidf). */
   def tfIdfTopTerms(docs: DataFrame, id: Column, text: Column,
       k: Int = 3): DataFrame = {
-    val toks = docs.select(id.as("doc_id"),
-      explode(TextFunctions.tokens(lower(text))).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    val tf = docs.select(id.as("doc_id"),
+        explode(TextFunctions.bindOnce(TextFunctions.tokens(lower(text))) {
+          toks =>
+            transform(array_distinct(toks), t =>
+              struct(t.as("term"),
+                size(filter(toks, x => x === t)).cast("long").as("tf")))
+        }).as("p"))
+      .select(col("doc_id"), col("p.term").as("term"), col("p.tf").as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfT, Seq("term")).crossJoin(broadcast(n))
+    tf.join(dfT.hint("shuffle_hash"), Seq("term")).crossJoin(broadcast(n))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
