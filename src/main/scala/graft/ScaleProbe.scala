@@ -57,7 +57,15 @@ object ScaleProbe {
           k = 3).count()),
       "dsir_weights" -> (() =>
         graft.ops.Dsir.importanceWeights(docs, col("doc_id"), col("text"),
-          isTarget = pmod(col("doc_id"), lit(3)) === 0).count()))
+          isTarget = pmod(col("doc_id"), lit(3)) === 0).count()),
+      // adds the exact-percentile selection cut on top of the weights —
+      // the same percentile-over-per-doc-longs pattern ppl_buckets uses;
+      // its aggregation state tracks DISTINCT weight values, which this
+      // rung measures (peak task mem) rather than assumes
+      "dsir_select" -> (() =>
+        graft.ops.Dsir.selectTop(docs, col("doc_id"), col("text"),
+          isTarget = pmod(col("doc_id"), lit(3)) === 0,
+          keepFraction = 0.3).count()))
   }
 
   /** Run every rung at the given sizes, returning (rung, rows,
