@@ -1116,6 +1116,24 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       (s, dir) => UnigramLm.pplBuckets(docs(s, dir), col("doc_id"), col("text")),
       Some(UnigramLm.pplBucketsOracleSql)),
 
+    // Corpus-trained bigram LM (the rung above q_unigram_logprob toward
+    // CCNet's KenLM): p(w2|w1) from bigram/context counts, per-doc mean
+    // log-prob via the same quantize-then-exact-sum protocol. Bigrams
+    // build in-row (no corpus shuffle for sequence structure).
+    GraftQuery("q_bigram_logprob",
+      (s, dir) => graft.ops.Ngrams.bigramScoreDocs(docs(s, dir),
+        col("doc_id"), col("text")),
+      Some(graft.ops.Ngrams.bigramOracleSql)),
+
+    // PMI collocation mining: top-50 adjacent pairs by pointwise mutual
+    // information (min support 5), marginals from the bigram table
+    // itself, global top-k as TakeOrdered. Ranks compare on the
+    // 1e-6-quantized BIGINT, (w1, w2)-tiebroken.
+    GraftQuery("q_pmi_collocations",
+      (s, dir) => graft.ops.Ngrams.pmiCollocations(docs(s, dir),
+        col("doc_id"), col("text"), minCount = 5L, k = 50),
+      Some(graft.ops.Ngrams.pmiOracleSql(minCount = 5L, k = 50))),
+
     // DSIR importance weights (Xie et al. 2023): hashed-unigram
     // log p_target/p_raw per document, target = English docs. Bucket
     // log-ratios quantized to BIGINT then summed exactly — the

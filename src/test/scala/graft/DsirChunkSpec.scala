@@ -85,6 +85,39 @@ class DsirChunkSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSet === (1L to 20L).toSet)
   }
 
+  // ---- bigram LM / PMI ----------------------------------------------------
+
+  test("bigramScoreDocs: conditional probabilities from context counts; " +
+      "sub-bigram docs absent") {
+    import graft.ops.Ngrams
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Ngrams.bigramScoreDocs(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // c(a,b)=2, c(a,c)=1, c(a)=3
+    def f4ofLn(x: Double) =
+      math.floor(math.floor(x * 1e6 + 0.5) / 100.0 + 0.5) / 10000.0
+    assert(out(1L) === ((1L, f4ofLn(math.log(2.0 / 3)))))
+    assert(out(3L) === ((1L, f4ofLn(math.log(1.0 / 3)))))
+    assert(!out.contains(4L), "one-token doc has no bigrams")
+  }
+
+  test("pmiCollocations: an exclusive pair outranks a promiscuous token") {
+    import graft.ops.Ngrams
+    // "p q" only ever co-occur; "x" pairs with many right-hand tokens
+    val docs = Seq(
+      (1L, "p q p q p q"), (2L, "x a x b x c x a x b x c")).toDF("doc_id", "text")
+    val out = Ngrams.pmiCollocations(docs, col("doc_id"), col("text"),
+        minCount = 2L, k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    // the exclusive p/q pairs take ranks 1-2 — (q,p) first: c=2 with
+    // both marginals 2 gives ln(2N/4) > (p,q)'s ln(3N/9) — every
+    // x-pair shares x's marginal of 11 and lands below both
+    assert(out.take(2).map(p => (p._2, p._3)).toSet === Set(("q", "p"), ("p", "q")))
+    assert(out.head._2 === "q" && out.head._3 === "p")
+    assert(out.map(_._1).toSeq === (1 to out.length).toSeq) // dense ranks
+  }
+
   // ---- hashing vectorizer -------------------------------------------------
 
   test("hashingVectorizer: bucket counts sum to the token count, " +
