@@ -65,7 +65,13 @@ object ScaleProbe {
       "dsir_select" -> (() =>
         graft.ops.Dsir.selectTop(docs, col("doc_id"), col("text"),
           isTarget = pmod(col("doc_id"), lit(3)) === 0,
-          keepFraction = 0.3).count()))
+          keepFraction = 0.3).count()),
+      // the (w1,w2)-keyed model join is the MinHash-finding risk class:
+      // a misestimated broadcast of the bigram table would show up here
+      // as driver-result growth
+      "bigram_lm" -> (() =>
+        graft.ops.Ngrams.bigramScoreDocs(docs, col("doc_id"), col("text"))
+          .count()))
   }
 
   /** Run every rung at the given sizes, returning (rung, rows,
