@@ -89,6 +89,53 @@ object Dsir {
       .select(col("doc_id"), col("lw4"))
   }
 
+  /** Train the model once in batch and return it as a plain map
+    * bucket → quantized log-ratio: at most `buckets` entries, so the
+    * collect is bounded by construction (like k-means centroids). The
+    * artifact serves streaming gates via [[scoreColumn]]. */
+  def trainModel(docs: DataFrame, id: Column, text: Column,
+      isTarget: Column, buckets: Int = 64): Map[Long, Long] = {
+    val toks = docs.select(isTarget.as("is_target"),
+        explode(TextFunctions.tokens(lower(text))).as("tok"))
+      .select(col("is_target"),
+        pmod(TextFunctions.md5Long(col("tok")), lit(buckets.toLong)).as("bucket"))
+    val bucketCnt = toks.groupBy(col("bucket")).agg(
+      count(lit(1)).as("raw_cnt"),
+      sum(when(col("is_target"), lit(1L)).otherwise(lit(0L))).as("tgt_cnt"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bucketCnt
+      .withColumn("raw_total", sum(col("raw_cnt")).over(wAll))
+      .withColumn("tgt_total", sum(col("tgt_cnt")).over(wAll))
+      .select(col("bucket"),
+        floor((log((col("tgt_cnt") + 1).cast("double") /
+                   (col("tgt_total") + buckets).cast("double"))
+             - log((col("raw_cnt") + 1).cast("double") /
+                   (col("raw_total") + buckets).cast("double")))
+          * lit(1000000.0) + lit(0.5)).cast("long").as("lr_q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Score a text column against a [[trainModel]] artifact entirely
+    * in-row (the model rides into the plan as a literal map — no join,
+    * no shuffle, streaming-safe): the serving path for ingest-time
+    * importance gates. Same quantized sum and floor-4 presentation as
+    * [[importanceWeights]], so batch and stream scores are identical
+    * for identical text. Buckets absent from the model (never seen in
+    * training) contribute 0. */
+  def scoreColumn(text: Column, model: Map[Long, Long],
+      buckets: Int = 64): Column = {
+    val m = typedLit(model)
+    TextFunctions.bindOnce(TextFunctions.tokens(lower(text))) { toks =>
+      floor(
+        aggregate(toks, lit(0L), (acc, t) =>
+          acc + coalesce(
+            element_at(m, pmod(TextFunctions.md5Long(t), lit(buckets.toLong))),
+            lit(0L)))
+        .cast("double") / lit(100.0) + lit(0.5)) / lit(10000.0)
+    }
+  }
+
   /** CTE body of the [[importanceWeights]] oracle over `src`, with the
     * target predicate given as SQL. Ends with CTE `${p}dw`:
     * (doc_id, n_tok, log_weight). */

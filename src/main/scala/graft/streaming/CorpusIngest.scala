@@ -40,9 +40,17 @@ object CorpusIngest {
     * incrementally rather than re-aggregated per batch. */
   def ingestBatch(spark: SparkSession, base: String, batch: DataFrame,
       batchId: Long, minQuality: Double = 0.2,
-      bloomBits: Long = 1L << 22): Unit = {
+      bloomBits: Long = 1L << 22,
+      dsirModel: Option[Map[Long, Long]] = None,
+      minLogWeight: Double = 0.0): Unit = {
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    val inBatch = batch
+    // optional target-domain importance gate: a batch-trained
+    // Dsir.trainModel artifact scores each row IN-ROW (literal-map
+    // lookup — no join, no state), the stream-serving counterpart of
+    // the batch q_dsir_select cut
+    val gated = dsirModel.fold(batch)(m => batch.filter(
+      graft.ops.Dsir.scoreColumn(col("text"), m) >= minLogWeight))
+    val inBatch = gated
       .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
       .withColumn("fp", TextFunctions.fingerprint(col("text")))
       .withColumn("__rn", row_number().over(w))

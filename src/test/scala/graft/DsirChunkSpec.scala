@@ -85,6 +85,35 @@ class DsirChunkSpec extends SparkSpec {
     assert(kept.map(_.getLong(0)).toSet === (1L to 20L).toSet)
   }
 
+  test("DSIR scoreColumn serves the trained model identically to the " +
+      "batch scoring join") {
+    val model = Dsir.trainModel(dsirDocs, col("doc_id"), col("text"),
+      col("lang") === "en")
+    assert(model.nonEmpty && model.size <= 64)
+    val served = dsirDocs.select(col("doc_id"),
+        Dsir.scoreColumn(col("text"), model).as("lw"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Dsir.importanceWeights(dsirDocs, col("doc_id"), col("text"),
+        col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(served === batch)
+  }
+
+  test("CorpusIngest importance gate drops off-target docs at landing") {
+    import graft.sinks.SnapshotStore
+    val model = Dsir.trainModel(dsirDocs, col("doc_id"), col("text"),
+      col("lang") === "en")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dsiringest").toString
+    graft.streaming.CorpusIngest.ingestBatch(spark, tmp,
+      dsirDocs.select("doc_id", "text"), batchId = 0L,
+      minQuality = 0.0, dsirModel = Some(model), minLogWeight = 0.0)
+    val landed = SnapshotStore.read(spark, tmp).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact dedup collapses the 20 identical target texts to doc_id 1;
+    // every off-target doc (negative weight) is gated out
+    assert(landed === Set(1L))
+  }
+
   // ---- bigram LM / PMI ----------------------------------------------------
 
   test("bigramScoreDocs: conditional probabilities from context counts; " +
