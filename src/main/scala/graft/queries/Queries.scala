@@ -1170,6 +1170,36 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         col("doc_id"), col("text"), k = 3),
       Some(graft.ops.Retrieval.tfIdfOracleSql(k = 3))),
 
+    // The RAG pipeline's PRODUCTION retrieval rung: same chunk →
+    // feature-hash-embed stages, but the search is IVF (trained k-means
+    // centroids, corpus partitioned once on cluster id, queries probe 2
+    // cells) instead of brute force — the swap-in q_rag_pipeline's
+    // docstring promises, demonstrated and oracle-replayed (the DuckDB
+    // side re-runs the whole Lloyd's fit over the chunk vectors).
+    GraftQuery("q_rag_pipeline_ivf",
+      (s, dir) => {
+        val chunks = Corpus.chunkOverlap(docs(s, dir), col("doc_id"),
+            col("text"), chunkTokens = 32, stride = 24)
+          .select((col("doc_id") * 65536 + col("chunk_idx")).as("chunk_id"),
+            graft.functions.VectorFunctions.hashingVectorizer(
+              TextFunctions.tokens(lower(col("chunk_text"))), dim = 16).as("emb"))
+        graft.similarity.Ann.ivfTopK(chunks, col("chunk_id"), col("emb"),
+          isQuery = pmod(col("chunk_id"), lit(65536L)) === 0 &&
+            col("chunk_id") < lit(3L * 65536),
+          k = 5, nCentroids = 8, nProbe = 2, kmeansIters = 3)
+      },
+      Some {
+        val toksSql = raw"regexp_split_to_array(trim(lower(chunk_text)), '\s+')"
+        val pre =
+          raw"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+ch AS (SELECT doc_id * 65536 + c AS chunk_id, array_to_string(toks[c * 24 + 1:c * 24 + 32], ' ') AS chunk_text FROM t, LATERAL unnest(range(0, CAST(ceil(len(toks) / 24.0) AS BIGINT))) AS u(c)),
+chsrc AS (SELECT chunk_id AS vec_id, ${graft.functions.VectorFunctions.hashingVectorizerSql(toksSql, 16)} AS v0 FROM ch)"""
+        graft.similarity.Ann.ivfTopKOracle(
+          "vec_id % 65536 = 0 AND vec_id < 196608",
+          k = 5, nCentroids = 8, nProbe = 2, kmeansIters = 3, dim = 16,
+          vecSql = "v0", fromSql = "chsrc", preCtes = pre)
+      }),
+
     // The composed RAG indexing pipeline in one plan: overlapping chunk
     // windows → feature-hash chunk embeddings (deterministic, no fitted
     // vocab) → cosine top-5 retrieval for the first chunk of docs 0-2.

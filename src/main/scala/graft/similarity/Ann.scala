@@ -298,9 +298,16 @@ SELECT c.vec_id, c.cent_id, (d.vec_id IS NULL) AS keep FROM corpus c LEFT JOIN d
     * assignment (probes=1) → query assignment (probes=nProbe) →
     * co-cluster join → exact re-rank. */
   def ivfTopKOracle(queryPred: String, k: Int, nCentroids: Int, nProbe: Int,
-      kmeansIters: Int, dim: Int): String = {
+      kmeansIters: Int, dim: Int,
+      vecSql: String = "CAST(embedding AS DOUBLE[])",
+      fromSql: String = "embeddings",
+      preCtes: String = ""): String = {
     val cos = s"CASE WHEN e.nrm > 0 AND c.cnrm > 0 THEN ${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm) END"
-    s"""${KMeans.oracleCtes(nCentroids, kmeansIters, dim)},
+    val kctes = KMeans.ctes(nCentroids, kmeansIters, dim,
+      vecSql = vecSql, fromSql = fromSql)
+    val withClause =
+      if (preCtes.isEmpty) s"WITH $kctes" else s"WITH $preCtes,\n$kctes"
+    s"""$withClause,
 corpus AS (SELECT vec_id, v, nrm, cent_id FROM (SELECT e.vec_id, e.v, e.nrm, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM e, cents_$kmeansIters c) WHERE rn = 1),
 queries AS (SELECT query_id, qv, qnrm, cent_id FROM (SELECT e.vec_id AS query_id, e.v AS qv, e.nrm AS qnrm, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM e, cents_$kmeansIters c WHERE $queryPred) WHERE rn <= $nProbe),
 scored AS (SELECT query_id, corpus.vec_id, CASE WHEN qnrm > 0 AND nrm > 0 THEN ${dotSql("qv", "v")} / (qnrm * nrm) END AS cosine FROM queries JOIN corpus ON queries.cent_id = corpus.cent_id WHERE query_id <> corpus.vec_id)
