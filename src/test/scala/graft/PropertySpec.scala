@@ -191,6 +191,67 @@ class PropertySpec extends SparkSpec {
       s"rate ramp flipped ${(small -- big).size} prior keep decisions")
   }
 
+  test("property: chunkOverlap covers every token exactly once per stride-prefix") {
+    // random doc lengths, a few (chunk, stride) geometries; for each:
+    // chunk count = ceil(n/stride), stride-prefixes reassemble the doc,
+    // n_tokens = min(chunk, n - start)
+    val lens = Gen.listOfN(40, Gen.chooseNum(1, 200)).sample.get
+    val docsDf = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"t$j").mkString(" ")) }
+      .toDF("doc_id", "text")
+    for ((chunk, stride) <- Seq((32, 24), (16, 16), (8, 3))) {
+      val rows = graft.ops.Corpus.chunkOverlap(docsDf, col("doc_id"),
+          col("text"), chunk, stride)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+          r.getString(4)))
+        .groupBy(_._1)
+      lens.zipWithIndex.foreach { case (n, i) =>
+        val cs = rows(i.toLong).sortBy(_._2)
+        assert(cs.length === (n + stride - 1) / stride, s"doc $i len $n $chunk/$stride")
+        cs.foreach { case (_, idx, start, nt, textC) =>
+          assert(start === idx * stride)
+          assert(nt === math.min(chunk, n - start))
+          assert(textC.split(" ").length === nt)
+        }
+        val rebuilt = cs.flatMap(c => c._5.split(" ").take(stride)).toSeq
+        assert(rebuilt === (1 to n).map(j => s"t$j"))
+      }
+    }
+  }
+
+  test("property: hashingVectorizer buckets partition the token count") {
+    import graft.functions.{TextFunctions, VectorFunctions}
+    val texts = Gen.listOfN(60,
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc", "Δδ", "x1", "-", "longtokenword"))
+        .map(_.mkString(" "))).sample.get
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+        VectorFunctions.hashingVectorizer(TextFunctions.tokens(col("text")), 8).as("v"),
+        TextFunctions.tokenCount(col("text")).as("n"))
+      .collect()
+    out.foreach { r =>
+      val v = r.getSeq[Double](1)
+      assert(v.length === 8)
+      assert(v.forall(_ >= 0))
+      assert(v.sum === r.getInt(2).toDouble, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("property: bigram count per doc is tokens-1; docs under 2 tokens absent") {
+    val lens = Gen.listOfN(30, Gen.chooseNum(1, 50)).sample.get
+    val df = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(j => s"w${j % 7}").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val counts = graft.ops.Ngrams.bigramScoreDocs(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    lens.zipWithIndex.foreach { case (n, i) =>
+      if (n < 2) assert(!counts.contains(i.toLong))
+      else assert(counts(i.toLong) === (n - 1).toLong, s"doc $i len $n")
+    }
+  }
+
   test("extensions: GraftExtensions wires all custom functions into a session builder") {
     // instantiating and applying must not throw; the functions are
     // exercised via their register(spark) paths elsewhere
