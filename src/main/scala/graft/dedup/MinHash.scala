@@ -77,9 +77,17 @@ object MinHash {
     * The size/min window shuffles on the same (band_idx, band_key) the
     * join hashes on, so AQE reuses the partitioning — the guard adds no
     * extra exchange of the bands. */
-  def candidatePairs(sigs: DataFrame, cfg: Config = Config()): DataFrame = {
-    val bands = sigs
-      .select(col("doc_id"), posexplode(bandKeys(cfg)).as(Seq("band_idx", "band_key")))
+  def candidatePairs(sigs: DataFrame, cfg: Config = Config()): DataFrame =
+    candidatePairsFromBands(bandsOf(sigs, cfg), cfg)
+
+  /** Exploded band rows (doc_id, band_idx, band_key) for a signature
+    * frame — the persistable unit of the incremental index. */
+  def bandsOf(sigs: DataFrame, cfg: Config = Config()): DataFrame =
+    sigs.select(col("doc_id"), posexplode(bandKeys(cfg)).as(Seq("band_idx", "band_key")))
+
+  /** [[candidatePairs]] over an already-exploded band relation (same
+    * semantics, cap and star-degrade included). */
+  def candidatePairsFromBands(bands: DataFrame, cfg: Config = Config()): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band_idx", "band_key")
     val stats = bands
       .withColumn("__bsz", count(lit(1)).over(w))
@@ -116,7 +124,13 @@ object MinHash {
   def verifiedPairs(docs: DataFrame, id: Column, text: Column, cfg: Config = Config()): DataFrame = {
     val sigs = signatures(docs, id, text, cfg).cache()
     val cands = candidatePairs(sigs, cfg)
-    val sets = sigs.select(col("doc_id"), col("sh"))
+    verify(cands, sigs.select(col("doc_id"), col("sh")), cfg)
+  }
+
+  /** Exact-Jaccard verification of a candidate-pair relation against a
+    * shingle-set relation (doc_id, sh). Output: doc_a, doc_b, jaccard
+    * (>= cfg.threshold only). */
+  def verify(cands: DataFrame, sets: DataFrame, cfg: Config = Config()): DataFrame =
     // merge-hinted: the shingle-set side is corpus-sized (the arrays
     // dominate the bytes) yet estimates undercount it enough that the
     // planner broadcasts it — same driver-OOM shape as the band join
@@ -127,7 +141,6 @@ object MinHash {
         (size(array_intersect(col("sa.sh"), col("sb.sh"))).cast(DoubleType) /
          size(array_union(col("sa.sh"), col("sb.sh")))).as("jaccard"))
       .filter(col("jaccard") >= cfg.threshold)
-  }
 
   // ---- DuckDB oracle generation (same constants, same hashes) -----------
 

@@ -1547,6 +1547,25 @@ SELECT doc_id, lang, ${Corpus.splitAssignSql("doc_id")} AS split, n_tok, start_t
       Some(graft.dedup.MinHash.oracleSql()),
       headline = true),
 
+    // The INCREMENTAL build of the same near-dup pass: the corpus
+    // arrives in three batches against a persisted band/shingle index
+    // (MinHashIndex), each batch probing only the buckets it touches;
+    // the union of the per-batch outputs must equal — and shares the
+    // oracle of — the one-shot q_dedup_minhash. Side-effecting scratch
+    // store (deleted on JVM exit), never headline.
+    GraftQuery("q_dedup_minhash_inc",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_mhidx")
+        deleteRecursivelyOnExit(tmpPath)
+        val d = docs(s, dir)
+        (0 to 2).map { b =>
+          graft.dedup.MinHashIndex.processBatch(s, tmpPath.toString,
+            d.filter(pmod(col("doc_id"), lit(3)) === b),
+            col("doc_id"), col("text"), tag = s"b$b")
+        }.reduce(_ unionByName _)
+      },
+      Some(graft.dedup.MinHash.oracleSql())),
+
     // BM25 ranked retrieval (Lucene idf form): one partial+final stats
     // aggregate broadcast back over the corpus, per-row tf array ops,
     // TakeOrderedAndProject top-k. Score floor-rounded at 4 decimals for
