@@ -1229,6 +1229,41 @@ scored AS (SELECT query_id, chunk_id AS vec_id, CASE WHEN qnrm > 0 AND nrm > 0 T
 SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= 5"""
       }),
 
+    // Curriculum-ordered sequence packing: corpus-typical (head) docs
+    // pack first, tail last — the quality tertiles from pplBuckets
+    // define a composite order key bucket·2^40 + doc_id that rides
+    // through the SAME two-phase distributed prefix sum as q_seq_pack
+    // (the bucketed id stays monotone in curriculum order, so no new
+    // ordering machinery and no global window). Third composed
+    // pipeline: quality signal → curriculum order → pretraining layout.
+    GraftQuery("q_curriculum_pack",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val big = 1L << 40
+        val ranked = UnigramLm.pplBuckets(d, col("doc_id"), col("text"))
+          .select(col("doc_id"),
+            when(col("bucket") === "head", 0L)
+              .when(col("bucket") === "middle", 1L).otherwise(2L).as("__b"))
+        val keyed = d.join(ranked, Seq("doc_id"))
+          .select((col("__b") * big + col("doc_id")).as("cid"),
+            TextFunctions.tokenCount(col("text")).as("nt"))
+        Corpus.concatChunk(keyed, col("cid"), col("nt"),
+            seqLen = 512, bucketSize = 100)
+          .select(pmod(col("doc_id"), lit(big)).as("doc_id"),
+            when(floor(col("doc_id") / lit(big)) === 0, "head")
+              .when(floor(col("doc_id") / lit(big)) === 1, "middle")
+              .otherwise("tail").as("bucket"),
+            col("n_tok"), col("start_tok"),
+            col("first_seq"), col("last_seq"), col("n_seqs"))
+      },
+      Some {
+        val big = 1L << 40
+        s"""WITH ${UnigramLm.pplBucketsOracleCtes()},
+cidt AS (SELECT pb.doc_id AS orig_id, CAST(CASE bucket WHEN 'head' THEN 0 WHEN 'middle' THEN 1 ELSE 2 END AS BIGINT) * $big + pb.doc_id AS cid, CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) AS n_tok, bucket FROM pb JOIN documents d ON pb.doc_id = d.doc_id),
+c AS (SELECT *, CAST(coalesce(sum(n_tok) OVER (ORDER BY cid ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM cidt)
+SELECT orig_id AS doc_id, bucket, n_tok, start_tok, CAST(floor(start_tok / 512.0) AS BIGINT) AS first_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 512.0) AS BIGINT) AS last_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 512.0) AS BIGINT) - CAST(floor(start_tok / 512.0) AS BIGINT) + 1 AS n_seqs FROM c"""
+      }),
+
     // Min/max file-stats data skipping: a range-partitioned snapshot
     // commit records per-file stats in the manifest; the range read
     // opens only intersecting files (manifest metadata decides — zero
