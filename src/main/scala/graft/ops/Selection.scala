@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.TextFunctions
+
+/** Corpus data-selection operators beyond the mixture/DSIR family in
+  * [[Corpus]]/[[Dsir]]: cross-document novelty scoring, source-level
+  * (domain-blocklist-style) quality gating, deterministic weighted
+  * sampling, and token-budget greedy selection. All follow the
+  * oracle-parity protocol from graft.queries.Queries: doubles quantized
+  * to exact BIGINTs before any order-sensitive aggregation, rankings on
+  * total integer orders, floor-based half-up rounding.
+  */
+object Selection {
+
+  /** Per-document n-gram novelty (the "how much of this doc is new to
+    * the corpus" signal used for incremental crawl triage): the
+    * fraction of a document's DISTINCT word n-grams whose first corpus
+    * occurrence (min doc_id) is this document. A doc full of
+    * already-seen grams scores ~0; fresh content scores ~1.
+    *
+    * Scale: one explode of distinct shingles (volume ≤ corpus tokens),
+    * a gram-keyed count-min aggregate with map-side combine, and a
+    * self-join co-partitioned on the same gram key — the only shuffles
+    * hash on `gram`, and nothing is ever collected. The doc-level
+    * re-aggregate hashes on doc_id. */
+  def novelty(docs: DataFrame, id: Column, text: Column, n: Int = 3): DataFrame = {
+    val g = docs.select(id.as("doc_id"),
+      explode(TextFunctions.shingles(lower(text), n)).as("gram"))
+    val firsts = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    g.join(firsts, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (floor(col("n_novel").cast("double") / col("n_grams") * lit(10000.0)
+          + lit(0.5)) / lit(10000.0)).as("novelty"))
+  }
+
+  /** DuckDB replica of [[novelty]] over table `documents`. */
+  def noveltyOracleSql(n: Int = 3): String =
+    raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+${n - 1}], ' ') FOR i IN range(1, greatest(len(toks)-${n - 1}, 1)+1)])) AS gram FROM t),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram)
+SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel, floor(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 10000.0 + 0.5) / 10000.0 AS novelty FROM g JOIN f USING (gram) GROUP BY g.doc_id"""
+
+  /** Quality score in exact integer MICRO-quality units (1e-4 grain,
+    * i.e. quality × 10000): [[TextFunctions.qualityScore]] is already
+    * floor-quantized at 4 decimals, so scaling back up and half-up
+    * flooring recovers the exact integer — safe to sum across any
+    * partition order. */
+  def qualityMicros(text: Column): Column =
+    floor(TextFunctions.qualityScore(text) * lit(10000.0) + lit(0.5)).cast(LongType)
+
+  private def qualityMicrosSql: String =
+    raw"""CAST(floor(floor((0.5 * least(1.0, n_tokq/64.0) + 0.3 * (1.0 - least(1.0, punct/ntq)) + 0.2 * least(1.0, 4.0*stop/ntq)) * 10000.0 + 0.5) / 10000.0 * 10000.0 + 0.5) AS BIGINT)"""
+
+  /** Shared oracle CTE computing (doc_id, lang, source, n_tok, q_micros)
+    * per document — the per-doc signals every selection oracle reuses. */
+  def qSignalsOracleCte(src: String = "documents"): String = {
+    val stopPat = TextFunctions.langStopwords.toMap.apply("en")
+    raw"""qraw AS (SELECT doc_id, lang, source, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tokq, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct, CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS DOUBLE) AS stop FROM $src),
+qsig AS (SELECT doc_id, lang, source, n_tok, $qualityMicrosSql AS q_micros FROM (SELECT *, CASE WHEN n_tokq > 0 THEN n_tokq ELSE 1.0 END AS ntq FROM qraw))"""
+  }
+
+  /** Source-level quality statistics (the RefinedWeb/C4-style
+    * domain-blocklist planning step, with `source` standing in for the
+    * registered domain): per source, document count, total tokens, and
+    * the mean document quality in micro-units — plus the keep verdict
+    * at `minMeanQMicros`/`minDocs`. Mean = floor(exact-sum / count +
+    * 0.5): both operands exact integers, so the division is the same
+    * double op in both engines.
+    *
+    * Scale: one groupBy(source) with map-side combine over exact
+    * integer partials; source cardinality is domain-count-bounded, so
+    * the aggregate output is tiny at any corpus size. */
+  def sourceStats(docs: DataFrame, id: Column, text: Column, source: Column,
+      minMeanQMicros: Long, minDocs: Long): DataFrame =
+    docs.select(source.as("source"), id.as("doc_id"),
+        TextFunctions.tokenCount(text).cast(LongType).as("n_tok"),
+        qualityMicros(text).as("qm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        floor(sum(col("qm")).cast("double") / count(lit(1)) + lit(0.5))
+          .cast(LongType).as("mean_q_micros"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("mean_q_micros"),
+        (col("mean_q_micros") >= minMeanQMicros && col("n_docs") >= minDocs)
+          .as("keep"))
+
+  /** DuckDB replica of [[sourceStats]]. */
+  def sourceStatsOracleSql(minMeanQMicros: Long, minDocs: Long): String =
+    s"""WITH ${qSignalsOracleCte()}
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, CAST(floor(CAST(sum(q_micros) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_q_micros, (CAST(floor(CAST(sum(q_micros) AS DOUBLE) / count(*) + 0.5) AS BIGINT) >= $minMeanQMicros AND count(*) >= $minDocs) AS keep FROM qsig GROUP BY source"""
+
+  /** The apply step of [[sourceStats]]: keep only documents from
+    * passing sources. The stats side is tiny (one row per source), so
+    * the join broadcasts — the corpus itself never shuffles. */
+  def sourceFilter(docs: DataFrame, id: Column, text: Column, source: Column,
+      minMeanQMicros: Long, minDocs: Long): DataFrame = {
+    val kept = sourceStats(docs, id, text, source, minMeanQMicros, minDocs)
+      .filter(col("keep")).select(col("source"))
+    docs.select(id.as("doc_id"), source.as("source"))
+      .join(broadcast(kept), Seq("source"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  /** DuckDB replica of [[sourceFilter]]. */
+  def sourceFilterOracleSql(minMeanQMicros: Long, minDocs: Long): String =
+    s"""WITH ${qSignalsOracleCte()},
+st AS (SELECT source FROM qsig GROUP BY source HAVING CAST(floor(CAST(sum(q_micros) AS DOUBLE) / count(*) + 0.5) AS BIGINT) >= $minMeanQMicros AND count(*) >= $minDocs)
+SELECT d.doc_id, d.source FROM documents d JOIN st ON d.source = st.source"""
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis A-ES, the standard one-pass distributed scheme): each
+    * document draws a reproducible uniform u from md5(doc_id) and keys
+    * on ln(u)/w — the k largest keys ARE a weighted sample without
+    * replacement. Here w = token count (token-proportional sampling),
+    * and the key is quantized to exact micro-units so both engines
+    * rank the identical total order (doc_id tiebreak).
+    *
+    * Scale: pure per-row map + global top-k — Spark plans
+    * orderBy+limit as TakeOrdered (per-partition heaps, k rows to the
+    * driver), so there is no global sort at any corpus size. */
+  def weightedSample(docs: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    val w = greatest(TextFunctions.tokenCount(text), lit(1)).cast("double")
+    val uMicro = pmod(TextFunctions.md5Long(
+      concat(lit("ws:"), id.cast("string"))), lit(1000000L)) + lit(1L)
+    val key = log(uMicro.cast("double") / lit(1000001.0)) / w
+    docs.select(id.as("doc_id"), w.cast(LongType).as("weight"),
+        floor(key * lit(1000000.0)).cast(LongType).as("key_micros"))
+      .orderBy(col("key_micros").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** DuckDB replica of [[weightedSample]]. */
+  def weightedSampleOracleSql(k: Int): String =
+    raw"""WITH t AS (SELECT doc_id, greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS w, CAST('0x'||substring(md5('ws:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000 + 1 AS u_micro FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS weight, CAST(floor(ln(CAST(u_micro AS DOUBLE) / 1000001.0) / CAST(w AS DOUBLE) * 1000000.0) AS BIGINT) AS key_micros FROM t ORDER BY key_micros DESC, doc_id ASC LIMIT $k"""
+
+  /** Token-budget greedy selection: order documents by (quality desc,
+    * doc_id asc) and keep the prefix whose cumulative token count stays
+    * under `budgetTokens` (the doc straddling the boundary is kept —
+    * greedy-prefix semantics). Emits every document with its position
+    * and verdict, so the downstream apply is a simple filter on `kept`.
+    *
+    * The global running sum rides the SAME two-phase distributed
+    * prefix sum as sequence packing ([[Corpus.concatChunk]]): the
+    * composite key (10000 − q_micros)·2⁴⁰ + doc_id is monotone in
+    * selection order, buckets by quality level for the per-bucket
+    * offsets, and never takes an unpartitioned corpus-wide window. */
+  def budgetSelect(docs: DataFrame, id: Column, text: Column,
+      budgetTokens: Long): DataFrame = {
+    val big = 1L << 40
+    val keyed = docs.select(
+      ((lit(10000L) - qualityMicros(text)) * big + id).as("cid"),
+      TextFunctions.tokenCount(text).cast(LongType).as("nt"))
+    Corpus.concatChunk(keyed, col("cid"), col("nt"),
+        seqLen = 512, bucketSize = big)
+      .select(pmod(col("doc_id"), lit(big)).as("doc_id"),
+        (lit(10000L) - floor(col("doc_id") / lit(big)).cast(LongType))
+          .as("q_micros"),
+        col("n_tok"), col("start_tok"),
+        (col("start_tok") < budgetTokens).as("kept"))
+  }
+
+  /** DuckDB replica of [[budgetSelect]] (the oracle can afford the
+    * single global window at test scale; identical by prefix-sum
+    * associativity). */
+  def budgetSelectOracleSql(budgetTokens: Long): String = {
+    val big = 1L << 40
+    s"""WITH ${qSignalsOracleCte()},
+c AS (SELECT doc_id, q_micros, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY (10000 - q_micros) * $big + doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM qsig)
+SELECT doc_id, q_micros, n_tok, start_tok, (start_tok < $budgetTokens) AS kept FROM c"""
+  }
+}

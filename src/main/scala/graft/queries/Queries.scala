@@ -10,7 +10,7 @@ import graft.cdc.Envelope
 import graft.dim.ContentDim
 import graft.enrich.Enrich
 import graft.functions.{Engagement, TextFunctions, VectorFunctions}
-import graft.ops.{Corpus, Decontaminate, Dedup, Retrieval, Rollups, UnigramLm}
+import graft.ops.{Corpus, Decontaminate, Dedup, Retrieval, Rollups, Selection, UnigramLm}
 
 /** One registered query per implemented operator (SURVEY.md §2 + the
   * LLM-data-pipeline extensions). Each entry pairs the Spark
@@ -1152,6 +1152,51 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         col("doc_id"), col("text"), col("lang") === "en", keepFraction = 0.3),
       Some(graft.ops.Dsir.selectOracleSql("lang = 'en'", keepFraction = 0.3))),
 
+    // Cross-document n-gram novelty: fraction of each doc's distinct
+    // trigrams first seen (min doc_id) in that doc — the crawl-triage
+    // "is this new content" signal. Gram-keyed co-partitioned
+    // count+join, map-side combine, nothing collected.
+    GraftQuery("q_novelty",
+      (s, dir) => Selection.novelty(docs(s, dir), col("doc_id"), col("text"),
+        n = 3),
+      Some(Selection.noveltyOracleSql(n = 3))),
+
+    // Source-level quality gating, planning step (domain-blocklist
+    // analog): per-source doc/token counts + mean quality from EXACT
+    // integer micro-quality sums, keep verdict at the bounds. One tiny
+    // groupBy(source) aggregate.
+    GraftQuery("q_source_stats",
+      (s, dir) => Selection.sourceStats(docs(s, dir), col("doc_id"),
+        col("text"), col("source"), minMeanQMicros = 7000L, minDocs = 20L),
+      Some(Selection.sourceStatsOracleSql(minMeanQMicros = 7000L, minDocs = 20L))),
+
+    // ... and its apply step: keep docs from passing sources via a
+    // broadcast semi-join (stats side is one row per source) — the
+    // corpus never shuffles.
+    GraftQuery("q_source_filter",
+      (s, dir) => Selection.sourceFilter(docs(s, dir), col("doc_id"),
+        col("text"), col("source"), minMeanQMicros = 7000L, minDocs = 20L),
+      Some(Selection.sourceFilterOracleSql(minMeanQMicros = 7000L, minDocs = 20L))),
+
+    // Deterministic weighted sampling without replacement (Efraimidis–
+    // Spirakis A-ES): key = ln(u_md5)/token_count quantized to exact
+    // micros, global top-50 as TakeOrdered (per-partition heaps — no
+    // global sort).
+    GraftQuery("q_weighted_sample",
+      (s, dir) => Selection.weightedSample(docs(s, dir), col("doc_id"),
+        col("text"), k = 50),
+      Some(Selection.weightedSampleOracleSql(k = 50))),
+
+    // Token-budget greedy selection: (quality desc, doc_id) order via a
+    // composite BIGINT key riding the q_seq_pack two-phase distributed
+    // prefix sum — cumulative tokens vs an 8k budget, kept verdict per
+    // doc. Fourth composed selection pipeline (quality signal → order →
+    // budget cut), no corpus-wide window.
+    GraftQuery("q_budget_select",
+      (s, dir) => Selection.budgetSelect(docs(s, dir), col("doc_id"),
+        col("text"), budgetTokens = 8000L),
+      Some(Selection.budgetSelectOracleSql(budgetTokens = 8000L))),
+
     // RAG chunking: overlapping 32-token windows advancing by 24 (8
     // tokens of overlap) — pure per-row generate+explode, zero shuffle,
     // stable (doc_id, chunk_idx) identity for incremental re-embedding.
@@ -1696,6 +1741,18 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
         Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
         threshold = 0.45),
       Some(graft.similarity.Ann.semDedupOracle(0.45,
+        nCentroids = 16, kmeansIters = 5, dim = 64))),
+
+    // Prototypicality pruning (SSL-prototypes, Sorscher et al. 2022):
+    // k-means-cluster the embeddings, rank each point by quantized
+    // cosine to its own centroid, drop the most prototypical 30% per
+    // cluster (keep the hard examples). Same scale shape as SemDeDup;
+    // the oracle replays the whole fit.
+    GraftQuery("q_proto_prune",
+      (s, dir) => graft.similarity.Ann.protoPrune(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        keepFraction = 0.7),
+      Some(graft.similarity.Ann.protoPruneOracle(0.7,
         nCentroids = 16, kmeansIters = 5, dim = 64))),
 
     // ---- similarity search over embeddings --------------------------------

@@ -228,6 +228,44 @@ object Ann {
       .select(col("vec_id"), col("cent_id"), col("__drop").isNull.as("keep"))
   }
 
+  /** Prototypicality pruning (the SSL-prototypes data-pruning recipe of
+    * Sorscher et al. 2022, and SemDeDup's sibling): cluster the
+    * embeddings with deterministic k-means, score every point by cosine
+    * to its own centroid, and within each cluster DROP the most
+    * prototypical (centroid-closest) `1 − keepFraction` of points —
+    * keeping the hard/informative examples. Cosines quantize to exact
+    * micro-units so both engines rank the identical total order
+    * (vec_id tiebreak).
+    *
+    * Scale: same shape as [[semDedup]] — centroids are the only
+    * driver-side state (k×dim doubles), the corpus shuffles once on
+    * cluster id, and the rank window partitions by cluster (bounded by
+    * cluster size, never corpus-wide). */
+  def protoPrune(emb: DataFrame, id: Column, vec: Column, keepFraction: Double,
+      nCentroids: Int = 16, kmeansIters: Int = 5): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1)
+    val spark = emb.sparkSession
+    val cents = KMeans.centroidFrame(spark,
+      KMeans.fit(emb, id, vec, nCentroids, kmeansIters))
+    val corpus = KMeans.assign(
+      emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"),
+        VectorFunctions.norm(vec).as("nrm")),
+      cents, probes = 1)
+    val scored = corpus.join(broadcast(cents), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"),
+        when(col("nrm") > 0 && col("cnrm") > 0,
+          floor(nat(emb)(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
+            * lit(1000000.0) + lit(0.5)).cast("long")).as("cos_micros"))
+    val part = Window.partitionBy(col("cent_id"))
+    val ord = part.orderBy(col("cos_micros").desc_nulls_last, col("vec_id").asc)
+    scored
+      .withColumn("rk", row_number().over(ord))
+      .withColumn("__n_c", count(lit(1)).over(part))
+      .select(col("vec_id"), col("cent_id"), col("cos_micros"), col("rk"),
+        (col("rk") > floor((lit(1.0) - lit(keepFraction)) * col("__n_c")))
+          .as("keep"))
+  }
+
   // ---- DuckDB oracles ----------------------------------------------------
 
   /** Shared dot/norm fragments: sequential-order double sums, matching
@@ -291,6 +329,19 @@ corpus AS (SELECT vec_id, v, nrm, cent_id FROM (SELECT e.vec_id, e.v, e.nrm, c.c
 pairs AS (SELECT b.vec_id AS id_b, CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN ${dotSql("a.v", "b.v")} / (a.nrm * b.nrm) END AS cosine FROM corpus a JOIN corpus b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id),
 drp AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= $threshold)
 SELECT c.vec_id, c.cent_id, (d.vec_id IS NULL) AS keep FROM corpus c LEFT JOIN drp d ON c.vec_id = d.vec_id"""
+  }
+
+  /** DuckDB replica of [[protoPrune]] — replays the k-means fit
+    * ([[KMeans.oracleCtes]]), probes=1 assignment, centroid-cosine
+    * quantization, and the within-cluster rank. */
+  def protoPruneOracle(keepFraction: Double, nCentroids: Int, kmeansIters: Int,
+      dim: Int): String = {
+    val cos = s"CASE WHEN e.nrm > 0 AND c.cnrm > 0 THEN ${dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm) END"
+    s"""${KMeans.oracleCtes(nCentroids, kmeansIters, dim)},
+corpus AS (SELECT vec_id, v, nrm, cent_id FROM (SELECT e.vec_id, e.v, e.nrm, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM e, cents_$kmeansIters c) WHERE rn = 1),
+sc AS (SELECT p.vec_id, p.cent_id, CASE WHEN p.nrm > 0 AND c.cnrm > 0 THEN CAST(floor(${dotSql("p.v", "c.cv")} / (p.nrm * c.cnrm) * 1000000.0 + 0.5) AS BIGINT) END AS cos_micros FROM corpus p JOIN cents_$kmeansIters c ON p.cent_id = c.cent_id),
+rkd AS (SELECT vec_id, cent_id, cos_micros, CAST(row_number() OVER (PARTITION BY cent_id ORDER BY cos_micros DESC NULLS LAST, vec_id ASC) AS INTEGER) AS rk, count(*) OVER (PARTITION BY cent_id) AS n_c FROM sc)
+SELECT vec_id, cent_id, cos_micros, rk, (rk > floor((1.0 - $keepFraction) * n_c)) AS keep FROM rkd"""
   }
 
   /** DuckDB SQL replaying [[ivfTopK]] exactly — including the whole

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Selection
+import graft.similarity.Ann
+
+/** Unit tests for the data-selection operators (novelty, source gating,
+  * weighted sampling, budget selection, prototypicality pruning). The
+  * oracle gate re-checks each against DuckDB at sf0.01; these specs pin
+  * the semantics on hand-built inputs where the expected output is
+  * known by construction. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- novelty ------------------------------------------------------------
+
+  test("novelty: an exact copy of an earlier doc scores 0, fresh text 1") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // full copy of doc 1
+      (3L, "zeta eta theta iota kappa"))      // fully fresh
+      .toDF("doc_id", "text")
+    val out = Selection.novelty(docs, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Double]("novelty")).toSeq === Seq(1.0, 0.0, 1.0))
+  }
+
+  test("novelty: partial overlap counts only first-seen grams") {
+    // doc 2 shares its first trigram window with doc 1 only
+    val docs = Seq(
+      (1L, "a b c x"),
+      (2L, "a b c q r"))
+      .toDF("doc_id", "text")
+    val out = Selection.novelty(docs, col("doc_id"), col("text"), n = 3)
+      .orderBy("doc_id").collect()
+    // doc2 trigrams: "a b c" (seen), "b c q", "c q r" → 2/3 novel
+    assert(out(1).getAs[Long]("n_grams") === 3L)
+    assert(out(1).getAs[Long]("n_novel") === 2L)
+  }
+
+  // ---- source stats / filter ---------------------------------------------
+
+  test("sourceStats gates on mean quality and min docs; filter applies it") {
+    val longText = (1 to 80).map(i => s"the and of to a in is it that for w$i").mkString(" ")
+    val docs = (
+      (1L to 25L).map(i => (i, longText, "good")) ++        // high quality, 25 docs
+      (26L to 50L).map(i => (i, "!!!! ???? ;;;;", "bad")) ++ // punct-heavy, low quality
+      (51L to 55L).map(i => (i, longText, "rare")))          // high quality but < 20 docs
+      .toDF("doc_id", "text", "source")
+    val stats = Selection.sourceStats(docs, col("doc_id"), col("text"),
+        col("source"), minMeanQMicros = 7000L, minDocs = 20L)
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Boolean]("keep")).toMap
+    assert(stats === Map("good" -> true, "bad" -> false, "rare" -> false))
+    val kept = Selection.sourceFilter(docs, col("doc_id"), col("text"),
+        col("source"), 7000L, 20L)
+      .select("source").distinct().as[String].collect().toSet
+    assert(kept === Set("good"))
+  }
+
+  // ---- weighted sample ----------------------------------------------------
+
+  test("weightedSample: deterministic, k rows, weights are token counts") {
+    val docs = (1L to 200L)
+      .map(i => (i, (1 to (i % 17 + 1).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = Selection.weightedSample(docs, col("doc_id"), col("text"), k = 30).collect()
+    val b = Selection.weightedSample(docs, col("doc_id"), col("text"), k = 30).collect()
+    assert(a.length === 30)
+    assert(a.map(_.getLong(0)).toSeq === b.map(_.getLong(0)).toSeq) // replayable
+    val w = a.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight")).toMap
+    w.foreach { case (id, wt) => assert(wt === id % 17 + 1) }
+  }
+
+  test("weightedSample: heavier docs are sampled preferentially") {
+    // 100 heavy docs (64 tokens) vs 100 light docs (1 token): a
+    // token-proportional sample of 50 should be mostly heavy.
+    val docs = (
+      (1L to 100L).map(i => (i, (1 to 64).map(j => s"w$j").mkString(" "))) ++
+      (101L to 200L).map(i => (i, "x")))
+      .toDF("doc_id", "text")
+    val heavy = Selection.weightedSample(docs, col("doc_id"), col("text"), k = 50)
+      .filter(col("doc_id") <= 100).count()
+    assert(heavy >= 40, s"expected mostly heavy docs, got $heavy/50")
+  }
+
+  // ---- budget select ------------------------------------------------------
+
+  test("budgetSelect: kept set is a prefix in (quality desc, id) order " +
+      "and stops at the budget") {
+    val good = (1 to 80).map(i => s"the and of to a in is it that for w$i").mkString(" ")
+    val docs = (
+      (1L to 10L).map(i => (i, good)) ++       // high quality, long
+      (11L to 20L).map(i => (i, "!! ?? ;;")))  // low quality, short
+      .toDF("doc_id", "text")
+    val out = Selection.budgetSelect(docs, col("doc_id"), col("text"),
+        budgetTokens = 2000L)
+      .orderBy("start_tok").collect()
+    // ordering: all high-quality docs precede all low-quality ones
+    val orderedIds = out.map(_.getAs[Long]("doc_id")).toSeq
+    assert(orderedIds.take(10).toSet === (1L to 10L).toSet)
+    // greedy prefix: kept exactly while start_tok < budget, and the
+    // kept rows form a prefix of the ordering
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("kept") === (r.getAs[Long]("start_tok") < 2000L))
+    }
+    val keptFlags = out.map(_.getAs[Boolean]("kept")).toSeq
+    assert(keptFlags === keptFlags.sorted.reverse) // true… then false…
+    // offsets are contiguous: each start = previous start + previous n_tok
+    out.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getAs[Long]("start_tok") ===
+        p.getAs[Long]("start_tok") + p.getAs[Long]("n_tok"))
+    }
+  }
+
+  // ---- prototypicality pruning -------------------------------------------
+
+  test("protoPrune: keeps ~keepFraction per cluster, dropping the " +
+      "centroid-closest points") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val out = Ann.protoPrune(emb, col("vec_id"), col("embedding"),
+      keepFraction = 0.7, nCentroids = 8, kmeansIters = 3)
+    assert(out.count() === emb.count()) // every vector gets a verdict
+    val perCluster = out.groupBy("cent_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("k"),
+        min(when(col("keep"), col("rk"))).as("min_kept_rk"),
+        max(when(!col("keep"), col("rk"))).as("max_dropped_rk"))
+      .collect()
+    perCluster.foreach { r =>
+      val n = r.getAs[Long]("n"); val k = r.getAs[Long]("k")
+      // kept = n - floor(0.3 * n)
+      assert(k === n - math.floor(0.3 * n).toLong)
+      // the dropped ranks are exactly the head (most prototypical)
+      if (k < n)
+        assert(r.getAs[Int]("max_dropped_rk") < r.getAs[Int]("min_kept_rk"))
+    }
+  }
+}
