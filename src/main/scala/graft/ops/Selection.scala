@@ -176,4 +176,138 @@ SELECT doc_id, CAST(w AS BIGINT) AS weight, CAST(floor(ln(CAST(u_micro AS DOUBLE
 c AS (SELECT doc_id, q_micros, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY (10000 - q_micros) * $big + doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM qsig)
 SELECT doc_id, q_micros, n_tok, start_tok, (start_tok < $budgetTokens) AS kept FROM c"""
   }
+
+  /** Duplicated-substring spans (the distributed shape of ExactSubstr
+    * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    * Models Better"): every SLIDING `windowTokens`-token window (stride
+    * 1 — any offset, unlike [[Corpus.spanDedup]]'s fixed grid) that
+    * occurs more than once in the corpus marks its positions
+    * duplicated; per document, overlapping/adjacent duplicated windows
+    * merge into maximal intervals (gaps-and-islands on the start
+    * positions). Emits one row per merged interval:
+    * (doc_id, island, span_start, span_end, n_windows) in token
+    * coordinates — the removal step is then a per-row slice.
+    *
+    * Scale: the window explode is ≤ one row per corpus token; the
+    * duplicate test is a window-keyed count with map-side combine; the
+    * verify join back is co-partitioned on the same key; and the
+    * islands window partitions by doc_id (bounded by document length,
+    * never corpus-wide). The suffix-array formulation this replaces is
+    * inherently sequential — the sliding-window grid is what a
+    * 1000-executor cluster can actually run. */
+  def dupSpans(docs: DataFrame, id: Column, text: Column,
+      windowTokens: Int = 6): DataFrame = {
+    require(windowTokens > 0)
+    val L = windowTokens
+    val wins = docs.select(id.as("doc_id"),
+        posexplode(TextFunctions.bindOnce(TextFunctions.tokens(text)) { toks =>
+          // sequence(0, negative) would generate DESCENDING — docs
+          // shorter than one window must yield no windows at all
+          when(size(toks) >= L,
+            transform(sequence(lit(0), size(toks) - L),
+              c => concat_ws(" ", slice(toks, c + 1, lit(L)))))
+            .otherwise(array().cast("array<string>"))
+        }))
+      .toDF("doc_id", "pos", "win")
+    val dups = wins.groupBy(col("win")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).select(col("win"))
+    val marked = wins.join(dups, Seq("win")).select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked
+      .withColumn("__new", when(col("pos") - lag(col("pos"), 1).over(byDoc) > L, 1L)
+        .otherwise(lit(0L)))
+      .withColumn("island", sum(col("__new")).over(run))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast(LongType).as("span_start"),
+        (max(col("pos")) + L).cast(LongType).as("span_end"),
+        count(lit(1)).as("n_windows"))
+  }
+
+  /** DuckDB replica of [[dupSpans]]. */
+  def dupSpansOracleSql(windowTokens: Int = 6): String = {
+    val L = windowTokens
+    raw"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+w AS (SELECT doc_id, CAST(c AS INTEGER) AS pos, array_to_string(toks[c+1:c+$L], ' ') AS win FROM t, LATERAL unnest(range(0, greatest(len(toks)-$L+1, 0))) AS u(c)),
+d AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+m AS (SELECT doc_id, pos FROM w JOIN d USING (win)),
+lg AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+isl AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev <= $L THEN 0 ELSE 1 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM lg)
+SELECT doc_id, CAST(island AS BIGINT) AS island, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + $L AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_windows FROM isl GROUP BY doc_id, island"""
+  }
+
+  /** Semantic decontamination (the embedding-space rung above
+    * [[Decontaminate]]'s n-gram overlap): flag corpus vectors whose
+    * max cosine against ANY eval-set vector reaches `threshold`.
+    * Per-pair cosines quantize to exact micro-units BEFORE the max, so
+    * the aggregate is order-independent across engines.
+    *
+    * Scale: the eval set is small by nature (a benchmark), so it
+    * broadcasts; the corpus is never shuffled — the max collapses in a
+    * map-side partial keyed by the corpus id. Exactly the
+    * [[Decontaminate]] posture, in embedding space. */
+  def semanticDecontaminate(emb: DataFrame, id: Column, vec: Column,
+      isEval: Column, threshold: Double): DataFrame = {
+    import graft.functions.{VectorExpressions, VectorFunctions}
+    VectorExpressions.register(emb.sparkSession)
+    val e = emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"),
+      VectorFunctions.norm(vec).as("nrm"), isEval.as("__ev"))
+    val eval = e.filter(col("__ev"))
+      .select(col("vec_id").as("eval_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+    val corpus = e.filter(!col("__ev")).select(col("vec_id"), col("v"), col("nrm"))
+    corpus.join(broadcast(eval), expr("true"))
+      .select(col("vec_id"),
+        when(col("nrm") > 0 && col("qnrm") > 0,
+          floor(call_function("graft_dot", col("v"), col("qv"))
+            / (col("nrm") * col("qnrm")) * lit(1000000.0) + lit(0.5))
+            .cast(LongType)).as("cosm"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cosm")).as("max_cos_micros"))
+      .select(col("vec_id"), col("max_cos_micros"),
+        (col("max_cos_micros") >= math.round(threshold * 1000000).toDouble)
+          .as("contaminated"))
+  }
+
+  /** DuckDB replica of [[semanticDecontaminate]] over table
+    * `embeddings`, eval set = `evalPred` rows. */
+  def semanticDecontaminateOracleSql(evalPred: String, threshold: Double): String = {
+    val dot = "list_sum([a.v[i]*q.v[i] FOR i IN range(1, len(a.v)+1)])"
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, sqrt(list_sum([CAST(embedding AS DOUBLE[])[i]*CAST(embedding AS DOUBLE[])[i] FOR i IN range(1, len(embedding)+1)])) AS nrm FROM embeddings),
+q AS (SELECT vec_id, v, nrm FROM e WHERE $evalPred),
+a AS (SELECT vec_id, v, nrm FROM e WHERE NOT ($evalPred)),
+sc AS (SELECT a.vec_id, CASE WHEN a.nrm > 0 AND q.nrm > 0 THEN CAST(floor($dot / (a.nrm * q.nrm) * 1000000.0 + 0.5) AS BIGINT) END AS cosm FROM a, q)
+SELECT vec_id, max(cosm) AS max_cos_micros, (max(cosm) >= ${math.round(threshold * 1000000)}.0) AS contaminated FROM sc GROUP BY vec_id"""
+  }
+
+  /** Temperature-smoothed mixture sampling rates (the multilingual
+    * upsampling recipe of mBERT/XLM-R/mT5, at temperature α = 1/2):
+    * sampling probability ∝ share^α, which normalizes — shares cancel —
+    * to rate_s = sqrt(min_tokens / tokens_s): the scarcest stratum
+    * samples at 1.0, dominant strata downsample by the square root of
+    * their size advantage. IEEE sqrt is correctly rounded, so the rates
+    * are bit-identical across engines with NO transcendental risk;
+    * rates floor-quantize at 1e-6 and expected post-sampling token
+    * counts come from the already-quantized rate.
+    *
+    * Scale: one groupBy(stratum) with map-side combine (stratum
+    * cardinality is language-count-bounded) + a one-row broadcast
+    * scalar for the min — the corpus never shuffles. */
+  def temperatureMix(docs: DataFrame, stratum: Column, nTokens: Column): DataFrame = {
+    val tok = docs.select(stratum.as("stratum"), nTokens.cast(LongType).as("nt"))
+      .groupBy(col("stratum")).agg(sum(col("nt")).as("n_tokens"))
+    val minTok = tok.agg(min(col("n_tokens")).as("__min"))
+    tok.join(broadcast(minTok), expr("true"))
+      .select(col("stratum"), col("n_tokens"),
+        (floor(sqrt(col("__min").cast("double") / col("n_tokens"))
+          * lit(1000000.0)) / lit(1000000.0)).as("rate"))
+      .withColumn("exp_tokens",
+        floor(col("n_tokens").cast("double") * col("rate")).cast(LongType))
+  }
+
+  /** DuckDB replica of [[temperatureMix]] on `documents` grouped by
+    * `stratumCol` with whitespace token counts. */
+  def temperatureMixOracleSql(stratumCol: String): String =
+    raw"""WITH tok AS (SELECT $stratumCol AS stratum, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens FROM documents GROUP BY $stratumCol),
+m AS (SELECT min(n_tokens) AS mn FROM tok)
+SELECT stratum, n_tokens, floor(sqrt(CAST(mn AS DOUBLE) / n_tokens) * 1000000.0) / 1000000.0 AS rate, CAST(floor(CAST(n_tokens AS DOUBLE) * (floor(sqrt(CAST(mn AS DOUBLE) / n_tokens) * 1000000.0) / 1000000.0)) AS BIGINT) AS exp_tokens FROM tok, m"""
 }

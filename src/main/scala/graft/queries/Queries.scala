@@ -1197,6 +1197,36 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         col("text"), budgetTokens = 8000L),
       Some(Selection.budgetSelectOracleSql(budgetTokens = 8000L))),
 
+    // Duplicated-substring spans (distributed ExactSubstr shape, Lee et
+    // al. 2022): sliding 6-token windows at ANY offset (unlike
+    // q_para_dedup's fixed grid) seen >1× in the corpus, merged per doc
+    // into maximal intervals via gaps-and-islands — the removal step is
+    // then a per-row slice. Islands window partitions by doc only.
+    GraftQuery("q_dup_spans",
+      (s, dir) => Selection.dupSpans(docs(s, dir), col("doc_id"), col("text"),
+        windowTokens = 6),
+      Some(Selection.dupSpansOracleSql(windowTokens = 6))),
+
+    // Embedding-space decontamination (the semantic rung above
+    // q_decontaminate's n-gram overlap): max quantized cosine of every
+    // corpus vector against a broadcast eval set (vec_id < 10), flagged
+    // at 0.8. Map-side max keyed by corpus id; the corpus never
+    // shuffles.
+    GraftQuery("q_decont_semantic",
+      (s, dir) => Selection.semanticDecontaminate(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        isEval = col("vec_id") < 10, threshold = 0.8),
+      Some(Selection.semanticDecontaminateOracleSql("vec_id < 10", threshold = 0.8))),
+
+    // Temperature-smoothed mixture rates (mBERT/XLM-R/mT5 multilingual
+    // upsampling, α = 1/2): rate_s = sqrt(min_tokens/tokens_s) — IEEE
+    // sqrt is correctly rounded, so no transcendental parity risk. One
+    // tiny groupBy(lang) + a one-row broadcast min.
+    GraftQuery("q_temperature_mix",
+      (s, dir) => Selection.temperatureMix(docs(s, dir), col("lang"),
+        TextFunctions.tokenCount(col("text"))),
+      Some(Selection.temperatureMixOracleSql("lang"))),
+
     // RAG chunking: overlapping 32-token windows advancing by 24 (8
     // tokens of overlap) — pure per-row generate+explode, zero shuffle,
     // stable (doc_id, chunk_idx) identity for incremental re-embedding.

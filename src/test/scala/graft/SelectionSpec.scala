@@ -113,6 +113,85 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  // ---- duplicated-substring spans ----------------------------------------
+
+  test("dupSpans: a shared substring at different offsets is found and " +
+      "merged into one maximal interval per doc") {
+    // 8 identical tokens embedded at offset 2 in doc 1 and offset 5 in
+    // doc 2 — the fixed-grid spanDedup can miss offset-shifted copies;
+    // the sliding window must not.
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a b $shared c d"),
+      (2L, s"p q r t u $shared v"))
+      .toDF("doc_id", "text")
+    val out = Selection.dupSpans(docs, col("doc_id"), col("text"), windowTokens = 6)
+      .orderBy("doc_id").collect()
+    assert(out.length === 2) // one merged interval per doc
+    // doc 1: windows at pos 2,3,4 (each 6-token window inside the span)
+    // merge to [2, 10); doc 2: [5, 13)
+    assert(out(0).getAs[Long]("span_start") === 2L)
+    assert(out(0).getAs[Long]("span_end") === 10L)
+    assert(out(1).getAs[Long]("span_start") === 5L)
+    assert(out(1).getAs[Long]("span_end") === 13L)
+    assert(out.forall(_.getAs[Long]("n_windows") === 3L))
+  }
+
+  test("dupSpans: disjoint duplicated regions stay separate islands; " +
+      "unique docs and short docs emit nothing") {
+    val dupA = "a1 a2 a3 a4 a5 a6"
+    val dupB = "b1 b2 b3 b4 b5 b6"
+    val docs = Seq(
+      (1L, s"$dupA x y z w v u t s r q $dupB"),
+      (2L, s"$dupA m n o p e f g h i j $dupB"),
+      (3L, "totally unique words only here nothing repeated anywhere else"),
+      (4L, "tiny doc")) // shorter than one window
+      .toDF("doc_id", "text")
+    val out = Selection.dupSpans(docs, col("doc_id"), col("text"), windowTokens = 6)
+    val byDoc = out.collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === Set(1L, 2L)) // docs 3, 4 clean
+    assert(byDoc(1L).length === 2) // two separate islands
+    assert(byDoc(2L).length === 2)
+  }
+
+  // ---- semantic decontamination ------------------------------------------
+
+  test("semanticDecontaminate: an exact copy of an eval vector is " +
+      "flagged at max_cos 1.0; eval rows are excluded from output") {
+    val e0 = Array.tabulate(8)(i => (i + 1).toFloat)
+    val far = Array.tabulate(8)(i => if (i % 2 == 0) -1f else 1f)
+    val emb = Seq(
+      (0L, e0), (1L, far.map(_ * 2f)),          // eval set
+      (100L, e0),                                // exact copy of eval 0
+      (101L, e0.map(_ * 3f)),                    // colinear → cos 1.0
+      (102L, far.map(x => -x)))                  // anti-parallel to eval 1
+      .toDF("vec_id", "embedding")
+    val out = Selection.semanticDecontaminate(emb, col("vec_id"),
+        col("embedding"), isEval = col("vec_id") < 10, threshold = 0.8)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("max_cos_micros"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out.keySet === Set(100L, 101L, 102L))
+    assert(out(100L) === ((1000000L, true)))
+    assert(out(101L) === ((1000000L, true)))
+    assert(!out(102L)._2) // anti-parallel to one, near-orthogonal to other
+  }
+
+  // ---- temperature mix ----------------------------------------------------
+
+  test("temperatureMix: scarcest stratum rates 1.0, a 4x stratum rates 0.5") {
+    val docs = (
+      (1L to 10L).map(i => (i, "w1 w2 w3 w4", "rare")) ++      // 40 tokens
+      (11L to 50L).map(i => (i, "w1 w2 w3 w4", "big")))        // 160 tokens
+      .toDF("doc_id", "text", "lang")
+    val out = Selection.temperatureMix(docs, col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")))
+      .collect().map(r => r.getAs[String]("stratum") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("rate"),
+         r.getAs[Long]("exp_tokens"))).toMap
+    assert(out("rare") === ((40L, 1.0, 40L)))
+    assert(out("big") === ((160L, 0.5, 80L))) // sqrt(40/160) = 0.5 exact
+  }
+
   // ---- prototypicality pruning -------------------------------------------
 
   test("protoPrune: keeps ~keepFraction per cluster, dropping the " +
