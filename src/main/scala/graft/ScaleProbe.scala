@@ -71,7 +71,24 @@ object ScaleProbe {
       // as driver-result growth
       "bigram_lm" -> (() =>
         graft.ops.Ngrams.bigramScoreDocs(docs, col("doc_id"), col("text"))
-          .count()))
+          .count()),
+      // sliding-window substring dedup: the densest token explode in
+      // the engine (one window per token, stride 1, materialized twice
+      // for the count + verify join) — shuffle must stay linear in
+      // corpus tokens and the islands window must stay doc-partitioned
+      "dup_spans" -> (() =>
+        graft.ops.Selection.dupSpans(docs, col("doc_id"), col("text"),
+          windowTokens = 6).count()),
+      // gram-keyed first-occurrence join: two shuffles on the gram key
+      // (count + join back), then a doc-keyed re-aggregate
+      "novelty" -> (() =>
+        graft.ops.Selection.novelty(docs, col("doc_id"), col("text"),
+          n = 3).count()),
+      // the two-phase prefix sum under a quality-ordered composite key:
+      // driver must see only the bucket-offset table, never the corpus
+      "budget_select" -> (() =>
+        graft.ops.Selection.budgetSelect(docs, col("doc_id"), col("text"),
+          budgetTokens = docsN * 30).count()))
   }
 
   /** Run every rung at the given sizes, returning (rung, rows,

@@ -32,7 +32,12 @@ object Selection {
     val g = docs.select(id.as("doc_id"),
       explode(TextFunctions.shingles(lower(text), n)).as("gram"))
     val firsts = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
-    g.join(firsts, Seq("gram"))
+    // the firsts table is DISTINCT-GRAM-sized (≈ corpus tokens) — a
+    // misestimated AQE broadcast here ships the whole thing through the
+    // driver (measured: 128 MB at the 200k-doc probe). Pin shuffle-hash:
+    // both sides already hash on `gram`, so the join reuses the
+    // aggregate's partitioning — the Ngrams.bigram model-join pin.
+    g.join(firsts.hint("shuffle_hash"), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
@@ -211,7 +216,11 @@ SELECT doc_id, q_micros, n_tok, start_tok, (start_tok < $budgetTokens) AS kept F
       .toDF("doc_id", "pos", "win")
     val dups = wins.groupBy(col("win")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select(col("win"))
-    val marked = wins.join(dups, Seq("win")).select(col("doc_id"), col("pos"))
+    // dups is duplicate-volume-sized — unbounded on template-heavy
+    // corpora, so never let AQE broadcast it (the novelty/bigram
+    // mis-broadcast class); both sides hash on `win` already
+    val marked = wins.join(dups.hint("shuffle_hash"), Seq("win"))
+      .select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked
