@@ -245,6 +245,58 @@ isl AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev <= $L THEN 
 SELECT doc_id, CAST(island AS BIGINT) AS island, CAST(min(pos) AS BIGINT) AS span_start, CAST(max(pos) + $L AS BIGINT) AS span_end, CAST(count(*) AS BIGINT) AS n_windows FROM isl GROUP BY doc_id, island"""
   }
 
+  /** The removal step of [[dupSpans]] (ExactSubstr end-to-end): drop
+    * every token inside a duplicated interval and reassemble the
+    * remaining tokens in order. Emits every document:
+    * (doc_id, n_tok, removed_tok, clean_text) — untouched documents
+    * pass through with removed_tok = 0.
+    *
+    * Scale: the per-doc interval list is gaps-and-islands output
+    * (bounded by document length over windowTokens), collected per doc
+    * with a doc-keyed aggregate — never corpus-wide — then the token
+    * filter is one per-row higher-order function against the (tiny)
+    * interval array. The corpus joins the interval table LEFT on
+    * doc_id: both sides hash on the doc key. */
+  def dupSpansClean(docs: DataFrame, id: Column, text: Column,
+      windowTokens: Int = 6): DataFrame = {
+    val spans = dupSpans(docs, id, text, windowTokens)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__iv"))
+    docs.select(id.as("doc_id"), text.as("__text"))
+      .join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), TextFunctions.bindOnce(
+        TextFunctions.tokens(col("__text"))) { toks =>
+          val iv = coalesce(col("__iv"),
+            array().cast("array<struct<span_start:bigint,span_end:bigint>>"))
+          // keep token at 0-based pos p iff NO interval covers it
+          val keptIdx = filter(sequence(lit(0), size(toks) - 1), p =>
+            !exists(iv, s =>
+              p.cast(LongType) >= s("span_start") && p.cast(LongType) < s("span_end")))
+          struct(
+            size(toks).cast(LongType).as("n_tok"),
+            (size(toks) - size(keptIdx)).cast(LongType).as("removed_tok"),
+            concat_ws(" ", transform(keptIdx, p => element_at(toks, p + 1)))
+              .as("clean_text"))
+        }.as("__r"))
+      .select(col("doc_id"), col("__r.n_tok"), col("__r.removed_tok"),
+        col("__r.clean_text"))
+  }
+
+  /** DuckDB replica of [[dupSpansClean]]. */
+  def dupSpansCleanOracleSql(windowTokens: Int = 6): String = {
+    val L = windowTokens
+    raw"""WITH t0 AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+w AS (SELECT doc_id, CAST(c AS INTEGER) AS pos, array_to_string(toks[c+1:c+$L], ' ') AS win FROM t0, LATERAL unnest(range(0, greatest(len(toks)-$L+1, 0))) AS u(c)),
+d AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+m AS (SELECT doc_id, pos FROM w JOIN d USING (win)),
+lg AS (SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+isl AS (SELECT doc_id, pos, sum(CASE WHEN prev IS NULL OR pos - prev <= $L THEN 0 ELSE 1 END) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM lg),
+iv AS (SELECT doc_id, min(pos) AS s, max(pos) + $L AS e FROM isl GROUP BY doc_id, island),
+tok AS (SELECT doc_id, CAST(c AS BIGINT) AS p, toks[c+1] AS tk, len(toks) AS nt FROM t0, LATERAL unnest(range(0, len(toks))) AS u(c)),
+kept AS (SELECT tok.doc_id, p, tk, nt FROM tok WHERE NOT EXISTS (SELECT 1 FROM iv WHERE iv.doc_id = tok.doc_id AND tok.p >= iv.s AND tok.p < iv.e))
+SELECT t0.doc_id, CAST(len(t0.toks) AS BIGINT) AS n_tok, CAST(len(t0.toks) - coalesce(k.kc, 0) AS BIGINT) AS removed_tok, coalesce(k.ct, '') AS clean_text FROM t0 LEFT JOIN (SELECT doc_id, count(*) AS kc, string_agg(tk, ' ' ORDER BY p) AS ct FROM kept GROUP BY doc_id) k ON t0.doc_id = k.doc_id"""
+  }
+
   /** Semantic decontamination (the embedding-space rung above
     * [[Decontaminate]]'s n-gram overlap): flag corpus vectors whose
     * max cosine against ANY eval-set vector reaches `threshold`.

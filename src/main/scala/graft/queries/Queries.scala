@@ -1207,6 +1207,15 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         windowTokens = 6),
       Some(Selection.dupSpansOracleSql(windowTokens = 6))),
 
+    // ... and its removal step (ExactSubstr end-to-end): tokens inside
+    // any marked interval are excised and the survivors reassembled —
+    // per-doc interval arrays stay bounded, the token filter is one
+    // per-row HOF, and the corpus joins the interval table on doc_id.
+    GraftQuery("q_dup_spans_clean",
+      (s, dir) => Selection.dupSpansClean(docs(s, dir), col("doc_id"),
+        col("text"), windowTokens = 6),
+      Some(Selection.dupSpansCleanOracleSql(windowTokens = 6))),
+
     // Embedding-space decontamination (the semantic rung above
     // q_decontaminate's n-gram overlap): max quantized cosine of every
     // corpus vector against a broadcast eval set (vec_id < 10), flagged

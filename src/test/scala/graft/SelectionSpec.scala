@@ -154,6 +154,28 @@ class SelectionSpec extends SparkSpec {
     assert(byDoc(2L).length === 2)
   }
 
+  test("dupSpansClean: excises exactly the marked intervals and " +
+      "reassembles the survivors in order") {
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val docs = Seq(
+      (1L, s"a b $shared c d"),
+      (2L, s"p q r t u $shared v"),
+      (3L, "all unique here nothing shared with any other document"))
+      .toDF("doc_id", "text")
+    val out = Selection.dupSpansClean(docs, col("doc_id"), col("text"),
+        windowTokens = 6)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("removed_tok"),
+         r.getAs[String]("clean_text"))).toMap
+    // doc 1: interval [2,10) removed → "a b c d"
+    assert(out(1L) === ((12L, 8L, "a b c d")))
+    // doc 2: interval [5,13) removed → "p q r t u v"
+    assert(out(2L) === ((14L, 8L, "p q r t u v")))
+    // doc 3 untouched
+    assert(out(3L)._2 === 0L)
+    assert(out(3L)._3 === "all unique here nothing shared with any other document")
+  }
+
   // ---- semantic decontamination ------------------------------------------
 
   test("semanticDecontaminate: an exact copy of an eval vector is " +
