@@ -1227,6 +1227,19 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         isEval = col("vec_id") < 10, threshold = 0.8),
       Some(Selection.semanticDecontaminateOracleSql("vec_id < 10", threshold = 0.8))),
 
+    // Model-based document classification (the fastText-style
+    // quality/language-filter rung): multinomial Naive Bayes over 64
+    // hash buckets, trained in one stats pass on the deterministic
+    // 80% train split, held-out 20% classified in-plan. The model is
+    // buckets×classes rows (broadcast); per-doc bucket counts keep the
+    // corpus aggregate bounded; argmax windows are per-doc.
+    GraftQuery("q_nb_classify",
+      (s, dir) => graft.ops.NaiveBayes.classify(docs(s, dir), col("doc_id"),
+        col("text"), col("lang"),
+        isTrain = Corpus.splitAssign(col("doc_id")) === "train"),
+      Some(graft.ops.NaiveBayes.classifyOracleSql(
+        s"${Corpus.splitAssignSql("doc_id")} = 'train'"))),
+
     // Temperature-smoothed mixture rates (mBERT/XLM-R/mT5 multilingual
     // upsampling, α = 1/2): rate_s = sqrt(min_tokens/tokens_s) — IEEE
     // sqrt is correctly rounded, so no transcendental parity risk. One

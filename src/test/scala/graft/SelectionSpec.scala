@@ -198,6 +198,32 @@ class SelectionSpec extends SparkSpec {
     assert(!out(102L)._2) // anti-parallel to one, near-orthogonal to other
   }
 
+  // ---- naive bayes ---------------------------------------------------------
+
+  test("NaiveBayes: separable vocabularies classify the held-out split " +
+      "correctly; every held-out doc gets exactly one verdict") {
+    import graft.ops.NaiveBayes
+    // class A speaks apple-words, class B speaks boat-words; train on
+    // doc_id % 5 != 0, classify the rest
+    val docs = (1L to 200L).map { i =>
+      val cls = if (i % 2 == 0) "A" else "B"
+      val words = if (cls == "A") "apple apricot avocado almond acorn"
+                  else "boat barge brig buoy bark"
+      (i, s"$words $words", cls)
+    }.toDF("doc_id", "text", "lang")
+    val out = NaiveBayes.classify(docs, col("doc_id"), col("text"),
+      col("lang"), isTrain = pmod(col("doc_id"), lit(5)) =!= 0)
+    val rows = out.collect()
+    assert(rows.length === 40) // the 20% held out
+    assert(rows.forall(_.getAs[Boolean]("correct")),
+      "separable classes must classify perfectly")
+    // deterministic: same scores on re-run
+    val again = NaiveBayes.classify(docs, col("doc_id"), col("text"),
+      col("lang"), isTrain = pmod(col("doc_id"), lit(5)) =!= 0).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq)
+  }
+
   // ---- temperature mix ----------------------------------------------------
 
   test("temperatureMix: scarcest stratum rates 1.0, a 4x stratum rates 0.5") {
