@@ -1828,6 +1828,19 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
       Some(graft.similarity.Ann.lshTopKOracle("vec_id < 20", k = 5,
         dim = 64, nPlanes = 6))),
 
+    // Hard-negative mining (ANCE/DPR-style contrastive curation): for
+    // each query vector, top-k nearest corpus vectors with a DIFFERENT
+    // label — the multi-probe LSH candidate stream with a label-
+    // mismatch filter before the exact re-rank. The corpus stays one
+    // row per vector; cost tracks candidates, never corpus².
+    GraftQuery("q_hard_negatives",
+      (s, dir) => graft.similarity.Ann.hardNegatives(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        col("label"), isQuery = col("vec_id") < 20, k = 5, dim = 64,
+        nPlanes = 6),
+      Some(graft.similarity.Ann.hardNegativesOracle("vec_id < 20", k = 5,
+        dim = 64, nPlanes = 6))),
+
     // Multimodal plumbing end-to-end: synthesize media table → batched
     // partition-parallel decode (stubbed codec) → feature vectors. The
     // stub is a declared deterministic fake (byte-nibble histogram in

@@ -162,6 +162,39 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rk").cast("int").as("rk"))
   }
 
+  /** Hard-negative mining for contrastive embedding training (the
+    * ANCE/DPR curation step): for each query vector, the top-k
+    * most-similar corpus vectors whose `label` DIFFERS from the
+    * query's — semantically close but known-non-matching, the examples
+    * a contrastive loss learns most from. Candidate generation rides
+    * the same multi-probe LSH as [[lshTopK]] (corpus bucketed once —
+    * one row per vector, no all-pairs join; queries fan out over
+    * hamming-1 probes); the label mismatch is a filter on the candidate
+    * stream before the exact cosine re-rank, so mining cost tracks
+    * candidate volume, not corpus². */
+  def hardNegatives(emb: DataFrame, id: Column, vec: Column, label: Column,
+      isQuery: Column, k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
+    val e = emb.select(id.as("vec_id"), vec.as("v"), label.as("neg_label"),
+      VectorFunctions.norm(vec).as("nrm"), lshBucket(vec, dim, nPlanes).as("bucket"))
+    val probes = (0 until nPlanes).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))
+    val queries = emb.filter(isQuery).select(id.as("query_id"), vec.as("qv"),
+      label.as("qlbl"), VectorFunctions.norm(vec).as("qnrm"),
+      lshBucket(vec, dim, nPlanes).as("bucket0"))
+      .select(col("query_id"), col("qv"), col("qlbl"), col("qnrm"),
+        explode(array(col("bucket0") +: probes: _*)).as("bucket"))
+    val scored = queries.join(e, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id") && col("neg_label") =!= col("qlbl"))
+      .select(col("query_id"), col("vec_id"), col("neg_label"),
+        when(col("qnrm") > 0 && col("nrm") > 0,
+          nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"), col("neg_label"), col("cosine"),
+        col("rk").cast("int").as("rk"))
+  }
+
   /** IVF (inverted-file) approximate top-k with REAL trained centroids:
     * [[KMeans.fit]] runs deterministic Lloyd's iterations, corpus
     * vectors are assigned to their nearest centroid, queries probe
@@ -303,6 +336,17 @@ b AS (SELECT vec_id, v, nrm, ${lshBucketSql("v", dim, nPlanes)} AS bucket FROM e
 q AS (SELECT vec_id AS query_id, qv, qnrm, unnest([$probeList]) AS bucket FROM (SELECT vec_id, v AS qv, nrm AS qnrm, bucket AS bucket0 FROM b WHERE $queryPred)),
 scored AS (SELECT query_id, b.vec_id, CASE WHEN qnrm > 0 AND nrm > 0 THEN ${dotSql("qv", "v")} / (qnrm * nrm) END AS cosine FROM q JOIN b ON q.bucket = b.bucket WHERE query_id <> b.vec_id)
 SELECT query_id, vec_id, cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= $k"""
+  }
+
+  /** DuckDB SQL replaying [[hardNegatives]] exactly: the [[lshTopKOracle]]
+    * probe replay plus the label-mismatch filter on the candidate stream. */
+  def hardNegativesOracle(queryPred: String, k: Int, dim: Int, nPlanes: Int): String = {
+    val probeList = ("bucket0" +: (0 until nPlanes).map(i => s"xor(bucket0, ${1L << i})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+b AS (SELECT vec_id, label, v, nrm, ${lshBucketSql("v", dim, nPlanes)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, qlbl, qv, qnrm, unnest([$probeList]) AS bucket FROM (SELECT vec_id, label AS qlbl, v AS qv, nrm AS qnrm, bucket AS bucket0 FROM b WHERE $queryPred)),
+scored AS (SELECT query_id, b.vec_id, b.label AS neg_label, CASE WHEN qnrm > 0 AND nrm > 0 THEN ${dotSql("qv", "v")} / (qnrm * nrm) END AS cosine FROM q JOIN b ON q.bucket = b.bucket WHERE query_id <> b.vec_id AND b.label <> qlbl)
+SELECT query_id, vec_id, neg_label, cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= $k"""
   }
 
   /** DuckDB SQL replaying [[lshCosinePairs]] exactly: one bucket CTE
