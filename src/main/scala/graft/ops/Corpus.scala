@@ -247,6 +247,61 @@ ${p}tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_spans FROM ${p}span
     s"""WITH ${spanDedupOracleCtes(spanTokens)}
 SELECT tot.doc_id, coalesce(kept_spans, 0) AS kept_spans, total_spans, coalesce(clean_text, '') AS clean_text FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"""
 
+  /** Per-source boilerplate removal (the C4/CCNet "drop lines that
+    * repeat across a domain" pass, with `source` standing in for the
+    * registered domain and the fixed token grid standing in for lines):
+    * a span whose within-source document frequency reaches `minDf` is
+    * boilerplate — a header/footer/nav template — and EVERY occurrence
+    * is removed (unlike [[spanDedup]], which keeps the first). Emits
+    * per doc the span counts and the reassembled clean text.
+    *
+    * Scale: the df aggregate and the anti-join both hash on
+    * (source, span) — one co-partitioned shuffle family. The boilerplate
+    * table's size tracks template volume, which on crawl corpora is
+    * unbounded — shuffle_hash pins keep AQE from ever routing it
+    * through the driver as a broadcast (the MinHash/bigram probe
+    * finding, SCALE.md). Reassembly is a doc_id-keyed hash aggregate. */
+  def boilerplateClean(docs: DataFrame, id: Column, text: Column,
+      source: Column, spanTokens: Int = 4, minDf: Long = 2L): DataFrame = {
+    require(spanTokens > 0 && minDf > 1)
+    val spanned = docs.select(id.as("doc_id"), source.as("source"),
+      posexplode(TextFunctions.bindOnce(TextFunctions.tokens(text)) { toks =>
+        transform(
+          sequence(lit(0),
+            ceil(size(toks).cast("double") / lit(spanTokens)).cast("int") - 1),
+          c => concat_ws(" ", slice(toks, c * spanTokens + 1, lit(spanTokens))))
+      }))
+      .toDF("doc_id", "source", "pos", "span")
+    val boiler = spanned.select(col("source"), col("span"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("span"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("source"), col("span"))
+    val kept = spanned.join(boiler.hint("shuffle_hash"),
+      Seq("source", "span"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("kept_spans"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("span")))),
+        x => x("span"))).as("clean_text"))
+    spanned.groupBy(col("doc_id")).agg(count(lit(1)).as("total_spans"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
+        col("total_spans"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** DuckDB replica of [[boilerplateClean]] over table `documents`. */
+  def boilerplateCleanOracleSql(spanTokens: Int = 4, minDf: Long = 2L): String =
+    raw"""WITH toks AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+spans AS (SELECT doc_id, source, c AS pos, array_to_string(t[c*$spanTokens+1:c*$spanTokens+$spanTokens], ' ') AS span FROM toks, LATERAL unnest(range(0, CAST(ceil(len(t)/$spanTokens.0) AS BIGINT))) AS u(c)),
+boiler AS (SELECT source, span FROM (SELECT source, span, count(DISTINCT doc_id) AS df FROM spans GROUP BY source, span) WHERE df >= $minDf),
+kept AS (SELECT s.doc_id, s.pos, s.span FROM spans s ANTI JOIN boiler b ON s.source = b.source AND s.span = b.span),
+ka AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_spans, string_agg(span, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_spans FROM spans GROUP BY doc_id)
+SELECT tot.doc_id, coalesce(kept_spans, 0) AS kept_spans, total_spans, coalesce(clean_text, '') AS clean_text FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id"""
+
   /** Intra-document repetition ratio over word n-grams (a Gopher-style
     * repetition quality signal): 1 - distinct/total n-grams, in
     * portable floor-form at 4 decimals. Pure per-row map. */

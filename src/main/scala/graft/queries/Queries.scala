@@ -1093,6 +1093,16 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       Some(Corpus.spanDedupOracleSql(spanTokens = 8)),
       headline = true),
 
+    // Per-source boilerplate removal (C4/CCNet "repeated-line" pass):
+    // spans whose within-source doc frequency reaches the threshold
+    // are templates — ALL occurrences removed (vs q_para_dedup's
+    // keep-first). One (source, span)-keyed shuffle family, anti-join
+    // pinned shuffle-hash (template volume is corpus-unbounded).
+    GraftQuery("q_boilerplate",
+      (s, dir) => Corpus.boilerplateClean(docs(s, dir), col("doc_id"),
+        col("text"), col("source"), spanTokens = 4, minDf = 2L),
+      Some(Corpus.boilerplateCleanOracleSql(spanTokens = 4, minDf = 2L))),
+
     // Corpus-trained unigram LM quality signal: mean token log-prob per
     // document, per-token log-probs quantized to exact BIGINTs so the
     // sum is order-independent across engines.
