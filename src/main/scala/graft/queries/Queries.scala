@@ -253,6 +253,17 @@ object Queries {
           .agg(count(lit(1)).as("cnt")) },
       Some("""SELECT prev_type, event_type, count(*) AS cnt FROM (SELECT event_type, lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type FROM events) WHERE prev_type IS NOT NULL GROUP BY 1, 2""")),
 
+    // Fixed-iteration exact-integer PageRank on the user↔content
+    // bipartite engagement graph (crawl-frontier prioritization /
+    // link-centrality selection signal). Micro-unit integer ranks +
+    // floor-division contributions keep every partial sum order-
+    // independent; each iteration is two node-keyed shuffles, both
+    // shuffle-hash-pinned (rank table is corpus-proportional).
+    GraftQuery("q_pagerank",
+      (s, dir) => graft.ops.Graph.pageRank(ev(s, dir), col("user_id"),
+        concat(lit("content-"), pmod(col("event_id"), lit(40))), iters = 3),
+      Some(graft.ops.Graph.pageRankOracleSql(iters = 3))),
+
     // Mode (most frequent value) per group with a total-order tiebreak
     // (highest count, then lowest value) — the ClickHouse topK(1)/
     // DuckDB mode() idiom in replayable relational form: two hash aggs
