@@ -182,6 +182,43 @@ c AS (SELECT doc_id, q_micros, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY (1
 SELECT doc_id, q_micros, n_tok, start_tok, (start_tok < $budgetTokens) AS kept FROM c"""
   }
 
+  /** Deterministic global training-order shuffle + shard plan: every
+    * document gets a seeded md5 sort key, a global 0-based position in
+    * (bucket, key, doc_id) order, and the output shard that position
+    * lands in — the "shuffle the corpus, write N ordered shards" step
+    * that precedes sequence packing in a training-data build.
+    *
+    * Scale: the global order NEVER takes a corpus-wide window — hash
+    * buckets give per-bucket ranks (window partitioned by bucket) and
+    * the bucket offsets come from a bucket-count table (nBuckets rows,
+    * broadcast back). Same two-phase shape as [[Corpus.concatChunk]];
+    * at 100 TB the bucket count rises with the cluster, not the data. */
+  def shuffleOrder(docs: DataFrame, id: Column, seed: String = "s0",
+      nBuckets: Int = 4096, docsPerShard: Long = 100L): DataFrame = {
+    require(nBuckets > 0 && docsPerShard > 0)
+    val h = TextFunctions.md5Long(concat(lit(s"sh:$seed:"), id.cast("string")))
+    val t = docs.select(id.as("doc_id"), h.as("__hkey"),
+      pmod(h, lit(nBuckets.toLong)).as("__bkt"))
+    val bktW = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("__bkt")).agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(bktW), lit(0L)))
+      .drop("__n")
+    val inW = Window.partitionBy(col("__bkt")).orderBy(col("__hkey"), col("doc_id"))
+    t.join(broadcast(offsets), Seq("__bkt"))
+      .withColumn("pos", col("__off") + row_number().over(inW) - 1)
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        floor(col("pos") / lit(docsPerShard)).cast(LongType).as("shard"))
+  }
+
+  /** DuckDB replica of [[shuffleOrder]] (single global window at test
+    * scale — identical by prefix-sum associativity). */
+  def shuffleOrderOracleSql(seed: String = "s0", nBuckets: Int = 4096,
+      docsPerShard: Long = 100L): String =
+    s"""WITH t AS (SELECT doc_id, CAST('0x' || substring(md5('sh:$seed:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hkey FROM documents),
+o AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY hkey % $nBuckets, hkey, doc_id) - 1 AS BIGINT) AS pos FROM t)
+SELECT doc_id, pos, CAST(floor(pos / $docsPerShard.0) AS BIGINT) AS shard FROM o"""
+
   /** Duplicated-substring spans (the distributed shape of ExactSubstr
     * dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
     * Models Better"): every SLIDING `windowTokens`-token window (stride

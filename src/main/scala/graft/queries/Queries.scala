@@ -1218,6 +1218,16 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         col("text"), budgetTokens = 8000L),
       Some(Selection.budgetSelectOracleSql(budgetTokens = 8000L))),
 
+    // Deterministic global training-order shuffle + shard plan: seeded
+    // md5 keys, two-phase bucket-offset positions (no corpus-wide
+    // window), shard = pos div docsPerShard — the "shuffle and write N
+    // ordered shards" step before sequence packing.
+    GraftQuery("q_shuffle_order",
+      (s, dir) => Selection.shuffleOrder(docs(s, dir), col("doc_id"),
+        seed = "s0", nBuckets = 64, docsPerShard = 100L),
+      Some(Selection.shuffleOrderOracleSql(seed = "s0", nBuckets = 64,
+        docsPerShard = 100L))),
+
     // Duplicated-substring spans (distributed ExactSubstr shape, Lee et
     // al. 2022): sliding 6-token windows at ANY offset (unlike
     // q_para_dedup's fixed grid) seen >1× in the corpus, merged per doc
