@@ -116,6 +116,55 @@ object Components {
         col("group_size"), (col("id") === col("comp")).as("keep"))
   }
 
+  /** Duplicate-group CANONICALIZATION: like [[dupGroups]], but the kept
+    * representative is the highest-QUALITY member of each component
+    * (tiebreak: lowest doc_id) rather than the lowest id — the "which
+    * copy do we actually train on" step of a dedup pass, where
+    * near-dups differ by truncation/boilerplate and keeping the best
+    * copy beats keeping the first. Quality is the exact integer
+    * micro-quality ([[graft.ops.Selection.qualityMicros]]).
+    *
+    * Scale: after the component labels, one component-keyed aggregate
+    * (max over a (quality, -id) struct — the argmax protocol) and a
+    * co-partitioned join back on component. The best-per-component
+    * table is component-count-sized — corpus-proportional, so the join
+    * back carries the shuffle_hash pin (the SCALE.md mis-broadcast
+    * class). */
+  def canonicalize(docs: DataFrame, id: Column, text: Column,
+      pairs: DataFrame, a: Column, b: Column, maxIter: Int = 25): DataFrame = {
+    val comps = connectedComponents(pairs, a, b, docs.select(id.as("__nid")),
+      col("__nid"), maxIter)
+    val q = docs.select(id.as("doc_id"),
+      graft.ops.Selection.qualityMicros(text).as("q_micros"))
+    val labeled = comps.select(col("id").as("doc_id"), col("comp").as("component"))
+      .join(q, "doc_id")
+    val best = labeled.groupBy(col("component")).agg(
+      count(lit(1)).as("group_size"),
+      max(struct(col("q_micros").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+    labeled.join(best.hint("shuffle_hash"), Seq("component"))
+      .select(col("doc_id"), col("component"), col("group_size"), col("q_micros"),
+        (col("q_micros") === col("best").getField("q") &&
+          col("doc_id") === -col("best").getField("nid")).as("keep"))
+  }
+
+  /** DuckDB oracle tail for [[canonicalize]]: the [[dupGroupsOracleTail]]
+    * closure plus the quality argmax. Embed after pair-generation CTEs
+    * inside a WITH RECURSIVE. */
+  def canonicalizeOracleTail(pairCte: String): String =
+    s"""und AS (SELECT doc_a AS src, doc_b AS dst FROM $pairCte WHERE doc_a <> doc_b
+         UNION ALL SELECT doc_b, doc_a FROM $pairCte WHERE doc_a <> doc_b),
+reach AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT und.dst AS node, reach.lbl FROM reach JOIN und ON und.src = reach.node
+),
+comp AS (SELECT node AS doc_id, min(lbl) AS component FROM reach GROUP BY node),
+${graft.ops.Selection.qSignalsOracleCte()},
+lb AS (SELECT c.doc_id, c.component, q.q_micros, row_number() OVER (PARTITION BY c.component ORDER BY q.q_micros DESC, c.doc_id ASC) AS rn FROM comp c JOIN qsig q USING (doc_id)),
+gsz AS (SELECT component, CAST(count(*) AS BIGINT) AS group_size FROM comp GROUP BY component)
+SELECT lb.doc_id, lb.component, gsz.group_size, lb.q_micros, (lb.rn = 1) AS keep
+FROM lb JOIN gsz USING (component)"""
+
   /** DuckDB oracle for [[dupGroups]]: recursive min-label closure over
     * the same pair list. `pairCte` must be the name of a CTE exposing
     * (doc_a, doc_b); the caller embeds this after its pair-generation

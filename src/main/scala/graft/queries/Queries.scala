@@ -1782,6 +1782,27 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
 """ + graft.dedup.Components.dupGroupsOracleTail("pairs")
       }),
 
+    // Duplicate-group canonicalization: same MinHash-verified pairs and
+    // connected components as q_dup_groups, but the kept representative
+    // is the highest-QUALITY member per component (tiebreak lowest id)
+    // — the "train on the best copy" apply step of a dedup pass.
+    GraftQuery("q_dup_canonical",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val pairs = graft.dedup.MinHash
+          .verifiedPairs(d, col("doc_id"), col("text"))
+          .select(col("doc_a"), col("doc_b"))
+        graft.dedup.Components.canonicalize(
+          d, col("doc_id"), col("text"), pairs, col("doc_a"), col("doc_b"))
+      },
+      Some {
+        val cfg = graft.dedup.MinHash.Config()
+        graft.dedup.MinHash.oracleCtes(cfg).replaceFirst("^WITH ", "WITH RECURSIVE ") +
+          s""",
+pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
+""" + graft.dedup.Components.canonicalizeOracleTail("pairs")
+      }),
+
     GraftQuery("q_dedup_simhash",
       (s, dir) => graft.dedup.SimHash.pairs(docs(s, dir), col("doc_id"), col("text")),
       Some(graft.dedup.SimHash.oracleSql())),
