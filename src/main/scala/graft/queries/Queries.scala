@@ -821,6 +821,28 @@ object Queries {
         TextFunctions.tokenCount(col("text")).as("n_ws")),
       Some(raw"""SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_ws FROM documents""")),
 
+    // Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): one
+    // corpus pass reduces to the vocabulary-bounded (word, freq) table,
+    // then each merge iteration is a vocab-sized weighted pair count
+    // with a 1-row argmax — the only driver materialization. Total
+    // integer tie-breaks make the learned merges (and the SQL replay)
+    // deterministic.
+    GraftQuery("q_bpe_train",
+      (s, dir) => graft.ops.Bpe.learnMerges(docs(s, dir), col("doc_id"),
+        col("text"), nMerges = 4),
+      Some(graft.ops.Bpe.learnMergesOracleSql(nMerges = 4))),
+
+    // BPE ENCODING under the learned merges: the corpus token stream
+    // joins the vocab-sized final-representation table on the word key
+    // (shuffle-hash pinned — the vocab is corpus-derived, the
+    // mis-broadcast class SCALE.md documents). Per-doc whitespace word
+    // count + subword token count, the tokenizer-budget ledger a
+    // training pipeline reads.
+    GraftQuery("q_bpe_encode",
+      (s, dir) => graft.ops.Bpe.encode(docs(s, dir), col("doc_id"),
+        col("text"), nMerges = 4),
+      Some(graft.ops.Bpe.encodeOracleSql(nMerges = 4))),
+
     // Polynomial rolling-hash fingerprint over the token stream
     // (order-sensitive, unlike the md5 content fingerprint): a left fold
     // of (acc*131 + tokenHash) mod (2^31-1).
