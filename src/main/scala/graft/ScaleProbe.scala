@@ -31,65 +31,99 @@ object ScaleProbe {
     def minhashPairs: DataFrame =
       graft.dedup.MinHash.verifiedPairs(docs, col("doc_id"), col("text"), mhCfg)
     Seq(
-      "minhash_pairs" -> (() => minhashPairs.count()),
+      "minhash_pairs" -> (() => force(minhashPairs)),
       "dup_components" -> (() =>
-        graft.dedup.Components.dupGroups(docs, col("doc_id"),
-          minhashPairs, col("doc_a"), col("doc_b")).count()),
+        force(graft.dedup.Components.dupGroups(docs, col("doc_id"),
+          minhashPairs, col("doc_a"), col("doc_b")))),
       "span_dedup" -> (() =>
-        graft.ops.Corpus.spanDedup(docs, col("doc_id"), col("text")).count()),
+        force(graft.ops.Corpus.spanDedup(docs, col("doc_id"), col("text")))),
       "ivf_topk" -> (() =>
-        graft.similarity.Ann.ivfTopK(emb, col("vec_id"), col("embedding"),
+        force(graft.similarity.Ann.ivfTopK(emb, col("vec_id"), col("embedding"),
           isQuery = col("vec_id") < 100, k = 10, nCentroids = 64,
-          nProbe = 2, kmeansIters = 3).count()),
+          nProbe = 2, kmeansIters = 3))),
       "ivf_pq_topk" -> (() =>
-        graft.similarity.Pq.ivfPqTopK(emb, col("vec_id"), col("embedding"),
+        force(graft.similarity.Pq.ivfPqTopK(emb, col("vec_id"), col("embedding"),
           isQuery = col("vec_id") < 100, k = 10, nCentroids = 16,
           nProbe = 2, ivfIters = 2, m = 4, pqK = 8, pqIters = 2,
-          dim = dim).count()),
+          dim = dim))),
       "funnel" -> (() =>
-        graft.ops.Funnel.windowFunnel(events, col("user_id"), col("ts"),
+        force(graft.ops.Funnel.windowFunnel(events, col("user_id"), col("ts"),
           Seq(col("event_type") === "view", col("event_type") === "click",
-            col("event_type") === "purchase"), window = "30 DAYS").count()),
+            col("event_type") === "purchase"), window = "30 DAYS"))),
       // token-explode aggregation rungs: shuffle must track corpus
       // tokens (linear), driver results must stay count-sized
       "tfidf_topterms" -> (() =>
-        graft.ops.Retrieval.tfIdfTopTerms(docs, col("doc_id"), col("text"),
-          k = 3).count()),
+        force(graft.ops.Retrieval.tfIdfTopTerms(docs, col("doc_id"), col("text"),
+          k = 3))),
       "dsir_weights" -> (() =>
-        graft.ops.Dsir.importanceWeights(docs, col("doc_id"), col("text"),
-          isTarget = pmod(col("doc_id"), lit(3)) === 0).count()),
+        force(graft.ops.Dsir.importanceWeights(docs, col("doc_id"), col("text"),
+          isTarget = pmod(col("doc_id"), lit(3)) === 0))),
       // adds the exact-percentile selection cut on top of the weights —
       // the same percentile-over-per-doc-longs pattern ppl_buckets uses;
       // its aggregation state tracks DISTINCT weight values, which this
       // rung measures (peak task mem) rather than assumes
       "dsir_select" -> (() =>
-        graft.ops.Dsir.selectTop(docs, col("doc_id"), col("text"),
+        force(graft.ops.Dsir.selectTop(docs, col("doc_id"), col("text"),
           isTarget = pmod(col("doc_id"), lit(3)) === 0,
-          keepFraction = 0.3).count()),
+          keepFraction = 0.3))),
       // the (w1,w2)-keyed model join is the MinHash-finding risk class:
       // a misestimated broadcast of the bigram table would show up here
       // as driver-result growth
       "bigram_lm" -> (() =>
-        graft.ops.Ngrams.bigramScoreDocs(docs, col("doc_id"), col("text"))
-          .count()),
+        force(graft.ops.Ngrams.bigramScoreDocs(docs, col("doc_id"), col("text")))),
       // sliding-window substring dedup: the densest token explode in
       // the engine (one window per token, stride 1, materialized twice
       // for the count + verify join) — shuffle must stay linear in
       // corpus tokens and the islands window must stay doc-partitioned
       "dup_spans" -> (() =>
-        graft.ops.Selection.dupSpans(docs, col("doc_id"), col("text"),
-          windowTokens = 6).count()),
+        force(graft.ops.Selection.dupSpans(docs, col("doc_id"), col("text"),
+          windowTokens = 6))),
       // gram-keyed first-occurrence join: two shuffles on the gram key
       // (count + join back), then a doc-keyed re-aggregate
       "novelty" -> (() =>
-        graft.ops.Selection.novelty(docs, col("doc_id"), col("text"),
-          n = 3).count()),
+        force(graft.ops.Selection.novelty(docs, col("doc_id"), col("text"),
+          n = 3))),
       // the two-phase prefix sum under a quality-ordered composite key:
       // driver must see only the bucket-offset table, never the corpus
       "budget_select" -> (() =>
-        graft.ops.Selection.budgetSelect(docs, col("doc_id"), col("text"),
-          budgetTokens = docsN * 30).count()))
+        force(graft.ops.Selection.budgetSelect(docs, col("doc_id"), col("text"),
+          budgetTokens = docsN * 30))),
+      // per-source boilerplate: the (source, span)-keyed df aggregate +
+      // anti-join back — the template table is corpus-unbounded on
+      // pathological inputs, so driver bytes must stay flat (the
+      // mis-broadcast risk class) and shuffle linear in corpus tokens
+      "boilerplate" -> (() =>
+        force(graft.ops.Corpus.boilerplateClean(
+          docs.withColumn("source", concat(lit("s"),
+            pmod(col("doc_id"), lit(50)).cast("string"))),
+          col("doc_id"), col("text"), col("source"),
+          spanTokens = 4, minDf = 2L))),
+      // iterative node-keyed join-agg where BOTH sides are corpus-
+      // proportional (rank table ≈ nodes, edges ≈ events) — three
+      // chained iterations must keep driver bytes flat and shuffle
+      // linear per iteration
+      "pagerank" -> (() =>
+        force(graft.ops.Graph.pageRank(events, col("user_id"),
+          pmod(hash(col("ts")), lit(1000)).cast("string"),
+          iters = 3))))
   }
+
+  /** Force FULL evaluation of `df` and return its row count.
+    *
+    * `count()` alone is NOT a valid probe action: Catalyst prunes
+    * every column the count doesn't need and — via distinct-key
+    * propagation — eliminates unique-key outer joins outright, so a
+    * counted rung can silently measure a skeleton plan. (Caught live:
+    * `boilerplateClean(...).count()` dropped the whole template
+    * anti-join + reassembly, and `pageRank(...).count()` collapsed all
+    * rank iterations to `deg.count()` — both reported 0-ish shuffle
+    * for work they never did.) Hashing every output column into one
+    * aggregated checksum pins the measured plan to the one a real
+    * consumer (a writer, a downstream join) would run. */
+  private def force(df: DataFrame): Long =
+    df.select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"), bit_xor(col("h")).as("checksum"))
+      .head.getLong(0)
 
   /** Run every rung at the given sizes, returning (rung, rows,
     * metrics). */

@@ -209,8 +209,13 @@ SELECT stratum, tokens, target_share, rate FROM mr"""
       }))
       .toDF("doc_id", "pos", "span")
     val orderKey = col("doc_id").cast(LongType) * lit(1L << 20) + col("pos")
+    // firsts' cardinality ≈ DISTINCT SPANS — corpus-proportional, so the
+    // join back must stay a shuffle join (both sides already hash on
+    // span); unpinned, AQE broadcasts it and driver bytes track the
+    // corpus (probe-caught once the rung forced full evaluation —
+    // SCALE.md sixth finding)
     val firsts = spanned.groupBy(col("span")).agg(min(orderKey).as("fkey"))
-    val kept = spanned.join(firsts, "span")
+    val kept = spanned.join(firsts.hint("shuffle_hash"), "span")
       .filter(orderKey === col("fkey"))
       .select(col("doc_id"), col("pos"), col("span"))
     val reassembled = kept.groupBy(col("doc_id")).agg(
@@ -218,8 +223,9 @@ SELECT stratum, tokens, target_share, rate FROM mr"""
       concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("span")))),
         x => x("span"))).as("clean_text"))
+    // both sides of the final stitch are doc-proportional — same pin
     spanned.groupBy(col("doc_id")).agg(count(lit(1)).as("total_spans"))
-      .join(reassembled, Seq("doc_id"), "left")
+      .join(reassembled.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
         col("total_spans"),
@@ -284,8 +290,9 @@ SELECT tot.doc_id, coalesce(kept_spans, 0) AS kept_spans, total_spans, coalesce(
       concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("span")))),
         x => x("span"))).as("clean_text"))
+    // doc-proportional stitch join — same pin as spanDedup's
     spanned.groupBy(col("doc_id")).agg(count(lit(1)).as("total_spans"))
-      .join(reassembled, Seq("doc_id"), "left")
+      .join(reassembled.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
         col("total_spans"),
