@@ -10,7 +10,7 @@ import graft.cdc.Envelope
 import graft.dim.ContentDim
 import graft.enrich.Enrich
 import graft.functions.{Engagement, TextFunctions, VectorFunctions}
-import graft.ops.{Corpus, Decontaminate, Dedup, Retrieval, Rollups, Selection, UnigramLm}
+import graft.ops.{Corpus, Decontaminate, Dedup, Retrieval, Rollups, Selection, Skew, UnigramLm}
 
 /** One registered query per implemented operator (SURVEY.md §2 + the
   * LLM-data-pipeline extensions). Each entry pairs the Spark
@@ -500,6 +500,14 @@ object Queries {
       (s, dir) => Rollups.saltedSum(ev(s, dir), Seq(col("event_type")),
         col("value"), saltSrc = col("event_id")),
       Some("""SELECT event_type, CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS value_sum, count(*) AS cnt FROM events GROUP BY 1""")),
+
+    // Key-distribution profiler: the measurement that decides when the
+    // salting above is needed. Top-10 hottest keys + exact global
+    // moments (share/skew-ratio/CV in integer micros; IEEE sqrt over
+    // exact moments — both engines correctly round the same value).
+    GraftQuery("q_key_skew",
+      (s, dir) => Skew.keySkewProfile(ev(s, dir), col("user_id")),
+      Some(Skew.keySkewProfileOracleSql("user_id", "events"))),
 
     // ---- TPC-H-style relational coverage (scale posture checks) ----------
 
@@ -1913,6 +1921,18 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
         col("label"), isQuery = col("vec_id") < 20, k = 5, dim = 64,
         nPlanes = 6),
       Some(graft.similarity.Ann.hardNegativesOracle("vec_id < 20", k = 5,
+        dim = 64, nPlanes = 6))),
+
+    // kNN majority-vote classification (label propagation from a seed
+    // set): multi-probe LSH candidates → exact top-k → one vote per
+    // neighbor → (votes desc, label asc) election. Votes are exact
+    // integers, so the whole election replays in SQL.
+    GraftQuery("q_knn_classify",
+      (s, dir) => graft.similarity.Ann.knnClassify(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        col("label"), isQuery = col("vec_id") < 50, k = 5, dim = 64,
+        nPlanes = 6),
+      Some(graft.similarity.Ann.knnClassifyOracle("vec_id < 50", k = 5,
         dim = 64, nPlanes = 6))),
 
     // Multimodal plumbing end-to-end: synthesize media table → batched

@@ -195,6 +195,48 @@ object Ann {
         col("rk").cast("int").as("rk"))
   }
 
+  /** kNN majority-vote classification over the embedding space — the
+    * label-propagation rung of a curation pipeline (silver-label
+    * generation from an annotated seed set, label-quality audit of an
+    * existing one). Candidates ride the same multi-probe LSH stream as
+    * [[lshTopK]]; the top-k neighbors (exact cosine within candidates,
+    * vec_id tiebreak) each cast one vote; the prediction is the
+    * (votes desc, label asc) winner — a total integer order, so the
+    * oracle replays the election exactly. One row per query that found
+    * any candidate: (query_id, true_label, pred_label, votes, correct).
+    *
+    * Scale: corpus buckets once (map-only); shuffle tracks candidate
+    * volume (queries × probed-bucket sizes), never corpus²; the vote
+    * aggregate sees ≤ k rows per query with map-side combine. */
+  def knnClassify(emb: DataFrame, id: Column, vec: Column, label: Column,
+      isQuery: Column, k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
+    val e = emb.select(id.as("vec_id"), vec.as("v"), label.as("nbr_label"),
+      VectorFunctions.norm(vec).as("nrm"), lshBucket(vec, dim, nPlanes).as("bucket"))
+    val probes = (0 until nPlanes).map(i => col("bucket0").bitwiseXOR(lit(1L << i)))
+    val queries = emb.filter(isQuery).select(id.as("query_id"), vec.as("qv"),
+      label.as("true_label"), VectorFunctions.norm(vec).as("qnrm"),
+      lshBucket(vec, dim, nPlanes).as("bucket0"))
+      .select(col("query_id"), col("true_label"), col("qv"), col("qnrm"),
+        explode(array(col("bucket0") +: probes: _*)).as("bucket"))
+    val scored = queries.join(e, Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("true_label"), col("vec_id"), col("nbr_label"),
+        when(col("qnrm") > 0 && col("nrm") > 0,
+          nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
+    val topk = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val votes = topk.groupBy(col("query_id"), col("true_label"), col("nbr_label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("nbr_label").asc)
+    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("nbr_label").as("pred_label"), col("votes"),
+        (col("nbr_label") === col("true_label")).as("correct"))
+  }
+
   /** IVF (inverted-file) approximate top-k with REAL trained centroids:
     * [[KMeans.fit]] runs deterministic Lloyd's iterations, corpus
     * vectors are assigned to their nearest centroid, queries probe
@@ -347,6 +389,20 @@ b AS (SELECT vec_id, label, v, nrm, ${lshBucketSql("v", dim, nPlanes)} AS bucket
 q AS (SELECT vec_id AS query_id, qlbl, qv, qnrm, unnest([$probeList]) AS bucket FROM (SELECT vec_id, label AS qlbl, v AS qv, nrm AS qnrm, bucket AS bucket0 FROM b WHERE $queryPred)),
 scored AS (SELECT query_id, b.vec_id, b.label AS neg_label, CASE WHEN qnrm > 0 AND nrm > 0 THEN ${dotSql("qv", "v")} / (qnrm * nrm) END AS cosine FROM q JOIN b ON q.bucket = b.bucket WHERE query_id <> b.vec_id AND b.label <> qlbl)
 SELECT query_id, vec_id, neg_label, cosine, CAST(rk AS INTEGER) AS rk FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= $k"""
+  }
+
+  /** DuckDB SQL replaying [[knnClassify]] exactly: the [[lshTopKOracle]]
+    * probe replay, then the per-query vote count and the
+    * (votes desc, label asc) election. */
+  def knnClassifyOracle(queryPred: String, k: Int, dim: Int, nPlanes: Int): String = {
+    val probeList = ("bucket0" +: (0 until nPlanes).map(i => s"xor(bucket0, ${1L << i})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v, ${normSql("CAST(embedding AS DOUBLE[])")} AS nrm FROM embeddings),
+b AS (SELECT vec_id, label, v, nrm, ${lshBucketSql("v", dim, nPlanes)} AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, tlbl, qv, qnrm, unnest([$probeList]) AS bucket FROM (SELECT vec_id, label AS tlbl, v AS qv, nrm AS qnrm, bucket AS bucket0 FROM b WHERE $queryPred)),
+scored AS (SELECT query_id, tlbl, b.vec_id, b.label AS nbr_label, CASE WHEN qnrm > 0 AND nrm > 0 THEN ${dotSql("qv", "v")} / (qnrm * nrm) END AS cosine FROM q JOIN b ON q.bucket = b.bucket WHERE query_id <> b.vec_id),
+topk AS (SELECT query_id, tlbl, nbr_label FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS rk FROM scored) WHERE rk <= $k),
+votes AS (SELECT query_id, tlbl, nbr_label, CAST(count(*) AS BIGINT) AS votes FROM topk GROUP BY 1, 2, 3)
+SELECT query_id, tlbl AS true_label, nbr_label AS pred_label, votes, (nbr_label = tlbl) AS correct FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nbr_label ASC) AS vr FROM votes) WHERE vr = 1"""
   }
 
   /** DuckDB SQL replaying [[lshCosinePairs]] exactly: one bucket CTE

@@ -147,6 +147,30 @@ class CurationOpsSpec extends SparkSpec {
 
   // ---- hard negatives -----------------------------------------------------
 
+  test("knnClassify: majority label of the k nearest wins; label asc breaks ties") {
+    // query 0 sits among three label-1 twins and two label-0 vectors
+    // further away → k=3 picks the twins, prediction 1 (true label 0)
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 1),
+      (2L, Array(1f, 0f, 0f, 0f), 1),
+      (3L, Array(0.99f, 0.14f, 0f, 0f), 1),
+      (4L, Array(0f, 1f, 0f, 0f), 0),
+      (5L, Array(0f, 0.9f, 0.1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Ann.knnClassify(rows, col("vec_id"), col("embedding"),
+        col("label"), isQuery = col("vec_id") === 0, k = 3, dim = 4,
+        nPlanes = 2)
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("query_id") === 0L)
+    assert(r.getAs[Int]("true_label") === 0)
+    assert(r.getAs[Int]("pred_label") === 1)
+    assert(r.getAs[Long]("votes") >= 2L)
+    assert(!r.getAs[Boolean]("correct"))
+  }
+
   test("hardNegatives returns only label-mismatched neighbors, nearest first") {
     // q (label 0) has an identical twin with label 1 (the hardest
     // negative) and an identical twin with label 0 (must be excluded)
