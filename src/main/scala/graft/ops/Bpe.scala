@@ -24,7 +24,7 @@ import graft.functions.TextFunctions
   *     recompute the whole chain under each iteration's action.
   *  4. Encoding joins the corpus token stream back to the final vocab
   *     representation on the word key. The vocab is corpus-DERIVED, so
-  *     the join is pinned shuffle-hash — the probe-caught mis-broadcast
+  *     the join carries the corpus-side sort-merge pin — the mis-broadcast
   *     class (SCALE.md findings four/five) applies verbatim.
   *
   * Tie-breaks are total (count desc, pair asc on exact integers), so
@@ -89,7 +89,7 @@ object Bpe {
   /** Tokenize the corpus under the learned merges: per document, the
     * whitespace word count and the subword (BPE) token count. The
     * corpus-sized token stream joins the vocab-sized repr table on the
-    * word key — shuffle-hash pinned (corpus-derived build side must
+    * word key — sort-merge pinned (corpus-derived build side must
     * never broadcast). Returns (doc_id, n_words, n_bpe). */
   def encode(docs: DataFrame, id: Column, text: Column,
       nMerges: Int = 4): DataFrame = {
@@ -97,7 +97,7 @@ object Bpe {
       .select(col("word"), size(split(col("repr"), " ")).cast(LongType).as("n_sub"))
     val words = docs.select(id.as("doc_id"),
       explode(TextFunctions.tokens(text)).as("word"))
-    val enc = words.join(subTokens.hint("shuffle_hash"), Seq("word"))
+    val enc = words.join(Joins.corpusSide(subTokens), Seq("word"))
       .groupBy(col("doc_id")).agg(
         count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
     docs.select(id.as("doc_id")).join(enc, Seq("doc_id"), "left")

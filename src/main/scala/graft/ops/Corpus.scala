@@ -209,13 +209,13 @@ SELECT stratum, tokens, target_share, rate FROM mr"""
       }))
       .toDF("doc_id", "pos", "span")
     val orderKey = col("doc_id").cast(LongType) * lit(1L << 20) + col("pos")
-    // firsts' cardinality ≈ DISTINCT SPANS — corpus-proportional, so the
-    // join back must stay a shuffle join (both sides already hash on
-    // span); unpinned, AQE broadcasts it and driver bytes track the
-    // corpus (probe-caught once the rung forced full evaluation —
-    // SCALE.md sixth finding)
+    // firsts' cardinality ≈ DISTINCT SPANS — corpus-proportional:
+    // unpinned, AQE broadcasts it and driver bytes track the corpus
+    // (probe-caught once the rung forced full evaluation — SCALE.md
+    // sixth finding); sort-merge, not shuffled-hash, because a hash
+    // build of a corpus-derived side OOM'd the 1M-doc probe (seventh)
     val firsts = spanned.groupBy(col("span")).agg(min(orderKey).as("fkey"))
-    val kept = spanned.join(firsts.hint("shuffle_hash"), "span")
+    val kept = spanned.join(Joins.corpusSide(firsts), "span")
       .filter(orderKey === col("fkey"))
       .select(col("doc_id"), col("pos"), col("span"))
     val reassembled = kept.groupBy(col("doc_id")).agg(
@@ -225,7 +225,7 @@ SELECT stratum, tokens, target_share, rate FROM mr"""
         x => x("span"))).as("clean_text"))
     // both sides of the final stitch are doc-proportional — same pin
     spanned.groupBy(col("doc_id")).agg(count(lit(1)).as("total_spans"))
-      .join(reassembled.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(Joins.corpusSide(reassembled), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
         col("total_spans"),
@@ -264,9 +264,10 @@ SELECT tot.doc_id, coalesce(kept_spans, 0) AS kept_spans, total_spans, coalesce(
     * Scale: the df aggregate and the anti-join both hash on
     * (source, span) — one co-partitioned shuffle family. The boilerplate
     * table's size tracks template volume, which on crawl corpora is
-    * unbounded — shuffle_hash pins keep AQE from ever routing it
+    * unbounded — [[Joins.corpusSide]] pins keep AQE from routing it
     * through the driver as a broadcast (the MinHash/bigram probe
-    * finding, SCALE.md). Reassembly is a doc_id-keyed hash aggregate. */
+    * finding, SCALE.md) and keep the build spill-safe (the seventh).
+    * Reassembly is a doc_id-keyed hash aggregate. */
   def boilerplateClean(docs: DataFrame, id: Column, text: Column,
       source: Column, spanTokens: Int = 4, minDf: Long = 2L): DataFrame = {
     require(spanTokens > 0 && minDf > 1)
@@ -283,7 +284,7 @@ SELECT tot.doc_id, coalesce(kept_spans, 0) AS kept_spans, total_spans, coalesce(
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("source"), col("span"))
-    val kept = spanned.join(boiler.hint("shuffle_hash"),
+    val kept = spanned.join(Joins.corpusSide(boiler),
       Seq("source", "span"), "left_anti")
     val reassembled = kept.groupBy(col("doc_id")).agg(
       count(lit(1)).as("kept_spans"),
@@ -292,7 +293,7 @@ SELECT tot.doc_id, coalesce(kept_spans, 0) AS kept_spans, total_spans, coalesce(
         x => x("span"))).as("clean_text"))
     // doc-proportional stitch join — same pin as spanDedup's
     spanned.groupBy(col("doc_id")).agg(count(lit(1)).as("total_spans"))
-      .join(reassembled.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(Joins.corpusSide(reassembled), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept_spans"), lit(0L)).as("kept_spans"),
         col("total_spans"),

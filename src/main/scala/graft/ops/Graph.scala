@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.LongType
   * Scale: each iteration is two co-partitioned shuffles — edges⋈ranks
   * hashing on the node key, then a dst-keyed hash aggregate with
   * map-side combine. The rank table is node-count-sized (corpus
-  * proportional), so BOTH joins carry shuffle_hash pins: Catalyst's
-  * static estimates have twice been measured (SCALE.md findings 4/5)
-  * broadcasting corpus-derived tables through the driver. Nothing is
+  * proportional), so BOTH joins carry [[Joins.corpusSide]] sort-merge
+  * pins: Catalyst's static estimates have twice been measured
+  * (SCALE.md findings 4/5) broadcasting corpus-derived tables through
+  * the driver, and a shuffled-hash build of one OOM'd the 1M-doc
+  * probe (finding 7). Nothing is
   * ever collected; iteration count is a compile-time constant, so the
   * whole computation is one logical plan. At real scale you'd persist
   * the edge table partitioned on src between iterations.
@@ -45,11 +47,11 @@ object Graph {
     var ranks = deg.withColumn("rank_micros", lit(1000000L))
     for (_ <- 1 to iters) {
       val contribs = edges
-        .join(ranks.hint("shuffle_hash"), col("src") === col("node"))
+        .join(Joins.corpusSide(ranks), col("src") === col("node"))
         .select(col("dst"), expr("rank_micros div outdeg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("contrib"))
       ranks = deg
-        .join(contribs.hint("shuffle_hash"), deg("node") === contribs("dst"),
+        .join(Joins.corpusSide(contribs), deg("node") === contribs("dst"),
           "left")
         .select(deg("node"), col("outdeg"),
           (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100"))

@@ -50,16 +50,18 @@ object Ngrams {
     val g = grams(docs, id, text)
     val bg = g.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     val ctx = bg.groupBy(col("w1")).agg(sum(col("c_ab")).as("c_a"))
-    // shuffle-hash on BOTH model-side joins: the bigram table's
-    // cardinality tracks distinct corpus bigrams, so Catalyst's static
-    // estimates mis-broadcast it (10×-probe: driver-result bytes grew
-    // 16 → 159 MB), and the SMJ fallback sorts the gram stream (2.6 GB
-    // spill at 100×); hashing the model side does neither
-    val model = bg.join(ctx.hint("shuffle_hash"), Seq("w1"))
+    // pin BOTH model-side joins: the bigram table's cardinality tracks
+    // distinct corpus bigrams, so Catalyst's static estimates
+    // mis-broadcast it (10×-probe: driver-result bytes grew 16 →
+    // 159 MB). Sort-merge over shuffled-hash: a hash build of a
+    // corpus-derived table OOM'd the 1M-doc probe (SCALE.md seventh
+    // finding); the sort spill it costs instead is graceful and
+    // bounded by partition size
+    val model = bg.join(Joins.corpusSide(ctx), Seq("w1"))
       .select(col("w1"), col("w2"),
         floor(log(col("c_ab").cast("double") / col("c_a").cast("double"))
           * lit(1000000.0) + lit(0.5)).cast("long").as("lp_q"))
-    g.join(model.hint("shuffle_hash"), Seq("w1", "w2"))
+    g.join(Joins.corpusSide(model), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_q")).as("sum_q"))
       .select(col("doc_id"), col("n_bigrams"),

@@ -32,12 +32,12 @@ object Selection {
     val g = docs.select(id.as("doc_id"),
       explode(TextFunctions.shingles(lower(text), n)).as("gram"))
     val firsts = g.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
-    // the firsts table is DISTINCT-GRAM-sized (≈ corpus tokens) — a
-    // misestimated AQE broadcast here ships the whole thing through the
-    // driver (measured: 128 MB at the 200k-doc probe). Pin shuffle-hash:
-    // both sides already hash on `gram`, so the join reuses the
-    // aggregate's partitioning — the Ngrams.bigram model-join pin.
-    g.join(firsts.hint("shuffle_hash"), Seq("gram"))
+    // the firsts table is DISTINCT-GRAM-sized (≈ corpus tokens): a
+    // misestimated AQE broadcast ships it through the driver (measured:
+    // 128 MB at the 200k-doc probe), and a shuffled-hash build OOM'd
+    // outright at the 1M-doc probe — corpus-derived sides get the
+    // spill-safe sort-merge pin (SCALE.md findings five/seven)
+    g.join(Joins.corpusSide(firsts), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
@@ -254,9 +254,9 @@ SELECT doc_id, pos, CAST(floor(pos / $docsPerShard.0) AS BIGINT) AS shard FROM o
     val dups = wins.groupBy(col("win")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select(col("win"))
     // dups is duplicate-volume-sized — unbounded on template-heavy
-    // corpora, so never let AQE broadcast it (the novelty/bigram
-    // mis-broadcast class); both sides hash on `win` already
-    val marked = wins.join(dups.hint("shuffle_hash"), Seq("win"))
+    // corpora: never broadcast (the novelty/bigram mis-broadcast
+    // class), never hash-build (the 100×-probe OOM class) — sort-merge
+    val marked = wins.join(Joins.corpusSide(dups), Seq("win"))
       .select(col("doc_id"), col("pos"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val run = byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -300,7 +300,7 @@ SELECT doc_id, CAST(island AS BIGINT) AS island, CAST(min(pos) AS BIGINT) AS spa
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__iv"))
     docs.select(id.as("doc_id"), text.as("__text"))
-      .join(spans.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(Joins.corpusSide(spans), Seq("doc_id"), "left")
       .select(col("doc_id"), TextFunctions.bindOnce(
         TextFunctions.tokens(col("__text"))) { toks =>
           val iv = coalesce(col("__iv"),

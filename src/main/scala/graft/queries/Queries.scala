@@ -258,7 +258,7 @@ object Queries {
     // link-centrality selection signal). Micro-unit integer ranks +
     // floor-division contributions keep every partial sum order-
     // independent; each iteration is two node-keyed shuffles, both
-    // shuffle-hash-pinned (rank table is corpus-proportional).
+    // sort-merge pinned (rank table is corpus-proportional).
     GraftQuery("q_pagerank",
       (s, dir) => graft.ops.Graph.pageRank(ev(s, dir), col("user_id"),
         concat(lit("content-"), pmod(col("event_id"), lit(40))), iters = 3),
@@ -842,7 +842,7 @@ object Queries {
 
     // BPE ENCODING under the learned merges: the corpus token stream
     // joins the vocab-sized final-representation table on the word key
-    // (shuffle-hash pinned — the vocab is corpus-derived, the
+    // (sort-merge pinned — the vocab is corpus-derived, the
     // mis-broadcast class SCALE.md documents). Per-doc whitespace word
     // count + subword token count, the tokenizer-budget ledger a
     // training pipeline reads.
@@ -1138,7 +1138,7 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
     // spans whose within-source doc frequency reaches the threshold
     // are templates — ALL occurrences removed (vs q_para_dedup's
     // keep-first). One (source, span)-keyed shuffle family, anti-join
-    // pinned shuffle-hash (template volume is corpus-unbounded).
+    // pinned sort-merge (template volume is corpus-unbounded).
     GraftQuery("q_boilerplate",
       (s, dir) => Corpus.boilerplateClean(docs(s, dir), col("doc_id"),
         col("text"), col("source"), spanTokens = 4, minDf = 2L),
