@@ -77,7 +77,11 @@ object Components {
     var it = 0
     var converged = false
     while (it < maxIter && !converged) {
-      val nbrMin = und.join(labels.hint("shuffle_hash"), col("dst") === col("id"))
+      // labels are node-count-proportional: the corpus-side pin
+      // (sort-merge — spill-safe, never broadcast; SCALE.md findings
+      // one/seven) applies each round
+      val nbrMin = und.join(graft.ops.Joins.corpusSide(labels),
+          col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_min"))
       val stepped = labels
         .join(nbrMin, col("id") === col("src"), "left")
@@ -141,7 +145,7 @@ object Components {
     val best = labeled.groupBy(col("component")).agg(
       count(lit(1)).as("group_size"),
       max(struct(col("q_micros").as("q"), (-col("doc_id")).as("nid"))).as("best"))
-    labeled.join(best.hint("shuffle_hash"), Seq("component"))
+    labeled.join(graft.ops.Joins.corpusSide(best), Seq("component"))
       .select(col("doc_id"), col("component"), col("group_size"), col("q_micros"),
         (col("q_micros") === col("best").getField("q") &&
           col("doc_id") === -col("best").getField("nid")).as("keep"))

@@ -119,7 +119,7 @@ SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) A
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term").asc)
-    tf.join(dfT.hint("shuffle_hash"), Seq("term")).crossJoin(broadcast(n))
+    tf.join(Joins.corpusSide(dfT), Seq("term")).crossJoin(broadcast(n))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),

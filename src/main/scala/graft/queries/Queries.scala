@@ -707,6 +707,18 @@ object Queries {
       },
       Some("""SELECT c_custkey, 'has_orders' AS status FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) UNION ALL SELECT c_custkey, 'no_orders' AS status FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
 
+    // Multi-key record linkage (entity resolution): deterministic
+    // account fixture over customer (re-registrations sharing a phone,
+    // second accounts sharing an email), per-key size-capped blocking,
+    // transitive closure via the measured connected-components rung.
+    // A %15 customer resolves to a 3-record entity only through the
+    // phone→email transitive step — the property exact-key dedup lacks.
+    GraftQuery("q_record_linkage",
+      (s, dir) => graft.ops.Linkage.resolve(
+        graft.ops.Linkage.customerRecords(Tables.customer(s, dir)),
+        col("rec_id"), Seq(col("phone"), col("email"))),
+      Some(graft.ops.Linkage.customerResolveOracleSql())),
+
     // Set operations: user ids seen in events vs the customer key space.
     GraftQuery("q_setops",
       (s, dir) => {

@@ -103,6 +103,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L)._3 && out(4L)._2 === 1L)
   }
 
+  // ---- record linkage -----------------------------------------------------
+
+  test("linkage: transitive phone->email closure merges A-B-C; junk blocks capped") {
+    // A~B share a phone, B~C share an email; D..I all share the junk
+    // phone '000' (block size 6 > cap 5 — must NOT link); J is isolated
+    val recs = (Seq(
+      (1L, Some("p1"), Some("e1")), (2L, Some("p1"), Some("e2")),
+      (3L, Some("p3"), Some("e2"))) ++
+      (4L to 9L).map(i => (i, Some("000"), Some(s"u$i"))) :+
+      ((10L, None: Option[String], Some("e10"))))
+      .toDF("rec_id", "phone", "email")
+    val out = graft.ops.Linkage.resolve(recs, col("rec_id"),
+        Seq(col("phone"), col("email")), maxBlock = 5)
+      .collect().map(r => r.getAs[Long]("rec_id") ->
+        ((r.getAs[Long]("entity"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("canonical")))).toMap
+    assert(out.size === 10)
+    assert(out(1L) === ((1L, 3L, true)))
+    assert(out(2L) === ((1L, 3L, false)))
+    assert(out(3L) === ((1L, 3L, false)))      // linked only transitively
+    (4L to 9L).foreach(i => assert(out(i) === ((i, 1L, true)),
+      s"junk block must not link record $i"))  // capped block
+    assert(out(10L) === ((10L, 1L, true)))     // null phone never links
+  }
+
   // ---- BPE merge learning -------------------------------------------------
 
   test("bpe: learns the most frequent pair first and applies merges greedily") {
