@@ -1861,6 +1861,15 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
         col("doc_id"), col("text")),
       Some(graft.dedup.EditDistance.oracleSql())),
 
+    // Prefix-filtering exact similarity join (AllPairs/PPJoin): exact
+    // token-set Jaccard with candidates bounded by rarest-token prefix
+    // postings — the exact-AT-SCALE rung between the full inverted-index
+    // join (q_dedup_ngram) and the probabilistic MinHash band join.
+    GraftQuery("q_dedup_prefixjoin",
+      (s, dir) => graft.dedup.PrefixJoin.pairs(docs(s, dir),
+        col("doc_id"), col("text")),
+      Some(graft.dedup.PrefixJoin.oracleSql())),
+
     // Exact all-pairs baseline (O(N²) theta join — the verification
     // rung; the scale path is q_dedup_embedding_lsh below).
     GraftQuery("q_dedup_embedding",

@@ -244,4 +244,45 @@ class DedupLadderSpec extends SparkSpec {
     assert(pairs.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1))) // canonical order
   }
+
+  test("prefix-join is LOSSLESS: equals brute-force distinct-token jaccard") {
+    // exact-recall invariant of prefix filtering (the property that makes
+    // it the exact-at-scale rung): every brute-force pair at the
+    // threshold must be found, with the identical jaccard value
+    val got = graft.dedup.PrefixJoin.pairs(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sets = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).trim.toLowerCase.split("\\s+").toSet).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) intersect sets(b)).size
+      uni = sets(a).size + sets(b).size - inter
+      if uni > 0 && inter * 5 >= uni * 4 // jaccard >= 4/5, integer-exact
+    } yield ((a, b), inter.toDouble / uni)).toMap
+    assert(brute.nonEmpty, "fixture has no qualifying pairs — test is vacuous")
+    assert(got.keySet == brute.keySet,
+      s"missed=${(brute.keySet -- got.keySet).take(5)} extra=${(got.keySet -- brute.keySet).take(5)}")
+    got.foreach { case (k, j) => assert(math.abs(j - brute(k)) < 1e-12, s"$k") }
+  }
+
+  test("prefix-join losslessness on adversarial set shapes (planted)") {
+    import spark.implicits._
+    // shapes that break naive prefix math: tiny sets (prefix len 1),
+    // identical sets, sets failing only the length filter, off-by-one
+    // at the ceil boundary (|a|=4,|b|=5 jaccard 4/5 exactly)
+    val planted = Seq(
+      (1L, "x y z w"),            // 4 tokens
+      (2L, "x y z w v"),          // superset: jaccard 4/5 — boundary pair
+      (3L, "x y z w v"),          // identical to 2 — jaccard 1
+      (4L, "a"), (5L, "a"),       // singleton identical sets
+      (6L, "a b c d e f g h i j"),
+      (7L, "a b c d e f g h k l"),// 8/12 = 0.67 — must NOT appear
+      (8L, "p q"), (9L, "p r")    // 1/3 — must NOT appear
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.PrefixJoin.pairs(planted, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), got.toString)
+  }
 }
