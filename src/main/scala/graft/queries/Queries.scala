@@ -1313,6 +1313,20 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       Some(graft.ops.NaiveBayes.classifyOracleSql(
         s"${Corpus.splitAssignSql("doc_id")} = 'train'"))),
 
+    // Trained linear classifier (the GPT-3/LLaMA quality-filter rung):
+    // binary logistic regression over 64 hashed-unigram buckets with a
+    // hard sigmoid, 3 full-batch GD passes in exact micro-unit integer
+    // arithmetic, trained on the deterministic 80% split and scored
+    // corpus-wide. Per pass: one broadcast of the (buckets+1)-row
+    // weight table + two hash-aggs; driver state is buckets+1 longs.
+    GraftQuery("q_logreg_classify",
+      (s, dir) => graft.ops.Logistic.classify(docs(s, dir), col("doc_id"),
+        col("text"), label = col("lang") === "en",
+        isTrain = Corpus.splitAssign(col("doc_id")) === "train"),
+      Some(graft.ops.Logistic.classifyOracleSql(
+        labelPred = "lang = 'en'",
+        trainPred = s"${Corpus.splitAssignSql("doc_id")} = 'train'"))),
+
     // Temperature-smoothed mixture rates (mBERT/XLM-R/mT5 multilingual
     // upsampling, α = 1/2): rate_s = sqrt(min_tokens/tokens_s) — IEEE
     // sqrt is correctly rounded, so no transcendental parity risk. One

@@ -224,6 +224,33 @@ class SelectionSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq)
   }
 
+  // ---- logistic regression -------------------------------------------------
+
+  test("Logistic: separable vocabularies converge to correct verdicts " +
+      "corpus-wide; integer fit is deterministic") {
+    import graft.ops.Logistic
+    val docs = (1L to 200L).map { i =>
+      val pos = i % 2 == 0
+      val words = if (pos) "apple apricot avocado almond acorn"
+                  else "boat barge brig buoy bark"
+      (i, s"$words $words", pos)
+    }.toDF("doc_id", "text", "y")
+    val out = Logistic.classify(docs, col("doc_id"), col("text"),
+      label = col("y"), isTrain = pmod(col("doc_id"), lit(5)) =!= 0)
+    val rows = out.collect()
+    assert(rows.length === 200) // EVERY doc scored, train included
+    assert(rows.forall(_.getAs[Boolean]("correct")),
+      "separable classes must classify perfectly after 3 GD passes")
+    // scores live in micro units and saturate inside [0, 1e6]
+    assert(rows.forall { r =>
+      val p = r.getAs[Long]("p_micros"); p >= 0L && p <= 1000000L })
+    // deterministic: identical z on re-run (integer-exact contract)
+    val again = Logistic.classify(docs, col("doc_id"), col("text"),
+      label = col("y"), isTrain = pmod(col("doc_id"), lit(5)) =!= 0).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
+  }
+
   // ---- temperature mix ----------------------------------------------------
 
   test("temperatureMix: scarcest stratum rates 1.0, a 4x stratum rates 0.5") {
