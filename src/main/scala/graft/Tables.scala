@@ -2,17 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md).
   *
-  * All engine code reads through here so the nanos-timestamp quirk is
-  * handled in exactly one place: `events.ts` is parquet
-  * TIMESTAMP(NANOS, isAdjustedToUTC=false), which Spark only reads via
+  * All engine code reads through here so the timestamp-encoding quirk is
+  * handled in exactly one place: `events.ts` has shipped as parquet
+  * TIMESTAMP(NANOS, isAdjustedToUTC=false) — which Spark only reads via
   * `spark.sql.legacy.parquet.nanosAsLong=true` (a LongType of
-  * nanoseconds). We convert to TimestampType by integer-dividing to
-  * micros — the same truncation DuckDB applies when it reads the file —
-  * so oracle comparisons see identical instants.
+  * nanoseconds, integer-divided here to micros, the same truncation
+  * DuckDB applies) — and as TIMESTAMP(MICROS, isAdjustedToUTC=false),
+  * which Spark reads as TIMESTAMP_NTZ (cast here to TimestampType in
+  * the UTC session — identical instants either way). Downstream code
+  * always sees a plain UTC TimestampType `ts`, whichever encoding the
+  * generator used.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -26,9 +29,11 @@ object Tables {
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    } else df
   }
 
   /** Register every table as a temp view so the whole engine surface is

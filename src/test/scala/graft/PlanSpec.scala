@@ -268,4 +268,30 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(3000))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_dedup_prefixjoin: candidate/verify joins never broadcast or " +
+      "cartesian the corpus") {
+    // every join side is corpus-derived (prefix streams, token lists) —
+    // the shuffle-hash/merge pins must hold against static misestimates
+    // (SCALE.md findings 1/4/5); a BroadcastExchange here is a
+    // corpus-sized build at 100 TB
+    val p = plan("q_dedup_prefixjoin")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "all prefix-join sides are corpus-proportional — none may broadcast:\n" +
+        p.take(3000))
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      p.take(2000))
+  }
+
+  test("q_logreg_classify: weight table broadcasts; feature aggs stay hash-based") {
+    // the (buckets+1)-row model is the ONLY broadcast; the doc-feature
+    // aggregations must keep map-side partials (hash, never sort)
+    val p = plan("q_logreg_classify")
+    assert(p.contains("BroadcastHashJoin"),
+      "scoring must broadcast the weight table:\n" + p.take(2000))
+    assert(!p.contains("SortAggregate"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
