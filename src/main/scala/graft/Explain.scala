@@ -10,7 +10,11 @@ import graft.queries.Queries
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val names = if (args.length > 1) args.drop(1).toSeq else Queries.headlines.map(_.name)
+    // "ALL" sweeps every registered query (the full plan-audit pass)
+    val names =
+      if (args.length > 1 && args(1) == "ALL") Queries.all.map(_.name)
+      else if (args.length > 1) args.drop(1).toSeq
+      else Queries.headlines.map(_.name)
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
