@@ -30,6 +30,33 @@ object ScaleData {
       concat_ws(" ", words: _*).as("text"))
   }
 
+  /** Document corpus with a NATURAL (Zipf-ish) token frequency shape:
+    * per position, a 1-in-5 chance of a hot stopword (32-word head,
+    * huge df) and otherwise a word from a vocabulary PROPORTIONAL to
+    * the corpus (Heaps' law — df stays O(1) as n grows). Same planted
+    * 20% near-dup families as [[docs]]. This is the contract input for
+    * frequency-ordered algorithms (prefix filtering, stop-shingle
+    * caps): their posting-list bounds assume rare tokens exist, which
+    * the uniform-vocab [[docs]] generator deliberately violates. */
+  def docsZipf(spark: SparkSession, n: Long, tokens: Int = 60): DataFrame = {
+    val seed = when(pmod(col("id"), lit(5)) === 1, col("id") - 1)
+      .otherwise(col("id"))
+    // vocabulary ∝ total tail-token DRAWS (n docs × ~4/5 of `tokens`),
+    // giving df ≈ 1 per tail word — sizing it to n alone leaves df ≈
+    // `tokens`, whose posting lists blow the candidate join up ~50×
+    // (caught live: 28 GB of spill at 200k docs)
+    val tailVocab = greatest(lit(100L), lit(n * tokens))
+    val words = (0 until tokens).map { j =>
+      val h = hash(seed * lit(7919L) + lit(j))
+      when(pmod(h, lit(5)) === 0,
+        concat(lit("s"), pmod(h, lit(32)).cast("string")))
+        .otherwise(concat(lit("w"),
+          pmod(hash(h), tailVocab).cast("string")))
+    } :+ concat(lit("t"), col("id").cast("string"))
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text"))
+  }
+
   /** Event stream over `users` users: monotone timestamps, four event
     * types hash-assigned — the funnel/rollup workload shape. */
   def events(spark: SparkSession, n: Long, users: Long): DataFrame =

@@ -105,7 +105,23 @@ object ScaleProbe {
       "pagerank" -> (() =>
         force(graft.ops.Graph.pageRank(events, col("user_id"),
           pmod(hash(col("ts")), lit(1000)).cast("string"),
-          iters = 3))))
+          iters = 3))),
+      // exact prefix-filtering similarity join on the NATURAL-shape
+      // corpus (Zipf vocab — the operator's documented contract): the
+      // rarest-token prefixes must keep candidates ∝ planted families,
+      // so shuffle stays linear; the uniform-vocab generator would
+      // (correctly) explode this rung quadratically
+      "prefix_join" -> (() =>
+        force(graft.dedup.PrefixJoin.pairs(
+          ScaleData.docsZipf(spark, docsN), col("doc_id"), col("text")))),
+      // iterative trained classifier: per GD pass one broadcast of the
+      // 65-row weight table + two corpus hash-aggs; the only driver
+      // materializations are the 65-row gradient and the count — both
+      // flat however large the corpus
+      "logreg" -> (() =>
+        force(graft.ops.Logistic.classify(docs, col("doc_id"), col("text"),
+          label = pmod(hash(col("doc_id")), lit(2)) === 0,
+          isTrain = pmod(col("doc_id"), lit(5)) =!= 0))))
   }
 
   /** Force FULL evaluation of `df` and return its row count.

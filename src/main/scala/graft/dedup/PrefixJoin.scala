@@ -26,9 +26,11 @@ import graft.functions.TextFunctions
   * natural corpora); a length filter (`q·min >= p·max`, integer-exact)
   * prunes candidates before verification; verification joins each
   * candidate pair's full token lists — work ∝ Σ|candidate| · set size,
-  * never all-pairs. Corpus-proportional join sides carry explicit
-  * shuffle-hash/merge pins (SCALE.md findings 1/4/5: static estimates
-  * under explode amplification mis-broadcast corpus-derived tables).
+  * never all-pairs. Every corpus-proportional join side goes through
+  * [[graft.ops.Joins.corpusSide]] (sort-merge pin, session-overridable
+  * — SCALE.md findings 1/4/5/7: static estimates under explode
+  * amplification mis-broadcast corpus-derived tables, and shuffled-hash
+  * builds OOM where sort-merge spills gracefully).
   *
   * Determinism: the threshold is the RATIONAL p/q so every ceil is
   * integer arithmetic (`ceil(p·n/q) = (p·n + q - 1) div q`) — no float
@@ -50,7 +52,7 @@ object PrefixJoin {
     // per-doc ordering by (df asc, tok asc) — total order, rarest first
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("df").asc, col("tok").asc)
-    val ordered = sh.join(df.hint("shuffle_hash"), Seq("tok"))
+    val ordered = sh.join(graft.ops.Joins.corpusSide(df), Seq("tok"))
       .withColumn("pos", row_number().over(byDoc))
       .withColumn("n_tok",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
@@ -61,7 +63,7 @@ object PrefixJoin {
     // candidate pairs: share a prefix token + integer length filter
     // (jaccard >= p/q forces q*min(|a|,|b|) >= p*max(|a|,|b|)) —
     // merge pin: both sides are corpus-derived prefix streams
-    val cand = prefix.as("a").join(prefix.as("b").hint("merge"),
+    val cand = prefix.as("a").join(graft.ops.Joins.corpusSide(prefix.as("b")),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
         lit(q) * least(col("a.n_tok"), col("b.n_tok")) >=
           lit(p) * greatest(col("a.n_tok"), col("b.n_tok")))
@@ -72,8 +74,9 @@ object PrefixJoin {
     // Work ∝ Σ over candidates of |a| + matching (doc,tok) probes —
     // candidate-bounded, shuffle-hash pinned on the corpus-wide sides.
     val common = cand
-      .join(sh.as("ta").hint("shuffle_hash"), col("doc_a") === col("ta.doc_id"))
-      .join(sh.as("tb").hint("shuffle_hash"),
+      .join(graft.ops.Joins.corpusSide(sh.as("ta")),
+        col("doc_a") === col("ta.doc_id"))
+      .join(graft.ops.Joins.corpusSide(sh.as("tb")),
         col("doc_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
       .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
       .agg(count(lit(1)).as("common"))

@@ -18,18 +18,25 @@ import graft.functions.TextFunctions
   * on any cluster, any partitioning, any engine — the same determinism
   * contract as [[Dsir]] / [[NaiveBayes]].
   *
-  * Scale design: features stay in LONG FORM (doc_id, bucket, n) — no
-  * wide vectors, no VectorUDT — so a 100 TB corpus trains through
-  * `iterations` passes of {broadcast-join a (buckets+1)-row weight
-  * table, per-doc hash-agg, per-bucket hash-agg}: shuffle per pass is
-  * docs×buckets partials, model state on the driver is buckets+1 longs
-  * (the KMeans-centroid collect shape — bounded however large the
-  * corpus is). The scoring pass is one broadcast join + hash-agg.
+  * Scale design: the model is buckets+1 longs, so it rides along as a
+  * LITERAL MAP and the activation is computed IN-ROW — z = bias +
+  * Σ_tokens w[bucket(token)], one `aggregate` HOF over the per-doc
+  * bucket array, NO per-doc shuffle at all. (The first cut kept
+  * features in long form and aggregated twice per pass on corpus-sized
+  * keys — the scale probe measured 7.9 GB of hash-agg spill at 1M docs
+  * for work a per-row expression does for free. Same lesson as the
+  * tf-idf third finding in SCALE.md: per-document quantities belong
+  * inside the row.) Per GD pass the only shuffle is the gradient
+  * aggregate — corpus tokens exploded onto `buckets`+1 keys with
+  * map-side partials, so shuffle bytes ∝ partition count × buckets.
+  * Driver state per pass: the (buckets+1)-row gradient and one count —
+  * flat however large the corpus is. Scoring is one more map pass.
   *
   * Gradient step (micro units): err = σ(z)·1e6 − y·1e6;
-  * grad_b = Σ_docs err·n_b; w_b ← w_b − fdiv(grad_b, 2·N)   (lr = ½,
-  * mean gradient). fdiv is floor division via pmod, identical across
-  * engines regardless of native integer-division rounding.
+  * grad_b = Σ_docs err·n_b; w_b ← w_b − floorDiv(grad_b, 2·N)  (lr =
+  * ½, mean gradient). floorDiv (not native `/`) so rounding is
+  * identical across engines. Σ over longs is order-independent, so
+  * the fit cannot drift with partitioning.
   */
 object Logistic {
 
@@ -37,53 +44,53 @@ object Logistic {
     * Output: (doc_id, z_micros, p_micros, pred, actual, correct). */
   def classify(docs: DataFrame, id: Column, text: Column, label: Column,
       isTrain: Column, buckets: Int = 64, iterations: Int = 3): DataFrame = {
-    val spark = docs.sparkSession
     val B = buckets
+    // per-doc hashed-bucket array, computed once (order preserved —
+    // only sums over it are used, so order cannot matter downstream)
     val base = docs.select(id.as("doc_id"), label.cast("boolean").as("y"),
-      isTrain.as("is_train"), TextFunctions.tokens(lower(text)).as("toks"))
-    // long-form features: hashed-unigram counts + a bias bucket (= B, n=1)
-    val feats = base
-      .select(col("doc_id"), col("y"), col("is_train"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), col("y"), col("is_train"),
-        pmod(TextFunctions.md5Long(col("tok")), lit(B.toLong)).as("bucket"))
-      .groupBy("doc_id", "y", "is_train", "bucket").agg(count(lit(1)).as("n"))
-      .unionByName(base.select(col("doc_id"), col("y"), col("is_train"),
-        lit(B.toLong).as("bucket"), lit(1L).as("n")))
-    val train = feats.filter(col("is_train")).cache()
-    val nTrain = train.select(countDistinct(col("doc_id"))).head.getLong(0)
+        isTrain.as("is_train"),
+        coalesce(
+          transform(TextFunctions.tokens(lower(text)),
+            t => pmod(TextFunctions.md5Long(t), lit(B.toLong))),
+          array().cast("array<bigint>")).as("bkts"))
+      .cache()
+    val train = base.filter(col("is_train"))
+    val nTrain = train.count()
     require(nTrain > 0, "empty training split")
+
+    // z = w_bias + Σ_tokens w[bucket]: in-row, zero shuffle
+    def zOf(w: Map[Long, Long]): Column = {
+      val wmap = typedLit(w - B.toLong)
+      aggregate(col("bkts"), lit(w(B.toLong)),
+        (acc, b) => acc + element_at(wmap, b))
+    }
+    def pOf(z: Column): Column =
+      least(lit(1000000L), greatest(lit(0L),
+        floor(z / lit(4.0) + lit(500000.0)).cast("long")))
 
     // fixed-iteration full-batch GD; model state = buckets+1 longs
     var w: Map[Long, Long] = (0L to B.toLong).map(_ -> 0L).toMap
     for (_ <- 1 to iterations) {
-      val wDf = spark.createDataFrame(w.toSeq.map(kv => (kv._1, kv._2)))
-        .toDF("bucket", "w_q")
-      val grad = train.join(broadcast(wDf), Seq("bucket"))
-        .groupBy(col("doc_id"), col("y"))
-        .agg(sum(col("n") * col("w_q")).as("z_q"))
-        .withColumn("p_q",
-          least(lit(1000000L), greatest(lit(0L),
-            floor(col("z_q") / lit(4.0) + lit(500000.0)).cast("long"))))
-        .withColumn("err_q", col("p_q") - when(col("y"), 1000000L).otherwise(0L))
-        .join(train.select(col("doc_id"), col("bucket"), col("n")), Seq("doc_id"))
-        .groupBy(col("bucket")).agg(sum(col("err_q") * col("n")).as("g"))
+      val scored = train
+        .withColumn("err_q", pOf(zOf(w)) - when(col("y"), 1000000L).otherwise(0L))
+      // grad_b = Σ token instances in b of err; bias (= bucket B) gets
+      // err once per doc — unioned in as a one-element array
+      val grad = scored
+        .select(col("err_q"),
+          explode(concat(col("bkts"), array(lit(B.toLong)))).as("bucket"))
+        .groupBy("bucket").agg(sum(col("err_q")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       w = w.map { case (b, wb) =>
-        val g = grad.getOrElse(b, 0L)
-        val d = 2L * nTrain
-        b -> (wb - java.lang.Math.floorDiv(g, d))
+        b -> (wb - java.lang.Math.floorDiv(grad.getOrElse(b, 0L), 2L * nTrain))
       }
     }
 
-    // score every document with the trained weights
-    val wDf = spark.createDataFrame(w.toSeq.map(kv => (kv._1, kv._2)))
-      .toDF("bucket", "w_q")
-    feats.join(broadcast(wDf), Seq("bucket"))
-      .groupBy(col("doc_id"), col("y"))
-      .agg(sum(col("n") * col("w_q")).as("z_micros"))
-      .withColumn("p_micros",
-        least(lit(1000000L), greatest(lit(0L),
-          floor(col("z_micros") / lit(4.0) + lit(500000.0)).cast("long"))))
+    base.unpersist(false) // fit done; scoring recomputes the map stage
+
+    // score every document with the trained weights — one map pass
+    base
+      .withColumn("z_micros", zOf(w))
+      .withColumn("p_micros", pOf(col("z_micros")))
       .select(col("doc_id"), col("z_micros"), col("p_micros"),
         (col("p_micros") >= 500000L).as("pred"), col("y").as("actual"),
         ((col("p_micros") >= 500000L) === col("y")).as("correct"))
@@ -92,7 +99,9 @@ object Logistic {
   /** DuckDB replica of [[classify]] over table `documents`: label =
     * `labelPred`, train split = `trainPred` (doc-level SQL predicates).
     * The GD loop unrolls into one CTE chain per iteration — weights stay
-    * relational (bucket, w) end to end. */
+    * relational (bucket, w) end to end; Σ n_b·w_b over grouped features
+    * equals the in-row Σ w[bucket(token)] exactly (integer sums,
+    * order-independent). */
   def classifyOracleSql(labelPred: String, trainPred: String,
       buckets: Int = 64, iterations: Int = 3): String = {
     val B = buckets

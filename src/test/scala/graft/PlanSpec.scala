@@ -285,13 +285,14 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
-  test("q_logreg_classify: weight table broadcasts; feature aggs stay hash-based") {
-    // the (buckets+1)-row model is the ONLY broadcast; the doc-feature
-    // aggregations must keep map-side partials (hash, never sort)
+  test("q_logreg_classify: scoring is a pure narrow map — literal weight " +
+      "map, zero joins, zero exchanges") {
+    // training runs eagerly inside the builder (bounded 65-row collects
+    // per pass); the RETURNED scoring plan carries the model as a
+    // literal map, so it must be scan → project with no shuffle at all
     val p = plan("q_logreg_classify")
-    assert(p.contains("BroadcastHashJoin"),
-      "scoring must broadcast the weight table:\n" + p.take(2000))
-    assert(!p.contains("SortAggregate"), p.take(3000))
-    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Join"), "scoring must not join:\n" + p.take(2000))
+    assert(!p.contains("Exchange"),
+      "scoring must be a narrow map stage:\n" + p.take(2000))
   }
 }
