@@ -40,39 +40,44 @@ import graft.functions.TextFunctions
   */
 object Logistic {
 
-  /** Train on `isTrain` docs with binary `label`, then score EVERY doc.
-    * Output: (doc_id, z_micros, p_micros, pred, actual, correct). */
-  def classify(docs: DataFrame, id: Column, text: Column, label: Column,
-      isTrain: Column, buckets: Int = 64, iterations: Int = 3): DataFrame = {
+  /** Per-row hashed-bucket array of `text` (the model's feature view). */
+  private def bucketsOf(text: Column, B: Int): Column =
+    coalesce(
+      transform(TextFunctions.tokens(lower(text)),
+        t => pmod(TextFunctions.md5Long(t), lit(B.toLong))),
+      array().cast("array<bigint>"))
+
+  /** z in micro units under weights `w`: bias + Σ_tokens w[bucket] —
+    * one `aggregate` HOF over the bucket array, zero shuffle. */
+  private def zOf(bkts: Column, w: Map[Long, Long], B: Int): Column = {
+    val wmap = typedLit(w - B.toLong)
+    aggregate(bkts, lit(w(B.toLong)), (acc, b) => acc + element_at(wmap, b))
+  }
+
+  /** Hard sigmoid in micro units: clamp(z/4 + 1/2, 0, 1)·1e6. */
+  private def pOf(z: Column): Column =
+    least(lit(1000000L), greatest(lit(0L),
+      floor(z / lit(4.0) + lit(500000.0)).cast("long")))
+
+  /** Fit the weight vector: buckets+1 longs (index `buckets` = bias).
+    * This is the stream-serving artifact — pass it to [[scoreColumn]]
+    * to gate rows in-row with no join and no state. */
+  def fit(docs: DataFrame, text: Column, label: Column,
+      buckets: Int = 64, iterations: Int = 3): Map[Long, Long] =
+    fitBuckets(docs.select(label.cast("boolean").as("y"),
+      bucketsOf(text, buckets).as("bkts")), buckets, iterations)
+
+  /** GD core over a pre-bucketed (y, bkts) frame. */
+  private def fitBuckets(bucketed: DataFrame, buckets: Int,
+      iterations: Int): Map[Long, Long] = {
     val B = buckets
-    // per-doc hashed-bucket array, computed once (order preserved —
-    // only sums over it are used, so order cannot matter downstream)
-    val base = docs.select(id.as("doc_id"), label.cast("boolean").as("y"),
-        isTrain.as("is_train"),
-        coalesce(
-          transform(TextFunctions.tokens(lower(text)),
-            t => pmod(TextFunctions.md5Long(t), lit(B.toLong))),
-          array().cast("array<bigint>")).as("bkts"))
-      .cache()
-    val train = base.filter(col("is_train"))
+    val train = bucketed.select(col("y"), col("bkts")).cache()
     val nTrain = train.count()
     require(nTrain > 0, "empty training split")
-
-    // z = w_bias + Σ_tokens w[bucket]: in-row, zero shuffle
-    def zOf(w: Map[Long, Long]): Column = {
-      val wmap = typedLit(w - B.toLong)
-      aggregate(col("bkts"), lit(w(B.toLong)),
-        (acc, b) => acc + element_at(wmap, b))
-    }
-    def pOf(z: Column): Column =
-      least(lit(1000000L), greatest(lit(0L),
-        floor(z / lit(4.0) + lit(500000.0)).cast("long")))
-
-    // fixed-iteration full-batch GD; model state = buckets+1 longs
     var w: Map[Long, Long] = (0L to B.toLong).map(_ -> 0L).toMap
     for (_ <- 1 to iterations) {
-      val scored = train
-        .withColumn("err_q", pOf(zOf(w)) - when(col("y"), 1000000L).otherwise(0L))
+      val scored = train.withColumn("err_q",
+        pOf(zOf(col("bkts"), w, B)) - when(col("y"), 1000000L).otherwise(0L))
       // grad_b = Σ token instances in b of err; bias (= bucket B) gets
       // err once per doc — unioned in as a one-element array
       val grad = scored
@@ -84,12 +89,29 @@ object Logistic {
         b -> (wb - java.lang.Math.floorDiv(grad.getOrElse(b, 0L), 2L * nTrain))
       }
     }
+    train.unpersist(false)
+    w
+  }
 
-    base.unpersist(false) // fit done; scoring recomputes the map stage
+  /** p_micros of `text` under a [[fit]]ted model — a pure Column
+    * (literal-map lookup, no join, no state), usable in batch plans
+    * and streaming ingest alike. */
+  def scoreColumn(text: Column, model: Map[Long, Long],
+      buckets: Int = 64): Column =
+    pOf(zOf(bucketsOf(text, buckets), model, buckets))
+
+  /** Train on `isTrain` docs with binary `label`, then score EVERY doc.
+    * Output: (doc_id, z_micros, p_micros, pred, actual, correct). */
+  def classify(docs: DataFrame, id: Column, text: Column, label: Column,
+      isTrain: Column, buckets: Int = 64, iterations: Int = 3): DataFrame = {
+    val B = buckets
+    val base = docs.select(id.as("doc_id"), label.cast("boolean").as("y"),
+      isTrain.as("is_train"), bucketsOf(text, B).as("bkts"))
+    val w = fitBuckets(base.filter(col("is_train")), B, iterations)
 
     // score every document with the trained weights — one map pass
     base
-      .withColumn("z_micros", zOf(w))
+      .withColumn("z_micros", zOf(col("bkts"), w, B))
       .withColumn("p_micros", pOf(col("z_micros")))
       .select(col("doc_id"), col("z_micros"), col("p_micros"),
         (col("p_micros") >= 500000L).as("pred"), col("y").as("actual"),

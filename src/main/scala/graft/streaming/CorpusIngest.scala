@@ -42,14 +42,19 @@ object CorpusIngest {
       batchId: Long, minQuality: Double = 0.2,
       bloomBits: Long = 1L << 22,
       dsirModel: Option[Map[Long, Long]] = None,
-      minLogWeight: Double = 0.0): Unit = {
+      minLogWeight: Double = 0.0,
+      logregModel: Option[Map[Long, Long]] = None,
+      minPMicros: Long = 500000L): Unit = {
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
-    // optional target-domain importance gate: a batch-trained
-    // Dsir.trainModel artifact scores each row IN-ROW (literal-map
-    // lookup — no join, no state), the stream-serving counterpart of
-    // the batch q_dsir_select cut
-    val gated = dsirModel.fold(batch)(m => batch.filter(
+    // optional trained gates, both served IN-ROW (literal-map lookup —
+    // no join, no state): a Dsir.trainModel target-domain importance
+    // cut and/or a Logistic.fit quality-classifier cut — the
+    // stream-serving counterparts of batch q_dsir_select /
+    // q_logreg_classify
+    val dsirGated = dsirModel.fold(batch)(m => batch.filter(
       graft.ops.Dsir.scoreColumn(col("text"), m) >= minLogWeight))
+    val gated = logregModel.fold(dsirGated)(m => dsirGated.filter(
+      graft.ops.Logistic.scoreColumn(col("text"), m) >= minPMicros))
     val inBatch = gated
       .filter(TextFunctions.qualityScore(col("text")) >= minQuality)
       .withColumn("fp", TextFunctions.fingerprint(col("text")))

@@ -251,6 +251,34 @@ class SelectionSpec extends SparkSpec {
       again.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq)
   }
 
+  test("Logistic.fit + scoreColumn reproduce classify's p_micros exactly; " +
+      "CorpusIngest classifier gate drops predicted-negative docs") {
+    import graft.ops.Logistic
+    val docs = (1L to 100L).map { i =>
+      val pos = i % 2 == 0
+      (i, if (pos) "good fine solid clean" else "junk spam noise garbage", pos)
+    }.toDF("doc_id", "text", "y")
+    val model = Logistic.fit(docs.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+      col("text"), col("y"))
+    val served = docs.select(col("doc_id"),
+        Logistic.scoreColumn(col("text"), model).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Logistic.classify(docs, col("doc_id"), col("text"),
+        label = col("y"), isTrain = pmod(col("doc_id"), lit(5)) =!= 0)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("p_micros")).toMap
+    assert(served === batch) // same artifact, same integer math
+    // stream-landing gate: only predicted-positive texts land
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lringest").toString
+    graft.streaming.CorpusIngest.ingestBatch(spark, tmp,
+      docs.select("doc_id", "text"), batchId = 0L, minQuality = 0.0,
+      logregModel = Some(model))
+    val landed = graft.sinks.SnapshotStore.read(spark, tmp).get
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact dedup collapses each identical text family to its min id:
+    // positives (even ids) -> 2; negatives gated out entirely
+    assert(landed === Set(2L), landed.toString)
+  }
+
   // ---- temperature mix ----------------------------------------------------
 
   test("temperatureMix: scarcest stratum rates 1.0, a 4x stratum rates 0.5") {
