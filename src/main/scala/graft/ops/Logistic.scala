@@ -32,11 +32,14 @@ import graft.functions.TextFunctions
   * Driver state per pass: the (buckets+1)-row gradient and one count —
   * flat however large the corpus is. Scoring is one more map pass.
   *
-  * Gradient step (micro units): err = σ(z)·1e6 − y·1e6;
-  * grad_b = Σ_docs err·n_b; w_b ← w_b − floorDiv(grad_b, 2·N)  (lr =
-  * ½, mean gradient). floorDiv (not native `/`) so rounding is
-  * identical across engines. Σ over longs is order-independent, so
-  * the fit cannot drift with partitioning.
+  * Gradient step (micro units): err = (σ(z)·1e6 − y·1e6) · r_class,
+  * where r_class integer-balances the classes; grad_b = Σ_docs
+  * err·n_b; w_b ← w_b − floorDiv(grad_b, 2·(r⁺T⁺ + r⁻T⁻)) over
+  * feature-instance totals (see fitBuckets for why per-doc
+  * normalization and unbalanced classes each degenerate). floorDiv
+  * (not native `/`) so rounding is identical across engines. Σ over
+  * longs is order-independent, so the fit cannot drift with
+  * partitioning.
   */
 object Logistic {
 
@@ -67,17 +70,43 @@ object Logistic {
     fitBuckets(docs.select(label.cast("boolean").as("y"),
       bucketsOf(text, buckets).as("bkts")), buckets, iterations)
 
-  /** GD core over a pre-bucketed (y, bkts) frame. */
+  /** GD core over a pre-bucketed (y, bkts) frame. Two normalization
+    * choices matter, both probe-measured on the fixtures:
+    *
+    *  - The gradient divides by TOTAL FEATURE INSTANCES (Σ tokens +
+    *    bias rows), not by doc count: z sums ~n_tok weights per doc,
+    *    so a per-doc mean gradient overshoots by that factor and the
+    *    hard sigmoid bang-bangs between all-positive and all-negative
+    *    (observed: every prediction saturated to 0 at sf0.1).
+    *  - Classes are BALANCED by an integer ratio: the minority class's
+    *    errors scale by R = floorDiv(T_major, T_minor). Without it the
+    *    majority class saturates to err = 0 and the minority erodes
+    *    weights a few units per pass — the fit converges to the prior
+    *    and never discriminates (measured: 89.7% = majority rate;
+    *    balanced: 94.1% with minority recall 0 → 0.77 at 3 passes).
+    *    The integer ratio (not T_pos·T_neg cross-scaling) keeps
+    *    gradients ≲ 2e6·T — no BIGINT overflow at any corpus size. */
   private def fitBuckets(bucketed: DataFrame, buckets: Int,
       iterations: Int): Map[Long, Long] = {
     val B = buckets
     val train = bucketed.select(col("y"), col("bkts")).cache()
-    val nTrain = train.count()
-    require(nTrain > 0, "empty training split")
+    val inst = (size(col("bkts")) + 1).cast("long")
+    val cnt = train.agg(
+      sum(when(col("y"), inst).otherwise(0L)).as("tpos"),
+      sum(when(!col("y"), inst).otherwise(0L)).as("tneg")).head
+    val tPos = if (cnt.isNullAt(0)) 0L else cnt.getLong(0)
+    val tNeg = if (cnt.isNullAt(1)) 0L else cnt.getLong(1)
+    require(tPos + tNeg > 0, "empty training split")
+    val (rPos, rNeg) =
+      if (tPos == 0L || tNeg == 0L) (1L, 1L)
+      else if (tPos >= tNeg) (1L, tPos / tNeg)
+      else (tNeg / tPos, 1L)
+    val d = 2L * (rPos * tPos + rNeg * tNeg)
     var w: Map[Long, Long] = (0L to B.toLong).map(_ -> 0L).toMap
     for (_ <- 1 to iterations) {
       val scored = train.withColumn("err_q",
-        pOf(zOf(col("bkts"), w, B)) - when(col("y"), 1000000L).otherwise(0L))
+        (pOf(zOf(col("bkts"), w, B)) - when(col("y"), 1000000L).otherwise(0L)) *
+          when(col("y"), rPos).otherwise(rNeg))
       // grad_b = Σ token instances in b of err; bias (= bucket B) gets
       // err once per doc — unioned in as a one-element array
       val grad = scored
@@ -86,7 +115,7 @@ object Logistic {
         .groupBy("bucket").agg(sum(col("err_q")).as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       w = w.map { case (b, wb) =>
-        b -> (wb - java.lang.Math.floorDiv(grad.getOrElse(b, 0L), 2L * nTrain))
+        b -> (wb - java.lang.Math.floorDiv(grad.getOrElse(b, 0L), d))
       }
     }
     train.unpersist(false)
@@ -136,15 +165,20 @@ feats AS (
   GROUP BY doc_id, y, is_train, bucket
   UNION ALL SELECT doc_id, y, is_train, CAST($B AS BIGINT), CAST(1 AS BIGINT) FROM base),
 train AS (SELECT * FROM feats WHERE is_train),
-ntr AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM train),
+ntr AS (SELECT CAST(sum(CASE WHEN y THEN n ELSE 0 END) AS BIGINT) AS tpos, CAST(sum(CASE WHEN NOT y THEN n ELSE 0 END) AS BIGINT) AS tneg FROM train),
+rw AS (SELECT tpos, tneg,
+  CASE WHEN tpos = 0 OR tneg = 0 THEN 1 WHEN tneg > tpos THEN tneg // tpos ELSE 1 END AS rpos,
+  CASE WHEN tpos = 0 OR tneg = 0 THEN 1 WHEN tpos >= tneg THEN tpos // tneg ELSE 1 END AS rneg
+  FROM ntr),
+rwd AS (SELECT rpos, rneg, 2 * (rpos * tpos + rneg * tneg) AS d FROM rw),
 w0 AS (SELECT CAST(unnest(range(0, ${B + 1})) AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w_q)"""
     val iters = (1 to iterations).map { i =>
       val pw = s"w${i - 1}"
       raw""",
 z$i AS (SELECT doc_id, y, CAST(sum(n * w_q) AS BIGINT) AS z_q FROM train JOIN $pw USING (bucket) GROUP BY doc_id, y),
-e$i AS (SELECT doc_id, least(1000000, greatest(0, CAST(floor(z_q / 4.0 + 500000.0) AS BIGINT))) - (CASE WHEN y THEN 1000000 ELSE 0 END) AS err_q FROM z$i),
+e$i AS (SELECT doc_id, (least(1000000, greatest(0, CAST(floor(z_q / 4.0 + 500000.0) AS BIGINT))) - (CASE WHEN y THEN 1000000 ELSE 0 END)) * (CASE WHEN y THEN rpos ELSE rneg END) AS err_q FROM z$i CROSS JOIN rwd),
 g$i AS (SELECT bucket, CAST(sum(err_q * n) AS BIGINT) AS g FROM e$i JOIN train USING (doc_id) GROUP BY bucket),
-w$i AS (SELECT $pw.bucket, $pw.w_q - CAST((coalesce(g$i.g, 0) - ((coalesce(g$i.g, 0) % (2 * ntr.n) + (2 * ntr.n)) % (2 * ntr.n))) / (2 * ntr.n) AS BIGINT) AS w_q FROM $pw CROSS JOIN ntr LEFT JOIN g$i ON $pw.bucket = g$i.bucket)"""
+w$i AS (SELECT $pw.bucket, $pw.w_q - CAST((coalesce(g$i.g, 0) - ((coalesce(g$i.g, 0) % rwd.d + rwd.d) % rwd.d)) / rwd.d AS BIGINT) AS w_q FROM $pw CROSS JOIN rwd LEFT JOIN g$i ON $pw.bucket = g$i.bucket)"""
     }.mkString
     val wN = s"w$iterations"
     head + iters +

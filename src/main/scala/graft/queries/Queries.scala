@@ -44,6 +44,26 @@ object Queries {
 
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
 
+  /** DuckDB replica of [[TextFunctions.qualityScore]] over `documents`
+    * — shared by q_quality_score and the q_quality_ensemble gate. */
+  private lazy val qualityScoreOracleSql: String = {
+    val stopPat = TextFunctions.langStopwords.toMap.apply("en")
+    raw"""SELECT doc_id, floor((0.5 * least(1.0, n_tok/64.0) + 0.3 * (1.0 - least(1.0, punct/nt)) + 0.2 * least(1.0, 4.0*stop/nt)) * 10000.0 + 0.5) / 10000.0 AS quality FROM (SELECT doc_id, n_tok, CASE WHEN n_tok > 0 THEN n_tok ELSE 1.0 END AS nt, punct, stop FROM (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct, CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS DOUBLE) AS stop FROM documents))"""
+  }
+
+  /** [[TextFunctions.qualityScore]] >= 0.5 as a SCALAR SQL predicate
+    * over a `documents` row — the distillation label for the trained
+    * classifier rungs (train the cheap model to reproduce the graded
+    * heuristic, then serve the model: the FineWeb-Edu pattern). */
+  private lazy val qualityLabelPredSql: String = {
+    val stopPat = TextFunctions.langStopwords.toMap.apply("en")
+    val n = raw"CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE)"
+    val nt = s"(CASE WHEN $n > 0 THEN $n ELSE 1.0 END)"
+    val pu = "CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)"
+    val st = s"CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS DOUBLE)"
+    s"floor((0.5 * least(1.0, $n/64.0) + 0.3 * (1.0 - least(1.0, $pu/$nt)) + 0.2 * least(1.0, 4.0*$st/$nt)) * 10000.0 + 0.5) / 10000.0 >= 0.5"
+  }
+
   /** Register a scratch directory for recursive deletion at JVM exit —
     * keeps side-effecting queries (q_snapshot_changes) from leaking
     * disk across repeated verify runs. */
@@ -827,10 +847,7 @@ object Queries {
     GraftQuery("q_quality_score",
       (s, dir) => docs(s, dir).select(col("doc_id"),
         TextFunctions.qualityScore(col("text")).as("quality")),
-      Some {
-        val stopPat = TextFunctions.langStopwords.toMap.apply("en")
-        raw"""SELECT doc_id, floor((0.5 * least(1.0, n_tok/64.0) + 0.3 * (1.0 - least(1.0, punct/nt)) + 0.2 * least(1.0, 4.0*stop/nt)) * 10000.0 + 0.5) / 10000.0 AS quality FROM (SELECT doc_id, n_tok, CASE WHEN n_tok > 0 THEN n_tok ELSE 1.0 END AS nt, punct, stop FROM (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS n_tok, CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct, CAST(len(regexp_extract_all(lower(text), '$stopPat')) AS DOUBLE) AS stop FROM documents))"""
-      }),
+      Some(qualityScoreOracleSql)),
 
     // BPE-ish subword token estimate: letter-runs, digit-runs, and
     // single punctuation each count as one token (the cheap proxy for
@@ -1313,19 +1330,69 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       Some(graft.ops.NaiveBayes.classifyOracleSql(
         s"${Corpus.splitAssignSql("doc_id")} = 'train'"))),
 
-    // Trained linear classifier (the GPT-3/LLaMA quality-filter rung):
-    // binary logistic regression over 64 hashed-unigram buckets with a
-    // hard sigmoid, 3 full-batch GD passes in exact micro-unit integer
-    // arithmetic, trained on the deterministic 80% split and scored
-    // corpus-wide. Per pass: one broadcast of the (buckets+1)-row
-    // weight table + two hash-aggs; driver state is buckets+1 longs.
+    // Trained linear classifier (the GPT-3/LLaMA quality-filter rung,
+    // trained by DISTILLATION — the model learns to reproduce the
+    // graded quality heuristic from hashed unigrams, then replaces it
+    // at serving time, the FineWeb-Edu pattern): binary logistic
+    // regression over 64 buckets with a hard sigmoid, 3 full-batch GD
+    // passes in exact micro-unit integer arithmetic on the
+    // deterministic 80% split, scored corpus-wide. The fitted weights
+    // ride in-row as a literal map — the returned scoring plan is one
+    // narrow map stage (PlanSpec pins zero joins/exchanges); per GD
+    // pass the only shuffle is the 65-key gradient aggregate.
     GraftQuery("q_logreg_classify",
       (s, dir) => graft.ops.Logistic.classify(docs(s, dir), col("doc_id"),
-        col("text"), label = col("lang") === "en",
+        col("text"),
+        label = TextFunctions.qualityScore(col("text")) >= 0.5,
         isTrain = Corpus.splitAssign(col("doc_id")) === "train"),
       Some(graft.ops.Logistic.classifyOracleSql(
-        labelPred = "lang = 'en'",
+        labelPred = qualityLabelPredSql,
         trainPred = s"${Corpus.splitAssignSql("doc_id")} = 'train'"))),
+
+    // Ensemble quality gate (the FineWeb/RefinedWeb composition):
+    // Gopher rule signals + heuristic quality score + the TRAINED
+    // logistic classifier, fused into one keep/drop verdict with
+    // per-rule attribution (first-failing-rule precedence). The fitted
+    // weights ride in-row as a literal map, so the whole ensemble is a
+    // SINGLE narrow map pass over the corpus — zero joins, zero
+    // shuffles; the oracle replays the GD fit relationally and joins
+    // the three signal chains on doc_id.
+    GraftQuery("q_quality_ensemble",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val model = graft.ops.Logistic.fit(
+          d.filter(Corpus.splitAssign(col("doc_id")) === "train"),
+          col("text"),
+          label = TextFunctions.qualityScore(col("text")) >= 0.5)
+        d.select(col("doc_id"),
+            TextFunctions.gopherSignals(col("text"))
+              .getField("passes").as("gopher_pass"),
+            TextFunctions.qualityScore(col("text")).as("quality"),
+            graft.ops.Logistic.scoreColumn(col("text"), model)
+              .as("clf_p_micros"))
+          .withColumn("quality_pass", col("quality") >= 0.5)
+          .withColumn("clf_pred", col("clf_p_micros") >= 500000L)
+          .withColumn("keep",
+            col("gopher_pass") && col("quality_pass") && col("clf_pred"))
+          .withColumn("fail_reason",
+            when(!col("gopher_pass"), "gopher")
+              .when(!col("quality_pass"), "quality")
+              .when(!col("clf_pred"), "classifier")
+              .otherwise("none"))
+      },
+      Some {
+        val lrSql = graft.ops.Logistic.classifyOracleSql(
+          labelPred = qualityLabelPredSql,
+          trainPred = s"${Corpus.splitAssignSql("doc_id")} = 'train'")
+        raw"""WITH ${TextFunctions.gopherSignalsOracleCtes()},
+q AS ($qualityScoreOracleSql),
+lr AS (SELECT doc_id, p_micros FROM ($lrSql))
+SELECT g.doc_id, g.passes AS gopher_pass, q.quality, lr.p_micros AS clf_p_micros,
+  q.quality >= 0.5 AS quality_pass, lr.p_micros >= 500000 AS clf_pred,
+  (g.passes AND q.quality >= 0.5 AND lr.p_micros >= 500000) AS keep,
+  CASE WHEN NOT g.passes THEN 'gopher' WHEN NOT (q.quality >= 0.5) THEN 'quality' WHEN NOT (lr.p_micros >= 500000) THEN 'classifier' ELSE 'none' END AS fail_reason
+FROM gsig g JOIN q USING (doc_id) JOIN lr USING (doc_id)"""
+      }),
 
     // Temperature-smoothed mixture rates (mBERT/XLM-R/mT5 multilingual
     // upsampling, α = 1/2): rate_s = sqrt(min_tokens/tokens_s) — IEEE
