@@ -119,6 +119,42 @@ SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS
 st AS (SELECT source FROM qsig GROUP BY source HAVING CAST(floor(CAST(sum(q_micros) AS DOUBLE) / count(*) + 0.5) AS BIGINT) >= $minMeanQMicros AND count(*) >= $minDocs)
 SELECT d.doc_id, d.source FROM documents d JOIN st ON d.source = st.source"""
 
+  /** Per-source quality CALIBRATION (CCNet's percentile gating applied
+    * per stratum): raw quality scores are not comparable across
+    * sources — each has its own baseline — so the keep cut is the
+    * PER-SOURCE `dropFraction` quantile of the micro-unit quality,
+    * not one global threshold. A document keeps iff its quality
+    * reaches its OWN source's cut, dropping each source's worst
+    * `dropFraction` regardless of how the sources' ranges overlap.
+    *
+    * Scale: the exact-percentile aggregate shuffles the corpus once on
+    * `source` with map-side partials whose state is DISTINCT q_micros
+    * values (≤ 10001 per source — the dsir_select-probed bound, never
+    * row-proportional); the cut table is one row per source and
+    * broadcasts back, so the corpus does not shuffle for the join.
+    * Deliberately NOT the percent_rank-window formulation: a window
+    * sorts each source's rows inside one task, which a mega-source
+    * breaks at any partition sizing. */
+  def sourceCalibrate(docs: DataFrame, id: Column, text: Column,
+      source: Column, dropFraction: Double = 0.25): DataFrame = {
+    require(dropFraction >= 0.0 && dropFraction <= 1.0, "fraction in [0,1]")
+    val sc = docs.select(id.as("doc_id"), source.as("source"),
+      qualityMicros(text).as("q_micros"))
+    val cuts = sc.groupBy(col("source"))
+      .agg(expr(s"percentile(q_micros, ${dropFraction}D)").as("cut"))
+    sc.join(broadcast(cuts), Seq("source"))
+      .select(col("doc_id"), col("source"), col("q_micros"), col("cut"),
+        (col("q_micros").cast("double") >= col("cut")).as("keep"))
+  }
+
+  /** DuckDB replica of [[sourceCalibrate]] (quantile_cont matches
+    * Spark's interpolating `percentile` on the integer-scaled score —
+    * the ppl_buckets-proven parity). */
+  def sourceCalibrateOracleSql(dropFraction: Double = 0.25): String =
+    s"""WITH ${qSignalsOracleCte()},
+cuts AS (SELECT source, quantile_cont(q_micros, $dropFraction) AS cut FROM qsig GROUP BY source)
+SELECT doc_id, source, q_micros, cut, CAST(q_micros AS DOUBLE) >= cut AS keep FROM qsig JOIN cuts USING (source)"""
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis A-ES, the standard one-pass distributed scheme): each
     * document draws a reproducible uniform u from md5(doc_id) and keys

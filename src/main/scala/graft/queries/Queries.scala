@@ -1349,6 +1349,15 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
         labelPred = qualityLabelPredSql,
         trainPred = s"${Corpus.splitAssignSql("doc_id")} = 'train'"))),
 
+    // Per-source quality calibration: each source's keep cut is its
+    // OWN 25th-percentile quality (scores aren't comparable across
+    // sources). One groupBy(source) exact-percentile + a broadcast
+    // join back — never a per-source row window.
+    GraftQuery("q_source_calibrate",
+      (s, dir) => Selection.sourceCalibrate(docs(s, dir), col("doc_id"),
+        col("text"), col("source")),
+      Some(Selection.sourceCalibrateOracleSql())),
+
     // Ensemble quality gate (the FineWeb/RefinedWeb composition):
     // Gopher rule signals + heuristic quality score + the TRAINED
     // logistic classifier, fused into one keep/drop verdict with

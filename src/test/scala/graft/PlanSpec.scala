@@ -285,6 +285,16 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_quality_ensemble: three-signal gate fuses into one narrow map " +
+      "stage — zero joins, zero exchanges") {
+    // gopher signals, the quality score, and the fitted classifier are
+    // all per-row expressions; a join or shuffle here means a signal
+    // regressed to a corpus-keyed computation
+    val p = plan("q_quality_ensemble")
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("q_logreg_classify: scoring is a pure narrow map — literal weight " +
       "map, zero joins, zero exchanges") {
     // training runs eagerly inside the builder (bounded 65-row collects

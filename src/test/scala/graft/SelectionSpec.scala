@@ -279,6 +279,35 @@ class SelectionSpec extends SparkSpec {
     assert(landed === Set(2L), landed.toString)
   }
 
+  test("sourceCalibrate: each source drops its OWN worst quartile — a " +
+      "global threshold could not separate the overlapping ranges") {
+    import graft.ops.Selection
+    // source A: long high-quality docs; source B: short low-quality —
+    // B's best docs score below A's cut, yet B must keep ~75% too
+    val docs = (
+      (1L to 40L).map(i => (i, ("www " * (40 + (i % 4).toInt * 8)).trim, "A")) ++
+      (41L to 80L).map(i => (i, ("www " * (4 + (i % 4).toInt * 2)).trim, "B")))
+      .toDF("doc_id", "text", "source")
+    val out = Selection.sourceCalibrate(docs, col("doc_id"), col("text"),
+        col("source")).collect()
+    val bySource = out.groupBy(_.getString(1))
+    // per-source cut differs (B's baseline is far lower)
+    val cutA = bySource("A").head.getDouble(3)
+    val cutB = bySource("B").head.getDouble(3)
+    assert(cutA > cutB, s"cuts must calibrate per source: A=$cutA B=$cutB")
+    // each source keeps roughly the top 3/4 (ties can widen the kept set)
+    Seq("A", "B").foreach { s =>
+      val rows = bySource(s)
+      val kept = rows.count(_.getBoolean(4))
+      assert(kept >= rows.length / 2 && kept < rows.length,
+        s"$s kept $kept of ${rows.length}")
+    }
+    // every kept doc reaches its own source's cut; every dropped misses
+    out.foreach { r =>
+      assert(r.getBoolean(4) === (r.getLong(2).toDouble >= r.getDouble(3)))
+    }
+  }
+
   // ---- temperature mix ----------------------------------------------------
 
   test("temperatureMix: scarcest stratum rates 1.0, a 4x stratum rates 0.5") {
