@@ -60,7 +60,14 @@ object Bench {
       s""""$k":{"min":${f(mn)},"median":${f(med)},"max":${f(mx)}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}""")
+    // min_value (sum of per-query min-of-N) is the contention-robust
+    // estimator: on a loaded host every sample inflates, so the median
+    // inflates with it, but the min of N samples approaches the true
+    // uncontended cost as long as ONE sample ran clean. Headline both —
+    // `value` (median, honest about typical latency on this host) and
+    // `min_value` (floor; compare THIS across rounds/machines).
+    val totalMin = results.map(_._2._1).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","min_value":${f(totalMin)},"estimators":{"value":"median-of-iters per query, summed","min_value":"min-of-iters per query, summed (contention-robust; use for cross-round comparison)"},"queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,16 +19,42 @@ object ScaleData {
     * family pairs are near- not byte-identical. ~`tokens` words each
     * from a `vocab`-word vocabulary via hash-mod. */
   def docs(spark: SparkSession, n: Long, vocab: Int = 500,
-      tokens: Int = 60): DataFrame = {
+      tokens: Int = 60, uniqueTail: Boolean = true): DataFrame = {
     val seed = when(pmod(col("id"), lit(5)) === 1, col("id") - 1)
       .otherwise(col("id"))
-    val words = (0 until tokens).map { j =>
+    val base = (0 until tokens).map { j =>
       concat(lit("w"),
         pmod(hash(seed * lit(7919L) + lit(j)), lit(vocab)).cast("string"))
-    } :+ concat(lit("t"), col("id").cast("string"))
+    }
+    // uniqueTail=false keeps the VOCABULARY bounded by `vocab` as n
+    // grows — the input contract for vocab-sized algorithms (BPE's
+    // Heaps-law assumption); true (default) plants the per-doc unique
+    // token the near-dup probes need
+    val words =
+      if (uniqueTail) base :+ concat(lit("t"), col("id").cast("string"))
+      else base
     spark.range(n).select(col("id").as("doc_id"),
       concat_ws(" ", words: _*).as("text"))
   }
+
+  /** Entity-resolution records with REALISTIC KEY SKEW: planted small
+    * link structure (every 3rd record shares its predecessor-pair's
+    * phone, every 5th an email) plus JUNK mega-keys — 1-in-100 records
+    * share one default phone and 1-in-97 one placeholder email, so a
+    * junk block grows ∝ n and an uncapped blocker would self-join it
+    * into n²/10⁴ pairs. The probe's invariant is that
+    * [[graft.ops.Linkage.resolve]]'s `maxBlock` cap holds: pair volume
+    * (and therefore shuffle) stays linear because the mega-blocks are
+    * dropped, exactly the standard-ER junk-key rule. */
+  def linkageRecords(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("rec_id"),
+      when(pmod(col("id"), lit(100)) === 0, lit("p_default"))
+        .otherwise(concat(lit("p"), (col("id") - pmod(col("id"), lit(3)))
+          .cast("string"))).as("phone"),
+      when(pmod(col("id"), lit(97)) === 0, lit("e_placeholder"))
+        .otherwise(concat(lit("e"), (col("id") - pmod(col("id"), lit(5)))
+          .cast("string"))).as("email"))
 
   /** Document corpus with a NATURAL (Zipf-ish) token frequency shape:
     * per position, a 1-in-5 chance of a hot stopword (32-word head,
@@ -51,7 +77,12 @@ object ScaleData {
       when(pmod(h, lit(5)) === 0,
         concat(lit("s"), pmod(h, lit(32)).cast("string")))
         .otherwise(concat(lit("w"),
-          pmod(hash(h), tailVocab).cast("string")))
+          // 64-bit draw: a 32-bit hash would saturate at ~2^31 distinct
+          // values, so for n·tokens > 2^31 (~35M docs at tokens=60) the
+          // df≈1 Heaps-law contract would silently degrade — df would
+          // grow with n again and the prefix-filter probe's posting-list
+          // bound with it
+          pmod(xxhash64(h), tailVocab).cast("string")))
     } :+ concat(lit("t"), col("id").cast("string"))
     spark.range(n).select(col("id").as("doc_id"),
       concat_ws(" ", words: _*).as("text"))

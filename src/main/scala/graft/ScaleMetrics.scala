@@ -2,7 +2,7 @@ package graft
 
 import java.util.concurrent.atomic.{AtomicLong, LongAdder}
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Aggregating SparkListener behind the scale-evidence probes
@@ -21,6 +21,12 @@ import org.apache.spark.sql.SparkSession
   *    becomes a measurable invariant instead of a code-review claim.
   *  - `peakExecutionMemory`: largest single-task unroll/join/agg
   *    memory — the per-task pressure gauge.
+  *  - `jobs`: Spark jobs launched — the DRIVER ROUND-TRIP count. An
+  *    iterative operator whose job count scales with its iteration
+  *    knob (the r6 BPE finding: one job per merge ⇒ 32k sequential
+  *    jobs for a real vocabulary) is latency-broken at scale even
+  *    when every byte-metric is clean, so round-trips are measured
+  *    alongside bytes.
   */
 final class ScaleMetrics extends SparkListener {
   private val shuffleRead = new LongAdder
@@ -30,6 +36,9 @@ final class ScaleMetrics extends SparkListener {
   private val result = new LongAdder
   private val peakExec = new AtomicLong(0L)
   private val tasks = new LongAdder
+  private val jobs = new LongAdder
+
+  override def onJobStart(e: SparkListenerJobStart): Unit = jobs.increment()
 
   override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
     val m = e.taskMetrics
@@ -52,6 +61,7 @@ final class ScaleMetrics extends SparkListener {
     resultBytes = result.sum(),
     peakExecutionMemory = peakExec.get(),
     tasks = tasks.sum(),
+    jobs = jobs.sum(),
     wallSec = 0.0)
 }
 
@@ -59,16 +69,17 @@ object ScaleMetrics {
 
   final case class Measured(shuffleReadBytes: Long, shuffleWriteBytes: Long,
       memSpillBytes: Long, diskSpillBytes: Long, resultBytes: Long,
-      peakExecutionMemory: Long, tasks: Long, wallSec: Double) {
+      peakExecutionMemory: Long, tasks: Long, jobs: Long,
+      wallSec: Double) {
     def spillBytes: Long = memSpillBytes + diskSpillBytes
     private def mb(b: Long): String = f"${b / 1048576.0}%.1f"
     def row(label: String): String =
-      f"| $label | $wallSec%.1f | ${mb(shuffleWriteBytes)} | ${mb(shuffleReadBytes)} | ${mb(spillBytes)} | ${mb(resultBytes)} | ${mb(peakExecutionMemory)} | $tasks |"
+      f"| $label | $wallSec%.1f | ${mb(shuffleWriteBytes)} | ${mb(shuffleReadBytes)} | ${mb(spillBytes)} | ${mb(resultBytes)} | ${mb(peakExecutionMemory)} | $tasks | $jobs |"
   }
 
   val header: String =
-    "| rung | wall s | shuffle write MB | shuffle read MB | spill MB | driver-result MB | peak task mem MB | tasks |\n" +
-    "|---|---|---|---|---|---|---|---|"
+    "| rung | wall s | shuffle write MB | shuffle read MB | spill MB | driver-result MB | peak task mem MB | tasks | jobs |\n" +
+    "|---|---|---|---|---|---|---|---|---|"
 
   /** Run `f` with a fresh listener attached and return (result,
     * metrics). Listener events post asynchronously, so after the action

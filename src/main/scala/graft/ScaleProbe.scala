@@ -121,7 +121,53 @@ object ScaleProbe {
       "logreg" -> (() =>
         force(graft.ops.Logistic.classify(docs, col("doc_id"), col("text"),
           label = pmod(hash(col("doc_id")), lit(2)) === 0,
-          isTrain = pmod(col("doc_id"), lit(5)) =!= 0))))
+          isTrain = pmod(col("doc_id"), lit(5)) =!= 0))),
+      // two-tier BPE trainer: 64 merges must cost a FIXED handful of
+      // driver round-trips (local tier: vocab checkpoint + count +
+      // collect), not one job per merge — the r6-flagged latency class
+      // (32k-merge vocab = 32k sequential jobs). Bounded vocab is the
+      // operator's documented Heaps-law input contract; the jobs column
+      // is the rung's headline metric
+      "bpe_train" -> (() =>
+        force(graft.ops.Bpe.learnMerges(
+          ScaleData.docs(spark, docsN, vocab = 2000, uniqueTail = false),
+          col("doc_id"), col("text"), nMerges = 64))),
+      // multi-key blocked entity resolution on SKEWED keys: the junk
+      // mega-blocks (shared default phone / placeholder email, size
+      // ∝ n) must be dropped by the maxBlock cap so candidate-pair
+      // volume — and with it shuffle — stays linear; an uncapped
+      // blocker would quadratically self-join the mega-block
+      "record_linkage" -> (() =>
+        force(graft.ops.Linkage.resolve(
+          ScaleData.linkageRecords(spark, docsN), col("rec_id"),
+          Seq(col("phone"), col("email"))))),
+      // per-source percentile calibration at 1k strata: the exact-
+      // percentile aggregate's state is DISTINCT quality values per
+      // source (bounded), never row-proportional, and the cut table
+      // broadcasts back — one corpus shuffle on `source`, flat driver
+      "source_calibrate" -> (() =>
+        force(graft.ops.Selection.sourceCalibrate(
+          docs.withColumn("source", concat(lit("s"),
+            pmod(col("doc_id"), lit(1000)).cast("string"))),
+          col("doc_id"), col("text"), col("source")))),
+      // the composed ensemble gate (Gopher rules + heuristic quality +
+      // trained classifier riding in-row as a literal map): after the
+      // bounded GD fit, scoring must stay a SINGLE narrow map pass —
+      // no join, no corpus shuffle — under full forced evaluation of
+      // every output column
+      "quality_ensemble" -> (() => {
+        val d = docs
+        val model = graft.ops.Logistic.fit(
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0), col("text"),
+          label = graft.functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+        val t = graft.functions.TextFunctions
+        force(d.select(col("doc_id"),
+            t.gopherSignals(col("text")).getField("passes").as("gopher_pass"),
+            t.qualityScore(col("text")).as("quality"),
+            graft.ops.Logistic.scoreColumn(col("text"), model).as("clf_p_micros"))
+          .withColumn("keep", col("gopher_pass") && col("quality") >= 0.5 &&
+            col("clf_p_micros") >= 500000L))
+      }))
   }
 
   /** Force FULL evaluation of `df` and return its row count.

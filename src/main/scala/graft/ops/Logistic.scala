@@ -51,8 +51,20 @@ object Logistic {
       array().cast("array<bigint>"))
 
   /** z in micro units under weights `w`: bias + Σ_tokens w[bucket] —
-    * one `aggregate` HOF over the bucket array, zero shuffle. */
+    * one `aggregate` HOF over the bucket array, zero shuffle.
+    *
+    * The weight map MUST cover exactly the key space this B implies
+    * (0..B-1 features + B bias): a model fit with a different bucket
+    * count would make `element_at` return null for the missing keys and
+    * every score would go silently null — a serving gate would then
+    * drop all rows instead of failing. Checked eagerly here so a
+    * fit/serve bucket mismatch is an immediate error, not a silent
+    * full-drop. */
   private def zOf(bkts: Column, w: Map[Long, Long], B: Int): Column = {
+    require(w.size == B + 1 && (0L to B.toLong).forall(w.contains),
+      s"model/bucket mismatch: expected ${B + 1} weights on keys 0..$B " +
+        s"(features + bias), got ${w.size} keys — was the model fit with " +
+        "a different `buckets` value?")
     val wmap = typedLit(w - B.toLong)
     aggregate(bkts, lit(w(B.toLong)), (acc, b) => acc + element_at(wmap, b))
   }

@@ -134,10 +134,26 @@ SELECT d.doc_id, d.source FROM documents d JOIN st ON d.source = st.source"""
     * broadcasts back, so the corpus does not shuffle for the join.
     * Deliberately NOT the percent_rank-window formulation: a window
     * sorts each source's rows inside one task, which a mega-source
-    * breaks at any partition sizing. */
+    * breaks at any partition sizing.
+    *
+    * `dropFraction` must be a DYADIC rational k/2^m (0.25, 0.5,
+    * 0.375, …): the keep verdict compares against an interpolated
+    * double cut, and the exact-equality oracle contract only provably
+    * holds when the interpolation weight (n-1)·f is computed without
+    * representation error on both engines. A dyadic f is exact in
+    * binary floating point, so Spark's `percentile` and DuckDB's
+    * `quantile_cont` interpolate between the same two integers with
+    * the same exact weight; a non-dyadic f (0.1, 0.3) risks a 1-ulp
+    * divergence between the two interpolations and a flipped `keep`
+    * on a boundary row. Enforced eagerly rather than documented-only. */
   def sourceCalibrate(docs: DataFrame, id: Column, text: Column,
       source: Column, dropFraction: Double = 0.25): DataFrame = {
     require(dropFraction >= 0.0 && dropFraction <= 1.0, "fraction in [0,1]")
+    val scaled = dropFraction * (1 << 20)
+    require(scaled == math.floor(scaled),
+      s"dropFraction=$dropFraction is not a dyadic rational k/2^m (m<=20); " +
+        "non-dyadic fractions break the exact-equality oracle contract " +
+        "(1-ulp interpolation divergence) — use 0.25, 0.5, 0.375, ...")
     val sc = docs.select(id.as("doc_id"), source.as("source"),
       qualityMicros(text).as("q_micros"))
     val cuts = sc.groupBy(col("source"))

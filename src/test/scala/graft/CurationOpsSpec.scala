@@ -170,6 +170,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_bpe") === 3L)
   }
 
+  test("bpe: local merge loop is byte-equal to the distributed loop") {
+    // a corpus rich enough to exercise deep merge chains, count ties
+    // (the pair-asc tie-break), and the consumed-separator replace
+    // quirk ("a b a b" merges only once per pass)
+    val docs = graft.ScaleData.docs(spark, n = 200, vocab = 40, tokens = 12)
+    val nM = 12
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    val localM = graft.ops.Bpe.learnMerges(docs, col("doc_id"), col("text"),
+      nMerges = nM).orderBy("rank").collect().map(key)
+    val distM = graft.ops.Bpe.learnMerges(docs, col("doc_id"), col("text"),
+      nMerges = nM, localVocabLimit = 0L).orderBy("rank").collect().map(key)
+    assert(localM.toSeq === distM.toSeq)
+    val localE = graft.ops.Bpe.encode(docs, col("doc_id"), col("text"),
+      nMerges = nM).orderBy("doc_id").collect().map(key)
+    val distE = graft.ops.Bpe.encode(docs, col("doc_id"), col("text"),
+      nMerges = nM, localVocabLimit = 0L).orderBy("doc_id").collect().map(key)
+    assert(localE.toSeq === distE.toSeq)
+  }
+
   // ---- hard negatives -----------------------------------------------------
 
   test("knnClassify: majority label of the k nearest wins; label asc breaks ties") {

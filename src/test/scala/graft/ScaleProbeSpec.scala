@@ -58,6 +58,18 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("bpe_train: driver round-trips are O(1) in merges (two-tier loop)") {
+    // 64 merges learned in both runs; the local tier must cost a fixed
+    // handful of jobs (vocab checkpoint + count + collect + the forced
+    // result) — the distributed loop would be >= 2 jobs PER merge
+    // (~128 here), the r6-flagged latency class. Also flat across the
+    // 10x input: round-trips depend on neither corpus nor merges.
+    val s = small("bpe_train")._2.jobs
+    val b = big("bpe_train")._2.jobs
+    assert(s <= 12L, s"bpe_train used $s jobs at 1x — merge loop not batched")
+    assert(b <= 12L, s"bpe_train used $b jobs at 10x — merge loop not batched")
+  }
+
   test("driver materialization stays bounded at 10x (no corpus-sized collect)") {
     // resultBytes has a plan-width × task-count noise floor (per-task
     // accumulator/metric payload), so the invariant is GROWTH, not an
