@@ -32,12 +32,23 @@ import org.apache.spark.sql.functions.{col, input_file_name, max, min}
   *    manifests, so an in-flight reader of the previous version stays
   *    valid through the next commit.
   *
-  * Single writer assumed (a streaming foreachBatch serializes batches;
-  * compaction is maintenance run against quiesced or closed
-  * partitions) — this is Delta's model minus optimistic concurrency,
-  * which one pointer file cannot arbitrate. At 100 TB the partition-
-  * scoped commit is the workhorse: compacting one closed month touches
-  * that month's files and a few KB of manifest, never the table.
+  * Single writer assumed ACROSS PROCESSES (a streaming foreachBatch
+  * serializes batches; compaction is maintenance run against quiesced
+  * or closed partitions) — this is Delta's model minus optimistic
+  * concurrency, which one pointer file cannot arbitrate. WITHIN a
+  * process, commits to the same base serialize on a per-base JVM
+  * lock: the read-current → stage → publish sequence is a
+  * read-modify-write, and two interleaved in-process writers would
+  * otherwise both extend the SAME parent version — on HDFS the loser's
+  * rename fails loudly, but POSIX rename(2) (RawLocalFileSystem)
+  * OVERWRITES an existing destination, silently dropping the first
+  * commit. The lock closes that hole for the real in-process case
+  * (several streaming queries landing in one table from one driver);
+  * an exists-check before the rename additionally converts most
+  * cross-process races into the loud conflict. At 100 TB the
+  * partition-scoped commit is the workhorse: compacting one closed
+  * month touches that month's files and a few KB of manifest, never
+  * the table.
   *
   * DATA SKIPPING: commits may record per-file min/max statistics for
   * chosen numeric columns as `#stats=` manifest lines (the same idea as
@@ -57,6 +68,17 @@ object SnapshotStore {
 
   private def manifestDir(base: String) = new Path(base, "_manifests")
   private def dataDir(base: String) = s"$base/data"
+
+  /** Per-base commit lock (see the class doc's concurrency contract):
+    * every commitAppend/commitReplace/commitReplacePartition holds it
+    * from manifest resolution through publish, so in-process writers
+    * serialize instead of racing the version number. Keyed by the raw
+    * base string — callers addressing one table must use one spelling,
+    * the same contract the checkpoint/tag paths already assume. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLock(base: String): Object =
+    commitLocks.computeIfAbsent(base, _ => new Object)
 
   // ---- small file IO ------------------------------------------------------
 
@@ -226,7 +248,14 @@ object SnapshotStore {
       .filter(_.startsWith(StatsPrefix))
       .filter(l => statsLineFile(l).exists(live))
     writeFile(f, tmp, (tags ++ carriedStats ++ newStats ++ files).mkString("\n"))
-    if (!f.rename(tmp, new Path(manifestDir(base), name)))
+    val dst = new Path(manifestDir(base), name)
+    // HDFS rename fails on an existing destination; POSIX rename(2)
+    // (RawLocalFileSystem) OVERWRITES it — so probe explicitly first.
+    // In-process racers never reach here concurrently (commitLock);
+    // this check turns a cross-process race into the loud conflict on
+    // local filesystems too (modulo the unavoidable check-then-rename
+    // window — the documented cross-process contract stays single-writer)
+    if (f.exists(dst) || !f.rename(tmp, dst))
       throw new java.io.IOException(
         s"snapshot commit conflict: version $name already exists under $base")
   }
@@ -235,11 +264,12 @@ object SnapshotStore {
     * compaction). `statsCols` opts the commit into per-file min/max
     * recording for those (numeric) columns. */
   def commitReplace(spark: SparkSession, base: String, df: DataFrame,
-      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit = {
-    val staged = stageWrite(spark, base, df, partitionBy)
-    commitManifest(spark, base, staged,
-      newStats = computeStats(spark, base, staged, statsCols))
-  }
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Unit =
+    commitLock(base).synchronized {
+      val staged = stageWrite(spark, base, df, partitionBy)
+      commitManifest(spark, base, staged,
+        newStats = computeStats(spark, base, staged, statsCols))
+    }
 
   /** Append `df` to the table. Atomic for readers too: the batch's
     * files appear all-at-once at manifest publish, never half-written.
@@ -248,13 +278,19 @@ object SnapshotStore {
     * exactly-once landing on top of an at-least-once sink. */
   def commitAppend(spark: SparkSession, base: String, df: DataFrame,
       partitionBy: Seq[String] = Nil, tag: Option[String] = None,
-      statsCols: Seq[String] = Nil): Unit = {
-    if (tag.exists(hasTag(spark, base, _))) return
-    val existing = listFiles(spark, base)
-    val staged = stageWrite(spark, base, df, partitionBy)
-    commitManifest(spark, base, existing ++ staged, tag,
-      newStats = computeStats(spark, base, staged, statsCols))
-  }
+      statsCols: Seq[String] = Nil): Unit =
+    // the whole tag-probe → read-current → stage → publish sequence is
+    // one critical section: splitting it would let an interleaved
+    // writer invalidate the read current version (lost update) or let
+    // a replayed tag double-commit past the idempotence probe
+    commitLock(base).synchronized {
+      if (!tag.exists(hasTag(spark, base, _))) {
+        val existing = listFiles(spark, base)
+        val staged = stageWrite(spark, base, df, partitionBy)
+        commitManifest(spark, base, existing ++ staged, tag,
+          newStats = computeStats(spark, base, staged, statsCols))
+      }
+    }
 
   /** Replace exactly one partition's files with `df` (which must be the
     * new content of that partition, carrying the partition column):
@@ -262,13 +298,14 @@ object SnapshotStore {
     * without touching the rest of the table. */
   def commitReplacePartition(spark: SparkSession, base: String, df: DataFrame,
       partitionCol: String, partitionValue: String,
-      statsCols: Seq[String] = Nil): Unit = {
-    val kept = listFiles(spark, base)
-      .filterNot(_.startsWith(s"$partitionCol=$partitionValue/"))
-    val staged = stageWrite(spark, base, df, Seq(partitionCol))
-    commitManifest(spark, base, kept ++ staged,
-      newStats = computeStats(spark, base, staged, statsCols))
-  }
+      statsCols: Seq[String] = Nil): Unit =
+    commitLock(base).synchronized {
+      val kept = listFiles(spark, base)
+        .filterNot(_.startsWith(s"$partitionCol=$partitionValue/"))
+      val staged = stageWrite(spark, base, df, Seq(partitionCol))
+      commitManifest(spark, base, kept ++ staged,
+        newStats = computeStats(spark, base, staged, statsCols))
+    }
 
   // ---- per-file column statistics (data skipping) -------------------------
 
