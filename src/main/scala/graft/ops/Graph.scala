@@ -74,4 +74,72 @@ r0 AS (SELECT node, outdeg, CAST(1000000 AS BIGINT) AS rank_micros FROM deg)"""
     }.mkString(",\n")
     s"$head,\n$its\nSELECT node, rank_micros FROM r$iters"
   }
+
+  /** Per-node triangle counts over an undirected edge list — the
+    * clustering/community-density signal (spam-farm detection in crawl
+    * graphs, botnet-ring detection over engagement graphs; ClickHouse
+    * users run the same two-join SQL).
+    *
+    * The scalable formulation (Suri & Vassilvitskii's MR-triangles):
+    * ORIENT each undirected edge from its lower-degree endpoint to the
+    * higher (ties by node id). Every triangle then has exactly one
+    * "pivot" node with two out-edges, so counting wedges
+    * pivot→{b, c} that close with an oriented edge b→c counts each
+    * triangle exactly once — and out-degree under this orientation is
+    * O(√m), so the wedge join's fan-out per node is bounded by
+    * structure, not by the hottest hub's raw degree (a star node has
+    * huge in-degree but tiny out-degree). Edge/degree tables are
+    * corpus-derived → [[Joins.corpusSide]] sort-merge pins on every
+    * join.
+    *
+    * Output: (node, n_tri) for every node with n_tri >= 1, where n_tri
+    * counts triangles containing the node (each triangle contributes
+    * to all three corners). */
+  def triangleCounts(rawEdges: DataFrame, a: Column, b: Column): DataFrame = {
+    // canonical undirected edge set: (lo, hi), self-loops dropped
+    val und = rawEdges
+      .select(least(a, b).as("lo"), greatest(a, b).as("hi"))
+      .filter(col("lo") =!= col("hi")).distinct()
+    val deg = und.select(col("lo").as("n")).unionAll(und.select(col("hi").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient: lower (degree, id) endpoint points at the higher
+    val withDeg = und
+      .join(Joins.corpusSide(deg.withColumnRenamed("n", "lo")
+        .withColumnRenamed("d", "dlo")), Seq("lo"))
+      .join(Joins.corpusSide(deg.withColumnRenamed("n", "hi")
+        .withColumnRenamed("d", "dhi")), Seq("hi"))
+    val oriented = withDeg.select(
+      when(col("dlo") < col("dhi") ||
+        (col("dlo") === col("dhi") && col("lo") < col("hi")), col("lo"))
+        .otherwise(col("hi")).as("src"),
+      when(col("dlo") < col("dhi") ||
+        (col("dlo") === col("dhi") && col("lo") < col("hi")), col("hi"))
+        .otherwise(col("lo")).as("dst"))
+    // wedges at the pivot: the unordered out-pair {x, y} appears in
+    // both orders here, but the closure edge exists oriented in only
+    // ONE direction (the orientation is a DAG over the (degree, id)
+    // total order), so each triangle joins exactly once — the filter
+    // must be x ≠ y, NOT x < y by raw id, which is a different order
+    // than the orientation's and would drop closures running against it
+    val e1 = oriented.select(col("src").as("p"), col("dst").as("x"))
+    val e2 = oriented.select(col("src").as("p"), col("dst").as("y"))
+    val wedges = e1.join(Joins.corpusSide(e2), Seq("p"))
+      .filter(col("x") =!= col("y"))
+    val tris = wedges.join(Joins.corpusSide(
+        oriented.select(col("src").as("x"), col("dst").as("y"))),
+      Seq("x", "y"))
+    // each triangle (p, x, y) credits all three corners
+    tris.select(explode(array(col("p"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** DuckDB replica of [[triangleCounts]] over an edge CTE named
+    * `rawe(a, b)` that the caller prepends. */
+  def triangleCountsOracleSql(): String =
+    """und AS (SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM rawe WHERE a <> b),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (SELECT lo AS n FROM und UNION ALL SELECT hi FROM und) GROUP BY 1),
+oriented AS (SELECT CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND lo < hi) THEN lo ELSE hi END AS src, CASE WHEN dl.d < dh.d OR (dl.d = dh.d AND lo < hi) THEN hi ELSE lo END AS dst FROM und JOIN deg dl ON dl.n = lo JOIN deg dh ON dh.n = hi),
+tris AS (SELECT e1.p, e1.x, e2.y FROM (SELECT src AS p, dst AS x FROM oriented) e1 JOIN (SELECT src AS p, dst AS y FROM oriented) e2 USING (p) JOIN oriented cl ON cl.src = e1.x AND cl.dst = e2.y WHERE e1.x <> e2.y),
+corners AS (SELECT p AS node FROM tris UNION ALL SELECT x FROM tris UNION ALL SELECT y FROM tris)
+SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM corners GROUP BY 1"""
 }

@@ -128,6 +128,77 @@ SELECT doc_id, score, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) A
             * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("tfidf"))
   }
 
+  /** Hybrid sparse+dense retrieval with Reciprocal Rank Fusion — the
+    * standard production RAG pattern (lexical BM25 catches exact
+    * terms, the embedding ranking catches paraphrase; RRF fuses
+    * without score calibration because it consumes only RANKS). The
+    * sparse arm is [[bm25TopK]]; the dense arm embeds every document
+    * AND the query bag with the same deterministic hashing vectorizer
+    * (graft.functions.VectorFunctions — the bootstrap embedder; at
+    * corpus scale the arm swaps to Ann.ivfTopK over learned
+    * embeddings, same (id, rank) contract) and ranks by cosine. Fusion
+    * is integer-exact: contribution = floor(10^6 / (rrfK + rank)), so
+    * the fused order is engine-identical with no float-sum drift.
+    *
+    * Scale: each arm is corpus-scan + one-row stats broadcast +
+    * TakeOrdered(kEach) — the two kEach-row rankings then fuse with a
+    * driver-free full-outer join of two tiny relations. No corpus
+    * shuffle anywhere.
+    *
+    * Output: top `k` of (doc_id, rank_sparse, rank_dense, rrf_micros,
+    * rank), ranks null when an arm missed the doc. */
+  def rrfFusion(docs: DataFrame, id: Column, text: Column,
+      terms: Seq[String], dim: Int = 16, kEach: Int = 20, k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    import graft.functions.VectorFunctions
+    val sparse = bm25TopK(docs, id, text, terms, k = kEach)
+      .select(col("doc_id"), col("rank").as("rank_sparse"))
+    val qv = VectorFunctions.hashingVectorizer(
+      typedLit(terms.map(_.toLowerCase)), dim)
+    val emb = docs.select(id.as("doc_id"),
+      VectorFunctions.hashingVectorizer(
+        TextFunctions.tokens(lower(text)), dim).as("emb"))
+    val dense = emb
+      .withColumn("cosine", VectorFunctions.cosine(col("emb"), qv))
+      .filter(col("cosine").isNotNull)
+      .select(col("doc_id"),
+        (floor(col("cosine") * lit(1000000.0) + lit(0.5))).cast("long")
+          .as("cos_micros"))
+      .orderBy(col("cos_micros").desc, col("doc_id").asc)
+      .limit(kEach)
+      .withColumn("rank_dense", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos_micros").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank_dense"))
+    def contrib(rank: Column): Column =
+      coalesce(floor(lit(1000000.0) / (lit(rrfK) + rank)).cast("long"), lit(0L))
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micros",
+        contrib(col("rank_sparse")) + contrib(col("rank_dense")))
+      .orderBy(col("rrf_micros").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf_micros").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rank_sparse"), col("rank_dense"),
+        col("rrf_micros"), col("rank"))
+  }
+
+  /** DuckDB replica of [[rrfFusion]] over table `documents`. */
+  def rrfFusionOracleSql(terms: Seq[String], dim: Int = 16,
+      kEach: Int = 20, k: Int = 10, rrfK: Int = 60): String = {
+    import graft.functions.VectorFunctions
+    val toksSql = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+    val qTermsSql = terms.map(t => s"'${t.toLowerCase}'").mkString("[", ", ", "]")
+    s"""WITH sparse AS (SELECT doc_id, rank AS rank_sparse FROM (${bm25OracleSql(terms, k = kEach)})),
+emb AS (SELECT doc_id, ${VectorFunctions.hashingVectorizerSql(toksSql, dim)} AS v FROM documents),
+qv AS (SELECT ${VectorFunctions.hashingVectorizerSql(qTermsSql, dim)} AS q),
+cosd AS (SELECT doc_id, CASE WHEN nrm > 0 AND qnrm > 0 THEN CAST(floor(dp / (nrm * qnrm) * 1000000.0 + 0.5) AS BIGINT) END AS cos_micros FROM (SELECT doc_id, list_sum([v[i]*q[i] FOR i IN range(1, len(v)+1)]) AS dp, sqrt(list_sum([v[i]*v[i] FOR i IN range(1, len(v)+1)])) AS nrm, sqrt(list_sum([q[i]*q[i] FOR i IN range(1, len(q)+1)])) AS qnrm FROM emb, qv)),
+dense AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos_micros DESC, doc_id ASC) AS INTEGER) AS rank_dense FROM (SELECT * FROM cosd WHERE cos_micros IS NOT NULL ORDER BY cos_micros DESC, doc_id ASC LIMIT $kEach)),
+fused AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, rank_sparse, rank_dense, coalesce(CAST(floor(1000000.0 / ($rrfK + rank_sparse)) AS BIGINT), 0) + coalesce(CAST(floor(1000000.0 / ($rrfK + rank_dense)) AS BIGINT), 0) AS rrf_micros FROM sparse s FULL OUTER JOIN dense d ON s.doc_id = d.doc_id)
+SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id ASC) AS INTEGER) AS rank FROM fused ORDER BY rrf_micros DESC, doc_id ASC LIMIT $k"""
+  }
+
   /** DuckDB replica of [[tfIdfTopTerms]] over table `documents`. */
   def tfIdfOracleSql(k: Int = 3): String =
     raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),

@@ -95,4 +95,50 @@ object Rollups {
     * driver-side state). */
   def lastPerKey(df: DataFrame, keys: Seq[Column], ts: Column, tiebreak: Column): DataFrame =
     Dedup.lww(df, keys, ts, tiebreak)
+
+  /** Time-decayed score rollup (ClickHouse's exponentialMovingAverage /
+    * Redis decay-counter serving pattern): each event contributes
+    * score · 2^(-age/halflife) toward its key's total, evaluated at the
+    * stream's frontier (the global max ts — deterministic, so replays
+    * agree). The decay is EXACT-INTEGER: age quantizes to whole
+    * halflives k = floor(age_sec / halflifeSec), each contribution is
+    * the BIGINT centi_score · 2^(horizon - k) (a left shift), and the
+    * rollup sums longs — order-independent, engine-exact, replayable.
+    * Contributions older than `horizon` halflives are exactly 0 (<1%
+    * weight left by k=7; horizon=30 keeps the shift budget safe:
+    * centi ≤ ~750 · 2^30 per term, << 2^63 across any corpus).
+    *
+    * Scale: the frontier is a one-row aggregate broadcast back (the
+    * BM25 stats shape); the rollup is one hash aggregate with map-side
+    * combine — no window, no sort, and the quantized-decay form is
+    * exactly what an incremental maintainer needs (a SummingStore MV
+    * over (key, k) buckets re-weights by shifting, never re-scans). */
+  def decayedScore(df: DataFrame, key: Column, ts: Column,
+      scoreCenti: Column, halflifeSec: Long = 86400L,
+      horizon: Int = 30): DataFrame = {
+    require(halflifeSec > 0 && horizon >= 1 && horizon <= 40)
+    val frontier = df.agg(max(ts).as("__t_max"))
+    df.select(key.as("key"), ts.as("__ts"), scoreCenti.as("__sc"))
+      .crossJoin(broadcast(frontier))
+      // integer micros end to end: Spark's unix_timestamp floors to
+      // seconds while DuckDB's epoch() keeps the fraction — micros are
+      // the shared exact currency (unix_micros / epoch_us)
+      .withColumn("__k",
+        expr(s"(unix_micros(__t_max) - unix_micros(__ts)) DIV " +
+          s"${halflifeSec * 1000000L}"))
+      .withColumn("__w", when(col("__k") < horizon,
+        expr(s"shiftleft(CAST(__sc AS BIGINT), CAST($horizon - __k AS INT))"))
+        .otherwise(lit(0L)))
+      .groupBy(col("key"))
+      .agg(sum(col("__w")).as(s"decayed_q$horizon"),
+        count(lit(1)).as("events"))
+  }
+
+  /** DuckDB replica of [[decayedScore]] with `keySql`/`scoreCentiSql`
+    * over table `events` (ts column `ts`). */
+  def decayedScoreOracleSql(keySql: String, scoreCentiSql: String,
+      halflifeSec: Long = 86400L, horizon: Int = 30): String =
+    s"""WITH f AS (SELECT max(ts) AS t_max FROM events),
+terms AS (SELECT $keySql AS key, CAST((epoch_us(t_max) - epoch_us(ts)) // ${halflifeSec * 1000000L} AS BIGINT) AS k, CAST($scoreCentiSql AS BIGINT) AS sc FROM events, f)
+SELECT key, CAST(sum(CASE WHEN k < $horizon THEN sc << CAST($horizon - k AS INTEGER) ELSE 0 END) AS BIGINT) AS decayed_q$horizon, count(*) AS events FROM terms GROUP BY 1"""
 }

@@ -1,0 +1,152 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deterministic, exactly-replayable frequency/cardinality sketches —
+  * the mergeable-summary layer a streaming analytics engine serves
+  * counters from (the reference's Redis counter tier holds exactly
+  * these aggregates; ClickHouse's uniqCombined / topK are the
+  * warehouse versions).
+  *
+  * These complement the registry's existing sketch rungs
+  * (q_heavy_hitters = Misra–Gries, q_sketch_distinct = Spark's HLL++):
+  * those algorithms are merge-ORDER-dependent, so their oracle surface
+  * is contract booleans. The two here are built from pure integer sums
+  * and maxes — both COMMUTATIVE — so the sketch contents themselves
+  * are partition-order-independent and the DuckDB oracle replays them
+  * bit-for-bit, estimate included. That is also the 100 TB property:
+  * a commutative sketch shards freely (per-executor partials merge by
+  * `+`/`greatest` in any order) and unions across days/streams without
+  * re-scanning data.
+  *
+  * Hashing is the md5-derived 60-bit portable hash
+  * ([[TextFunctions.md5Long]]) both engines compute identically.
+  */
+object Sketches {
+
+  /** Count-Min sketch point estimates vs exact counts. The sketch is
+    * `d` rows × `w` counters; h_j(x) = md5Long(j:x) mod w; the point
+    * estimate is min_j counter[j][h_j(x)] — an OVERESTIMATE by
+    * construction (collisions only add), within εN with the standard
+    * (w,d) guarantees. Output, one row per distinct key:
+    * (key, exact_cnt, est_cnt) — est_cnt >= exact_cnt always, and both
+    * engines agree exactly because counter sums and the min are
+    * order-independent.
+    *
+    * Scale: the counter build is one hash aggregate over (j, bucket) —
+    * d·w groups REGARDLESS of corpus size, with map-side combine; the
+    * estimate probe joins the distinct-key table to the counters on
+    * (j, bucket). The counter table broadcasts: unlike a corpus-derived
+    * relation (the SCALE.md mis-broadcast class), its size is d·w BY
+    * CONSTRUCTION — structurally bounded, the same justification as the
+    * per-source cut table in Selection.sourceCalibrate. */
+  def countMinEstimates(df: DataFrame, key: Column,
+      w: Int = 64, d: Int = 4): DataFrame = {
+    require(w >= 2 && d >= 1)
+    val keyed = df.select(key.cast("string").as("k"))
+    def bucketOf(j: Column, k: Column): Column =
+      pmod(TextFunctions.md5Long(concat(j.cast("string"), lit(":"), k)),
+        lit(w.toLong))
+    val rows = keyed.select(col("k"),
+      explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"), bucketOf(col("j"), col("k")).as("bucket"))
+    val counters = rows.groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact.select(col("k"), col("exact_cnt"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("k"), col("exact_cnt"), col("j"),
+        bucketOf(col("j"), col("k")).as("bucket"))
+    probes.join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy(col("k"), col("exact_cnt"))
+      .agg(min(col("cnt")).as("est_cnt"))
+      .select(col("k").as("key"), col("exact_cnt"), col("est_cnt"))
+  }
+
+  /** DuckDB replica of [[countMinEstimates]] over `keySql` drawn from
+    * `src`. */
+  def countMinOracleSql(keySql: String, src: String,
+      w: Int = 64, d: Int = 4): String = {
+    def b(jSql: String) =
+      s"CAST('0x'||substring(md5(CAST($jSql AS VARCHAR) || ':' || k),1,15) AS BIGINT) % $w"
+    s"""WITH keyed AS (SELECT CAST($keySql AS VARCHAR) AS k FROM $src),
+counters AS (SELECT j, ${b("j")} AS bucket, CAST(count(*) AS BIGINT) AS cnt FROM keyed, LATERAL unnest(range(0, $d)) AS u(j) GROUP BY 1, 2),
+exact AS (SELECT k, CAST(count(*) AS BIGINT) AS exact_cnt FROM keyed GROUP BY 1),
+probes AS (SELECT k, exact_cnt, j, ${b("j")} AS bucket FROM exact, LATERAL unnest(range(0, $d)) AS u(j))
+SELECT k AS key, exact_cnt, min(cnt) AS est_cnt FROM probes JOIN counters USING (j, bucket) GROUP BY 1, 2"""
+  }
+
+  /** Deterministic HyperLogLog over `key`: m registers, register j =
+    * max over keys hashing to j of (trailing zeros of a second 32-bit
+    * hash + 1, capped at 32; an all-zero hash registers 32). The
+    * estimate is Flajolet's alpha·m²/Σ2^-M_j computed ENTIRELY in
+    * BIGINT: Σ2^-M_j is held as the exact integer numerator
+    * Σ 2^(32-M_j) over 2^32 (empty registers contribute 2^32), and
+    * alpha_64 = 0.709 enters as the rational 709/1000, so the floor
+    * estimate is one integer division — no transcendental, no float
+    * summation order, bit-identical on both engines. (The standard
+    * small/large-range corrections use ln(); they are deliberately
+    * omitted to keep the integer-exact contract — this is the raw-HLL
+    * estimator, and the output carries the register state + zeros so a
+    * consumer can apply any correction.)
+    *
+    * Trailing zeros without log2: for x > 0, (x & -x) isolates the
+    * lowest set bit and bit_count((x & -x) - 1) counts the zeros below
+    * it — pure integer ops both engines share.
+    *
+    * Scale: registers are a m-group hash aggregate (map-side max) —
+    * the sketch is m longs however large the input, merges by
+    * `greatest` in any order, and the whole output is ONE row:
+    * (m, zeros, numerator_q32, est_distinct, exact_distinct). */
+  def hllDistinct(df: DataFrame, key: Column, m: Int = 64): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    val keyed = df.select(key.cast("string").as("k")).distinct()
+    val h1 = TextFunctions.md5Long(col("k"))
+    val h2 = pmod(TextFunctions.md5Long(concat(lit("r:"), col("k"))),
+      lit(4294967296L))
+    val rho = when(col("h2") === 0L, lit(32L))
+      .otherwise(least(
+        bit_count(col("h2").bitwiseAND(-col("h2")) - 1).cast("long") + 1L,
+        lit(32L)))
+    val regs = keyed
+      .select(pmod(h1, lit(m.toLong)).as("bucket"), h2.as("h2"))
+      .select(col("bucket"), rho.as("rho"))
+      .groupBy(col("bucket")).agg(max(col("rho")).as("reg"))
+    // one-row reduce: zeros = empty registers (contribute 2^32 each to
+    // the numerator); est = (709 * m^2 * 2^32) / (1000 * numerator)
+    val summary = regs.agg(
+      count(lit(1)).as("filled"),
+      sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - reg AS INT))"))
+        .as("num_filled"))
+    val exact = df.select(key.cast("string").as("k"))
+      .agg(countDistinct(col("k")).as("exact_distinct"))
+    summary.crossJoin(exact)
+      .select(
+        lit(m.toLong).as("m"),
+        (lit(m.toLong) - col("filled")).as("zeros"),
+        (col("num_filled") +
+          (lit(m.toLong) - col("filled")) * lit(4294967296L)).as("numerator_q32"),
+        col("exact_distinct"))
+      // integer DIV: the dividend (~1.25e16 at m=64) exceeds double's
+      // 2^53 exact range, so float division would round — both engines
+      // floor-divide BIGINTs instead
+      .withColumn("est_distinct",
+        expr(s"CAST((${709L * m.toLong * m.toLong} * 4294967296) DIV " +
+          "(1000 * numerator_q32) AS BIGINT)"))
+      .select(col("m"), col("zeros"), col("numerator_q32"),
+        col("est_distinct"), col("exact_distinct"))
+  }
+
+  /** DuckDB replica of [[hllDistinct]]. */
+  def hllOracleSql(keySql: String, src: String, m: Int = 64): String =
+    s"""WITH keyed AS (SELECT DISTINCT CAST($keySql AS VARCHAR) AS k FROM $src),
+hashed AS (SELECT CAST('0x'||substring(md5(k),1,15) AS BIGINT) % $m AS bucket, CAST('0x'||substring(md5('r:' || k),1,15) AS BIGINT) % 4294967296 AS h2 FROM keyed),
+rhos AS (SELECT bucket, CASE WHEN h2 = 0 THEN 32 ELSE least(bit_count(CAST(h2 & -h2 AS BIGINT) - 1) + 1, 32) END AS rho FROM hashed),
+regs AS (SELECT bucket, max(rho) AS reg FROM rhos GROUP BY 1),
+summary AS (SELECT CAST(count(*) AS BIGINT) AS filled, CAST(sum(CAST(1 AS BIGINT) << CAST(32 - reg AS INTEGER)) AS BIGINT) AS num_filled FROM regs),
+ex AS (SELECT CAST(count(DISTINCT CAST($keySql AS VARCHAR)) AS BIGINT) AS exact_distinct FROM $src)
+SELECT CAST($m AS BIGINT) AS m, $m - filled AS zeros, num_filled + ($m - filled) * 4294967296 AS numerator_q32, CAST((${709L * m.toLong * m.toLong} * 4294967296) // (1000 * (num_filled + ($m - filled) * 4294967296)) AS BIGINT) AS est_distinct, exact_distinct FROM summary, ex"""
+}

@@ -1801,6 +1801,59 @@ SELECT doc_id, lang, ${Corpus.splitAssignSql("doc_id")} AS split, n_tok, start_t
             col("exact_users") * lit(0.1)).as("within_10pct")),
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users, TRUE AS within_10pct FROM events GROUP BY 1""")),
 
+    // Count-Min sketch (the counter tier's mergeable frequency
+    // summary). Unlike Misra–Gries above, CMS is built from COMMUTATIVE
+    // integer sums + a min, so the estimates themselves — not just
+    // contract booleans — are partition-order-independent and the
+    // oracle replays them exactly. est_cnt >= exact_cnt by
+    // construction (collisions only add).
+    GraftQuery("q_cms_estimates",
+      (s, dir) => graft.ops.Sketches.countMinEstimates(ev(s, dir), col("user_id")),
+      Some(graft.ops.Sketches.countMinOracleSql("user_id", "events"))),
+
+    // Deterministic HyperLogLog (the uniqCombined analog, exactly
+    // replayable): md5-derived bucket/rho, bit-trick trailing zeros,
+    // and the raw-HLL estimate as ONE BIGINT division — registers,
+    // numerator and estimate all hash-checked, complementing
+    // q_sketch_distinct's boolean gate on Spark's HLL++.
+    GraftQuery("q_hll_replay",
+      (s, dir) => graft.ops.Sketches.hllDistinct(ev(s, dir), col("user_id")),
+      Some(graft.ops.Sketches.hllOracleSql("user_id", "events"))),
+
+    // Time-decayed per-content engagement (exponentialMovingAverage /
+    // Redis decay-counter serving): contribution = centi-score shifted
+    // by whole halflives of age vs the stream frontier — exact-integer
+    // dyadic decay, one hash aggregate, no window.
+    GraftQuery("q_decayed_score",
+      (s, dir) => graft.ops.Rollups.decayedScore(ev(s, dir),
+        key = concat(lit("content-"), pmod(col("event_id"), lit(40))),
+        ts = col("ts"),
+        scoreCenti = floor(score * lit(100.0) + lit(0.5)).cast("long")),
+      Some(graft.ops.Rollups.decayedScoreOracleSql(
+        keySql = "'content-' || CAST(event_id % 40 AS VARCHAR)",
+        scoreCentiSql = s"floor(($scoreSql)*100 + 0.5)"))),
+
+    // Per-node triangle counts on a deterministic 30-node graph derived
+    // from event ids — degree-ordered orientation (each triangle
+    // counted at its unique out-degree-2 pivot; out-degree bounded
+    // O(sqrt(m)) by structure), corpusSide pins on every join.
+    GraftQuery("q_triangles",
+      (s, dir) => graft.ops.Graph.triangleCounts(
+        ev(s, dir).select(pmod(col("event_id"), lit(30)).as("a"),
+          pmod(expr("event_id div 30"), lit(30)).as("b")),
+        col("a"), col("b")),
+      Some(s"""WITH rawe AS (SELECT event_id % 30 AS a, (event_id // 30) % 30 AS b FROM events),
+${graft.ops.Graph.triangleCountsOracleSql()}""")),
+
+    // Hybrid sparse+dense retrieval with Reciprocal Rank Fusion (the
+    // production RAG ranking composition): BM25 arm + hashing-vectorizer
+    // cosine arm, fused on integer floor(1e6/(60+rank)) contributions —
+    // rank-only fusion, no score calibration, engine-exact.
+    GraftQuery("q_rrf_fusion",
+      (s, dir) => Retrieval.rrfFusion(docs(s, dir), col("doc_id"),
+        col("text"), bm25Terms),
+      Some(Retrieval.rrfFusionOracleSql(bm25Terms))),
+
     // IVF approximate top-k with REAL k-means centroids (deterministic
     // Lloyd's — KMeans.fit): assign → co-partition → re-rank. The
     // oracle replays the ENTIRE fit (init, 5 iterations, quantized

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Graph, Retrieval, Rollups, Sketches}
+
+/** Unit fixtures for the round-7 analytics additions (the registered
+  * queries oracle-gate them corpus-wide; these pin the semantics on
+  * hand-checkable inputs). */
+class SketchGraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("countMin: estimates are exact-or-over, exact on collision-free keys") {
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = Sketches.countMinEstimates(df, col("k"), w = 64, d = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === Set("a", "b", "c"))
+    out.foreach { case (k, (exact, est)) =>
+      assert(est >= exact, s"$k estimated $est < exact $exact — CMS can never undercount")
+    }
+    assert(out("a")._1 === 5L && out("b")._1 === 3L && out("c")._1 === 1L)
+    // 3 keys into 64x4 counters: collision-free, so estimates are exact
+    out.foreach { case (k, (exact, est)) => assert(est === exact, s"$k collided") }
+  }
+
+  test("hll: estimate within raw-HLL error of the exact count; registers consistent") {
+    val df = spark.range(2000).select(concat(lit("u"), col("id")).as("k"))
+    val r = Sketches.hllDistinct(df, col("k"), m = 64).head()
+    val (m, zeros, num, est, exact) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(m === 64L && exact === 2000L)
+    assert(zeros >= 0L && zeros < 64L) // 2000 keys: every register should fill
+    assert(num > 0L)
+    // raw HLL at m=64 has ~1.3/sqrt(64) ≈ 16% standard error; allow 3 sigma
+    assert(math.abs(est - exact) <= exact / 2,
+      s"estimate $est vs exact $exact — outside any plausible HLL error")
+  }
+
+  test("triangleCounts: square + one diagonal = two triangles sharing the diagonal") {
+    // a-b-c-d-a plus diagonal a-c → triangles (a,b,c), (a,c,d)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("a", "b")
+    val out = Graph.triangleCounts(edges, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 2L, 3L -> 2L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("triangleCounts: duplicate/reversed/self edges collapse; K4 gives 3 per node") {
+    val k4 = (for (i <- 1L to 4L; j <- 1L to 4L if i != j) yield (i, j))
+      .toDF("a", "b") // both directions + dups → still one K4
+    val withNoise = k4.unionAll(Seq((2L, 2L)).toDF("a", "b"))
+    val out = Graph.triangleCounts(withNoise, col("a"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("decayedScore: whole-halflife shifts, horizon zeroes, frontier-relative") {
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-03 $h%02d:00:00")
+    // halflife 1h, horizon 4: ages 0h,1h,2h,4h → weights 2^4,2^3,2^2,0
+    val df = Seq(
+      ("k1", ts(12), 10L), // frontier row: age 0 → 10 << 4 = 160
+      ("k1", ts(11), 10L), // age 1 → 80
+      ("k2", ts(10), 10L), // age 2 → 40
+      ("k2", ts(8), 10L))  // age 4 = horizon → 0
+      .toDF("key", "ts", "sc")
+    val out = Rollups.decayedScore(df, col("key"), col("ts"), col("sc"),
+        halflifeSec = 3600L, horizon = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("k1") === ((240L, 2L)))
+    assert(out("k2") === ((40L, 2L)))
+  }
+
+  test("rrfFusion: a doc ranked by both arms beats single-arm docs; ranks carried") {
+    // doc 1 contains the query term AND shares the query's hash-bucket
+    // profile; doc 2 only lexical; doc 3 only similar-by-hash tokens
+    val docsDf = Seq(
+      (1L, "spark spark stream"),
+      (2L, "spark unrelated words here"),
+      (3L, "stream stream stream"),
+      (4L, "nothing in common at all"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.rrfFusion(docsDf, col("doc_id"), col("text"),
+        terms = Seq("spark", "stream"), kEach = 4, k = 4)
+      .collect()
+    assert(out.head.getLong(0) === 1L, s"fused top-1 was ${out.head}")
+    val byId = out.map(r => r.getLong(0) -> r.getAs[Long]("rrf_micros")).toMap
+    // both-arm doc strictly dominates the no-overlap doc
+    assert(byId(1L) > byId.getOrElse(4L, 0L))
+    // every returned rrf contribution is positive and ranks are 1..n
+    assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to out.length))
+  }
+}
