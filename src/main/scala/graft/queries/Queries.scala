@@ -1106,6 +1106,32 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       },
       Some("SELECT doc_id, lang, source FROM documents WHERE doc_id >= 300")),
 
+    // K1+S3 over a real JDBC engine (embedded Derby, in /opt/spark/jars):
+    // hourly counters written with df.write.jdbc (per-task batched
+    // INSERT transactions, the reference's PreparedStatement batcher),
+    // then read back with a 4-way range-partitioned spark.read.jdbc —
+    // one connection per partition, the parallel-scan posture a big
+    // dimension needs. Exactness survives the round trip: BIGINT and
+    // DOUBLE are identity-mapped, VARCHAR forced over Derby's default
+    // CLOB for the GROUP BY key.
+    // NOTE: filesystem-free but side-effecting like q_snapshot_changes
+    // (a JVM-lifetime in-memory Derby database of ≤ ~100 aggregate
+    // rows per invocation; the JDBC relation is lazy, so the database
+    // must outlive the returned DataFrame) — never headline/benched.
+    GraftQuery("q_jdbc_roundtrip",
+      (s, dir) => {
+        val db = "graftjdbc" + java.util.UUID.randomUUID.toString.replace("-", "")
+        val url = graft.sinks.Jdbc.derbyMemUrl(db)
+        val agg = ev(s, dir)
+          .groupBy(hour(col("ts")).as("hour_of_day"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"), Rollups.decSum(score).as("score_sum"))
+        graft.sinks.Jdbc.writeTable(agg, url, "hourly_counters",
+          Some("event_type VARCHAR(64)"))
+        graft.sources.Sources.dimSnapshotJdbc(s, url, "hourly_counters",
+          Some(("hour_of_day", 0L, 24L, 4)))
+      },
+      Some(s"""SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type, count(*) AS cnt, CAST(sum(CAST($scoreSql AS DECIMAL(28,2))) AS DOUBLE) AS score_sum FROM events GROUP BY 1, 2""")),
+
     // Benchmark decontamination: every 20th document's 10-token prefix
     // plays the "eval benchmark"; docs sharing any 5-gram with it are
     // flagged. Eval grams broadcast (benchmarks are small); the corpus

@@ -66,6 +66,19 @@ object Sources {
   def dimSnapshot(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** S3, JDBC form — the reference's actual transport (generator.py:
+    * 53–56 seeds dims over JDBC). Partitioned when bounds are given so
+    * a large dimension scan parallelizes across executors; exercised
+    * end-to-end against embedded Derby in JdbcSpec and
+    * q_jdbc_roundtrip. */
+  def dimSnapshotJdbc(spark: SparkSession, url: String, table: String,
+      partCol: Option[(String, Long, Long, Int)] = None): DataFrame =
+    partCol match {
+      case Some((c, lo, hi, n)) =>
+        graft.sinks.Jdbc.readTablePartitioned(spark, url, table, c, lo, hi, n)
+      case None => graft.sinks.Jdbc.readTable(spark, url, table)
+    }
+
   /** S4: CDC initial snapshot + change stream = a batch seed unioned
     * with the live stream, both in the same wire shape. */
   def seedPlusStream(seed: DataFrame, stream: DataFrame): DataFrame =
