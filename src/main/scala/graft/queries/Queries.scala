@@ -985,6 +985,28 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, price AS pri
 iv AS (SELECT event_id AS interval_id, epoch_us(ts) AS start_us, epoch_us(ts) + (event_id % 10 + 1) * 60000000 AS end_us FROM events WHERE event_id % 11 = 0)
 SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us >= start_us AND ts_us < end_us""")),
 
+    // Stream-stream interval join, batch twin: click→purchase
+    // attribution within 1 h, SAME code path as the streaming form
+    // (Pipeline.attributionJoin — withWatermark is a no-op on batch),
+    // so the oracle gates the exact operator the stream runs. The
+    // equi key (user_id) makes it a keyed shuffle join, not a
+    // nested loop; StreamingSpec asserts MemoryStream parity and
+    // post-watermark outer emission.
+    GraftQuery("q_attribution_join",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.streaming.Pipeline.attributionJoin(clicks, purchases, "1 hour")
+          .select(col("click_id"), col("user_id"),
+            date_format(col("click_ts"), tsFull).as("click_ts_str"),
+            col("purchase_id"),
+            date_format(col("purchase_ts"), tsFull).as("purchase_ts_str"))
+      },
+      Some(s"""SELECT c.event_id AS click_id, c.user_id AS user_id, strftime(c.ts, '$tsFullSql') AS click_ts_str, p.event_id AS purchase_id, strftime(p.ts, '$tsFullSql') AS purchase_ts_str FROM events c JOIN events p ON c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR WHERE c.event_type = 'click' AND p.event_type = 'purchase'""")),
+
     // Avro wire contract (engagement_event.avsc): events → Avro binary
     // records (graft_avro_encode, native Expression over Avro core) →
     // decode (graft_avro_decode, PERMISSIVE + union-normalized

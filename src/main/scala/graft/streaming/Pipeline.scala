@@ -309,6 +309,42 @@ object Pipeline {
   }
 
   /** K3: enriched → Kafka-outbox-shaped JSON value column. */
+  /** Watermarked STREAM-STREAM interval join: click→purchase
+    * attribution. Emits one row per (click, purchase) pair of the same
+    * user with the purchase inside [click_ts, click_ts + maxDelay].
+    *
+    * Both inputs must carry a `ts` event-time column plus (`event_id`,
+    * `user_id`). Both sides are watermarked AND the join condition
+    * bounds each side's event time against the other, which is what
+    * lets Spark evict join state: a click is droppable once the
+    * purchase-side watermark passes click_ts + maxDelay, a purchase
+    * once the click-side watermark passes purchase_ts. Without the
+    * two-sided time bound, one state store grows with the whole
+    * stream's history — the unbounded-state failure a 100 TB/day
+    * stream cannot absorb. State is keyed by user_id (the equi key),
+    * so it shuffles once and scales horizontally with executors.
+    *
+    * `joinType` "leftOuter" additionally emits unmatched clicks
+    * (null purchase columns) — but only after the watermark proves no
+    * purchase can still arrive, so "unconverted click" is a correct,
+    * late-data-safe verdict, not a premature one.
+    *
+    * Batch twin: q_attribution_join (identical predicate, DuckDB
+    * oracle); StreamingSpec asserts batch/stream row parity and
+    * post-watermark outer emission. */
+  def attributionJoin(clicks: DataFrame, purchases: DataFrame,
+      maxDelay: String = "1 hour", joinType: String = "inner",
+      watermark: String = WatermarkDelay): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark).alias("c")
+    val p = purchases.withWatermark("ts", watermark).alias("p")
+    c.join(p,
+        expr(s"c.user_id = p.user_id AND p.ts >= c.ts AND p.ts <= c.ts + interval $maxDelay"),
+        joinType)
+      .select(col("c.event_id").as("click_id"), col("c.user_id").as("user_id"),
+        col("c.ts").as("click_ts"),
+        col("p.event_id").as("purchase_id"), col("p.ts").as("purchase_ts"))
+  }
+
   def outbox(enriched: DataFrame): DataFrame = Enrich.toOutboxJson(enriched)
 
   /** K1: warehouse append sink as foreachBatch (JDBC/parquet target

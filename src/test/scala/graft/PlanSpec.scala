@@ -305,4 +305,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"),
       "scoring must be a narrow map stage:\n" + p.take(2000))
   }
+
+  test("q_attribution_join: interval join is keyed on user_id — no nested loop") {
+    // the equi key must carry the join; the time bounds are post-filters
+    // on a keyed join, never a CartesianProduct / BNLJ over the streams
+    val p = plan("q_attribution_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
 }

@@ -512,4 +512,83 @@ class StreamingSpec extends SparkSpec {
       assert(versions.size === 2, s"expected 2 commits, got $versions")
     } finally q2.stop()
   }
+
+  test("stream-stream attribution join: in-window pairs, watermark-bounded state, batch parity") {
+    def evStream(in: MemoryStream[(Long, Long, String)]): DataFrame =
+      in.toDF().toDF("event_id", "user_id", "ts_s")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val clicksIn = MemoryStream[(Long, Long, String)](spark)
+    val purchIn = MemoryStream[(Long, Long, String)](spark)
+    val q = Pipeline.attributionJoin(evStream(clicksIn), evStream(purchIn), "1 hour")
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicksIn.addData((1L, 10L, "2024-01-01 10:00:00"), (2L, 20L, "2024-01-01 10:05:00"))
+      purchIn.addData(
+        (101L, 10L, "2024-01-01 10:30:00"),  // in window  → pair (1,101)
+        (102L, 20L, "2024-01-01 11:30:00"),  // > 1 h late → no pair
+        (103L, 99L, "2024-01-01 10:10:00"))  // no click   → no pair
+      q.processAllAvailable()
+      assert(spark.sql("SELECT click_id, purchase_id FROM attr_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 101L)))
+
+      // advance BOTH watermarks far past every buffered row's horizon;
+      // the join state must evict (clicks past click_ts + 1 h + delay,
+      // purchases past purchase_ts + delay)
+      clicksIn.addData((8L, 1L, "2024-01-01 15:00:00"))
+      purchIn.addData((108L, 2L, "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+      clicksIn.addData((9L, 1L, "2024-01-01 15:00:01"))
+      purchIn.addData((109L, 2L, "2024-01-01 15:00:01"))
+      q.processAllAvailable()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows < 10,
+        s"join state retained $stateRows rows — pre-horizon rows not evicted")
+
+      // batch parity: the SAME operator over the same rows as static data
+      import spark.implicits._
+      val cB = Seq((1L, 10L, "2024-01-01 10:00:00"), (2L, 20L, "2024-01-01 10:05:00"))
+        .toDF("event_id", "user_id", "ts_s").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      val pB = Seq((101L, 10L, "2024-01-01 10:30:00"), (102L, 20L, "2024-01-01 11:30:00"),
+        (103L, 99L, "2024-01-01 10:10:00"))
+        .toDF("event_id", "user_id", "ts_s").withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+      val batch = Pipeline.attributionJoin(cB, pB, "1 hour")
+        .select("click_id", "purchase_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(batch === Set((1L, 101L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER join emits unconverted clicks only after the watermark closes them") {
+    def evStream(in: MemoryStream[(Long, Long, String)]): DataFrame =
+      in.toDF().toDF("event_id", "user_id", "ts_s")
+        .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val clicksIn = MemoryStream[(Long, Long, String)](spark)
+    val purchIn = MemoryStream[(Long, Long, String)](spark)
+    val q = Pipeline.attributionJoin(evStream(clicksIn), evStream(purchIn), "1 hour", "leftOuter")
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicksIn.addData((1L, 10L, "2024-01-01 10:00:00"), (2L, 20L, "2024-01-01 10:00:00"))
+      purchIn.addData((101L, 10L, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      // click 2 unmatched, but its 1 h window is still open → NOT emitted yet
+      val early = spark.sql("SELECT click_id FROM attr_outer_out WHERE purchase_id IS NULL").count()
+      assert(early === 0, "outer row emitted before the watermark proved no match can arrive")
+
+      // push both watermarks past 11:00:00 + delay → click 2's window is closed
+      clicksIn.addData((8L, 1L, "2024-01-01 12:00:00"))
+      purchIn.addData((108L, 2L, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      clicksIn.addData((9L, 1L, "2024-01-01 12:00:01"))
+      purchIn.addData((109L, 2L, "2024-01-01 12:00:01"))
+      q.processAllAvailable()
+      val outer = spark.sql(
+        "SELECT click_id FROM attr_outer_out WHERE purchase_id IS NULL").collect()
+        .map(_.getLong(0)).toSet
+      assert(outer.contains(2L), s"unconverted click not emitted after watermark: $outer")
+      assert(spark.sql(
+        "SELECT click_id, purchase_id FROM attr_outer_out WHERE purchase_id IS NOT NULL")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 101L)))
+    } finally q.stop()
+  }
 }
