@@ -1154,6 +1154,30 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       },
       Some(s"""SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day, event_type, count(*) AS cnt, CAST(sum(CAST($scoreSql AS DECIMAL(28,2))) AS DOUBLE) AS score_sum FROM events GROUP BY 1, 2""")),
 
+    // Z-order layout + multi-dimensional box read: events re-laid-out
+    // along the (user_id, value) Morton curve, then a 2-D box read that
+    // prunes the file list on BOTH columns' manifest stats before the
+    // exact row filter. The z value is layout-only (dropped pre-write),
+    // so the result is exactly the plain WHERE — which is the oracle;
+    // the measured skipping ratios (each dim prunes; a linear layout's
+    // secondary dim doesn't) are asserted in ZOrderSpec/ScaleProbeSpec.
+    // Side-effecting (scratch store per invocation) like
+    // q_snapshot_changes — never headline/benched.
+    GraftQuery("q_snapshot_zorder",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_zorder")
+        deleteRecursivelyOnExit(tmpPath)
+        val base = tmpPath.toString + "/store"
+        val d = ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+        graft.sinks.ZOrder.commitReplaceZOrdered(s, base, d,
+          Seq("user_id", "value"), numFiles = 8)
+        graft.sinks.ZOrder.readBox(s, base,
+            Seq(("user_id", 5.0, 40.0), ("value", 0.0, 5.0)))
+          .getOrElse(sys.error("z-order box read skipped every file"))
+          .select("event_id", "user_id", "value")
+      },
+      Some("SELECT event_id, user_id, value FROM events WHERE user_id BETWEEN 5 AND 40 AND value BETWEEN 0 AND 5")),
+
     // Benchmark decontamination: every 20th document's 10-token prefix
     // plays the "eval benchmark"; docs sharing any 5-gram with it are
     // flagged. Eval grams broadcast (benchmarks are small); the corpus

@@ -1,0 +1,114 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout for multi-dimensional file
+  * skipping. A snapshot sorted on one column gives tight per-file
+  * min/max ranges on THAT column only; every secondary predicate still
+  * opens all files. Interleaving the bits of several columns' bucket
+  * ranks and range-partitioning on the interleaved value gives every
+  * participating column locality, so [[SnapshotStore.pruneFiles]] can
+  * skip on ANY of them — the standard layout trick (Delta/Iceberg
+  * OPTIMIZE ZORDER BY) a 100 TB table needs when queries filter on
+  * more than one axis.
+  *
+  * Everything is expression-level and map-only after a single one-row
+  * min/max collect per dimension (driver state: 2·n doubles):
+  * bucketize each dim to `bits` bits against its observed range, then
+  * interleave with shift/AND/OR Column ops — whole-stage codegen, no
+  * UDF. The z value is a layout key only: it is dropped before the
+  * write, never part of the data contract, so oracles are unaffected.
+  */
+object ZOrder {
+
+  /** Bits per dimension; n dims must fit a signed long. */
+  val BitsPerDim = 16
+
+  /** Bucket rank of `c` in [0, 2^bits) against the fixed range
+    * [lo, hi] (observed min/max). Out-of-range and null values clamp
+    * to the edge buckets — layout-only, so clamping is harmless. */
+  private def bucket(c: Column, lo: Double, hi: Double, bits: Int): Column = {
+    val span = hi - lo
+    val max = (1L << bits) - 1
+    val raw =
+      if (span <= 0) lit(0L)
+      else floor((c.cast("double") - lit(lo)) / lit(span) * lit(max + 1)).cast("long")
+    least(lit(max), greatest(lit(0L), coalesce(raw, lit(0L))))
+  }
+
+  /** The interleaved z value of `dims` buckets: bit i of dim d lands at
+    * position i·n + d. 16·n OR terms — wide but codegen'd, no shuffle. */
+  private def interleave(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      dims.zipWithIndex.foldLeft(acc) { case (a, (b, d)) =>
+        a.bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), i * n + d))
+      }
+    }
+  }
+
+  /** `df` re-laid-out along the z-curve of `cols`: one stats pass
+    * (one-row collect) fixes each dim's range, then range-partition +
+    * in-partition sort on the interleaved value clusters rows so each
+    * of the `numFiles` output files covers a compact z-range — i.e. a
+    * small hyper-rectangle set in (col₁, …, colₙ) space. */
+  def layout(df: DataFrame, cols: Seq[String], numFiles: Int,
+      bits: Int = BitsPerDim): DataFrame = {
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"${cols.size} dims at $bits bits/dim overflow a signed long")
+    require(numFiles > 0, "numFiles must be positive")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double").as(s"lo_$c"), max(col(c)).cast("double").as(s"hi_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val dims = cols.zipWithIndex.map { case (c, i) =>
+      val lo = Option(stats.getAs[java.lang.Double](2 * i)).map(_.doubleValue).getOrElse(0.0)
+      val hi = Option(stats.getAs[java.lang.Double](2 * i + 1)).map(_.doubleValue).getOrElse(0.0)
+      bucket(col(c), lo, hi, bits)
+    }
+    df.withColumn("__z", interleave(dims, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** Full-replace commit in z-order, recording per-file min/max for the
+    * z columns so every one of them prunes at read time. */
+  def commitReplaceZOrdered(spark: SparkSession, base: String, df: DataFrame,
+      zCols: Seq[String], numFiles: Int, extraStatsCols: Seq[String] = Nil): Unit =
+    SnapshotStore.commitReplace(spark, base, layout(df, zCols, numFiles),
+      partitionBy = Nil, statsCols = (zCols ++ extraStatsCols).distinct)
+
+  /** Multi-dimensional box read: prune the file list on EVERY bounded
+    * column's recorded stats (metadata only), then apply the exact
+    * row-level conjunction — result is exactly the full-scan filter's.
+    * None when every file was skipped. */
+  def readBox(spark: SparkSession, base: String,
+      bounds: Seq[(String, Double, Double)]): Option[DataFrame] = {
+    require(bounds.nonEmpty, "at least one bound")
+    val files = bounds
+      .map { case (c, lo, hi) => SnapshotStore.pruneFiles(spark, base, c, lo, hi).toSet }
+      .reduce(_ intersect _)
+    if (files.isEmpty) None
+    else {
+      val dd = s"$base/data"
+      val pred = bounds
+        .map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+        .reduce(_ && _)
+      Some(spark.read.option("basePath", dd)
+        .parquet(files.toSeq.sorted.map(f => s"$dd/$f"): _*)
+        .filter(pred))
+    }
+  }
+
+  /** Fraction of the snapshot's files a box read opens — the measured
+    * skipping ratio tests and scale probes assert on. */
+  def filesOpenedFraction(spark: SparkSession, base: String,
+      bounds: Seq[(String, Double, Double)]): Double = {
+    val all = SnapshotStore.listFiles(spark, base).size.toDouble
+    if (all == 0) 0.0
+    else bounds
+      .map { case (c, lo, hi) => SnapshotStore.pruneFiles(spark, base, c, lo, hi).toSet }
+      .reduce(_ intersect _).size / all
+  }
+}

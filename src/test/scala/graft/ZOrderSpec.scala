@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{SnapshotStore, ZOrder}
+
+/** Z-order layout: multi-dimensional file skipping measured against a
+  * linear (single-column sorted) layout of the same data. */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(p: String) = Files.createTempDirectory(p).toString + "/store"
+
+  // 100×100 uniform grid: x and y are independent, so a layout sorted
+  // on x alone gives y ZERO locality — every file spans all of y.
+  private lazy val grid = spark.range(10000)
+    .select(col("id"), (col("id") % 100).as("x"), (col("id") / 100).cast("long").as("y"))
+
+  test("z-ordered box read returns exactly the full-scan filter rows") {
+    val base = tmp("zbox")
+    ZOrder.commitReplaceZOrdered(spark, base, grid, Seq("x", "y"), numFiles = 16)
+    val got = ZOrder.readBox(spark, base, Seq(("x", 0.0, 24.0), ("y", 0.0, 24.0)))
+      .get.select("id").as[Long].collect().sorted
+    val want = grid.filter(col("x").between(0, 24) && col("y").between(0, 24))
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === want.toSeq)
+    assert(got.length === 625)
+  }
+
+  test("both z dimensions prune files; a linear layout prunes only its sort key") {
+    val zBase = tmp("zprune")
+    val linBase = tmp("linprune")
+    ZOrder.commitReplaceZOrdered(spark, zBase, grid, Seq("x", "y"), numFiles = 16)
+    // linear baseline: range-sorted by x only, same file count + stats
+    SnapshotStore.commitReplace(spark, linBase,
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x"),
+      statsCols = Seq("x", "y"))
+    assert(SnapshotStore.listFiles(spark, zBase).size === 16)
+
+    // a y-only slice (1/4 of the space): z-order must skip most files,
+    // the x-sorted layout can skip none (every file spans all y)
+    val ySlice = Seq(("y", 0.0, 24.0))
+    val zy = ZOrder.filesOpenedFraction(spark, zBase, ySlice)
+    val liny = ZOrder.filesOpenedFraction(spark, linBase, ySlice)
+    assert(zy <= 0.5, s"z-order opened $zy of files for a 25% y-slice")
+    assert(liny >= 0.9, s"x-sorted baseline unexpectedly pruned y: $liny")
+
+    // the x dimension still prunes on BOTH layouts
+    val xSlice = Seq(("x", 0.0, 24.0))
+    assert(ZOrder.filesOpenedFraction(spark, zBase, xSlice) <= 0.5)
+    assert(ZOrder.filesOpenedFraction(spark, linBase, xSlice) <= 0.5)
+
+    // a 2-D box (1/16 of the space) intersects the per-dim prunes
+    val box = Seq(("x", 0.0, 24.0), ("y", 0.0, 24.0))
+    val zbox = ZOrder.filesOpenedFraction(spark, zBase, box)
+    assert(zbox <= 0.3, s"z-order opened $zbox of files for a 1/16 box")
+  }
+
+  test("skew, nulls and degenerate ranges don't break the layout") {
+    val base = tmp("zdegen")
+    val df = spark.range(1000)
+      .select(col("id"),
+        when(col("id") % 7 === 0, lit(null)).otherwise(col("id") % 10).as("x"),
+        lit(42L).as("y")) // constant dim: span 0 → all rows bucket 0
+    ZOrder.commitReplaceZOrdered(spark, base, df, Seq("x", "y"), numFiles = 4)
+    val n = SnapshotStore.read(spark, base).get.count()
+    assert(n === 1000)
+    val boxed = ZOrder.readBox(spark, base, Seq(("y", 42.0, 42.0))).get.count()
+    assert(boxed === 1000)
+  }
+}
