@@ -150,6 +150,38 @@ object ScaleProbe {
           docs.withColumn("source", concat(lit("s"),
             pmod(col("doc_id"), lit(1000)).cast("string"))),
           col("doc_id"), col("text"), col("source")))),
+      // z-order layout + 2-D box read: the repartitionByRange write is
+      // the one (linear) shuffle; the box read's opened-file fraction
+      // must track SELECTIVITY (~1/16 box over 32 files), not table
+      // size — asserted in-rung so a skipping regression fails the
+      // probe, not just a benchmark
+      "zorder_box" -> (() => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_zscale")
+        val base = tmp.toString + "/store"
+        // bounded input splits (~1M rows ≈ a real table's
+        // maxPartitionBytes granularity): spark.range's default 32
+        // giant splits would overflow per-task execution memory on the
+        // map side of the range exchange — an artifact of the synthetic
+        // generator, not of the layout
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val grid = spark.range(0, eventsN, 1, inParts).select(col("id"),
+          pmod(hash(col("id")), lit(100000)).as("x"),
+          pmod(hash(col("id") * lit(31L)), lit(100000)).as("y"))
+        // production posture: file COUNT scales with volume (bounded
+        // rows per file → the per-partition layout sort fits memory at
+        // any table size); a fixed count would spill at 100×
+        val files = math.min(512, math.max(32, (eventsN / 31250L).toInt))
+        graft.sinks.ZOrder.commitReplaceZOrdered(spark, base, grid,
+          Seq("x", "y"), numFiles = files)
+        val box = Seq(("x", 0.0, 24999.0), ("y", 0.0, 24999.0))
+        val frac = graft.sinks.ZOrder.filesOpenedFraction(spark, base, box)
+        require(frac <= 0.35,
+          f"z-order box opened $frac%.2f of files — multi-dim skipping broke at scale")
+        val n = force(graft.sinks.ZOrder.readBox(spark, base, box)
+          .getOrElse(sys.error("box read skipped every file")))
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        n
+      }),
       // the composed ensemble gate (Gopher rules + heuristic quality +
       // trained classifier riding in-row as a literal map): after the
       // bounded GD fit, scoring must stay a SINGLE narrow map pass —

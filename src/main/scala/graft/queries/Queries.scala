@@ -1178,6 +1178,31 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       },
       Some("SELECT event_id, user_id, value FROM events WHERE user_id BETWEEN 5 AND 40 AND value BETWEEN 0 AND 5")),
 
+    // Targeted delete with stats-pruned PARTIAL rewrite (right-to-be-
+    // forgotten / retention purge): events committed user-clustered
+    // (range-partitioned on user_id, per-file stats recorded), then
+    // users 10–20 are purged — only the files whose [min,max] can hold
+    // them are rewritten, the rest carry over by reference (ratio
+    // asserted in SnapshotStoreSpec). The read-back must equal the
+    // plain anti-filter, which is the oracle. Side-effecting scratch
+    // store per invocation — never headline/benched.
+    GraftQuery("q_snapshot_delete",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_snapdel")
+        deleteRecursivelyOnExit(tmpPath)
+        val base = tmpPath.toString + "/store"
+        val d = ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+          .repartitionByRange(8, col("user_id"))
+        graft.sinks.SnapshotStore.commitReplace(s, base, d,
+          statsCols = Seq("user_id"))
+        graft.sinks.SnapshotStore.deleteRange(s, base, "user_id", 10.0, 20.0,
+          statsCols = Seq("user_id"))
+        graft.sinks.SnapshotStore.read(s, base)
+          .getOrElse(sys.error("empty store after delete"))
+          .select("event_id", "user_id", "value")
+      },
+      Some("SELECT event_id, user_id, value FROM events WHERE user_id IS NULL OR NOT (user_id BETWEEN 10 AND 20)")),
+
     // Benchmark decontamination: every 20th document's 10-token prefix
     // plays the "eval benchmark"; docs sharing any 5-gram with it are
     // flagged. Eval grams broadcast (benchmarks are small); the corpus
@@ -1677,6 +1702,43 @@ SELECT orig_id AS doc_id, bucket, n_tok, start_tok, CAST(floor(start_tok / 512.0
           .select(col("lang"), col("cnt"), col("s").cast("long").as("tok_sum"))
       },
       Some(raw"""SELECT lang, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok_sum FROM documents GROUP BY lang""")),
+
+    // AggregatingMergeTree analog (the GENERAL -State/-Merge engine;
+    // Summing above is the additive special case): an incrementally
+    // maintained view over events keyed by event_type whose part rows
+    // carry mergeable states — count, exact decimal sum, min/max, and
+    // 64 HyperLogLog registers (md5 family) for distinct user_id. Three
+    // deltas land as parts, the store is COMPACTED mid-sequence (the
+    // OPTIMIZE analog must not change any state), and the finalized
+    // read — including the integer-exact raw-HLL estimate — must equal
+    // the from-scratch aggregate of the raw table, which is the oracle.
+    // Every state merges commutatively+associatively, so part order,
+    // batching and compaction schedule cannot change a bit.
+    GraftQuery("q_agg_mv",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_aggmv")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/aggmv"
+        val e = ev(s, dir).select(col("event_id"), col("event_type"),
+          col("value"), col("user_id"))
+        val A = graft.sinks.AggregatingStore
+        (0 until 3).foreach { i =>
+          val delta = e.filter(pmod(col("event_id"), lit(3)) === i)
+          A.appendDelta(A.partialState(delta, Seq(col("event_type")),
+            col("value"), col("user_id")), mv)
+          if (i == 1) A.compact(s, mv, Seq("event_type"))
+        }
+        A.finalizeView(A.readStates(s, mv, Seq("event_type")).get,
+          Seq("event_type"))
+      },
+      Some("""WITH keyed AS (SELECT DISTINCT event_type, CAST(user_id AS VARCHAR) AS k FROM events),
+hashed AS (SELECT event_type, CAST('0x'||substring(md5(k),1,15) AS BIGINT) % 64 AS bucket, CAST('0x'||substring(md5('r:'||k),1,15) AS BIGINT) % 4294967296 AS h2 FROM keyed),
+rhos AS (SELECT event_type, bucket, CASE WHEN h2 = 0 THEN 32 ELSE least(bit_count(CAST(h2 & -h2 AS BIGINT) - 1) + 1, 32) END AS rho FROM hashed),
+regs AS (SELECT event_type, bucket, max(rho) AS reg FROM rhos GROUP BY 1, 2),
+summary AS (SELECT event_type, CAST(count(*) AS BIGINT) AS filled, CAST(sum(CAST(1 AS BIGINT) << CAST(32 - reg AS INTEGER)) AS BIGINT) AS num_filled FROM regs GROUP BY 1),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sum_value, min(value) AS min_value, max(value) AS max_value FROM events GROUP BY 1)
+SELECT a.event_type, cnt, sum_value, min_value, max_value, CAST((2904064 * 4294967296) // (1000 * (num_filled + (64 - filled) * 4294967296)) AS BIGINT) AS est_distinct
+FROM agg a JOIN summary s ON a.event_type = s.event_type""")),
 
     // Mixture planning APPLIED: the per-lang rates from q_mix_weights
     // broadcast-join back onto the corpus and gate it through the same

@@ -4,8 +4,8 @@ import java.nio.charset.StandardCharsets
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not}
 
 /** Transactional snapshot commits on a plain filesystem — the atomicity
   * the reference gets for free from ClickHouse part-swaps
@@ -397,6 +397,45 @@ object SnapshotStore {
       .parquet(files.map(f => s"${dataDir(base)}/$f"): _*)
       .filter(col(column) >= lo && col(column) <= hi))
   }
+
+  /** Targeted delete (right-to-be-forgotten / retention purge) with a
+    * STATS-PRUNED PARTIAL REWRITE: only files whose recorded [min,max]
+    * for `column` can intersect [lo, hi] are rewritten (minus the rows
+    * where `column` is in range and `extra` holds); every other file
+    * carries over into the new manifest BY REFERENCE, untouched. At
+    * 100 TB, purging one user's rows from a user-clustered (sorted or
+    * z-ordered) table rewrites the handful of files that can contain
+    * them — IO proportional to the delete's footprint, not the table.
+    * Files without recorded stats are conservatively rewritten.
+    *
+    * Returns the number of files rewritten (0 = metadata-only no-op:
+    * no new manifest is committed). The rewrite re-records stats for
+    * `statsCols` on the replacement files (pass the same columns the
+    * table was committed with, or pruning degrades to conservative
+    * keeps for them). Atomic: readers see the pre- or post-delete
+    * snapshot, never a mix. */
+  def deleteRange(spark: SparkSession, base: String, column: String,
+      lo: Double, hi: Double, statsCols: Seq[String] = Nil,
+      extra: Option[Column] = None): Int =
+    commitLock(base).synchronized {
+      val affected = pruneFiles(spark, base, column, lo, hi)
+      if (affected.isEmpty) 0
+      else {
+        val keep = listFiles(spark, base).filterNot(affected.toSet)
+        val dd = dataDir(base)
+        val deletePred = col(column) >= lo && col(column) <= hi &&
+          extra.getOrElse(lit(true))
+        // three-valued logic: a NULL predicate (null column value) must
+        // mean KEEP, not drop — filter(!p) alone would drop null rows
+        val survivors = spark.read.option("basePath", dd)
+          .parquet(affected.map(f => s"$dd/$f"): _*)
+          .filter(not(coalesce(deletePred, lit(false))))
+        val staged = stageWrite(spark, base, survivors, Nil)
+        commitManifest(spark, base, keep ++ staged,
+          newStats = computeStats(spark, base, staged, statsCols))
+        affected.size
+      }
+    }
 
   // ---- retention ----------------------------------------------------------
 

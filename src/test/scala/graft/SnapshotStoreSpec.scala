@@ -382,4 +382,41 @@ class SnapshotStoreSpec extends SparkSpec {
     val st = SnapshotStore.fileStats(spark, base)
     assert(st.keySet === SnapshotStore.listFiles(spark, base).toSet)
   }
+
+  test("deleteRange rewrites only the files that can hold matches; result is exact") {
+    import spark.implicits._
+    val base = tmp("snapdel")
+    // 1000 rows user-clustered into 10 files of 100 users each
+    val d = spark.range(1000).select(col("id"), (col("id") % 1000).as("user_id"),
+        lit("payload").as("p"))
+      .repartitionByRange(10, col("user_id"))
+    SnapshotStore.commitReplace(spark, base, d, statsCols = Seq("user_id"))
+    val before = SnapshotStore.listFiles(spark, base)
+    assert(before.size === 10)
+
+    // purge users 150–249: at most 2 clustered files can hold them
+    val rewritten = SnapshotStore.deleteRange(spark, base, "user_id", 150.0, 249.0,
+      statsCols = Seq("user_id"))
+    assert(rewritten <= 2, s"delete rewrote $rewritten files — pruning broke")
+    val after = SnapshotStore.listFiles(spark, base)
+    assert(before.toSet.intersect(after.toSet).size === before.size - rewritten,
+      "untouched files must carry over by reference")
+    val got = SnapshotStore.read(spark, base).get.select("user_id").as[Long].collect()
+    assert(got.length === 900)
+    assert(!got.exists(u => u >= 150 && u <= 249))
+
+    // no-match range: metadata says nothing can match → no-op, no commit
+    val versionsBefore = SnapshotStore.versions(spark, base).size
+    assert(SnapshotStore.deleteRange(spark, base, "user_id", 5000.0, 6000.0) === 0)
+    assert(SnapshotStore.versions(spark, base).size === versionsBefore)
+
+    // extra predicate narrows the purge inside the range; null column
+    // values are never deleted by a range they can't satisfy
+    val rewritten2 = SnapshotStore.deleteRange(spark, base, "user_id", 0.0, 49.0,
+      statsCols = Seq("user_id"), extra = Some(col("id") % 2 === 0))
+    assert(rewritten2 >= 1)
+    val left = SnapshotStore.read(spark, base).get
+      .filter(col("user_id") <= 49).select("id").as[Long].collect()
+    assert(left.nonEmpty && left.forall(_ % 2 === 1))
+  }
 }
