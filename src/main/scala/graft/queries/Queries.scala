@@ -1203,6 +1203,38 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       },
       Some("SELECT event_id, user_id, value FROM events WHERE user_id IS NULL OR NOT (user_id BETWEEN 10 AND 20)")),
 
+    // Keyed MERGE (CDC apply): one batch of upserts (+1000 to value for
+    // event_id % 97 = 0) and deletes (event_id % 101 = 0; delete wins
+    // on overlap) applied to a key-clustered store via the stats-pruned
+    // partial rewrite — the affected-file set is computed distributed
+    // (change keys × broadcast manifest ranges, only file NAMES reach
+    // the driver). Read-back equals the SQL merge semantics, which is
+    // the oracle; the pruning ratio on a clustered batch is pinned in
+    // SnapshotStoreSpec. Side-effecting scratch store — never headline.
+    GraftQuery("q_snapshot_merge",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_snapmerge")
+        deleteRecursivelyOnExit(tmpPath)
+        val base = tmpPath.toString + "/store"
+        val d = ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+          .repartitionByRange(8, col("event_id"))
+        graft.sinks.SnapshotStore.commitReplace(s, base, d,
+          statsCols = Seq("event_id"))
+        val changes = ev(s, dir)
+          .select(col("event_id"), col("user_id"), col("value"))
+          .filter(pmod(col("event_id"), lit(97)) === 0 ||
+            pmod(col("event_id"), lit(101)) === 0)
+          .withColumn("__del", pmod(col("event_id"), lit(101)) === 0)
+          .withColumn("value",
+            when(col("__del"), col("value")).otherwise(col("value") + 1000))
+        graft.sinks.SnapshotStore.mergeKeyed(s, base, changes, "event_id",
+          col("__del"), statsCols = Seq("event_id"))
+        graft.sinks.SnapshotStore.read(s, base)
+          .getOrElse(sys.error("empty store after merge"))
+          .select("event_id", "user_id", "value")
+      },
+      Some("SELECT event_id, user_id, CASE WHEN event_id % 97 = 0 AND event_id % 101 <> 0 THEN value + 1000 ELSE value END AS value FROM events WHERE event_id % 101 <> 0")),
+
     // Benchmark decontamination: every 20th document's 10-token prefix
     // plays the "eval benchmark"; docs sharing any 5-gram with it are
     // flagged. Eval grams broadcast (benchmarks are small); the corpus

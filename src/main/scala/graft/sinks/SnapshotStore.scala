@@ -437,6 +437,73 @@ object SnapshotStore {
       }
     }
 
+  /** Keyed MERGE (CDC apply: upsert + delete in one batch) with the
+    * same stats-pruned PARTIAL REWRITE as [[deleteRange]] — the scale
+    * path for maintaining a big keyed table (a dimension, an LWW event
+    * log) under a change stream: only files whose recorded [min,max]
+    * for `keyCol` can contain an affected key are rewritten; the rest
+    * carry over by reference.
+    *
+    * `changes` carries the table's data schema plus a delete verdict
+    * (`isDelete` evaluated against it), AT MOST ONE ROW PER KEY
+    * (pre-collapse a CDC batch with LWW — [[graft.ops.Dedup.lww]] —
+    * upstream). Semantics per change key: existing rows with that key
+    * are removed, and unless the change is a delete, the change row is
+    * inserted. Rows of untouched keys inside rewritten files survive.
+    *
+    * The affected-file set is computed DISTRIBUTED: the manifest's
+    * per-file ranges (manifest-scale) broadcast against the change
+    * keys, and only distinct file names — bounded by the file count,
+    * never the batch — reach the driver. Files without recorded key
+    * stats are conservatively rewritten. Returns files rewritten; 0 =
+    * no change row touches any file AND the batch has no inserts
+    * (nothing to commit). */
+  def mergeKeyed(spark: SparkSession, base: String, changes: DataFrame,
+      keyCol: String, isDelete: Column,
+      statsCols: Seq[String] = Nil): Int =
+    commitLock(base).synchronized {
+      import org.apache.spark.sql.functions.broadcast
+      val all = listFiles(spark, base)
+      val st = fileStats(spark, base)
+      val (ranged, statless) = all.partition(f => st.get(f).exists(_.contains(keyCol)))
+      val rangeRows = ranged.map { f =>
+        val (lo, hi) = st(f)(keyCol); (f, lo, hi)
+      }
+      val keyD = col(keyCol).cast("double")
+      val affectedRanged: Seq[String] =
+        if (rangeRows.isEmpty) Nil
+        else {
+          val ranges = spark.createDataFrame(rangeRows).toDF("__file", "__lo", "__hi")
+          changes.select(keyD.as("__k"))
+            .join(broadcast(ranges), col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+            .select("__file").distinct().collect().map(_.getString(0)).toSeq
+        }
+      val affected = (statless ++ affectedRanged).distinct
+      val dd = dataDir(base)
+      // table schema governs: extra change-side columns (CDC markers)
+      // never reach storage
+      val tableCols: Seq[String] =
+        if (all.nonEmpty)
+          spark.read.option("basePath", dd).parquet(s"$dd/${all.head}").columns.toSeq
+        else changes.columns.toSeq
+      val upserts = changes.filter(not(coalesce(isDelete, lit(false))))
+        .select(tableCols.map(col): _*)
+      if (affected.isEmpty && upserts.isEmpty) 0
+      else {
+        val keep = all.filterNot(affected.toSet)
+        val survivors =
+          if (affected.isEmpty) upserts
+          else spark.read.option("basePath", dd)
+            .parquet(affected.map(f => s"$dd/$f"): _*)
+            .join(changes.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+            .unionByName(upserts)
+        val staged = stageWrite(spark, base, survivors, Nil)
+        commitManifest(spark, base, keep ++ staged,
+          newStats = computeStats(spark, base, staged, statsCols))
+        affected.size
+      }
+    }
+
   // ---- retention ----------------------------------------------------------
 
   /** Drop manifests older than the newest `keepManifests` and delete

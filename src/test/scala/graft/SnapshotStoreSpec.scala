@@ -419,4 +419,42 @@ class SnapshotStoreSpec extends SparkSpec {
       .filter(col("user_id") <= 49).select("id").as[Long].collect()
     assert(left.nonEmpty && left.forall(_ % 2 === 1))
   }
+
+  test("mergeKeyed: clustered CDC batch rewrites only the files holding its keys") {
+    import spark.implicits._
+    val base = tmp("snapmerge")
+    val d = spark.range(1000).select(col("id").as("k"), (col("id") * 10).as("v"))
+      .repartitionByRange(10, col("k"))
+    SnapshotStore.commitReplace(spark, base, d, statsCols = Seq("k"))
+    val before = SnapshotStore.listFiles(spark, base)
+
+    // batch confined to keys 120–180 + one brand-new key + one delete
+    val changes = Seq(
+      (120L, -1L, false), (180L, -2L, false), // updates
+      (5000L, -3L, false),                    // insert (outside every range)
+      (150L, 0L, true))                       // delete
+      .toDF("k", "v", "__del")
+    val rewritten = SnapshotStore.mergeKeyed(spark, base, changes, "k",
+      col("__del"), statsCols = Seq("k"))
+    assert(rewritten <= 2, s"clustered merge rewrote $rewritten of 10 files")
+    val after = SnapshotStore.listFiles(spark, base)
+    assert(before.toSet.intersect(after.toSet).size === before.size - rewritten)
+
+    val m = SnapshotStore.read(spark, base).get
+      .select("k", "v").as[(Long, Long)].collect().toMap
+    assert(m.size === 1000) // 1000 - 1 delete + 1 insert
+    assert(m(120L) === -1L && m(180L) === -2L && m(5000L) === -3L)
+    assert(!m.contains(150L))
+    assert(m(121L) === 1210L, "untouched key inside a rewritten file must survive")
+    assert(m(999L) === 9990L, "carried-over file content must be intact")
+
+    // delete marker column never reaches storage
+    assert(!SnapshotStore.read(spark, base).get.columns.contains("__del"))
+
+    // empty batch (all deletes of absent keys, no file can match): no-op
+    val versions = SnapshotStore.versions(spark, base).size
+    val changes2 = Seq((77777L, 0L, true)).toDF("k", "v", "__del")
+    assert(SnapshotStore.mergeKeyed(spark, base, changes2, "k", col("__del")) === 0)
+    assert(SnapshotStore.versions(spark, base).size === versions)
+  }
 }
