@@ -182,6 +182,33 @@ object ScaleProbe {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
         n
       }),
+      // keyed MERGE partial rewrite: a CDC batch confined to ~0.1% of
+      // the keyspace against a key-clustered table must rewrite a
+      // file count bounded by the BATCH's span (≤3 files here at every
+      // scale), never the table — asserted in-rung; the overall
+      // metrics stay linear because the one-time table build dominates
+      "merge_rewrite" -> (() => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_mergescale")
+        val base = tmp.toString + "/store"
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val files = math.min(512, math.max(32, (eventsN / 31250L).toInt))
+        val t = spark.range(0, eventsN, 1, inParts)
+          .select(col("id").as("k"), (col("id") * 7L).as("v"))
+          .repartitionByRange(files, col("k"))
+        graft.sinks.SnapshotStore.commitReplace(spark, base, t,
+          statsCols = Seq("k"))
+        val lo = eventsN / 2
+        val changes = spark.range(lo, lo + 1000)
+          .select(col("id").as("k"), lit(-1L).as("v"),
+            (col("id") % 5 === 0).as("__del"))
+        val rewritten = graft.sinks.SnapshotStore.mergeKeyed(
+          spark, base, changes, "k", col("__del"), statsCols = Seq("k"))
+        require(rewritten <= 3,
+          s"merge rewrote $rewritten of $files files — pruning broke at scale")
+        val n = force(graft.sinks.SnapshotStore.read(spark, base).get)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        n
+      }),
       // the composed ensemble gate (Gopher rules + heuristic quality +
       // trained classifier riding in-row as a literal map): after the
       // bounded GD fit, scoring must stay a SINGLE narrow map pass —

@@ -77,4 +77,54 @@ class StreamingStateProbeSpec extends SparkSpec {
     assert(fin10 === live + 1L,
       s"10x final state $fin10 != ${live + 1} — state grew with dead keys")
   }
+
+  /** Same question for the STREAM-STREAM interval join
+    * (Pipeline.attributionJoin): both join state stores must be
+    * bounded by the watermark horizon (rows still joinable), never by
+    * rows ever seen — the two-sided time bound in the join condition
+    * is what licenses eviction. */
+  private def joinProbe(n: Int): (Long, Long) = {
+    import spark.implicits._
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val clicksIn = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    val purchIn = MemoryStream[(Long, Long, java.sql.Timestamp)](spark)
+    def shape(in: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      in.toDS().toDF("event_id", "user_id", "ts")
+    val joined = Pipeline.attributionJoin(shape(clicksIn), shape(purchIn),
+      "1 hour", watermark = "0 seconds")
+    val q = joined.writeStream.outputMode(OutputMode.Append)
+      .format("noop").start()
+    try {
+      // n clicks at t0 (n distinct users), 50 matching purchases 30 min
+      // in — every click row is still joinable, so state must hold all
+      clicksIn.addData((0 until n).map(i => (i.toLong, i.toLong, ts(t0))))
+      purchIn.addData((0 until 50).map(i => (100000L + i, i.toLong, ts(t0 + 1800000L))))
+      q.processAllAvailable()
+      val peak = lastStateRows(q)
+      // both watermarks jump 4 h past t0: every click's [t0, t0+1h]
+      // window and every purchase's joinability horizon is closed;
+      // a second tick lets the eviction land
+      clicksIn.addData(Seq((900001L, 1L, ts(t0 + 14400000L))))
+      purchIn.addData(Seq((900002L, 2L, ts(t0 + 14400000L))))
+      q.processAllAvailable()
+      clicksIn.addData(Seq((900003L, 1L, ts(t0 + 14400001L))))
+      purchIn.addData(Seq((900004L, 2L, ts(t0 + 14400001L))))
+      q.processAllAvailable()
+      (peak, lastStateRows(q))
+    } finally q.stop()
+  }
+
+  test("stream-stream join state is watermark-bounded, not rows-ever-seen (1x vs 10x)") {
+    val (p1, f1) = joinProbe(2000)
+    val (p10, f10) = joinProbe(20000)
+    assert(p1 >= 2000L, s"1x peak join state $p1 — probe not loading state")
+    assert(p10 >= 20000L, s"10x peak join state $p10 — probe not loading state")
+    // after the horizon closes: only the handful of watermark-advancing
+    // rows remain — identical at both scales. Growth with rows-ever-
+    // seen would show ~n here.
+    assert(f1 <= 10L, s"1x final join state $f1 — expired rows not evicted")
+    assert(f10 <= 10L, s"10x final join state $f10 — state grew with input volume")
+    assert(f1 === f10, s"final state differs across scales: $f1 vs $f10")
+  }
 }
