@@ -56,6 +56,25 @@ object Engagement {
   def engagementSeconds(durationMs: Column): Column =
     (durationMs / lit(1000.0)).cast(DoubleType)
 
+  /** SQL surface for the score: registers `graft_score(event_type,
+    * duration_ms)` as a Spark SQL UDF (Spark 4 `CREATE FUNCTION …
+    * RETURN <expr>`), which the analyzer INLINES into the calling plan
+    * — full Catalyst optimization and whole-stage codegen, unlike a
+    * JVM closure UDF. Same ops as [[engagementScore]], so SQL and
+    * DataFrame callers get bit-identical doubles. */
+  def registerScoreSqlUdf(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_score(
+        event_type STRING, duration_ms DOUBLE) RETURNS DOUBLE
+      RETURN floor(
+        (CASE WHEN lower(event_type) = 'play' THEN 1.0D
+              WHEN lower(event_type) = 'pause' THEN 0.5D
+              WHEN lower(event_type) = 'finish' THEN 3.0D
+              WHEN lower(event_type) = 'click' THEN 0.2D
+              ELSE 1.0D END
+         * CASE WHEN duration_ms > 0
+                THEN least(2.5D, ln(duration_ms / 1000.0D + 1.0D))
+                ELSE 1.0D END) * 100.0D + 0.5D) / 100.0D""")
+
   /** engagement_pct = round(duration_s / length_s * 100, 2); null unless
     * length > 0 and duration present. Reference: :296–301. */
   def engagementPct(durationMs: Column, lengthSeconds: Column): Column =

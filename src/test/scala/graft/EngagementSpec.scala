@@ -95,4 +95,23 @@ class EngagementSpec extends SparkSpec {
       assert(got(in) === want, s"for input $in")
     }
   }
+
+  test("graft_score SQL UDF is bit-identical to the Column form and inlines (no JVM UDF)") {
+    import spark.implicits._
+    Engagement.registerScoreSqlUdf(spark)
+    val df = Seq(("play", 45000.0), ("pause", 45000.0), ("finish", 1800000.0),
+      ("click", 0.0), ("view", -5.0), ("PLAY", 999999.0), ("other", 1.0))
+      .toDF("event_type", "duration_ms")
+    df.createOrReplaceTempView("score_probe")
+    val viaSql = spark.sql(
+      "SELECT event_type, duration_ms, graft_score(event_type, duration_ms) AS s FROM score_probe")
+    val viaCol = df.select(col("event_type"), col("duration_ms"),
+      Engagement.engagementScore(col("event_type"), col("duration_ms")).as("s"))
+    assert(viaSql.collect().map(_.getDouble(2)).toSeq ===
+      viaCol.collect().map(_.getDouble(2)).toSeq)
+    // the SQL UDF must inline: the physical plan has no ScalaUDF /
+    // BatchEvalPython — just the expression
+    val plan = viaSql.queryExecution.executedPlan.toString()
+    assert(!plan.contains("UDF"), plan.take(1000))
+  }
 }
