@@ -71,17 +71,39 @@ object StreamingDemo {
       .option("checkpointLocation", s"$work/ckp-counters")
       .outputMode(OutputMode.Update).start()
 
+    // stream-stream attribution arm: click → play within 10 min per
+    // user, both sides watermarked (state evicts with the horizon)
+    val evForAttr = enrichedForAggs.select(col("event_id"), col("user_id"),
+      col("event_ts").as("ts"), col("event_type"))
+    val attrQ = Pipeline.attributionJoin(
+        evForAttr.filter(col("event_type") === "click").drop("event_type"),
+        evForAttr.filter(col("event_type") === "play").drop("event_type"),
+        "10 minutes")
+      .writeStream.format("memory").queryName("attribution")
+      .option("checkpointLocation", s"$work/ckp-attr")
+      .outputMode(OutputMode.Append).start()
+
+    // live JDBC warehouse arm (embedded Derby — the reference's
+    // ClickHouse sink analog, real database, per-task batched INSERTs)
+    val jdbcUrl = graft.sinks.Jdbc.derbyMemUrl("graftdemo")
+    val jdbcQ = Pipeline.enrichedSink(wire, dimPath, s"$work/ckp-jdbc") { (df, id) =>
+      graft.sinks.Jdbc.streamWriter(jdbcUrl, "events_wh",
+        Some("user_id VARCHAR(64), event_type VARCHAR(32)"))(
+        df.select(col("event_id"), col("user_id"), col("event_type"),
+          col("engagement_score")), id)
+    }.trigger(Trigger.ProcessingTime("5 seconds")).start()
+
     Thread.sleep(runSeconds * 1000L)
     // wait for at least one committed warehouse batch so the stop below
     // doesn't leave only aborted task files behind
     val deadline = System.currentTimeMillis() + 120000
-    while (Seq(warehouseQ, countersQ).exists(
+    while (Seq(warehouseQ, countersQ, jdbcQ).exists(
         _.recentProgress.count(_.numInputRows > 0) < 1) &&
         System.currentTimeMillis() < deadline)
       Thread.sleep(500)
     // NOTE: no processAllAvailable here — the rate source produces
     // continuously, so "all available" never drains; bounded runs stop.
-    Seq(warehouseQ, rollupQ, countersQ).foreach(_.stop())
+    Seq(warehouseQ, rollupQ, countersQ, attrQ, jdbcQ).foreach(_.stop())
 
     val whRows = Warehouse.read(spark, whPath).count()
     val enrichedPct = Warehouse.read(spark, whPath)
@@ -91,9 +113,15 @@ object StreamingDemo {
     val counters = spark.sql(
       "SELECT event_type, max(count) FROM counters GROUP BY 1").collect()
       .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(", ")
+    val attrPairs = spark.sql("SELECT count(*) FROM attribution").head.getLong(0)
+    val jdbcRows =
+      try graft.sinks.Jdbc.readTable(spark, jdbcUrl, "events_wh").count()
+      catch { case _: Exception => 0L } // no batch committed in a very short run
     println(s"[demo] warehouse rows (deduped): $whRows")
     println(f"[demo] enriched fraction: ${enrichedPct * 100}%.1f%%")
     println(s"[demo] counters: $counters")
+    println(s"[demo] attribution pairs (click→play ≤10 min): $attrPairs")
+    println(s"[demo] JDBC warehouse rows (Derby): $jdbcRows")
     println(s"[demo] throughput ~ ${whRows / math.max(runSeconds, 1)} events/s over $runSeconds s")
     spark.stop()
   }

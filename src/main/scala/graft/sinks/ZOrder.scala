@@ -111,4 +111,50 @@ object ZOrder {
       .map { case (c, lo, hi) => SnapshotStore.pruneFiles(spark, base, c, lo, hi).toSet }
       .reduce(_ intersect _).size / all
   }
+
+  /** Clustering health of `column`: 1 − (mean files whose [min,max]
+    * range CONTAINS a random point, normalized). Appends degrade a
+    * layout — every unclustered file overlaps everything and drags the
+    * metric toward 0; a perfectly clustered table (disjoint ranges)
+    * scores 1. Pure manifest metadata, O(n log n) sorted sweep over
+    * the file count — no data IO. Files without stats count as
+    * full-overlap (they are opened by every read anyway). Returns 1.0
+    * for tables of ≤1 file. */
+  def clusterHealth(spark: SparkSession, base: String, column: String): Double = {
+    val st = SnapshotStore.fileStats(spark, base)
+    val all = SnapshotStore.listFiles(spark, base)
+    val n = all.size
+    if (n <= 1) return 1.0
+    val ranges = all.map(f => st.get(f).flatMap(_.get(column)))
+    val known = ranges.flatten
+    if (known.isEmpty) return 0.0
+    val globalLo = known.map(_._1).min
+    val globalHi = known.map(_._2).max
+    val span = math.max(globalHi - globalLo, java.lang.Double.MIN_NORMAL)
+    // expected number of files a uniform random point hits = Σ len_i /
+    // span (statless files hit always); ideal (disjoint cover) = 1
+    val expectedHits = ranges.map {
+      case Some((lo, hi)) => math.min(1.0, math.max(hi - lo, 0.0) / span)
+      case None => 1.0
+    }.sum
+    // map [1 (ideal) … n (every file spans everything)] → (0, 1]
+    math.min(1.0, 1.0 / math.max(expectedHits, 1.0))
+  }
+
+  /** OPTIMIZE ZORDER analog: re-lay-out the whole live snapshot along
+    * the z-curve in one atomic replace. The health metric is RELATIVE:
+    * an ideal n-D z-layout over F files scores ~F^(1/n)/F per dim (each
+    * file's per-dim span is the tile width), and every full-span
+    * append file adds 1 to the expected hit count — so record the
+    * post-layout baseline and recluster when health falls to a
+    * fraction of it (the ZOrderSpec maintenance test shows a 16-file
+    * 2-D layout at 0.25 dropping ~3× after 8 raw appends). At 100 TB,
+    * recluster per PARTITION (date) via commitReplacePartition-style
+    * scoping rather than whole-table. */
+  def recluster(spark: SparkSession, base: String, zCols: Seq[String],
+      numFiles: Int, extraStatsCols: Seq[String] = Nil): Unit = {
+    val df = SnapshotStore.read(spark, base)
+      .getOrElse(throw new IllegalStateException(s"no snapshot at $base"))
+    commitReplaceZOrdered(spark, base, df, zCols, numFiles, extraStatsCols)
+  }
 }

@@ -69,6 +69,25 @@ class JdbcSpec extends SparkSpec {
     Jdbc.dropDerbyMem(db)
   }
 
+  test("JDBC read pushes filters and prunes columns down to the database") {
+    import spark.implicits._
+    val db = freshDb("pushdown")
+    val url = Jdbc.derbyMemUrl(db)
+    Jdbc.writeTable((1L to 100L).map(i => (i, s"n$i", i * 2.0)).toDF("id", "name", "w"),
+      url, "pushd", Some("name VARCHAR(16)"))
+    val q = Jdbc.readTable(spark, url, "pushd").filter(col("id") > 50).select("name")
+    val plan = q.queryExecution.executedPlan.toString()
+    // the predicate must ship INTO the generated SQL (PushedFilters on
+    // the JDBC scan), and only the referenced columns may be selected —
+    // at scale this is the difference between the database streaming 50
+    // narrow rows and the cluster dragging the whole table over JDBC
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      plan.take(1500))
+    assert(!plan.toLowerCase.contains("w#"), "unreferenced column fetched:\n" + plan.take(1500))
+    assert(q.count() === 50)
+    Jdbc.dropDerbyMem(db)
+  }
+
   test("enrichment join consumes a JDBC dimension snapshot (S3 path end-to-end)") {
     import spark.implicits._
     val db = freshDb("enrich")

@@ -58,6 +58,37 @@ class ZOrderSpec extends SparkSpec {
     assert(zbox <= 0.3, s"z-order opened $zbox of files for a 1/16 box")
   }
 
+  test("appends degrade clusterHealth; recluster restores layout and skipping") {
+    val base = tmp("zhealth")
+    ZOrder.commitReplaceZOrdered(spark, base, grid, Seq("x", "y"), numFiles = 16)
+    // ~0.25 for 16 ideal tiles; range-partition boundaries straddle
+    // tiles so measured ≈ 0.17 — the test's real claims are RELATIVE
+    val h0 = ZOrder.clusterHealth(spark, base, "x")
+    assert(h0 >= 0.12, s"fresh 2-D layout health $h0")
+
+    // 8 raw appends of full-span rows: each overlaps everything
+    (0 until 8).foreach { i =>
+      SnapshotStore.commitAppend(spark, base,
+        grid.filter(col("id") % 97 === i).repartition(1),
+        statsCols = Seq("x", "y"))
+    }
+    val hDegraded = ZOrder.clusterHealth(spark, base, "x")
+    assert(hDegraded <= h0 / 2, s"appends did not degrade health: $h0 -> $hDegraded")
+    // every appended file must be opened for any slice: (4 tiles + 8
+    // appended) of 24 files ≈ 0.5, vs 0.25 on the fresh layout
+    val fracDegraded = ZOrder.filesOpenedFraction(spark, base, Seq(("y", 0.0, 24.0)))
+    assert(fracDegraded >= 0.45, s"degraded layout unexpectedly still skips: $fracDegraded")
+
+    ZOrder.recluster(spark, base, Seq("x", "y"), numFiles = 16)
+    val hRestored = ZOrder.clusterHealth(spark, base, "x")
+    assert(hRestored >= h0 * 0.8, s"recluster did not restore health: $hRestored vs $h0")
+    assert(ZOrder.filesOpenedFraction(spark, base, Seq(("y", 0.0, 24.0))) <= 0.5)
+    // content unchanged by the re-layout (the appended duplicates
+    // survive on both sides of the recluster)
+    val n = SnapshotStore.read(spark, base).get.count()
+    assert(n === 10000L + (0L until 10000L).count(id => id % 97 <= 7))
+  }
+
   test("skew, nulls and degenerate ranges don't break the layout") {
     val base = tmp("zdegen")
     val df = spark.range(1000)
