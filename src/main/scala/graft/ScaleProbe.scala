@@ -50,6 +50,32 @@ object ScaleProbe {
         force(graft.ops.Funnel.windowFunnel(events, col("user_id"), col("ts"),
           Seq(col("event_type") === "view", col("event_type") === "click",
             col("event_type") === "purchase"), window = "30 DAYS"))),
+      // time-series rungs run on a FIXED 64-day span regardless of n:
+      // the gap-fill axis (keys × span-days) must grow with KEYS — the
+      // operator's true input measure — not because the generator's
+      // clock happens to stretch with row count
+      "gap_fill" -> (() => {
+        val spanUs = 64L * 86400L * 1000000L
+        val users = math.max(eventsN / 100, 1)
+        val e = spark.range(eventsN).select(
+          pmod(col("id"), lit(users)).as("user_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(col("id") * lit(7919L), lit(spanUs))).as("ts"))
+        force(graft.ops.TimeSeries.gapFillDaily(e, col("user_id"), col("ts"),
+          (pmod(hash(col("user_id")), lit(1000000)) + lit(1)).cast("long")))
+      }),
+      // two-phase sweep line: hour buckets keep per-task sort volume at
+      // events-per-hour and the carry table at |hours| (1536 here) —
+      // the single-partition window runs ONLY on that carry table
+      "max_concurrency" -> (() => {
+        val spanUs = 64L * 86400L * 1000000L
+        val e = spark.range(eventsN).select(
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(col("id") * lit(7919L), lit(spanUs))).as("ts"))
+        force(graft.ops.Intervals.maxIntersections(e, col("ts"),
+          expr("timestampadd(MICROSECOND, CAST(pmod(hash(ts), 3600000000) + 1000000 AS BIGINT), ts)"),
+          bucket = t => date_trunc("HOUR", t)))
+      }),
       // token-explode aggregation rungs: shuffle must track corpus
       // tokens (linear), driver results must stay count-sized
       "tfidf_topterms" -> (() =>

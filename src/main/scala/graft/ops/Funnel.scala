@@ -39,15 +39,19 @@ object Funnel {
     // stage 1: first step-1 event per user; stage k: first step-k event
     // after t_{k-1}, inside t1 + window. Each stage's survivor set only
     // ever shrinks, and each is a user-keyed partial+final hash agg.
+    // survivor tables are |users matching step 1|-cardinality — corpus-
+    // derived, so every stage join carries the sort-merge pin (the same
+    // mis-broadcast exposure as SCALE.md findings one/four/five)
     var cur = e.filter(col("is_s1")).groupBy(col("u")).agg(min(col("ts")).as("t1"))
     var lv = cur.select(col("u"), lit(1).as("level"))
     for (k <- 2 to steps.size) {
-      cur = e.filter(col(s"is_s$k")).join(cur, "u")
+      cur = e.filter(col(s"is_s$k")).join(Joins.corpusSide(cur), "u")
         .filter(col("ts") > col(s"t${k - 1}") && col("ts") <= col("t1") + win)
         .groupBy(col("u"))
         .agg(min(col("ts")).as(s"t$k"),
           (1 until k).map(j => min(col(s"t$j")).as(s"t$j")): _*)
-      lv = lv.join(cur.select(col("u"), lit(1).as(s"hit$k")), Seq("u"), "left")
+      lv = lv.join(Joins.corpusSide(
+          cur.select(col("u"), lit(1).as(s"hit$k"))), Seq("u"), "left")
         .select(col("u"),
           (col("level") + when(col(s"hit$k").isNotNull, 1).otherwise(0)).as("level"))
     }
@@ -81,7 +85,7 @@ SELECT step, count(*) AS users FROM (SELECT unnest(range(1, level + 1)) AS step 
     val offCols = offsets.map(o =>
       count_distinct(when(col("d") === date_add(col("d0"), o), col("u")))
         .as(s"d$o"))
-    first.join(act, "u")
+    first.join(Joins.corpusSide(act), "u")
       .groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort_date"))
       .agg(count_distinct(col("u")).as("cohort_size"), offCols: _*)
   }

@@ -1,0 +1,338 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series shaping operators — the ClickHouse surface the reference's
+  * warehouse exposes for dashboard queries over the engagement events
+  * table (see /root/reference/sql/clickhouse-init.sql for that table):
+  * `ORDER BY ... WITH FILL STEP ... INTERPOLATE` (gap filling),
+  * `sequenceMatch` / `sequenceCount` (event-pattern matching), exact
+  * weighted quantiles (`quantileExactWeighted`), moving-frame window
+  * aggregates (`groupArrayMovingSum`/`Avg`), and `sumMap`.
+  *
+  * Scale posture shared by every operator here:
+  *  - the unit of shuffle is a per-(key, day) or per-(key, event) pair,
+  *    never the raw event count where avoidable — daily grids are built
+  *    from per-key min/max aggregates, so the exploded axis is bounded
+  *    by keys × span-days, independent of event volume;
+  *  - all windows are PARTITIONED by the series key; there is no global
+  *    sort, no unbounded cross-key frame;
+  *  - interpolation and quantile ranks are integer-exact (micro-unit
+  *    BIGINTs, explicit floor-division via pmod, rational quantile
+  *    ranks) so the DuckDB oracle matches hash-for-hash.
+  */
+object TimeSeries {
+
+  /** Floor division n/den for den > 0 with possibly-negative n, in exact
+    * integer arithmetic: (n - pmod(n, den)) is divisible by den, and the
+    * double division below is exact for |n| < 2^52 (micro-unit values ×
+    * span-days stay far below that; see gapFillDaily's docstring). */
+  private def floorDiv(n: Column, den: Column): Column =
+    ((n - pmod(n, den)) / den).cast("long")
+
+  /** ClickHouse `WITH FILL STEP 1 DAY ... INTERPOLATE` analog.
+    *
+    * Input is raw events; `obs` below reduces them to per-(key, day)
+    * micro-unit sums first (map-side combinable hash agg), so gap
+    * filling never touches event volume. The dense axis is generated
+    * per key from that key's own [min, max] day span (`sequence` +
+    * `explode` — each key's grid rows are produced where the key's
+    * span row lives, no driver round-trip, no global axis table), then
+    * left-joined back to the observations on (key, day).
+    *
+    * Fill semantics, per key ordered by day:
+    *  - `v_ffill`  — last observed value carried forward (the WITH FILL
+    *    default for non-interpolated columns);
+    *  - `v_interp` — LINEAR interpolation between the bracketing
+    *    observed days, in exact integer micro-units:
+    *    prev + floor((next - prev) * (d - prevDay) / (nextDay - prevDay))
+    *    with floor division done via pmod so Spark and DuckDB agree on
+    *    negative slopes. Exactness bound: |next - prev| ≤ 2^40 µ-units
+    *    and spans ≤ 2^10 days keep the numerator below 2^52, where the
+    *    divisible-by-construction double division is exact.
+    *
+    * Grid edges (before the first / after the last observation) fall
+    * back to the nearest observed value in both columns. Every key has
+    * ≥ 1 observation by construction (its span came from `obs`), so the
+    * output carries no nulls.
+    *
+    * Output: (key k, day STRING, observed BOOLEAN, v_ffill BIGINT µ,
+    * v_interp BIGINT µ). Rows = Σ_key span-days.
+    */
+  def gapFillDaily(events: DataFrame, key: Column, ts: Column,
+                   valueMicros: Column): DataFrame = {
+    val obs = events
+      .groupBy(key.as("k"), to_date(ts).as("d"))
+      .agg(sum(valueMicros).as("v"))
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      .select(col("k"),
+        explode(sequence(col("dmin"), col("dmax"), expr("INTERVAL 1 DAY"))).as("d"))
+    // obs is corpus-derived (keys × active-days): without the pin,
+    // Catalyst's static estimate broadcasts it — unbounded at scale.
+    val j = grid.join(Joins.corpusSide(obs), Seq("k", "d"), "left")
+
+    val wb = Window.partitionBy(col("k")).orderBy(col("d"))
+    val back = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd  = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prev  = last(col("v"), ignoreNulls = true).over(back)
+    val prevD = last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(back)
+    val nxt   = first(col("v"), ignoreNulls = true).over(fwd)
+    val nxtD  = first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(fwd)
+
+    val num = (nxt - prev) * datediff(col("d"), prevD)
+    val den = datediff(nxtD, prevD)
+    j.select(col("k"),
+      date_format(col("d"), "yyyy-MM-dd").as("day"),
+      col("v").isNotNull.as("observed"),
+      prev.as("v_ffill"),
+      when(col("v").isNotNull, col("v"))
+        .when(prev.isNull, nxt)
+        .when(nxt.isNull, prev)
+        .otherwise(prev + floorDiv(num, den)).as("v_interp"))
+  }
+
+  /** DuckDB replica of [[gapFillDaily]] over `events` filtered to one
+    * event_type, keyed by user_id, value = round(value·1e6) µ-units. */
+  def gapFillDailyOracleSql(eventType: String): String = {
+    def ignb(e: String) =
+      s"last_value($e IGNORE NULLS) OVER (PARTITION BY k ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    def ignf(e: String) =
+      s"first_value($e IGNORE NULLS) OVER (PARTITION BY k ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    val num = "(nxt-prev)*date_diff('day', prevd, d)"
+    val den = "date_diff('day', prevd, nxtd)"
+    s"""WITH obs AS (SELECT user_id AS k, CAST(ts AS DATE) AS d, CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS v FROM events WHERE event_type='$eventType' GROUP BY 1,2),
+span AS (SELECT k, min(d) AS dmin, max(d) AS dmax FROM obs GROUP BY 1),
+grid AS (SELECT k, CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP), CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span),
+j AS (SELECT g.k, g.d, o.v FROM grid g LEFT JOIN obs o ON g.k=o.k AND g.d=o.d),
+w AS (SELECT k, d, v, ${ignb("v")} AS prev, ${ignb("CASE WHEN v IS NOT NULL THEN d END")} AS prevd, ${ignf("v")} AS nxt, ${ignf("CASE WHEN v IS NOT NULL THEN d END")} AS nxtd FROM j)
+SELECT k, strftime(d,'%Y-%m-%d') AS day, v IS NOT NULL AS observed, prev AS v_ffill,
+ CASE WHEN v IS NOT NULL THEN v WHEN prev IS NULL THEN nxt WHEN nxt IS NULL THEN prev
+  ELSE prev + CAST((($num) - (((($num) % ($den)) + ($den)) % ($den))) / ($den) AS BIGINT) END AS v_interp
+FROM w"""
+  }
+
+  /** ClickHouse `sequenceMatch('(?1).*(?2).*…')` analog: does the user's
+    * event stream contain cond₁ … condₙ at strictly increasing
+    * timestamps? Same chained-min-ts construction as
+    * [[Funnel.windowFunnel]] but with no time-window bound: stage k is a
+    * user-keyed hash agg over an ever-shrinking survivor set, so the
+    * shuffled volume is bounded by |users matching cond₁|, not events.
+    * Determinism: tₖ = min ts of condₖ events with ts > tₖ₋₁ — a pure
+    * min-chain, no order-of-arrival sensitivity.
+    *
+    * Output: one row per user holding any condition event —
+    * (u, matched BOOLEAN). */
+  def sequenceMatchUsers(events: DataFrame, user: Column, ts: Column,
+                         conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "sequenceMatch needs at least one condition")
+    val e = events.select(Seq(user.as("u"), ts.as("ts")) ++
+      conds.zipWithIndex.map { case (p, i) => p.as(s"is_c${i + 1}") }: _*)
+    val universe = e.filter(conds.indices.map(i => col(s"is_c${i + 1}"))
+      .reduce(_ || _)).select(col("u")).distinct()
+    var cur = e.filter(col("is_c1")).groupBy(col("u")).agg(min(col("ts")).as("t1"))
+    for (k <- 2 to conds.size)
+      // the survivor set is user-cardinality — corpus-derived, pinned
+      cur = e.filter(col(s"is_c$k")).join(Joins.corpusSide(cur), "u")
+        .filter(col("ts") > col(s"t${k - 1}"))
+        .groupBy(col("u")).agg(min(col("ts")).as(s"t$k"))
+    universe.join(
+      Joins.corpusSide(cur.select(col("u"), lit(true).as("matched"))),
+      Seq("u"), "left")
+      .select(col("u"), coalesce(col("matched"), lit(false)).as("matched"))
+  }
+
+  /** DuckDB replica of a 3-condition [[sequenceMatchUsers]] keyed by
+    * user_id with per-condition event_type equality. */
+  def sequenceMatchOracleSql(c1: String, c2: String, c3: String): String =
+    s"""WITH u AS (SELECT DISTINCT user_id AS u FROM events WHERE event_type IN ('$c1','$c2','$c3')),
+s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events WHERE event_type='$c1' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.u WHERE e.event_type='$c2' AND e.ts > t1 GROUP BY 1),
+s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.u WHERE e.event_type='$c3' AND e.ts > t2 GROUP BY 1)
+SELECT u.u, s3.u IS NOT NULL AS matched FROM u LEFT JOIN s3 ON u.u = s3.u"""
+
+  /** ClickHouse `sequenceCount('(?1).*(?2)')` analog: the number of
+    * NON-OVERLAPPING condA→condB matches per user (greedy left-to-right,
+    * each event consumed at most once) — computed relationally via the
+    * prefix-deficit identity instead of a per-user array scan:
+    *
+    *   matches(u) = #B(u) − max(0, max over prefixes of (#B − #A))
+    *
+    * where prefixes run in (ts, tiebreak) order. Proof sketch: a B is
+    * unmatched iff every preceding A is already consumed, i.e. the
+    * running (#B − #A) deficit reaches a new maximum at that B; the
+    * greedy scan leaves exactly max(0, max-prefix-deficit) Bs unmatched.
+    * One per-user window (running sum + running max) + one hash agg —
+    * shuffle is the A/B event subset, state per group is O(1).
+    *
+    * Equal-timestamp A/B pairs are ordered by the `tiebreak` column
+    * (pass a unique id); the contract is the (ts, tiebreak) total order.
+    *
+    * Output: (u, matches BIGINT), one row per user with ≥ 1 A or B. */
+  def sequenceCountPairs(events: DataFrame, user: Column, ts: Column,
+                         tiebreak: Column, condA: Column, condB: Column): DataFrame = {
+    val e = events.filter(condA || condB)
+      .select(user.as("u"), ts.as("ts"), tiebreak.as("tb"),
+        when(condB, lit(1L)).otherwise(lit(-1L)).as("step"))
+    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.select(col("u"), col("step"), sum(col("step")).over(w).as("run"))
+      .groupBy(col("u"))
+      .agg((sum(when(col("step") === 1L, 1L).otherwise(0L)) -
+        greatest(lit(0L), max(col("run")))).as("matches"))
+  }
+
+  /** DuckDB replica of [[sequenceCountPairs]] with event_type equality
+    * conditions, tiebreak = event_id. */
+  def sequenceCountOracleSql(a: String, b: String): String =
+    s"""WITH e AS (SELECT user_id AS u, ts, event_id, CASE WHEN event_type='$b' THEN 1 ELSE -1 END AS step FROM events WHERE event_type IN ('$a','$b')),
+r AS (SELECT u, step, sum(step) OVER (PARTITION BY u ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM e)
+SELECT u, CAST(sum(CASE WHEN step=1 THEN 1 ELSE 0 END) - greatest(0, max(run)) AS BIGINT) AS matches FROM r GROUP BY 1"""
+
+  /** ClickHouse `quantileExactWeighted` analog, integer-exact: for each
+    * rational quantile q = num/den (den > 0), the smallest value v whose
+    * cumulative weight reaches ceil(q · W) where W = Σ weights — i.e.
+    * the weighted type-1 (lower) quantile. Ranks are computed with pure
+    * integer arithmetic, ceil(n·W/d) = (n·W + d − 1) div d, so there is
+    * no floating-point rank to diverge on.
+    *
+    * Plan shape: one hash agg per distinct value (map-side combinable),
+    * one value-ordered running-sum window over the DISTINCT-value table
+    * (|distinct values| rows, not event rows; single partition is
+    * acceptable because the distinct-value table is the compressed
+    * domain — for a genuinely huge domain, bucket the value range
+    * first), then a broadcast of the q-literal table and a min-per-q
+    * agg. The raw data is touched exactly once.
+    *
+    * Output: (q_num INT, q_den INT, value BIGINT). */
+  def weightedQuantiles(df: DataFrame, value: Column, weight: Column,
+                        qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n >= 0 && n <= d },
+      "quantiles must be rationals in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byV = df.groupBy(value.as("v")).agg(sum(weight).as("w"))
+    val cum = byV.select(col("v"),
+      sum(col("w")).over(Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"))
+    val tot = byV.agg(sum(col("w")).as("tw"))
+    val qdf = qs.toDF("q_num", "q_den")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
+      .filter(col("cw") * col("q_den") >= col("q_num") * col("tw"))
+      .groupBy(col("q_num"), col("q_den"))
+      .agg(min(col("v")).as("value"))
+  }
+
+  /** DuckDB replica of [[weightedQuantiles]] over events with
+    * v = round(value·1e6) µ-units and weight = 1 + user_id % 9. */
+  def weightedQuantilesOracleSql(qs: Seq[(Int, Int)]): String = {
+    val qrows = qs.map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH byv AS (SELECT CAST(round(value*1000000,0) AS BIGINT) AS v, sum(1 + user_id % 9) AS w FROM events GROUP BY 1),
+cum AS (SELECT v, sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM byv),
+tot AS (SELECT sum(w) AS tw FROM byv),
+q(q_num, q_den) AS (VALUES $qrows)
+SELECT q_num, q_den, min(v) AS value FROM cum, tot, q WHERE cw * q_den >= q_num * tw GROUP BY 1, 2"""
+  }
+
+  /** ClickHouse `groupArrayMovingSum/Avg` analog: per-key daily sums,
+    * then a rows-frame moving sum / count / average over the previous
+    * `frame` daily rows. Integer micro-unit sums keep the moving sum
+    * exact; the average divides two exact integers in double (identical
+    * IEEE operation on both engines). The window partitions by key and
+    * frames over the per-(key, day) AGGREGATE table — event volume is
+    * reduced by the hash agg before any window runs.
+    *
+    * Output: (key k, day STRING, day_sum BIGINT µ, mov_sum BIGINT µ,
+    * mov_cnt BIGINT, mov_avg DOUBLE). */
+  def movingAgg(events: DataFrame, key: Column, ts: Column,
+                valueMicros: Column, frame: Int): DataFrame = {
+    val daily = events.groupBy(key.as("k"), to_date(ts).as("d"))
+      .agg(sum(valueMicros).as("day_sum"))
+    val w = Window.partitionBy(col("k")).orderBy(col("d"))
+      .rowsBetween(-(frame - 1), Window.currentRow)
+    daily.select(col("k"),
+      date_format(col("d"), "yyyy-MM-dd").as("day"),
+      col("day_sum"),
+      sum(col("day_sum")).over(w).as("mov_sum"),
+      count(lit(1)).over(w).as("mov_cnt"),
+      (sum(col("day_sum")).over(w).cast("double") /
+        count(lit(1)).over(w)).as("mov_avg"))
+  }
+
+  /** DuckDB replica of [[movingAgg]] keyed by event_type. */
+  def movingAggOracleSql(frame: Int): String = {
+    val fr = s"ROWS BETWEEN ${frame - 1} PRECEDING AND CURRENT ROW"
+    s"""WITH daily AS (SELECT event_type AS k, CAST(ts AS DATE) AS d, CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS day_sum FROM events GROUP BY 1,2)
+SELECT k, strftime(d,'%Y-%m-%d') AS day, day_sum,
+ CAST(sum(day_sum) OVER (PARTITION BY k ORDER BY d $fr) AS BIGINT) AS mov_sum,
+ count(*) OVER (PARTITION BY k ORDER BY d $fr) AS mov_cnt,
+ CAST(sum(day_sum) OVER (PARTITION BY k ORDER BY d $fr) AS DOUBLE) / count(*) OVER (PARTITION BY k ORDER BY d $fr) AS mov_avg
+FROM daily"""
+  }
+
+  /** Audience-overlap matrix (ClickHouse `groupBitmapAnd` analog, exact):
+    * for every ordered pair of event types, the number of users active
+    * in BOTH, each side's audience size, and the exact Jaccard overlap.
+    * The self-join runs on the DISTINCT (type, user) pair table — the
+    * audience sets, not the event stream — co-partitioned on user; the
+    * per-type sizes (|types| rows) join back broadcast. Pair volume per
+    * user is |types active|², bounded by the type-domain cardinality,
+    * never by event count.
+    *
+    * Jaccard is |A∩B| / (|A|+|B|−|A∩B|) over exact BIGINTs, rounded
+    * half-up to 6 dp with the same floor formula on both engines.
+    *
+    * Output: (et_a, et_b, n_both BIGINT, users_a BIGINT, users_b BIGINT,
+    * jaccard DOUBLE), et_a < et_b. */
+  def audienceOverlap(events: DataFrame, key: Column, user: Column): DataFrame = {
+    val au = events.select(key.as("et"), user.as("u")).distinct()
+    val sizes = au.groupBy(col("et")).agg(count(lit(1)).as("n"))
+    val a = au.select(col("et").as("et_a"), col("u"))
+    val b = au.select(col("et").as("et_b"), col("u"))
+    // the audience-pair table tracks |users| × |types| — corpus-derived
+    val both = a.join(Joins.corpusSide(b), "u").filter(col("et_a") < col("et_b"))
+      .groupBy(col("et_a"), col("et_b")).agg(count(lit(1)).as("n_both"))
+    val j = col("n_both").cast("double") /
+      (col("users_a") + col("users_b") - col("n_both"))
+    both
+      .join(broadcast(sizes.select(col("et").as("et_a"), col("n").as("users_a"))), "et_a")
+      .join(broadcast(sizes.select(col("et").as("et_b"), col("n").as("users_b"))), "et_b")
+      .select(col("et_a"), col("et_b"), col("n_both"),
+        col("users_a"), col("users_b"),
+        (floor(j * 1e6 + 0.5) / 1e6).as("jaccard"))
+  }
+
+  /** DuckDB replica of [[audienceOverlap]] over (event_type, user_id). */
+  val audienceOverlapOracleSql: String =
+    """WITH au AS (SELECT DISTINCT event_type AS et, user_id AS u FROM events),
+sz AS (SELECT et, count(*) AS n FROM au GROUP BY 1),
+p AS (SELECT a.et AS et_a, b.et AS et_b, count(*) AS n_both FROM au a JOIN au b ON a.u = b.u AND a.et < b.et GROUP BY 1,2)
+SELECT et_a, et_b, n_both, sa.n AS users_a, sb.n AS users_b,
+ floor(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) * 1e6 + 0.5) / 1e6 AS jaccard
+FROM p JOIN sz sa ON p.et_a = sa.et JOIN sz sb ON p.et_b = sb.et"""
+
+  /** ClickHouse `sumMap` analog: per key, the element-wise sum of
+    * (map-key → value) entries, emitted as a canonical sorted
+    * "mapkey:sum" joined string (both engines stringify BIGINTs
+    * identically, and one entry per distinct map-key makes the string
+    * sort a map-key sort). Two hash aggs — (key, map-key) sums, then a
+    * per-key collect bounded by the map-key domain — no per-event state.
+    *
+    * Output: (key k, m STRING). */
+  def sumMap(events: DataFrame, key: Column, mapKey: Column,
+             valueMicros: Column): DataFrame = {
+    events.groupBy(key.as("k"), mapKey.as("mk"))
+      .agg(sum(valueMicros).as("v"))
+      .groupBy(col("k"))
+      .agg(array_join(sort_array(collect_list(
+        concat(col("mk"), lit(":"), col("v").cast("string")))), ",").as("m"))
+  }
+
+  /** DuckDB replica of [[sumMap]] keyed by user_id with map-key
+    * event_type. */
+  val sumMapOracleSql: String =
+    """WITH s AS (SELECT user_id AS k, event_type AS mk, CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS v FROM events GROUP BY 1,2)
+SELECT k, array_to_string(list_sort(list(mk || ':' || CAST(v AS VARCHAR))), ',') AS m FROM s GROUP BY 1"""
+}

@@ -2325,7 +2325,81 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
     GraftQuery("q_embedding_norm",
       (s, dir) => Tables.embeddings(s, dir).select(col("vec_id"), col("label"),
         round(VectorFunctions.norm(col("embedding")), 4).as("l2_norm")),
-      Some("""SELECT vec_id, label, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 4) AS l2_norm FROM embeddings"""))
+      Some("""SELECT vec_id, label, round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))), 4) AS l2_norm FROM embeddings""")),
+
+    // ---- ClickHouse time-series / behavioral surface (ops.TimeSeries) ----
+
+    // ORDER BY ... WITH FILL STEP 1 DAY ... INTERPOLATE analog: per-user
+    // daily purchase spend densified over each user's own day span, with
+    // forward-fill and integer-exact linear interpolation.
+    GraftQuery("q_gap_fill",
+      (s, dir) => graft.ops.TimeSeries.gapFillDaily(
+        ev(s, dir).filter(col("event_type") === "purchase"),
+        col("user_id"), col("ts"),
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.TimeSeries.gapFillDailyOracleSql("purchase"))),
+
+    // sequenceMatch('(?1).*(?2).*(?3)') analog: view → click → purchase
+    // at strictly increasing timestamps, no window bound.
+    GraftQuery("q_seq_match",
+      (s, dir) => graft.ops.TimeSeries.sequenceMatchUsers(ev(s, dir),
+        col("user_id"), col("ts"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase")),
+      Some(graft.ops.TimeSeries.sequenceMatchOracleSql(
+        "view", "click", "purchase"))),
+
+    // sequenceCount('(?1).*(?2)') analog: greedy non-overlapping
+    // view → purchase pairs per user via the prefix-deficit identity.
+    GraftQuery("q_seq_count",
+      (s, dir) => graft.ops.TimeSeries.sequenceCountPairs(ev(s, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        col("event_type") === "view", col("event_type") === "purchase"),
+      Some(graft.ops.TimeSeries.sequenceCountOracleSql("view", "purchase"))),
+
+    // quantileExactWeighted analog: integer-exact weighted type-1
+    // quantiles of the µ-unit value, weight = 1 + user_id % 9, ranks as
+    // exact rationals (all dyadic here, but any rational works).
+    GraftQuery("q_weighted_quantile",
+      (s, dir) => graft.ops.TimeSeries.weightedQuantiles(ev(s, dir),
+        round(col("value") * 1e6, 0).cast("long"),
+        lit(1L) + pmod(col("user_id"), lit(9L)),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)),
+      Some(graft.ops.TimeSeries.weightedQuantilesOracleSql(
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)))),
+
+    // groupArrayMovingSum/Avg analog: 7-row moving frame over per-type
+    // daily µ-unit sums.
+    GraftQuery("q_moving_agg",
+      (s, dir) => graft.ops.TimeSeries.movingAgg(ev(s, dir),
+        col("event_type"), col("ts"),
+        round(col("value") * 1e6, 0).cast("long"), frame = 7),
+      Some(graft.ops.TimeSeries.movingAggOracleSql(7))),
+
+    // groupBitmapAnd analog: exact audience intersections + Jaccard for
+    // every event-type pair.
+    GraftQuery("q_audience_overlap",
+      (s, dir) => graft.ops.TimeSeries.audienceOverlap(ev(s, dir),
+        col("event_type"), col("user_id")),
+      Some(graft.ops.TimeSeries.audienceOverlapOracleSql)),
+
+    // maxIntersections/maxIntersectionsPosition analog: peak concurrent
+    // engagement intervals [ts, ts + value s) and the earliest instant
+    // of the peak — two-phase day-bucketed sweep line, the only
+    // single-partition window running on the |days| carry table.
+    GraftQuery("q_max_concurrency",
+      (s, dir) => graft.ops.Intervals.maxIntersections(ev(s, dir),
+        col("ts"),
+        expr("timestampadd(MICROSECOND, CAST(round(value*1000000, 0) AS BIGINT), ts)")),
+      Some(graft.ops.Intervals.maxIntersectionsOracleSql)),
+
+    // sumMap analog: per-user event_type → Σ µ-value map in canonical
+    // sorted-string form.
+    GraftQuery("q_summap",
+      (s, dir) => graft.ops.TimeSeries.sumMap(ev(s, dir),
+        col("user_id"), col("event_type"),
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.TimeSeries.sumMapOracleSql))
   )
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =

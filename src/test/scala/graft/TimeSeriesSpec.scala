@@ -1,0 +1,188 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TimeSeries
+
+/** Semantics of the ClickHouse time-series analogs on planted fixtures:
+  * gap-fill densification + exact linear interpolation (including a
+  * DOWNWARD slope, where floor division must agree across engines),
+  * sequenceMatch strict ordering, sequenceCount greedy non-overlap via
+  * the prefix-deficit identity, weighted type-1 quantiles, moving
+  * frames, audience overlap, and sumMap canonicalization. */
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("gapFillDaily densifies per-key spans, forward-fills, and interpolates exactly") {
+    val events = Seq(
+      // key 1: observed days 1 and 5 → 3 gap days; downward slope
+      // 10_000_000 → 2_000_000 µ (Δ = −8_000_000 over 4 days:
+      // −2_000_000/day, exactly divisible — no rounding ambiguity)
+      (1L, ts("2024-03-01 10:00:00"), 10.0),
+      (1L, ts("2024-03-05 10:00:00"), 2.0),
+      // key 1 also has two events on day 1 summing with the first
+      (1L, ts("2024-03-01 11:00:00"), 0.0),
+      // key 2: single observation → 1-row grid, no interpolation
+      (2L, ts("2024-03-02 00:00:00"), 7.5)
+    ).toDF("user_id", "ts", "value")
+
+    val out = TimeSeries.gapFillDaily(events, col("user_id"), col("ts"),
+      round(col("value") * 1e6, 0).cast("long"))
+      .orderBy(col("k"), col("day"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4)))
+
+    assert(out.toSeq === Seq(
+      (1L, "2024-03-01", true, 10000000L, 10000000L),
+      (1L, "2024-03-02", false, 10000000L, 8000000L),
+      (1L, "2024-03-03", false, 10000000L, 6000000L),
+      (1L, "2024-03-04", false, 10000000L, 4000000L),
+      (1L, "2024-03-05", true, 2000000L, 2000000L),
+      (2L, "2024-03-02", true, 7500000L, 7500000L)))
+  }
+
+  test("gapFillDaily floor division rounds toward -inf on non-divisible negative slopes") {
+    // 1_000_003 → 0 over 3 days: Δ/day = −333_334.33…; floor gives
+    // −333_335 steps (1_000_003 − 333_335 = 666_668, then 333_333).
+    // Truncation toward zero would give 666_669/333_335 instead.
+    val events = Seq(
+      (1L, ts("2024-03-01 00:00:00"), 1.000003),
+      (1L, ts("2024-03-04 00:00:00"), 0.0)
+    ).toDF("user_id", "ts", "value")
+    val interp = TimeSeries.gapFillDaily(events, col("user_id"), col("ts"),
+      round(col("value") * 1e6, 0).cast("long"))
+      .orderBy(col("day")).select(col("v_interp")).as[Long].collect()
+    assert(interp.toSeq === Seq(1000003L, 666668L, 333334L, 0L))
+  }
+
+  test("sequenceMatchUsers requires strictly increasing condition times") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "a"), // a<b<c in order → match
+      (1L, ts("2024-01-01 00:01:00"), "b"),
+      (1L, ts("2024-01-01 00:02:00"), "c"),
+      (2L, ts("2024-01-01 00:00:00"), "a"), // c before b → no match
+      (2L, ts("2024-01-01 00:02:00"), "c"),
+      (2L, ts("2024-01-01 00:03:00"), "b"),
+      (3L, ts("2024-01-01 00:00:00"), "b"), // has no a → no match, but
+      (3L, ts("2024-01-01 00:01:00"), "c")  // still in the universe
+    ).toDF("user_id", "ts", "event_type")
+    val out = TimeSeries.sequenceMatchUsers(events, col("user_id"), col("ts"),
+      Seq(col("event_type") === "a", col("event_type") === "b",
+        col("event_type") === "c"))
+      .orderBy(col("u")).as[(Long, Boolean)].collect()
+    assert(out.toSeq === Seq((1L, true), (2L, false), (3L, false)))
+  }
+
+  test("sequenceCountPairs counts greedy non-overlapping A→B matches") {
+    def mk(u: Long, rows: (String, Int)*) = rows.zipWithIndex.map {
+      case ((et, min), i) => (u, ts(f"2024-01-01 00:$min%02d:00"), i.toLong, et)
+    }
+    // u1: B A B   → 1 (A pairs with the trailing B)
+    // u2: A B B A B → 2
+    // u3: A A A   → 0 (no B)
+    // u4: B B     → 0 (no A)
+    // u5: A B A B → 2
+    val events = (mk(1L, "B" -> 0, "A" -> 1, "B" -> 2) ++
+      mk(2L, "A" -> 0, "B" -> 1, "B" -> 2, "A" -> 3, "B" -> 4) ++
+      mk(3L, "A" -> 0, "A" -> 1, "A" -> 2) ++
+      mk(4L, "B" -> 0, "B" -> 1) ++
+      mk(5L, "A" -> 0, "B" -> 1, "A" -> 2, "B" -> 3))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.sequenceCountPairs(events, col("user_id"), col("ts"),
+      col("event_id"), col("event_type") === "A", col("event_type") === "B")
+      .orderBy(col("u")).as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 0L), (4L, 0L), (5L, 2L)))
+  }
+
+  test("weightedQuantiles picks the smallest value whose cumulative weight reaches ceil(q·W)") {
+    // values 1,2,3 with weights 1,2,1 → W=4; ranks: q=1/4→1 (v=1),
+    // q=1/2→2 (v=2), q=3/4→3 (v=2, cum 3), q=1→4 (v=3)
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 1L)).toDF("v", "w")
+    val out = TimeSeries.weightedQuantiles(df, col("v"), col("w"),
+      Seq(1 -> 4, 1 -> 2, 3 -> 4, 1 -> 1))
+      .orderBy(col("q_num").cast("double") / col("q_den"))
+      .select(col("value")).as[Long].collect()
+    assert(out.toSeq === Seq(1L, 2L, 2L, 3L))
+  }
+
+  test("movingAgg frames over per-key daily aggregate rows") {
+    val events = Seq(
+      ("x", ts("2024-01-01 05:00:00"), 1.0),
+      ("x", ts("2024-01-01 06:00:00"), 2.0), // day 1 sum 3
+      ("x", ts("2024-01-02 05:00:00"), 4.0), // day 2
+      ("x", ts("2024-01-05 05:00:00"), 8.0), // day 5 (rows-frame, not days)
+      ("y", ts("2024-01-01 05:00:00"), 100.0)
+    ).toDF("event_type", "ts", "value")
+    val out = TimeSeries.movingAgg(events, col("event_type"), col("ts"),
+      round(col("value") * 1e6, 0).cast("long"), frame = 2)
+      .orderBy(col("k"), col("day"))
+      .select(col("k"), col("day"), col("mov_sum"), col("mov_cnt"))
+      .as[(String, String, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      ("x", "2024-01-01", 3000000L, 1L),
+      ("x", "2024-01-02", 7000000L, 2L),
+      ("x", "2024-01-05", 12000000L, 2L), // frame is 2 ROWS: days 2+5
+      ("y", "2024-01-01", 100000000L, 1L)))
+  }
+
+  test("audienceOverlap reports exact intersections and Jaccard per type pair") {
+    val events = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),
+      (2L, "b"), (3L, "b"), (4L, "b"),
+      (1L, "a") // duplicate activity must not double-count
+    ).toDF("user_id", "event_type")
+    val out = TimeSeries.audienceOverlap(events, col("event_type"), col("user_id"))
+      .select(col("et_a"), col("et_b"), col("n_both"), col("users_a"),
+        col("users_b"), col("jaccard"))
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(("a", "b", 2L, 3L, 3L, 0.5)))
+  }
+
+  test("maxIntersections finds the peak across day boundaries with half-open intervals") {
+    import graft.ops.Intervals
+    // i1 spans the midnight boundary (23:00 day1 → 02:00 day2); i2 and
+    // i3 overlap it inside day 2 → peak 3 at 00:30. i4's start equals
+    // i3's end exactly — half-open, must NOT push the peak to 4.
+    val iv = Seq(
+      (ts("2024-01-01 23:00:00"), ts("2024-01-02 02:00:00")), // i1
+      (ts("2024-01-02 00:10:00"), ts("2024-01-02 01:00:00")), // i2
+      (ts("2024-01-02 00:30:00"), ts("2024-01-02 00:45:00")), // i3
+      (ts("2024-01-02 00:45:00"), ts("2024-01-02 00:50:00"))  // i4
+    ).toDF("s", "e")
+    val out = Intervals.maxIntersections(iv, col("s"), col("e"))
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((3L, "2024-01-02 00:30:00.000000")))
+  }
+
+  test("maxIntersections carry-in: a quiet day still inherits open intervals") {
+    import graft.ops.Intervals
+    // one interval open across THREE days; a second interval entirely
+    // inside the middle day → peak 2 occurs on the middle day even
+    // though that day's own net delta is 0
+    val iv = Seq(
+      (ts("2024-01-01 12:00:00"), ts("2024-01-03 12:00:00")),
+      (ts("2024-01-02 06:00:00"), ts("2024-01-02 07:00:00"))
+    ).toDF("s", "e")
+    val out = Intervals.maxIntersections(iv, col("s"), col("e"))
+      .as[(Long, String)].collect()
+    assert(out.toSeq === Seq((2L, "2024-01-02 06:00:00.000000")))
+  }
+
+  test("sumMap emits one sorted map-key:sum entry per distinct map key") {
+    val events = Seq(
+      (1L, "view", 1.5), (1L, "click", 2.0), (1L, "view", 0.5),
+      (2L, "click", 1.0)
+    ).toDF("user_id", "event_type", "value")
+    val out = TimeSeries.sumMap(events, col("user_id"), col("event_type"),
+      round(col("value") * 1e6, 0).cast("long"))
+      .orderBy(col("k")).as[(Long, String)].collect()
+    assert(out.toSeq === Seq(
+      (1L, "click:2000000,view:2000000"),
+      (2L, "click:1000000")))
+  }
+}
