@@ -25,6 +25,25 @@ object ScaleProbe {
     def docs = ScaleData.docs(spark, docsN)
     def events = ScaleData.events(spark, eventsN, math.max(eventsN / 100, 1))
     def emb = ScaleData.embeddings(spark, embN, dim)
+    // volume-scaled shuffle partitioning for sort-heavy rungs (twelfth
+    // finding, first constraint), restored after the rung so the other
+    // rungs keep the session default. AQE partition COALESCING is
+    // suspended inside the scope: it targets ~64 MB of COMPRESSED
+    // shuffle bytes per partition, and narrow integer-dense rows
+    // decompress several-fold — a "64 MB" coalesced partition is a
+    // multi-hundred-MB in-memory sort, silently undoing the explicit
+    // sizing (measured: the 100× sweep rung spilled ~19 GB with
+    // coalescing on, zero with it off; the rest of AQE stays on)
+    def withShufflePartitions[T](n: Long)(body: => T): T = {
+      val prevN = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevC = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      try body finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevN)
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevC)
+      }
+    }
     // the production config (MinHash.Config scaladoc): xx hashing is
     // the 100 TB path; md5 exists for oracle replay, not for scale
     val mhCfg = graft.dedup.MinHash.Config(hashFamily = "xx")
@@ -55,26 +74,49 @@ object ScaleProbe {
       // operator's true input measure — not because the generator's
       // clock happens to stretch with row count
       "gap_fill" -> (() => {
-        val spanUs = 64L * 86400L * 1000000L
+        // FIXED 64-day per-user span at every n: each id lands on day
+        // (id div users) mod 64, so the dense axis (keys × span-days)
+        // grows with KEYS — the operator's true input measure — and
+        // the rung's growth law is the operator's, not the generator
+        // clock's
         val users = math.max(eventsN / 100, 1)
-        val e = spark.range(eventsN).select(
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
           pmod(col("id"), lit(users)).as("user_id"),
           timestamp_micros(lit(1700000000000000L) +
-            pmod(col("id") * lit(7919L), lit(spanUs))).as("ts"))
-        force(graft.ops.TimeSeries.gapFillDaily(e, col("user_id"), col("ts"),
-          (pmod(hash(col("user_id")), lit(1000000)) + lit(1)).cast("long")))
+            pmod(expr(s"id div $users"), lit(64L)) * lit(86400000000L) +
+            pmod(hash(col("id")), lit(86400000000L))).as("ts"))
+        // the sort-merge grid⋈obs join and the fill windows sort
+        // (keys × days) rows: partition count must scale with volume
+        // (twelfth finding's first constraint) for the sorts to stay
+        // in-memory — exactly the shuffle-partition sizing a cluster
+        // job does
+        withShufflePartitions(math.max(32L, eventsN / 500000L)) {
+          force(graft.ops.TimeSeries.gapFillDaily(e, col("user_id"), col("ts"),
+            (pmod(hash(col("user_id")), lit(1000000)) + lit(1)).cast("long")))
+        }
       }),
-      // two-phase sweep line: hour buckets keep per-task sort volume at
-      // events-per-hour and the carry table at |hours| (1536 here) —
-      // the single-partition window runs ONLY on that carry table
+      // two-phase sweep line. Bucket granularity is the memory dial:
+      // WindowExec buffers each partition-key GROUP (one bucket) in its
+      // row array, so per-BUCKET rows — not per-task rows — are the
+      // spill unit (measured: hour buckets at 100× put ~130k rows in
+      // every group and spilled 18 GB; minute buckets hold ~2k rows
+      // and spill nothing). Minute buckets over the 64-day span = 92k
+      // carry rows — the single-partition phase-2 window stays trivial
+      // (a DECADE of minutes is ~5M rows, still one task's work).
       "max_concurrency" -> (() => {
         val spanUs = 64L * 86400L * 1000000L
-        val e = spark.range(eventsN).select(
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
           timestamp_micros(lit(1700000000000000L) +
             pmod(col("id") * lit(7919L), lit(spanUs))).as("ts"))
-        force(graft.ops.Intervals.maxIntersections(e, col("ts"),
-          expr("timestampadd(MICROSECOND, CAST(pmod(hash(ts), 3600000000) + 1000000 AS BIGINT), ts)"),
-          bucket = t => date_trunc("HOUR", t)))
+        // 2·|events| delta rows flow through the bucket-partitioned
+        // window sort — same volume-scaled partition sizing
+        withShufflePartitions(math.max(32L, 2L * eventsN / 500000L)) {
+          force(graft.ops.Intervals.maxIntersections(e, col("ts"),
+            expr("timestampadd(MICROSECOND, CAST(pmod(hash(ts), 3600000000) + 1000000 AS BIGINT), ts)"),
+            bucket = t => date_trunc("MINUTE", t)))
+        }
       }),
       // token-explode aggregation rungs: shuffle must track corpus
       // tokens (linear), driver results must stay count-sized

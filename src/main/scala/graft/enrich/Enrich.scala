@@ -86,4 +86,23 @@ object Enrich {
       .filter(col("__side") === 0)
       .select(left.columns.map(col) :+ col("__asof").as("asof"): _*)
   }
+
+  /** [[asOfJoin]] with a staleness TOLERANCE (ClickHouse/pandas
+    * `merge_asof(..., tolerance=)` semantics): a matched version older
+    * than `tolerance` before the left row's ts is discarded — the row
+    * keeps the left-outer null instead of silently enriching from a
+    * stale snapshot. Pure composition: the carried payload already
+    * contains the version ts, so the bound is one `when` over the
+    * asOfJoin output — same single-shuffle plan, no extra join.
+    *
+    * `rightTsField` names the version-ts column INSIDE the payload
+    * struct (right's own ts column name). */
+  def asOfJoinWithin(left: DataFrame, leftKey: Column, leftTs: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column,
+      rightTsField: String, tolerance: String): DataFrame = {
+    val joined = asOfJoin(left, leftKey, leftTs, right, rightKey, rightTs)
+    val fresh = col("asof").getField(rightTsField) >=
+      leftTs - expr(s"INTERVAL $tolerance")
+    joined.withColumn("asof", when(fresh, col("asof")))
+  }
 }

@@ -39,11 +39,15 @@ import org.apache.spark.sql.functions._
 object Intervals {
 
   /** @param bucket monotone non-decreasing time bucketing for phase 1
-    *   (default: calendar day). Granularity is the scale dial: per-task
-    *   sort volume is one bucket's delta rows, the phase-2 carry table
-    *   is |buckets| rows — pick hours (or minutes) when a day of events
-    *   outgrows a task, the carry table stays tiny either way (~88k
-    *   rows for a decade of hours). */
+    *   (default: calendar day). Granularity is the MEMORY dial, and the
+    *   unit that matters is the GROUP, not the task: WindowExec buffers
+    *   each partition-key group (one bucket) in its row array before
+    *   evaluating frames, so per-bucket delta rows decide spill
+    *   (measured at the 100× probe: hour buckets ≈ 130k rows/group
+    *   spilled 18 GB; minute buckets ≈ 2k rows/group spilled nothing).
+    *   Size buckets to a few thousand rows; the phase-2 carry table is
+    *   |buckets| rows and stays one task's work even at minute
+    *   granularity over a decade (~5M rows). */
   def maxIntersections(df: DataFrame, start: Column, endCol: Column,
                        bucket: Column => Column = to_date(_)): DataFrame = {
     val deltas = df.select(start.as("t"), lit(1L).as("delta"))
@@ -55,15 +59,18 @@ object Intervals {
     val run = deltas.select(day.as("d"), col("t"), col("delta"),
       sum(col("delta")).over(inDay).as("run"))
 
-    // one row per day: net delta, in-day peak, earliest t at the peak
-    // (day_max materialized per row first — window functions cannot
-    // nest inside aggregates)
-    val withDayMax = run.withColumn("day_max",
-      max(col("run")).over(Window.partitionBy(col("d"))))
-    val perDay = withDayMax.groupBy(col("d")).agg(
+    // one row per bucket: net delta, in-bucket peak, earliest t at the
+    // peak — a single hash agg over the windowed rows. The lexicographic
+    // max of (run, −t_µs) IS (peak, earliest-t-at-peak): no second
+    // window pass over the full delta set (the first cut ran a
+    // partitionBy-only max window here and re-sorted 2·|events| rows —
+    // measured as pure spill at the 100× probe).
+    val perDay = run.groupBy(col("d")).agg(
       sum(col("delta")).as("net"),
-      max(col("day_max")).as("day_max"),
-      min(when(col("run") === col("day_max"), col("t"))).as("day_max_t"))
+      max(struct(col("run"), (lit(0L) - unix_micros(col("t"))).as("negt"))).as("mx"))
+      .select(col("d"), col("net"),
+        col("mx.run").as("day_max"),
+        timestamp_micros(lit(0L) - col("mx.negt")).as("day_max_t"))
 
     // carry-in = sum of PRECEDING days' nets; |days| rows, one partition
     val carry = Window.orderBy(col("d"))

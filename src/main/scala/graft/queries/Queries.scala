@@ -2393,6 +2393,71 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
         expr("timestampadd(MICROSECOND, CAST(round(value*1000000, 0) AS BIGINT), ts)")),
       Some(graft.ops.Intervals.maxIntersectionsOracleSql)),
 
+    // AS-OF join with a staleness tolerance (pandas merge_asof
+    // tolerance= semantics): versions older than 12 h before the event
+    // are discarded — the row keeps its left-outer null rather than
+    // enriching from a stale snapshot. Same single-shuffle union+window
+    // plan as q_asof_join; the bound is one `when` over the payload.
+    GraftQuery("q_asof_tolerance",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val key = concat(lit("content-"), pmod(col("event_id"), lit(40)))
+        val left = e.select(col("event_id"), key.as("content_key"), col("ts"))
+        val versions = e.filter(pmod(col("event_id"), lit(7)) === 0)
+          .select(key.as("vkey"), col("ts").as("vts"),
+            (floor(col("value") * 100 + lit(0.5)) / 100).as("price"),
+            col("event_id").as("vid"))
+        val deduped = Dedup.lww(versions, Seq(col("vkey"), col("vts")),
+            col("vid"), col("vid"))
+          .select("vkey", "vts", "price")
+        Enrich.asOfJoinWithin(left, col("content_key"), col("ts"),
+            deduped, col("vkey"), col("vts"), rightTsField = "vts",
+            tolerance = "12 HOURS")
+          .select(col("event_id"), col("content_key"),
+            date_format(col("ts"), tsFull).as("ts_str"),
+            col("asof.price").as("price_asof"),
+            date_format(col("asof.vts"), tsFull).as("version_ts"))
+      },
+      Some(s"""WITH l AS (SELECT event_id, 'content-' || CAST(event_id % 40 AS VARCHAR) AS content_key, ts FROM events),
+v AS (SELECT 'content-' || CAST(event_id % 40 AS VARCHAR) AS vkey, ts AS vts, floor(value*100 + 0.5)/100 AS price FROM events WHERE event_id % 7 = 0 QUALIFY row_number() OVER (PARTITION BY vkey, ts ORDER BY event_id DESC) = 1)
+SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vts >= ts - INTERVAL 12 HOUR THEN price END AS price_asof, CASE WHEN vts >= ts - INTERVAL 12 HOUR THEN strftime(vts, '$tsFullSql') END AS version_ts FROM l ASOF LEFT JOIN v ON l.content_key = v.vkey AND l.ts >= v.vts""")),
+
+    // topKWeighted analog: weighted Misra–Gries sketch (each event
+    // carries weight 1 + user_id % 9). Same boolean-accuracy oracle
+    // treatment as q_heavy_hitters, with N replaced by W = Σ weights:
+    // items above W/(k+1) must be captured, estimates undercount by at
+    // most W/(k+1).
+    GraftQuery("q_heavy_hitters_weighted",
+      (s, dir) => {
+        graft.functions.MisraGriesWeighted.register(s)
+        val e = ev(s, dir)
+          .withColumn("w", (lit(1L) + pmod(col("user_id"), lit(9L))).cast("long"))
+        val tot = e.agg(sum(col("w")).as("wtot"))
+        val exact = e.groupBy(col("event_type")).agg(sum(col("w")).as("wcnt"))
+        val sk = e.agg(expr("misra_gries_w(event_type, w, 8)").as("hh"))
+          .select(explode(col("hh")).as("it"))
+          .select(col("it.item").as("event_type"), col("it.est").as("est"))
+        exact.crossJoin(broadcast(tot))
+          .filter(col("wcnt") > col("wtot") / lit(9.0))
+          .join(sk, Seq("event_type"), "left")
+          .select(col("event_type"), col("wcnt"),
+            col("est").isNotNull.as("captured"),
+            (col("est").isNotNull && col("est") <= col("wcnt") &&
+              col("est") >= col("wcnt") - col("wtot") / lit(9.0)).as("est_bounded"))
+      },
+      Some("""WITH tot AS (SELECT sum(1 + user_id % 9) AS wtot FROM events), ex AS (SELECT event_type, CAST(sum(1 + user_id % 9) AS BIGINT) AS wcnt FROM events GROUP BY 1) SELECT event_type, wcnt, TRUE AS captured, TRUE AS est_bounded FROM ex, tot WHERE wcnt > wtot / 9.0""")),
+
+    // uniqUpTo(N) analog: exact distinct count saturating at N+1 —
+    // ClickHouse's "exact until N, then 'more than N'" contract, here
+    // as a plain capped count_distinct (the cap communicates intent;
+    // Spark still computes the exact distinct underneath, so the 100 TB
+    // path for huge domains is the HLL sketch query q_sketch_distinct).
+    GraftQuery("q_uniq_upto",
+      (s, dir) => ev(s, dir).groupBy(col("event_type"))
+        .agg(least(count_distinct(col("user_id")), lit(100L)).as("uniq_upto_99"),
+          least(count_distinct(col("user_id")), lit(1000L)).as("uniq_upto_999")),
+      Some("""SELECT event_type, least(count(DISTINCT user_id), 100) AS uniq_upto_99, least(count(DISTINCT user_id), 1000) AS uniq_upto_999 FROM events GROUP BY 1""")),
+
     // sumMap analog: per-user event_type → Σ µ-value map in canonical
     // sorted-string form.
     GraftQuery("q_summap",

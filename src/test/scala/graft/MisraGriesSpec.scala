@@ -85,4 +85,48 @@ class MisraGriesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("misra_gries"), e.getMessage)
   }
+
+  // ---- weighted variant (topKWeighted analog) ----------------------------
+
+  /** 4000 noise items of weight 1 each + "hot" carrying 30% and "warm"
+    * 15% of the total weight via a few high-weight rows — the case
+    * unweighted MG fundamentally misses (hot appears in only 6 ROWS). */
+  private def weightedFixture(parts: Int) = {
+    val noise = (0 until 4000).map(i => (s"item_$i", 1L))
+    val hot = Seq.fill(6)(("hot", 500L))   // 3000 weight in 6 rows
+    val warm = Seq.fill(3)(("warm", 500L)) // 1500 weight in 3 rows
+    val all = (noise ++ hot ++ warm).zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 4009 }
+      .map(_._1)
+    all.toDF("item", "w").repartition(parts)
+  }
+
+  test("weighted: heavy-WEIGHT items survive any partitioning within W/(k+1)") {
+    graft.functions.MisraGriesWeighted.register(spark)
+    val wTot = 4000.0 + 3000.0 + 1500.0
+    val k = 16
+    for (parts <- Seq(1, 7, 32)) {
+      val hh = weightedFixture(parts)
+        .agg(expr(s"misra_gries_w(item, w, $k)").as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hh.size <= k, s"sketch overflow: ${hh.size}")
+      assert(hh.contains("hot") && hh.contains("warm"),
+        s"lost a heavy-weight item at parts=$parts: ${hh.keys}")
+      assert(hh("hot") <= 3000 && hh("hot") >= 3000 - wTot / (k + 1), s"hot=${hh("hot")}")
+      assert(hh("warm") <= 1500 && hh("warm") >= 1500 - wTot / (k + 1), s"warm=${hh("warm")}")
+    }
+  }
+
+  test("weighted: k above cardinality is exact; null/non-positive weights carry no mass") {
+    graft.functions.MisraGriesWeighted.register(spark)
+    val hh = Seq(("a", 3L), ("b", 2L), ("a", 1L), ("c", 0L), ("b", -5L))
+      .toDF("item", "w").repartition(2)
+      .agg(expr("misra_gries_w(item, w, 10)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == Map("a" -> 4L, "b" -> 2L))
+  }
 }

@@ -136,6 +136,33 @@ class PropertySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("property: asOfJoinWithin equals latest-at-or-before filtered by tolerance") {
+    val events = Gen.listOfN(200,
+        Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 100L))).sample.get
+      .zipWithIndex.map { case ((k, t), i) => (i.toLong, k.toLong, t) }
+    val versionsRaw = Gen.listOfN(40,
+        Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0L, 100L), Gen.chooseNum(0, 1000)))
+      .sample.get.map { case (k, t, p) => (k.toLong, t, p.toDouble) }
+    val versions = versionsRaw.groupBy(v => (v._1, v._2)).map(_._2.maxBy(_._3)).toSeq
+    val l = events.toDF("eid", "k", "tsec")
+      .withColumn("t", timestamp_seconds(col("tsec")))
+    val r = versions.toDF("vk", "vtsec", "p")
+      .withColumn("vt", timestamp_seconds(col("vtsec")))
+    val got = graft.enrich.Enrich.asOfJoinWithin(l, col("k"), col("t"),
+        r, col("vk"), col("vt"), rightTsField = "vt", tolerance = "10 SECONDS")
+      .select(col("eid"), col("asof.p").as("p")).collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+    // the match is the LATEST at-or-before version; if that one is
+    // older than the tolerance, so is everything before it — the row
+    // nulls rather than falling back
+    val expected = events.map { case (eid, k, t) =>
+      eid -> versions.filter(v => v._1 == k && v._2 <= t)
+        .sortBy(_._2).lastOption.filter(_._2 >= t - 10L).map(_._3)
+    }.toMap
+    assert(got === expected)
+  }
+
   test("property: bucketed range join equals the exact theta join (incl. empty intervals)") {
     val points = Gen.listOfN(200, Gen.chooseNum(0L, 1000L)).sample.get
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
