@@ -313,4 +313,50 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
   }
+
+  test("q_gap_fill: the grid⋈obs join is sort-merge, never a corpus broadcast") {
+    // both sides track keys × days; Catalyst's static estimate would
+    // broadcast the aggregate side without the corpusSide pin
+    val p = plan("q_gap_fill")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "gap-fill must not broadcast a corpus-derived side:\n" + p.take(2000))
+  }
+
+  test("q_seq_count: one user-partitioned window, no global sort") {
+    val p = plan("q_seq_count")
+    // the running-deficit window must partition by user: a global
+    // (unpartitioned) window would force a SinglePartition exchange
+    assert(p.contains("Window"), p.take(1000))
+    assert(!p.contains("SinglePartition"),
+      "window must partition by user, not run globally:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "sequence count is window+agg only, no join:\n" + p.take(1500))
+  }
+
+  test("q_max_concurrency: phase-1 windows partition by bucket; only the carry table sorts globally") {
+    val p = plan("q_max_concurrency")
+    // exactly one single-partition exchange is allowed — the |buckets|
+    // carry table in phase 2 (plus Spark's final 1-row result collects)
+    val singleParts = p.linesIterator.count(_.contains("SinglePartition"))
+    assert(p.contains("Window"), p.take(1000))
+    assert(singleParts <= 2,
+      s"expected at most the carry-table + result single-partition exchanges, got $singleParts:\n" +
+        p.linesIterator.filter(_.contains("SinglePartition")).mkString("\n"))
+  }
+
+  test("q_moving_agg and q_weighted_quantile: raw rows reduced by hash agg before any window") {
+    for (name <- Seq("q_moving_agg", "q_weighted_quantile")) {
+      val p = plan(name)
+      val lines = p.linesIterator.toList
+      val winIdx = lines.indexWhere(_.contains("Window"))
+      assert(winIdx >= 0, s"$name: ${p.take(800)}")
+      // plans print top-down: a HashAggregate BELOW the window line
+      // means the window consumes the aggregated (compressed-domain)
+      // table, not the raw event rows
+      assert(lines.drop(winIdx).exists(_.contains("HashAggregate")),
+        s"$name: window must consume the aggregate, not raw rows:\n" +
+          lines.slice(winIdx, winIdx + 8).mkString("\n"))
+    }
+  }
 }
