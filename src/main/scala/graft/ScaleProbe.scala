@@ -118,6 +118,32 @@ object ScaleProbe {
             bucket = t => date_trunc("MINUTE", t)))
         }
       }),
+      // hot-key contract for the prefix-deficit sequence count: HALF of
+      // all events belong to ONE user. The naive per-user running
+      // window would buffer that user's whole history in a single
+      // WindowExec group (fourteenth finding: the group is the spill
+      // unit); the two-phase form keeps groups at (user × minute)
+      // granularity, so even the 50%-user's groups stay in the
+      // hundreds of rows — asserted by the shared zero-spill invariant
+      "seq_count_skew" -> (() => {
+        val spanUs = 64L * 86400L * 1000000L
+        val users = math.max(eventsN / 100, 1)
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(hash(col("id")), lit(users))).as("user_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(col("id") * lit(7919L), lit(spanUs))).as("ts"),
+          col("id").as("event_id"),
+          when(pmod(hash(col("id") * lit(13L)), lit(3)) === 0, lit("A"))
+            .otherwise(lit("B")).as("event_type"))
+        withShufflePartitions(math.max(32L, eventsN / 500000L)) {
+          force(graft.ops.TimeSeries.sequenceCountPairs(e, col("user_id"),
+            col("ts"), col("event_id"),
+            col("event_type") === "A", col("event_type") === "B",
+            bucket = t => date_trunc("MINUTE", t)))
+        }
+      }),
       // token-explode aggregation rungs: shuffle must track corpus
       // tokens (linear), driver results must stay count-sized
       "tfidf_topterms" -> (() =>

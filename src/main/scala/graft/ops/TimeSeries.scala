@@ -164,24 +164,48 @@ SELECT u.u, s3.u IS NOT NULL AS matched FROM u LEFT JOIN s3 ON u.u = s3.u"""
     * unmatched iff every preceding A is already consumed, i.e. the
     * running (#B − #A) deficit reaches a new maximum at that B; the
     * greedy scan leaves exactly max(0, max-prefix-deficit) Bs unmatched.
-    * One per-user window (running sum + running max) + one hash agg —
-    * shuffle is the A/B event subset, state per group is O(1).
+    *
+    * HOT-KEY posture: a naive per-user running window buffers each
+    * user's whole event list in the WindowExec group array (the
+    * fourteenth SCALE.md finding: the GROUP is the spill unit), so one
+    * pathological user would spill regardless of partition sizing. The
+    * deficit max is associative over concatenated segments —
+    * max-prefix(s₁ ⧺ s₂) = max(maxPrefix(s₁), sum(s₁) + maxPrefix(s₂))
+    * — so phase 1 runs the running window per (user, `bucket`) and
+    * reduces each bucket to (net, in-bucket max, #B); phase 2 windows
+    * over the per-(user, bucket) AGGREGATE rows (|active buckets| per
+    * user — the tractable group) to add each bucket's carry-in, then
+    * one hash agg takes the per-user global max. The raw A/B subset
+    * shuffles exactly once.
     *
     * Equal-timestamp A/B pairs are ordered by the `tiebreak` column
     * (pass a unique id); the contract is the (ts, tiebreak) total order.
     *
+    * @param bucket monotone time bucketing (default: calendar day);
+    *   size it so one user's events per bucket stay in the thousands.
     * Output: (u, matches BIGINT), one row per user with ≥ 1 A or B. */
   def sequenceCountPairs(events: DataFrame, user: Column, ts: Column,
-                         tiebreak: Column, condA: Column, condB: Column): DataFrame = {
+                         tiebreak: Column, condA: Column, condB: Column,
+                         bucket: Column => Column = to_date(_)): DataFrame = {
     val e = events.filter(condA || condB)
       .select(user.as("u"), ts.as("ts"), tiebreak.as("tb"),
         when(condB, lit(1L)).otherwise(lit(-1L)).as("step"))
-    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("tb"))
+    val inBucket = Window.partitionBy(col("u"), bucket(col("ts")))
+      .orderBy(col("ts"), col("tb"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.select(col("u"), col("step"), sum(col("step")).over(w).as("run"))
+    val perBucket = e
+      .select(col("u"), bucket(col("ts")).as("b"), col("step"),
+        sum(col("step")).over(inBucket).as("run"))
+      .groupBy(col("u"), col("b"))
+      .agg(sum(col("step")).as("net"), max(col("run")).as("bmax"),
+        sum(when(col("step") === 1L, 1L).otherwise(0L)).as("nb"))
+    val carry = Window.partitionBy(col("u")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perBucket
+      .select(col("u"), col("nb"),
+        (coalesce(sum(col("net")).over(carry), lit(0L)) + col("bmax")).as("gmax"))
       .groupBy(col("u"))
-      .agg((sum(when(col("step") === 1L, 1L).otherwise(0L)) -
-        greatest(lit(0L), max(col("run")))).as("matches"))
+      .agg((sum(col("nb")) - greatest(lit(0L), max(col("gmax")))).as("matches"))
   }
 
   /** DuckDB replica of [[sequenceCountPairs]] with event_type equality

@@ -99,6 +99,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 0L), (4L, 0L), (5L, 2L)))
   }
 
+  test("sequenceCountPairs two-phase carry is exact across bucket boundaries") {
+    import graft.ops.TimeSeries
+    // u1 spans two DAYS (the default bucket): B | A B B. The deficit
+    // max (2) is only reachable with day-1's carry added to day-2's
+    // in-bucket prefix — a per-bucket-only computation would get 1.
+    // Greedy truth: the A matches one of the later Bs → 1 match.
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0L, "B"),
+      (1L, ts("2024-01-02 09:00:00"), 1L, "A"),
+      (1L, ts("2024-01-02 10:00:00"), 2L, "B"),
+      (1L, ts("2024-01-02 11:00:00"), 3L, "B"),
+      // u2: A on day 1 carries forward to match day 3's B
+      (2L, ts("2024-01-01 10:00:00"), 4L, "A"),
+      (2L, ts("2024-01-03 10:00:00"), 5L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.sequenceCountPairs(events, col("user_id"), col("ts"),
+      col("event_id"), col("event_type") === "A", col("event_type") === "B")
+      .orderBy(col("u")).as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 1L), (2L, 1L)))
+  }
+
   test("weightedQuantiles picks the smallest value whose cumulative weight reaches ceil(q·W)") {
     // values 1,2,3 with weights 1,2,1 → W=4; ranks: q=1/4→1 (v=1),
     // q=1/2→2 (v=2), q=3/4→3 (v=2, cum 3), q=1→4 (v=3)
