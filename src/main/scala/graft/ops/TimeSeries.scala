@@ -96,14 +96,19 @@ object TimeSeries {
 
   /** DuckDB replica of [[gapFillDaily]] over `events` filtered to one
     * event_type, keyed by user_id, value = round(value·1e6) µ-units. */
-  def gapFillDailyOracleSql(eventType: String): String = {
+  def gapFillDailyOracleSql(eventType: String): String =
+    gapFillDailyOracleSqlKeyed("user_id", s"event_type='$eventType'")
+
+  /** [[gapFillDailyOracleSql]] generalized over key column and filter —
+    * shared by the composed dashboard oracle. */
+  def gapFillDailyOracleSqlKeyed(keySql: String, whereSql: String): String = {
     def ignb(e: String) =
       s"last_value($e IGNORE NULLS) OVER (PARTITION BY k ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     def ignf(e: String) =
       s"first_value($e IGNORE NULLS) OVER (PARTITION BY k ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
     val num = "(nxt-prev)*date_diff('day', prevd, d)"
     val den = "date_diff('day', prevd, nxtd)"
-    s"""WITH obs AS (SELECT user_id AS k, CAST(ts AS DATE) AS d, CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS v FROM events WHERE event_type='$eventType' GROUP BY 1,2),
+    s"""WITH obs AS (SELECT $keySql AS k, CAST(ts AS DATE) AS d, CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS v FROM events WHERE $whereSql GROUP BY 1,2),
 span AS (SELECT k, min(d) AS dmin, max(d) AS dmax FROM obs GROUP BY 1),
 grid AS (SELECT k, CAST(unnest(generate_series(CAST(dmin AS TIMESTAMP), CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM span),
 j AS (SELECT g.k, g.d, o.v FROM grid g LEFT JOIN obs o ON g.k=o.k AND g.d=o.d),

@@ -2339,6 +2339,32 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
         round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.TimeSeries.gapFillDailyOracleSql("purchase"))),
 
+    // Composed dashboard series — the ClickHouse `WITH FILL …
+    // INTERPOLATE` + window-function combo every engagement dashboard
+    // runs: sparse high-value daily sums per event_type, densified over
+    // each type's span, then a 7-row moving sum/avg over the FILLED
+    // axis (rows-frame on the dense axis = a true 7-DAY window, which
+    // is exactly why the fill runs first). Composition of the two
+    // operators above; oracle machine-composed from their SQL builders.
+    GraftQuery("q_dashboard_series",
+      (s, dir) => {
+        val filled = graft.ops.TimeSeries.gapFillDaily(
+          ev(s, dir).filter(col("value") > 250),
+          col("event_type"), col("ts"),
+          round(col("value") * 1e6, 0).cast("long"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("day")).rowsBetween(-6, 0)
+        filled.select(col("k"), col("day"), col("observed"), col("v_interp"),
+          sum(col("v_interp")).over(w).as("mov_sum"),
+          (sum(col("v_interp")).over(w).cast("double") /
+            count(lit(1)).over(w)).as("mov_avg"))
+      },
+      Some(s"""WITH gf AS (${graft.ops.TimeSeries.gapFillDailyOracleSqlKeyed("event_type", "value > 250")})
+SELECT k, day, observed, v_interp,
+ CAST(sum(v_interp) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum,
+ CAST(sum(v_interp) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / count(*) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_avg
+FROM gf""")),
+
     // sequenceMatch('(?1).*(?2).*(?3)') analog: view → click → purchase
     // at strictly increasing timestamps, no window bound.
     GraftQuery("q_seq_match",

@@ -308,6 +308,46 @@ object Pipeline {
       }
   }
 
+  case class SeqCountState(availA: Long, matches: Long, lastTsUs: Long)
+  case class SeqCountUpdate(userId: Long, matches: Long)
+
+  /** Incremental streaming sequence count: the real-time counterpart of
+    * the batch prefix-deficit form (TimeSeries.sequenceCountPairs). The
+    * greedy A→B matcher is a one-counter state machine — `availA`
+    * unconsumed A's, consume one per B — so per-user state is O(1)
+    * (three longs) no matter how hot the user, the streaming analog of
+    * the batch operator's bounded bucket groups. Rows within a batch
+    * process in (ts, tiebreak) order; cross-batch late events fold in
+    * at arrival order (the ST4 accept-late-divergence class, same as
+    * the streaming funnel — documented, not hidden). Emits the running
+    * match count per user on every update.
+    *
+    * Input columns: user_id (long), event_ts (timestamp), tiebreak
+    * (long), is_b (boolean: condB; condA otherwise — pre-filter to the
+    * A/B subset). */
+  def streamingSequenceCount(events: DataFrame): Dataset[SeqCountUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"),
+        unix_micros(col("event_ts")).as("ts_us"),
+        col("tiebreak").cast("long"), col("is_b"))
+      .as[(Long, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SeqCountState, SeqCountUpdate](GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var st = state.getOption.getOrElse(SeqCountState(0L, 0L, Long.MinValue))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, isB) =>
+            if (isB) {
+              if (st.availA > 0)
+                st = st.copy(availA = st.availA - 1, matches = st.matches + 1)
+            } else st = st.copy(availA = st.availA + 1)
+            st = st.copy(lastTsUs = math.max(st.lastTsUs, ts))
+          }
+          state.update(st)
+          SeqCountUpdate(user, st.matches)
+      }
+  }
+
   /** K3: enriched → Kafka-outbox-shaped JSON value column. */
   /** Watermarked STREAM-STREAM interval join: click→purchase
     * attribution. Emits one row per (click, purchase) pair of the same

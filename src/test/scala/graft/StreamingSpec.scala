@@ -164,6 +164,49 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("streaming sequence count matches the batch operator on the same events") {
+    import spark.implicits._
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, Boolean)](spark)
+    val q = Pipeline.streamingSequenceCount(
+        in.toDF().toDF("user_id", "event_ts", "tiebreak", "is_b"))
+      .writeStream.format("memory").queryName("seqcount_out")
+      .outputMode(OutputMode.Update).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def matches: Map[Long, Long] =
+      spark.sql("SELECT userId, matches FROM seqcount_out").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+        .map { case (u, vs) => u -> vs.map(_._2).max } // monotone counter
+    // u1: B A B | B A B (across batches) — greedy scan yields 2
+    // u2: A A | B B — both B's consume the banked A's → 2
+    val batch1 = Seq((1L, ts("2024-01-01 00:00:00"), 0L, true),
+      (1L, ts("2024-01-01 00:01:00"), 1L, false),
+      (1L, ts("2024-01-01 00:02:00"), 2L, true),
+      (2L, ts("2024-01-01 00:00:00"), 3L, false),
+      (2L, ts("2024-01-01 00:01:00"), 4L, false))
+    val batch2 = Seq((1L, ts("2024-01-01 00:03:00"), 5L, true),
+      (1L, ts("2024-01-01 00:04:00"), 6L, false),
+      (1L, ts("2024-01-01 00:05:00"), 7L, true),
+      (2L, ts("2024-01-01 00:02:00"), 8L, true),
+      (2L, ts("2024-01-01 00:03:00"), 9L, true))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(matches === Map(1L -> 1L, 2L -> 0L))
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(matches === Map(1L -> 2L, 2L -> 2L))
+      // batch/stream parity: the batch prefix-deficit operator on the
+      // union of both batches gives the same final counts
+      val all = (batch1 ++ batch2)
+        .toDF("user_id", "ts", "event_id", "is_b")
+      val batchOut = graft.ops.TimeSeries.sequenceCountPairs(all,
+          col("user_id"), col("ts"), col("event_id"),
+          !col("is_b"), col("is_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(batchOut === matches)
+    } finally { q.stop() }
+  }
+
   test("outbox serializes enriched rows to JSON values, omitting nulls") {
     val in = MemoryStream[String](spark)
     val q = Pipeline.outbox(graft.cdc.Envelope.unwrapEngagement(in.toDF()))
