@@ -40,6 +40,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         MisraGries(exprs.head, k).toAggregateExpression()
       }))
     ext.injectFunction((
+      FunctionIdentifier("misra_gries_w"),
+      new ExpressionInfo(classOf[graft.functions.MisraGriesWeighted].getName, "misra_gries_w"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "misra_gries_w(item, weight, k)")
+        val k = exprs(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"k must be an int literal, got $other")
+        }
+        graft.functions.MisraGriesWeighted(exprs.head, exprs(1), k).toAggregateExpression()
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DoubleDot].getName, "graft_dot"),
       (exprs: Seq[Expression]) => {

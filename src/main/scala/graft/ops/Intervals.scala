@@ -85,6 +85,39 @@ object Intervals {
         "yyyy-MM-dd HH:mm:ss.SSSSSS").as("at_ts"))
   }
 
+  /** ClickHouse `intervalLengthSum` analog: per key, the total length of
+    * the UNION of that key's (possibly overlapping) intervals, exact in
+    * µs. Classic coverage sweep, relational form: order intervals by
+    * (start, end) per key; each row contributes
+    * `max(0, end − max(start, running-max-of-previous-ends))` — the part
+    * of the interval not already covered — and one hash agg sums the
+    * contributions. One per-key window over the INTERVAL rows (interval
+    * counts, not event counts, where intervals are pre-aggregated
+    * spans); the fifteenth-finding bucket treatment applies if a single
+    * key can own millions of raw intervals.
+    *
+    * Output: (key k, covered_us BIGINT, n_intervals BIGINT). */
+  def intervalLengthSum(df: DataFrame, key: Column, start: Column,
+                        endCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(key.as("k"), unix_micros(start).as("s"), unix_micros(endCol).as("e"))
+      .withColumn("prev_max_e", max(col("e")).over(w))
+      .select(col("k"),
+        greatest(lit(0L),
+          col("e") - greatest(col("s"), coalesce(col("prev_max_e"), col("s"))))
+          .as("add"))
+      .groupBy(col("k"))
+      .agg(sum(col("add")).as("covered_us"), count(lit(1)).as("n_intervals"))
+  }
+
+  /** DuckDB replica of [[intervalLengthSum]] over events keyed by
+    * user_id with interval [ts, ts + value·1e6 µs). */
+  val intervalLengthSumOracleSql: String =
+    """WITH iv AS (SELECT user_id AS k, epoch_us(ts) AS s, epoch_us(ts + CAST(round(value*1000000,0) AS BIGINT) * INTERVAL 1 MICROSECOND) AS e FROM events),
+r AS (SELECT k, s, e, max(e) OVER (PARTITION BY k ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e FROM iv)
+SELECT k, CAST(sum(greatest(0, e - greatest(s, coalesce(prev_max_e, s)))) AS BIGINT) AS covered_us, count(*) AS n_intervals FROM r GROUP BY 1"""
+
   /** DuckDB replica over `events` with interval [ts, ts + value·1e6 µs):
     * the oracle may use the straight global window — it IS the spec the
     * two-phase plan must reproduce. */

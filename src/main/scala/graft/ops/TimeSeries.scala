@@ -265,6 +265,30 @@ q(q_num, q_den) AS (VALUES $qrows)
 SELECT q_num, q_den, min(v) AS value FROM cum, tot, q WHERE cw * q_den >= q_num * tw GROUP BY 1, 2"""
   }
 
+  /** ClickHouse `deltaSumTimestamp`/`deltaSum` analog: per key, the sum
+    * of POSITIVE steps between consecutive values in (ts, tiebreak)
+    * order — the standard monotone-counter-with-resets accumulator
+    * (network byte counters, odometer readings). Integer µ-units, one
+    * per-key lag window + one hash agg.
+    *
+    * Output: (key k, delta_sum BIGINT, n BIGINT). */
+  def deltaSum(events: DataFrame, key: Column, ts: Column, tiebreak: Column,
+               valueMicros: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("tb"))
+    events.select(key.as("k"), ts.as("ts"), tiebreak.as("tb"),
+        valueMicros.as("v"))
+      .withColumn("d", col("v") - coalesce(lag(col("v"), 1).over(w), col("v")))
+      .groupBy(col("k"))
+      .agg(sum(greatest(col("d"), lit(0L))).as("delta_sum"),
+        count(lit(1)).as("n"))
+  }
+
+  /** DuckDB replica of [[deltaSum]] keyed by user_id, ordered by
+    * (ts, event_id), value = round(value·1e6). */
+  val deltaSumOracleSql: String =
+    """WITH r AS (SELECT user_id AS k, CAST(round(value*1000000,0) AS BIGINT) - coalesce(lag(CAST(round(value*1000000,0) AS BIGINT), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), CAST(round(value*1000000,0) AS BIGINT)) AS d FROM events)
+SELECT k, CAST(sum(greatest(d, 0)) AS BIGINT) AS delta_sum, count(*) AS n FROM r GROUP BY 1"""
+
   /** ClickHouse `groupArrayMovingSum/Avg` analog: per-key daily sums,
     * then a rows-frame moving sum / count / average over the previous
     * `frame` daily rows. Integer micro-unit sums keep the moving sum

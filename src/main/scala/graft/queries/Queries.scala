@@ -2484,6 +2484,22 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
           least(count_distinct(col("user_id")), lit(1000L)).as("uniq_upto_999")),
       Some("""SELECT event_type, least(count(DISTINCT user_id), 100) AS uniq_upto_99, least(count(DISTINCT user_id), 1000) AS uniq_upto_999 FROM events GROUP BY 1""")),
 
+    // intervalLengthSum analog: per-user union length of overlapping
+    // engagement intervals [ts, ts + value s), exact µs coverage sweep.
+    GraftQuery("q_interval_coverage",
+      (s, dir) => graft.ops.Intervals.intervalLengthSum(ev(s, dir),
+        col("user_id"), col("ts"),
+        expr("timestampadd(MICROSECOND, CAST(round(value*1000000, 0) AS BIGINT), ts)")),
+      Some(graft.ops.Intervals.intervalLengthSumOracleSql)),
+
+    // deltaSum analog: per-user sum of positive steps between
+    // consecutive values — the monotone-counter-with-resets accumulator.
+    GraftQuery("q_delta_sum",
+      (s, dir) => graft.ops.TimeSeries.deltaSum(ev(s, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.TimeSeries.deltaSumOracleSql)),
+
     // sumMap analog: per-user event_type → Σ µ-value map in canonical
     // sorted-string form.
     GraftQuery("q_summap",

@@ -194,6 +194,39 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq === Seq((2L, "2024-01-02 06:00:00.000000")))
   }
 
+  test("intervalLengthSum merges overlaps, counts touching intervals once") {
+    import graft.ops.Intervals
+    val iv = Seq(
+      // k1: [0,10) ∪ [5,20) ∪ [20,25) — overlap merged, touching edge
+      // not double-counted → 25 s covered
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:10")),
+      (1L, ts("2024-01-01 00:00:05"), ts("2024-01-01 00:00:20")),
+      (1L, ts("2024-01-01 00:00:20"), ts("2024-01-01 00:00:25")),
+      // k1 also has an interval fully INSIDE an earlier one → adds 0
+      (1L, ts("2024-01-01 00:00:06"), ts("2024-01-01 00:00:08")),
+      // k2: two disjoint intervals → lengths add
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:03")),
+      (2L, ts("2024-01-01 00:01:00"), ts("2024-01-01 00:01:04"))
+    ).toDF("k", "s", "e")
+    val out = Intervals.intervalLengthSum(iv, col("k"), col("s"), col("e"))
+      .orderBy(col("k")).as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 25000000L, 4L), (2L, 7000000L, 2L)))
+  }
+
+  test("deltaSum accumulates only positive steps; first row contributes zero") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0L, 10.0), // first: no delta
+      (1L, ts("2024-01-01 00:01:00"), 1L, 15.0), // +5
+      (1L, ts("2024-01-01 00:02:00"), 2L, 3.0),  // reset: ignored
+      (1L, ts("2024-01-01 00:03:00"), 3L, 9.0),  // +6
+      (2L, ts("2024-01-01 00:00:00"), 4L, 42.0)  // single row → 0
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = TimeSeries.deltaSum(events, col("user_id"), col("ts"),
+      col("event_id"), round(col("value") * 1e6, 0).cast("long"))
+      .orderBy(col("k")).as[(Long, Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 11000000L, 4L), (2L, 0L, 1L)))
+  }
+
   test("sumMap emits one sorted map-key:sum entry per distinct map key") {
     val events = Seq(
       (1L, "view", 1.5), (1L, "click", 2.0), (1L, "view", 0.5),
