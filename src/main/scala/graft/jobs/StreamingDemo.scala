@@ -83,6 +83,20 @@ object StreamingDemo {
       .option("checkpointLocation", s"$work/ckp-attr")
       .outputMode(OutputMode.Append).start()
 
+    // greedy sequence-count arm: non-overlapping click→play matches per
+    // user, O(1) state per key (the streaming twin of q_seq_count)
+    val seqQ = Pipeline.streamingSequenceCount(
+        evForAttr.filter(col("event_type").isin("click", "play"))
+          // the wire user_id is a STRING ("user-N"); the state key is a
+          // long — hash it stably rather than cast-to-null
+          .select(xxhash64(col("user_id")).as("user_id"),
+            col("ts").as("event_ts"),
+            col("event_id").as("tiebreak"),
+            (col("event_type") === "play").as("is_b")))
+      .writeStream.format("memory").queryName("seqcount")
+      .option("checkpointLocation", s"$work/ckp-seq")
+      .outputMode(OutputMode.Update).start()
+
     // live JDBC warehouse arm (embedded Derby — the reference's
     // ClickHouse sink analog, real database, per-task batched INSERTs)
     val jdbcUrl = graft.sinks.Jdbc.derbyMemUrl("graftdemo")
@@ -103,7 +117,7 @@ object StreamingDemo {
       Thread.sleep(500)
     // NOTE: no processAllAvailable here — the rate source produces
     // continuously, so "all available" never drains; bounded runs stop.
-    Seq(warehouseQ, rollupQ, countersQ, attrQ, jdbcQ).foreach(_.stop())
+    Seq(warehouseQ, rollupQ, countersQ, attrQ, seqQ, jdbcQ).foreach(_.stop())
 
     val whRows = Warehouse.read(spark, whPath).count()
     val enrichedPct = Warehouse.read(spark, whPath)
@@ -121,6 +135,11 @@ object StreamingDemo {
     println(f"[demo] enriched fraction: ${enrichedPct * 100}%.1f%%")
     println(s"[demo] counters: $counters")
     println(s"[demo] attribution pairs (click→play ≤10 min): $attrPairs")
+    // update-mode sink retains per-batch emissions; matches are monotone
+    val seqMatches = spark.sql(
+      "SELECT COALESCE(CAST(sum(m) AS BIGINT), 0) FROM (SELECT max(matches) AS m FROM seqcount GROUP BY userId)")
+      .head.getLong(0)
+    println(s"[demo] greedy click→play sequence matches: $seqMatches")
     println(s"[demo] JDBC warehouse rows (Derby): $jdbcRows")
     println(s"[demo] throughput ~ ${whRows / math.max(runSeconds, 1)} events/s over $runSeconds s")
     spark.stop()
