@@ -366,6 +366,32 @@ SELECT et_a, et_b, n_both, sa.n AS users_a, sb.n AS users_b,
  floor(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) * 1e6 + 0.5) / 1e6 AS jaccard
 FROM p JOIN sz sa ON p.et_a = sa.et JOIN sz sb ON p.et_b = sb.et"""
 
+  /** Path-analysis trigram flows (the relational core of ClickHouse's
+    * `sequenceNextNode` / sankey-style path reporting): for every user,
+    * every consecutive (a → b → c) triple of event types in (ts,
+    * tiebreak) order, counted across users. Two `lead` offsets on one
+    * per-user window (shared sort), then a hash agg on the trigram —
+    * output cardinality is |type-domain|³, independent of event volume.
+    * Per-user window groups inherit the fifteenth-finding bucket
+    * treatment if a single user can own millions of events.
+    *
+    * Output: (a, b, c, cnt BIGINT). */
+  def pathTrigrams(events: DataFrame, user: Column, ts: Column,
+                   tiebreak: Column, step: Column): DataFrame = {
+    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("tb"))
+    events.select(user.as("u"), ts.as("ts"), tiebreak.as("tb"), step.as("a"))
+      .withColumn("b", lead(col("a"), 1).over(w))
+      .withColumn("c", lead(col("a"), 2).over(w))
+      .filter(col("b").isNotNull && col("c").isNotNull)
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** DuckDB replica of [[pathTrigrams]] over events keyed by user_id. */
+  val pathTrigramsOracleSql: String =
+    """WITH r AS (SELECT event_type AS a, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b, lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c FROM events)
+SELECT a, b, c, count(*) AS cnt FROM r WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3"""
+
   /** ClickHouse `sumMap` analog: per key, the element-wise sum of
     * (map-key → value) entries, emitted as a canonical sorted
     * "mapkey:sum" joined string (both engines stringify BIGINTs

@@ -2492,6 +2492,13 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         expr("timestampadd(MICROSECOND, CAST(round(value*1000000, 0) AS BIGINT), ts)")),
       Some(graft.ops.Intervals.intervalLengthSumOracleSql)),
 
+    // Path-analysis trigram flows (sequenceNextNode/sankey core):
+    // consecutive event-type triples per user, counted corpus-wide.
+    GraftQuery("q_path_trigrams",
+      (s, dir) => graft.ops.TimeSeries.pathTrigrams(ev(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      Some(graft.ops.TimeSeries.pathTrigramsOracleSql)),
+
     // deltaSum analog: per-user sum of positive steps between
     // consecutive values — the monotone-counter-with-resets accumulator.
     GraftQuery("q_delta_sum",

@@ -227,6 +227,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 11000000L, 4L), (2L, 0L, 1L)))
   }
 
+  test("pathTrigrams counts consecutive per-user triples, never crossing users") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0L, "view"),
+      (1L, ts("2024-01-01 00:01:00"), 1L, "click"),
+      (1L, ts("2024-01-01 00:02:00"), 2L, "purchase"),
+      (1L, ts("2024-01-01 00:03:00"), 3L, "view"),   // second trigram
+      (2L, ts("2024-01-01 00:00:00"), 4L, "view"),   // u2 has only 2 events
+      (2L, ts("2024-01-01 00:01:00"), 5L, "click")   // → no trigram emitted
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.pathTrigrams(events, col("user_id"), col("ts"),
+      col("event_id"), col("event_type"))
+      .orderBy(col("a"), col("b"), col("c"))
+      .as[(String, String, String, Long)].collect()
+    assert(out.toSeq === Seq(
+      ("click", "purchase", "view", 1L),
+      ("view", "click", "purchase", 1L)))
+  }
+
   test("sumMap emits one sorted map-key:sum entry per distinct map key") {
     val events = Seq(
       (1L, "view", 1.5), (1L, "click", 2.0), (1L, "view", 0.5),
