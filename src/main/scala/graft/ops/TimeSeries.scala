@@ -392,6 +392,42 @@ FROM p JOIN sz sa ON p.et_a = sa.et JOIN sz sb ON p.et_b = sb.et"""
     """WITH r AS (SELECT event_type AS a, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b, lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c FROM events)
 SELECT a, b, c, count(*) AS cnt FROM r WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3"""
 
+  /** M4 time-series downsampling (Jugel et al., VLDB 2014 — the
+    * error-free line-chart reduction): per (key, time bucket), the
+    * min, max, first and last values. Rendering those four per pixel
+    * column reproduces the exact line a full-resolution plot would
+    * draw, at bucket-count rows instead of event count.
+    *
+    * One hash aggregate, no windows: first/last are lexicographic
+    * min/max over (ts_µs, tiebreak, value) structs — (ts, tiebreak) is
+    * a total order, so the struct min IS the first row's value, and
+    * the aggregate stays a partial+final map-side-combinable pass.
+    *
+    * Output: (key k, bkt BIGINT, v_min, v_max, v_first, v_last BIGINT µ,
+    * n BIGINT). */
+  def m4Downsample(events: DataFrame, key: Column, ts: Column,
+                   tiebreak: Column, valueMicros: Column,
+                   bucketUs: Long): DataFrame = {
+    val tu = unix_micros(ts)
+    val bkt = ((tu - pmod(tu, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    events
+      .select(key.as("k"), bkt.as("bkt"), tu.as("tu"),
+        tiebreak.as("tb"), valueMicros.as("v"))
+      .groupBy(col("k"), col("bkt"))
+      .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+        min(struct(col("tu"), col("tb"), col("v"))).getField("v").as("v_first"),
+        max(struct(col("tu"), col("tb"), col("v"))).getField("v").as("v_last"),
+        count(lit(1)).as("n"))
+  }
+
+  /** DuckDB replica of [[m4Downsample]] keyed by event_type (row_number
+    * form — equivalent to the struct min/max because (ts, event_id) is
+    * a total order). */
+  def m4DownsampleOracleSql(bucketUs: Long): String =
+    s"""WITH e AS (SELECT event_type AS k, CAST((epoch_us(ts) - ((epoch_us(ts) % $bucketUs) + $bucketUs) % $bucketUs) / $bucketUs AS BIGINT) AS bkt, epoch_us(ts) AS tu, event_id, CAST(round(value*1000000,0) AS BIGINT) AS v FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY k, bkt ORDER BY tu, event_id) AS rn_a, row_number() OVER (PARTITION BY k, bkt ORDER BY tu DESC, event_id DESC) AS rn_d FROM e)
+SELECT k, bkt, min(v) AS v_min, max(v) AS v_max, min(CASE WHEN rn_a = 1 THEN v END) AS v_first, min(CASE WHEN rn_d = 1 THEN v END) AS v_last, count(*) AS n FROM r GROUP BY 1, 2"""
+
   /** ClickHouse `sumMap` analog: per key, the element-wise sum of
     * (map-key → value) entries, emitted as a canonical sorted
     * "mapkey:sum" joined string (both engines stringify BIGINTs

@@ -2499,6 +2499,28 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("user_id"), col("ts"), col("event_id"), col("event_type")),
       Some(graft.ops.TimeSeries.pathTrigramsOracleSql)),
 
+    // M4 downsampling (VLDB'14): per event_type and day bucket, the
+    // min/max/first/last µ-values — the error-free chart reduction.
+    GraftQuery("q_m4_downsample",
+      (s, dir) => graft.ops.TimeSeries.m4Downsample(ev(s, dir),
+        col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 1e6, 0).cast("long"),
+        bucketUs = 86400000000L),
+      Some(graft.ops.TimeSeries.m4DownsampleOracleSql(86400000000L))),
+
+    // uniqUpTo(N) as a REAL bounded-state aggregate (state capped at
+    // N+1 longs per group however large the true cardinality —
+    // contrast the capped-count SQL form in q_uniq_upto, which answers
+    // the same but shuffles every distinct pair).
+    GraftQuery("q_uniq_upto_agg",
+      (s, dir) => {
+        graft.functions.UniqUpTo.register(s)
+        ev(s, dir).groupBy(col("event_type"))
+          .agg(expr("uniq_up_to(user_id, 100)").as("uniq_upto_100"),
+            expr("uniq_up_to(user_id, 1000)").as("uniq_upto_1000"))
+      },
+      Some("""SELECT event_type, least(count(DISTINCT user_id), 101) AS uniq_upto_100, least(count(DISTINCT user_id), 1001) AS uniq_upto_1000 FROM events GROUP BY 1""")),
+
     // deltaSum analog: per-user sum of positive steps between
     // consecutive values — the monotone-counter-with-resets accumulator.
     GraftQuery("q_delta_sum",

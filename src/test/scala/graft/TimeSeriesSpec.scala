@@ -245,6 +245,40 @@ class TimeSeriesSpec extends SparkSpec {
       ("view", "click", "purchase", 1L)))
   }
 
+  test("uniqUpTo is exact below the cap and saturates at N+1 under any partitioning") {
+    graft.functions.UniqUpTo.register(spark)
+    val df = (0 until 2000).map(i => (i % 500).toLong).toDF("v")
+    for (parts <- Seq(1, 7, 32)) {
+      val r = df.repartition(parts)
+        .agg(expr("uniq_up_to(v, 100)").as("a"),
+          expr("uniq_up_to(v, 1000)").as("b"))
+        .as[(Long, Long)].head()
+      assert(r === ((101L, 500L)), s"parts=$parts")
+    }
+  }
+
+  test("m4Downsample keeps min/max/first/last per bucket, ties broken by tiebreak") {
+    val events = Seq(
+      // one key, one hour bucket: first=5 (ts order), max=9, min=1, last=4
+      ("x", ts("2024-01-01 00:00:01"), 0L, 5.0),
+      ("x", ts("2024-01-01 00:10:00"), 1L, 9.0),
+      ("x", ts("2024-01-01 00:20:00"), 2L, 1.0),
+      ("x", ts("2024-01-01 00:30:00"), 3L, 4.0),
+      // equal-ts pair in the NEXT bucket: event_id orders first/last
+      ("x", ts("2024-01-01 01:00:00"), 4L, 7.0),
+      ("x", ts("2024-01-01 01:00:00"), 5L, 2.0)
+    ).toDF("event_type", "ts", "event_id", "value")
+    val out = graft.ops.TimeSeries.m4Downsample(events, col("event_type"),
+      col("ts"), col("event_id"), round(col("value") * 1e6, 0).cast("long"),
+      bucketUs = 3600000000L)
+      .orderBy(col("bkt"))
+      .select(col("v_min"), col("v_max"), col("v_first"), col("v_last"), col("n"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq === Seq(
+      (1000000L, 9000000L, 5000000L, 4000000L, 4L),
+      (2000000L, 7000000L, 7000000L, 2000000L, 2L)))
+  }
+
   test("sumMap emits one sorted map-key:sum entry per distinct map key") {
     val events = Seq(
       (1L, "view", 1.5), (1L, "click", 2.0), (1L, "view", 0.5),
