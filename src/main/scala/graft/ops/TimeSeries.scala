@@ -392,6 +392,45 @@ FROM p JOIN sz sa ON p.et_a = sa.et JOIN sz sb ON p.et_b = sb.et"""
     """WITH r AS (SELECT event_type AS a, lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b, lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS c FROM events)
 SELECT a, b, c, count(*) AS cnt FROM r WHERE b IS NOT NULL AND c IS NOT NULL GROUP BY 1, 2, 3"""
 
+  /** Time-weighted average (the sampled-gauge mean — each sample holds
+    * until the next one): per key, Σ vᵢ·dtᵢ / Σ dtᵢ over consecutive
+    * samples in (ts, tiebreak) order, dt in whole seconds, value in
+    * milli-units. The last sample carries no dt (nothing follows it).
+    * Integer-exact numerator/denominator; overflow headroom: |v| ≤
+    * 2^20 milli-units × dt ≤ 2^22 s × 2^20 rows/key stays under 2^62.
+    * The avg divides the two exact BIGINTs in double — the identical
+    * IEEE operation on both engines. One per-key lead window + one
+    * hash agg.
+    *
+    * Output: (key k, tw_num BIGINT, tw_den BIGINT, tw_avg DOUBLE; a
+    * key with a single sample has no interval and produces no row,
+    * and tw_avg is null when all intervals round to zero seconds). */
+  def timeWeightedAvg(events: DataFrame, key: Column, ts: Column,
+                      tiebreak: Column, valueMilli: Column): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("tb"))
+    val tu = unix_micros(col("ts"))
+    val dtS = ((lead(tu, 1).over(w) - tu) - pmod(lead(tu, 1).over(w) - tu,
+      lit(1000000L))) / lit(1000000L)
+    events.select(key.as("k"), ts.as("ts"), tiebreak.as("tb"),
+        valueMilli.as("v"))
+      .withColumn("dt_s", dtS.cast("long"))
+      .filter(col("dt_s").isNotNull)
+      .groupBy(col("k"))
+      .agg(sum(col("v") * col("dt_s")).as("tw_num"),
+        sum(col("dt_s")).as("tw_den"))
+      .withColumn("tw_avg",
+        when(col("tw_den") > 0,
+          col("tw_num").cast("double") / col("tw_den").cast("double")))
+  }
+
+  /** DuckDB replica of [[timeWeightedAvg]] keyed by user_id,
+    * value = round(value·1e3) milli-units. */
+  val timeWeightedAvgOracleSql: String =
+    """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS tu, event_id, CAST(round(value*1000,0) AS BIGINT) AS v FROM events),
+r AS (SELECT k, v, (lead(tu, 1) OVER (PARTITION BY k ORDER BY tu, event_id) - tu) AS dtu FROM e),
+g AS (SELECT k, CAST(sum(v * CAST((dtu - ((dtu % 1000000) + 1000000) % 1000000) / 1000000 AS BIGINT)) AS BIGINT) AS tw_num, CAST(sum(CAST((dtu - ((dtu % 1000000) + 1000000) % 1000000) / 1000000 AS BIGINT)) AS BIGINT) AS tw_den FROM r WHERE dtu IS NOT NULL GROUP BY 1)
+SELECT k, tw_num, tw_den, CASE WHEN tw_den > 0 THEN CAST(tw_num AS DOUBLE) / CAST(tw_den AS DOUBLE) END AS tw_avg FROM g"""
+
   /** M4 time-series downsampling (Jugel et al., VLDB 2014 — the
     * error-free line-chart reduction): per (key, time bucket), the
     * min, max, first and last values. Rendering those four per pixel

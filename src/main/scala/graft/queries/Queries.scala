@@ -2521,6 +2521,14 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       },
       Some("""SELECT event_type, least(count(DISTINCT user_id), 101) AS uniq_upto_100, least(count(DISTINCT user_id), 1001) AS uniq_upto_1000 FROM events GROUP BY 1""")),
 
+    // Time-weighted average: sampled-gauge mean per user (each value
+    // holds until the next sample), integer-exact num/den.
+    GraftQuery("q_time_weighted_avg",
+      (s, dir) => graft.ops.TimeSeries.timeWeightedAvg(ev(s, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 1e3, 0).cast("long")),
+      Some(graft.ops.TimeSeries.timeWeightedAvgOracleSql)),
+
     // deltaSum analog: per-user sum of positive steps between
     // consecutive values — the monotone-counter-with-resets accumulator.
     GraftQuery("q_delta_sum",
