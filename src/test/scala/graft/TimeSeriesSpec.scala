@@ -279,6 +279,21 @@ class TimeSeriesSpec extends SparkSpec {
       (2000000L, 7000000L, 7000000L, 2000000L, 2L)))
   }
 
+  test("timeWeightedAvg holds each sample until the next; single-sample keys emit nothing") {
+    val events = Seq(
+      // k1: v=10 for 30 s, then v=20 for 10 s → (10·30 + 20·10)/40 = 12.5
+      (1L, ts("2024-01-01 00:00:00"), 0L, 10.0),
+      (1L, ts("2024-01-01 00:00:30"), 1L, 20.0),
+      (1L, ts("2024-01-01 00:00:40"), 2L, 99.0), // last sample: no dt
+      (2L, ts("2024-01-01 00:00:00"), 3L, 42.0)  // single sample → no row
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = graft.ops.TimeSeries.timeWeightedAvg(events, col("user_id"),
+      col("ts"), col("event_id"), round(col("value") * 1e3, 0).cast("long"))
+      .select(col("k"), col("tw_num"), col("tw_den"), col("tw_avg"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq((1L, 500000L, 40L, 12500.0)))
+  }
+
   test("sumMap emits one sorted map-key:sum entry per distinct map key") {
     val events = Seq(
       (1L, "view", 1.5), (1L, "click", 2.0), (1L, "view", 0.5),
