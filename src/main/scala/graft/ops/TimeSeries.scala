@@ -119,6 +119,62 @@ SELECT k, strftime(d,'%Y-%m-%d') AS day, v IS NOT NULL AS observed, prev AS v_ff
 FROM w"""
   }
 
+  /** [[gapFillDaily]] for a NUMERIC axis (ClickHouse `WITH FILL` also
+    * fills numeric ORDER BY axes): per key, densify the integer axis
+    * over the key's own [min, max] with unit step, forward-fill and
+    * linearly interpolate in exact integer micro-units. Same shape —
+    * per-key span aggregate → sequence/explode axis → sort-merge-pinned
+    * left join → one per-key window pass.
+    *
+    * Output: (key k, x BIGINT, observed BOOLEAN, v_ffill BIGINT µ,
+    * v_interp BIGINT µ). */
+  def gapFillNumeric(df: DataFrame, key: Column, axis: Column,
+                     valueMicros: Column): DataFrame = {
+    val obs = df.groupBy(key.as("k"), axis.cast("long").as("x"))
+      .agg(sum(valueMicros).as("v"))
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("x")).as("xmin"), max(col("x")).as("xmax"))
+      .select(col("k"), explode(sequence(col("xmin"), col("xmax"))).as("x"))
+    val j = grid.join(Joins.corpusSide(obs), Seq("k", "x"), "left")
+
+    val wb = Window.partitionBy(col("k")).orderBy(col("x"))
+    val back = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd  = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prev  = last(col("v"), ignoreNulls = true).over(back)
+    val prevX = last(when(col("v").isNotNull, col("x")), ignoreNulls = true).over(back)
+    val nxt   = first(col("v"), ignoreNulls = true).over(fwd)
+    val nxtX  = first(when(col("v").isNotNull, col("x")), ignoreNulls = true).over(fwd)
+    val num = (nxt - prev) * (col("x") - prevX)
+    val den = nxtX - prevX
+    j.select(col("k"), col("x"),
+      col("v").isNotNull.as("observed"),
+      prev.as("v_ffill"),
+      when(col("v").isNotNull, col("v"))
+        .when(prev.isNull, nxt)
+        .when(nxt.isNull, prev)
+        .otherwise(prev + floorDiv(num, den)).as("v_interp"))
+  }
+
+  /** DuckDB replica of [[gapFillNumeric]] over events keyed by
+    * event_type with axis floor(value) and µ-unit sums. */
+  val gapFillNumericOracleSql: String = {
+    def ignb(e: String) =
+      s"last_value($e IGNORE NULLS) OVER (PARTITION BY k ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    def ignf(e: String) =
+      s"first_value($e IGNORE NULLS) OVER (PARTITION BY k ORDER BY x ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)"
+    val num = "(nxt-prev)*(x - prevx)"
+    val den = "(nxtx - prevx)"
+    s"""WITH obs AS (SELECT event_type AS k, CAST(floor(value) AS BIGINT) AS x, CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS v FROM events GROUP BY 1,2),
+span AS (SELECT k, min(x) AS xmin, max(x) AS xmax FROM obs GROUP BY 1),
+grid AS (SELECT k, unnest(generate_series(xmin, xmax)) AS x FROM span),
+j AS (SELECT g.k, g.x, o.v FROM grid g LEFT JOIN obs o ON g.k=o.k AND g.x=o.x),
+w AS (SELECT k, x, v, ${ignb("v")} AS prev, ${ignb("CASE WHEN v IS NOT NULL THEN x END")} AS prevx, ${ignf("v")} AS nxt, ${ignf("CASE WHEN v IS NOT NULL THEN x END")} AS nxtx FROM j)
+SELECT k, x, v IS NOT NULL AS observed, prev AS v_ffill,
+ CASE WHEN v IS NOT NULL THEN v WHEN prev IS NULL THEN nxt WHEN nxt IS NULL THEN prev
+  ELSE prev + CAST((($num) - (((($num) % ($den)) + ($den)) % ($den))) / ($den) AS BIGINT) END AS v_interp
+FROM w"""
+  }
+
   /** ClickHouse `sequenceMatch('(?1).*(?2).*…')` analog: does the user's
     * event stream contain cond₁ … condₙ at strictly increasing
     * timestamps? Same chained-min-ts construction as

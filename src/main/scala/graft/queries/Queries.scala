@@ -2365,6 +2365,14 @@ SELECT k, day, observed, v_interp,
  CAST(sum(v_interp) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / count(*) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_avg
 FROM gf""")),
 
+    // Numeric-axis WITH FILL: per event_type, densify the floor(value)
+    // axis over the type's own [min, max] with ffill + interpolation.
+    GraftQuery("q_gap_fill_numeric",
+      (s, dir) => graft.ops.TimeSeries.gapFillNumeric(ev(s, dir),
+        col("event_type"), floor(col("value")),
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.TimeSeries.gapFillNumericOracleSql)),
+
     // sequenceMatch('(?1).*(?2).*(?3)') analog: view → click → purchase
     // at strictly increasing timestamps, no window bound.
     GraftQuery("q_seq_match",
