@@ -100,6 +100,13 @@ object Enrich {
   def asOfJoinWithin(left: DataFrame, leftKey: Column, leftTs: Column,
       right: DataFrame, rightKey: Column, rightTs: Column,
       rightTsField: String, tolerance: String): DataFrame = {
+    // validate eagerly: a malformed unit spliced into expr() would
+    // otherwise surface as an obscure Catalyst parse error downstream
+    val TolerancePattern =
+      """(?i)\s*\d+\s+(MICROSECONDS?|MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s*""".r
+    require(TolerancePattern.pattern.matcher(tolerance).matches(),
+      s"asOfJoinWithin tolerance must be '<count> <unit>' with unit one of " +
+        s"MICROSECOND(S)/MILLISECOND(S)/SECOND(S)/MINUTE(S)/HOUR(S)/DAY(S); got: '$tolerance'")
     val joined = asOfJoin(left, leftKey, leftTs, right, rightKey, rightTs)
     val fresh = col("asof").getField(rightTsField) >=
       leftTs - expr(s"INTERVAL $tolerance")

@@ -78,11 +78,17 @@ object Intervals {
     val adj = perDay.select(col("d"), col("day_max_t"),
       (coalesce(sum(col("net")).over(carry), lit(0L)) + col("day_max")).as("g"))
 
-    adj.crossJoin(broadcast(adj.agg(max(col("g")).as("gmax"))))
-      .filter(col("g") === col("gmax"))
-      .groupBy(col("gmax").as("max_concurrent"))
-      .agg(date_format(min(col("day_max_t")),
-        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("at_ts"))
+    // global peak + earliest instant in ONE aggregate over the carry
+    // table: max of (g, −t_µs) is lexicographically (max g, min t among
+    // rows attaining it) — the same struct-argmax trick as perDay. The
+    // earlier self-join against adj.agg(max(g)) computed the whole
+    // phase-1 pipeline twice.
+    adj
+      .agg(max(struct(col("g"),
+        (lit(0L) - unix_micros(col("day_max_t"))).as("negt"))).as("mx"))
+      .select(col("mx.g").as("max_concurrent"),
+        date_format(timestamp_micros(lit(0L) - col("mx.negt")),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("at_ts"))
   }
 
   /** ClickHouse `intervalLengthSum` analog: per key, the total length of
@@ -90,22 +96,48 @@ object Intervals {
     * µs. Classic coverage sweep, relational form: order intervals by
     * (start, end) per key; each row contributes
     * `max(0, end − max(start, running-max-of-previous-ends))` — the part
-    * of the interval not already covered — and one hash agg sums the
-    * contributions. One per-key window over the INTERVAL rows (interval
-    * counts, not event counts, where intervals are pre-aggregated
-    * spans); the fifteenth-finding bucket treatment applies if a single
-    * key can own millions of raw intervals.
+    * of the interval not already covered (previous intervals all start
+    * at or before this one, so their coverage beyond this start is the
+    * contiguous [start, prev-max-end)) — and one hash agg sums the
+    * contributions.
     *
+    * HOT-KEY posture (fifteenth-finding bucket form): the running max
+    * of ends is segment-associative — bucket the intervals by
+    * `bucket(start)` (monotone in start, so bucket order refines the
+    * sweep order), run the previous-ends window per (key, bucket), and
+    * carry each bucket's max end through a per-key window over the
+    * per-bucket AGGREGATE rows. The carry joins back to the interval
+    * rows on (key, bucket) — sort-merge pinned, reusing the (k, b)
+    * partitioning the phase-1 window already established — and each
+    * row's true previous max is max(in-bucket prev max, carry-in). Raw
+    * intervals shuffle once; no WindowExec group exceeds one key's
+    * per-bucket rows.
+    *
+    * @param bucket monotone time bucketing of the START (default:
+    *   calendar day); size it so one key's intervals per bucket stay
+    *   in the thousands.
     * Output: (key k, covered_us BIGINT, n_intervals BIGINT). */
   def intervalLengthSum(df: DataFrame, key: Column, start: Column,
-                        endCol: Column): DataFrame = {
-    val w = Window.partitionBy(col("k")).orderBy(col("s"), col("e"))
+                        endCol: Column,
+                        bucket: Column => Column = to_date(_)): DataFrame = {
+    val wIn = Window.partitionBy(col("k"), col("b")).orderBy(col("s"), col("e"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.select(key.as("k"), unix_micros(start).as("s"), unix_micros(endCol).as("e"))
-      .withColumn("prev_max_e", max(col("e")).over(w))
+    val rows = df.select(key.as("k"), bucket(start).as("b"),
+        unix_micros(start).as("s"), unix_micros(endCol).as("e"))
+      .withColumn("p_in", max(col("e")).over(wIn))
+    val wB = Window.partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = rows.groupBy(col("k"), col("b")).agg(max(col("e")).as("bmax"))
+      .withColumn("cin", max(col("bmax")).over(wB))
+      .select(col("k"), col("b"), col("cin"))
+    // greatest() evaluates before any subtraction, so the MinValue
+    // sentinel never enters arithmetic — it only loses the comparison
+    val sentinel = lit(Long.MinValue)
+    rows.join(Joins.corpusSide(carry), Seq("k", "b"))
       .select(col("k"),
         greatest(lit(0L),
-          col("e") - greatest(col("s"), coalesce(col("prev_max_e"), col("s"))))
+          col("e") - greatest(col("s"),
+            coalesce(col("p_in"), sentinel), coalesce(col("cin"), sentinel)))
           .as("add"))
       .groupBy(col("k"))
       .agg(sum(col("add")).as("covered_us"), count(lit(1)).as("n_intervals"))

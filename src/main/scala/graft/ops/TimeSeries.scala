@@ -214,10 +214,21 @@ s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id
 s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.u WHERE e.event_type='$c3' AND e.ts > t2 GROUP BY 1)
 SELECT u.u, s3.u IS NOT NULL AS matched FROM u LEFT JOIN s3 ON u.u = s3.u"""
 
-  /** ClickHouse `sequenceCount('(?1).*(?2)')` analog: the number of
-    * NON-OVERLAPPING condA→condB matches per user (greedy left-to-right,
-    * each event consumed at most once) — computed relationally via the
-    * prefix-deficit identity instead of a per-user array scan:
+  /** MAXIMUM-MATCHING sequence count: the number of NON-OVERLAPPING
+    * condA→condB matches per user where each event is consumed at most
+    * once (greedy left-to-right pairing) — computed relationally via
+    * the prefix-deficit identity instead of a per-user array scan.
+    *
+    * SEMANTICS NOTE — this deliberately DIVERGES from ClickHouse
+    * `sequenceCount('(?1).*(?2)')`: ClickHouse restarts its scan after
+    * each completed match, so on the stream A,A,B,B it finds ONE chain
+    * (A₁…B₁, then the remaining B has no later A), while the maximum
+    * matching pairs A₁→B₁ and A₂→B₂ for TWO. Use
+    * [[sequenceCountRestart]] for exact ClickHouse parity; this
+    * operator answers the capacity question ("how many disjoint A→B
+    * journeys could these events support?").
+    *
+    * The prefix-deficit identity:
     *
     *   matches(u) = #B(u) − max(0, max over prefixes of (#B − #A))
     *
@@ -276,6 +287,60 @@ SELECT u.u, s3.u IS NOT NULL AS matched FROM u LEFT JOIN s3 ON u.u = s3.u"""
 r AS (SELECT u, step, sum(step) OVER (PARTITION BY u ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM e)
 SELECT u, CAST(sum(CASE WHEN step=1 THEN 1 ELSE 0 END) - greatest(0, max(run)) AS BIGINT) AS matches FROM r GROUP BY 1"""
 
+  /** ClickHouse `sequenceCount('(?1).*(?2)')` with EXACT parity —
+    * restart-after-match semantics: scan the user's condA/condB events
+    * in (ts, tiebreak) order; a chain completes at the first condB
+    * after a condA, and the scan restarts AFTER that condB (so A,A,B,B
+    * counts 1, where [[sequenceCountPairs]]'s maximum matching counts
+    * 2).
+    *
+    * Relational form — the restart scan reduces to counting ADJACENT
+    * A→B transitions in the filtered stream: each completed chain ends
+    * at the first B after its starting A, whose immediate predecessor
+    * is necessarily an A (any earlier B would have completed the chain
+    * sooner), and each A→B adjacency is consumed by exactly one chain.
+    * So matches(u) = #{i : eᵢ is B ∧ eᵢ₋₁ is A} — a single lag, no
+    * state machine.
+    *
+    * HOT-KEY posture: the adjacency count is segment-associative with
+    * one row of boundary context (is the previous segment's LAST event
+    * an A while this segment's FIRST is a B?), so phase 1 lags per
+    * (user, `bucket`) and phase 2 windows over the per-bucket
+    * aggregate rows — the same two-phase discipline as [[deltaSum]].
+    *
+    * Output: (u, matches BIGINT), one row per user with ≥ 1 A or B. */
+  def sequenceCountRestart(events: DataFrame, user: Column, ts: Column,
+                           tiebreak: Column, condA: Column, condB: Column,
+                           bucket: Column => Column = to_date(_)): DataFrame = {
+    val wIn = Window.partitionBy(col("u"), col("b")).orderBy(col("tu"), col("tb"))
+    val perBucket = events.filter(condA || condB)
+      .select(user.as("u"), bucket(ts).as("b"), unix_micros(ts).as("tu"),
+        tiebreak.as("tb"), condB.as("isb"))
+      .withColumn("hit",
+        when(col("isb") && !coalesce(lag(col("isb"), 1).over(wIn), lit(true)),
+          lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("u"), col("b"))
+      .agg(sum(col("hit")).as("hits_in"),
+        min(struct(col("tu"), col("tb"), col("isb"))).getField("isb").as("first_isb"),
+        max(struct(col("tu"), col("tb"), col("isb"))).getField("isb").as("last_isb"))
+    val wB = Window.partitionBy(col("u")).orderBy(col("b"))
+    perBucket
+      .withColumn("boundary",
+        when(col("first_isb") &&
+          !coalesce(lag(col("last_isb"), 1).over(wB), lit(true)), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(col("u"))
+      .agg(sum(col("hits_in") + col("boundary")).as("matches"))
+  }
+
+  /** DuckDB replica of [[sequenceCountRestart]] with event_type
+    * equality conditions, tiebreak = event_id (single-window adjacency
+    * form — it IS the spec the two-phase plan must reproduce). */
+  def sequenceCountRestartOracleSql(a: String, b: String): String =
+    s"""WITH e AS (SELECT user_id AS u, ts, event_id, event_type='$b' AS isb FROM events WHERE event_type IN ('$a','$b')),
+r AS (SELECT u, isb, lag(isb, 1) OVER (PARTITION BY u ORDER BY ts, event_id) AS pisb FROM e)
+SELECT u, CAST(sum(CASE WHEN isb AND pisb = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS matches FROM r GROUP BY 1"""
+
   /** ClickHouse `quantileExactWeighted` analog, integer-exact: for each
     * rational quantile q = num/den (den > 0), the smallest value v whose
     * cumulative weight reaches ceil(q · W) where W = Σ weights — i.e.
@@ -283,25 +348,48 @@ SELECT u, CAST(sum(CASE WHEN step=1 THEN 1 ELSE 0 END) - greatest(0, max(run)) A
     * integer arithmetic, ceil(n·W/d) = (n·W + d − 1) div d, so there is
     * no floating-point rank to diverge on.
     *
-    * Plan shape: one hash agg per distinct value (map-side combinable),
-    * one value-ordered running-sum window over the DISTINCT-value table
-    * (|distinct values| rows, not event rows; single partition is
-    * acceptable because the distinct-value table is the compressed
-    * domain — for a genuinely huge domain, bucket the value range
-    * first), then a broadcast of the q-literal table and a min-per-q
-    * agg. The raw data is touched exactly once.
+    * Plan shape — TWO-PHASE on the value axis, never a global window
+    * (a continuous value column makes |distinct values| ≈ |events|, so
+    * a `Window.orderBy(v)` with no partitionBy would be a one-task sort
+    * of the corpus — the shape SCALE.md's fourteenth/fifteenth findings
+    * eliminated everywhere else):
+    *  1. one hash agg per distinct value (map-side combinable), then
+    *     the cumulative weight runs INSIDE each value bucket
+    *     `floorDiv(v, bucketWidth)` — bucket-partitioned sort,
+    *     parallel, groups sized by the bucket-width dial;
+    *  2. per-bucket net weights carry through a |non-empty buckets|-row
+    *     window (the [[Intervals.maxIntersections]] carry form), and
+    *     the global cumulative weight is in-bucket cum + carry-in,
+    *     joined back on the bucket key (sort-merge pinned: the carry
+    *     table is corpus-derived — one row per non-empty bucket).
+    * Then the q-literal table broadcasts and a min-per-q agg finishes.
+    * The raw data is touched exactly once; the only single-partition
+    * window runs on the bucket-cardinality table.
     *
+    * @param bucketWidth width of a value bucket — the GROUP-memory dial
+    *   (WindowExec buffers each bucket's distinct values; size it so
+    *   distinct values per bucket stay in the thousands).
     * Output: (q_num INT, q_den INT, value BIGINT). */
   def weightedQuantiles(df: DataFrame, value: Column, weight: Column,
-                        qs: Seq[(Int, Int)]): DataFrame = {
+                        qs: Seq[(Int, Int)],
+                        bucketWidth: Long = 1L << 20): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n >= 0 && n <= d },
       "quantiles must be rationals in [0,1]")
+    require(bucketWidth > 0, "bucketWidth must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val byV = df.groupBy(value.as("v")).agg(sum(weight).as("w"))
-    val cum = byV.select(col("v"),
-      sum(col("w")).over(Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"))
+    val inB = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = byV
+      .select(floorDiv(col("v"), lit(bucketWidth)).as("b"), col("v"), col("w"))
+      .withColumn("cw_in", sum(col("w")).over(inB))
+    val carryW = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = inBucket.groupBy(col("b")).agg(sum(col("w")).as("net"))
+      .select(col("b"), coalesce(sum(col("net")).over(carryW), lit(0L)).as("cin"))
+    val cum = inBucket.join(Joins.corpusSide(carry), "b")
+      .select(col("v"), (col("cw_in") + col("cin")).as("cw"))
     val tot = byV.agg(sum(col("w")).as("tw"))
     val qdf = qs.toDF("q_num", "q_den")
     cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
@@ -324,19 +412,48 @@ SELECT q_num, q_den, min(v) AS value FROM cum, tot, q WHERE cw * q_den >= q_num 
   /** ClickHouse `deltaSumTimestamp`/`deltaSum` analog: per key, the sum
     * of POSITIVE steps between consecutive values in (ts, tiebreak)
     * order — the standard monotone-counter-with-resets accumulator
-    * (network byte counters, odometer readings). Integer µ-units, one
-    * per-key lag window + one hash agg.
+    * (network byte counters, odometer readings). Integer µ-units.
     *
+    * HOT-KEY posture (the fifteenth SCALE.md finding's bucket form): a
+    * single per-key lag window buffers each key's whole history in one
+    * WindowExec group, so one pathological key spills regardless of
+    * partition sizing. The positive-step sum is segment-associative —
+    * split a key's ordered rows at any boundary and the only
+    * cross-segment term is max(0, firstOfNext − lastOfPrev) — so
+    * phase 1 runs the lag window per (key, `bucket`) and reduces each
+    * bucket to (in-bucket positive-step sum, first value, last value,
+    * row count); phase 2 windows over the per-(key, bucket) AGGREGATE
+    * rows to add the boundary steps, then one hash agg per key. The
+    * raw rows shuffle exactly once.
+    *
+    * First/last-of-bucket are lexicographic struct min/max over
+    * (ts_µs, tiebreak, value) — exact because (ts, tiebreak) is the
+    * contract's total order.
+    *
+    * @param bucket monotone time bucketing (default: calendar day);
+    *   size it so one key's rows per bucket stay in the thousands.
     * Output: (key k, delta_sum BIGINT, n BIGINT). */
   def deltaSum(events: DataFrame, key: Column, ts: Column, tiebreak: Column,
-               valueMicros: Column): DataFrame = {
-    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("tb"))
-    events.select(key.as("k"), ts.as("ts"), tiebreak.as("tb"),
-        valueMicros.as("v"))
-      .withColumn("d", col("v") - coalesce(lag(col("v"), 1).over(w), col("v")))
+               valueMicros: Column,
+               bucket: Column => Column = to_date(_)): DataFrame = {
+    val wIn = Window.partitionBy(col("k"), col("b")).orderBy(col("tu"), col("tb"))
+    val perBucket = events
+      .select(key.as("k"), bucket(ts).as("b"), unix_micros(ts).as("tu"),
+        tiebreak.as("tb"), valueMicros.as("v"))
+      .withColumn("d", col("v") - coalesce(lag(col("v"), 1).over(wIn), col("v")))
+      .groupBy(col("k"), col("b"))
+      .agg(sum(greatest(col("d"), lit(0L))).as("pos"),
+        min(struct(col("tu"), col("tb"), col("v"))).getField("v").as("v_first"),
+        max(struct(col("tu"), col("tb"), col("v"))).getField("v").as("v_last"),
+        count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy(col("k")).orderBy(col("b"))
+    perBucket
+      .withColumn("boundary", greatest(
+        col("v_first") - coalesce(lag(col("v_last"), 1).over(wB), col("v_first")),
+        lit(0L)))
       .groupBy(col("k"))
-      .agg(sum(greatest(col("d"), lit(0L))).as("delta_sum"),
-        count(lit(1)).as("n"))
+      .agg(sum(col("pos") + col("boundary")).as("delta_sum"),
+        sum(col("cnt")).as("n"))
   }
 
   /** DuckDB replica of [[deltaSum]] keyed by user_id, ordered by
@@ -425,20 +542,81 @@ FROM p JOIN sz sa ON p.et_a = sa.et JOIN sz sb ON p.et_b = sb.et"""
   /** Path-analysis trigram flows (the relational core of ClickHouse's
     * `sequenceNextNode` / sankey-style path reporting): for every user,
     * every consecutive (a → b → c) triple of event types in (ts,
-    * tiebreak) order, counted across users. Two `lead` offsets on one
-    * per-user window (shared sort), then a hash agg on the trigram —
-    * output cardinality is |type-domain|³, independent of event volume.
-    * Per-user window groups inherit the fifteenth-finding bucket
-    * treatment if a single user can own millions of events.
+    * tiebreak) order, counted across users. Output cardinality is
+    * |type-domain|³, independent of event volume.
     *
+    * HOT-KEY posture (fifteenth-finding bucket form): a single per-user
+    * window buffers each user's whole event list in one WindowExec
+    * group. Trigrams decompose over a bucket split with only TWO rows
+    * of cross-boundary context: a trigram either lies entirely inside
+    * one (user, `bucket`) group (phase 1: two `lead` offsets on the
+    * bucket-partitioned window, one shared sort) or its FIRST row is
+    * among the last 2 rows of some bucket and it extends into the next
+    * 2 global rows. Phase 2 therefore reduces each bucket to its
+    * ordered first-2 / last-2 step arrays (boundary rows are filtered
+    * BEFORE the aggregate — no whole-bucket collect), windows over the
+    * per-(user, bucket) AGGREGATE rows to splice each bucket's last-2
+    * with the following buckets' first rows (two `lead`s cover a
+    * 1-row next bucket), and emits the boundary trigrams — attributed
+    * to the bucket of their first row, so no trigram is counted twice
+    * and none is missed. Raw rows shuffle once; the only per-user
+    * window runs on bucket-cardinality rows.
+    *
+    * @param bucket monotone time bucketing (default: calendar day).
     * Output: (a, b, c, cnt BIGINT). */
   def pathTrigrams(events: DataFrame, user: Column, ts: Column,
-                   tiebreak: Column, step: Column): DataFrame = {
-    val w = Window.partitionBy(col("u")).orderBy(col("ts"), col("tb"))
-    events.select(user.as("u"), ts.as("ts"), tiebreak.as("tb"), step.as("a"))
-      .withColumn("b", lead(col("a"), 1).over(w))
-      .withColumn("c", lead(col("a"), 2).over(w))
+                   tiebreak: Column, step: Column,
+                   bucket: Column => Column = to_date(_)): DataFrame = {
+    val wIn = Window.partitionBy(col("u"), col("bkt")).orderBy(col("tu"), col("tb"))
+    val e = events.select(user.as("u"), bucket(ts).as("bkt"),
+      unix_micros(ts).as("tu"), tiebreak.as("tb"), step.as("a"))
+    val windowed = e
+      .withColumn("b", lead(col("a"), 1).over(wIn))
+      .withColumn("c", lead(col("a"), 2).over(wIn))
+      .withColumn("rn", row_number().over(wIn))
+      .withColumn("cnt", count(lit(1)).over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    val inBucket = windowed
       .filter(col("b").isNotNull && col("c").isNotNull)
+      .select(col("a"), col("b"), col("c"))
+    // ≤4 boundary rows per bucket survive the filter; the collects are
+    // bounded by construction, not by bucket row count
+    val perBucket = windowed
+      .filter(col("rn") <= 2 || col("rn") >= col("cnt") - 1)
+      .groupBy(col("u"), col("bkt"))
+      .agg(
+        transform(array_sort(collect_list(
+          when(col("rn") <= 2, struct(col("rn"), col("a"))))),
+          x => x.getField("a")).as("first2"),
+        transform(array_sort(collect_list(
+          when(col("rn") >= col("cnt") - 1, struct(col("rn"), col("a"))))),
+          x => x.getField("a")).as("last2"))
+    val wB = Window.partitionBy(col("u")).orderBy(col("bkt"))
+    // the 2 global rows following this bucket: first rows of the next
+    // non-empty bucket(s) — two leads cover the 1-row-next-bucket case
+    // slice(first2, 1, 0) is a type-correct empty array for the step's
+    // element type (a bare array() literal is ArrayType(NullType))
+    val emptyArr = slice(col("first2"), 1, 0)
+    val next2 = slice(concat(
+      coalesce(lead(col("first2"), 1).over(wB), emptyArr),
+      coalesce(lead(col("first2"), 2).over(wB), emptyArr)), 1, 2)
+    def tri(seqCol: Column, i: Int): Column =
+      when(size(seqCol) >= i + 2, struct(
+        element_at(seqCol, i).as("a"),
+        element_at(seqCol, i + 1).as("b"),
+        element_at(seqCol, i + 2).as("c")))
+    val crossBucket = perBucket
+      .withColumn("seq", concat(col("last2"), next2))
+      .withColumn("l", size(col("last2")))
+      // boundary trigrams start inside last2 (position ≤ l) and end
+      // beyond it (position + 2 > l): i = 1 always qualifies; i = 2
+      // only when the bucket contributed two last rows
+      .select(explode(filter(array(
+        tri(col("seq"), 1),
+        when(col("l") === 2, tri(col("seq"), 2))),
+        x => x.isNotNull)).as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+    inBucket.unionAll(crossBucket)
       .groupBy(col("a"), col("b"), col("c"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -455,28 +633,55 @@ SELECT a, b, c, count(*) AS cnt FROM r WHERE b IS NOT NULL AND c IS NOT NULL GRO
     * Integer-exact numerator/denominator; overflow headroom: |v| ≤
     * 2^20 milli-units × dt ≤ 2^22 s × 2^20 rows/key stays under 2^62.
     * The avg divides the two exact BIGINTs in double — the identical
-    * IEEE operation on both engines. One per-key lead window + one
-    * hash agg.
+    * IEEE operation on both engines.
     *
+    * HOT-KEY posture (fifteenth-finding bucket form): the v·dt sum is
+    * segment-associative — split a key's samples at any boundary and
+    * the only cross-segment interval is (last sample of the earlier
+    * segment → first sample of the later one), valued at the earlier
+    * segment's last v. Phase 1 runs the lead window per (key,
+    * `bucket`) and reduces each bucket to (in-bucket Σv·dt, Σdt, first
+    * ts, last ts, last v, count); phase 2 windows over the per-bucket
+    * AGGREGATE rows to add each boundary interval (dt floored to whole
+    * seconds per pair, exactly as in the single-window form), then one
+    * hash agg per key. Raw samples shuffle once; no WindowExec group
+    * exceeds one key's per-bucket rows.
+    *
+    * @param bucket monotone time bucketing (default: calendar day).
     * Output: (key k, tw_num BIGINT, tw_den BIGINT, tw_avg DOUBLE; a
     * key with a single sample has no interval and produces no row,
     * and tw_avg is null when all intervals round to zero seconds). */
   def timeWeightedAvg(events: DataFrame, key: Column, ts: Column,
-                      tiebreak: Column, valueMilli: Column): DataFrame = {
-    val w = Window.partitionBy(col("k")).orderBy(col("ts"), col("tb"))
-    val tu = unix_micros(col("ts"))
-    val dtS = ((lead(tu, 1).over(w) - tu) - pmod(lead(tu, 1).over(w) - tu,
-      lit(1000000L))) / lit(1000000L)
-    events.select(key.as("k"), ts.as("ts"), tiebreak.as("tb"),
-        valueMilli.as("v"))
-      .withColumn("dt_s", dtS.cast("long"))
-      .filter(col("dt_s").isNotNull)
+                      tiebreak: Column, valueMilli: Column,
+                      bucket: Column => Column = to_date(_)): DataFrame = {
+    def floorSec(dtUs: Column): Column =
+      ((dtUs - pmod(dtUs, lit(1000000L))) / lit(1000000L)).cast("long")
+    val wIn = Window.partitionBy(col("k"), col("b")).orderBy(col("tu"), col("tb"))
+    val dtUs = lead(col("tu"), 1).over(wIn) - col("tu")
+    val perBucket = events
+      .select(key.as("k"), bucket(ts).as("b"), unix_micros(ts).as("tu"),
+        tiebreak.as("tb"), valueMilli.as("v"))
+      .withColumn("dt_s", floorSec(dtUs))
+      .groupBy(col("k"), col("b"))
+      .agg(coalesce(sum(col("v") * col("dt_s")), lit(0L)).as("num_in"),
+        coalesce(sum(col("dt_s")), lit(0L)).as("den_in"),
+        min(struct(col("tu"), col("tb"))).getField("tu").as("first_tu"),
+        max(struct(col("tu"), col("tb"), col("v"))).getField("tu").as("last_tu"),
+        max(struct(col("tu"), col("tb"), col("v"))).getField("v").as("last_v"),
+        count(lit(1)).as("cnt"))
+    val wB = Window.partitionBy(col("k")).orderBy(col("b"))
+    val bDt = floorSec(lead(col("first_tu"), 1).over(wB) - col("last_tu"))
+    perBucket
+      .withColumn("b_dt", coalesce(bDt, lit(0L)))
       .groupBy(col("k"))
-      .agg(sum(col("v") * col("dt_s")).as("tw_num"),
-        sum(col("dt_s")).as("tw_den"))
-      .withColumn("tw_avg",
+      .agg(sum(col("num_in") + col("last_v") * col("b_dt")).as("tw_num"),
+        sum(col("den_in") + col("b_dt")).as("tw_den"),
+        sum(col("cnt")).as("n_samples"))
+      .filter(col("n_samples") >= 2)
+      .select(col("k"), col("tw_num"), col("tw_den"),
         when(col("tw_den") > 0,
-          col("tw_num").cast("double") / col("tw_den").cast("double")))
+          col("tw_num").cast("double") / col("tw_den").cast("double"))
+          .as("tw_avg"))
   }
 
   /** DuckDB replica of [[timeWeightedAvg]] keyed by user_id,

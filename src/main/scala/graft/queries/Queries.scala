@@ -2391,6 +2391,15 @@ FROM gf""")),
         col("event_type") === "view", col("event_type") === "purchase"),
       Some(graft.ops.TimeSeries.sequenceCountOracleSql("view", "purchase"))),
 
+    // sequenceCount with EXACT ClickHouse restart-after-match parity
+    // (A,A,B,B counts 1 here, 2 under q_seq_count's maximum matching):
+    // adjacency-count identity, two-phase bucketed lag.
+    GraftQuery("q_seq_count_restart",
+      (s, dir) => graft.ops.TimeSeries.sequenceCountRestart(ev(s, dir),
+        col("user_id"), col("ts"), col("event_id"),
+        col("event_type") === "view", col("event_type") === "purchase"),
+      Some(graft.ops.TimeSeries.sequenceCountRestartOracleSql("view", "purchase"))),
+
     // quantileExactWeighted analog: integer-exact weighted type-1
     // quantiles of the µ-unit value, weight = 1 + user_id % 9, ranks as
     // exact rationals (all dyadic here, but any rational works).

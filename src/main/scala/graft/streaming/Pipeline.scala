@@ -308,7 +308,7 @@ object Pipeline {
       }
   }
 
-  case class SeqCountState(availA: Long, matches: Long, lastTsUs: Long)
+  case class SeqCountState(availA: Long, matches: Long)
   case class SeqCountUpdate(userId: Long, matches: Long)
 
   /** Incremental streaming sequence count: the real-time counterpart of
@@ -335,13 +335,12 @@ object Pipeline {
       .groupByKey(_._1)
       .mapGroupsWithState[SeqCountState, SeqCountUpdate](GroupStateTimeout.NoTimeout) {
         case (user, rows, state) =>
-          var st = state.getOption.getOrElse(SeqCountState(0L, 0L, Long.MinValue))
-          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, isB) =>
+          var st = state.getOption.getOrElse(SeqCountState(0L, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, isB) =>
             if (isB) {
               if (st.availA > 0)
                 st = st.copy(availA = st.availA - 1, matches = st.matches + 1)
             } else st = st.copy(availA = st.availA + 1)
-            st = st.copy(lastTsUs = math.max(st.lastTsUs, ts))
           }
           state.update(st)
           SeqCountUpdate(user, st.matches)

@@ -294,6 +294,151 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 500000L, 40L, 12500.0)))
   }
 
+  test("sequenceCountRestart: ClickHouse restart-after-match semantics on A,A,B,B") {
+    def mk(u: Long, rows: (String, Int)*) = rows.zipWithIndex.map {
+      case ((et, min), i) => (u, ts(f"2024-01-01 00:$min%02d:00"), i.toLong, et)
+    }
+    // u1: A A B B → 1 under restart (maximum matching gives 2)
+    // u2: A B A B → 2 (two adjacencies)
+    // u3: B A B B A B → 2 (adjacencies at positions 2-3 and 5-6)
+    // u4: A A A → 0; u5: B → 0 (still emitted — in the A/B universe)
+    val events = (mk(1L, "A" -> 0, "A" -> 1, "B" -> 2, "B" -> 3) ++
+      mk(2L, "A" -> 0, "B" -> 1, "A" -> 2, "B" -> 3) ++
+      mk(3L, "B" -> 0, "A" -> 1, "B" -> 2, "B" -> 3, "A" -> 4, "B" -> 5) ++
+      mk(4L, "A" -> 0, "A" -> 1, "A" -> 2) ++
+      mk(5L, "B" -> 0))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val restart = TimeSeries.sequenceCountRestart(events, col("user_id"),
+      col("ts"), col("event_id"),
+      col("event_type") === "A", col("event_type") === "B")
+      .orderBy(col("u")).as[(Long, Long)].collect()
+    assert(restart.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 0L), (5L, 0L)))
+    // the documented divergence: maximum matching counts A,A,B,B as 2
+    val maxMatch = TimeSeries.sequenceCountPairs(events, col("user_id"),
+      col("ts"), col("event_id"),
+      col("event_type") === "A", col("event_type") === "B")
+      .filter(col("u") === 1L).select(col("matches")).as[Long].head()
+    assert(maxMatch === 2L)
+  }
+
+  test("sequenceCountRestart boundary adjacency: last-A-of-bucket → first-B-of-next") {
+    // A at 00:00:59, B at 00:01:01 — different MINUTE buckets; the
+    // adjacency exists only via the phase-2 boundary check
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:59"), 0L, "A"),
+      (1L, ts("2024-01-01 00:01:01"), 1L, "B"),
+      // a second A→B pair entirely inside one bucket
+      (1L, ts("2024-01-01 00:05:01"), 2L, "A"),
+      (1L, ts("2024-01-01 00:05:02"), 3L, "B")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.sequenceCountRestart(events, col("user_id"),
+      col("ts"), col("event_id"),
+      col("event_type") === "A", col("event_type") === "B",
+      bucket = t => date_trunc("MINUTE", t))
+      .as[(Long, Long)].head()
+    assert(out === ((1L, 2L)))
+  }
+
+  test("two-phase bucket forms agree with the single-segment plan on a random stream") {
+    // 600 events, 5 users (u0 owns half — the planted hot key), values
+    // and types pseudo-random, spread over ~2 hours so MINUTE buckets
+    // cut many boundaries (including 1-row and empty buckets). Each
+    // operator must produce bit-identical results with fine buckets
+    // (many carries) and with a constant bucket (one segment — the
+    // naive single-window plan, which IS the spec).
+    val events = spark.range(0, 600).select(
+      when(pmod(col("id"), lit(2)) === 0, lit(0L))
+        .otherwise(pmod(col("id") * 7L, lit(5))).as("user_id"),
+      timestamp_micros(lit(1700000000000000L) +
+        pmod(col("id") * 7919L, lit(7200L * 1000000L))).as("ts"),
+      col("id").as("event_id"),
+      pmod(col("id") * 31L, lit(1000L)).as("v"),
+      when(pmod(col("id") * 13L, lit(3)) === 0, lit("A"))
+        .otherwise(lit("B")).as("event_type"))
+      .cache()
+    val fine: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => date_trunc("MINUTE", t)
+    val one: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      _ => lit(0)
+
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq.sorted
+
+    assert(sorted(TimeSeries.deltaSum(events, col("user_id"), col("ts"),
+        col("event_id"), col("v"), fine)) ===
+      sorted(TimeSeries.deltaSum(events, col("user_id"), col("ts"),
+        col("event_id"), col("v"), one)))
+    assert(sorted(TimeSeries.timeWeightedAvg(events, col("user_id"), col("ts"),
+        col("event_id"), col("v"), fine)) ===
+      sorted(TimeSeries.timeWeightedAvg(events, col("user_id"), col("ts"),
+        col("event_id"), col("v"), one)))
+    assert(sorted(TimeSeries.pathTrigrams(events, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), fine)) ===
+      sorted(TimeSeries.pathTrigrams(events, col("user_id"), col("ts"),
+        col("event_id"), col("event_type"), one)))
+    assert(sorted(TimeSeries.sequenceCountRestart(events, col("user_id"),
+        col("ts"), col("event_id"), col("event_type") === "A",
+        col("event_type") === "B", fine)) ===
+      sorted(TimeSeries.sequenceCountRestart(events, col("user_id"),
+        col("ts"), col("event_id"), col("event_type") === "A",
+        col("event_type") === "B", one)))
+    val endCol = expr("timestampadd(MICROSECOND, CAST(v * 1000000 + 1 AS BIGINT), ts)")
+    assert(sorted(graft.ops.Intervals.intervalLengthSum(events, col("user_id"),
+        col("ts"), endCol, fine)) ===
+      sorted(graft.ops.Intervals.intervalLengthSum(events, col("user_id"),
+        col("ts"), endCol, one)))
+    events.unpersist()
+  }
+
+  test("pathTrigrams boundary trigrams span two and three 1-row buckets") {
+    // u1's four events land in FOUR distinct minutes → every bucket is
+    // a single row; all trigrams are boundary trigrams assembled from
+    // two leads of 1-element first2 arrays
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0L, "a"),
+      (1L, ts("2024-01-01 00:01:00"), 1L, "b"),
+      (1L, ts("2024-01-01 00:02:00"), 2L, "c"),
+      (1L, ts("2024-01-01 00:03:00"), 3L, "d")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = TimeSeries.pathTrigrams(events, col("user_id"), col("ts"),
+      col("event_id"), col("event_type"),
+      bucket = t => date_trunc("MINUTE", t))
+      .orderBy(col("a")).as[(String, String, String, Long)].collect()
+    assert(out.toSeq === Seq(("a", "b", "c", 1L), ("b", "c", "d", 1L)))
+  }
+
+  test("intervalLengthSum carry: an early long interval covers later buckets") {
+    // k1: [00:00, 00:10) spans ten MINUTE buckets; later intervals at
+    // 00:03 and 00:07 are fully covered (add 0 via the carry max), and
+    // one at 00:09:30–00:11:00 extends coverage by 60 s beyond 00:10
+    val iv = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 00:10:00")),
+      (1L, ts("2024-01-01 00:03:00"), ts("2024-01-01 00:03:30")),
+      (1L, ts("2024-01-01 00:07:00"), ts("2024-01-01 00:08:00")),
+      (1L, ts("2024-01-01 00:09:30"), ts("2024-01-01 00:11:00"))
+    ).toDF("k", "s", "e")
+    val out = graft.ops.Intervals.intervalLengthSum(iv, col("k"), col("s"),
+      col("e"), bucket = t => date_trunc("MINUTE", t))
+      .as[(Long, Long, Long)].head()
+    assert(out === ((1L, 660000000L, 4L)))
+  }
+
+  test("weightedQuantiles is invariant to bucketWidth and never sorts globally") {
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 1L), (10L, 4L), (1000L, 4L))
+      .toDF("v", "w")
+    val qs = Seq(1 -> 4, 1 -> 2, 3 -> 4, 1 -> 1)
+    def run(width: Long) =
+      TimeSeries.weightedQuantiles(df, col("v"), col("w"), qs, width)
+        .orderBy(col("q_num").cast("double") / col("q_den"))
+        .select(col("value")).as[Long].collect().toSeq
+    // W=12 over cum weights (1,3,4,8,12): ranks 3,6,9,12 → 2,10,1000,1000
+    val expected = run(1L << 20)
+    assert(expected === Seq(2L, 10L, 1000L, 1000L))
+    assert(run(1L) === expected)   // every distinct value its own bucket
+    assert(run(3L) === expected)   // buckets split mid-run
+    assert(run(10000L) === expected)
+  }
+
   test("sumMap emits one sorted map-key:sum entry per distinct map key") {
     val events = Seq(
       (1L, "view", 1.5), (1L, "click", 2.0), (1L, "view", 0.5),
