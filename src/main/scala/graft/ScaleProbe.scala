@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-evidence probe for the heavy rungs (not part of the driver
@@ -143,6 +143,96 @@ object ScaleProbe {
             col("event_type") === "A", col("event_type") === "B",
             bucket = t => date_trunc("MINUTE", t)))
         }
+      }),
+      // the round-7-flagged hazard shape: a CONTINUOUS value column
+      // makes |distinct values| ≈ |events|, so the quantile's
+      // cumulative weight must never run as a global one-task window.
+      // Values spread over [0, 1e12); bucketWidth 1e7 → ≤100k value
+      // buckets (the carry table, one task's work) with ~|events|/100k
+      // distinct values per WindowExec group
+      "weighted_quantile" -> (() => {
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          pmod(hash(col("id") * lit(17L)), lit(1000000000000L)).as("v"),
+          (lit(1L) + pmod(col("id"), lit(9L))).as("w"))
+        withShufflePartitions(math.max(32L, eventsN / 500000L)) {
+          force(graft.ops.TimeSeries.weightedQuantiles(e, col("v"), col("w"),
+            Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), bucketWidth = 10000000L))
+        }
+      }),
+      // the four remaining per-key window operators under the
+      // seq_count_skew adversary (ONE user owns half of all events):
+      // each now runs its window per (user, minute bucket) with a
+      // per-user carry over the bucket aggregates, so the hot user's
+      // groups stay in the hundreds of rows — the shared zero-spill
+      // invariant asserts it. One rung, four forced ops, same input.
+      "hotkey_windows" -> (() => {
+        val spanUs = 64L * 86400L * 1000000L
+        val users = math.max(eventsN / 100, 1)
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(hash(col("id")), lit(users))).as("user_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(col("id") * lit(7919L), lit(spanUs))).as("ts"),
+          col("id").as("event_id"),
+          pmod(hash(col("id") * lit(3L)), lit(1000000L)).as("v"),
+          concat(lit("t"), pmod(hash(col("id") * lit(13L)), lit(5))).as("et"))
+        val minute: Column => Column = t => date_trunc("MINUTE", t)
+        val endCol = expr(
+          "timestampadd(MICROSECOND, CAST(pmod(hash(event_id), 3600000000) + 1000000 AS BIGINT), ts)")
+        withShufflePartitions(math.max(32L, eventsN / 500000L)) {
+          force(graft.ops.TimeSeries.deltaSum(e, col("user_id"), col("ts"),
+            col("event_id"), col("v"), minute)) +
+          force(graft.ops.TimeSeries.timeWeightedAvg(e, col("user_id"),
+            col("ts"), col("event_id"), col("v"), minute)) +
+          force(graft.ops.TimeSeries.pathTrigrams(e, col("user_id"),
+            col("ts"), col("event_id"), col("et"), minute)) +
+          force(graft.ops.Intervals.intervalLengthSum(e, col("user_id"),
+            col("ts"), endCol, minute))
+        }
+      }),
+      // degree-oriented triangle counting under a PLANTED HUB (half of
+      // all edges touch node 0): the orientation points every hub edge
+      // INTO the hub, so wedge volume tracks Σ out-degree² of the
+      // low-degree pivots — near-linear shuffle — never the hub's raw
+      // degree² (which would be quadratic in the star size)
+      "triangles" -> (() => {
+        // nodes = edges/20 → average degree ~20, constant across
+        // scales, so wedge volume (Σ outdeg² ≈ nodes · (deg/2)²) stays
+        // a fixed ~5-10× multiple of the edge count — the wedge table,
+        // not the edge table, is what the join sorts, so partitions
+        // are sized to WEDGE volume (eventsN/100k ≈ wedges/600k ≈
+        // tens-of-MB sorts per task at every scale)
+        val nodes = math.max(eventsN / 20, 4)
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val edges = spark.range(0, eventsN, 1, inParts).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(lit(1L) + pmod(hash(col("id")), lit(nodes - 1))).as("a"),
+          (lit(1L) + pmod(hash(col("id") * lit(31L)), lit(nodes - 1))).as("b"))
+        withShufflePartitions(math.max(32L, eventsN / 100000L)) {
+          force(graft.ops.Graph.triangleCounts(edges, col("a"), col("b")))
+        }
+      }),
+      // bounded-state sketch family in one rung: CMS counters are d·w
+      // groups, HLL is m registers, the decayed rollup is one per-key
+      // hash agg with a one-row broadcast frontier, RRF fuses two
+      // bounded top-k arms — shuffle must stay ~linear (dominated by
+      // the per-key exact tables), driver results flat
+      "sketch_fusion" -> (() => {
+        val users = math.max(eventsN / 100, 1)
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          pmod(hash(col("id")), lit(users)).as("user_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(col("id") * lit(7919L), lit(30L * 86400000000L))).as("ts"),
+          pmod(hash(col("id") * lit(7L)), lit(10000L)).as("sc"))
+        force(graft.ops.Sketches.countMinEstimates(e, col("user_id"))) +
+        force(graft.ops.Sketches.hllDistinct(e, col("user_id"))) +
+        force(graft.ops.Rollups.decayedScore(e,
+          pmod(col("user_id"), lit(1000L)), col("ts"), col("sc"))) +
+        force(graft.ops.Retrieval.rrfFusion(docs, col("doc_id"), col("text"),
+          terms = Seq("the", "data")))
       }),
       // token-explode aggregation rungs: shuffle must track corpus
       // tokens (linear), driver results must stay count-sized

@@ -62,10 +62,17 @@ object TimeSeries {
     * v_interp BIGINT µ). Rows = Σ_key span-days.
     */
   def gapFillDaily(events: DataFrame, key: Column, ts: Column,
-                   valueMicros: Column): DataFrame = {
-    val obs = events
+                   valueMicros: Column): DataFrame =
+    gapFillDailyFromObs(events
       .groupBy(key.as("k"), to_date(ts).as("d"))
-      .agg(sum(valueMicros).as("v"))
+      .agg(sum(valueMicros).as("v")))
+
+  /** [[gapFillDaily]] starting from an already-aggregated per-(key,
+    * day) observation table (k, d DATE, v BIGINT µ) — the entry point
+    * for INCREMENTALLY-maintained daily sums (a SummingStore MV's
+    * merge-on-read feeds this directly, so the dashboard fill never
+    * rescans the event stream; see graft.streaming.Dashboard). */
+  def gapFillDailyFromObs(obs: DataFrame): DataFrame = {
     val grid = obs.groupBy(col("k"))
       .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
       .select(col("k"),
@@ -473,9 +480,14 @@ SELECT k, CAST(sum(greatest(d, 0)) AS BIGINT) AS delta_sum, count(*) AS n FROM r
     * Output: (key k, day STRING, day_sum BIGINT µ, mov_sum BIGINT µ,
     * mov_cnt BIGINT, mov_avg DOUBLE). */
   def movingAgg(events: DataFrame, key: Column, ts: Column,
-                valueMicros: Column, frame: Int): DataFrame = {
-    val daily = events.groupBy(key.as("k"), to_date(ts).as("d"))
-      .agg(sum(valueMicros).as("day_sum"))
+                valueMicros: Column, frame: Int): DataFrame =
+    movingAggFromDaily(events.groupBy(key.as("k"), to_date(ts).as("d"))
+      .agg(sum(valueMicros).as("day_sum")), frame)
+
+  /** [[movingAgg]] starting from an already-aggregated per-(key, day)
+    * table (k, d DATE, day_sum BIGINT µ) — the incremental entry point
+    * (see [[gapFillDailyFromObs]]). */
+  def movingAggFromDaily(daily: DataFrame, frame: Int): DataFrame = {
     val w = Window.partitionBy(col("k")).orderBy(col("d"))
       .rowsBetween(-(frame - 1), Window.currentRow)
     daily.select(col("k"),

@@ -8,33 +8,61 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types._
 
-/** Materialized-view routing (SURVEY §4 O4, the optional stretch): a
-  * Catalyst Rule that rewrites hourly-rollup-shaped aggregations over
-  * the enriched fact table onto the (tiny) precomputed rollup table —
-  * the Spark analog of ClickHouse queries hitting engagement_hourly_mv
-  * instead of the base MergeTree
+/** Materialized-view routing (SURVEY §4 O4): a Catalyst Rule that
+  * rewrites rollup-shaped aggregations over the fact table onto the
+  * (tiny) precomputed rollup table — the Spark analog of ClickHouse
+  * queries hitting engagement_hourly_mv instead of the base MergeTree
   * (/root/reference/sql/clickhouse-init.sql:26–38).
   *
   * Matches:
   *   Aggregate(
-  *     grouping ⊆ { date_trunc('hour', event_ts), content_type, event_type },
-  *     aggregates ⊆ { count(*), sum(engagement_score) },
+  *     grouping ⊆ { date_trunc(g, factTs) for g at or coarser than the
+  *                  MV's granularity, dims... },
+  *     aggregates ⊆ { count(*), sum(score), avg(score) },
   *     scan of `factPath`)
-  * and rewrites to a re-aggregation over `rollupPath` (count(*) →
-  * sum(cnt), sum(score) → sum(score_sum)) — re-aggregating rather than
-  * projecting keeps the rewrite correct even when the MV holds partial
-  * rows per group (SummingMergeTree-style), and coarser groupings
-  * (e.g. by content_type only) still route.
+  * and rewrites to a re-aggregation over `rollupPath`:
+  *   - count(*)        → sum(cntCol)
+  *   - sum(score)      → sum(sumCol), re-summed through the original
+  *                       sum's DECIMAL type when the query used the
+  *                       decSum form — the per-part doubles are exact
+  *                       2-dp decimals, so the coarser re-aggregation
+  *                       stays hash-identical to the base-table answer;
+  *   - avg(score)      → sum(sumCol) / sum(cntCol) (the standard
+  *                       decomposition; double-typed only)
+  *   - date_trunc('day'|'week'|…, factTs) → date_trunc(same, mvTsCol):
+  *     calendar truncations COMPOSE (day∘hour = day), so every
+  *     granularity at or above the MV's routes — daily/weekly/monthly
+  *     dashboard shapes never scan the base table, which is exactly why
+  *     the reference's MV layer exists.
+  * Re-aggregating rather than projecting keeps the rewrite correct even
+  * when the MV holds partial rows per group (SummingMergeTree-style),
+  * and coarser groupings (e.g. by a dim only) still route.
   *
   * Output attribute ids are preserved so parent operators re-resolve
   * against the rewritten subtree untouched.
+  *
+  * The default parameters bind the reference's hourly engagement MV; a
+  * second instance with mvGranularity = "minute" routes minute-topk /
+  * moving-agg base shapes onto a minute-level SummingStore-maintained
+  * part table.
   *
   * Install per session:
   *   spark.experimental.extraOptimizations ++= Seq(MvRouting(spark, fact, mv))
   * or for a cluster, inject through SparkSessionExtensions.
   */
-case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String)
+case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String,
+    factTsCol: String = "event_ts", mvTsCol: String = "hour_ts",
+    mvGranularity: String = "hour",
+    cntCol: String = "cnt", sumCol: String = "score_sum",
+    scoreCol: String = "engagement_score",
+    dims: Seq[String] = Seq("content_type", "event_type"))
     extends Rule[LogicalPlan] {
+
+  /** Calendar-unit coarseness ladder: date_trunc(g₂, date_trunc(g₁, t))
+    * = date_trunc(g₂, t) whenever rank(g₂) > rank(g₁) — every unit here
+    * only zeroes fields finer than itself. */
+  private val granRank = Map("minute" -> 0, "hour" -> 1, "day" -> 2,
+    "week" -> 3, "month" -> 4, "quarter" -> 5, "year" -> 6)
 
   /** WHITELIST match: the aggregate's child must be the fact relation
     * reachable through ONLY Project/SubqueryAlias nodes. Anything else
@@ -91,10 +119,16 @@ case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String)
 
   /** Map a fact-side grouping expression to the rollup column. */
   private def mapGrouping(e: Expression, mv: LogicalPlan): Option[Expression] = e match {
-    case TruncTimestamp(StringLiteral("hour"), ts: AttributeReference, _)
-        if ts.name == "event_ts" => Some(attr(mv, "hour_ts"))
-    case a: AttributeReference if a.name == "content_type" => Some(attr(mv, "content_type"))
-    case a: AttributeReference if a.name == "event_type" => Some(attr(mv, "event_type"))
+    case t @ TruncTimestamp(StringLiteral(g), ts: AttributeReference, _)
+        if ts.name == factTsCol && granRank.contains(g.toLowerCase) =>
+      val gl = g.toLowerCase
+      if (gl == mvGranularity) Some(attr(mv, mvTsCol))
+      else if (granRank(gl) > granRank(mvGranularity))
+        // coarser trunc composes over the MV's trunc: re-truncate the
+        // MV's time column (keeps the original node's timezone)
+        Some(t.withNewChildren(Seq(t.format, attr(mv, mvTsCol))))
+      else None // finer than the MV's grain — it cannot answer
+    case a: AttributeReference if dims.contains(a.name) => Some(attr(mv, a.name))
     case _ => None
   }
 
@@ -102,14 +136,34 @@ case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String)
   private def mapAggCall(ae: AggregateExpression, mv: LogicalPlan): Option[Expression] =
     ae.aggregateFunction match {
       case Count(Seq(Literal(1, IntegerType))) if !ae.isDistinct =>
-        Some(ae.copy(aggregateFunction = Sum(attr(mv, "cnt"))))
-      case Sum(e, _) if !ae.isDistinct && refersToScore(e) =>
-        Some(ae.copy(aggregateFunction = Sum(attr(mv, "score_sum"))))
+        Some(ae.copy(aggregateFunction = Sum(attr(mv, cntCol))))
+      case s @ Sum(e, _) if !ae.isDistinct && refersToScore(e) =>
+        // preserve the original sum's input type: the decSum form
+        // (sum over DECIMAL) re-sums the MV's per-part values through
+        // the same decimal — the parts are exact 2-dp decimals stored
+        // as doubles, so the coarser re-aggregation is exact and the
+        // output type (hence every parent's resolution) is unchanged.
+        // A raw double sum re-sums the double parts directly.
+        val inner: Expression = s.child.dataType match {
+          case d: DecimalType => Cast(attr(mv, sumCol), d)
+          case _ => attr(mv, sumCol)
+        }
+        Some(ae.copy(aggregateFunction = Sum(inner)))
+      case av @ Average(e, _) if !ae.isDistinct && refersToScore(e) &&
+          av.dataType == DoubleType =>
+        // avg decomposes over partial groups: Σ score_sum / Σ cnt.
+        // Each arm is its own AggregateExpression with a FRESH resultId
+        // (two aggregates sharing one id would collide in the agg map)
+        val sumAgg = ae.copy(aggregateFunction = Sum(attr(mv, sumCol)),
+          resultId = NamedExpression.newExprId)
+        val cntAgg = ae.copy(aggregateFunction = Sum(attr(mv, cntCol)),
+          resultId = NamedExpression.newExprId)
+        Some(Divide(sumAgg, Cast(cntAgg, DoubleType)))
       case _ => None
     }
 
   private def refersToScore(e: Expression): Boolean = e match {
-    case a: AttributeReference => a.name == "engagement_score"
+    case a: AttributeReference => a.name == scoreCol
     case Cast(c, _, _, _) => refersToScore(c)
     case _ => false
   }
@@ -143,7 +197,7 @@ case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String)
       val mappedG = groupings.map(g => mapGrouping(resolveThrough(g, defs), mv))
       val mappedA = aggExprs.map(a => mapNamed(a, defs, mv))
       if (mappedG.forall(_.isDefined) && mappedA.forall(_.isDefined)) {
-        logInfo(s"MvRouting: rewriting hourly aggregate onto $rollupPath")
+        logInfo(s"MvRouting: rewriting $mvGranularity-grained aggregate onto $rollupPath")
         Aggregate(mappedG.map(_.get), mappedA.map(_.get), mv, hint)
       } else agg
   }

@@ -1772,6 +1772,42 @@ agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(CAST(value 
 SELECT a.event_type, cnt, sum_value, min_value, max_value, CAST((2904064 * 4294967296) // (1000 * (num_filled + (64 - filled) * 4294967296)) AS BIGINT) AS est_distinct
 FROM agg a JOIN summary s ON a.event_type = s.event_type""")),
 
+    // MV ROUTING, oracle-gated and live: the daily rollup runs against
+    // the FACT path with the MvRouting rule installed, and the runner
+    // REQUIRES the executed plan to scan the hourly MV (and not the
+    // fact) — so a routing regression fails the gate, not just a unit
+    // test. date_trunc('day') composes over the MV's hour trunc, and
+    // the decimal re-sum keeps the coarser re-aggregation exact; the
+    // oracle computes the same rollup from the raw events.
+    GraftQuery("q_mv_routed_daily",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_mvr")
+        deleteRecursivelyOnExit(tmpP)
+        val factPath = s"$tmpP/fact"
+        ev(s, dir).select(col("ts"), col("event_type"),
+            (floor(col("value") * 100 + lit(0.5)) / 100).as("engagement_score"))
+          .write.mode("overwrite").parquet(factPath)
+        val fact = s.read.parquet(factPath)
+        val mvPath = s"$tmpP/mv"
+        graft.ops.Rollups.hourlyRollupMv(fact, col("ts"),
+            Seq(col("event_type")), col("engagement_score"))
+          .write.parquet(mvPath)
+        val rule = graft.plans.MvRouting(s, factPath, mvPath,
+          factTsCol = "ts", dims = Seq("event_type"))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ rule
+        val routed = s.read.parquet(factPath)
+          .groupBy(date_trunc("day", col("ts")).as("day_ts"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            graft.ops.Rollups.decSum(col("engagement_score")).as("score_sum"))
+        val phys = routed.queryExecution.executedPlan.toString()
+        require(phys.contains(mvPath) && !phys.contains(factPath),
+          "q_mv_routed_daily did not route onto the MV")
+        routed.select(date_format(col("day_ts"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("cnt"), col("score_sum"))
+      },
+      Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, count(*) AS cnt, CAST(sum(CAST(floor(value*100 + 0.5)/100 AS DECIMAL(28,2))) AS DOUBLE) AS score_sum FROM events GROUP BY 1, 2""")),
+
     // Mixture planning APPLIED: the per-lang rates from q_mix_weights
     // broadcast-join back onto the corpus and gate it through the same
     // deterministic hash-mod sampling — plan and apply compose into one
@@ -2364,6 +2400,26 @@ SELECT k, day, observed, v_interp,
  CAST(sum(v_interp) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum,
  CAST(sum(v_interp) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / count(*) OVER (PARTITION BY k ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_avg
 FROM gf""")),
+
+    // INCREMENTALLY-served dashboard series (the reference's real-time
+    // serving posture): the events land in three simulated micro-batches
+    // as additive SummingStore parts (Dashboard.dailySumSink — the same
+    // function Structured Streaming's foreachBatch drives), then the
+    // serving read merges the MV-cardinality parts and runs the SAME
+    // fill operator as the batch path. The oracle is the one-shot batch
+    // SQL — the incremental plan must reproduce it hash-exactly.
+    GraftQuery("q_dashboard_series_inc",
+      (s, dir) => {
+        val mv = java.nio.file.Files.createTempDirectory("graft_dash")
+          .toString + "/mv"
+        val sink = graft.streaming.Dashboard.dailySumSink(col("event_type"),
+          col("ts"), round(col("value") * 1e6, 0).cast("long"), mv)
+        val e = ev(s, dir)
+        (0 until 3).foreach(i =>
+          sink(e.filter(pmod(col("event_id"), lit(3)) === i), i.toLong))
+        graft.streaming.Dashboard.gapFillSeries(s, mv).get
+      },
+      Some(graft.ops.TimeSeries.gapFillDailyOracleSqlKeyed("event_type", "TRUE"))),
 
     // Numeric-axis WITH FILL: per event_type, densify the floor(value)
     // axis over the type's own [min, max] with ffill + interpolation.

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.TimeSeries
+import graft.sinks.{SnapshotStore, SummingStore}
+
+/** Real-time dashboard serving for the gap-fill / moving-agg surface —
+  * the streaming twin of the batch `WITH FILL … INTERPOLATE` +
+  * `groupArrayMovingSum` composition (q_dashboard_series), matching
+  * the reference's serving posture where dashboards read continuously-
+  * maintained aggregates, never the event stream
+  * (/root/reference/src/main/java/com/cdcstream/
+  * EnhancedEngagementStreamingJob.java:383-447 keeps Redis aggregates
+  * hot per batch; /root/reference/sql/clickhouse-init.sql:26-38 is the
+  * MV the dashboards scan).
+  *
+  * Shape — foreachBatch over a SummingStore MV:
+  *  - [[dailySumSink]] partial-aggregates EACH MICRO-BATCH to
+  *    per-(key, day) µ-unit sums and lands them as one additive part,
+  *    idempotent by batch id (a foreachBatch retry re-offers the same
+  *    batchId; the tag probe makes the duplicate a no-op — the same
+  *    exactly-once discipline as Warehouse.appendOnce). Per batch the
+  *    part is |keys active in the batch × days touched| rows — the MV
+  *    grows with the aggregate's cardinality, never the stream's.
+  *  - [[gapFillSeries]] / [[movingSeries]] serve reads: one
+  *    merge-on-read re-sum of the parts (MV-cardinality), then the
+  *    SAME fill / moving-frame operators the batch path uses
+  *    ([[TimeSeries.gapFillDailyFromObs]] /
+  *    [[TimeSeries.movingAggFromDaily]]) — batch/stream parity is
+  *    structural, not re-implemented, and StreamingSpec asserts it on
+  *    live micro-batches.
+  *
+  * 100 TB posture: the incremental path touches each event exactly
+  * once (the in-batch hash agg); everything downstream is sized by
+  * keys × active-days. Compaction ([[SummingStore.compact]]) bounds
+  * the part count independently of stream lifetime.
+  */
+object Dashboard {
+
+  /** foreachBatch sink: land one micro-batch's per-(key, day) sums as
+    * an additive SummingStore part, idempotent by `batchId`. */
+  def dailySumSink(key: Column, ts: Column, valueMicros: Column,
+      mvPath: String): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val tag = s"dash-b$batchId"
+    if (!SnapshotStore.hasTag(spark, mvPath, tag)) {
+      val part = batch.groupBy(key.as("k"), to_date(ts).as("d"))
+        .agg(sum(valueMicros).as("v"))
+      SummingStore.appendDelta(part, mvPath, tag = Some(tag))
+    }
+  }
+
+  /** Merged per-(key, day) observation table from the MV parts —
+    * MV-cardinality input for the serving reads. None before the
+    * first part lands. */
+  def dailyObs(spark: SparkSession, mvPath: String): Option[DataFrame] =
+    SummingStore.read(spark, mvPath, keys = Seq("k", "d"), addCols = Seq("v"))
+
+  /** Serving read: densified + interpolated daily series over the
+    * incrementally-maintained sums — same output contract as the batch
+    * [[TimeSeries.gapFillDaily]]. */
+  def gapFillSeries(spark: SparkSession, mvPath: String): Option[DataFrame] =
+    dailyObs(spark, mvPath).map(TimeSeries.gapFillDailyFromObs)
+
+  /** Serving read: moving sum / count / average over the
+    * incrementally-maintained daily sums — same output contract as the
+    * batch [[TimeSeries.movingAgg]]. */
+  def movingSeries(spark: SparkSession, mvPath: String,
+      frame: Int): Option[DataFrame] =
+    dailyObs(spark, mvPath)
+      .map(o => TimeSeries.movingAggFromDaily(
+        o.withColumnRenamed("v", "day_sum"), frame))
+}

@@ -84,6 +84,85 @@ class MvRoutingSpec extends SparkSpec {
     }
   }
 
+  test("daily re-trunc routes onto the hourly MV and stays exact") {
+    // date_trunc('day') composes over the MV's hour trunc; the decimal
+    // re-sum keeps the coarser re-aggregation hash-identical
+    def q() = spark.read.parquet(factPath)
+      .groupBy(date_trunc("day", col("event_ts")).as("day_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        Rollups.decSum(col("engagement_score")).as("score_sum"))
+    val direct = q().collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+    withRule {
+      val routed = q()
+      val physical = routed.queryExecution.executedPlan.toString()
+      assert(physical.contains(mvPath), "daily shape must route onto the MV")
+      assert(!physical.contains(factPath))
+      val got = routed.collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === direct)
+    }
+  }
+
+  test("avg decomposes to sum/cnt over the MV") {
+    def q() = spark.read.parquet(factPath)
+      .groupBy(col("content_type"))
+      .agg(avg(col("engagement_score")).as("avg_score"))
+    val direct = q().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    withRule {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString().contains(mvPath))
+      val got = routed.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(got.keySet === direct.keySet)
+      got.foreach { case (k, v) =>
+        assert(math.abs(v - direct(k)) <= 1e-9 * math.max(1.0, math.abs(direct(k))),
+          s"avg for $k diverged: routed $v vs direct ${direct(k)}")
+      }
+    }
+  }
+
+  test("minute-grained MV instance routes minute AND hourly shapes") {
+    val minuteMv = factPath + "_minute_mv"
+    spark.read.parquet(factPath)
+      .groupBy(date_trunc("minute", col("event_ts")).as("minute_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        Rollups.decSum(col("engagement_score")).as("score_sum"))
+      .write.mode("overwrite").parquet(minuteMv)
+    val rule = MvRouting(spark, factPath, minuteMv,
+      mvTsCol = "minute_ts", mvGranularity = "minute")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      def run(gran: String) = spark.read.parquet(factPath)
+        .groupBy(date_trunc(gran, col("event_ts")).as("ts_b"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      for (gran <- Seq("minute", "hour", "day")) {
+        val direct = run(gran).collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+        val routed = run(gran)
+        assert(routed.queryExecution.executedPlan.toString().contains(minuteMv),
+          s"$gran shape must route onto the minute MV")
+        assert(routed.collect()
+          .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet === direct)
+      }
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == rule)
+    }
+  }
+
+  test("finer-than-MV granularity does NOT route") {
+    withRule {
+      val q = spark.read.parquet(factPath)
+        .groupBy(date_trunc("minute", col("event_ts")).as("minute_ts"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(q.queryExecution.executedPlan.toString().contains(factPath),
+        "the hourly MV cannot answer a minute-grained aggregate")
+    }
+  }
+
   test("foreign aggregate (different function) does NOT route") {
     withRule {
       val q = spark.read.parquet(factPath)

@@ -207,6 +207,52 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("incremental dashboard: foreachBatch daily sums serve gap-fill + moving agg with batch parity") {
+    import graft.streaming.Dashboard
+    val mv = tmp("dash") + "/mv"
+    val in = MemoryStream[(String, java.sql.Timestamp, Long)](spark)
+    val sink = Dashboard.dailySumSink(col("k"), col("ts"), col("v"), mv)
+    val q = in.toDF().toDF("k", "ts", "v").writeStream
+      .option("checkpointLocation", tmp("dashckpt"))
+      .foreachBatch(sink).start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // batch 1: sparse days with a gap (01-01 and 01-04 for key a)
+    val batch1 = Seq(("a", ts("2024-01-01 10:00:00"), 100L),
+      ("a", ts("2024-01-01 12:00:00"), 50L),
+      ("a", ts("2024-01-04 09:00:00"), 300L),
+      ("b", ts("2024-01-02 00:00:00"), 40L))
+    // batch 2: widens a's span and ADDS to an already-landed day — the
+    // additive part-merge path
+    val batch2 = Seq(("a", ts("2024-01-06 00:00:00"), 600L),
+      ("a", ts("2024-01-04 23:00:00"), 100L),
+      ("b", ts("2024-01-02 05:00:00"), 5L))
+    def parity(soFar: Seq[(String, java.sql.Timestamp, Long)]): Unit = {
+      val all = soFar.toDF("k", "ts", "v")
+      def sorted(df: DataFrame) = df.collect().map(_.toString).toSeq.sorted
+      val servedFill = Dashboard.gapFillSeries(spark, mv).get
+      val batchFill = graft.ops.TimeSeries.gapFillDaily(all, col("k"),
+        col("ts"), col("v"))
+      assert(sorted(servedFill) === sorted(batchFill))
+      val servedMov = Dashboard.movingSeries(spark, mv, frame = 3).get
+      val batchMov = graft.ops.TimeSeries.movingAgg(all, col("k"),
+        col("ts"), col("v"), frame = 3)
+      assert(sorted(servedMov) === sorted(batchMov))
+    }
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      parity(batch1)
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      parity(batch1 ++ batch2)
+      // exactly-once: re-offering an already-landed batch id (the
+      // foreachBatch retry path) is a tag-probed no-op
+      val partsBefore = Dashboard.dailyObs(spark, mv).get.collect().toSet
+      sink(batch1.toDF("k", "ts", "v"), 0L)
+      assert(Dashboard.dailyObs(spark, mv).get.collect().toSet === partsBefore)
+    } finally { q.stop() }
+  }
+
   test("outbox serializes enriched rows to JSON values, omitting nulls") {
     val in = MemoryStream[String](spark)
     val q = Pipeline.outbox(graft.cdc.Envelope.unwrapEngagement(in.toDF()))
