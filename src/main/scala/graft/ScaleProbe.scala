@@ -155,7 +155,7 @@ object ScaleProbe {
         val e = spark.range(0, eventsN, 1, inParts).select(
           pmod(hash(col("id") * lit(17L)), lit(1000000000000L)).as("v"),
           (lit(1L) + pmod(col("id"), lit(9L))).as("w"))
-        withShufflePartitions(math.max(32L, eventsN / 500000L)) {
+        withShufflePartitions(math.max(32L, eventsN / 250000L)) {
           force(graft.ops.TimeSeries.weightedQuantiles(e, col("v"), col("w"),
             Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), bucketWidth = 10000000L))
         }

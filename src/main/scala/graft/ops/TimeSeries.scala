@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series shaping operators — the ClickHouse surface the reference's
   * warehouse exposes for dashboard queries over the engagement events
@@ -732,6 +733,41 @@ SELECT k, tw_num, tw_den, CASE WHEN tw_den > 0 THEN CAST(tw_num AS DOUBLE) / CAS
         count(lit(1)).as("n"))
   }
 
+  /** Mergeable PARTIAL state for [[m4Downsample]] — every M4 component
+    * is associative+commutative (min, max, struct-min, struct-max,
+    * count), so per-chunk partials land as AggregatingStore-style
+    * additive parts and [[m4FromPartials]] finalizes by re-aggregating
+    * with the same functions: part order, batching and compaction
+    * schedule cannot change a bit. This is the incremental-MV path for
+    * the chart-serving reduction (a foreachBatch sink appends one
+    * partial per micro-batch; the dashboard read merges MV-cardinality
+    * rows, never the stream). */
+  def m4Partial(events: DataFrame, key: Column, ts: Column,
+                tiebreak: Column, valueMicros: Column,
+                bucketUs: Long): DataFrame = {
+    val tu = unix_micros(ts)
+    val bkt = ((tu - pmod(tu, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    events
+      .select(key.as("k"), bkt.as("bkt"), tu.as("tu"),
+        tiebreak.as("tb"), valueMicros.as("v"))
+      .groupBy(col("k"), col("bkt"))
+      .agg(min(col("v")).as("v_min"), max(col("v")).as("v_max"),
+        min(struct(col("tu"), col("tb"), col("v"))).as("first_s"),
+        max(struct(col("tu"), col("tb"), col("v"))).as("last_s"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Finalize [[m4Partial]] parts: merge per (key, bucket), project
+    * the [[m4Downsample]] output contract. */
+  def m4FromPartials(parts: DataFrame): DataFrame =
+    parts.groupBy(col("k"), col("bkt"))
+      .agg(min(col("v_min")).as("v_min"), max(col("v_max")).as("v_max"),
+        min(col("first_s")).as("first_s"), max(col("last_s")).as("last_s"),
+        sum(col("n")).as("n"))
+      .select(col("k"), col("bkt"), col("v_min"), col("v_max"),
+        col("first_s").getField("v").as("v_first"),
+        col("last_s").getField("v").as("v_last"), col("n"))
+
   /** DuckDB replica of [[m4Downsample]] keyed by event_type (row_number
     * form — equivalent to the struct min/max because (ts, event_id) is
     * a total order). */
@@ -739,6 +775,131 @@ SELECT k, tw_num, tw_den, CASE WHEN tw_den > 0 THEN CAST(tw_num AS DOUBLE) / CAS
     s"""WITH e AS (SELECT event_type AS k, CAST((epoch_us(ts) - ((epoch_us(ts) % $bucketUs) + $bucketUs) % $bucketUs) / $bucketUs AS BIGINT) AS bkt, epoch_us(ts) AS tu, event_id, CAST(round(value*1000000,0) AS BIGINT) AS v FROM events),
 r AS (SELECT *, row_number() OVER (PARTITION BY k, bkt ORDER BY tu, event_id) AS rn_a, row_number() OVER (PARTITION BY k, bkt ORDER BY tu DESC, event_id DESC) AS rn_d FROM e)
 SELECT k, bkt, min(v) AS v_min, max(v) AS v_max, min(CASE WHEN rn_a = 1 THEN v END) AS v_first, min(CASE WHEN rn_d = 1 THEN v END) AS v_last, count(*) AS n FROM r GROUP BY 1, 2"""
+
+  /** ClickHouse `retention(cond₁, …, condₙ)` analog, aggregated: the
+    * number of users satisfying cond₁, and for each later condition
+    * the number satisfying BOTH cond₁ and condᵢ (the classic cohort
+    * retention row). Two hash aggregates — per-user boolean max
+    * (map-side combinable), then a one-row global sum — linear, no
+    * window, no ordering sensitivity (retention is about EVER-match,
+    * not sequence; [[sequenceMatchUsers]] is the ordered variant).
+    *
+    * Output: one row (r1 BIGINT, r2 BIGINT, …, rn BIGINT). */
+  def retention(events: DataFrame, user: Column, conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "retention needs at least one condition")
+    val flagCols = conds.zipWithIndex.map { case (c, i) =>
+      max(when(c, lit(1L)).otherwise(lit(0L))).as(s"f${i + 1}") }
+    val flags = events.groupBy(user.as("u")).agg(flagCols.head, flagCols.tail: _*)
+    val rs = sum(col("f1")).as("r1") +: (2 to conds.size).map(i =>
+      sum(col("f1") * col(s"f$i")).as(s"r$i"))
+    flags.agg(rs.head, rs.tail: _*)
+  }
+
+  /** DuckDB replica of a 3-condition [[retention]] keyed by user_id
+    * with event_type equality conditions. */
+  def retentionOracleSql(c1: String, c2: String, c3: String): String =
+    s"""WITH f AS (SELECT user_id, max(CASE WHEN event_type='$c1' THEN 1 ELSE 0 END) AS f1, max(CASE WHEN event_type='$c2' THEN 1 ELSE 0 END) AS f2, max(CASE WHEN event_type='$c3' THEN 1 ELSE 0 END) AS f3 FROM events GROUP BY 1)
+SELECT CAST(sum(f1) AS BIGINT) AS r1, CAST(sum(f1*f2) AS BIGINT) AS r2, CAST(sum(f1*f3) AS BIGINT) AS r3 FROM f"""
+
+  /** ClickHouse `skewPop` / `kurtPop` / `corr` analog family, exact
+    * where exactness is possible: per key, the INTEGER power sums
+    * Σv, Σv², Σv³, Σv⁴ (and Σu, Σu², Σuv for the correlation pair)
+    * accumulate in DECIMAL(38,0) — order-independent, so the hash agg
+    * is deterministic under any partitioning — and the derived
+    * population moments divide the exact sums in double with the SAME
+    * operation sequence the oracle SQL spells out (both engines then
+    * perform identical IEEE steps). A naive corr()/skewness() call
+    * accumulates doubles in partition order — unstable across engines
+    * AND across runs; this form is the reproducible one.
+    *
+    * The exact sums are emitted as canonical STRINGS (integer decimal
+    * → text is engine-independent; a double cast of a >2⁵³ sum is
+    * not). Input contract: |v| and |u| ≤ ~10⁵ units keep Σv⁴ under
+    * 10²⁰·rows — within DECIMAL(38,0) for ≤10¹⁸ rows.
+    *
+    * Output: (key k, n BIGINT, s1 .. s4 STRING, su, suu, suv STRING,
+    * mean, var_pop, skew_pop, kurt_pop, corr DOUBLE — null where the
+    * population moment is undefined). */
+  def momentStats(df: DataFrame, key: Column, v: Column, u: Column): DataFrame = {
+    val dec = DecimalType(38, 0)
+    def d(c: Column) = c.cast(dec)
+    val sums = df
+      .select(key.as("k"), v.cast("long").as("v"), u.cast("long").as("u"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("v"))).as("s1d"),
+        sum(d(col("v")) * d(col("v"))).as("s2d"),
+        sum(d(col("v")) * d(col("v")) * d(col("v"))).as("s3d"),
+        sum(d(col("v")) * d(col("v")) * d(col("v")) * d(col("v"))).as("s4d"),
+        sum(d(col("u"))).as("sud"),
+        sum(d(col("u")) * d(col("u"))).as("suud"),
+        sum(d(col("v")) * d(col("u"))).as("suvd"))
+    // derived population moments: every double op below mirrors the
+    // oracle SQL text operation-for-operation
+    val nD = col("n").cast("double")
+    def dd(c: String) = col(c).cast("double")
+    val mean = dd("s1d") / nD
+    val meanU = dd("sud") / nD
+    val m2 = dd("s2d") / nD - mean * mean
+    val m3 = dd("s3d") / nD - lit(3.0) * mean * (dd("s2d") / nD) +
+      lit(2.0) * mean * mean * mean
+    val m4 = dd("s4d") / nD - lit(4.0) * mean * (dd("s3d") / nD) +
+      lit(6.0) * mean * mean * (dd("s2d") / nD) -
+      lit(3.0) * mean * mean * mean * mean
+    val varU = dd("suud") / nD - meanU * meanU
+    val cov = dd("suvd") / nD - mean * meanU
+    // the EXACT answers are the decimal sums (emitted as strings); the
+    // derived doubles involve >2^53 decimal→double casts whose final
+    // ulp the two engines may round differently, amplified by the
+    // central-moment cancellation — so they carry the engine-shared
+    // 6-dp floor rounding (the audienceOverlap jaccard idiom)
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    sums.select(col("k"), col("n"),
+      col("s1d").cast("string").as("s1"),
+      col("s2d").cast("string").as("s2"),
+      col("s3d").cast("string").as("s3"),
+      col("s4d").cast("string").as("s4"),
+      col("sud").cast("string").as("su"),
+      col("suud").cast("string").as("suu"),
+      col("suvd").cast("string").as("suv"),
+      mean.as("mean"),
+      when(col("n") > 0, r6(m2)).as("var_pop"),
+      when(m2 > 0, r6(m3 / sqrt(m2 * m2 * m2))).as("skew_pop"),
+      when(m2 > 0, r6(m4 / (m2 * m2))).as("kurt_pop"),
+      when(m2 > 0 && varU > 0, r6(cov / sqrt(m2 * varU))).as("corr"))
+  }
+
+  /** DuckDB replica of [[momentStats]] keyed by event_type with
+    * v = round(value·100) centi-units and u = user_id — every double
+    * operation mirrors the Spark expressions above. */
+  val momentStatsOracleSql: String = {
+    val v = "CAST(round(value*100,0) AS BIGINT)"
+    s"""WITH s AS (SELECT event_type AS k, count(*) AS n,
+ sum(CAST($v AS DECIMAL(38,0))) AS s1d,
+ sum(CAST($v AS DECIMAL(38,0)) * CAST($v AS DECIMAL(38,0))) AS s2d,
+ sum(CAST($v AS DECIMAL(38,0)) * CAST($v AS DECIMAL(38,0)) * CAST($v AS DECIMAL(38,0))) AS s3d,
+ sum(CAST($v AS DECIMAL(38,0)) * CAST($v AS DECIMAL(38,0)) * CAST($v AS DECIMAL(38,0)) * CAST($v AS DECIMAL(38,0))) AS s4d,
+ sum(CAST(user_id AS DECIMAL(38,0))) AS sud,
+ sum(CAST(user_id AS DECIMAL(38,0)) * CAST(user_id AS DECIMAL(38,0))) AS suud,
+ sum(CAST($v AS DECIMAL(38,0)) * CAST(user_id AS DECIMAL(38,0))) AS suvd
+ FROM events GROUP BY 1),
+m AS (SELECT k, n,
+ CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE) AS mean, CAST(sud AS DOUBLE)/CAST(n AS DOUBLE) AS meanu,
+ CAST(s2d AS DOUBLE)/CAST(n AS DOUBLE) - (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) AS m2,
+ CAST(s3d AS DOUBLE)/CAST(n AS DOUBLE) - 3.0 * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s2d AS DOUBLE)/CAST(n AS DOUBLE)) + 2.0 * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) AS m3,
+ CAST(s4d AS DOUBLE)/CAST(n AS DOUBLE) - 4.0 * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s3d AS DOUBLE)/CAST(n AS DOUBLE)) + 6.0 * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s2d AS DOUBLE)/CAST(n AS DOUBLE)) - 3.0 * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) AS m4,
+ CAST(suud AS DOUBLE)/CAST(n AS DOUBLE) - (CAST(sud AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(sud AS DOUBLE)/CAST(n AS DOUBLE)) AS varu,
+ CAST(suvd AS DOUBLE)/CAST(n AS DOUBLE) - (CAST(s1d AS DOUBLE)/CAST(n AS DOUBLE)) * (CAST(sud AS DOUBLE)/CAST(n AS DOUBLE)) AS cov,
+ CAST(s1d AS VARCHAR) AS s1, CAST(s2d AS VARCHAR) AS s2, CAST(s3d AS VARCHAR) AS s3, CAST(s4d AS VARCHAR) AS s4,
+ CAST(sud AS VARCHAR) AS su, CAST(suud AS VARCHAR) AS suu, CAST(suvd AS VARCHAR) AS suv
+ FROM s)
+SELECT k, n, s1, s2, s3, s4, su, suu, suv, mean,
+ CASE WHEN n > 0 THEN floor(m2 * 1e6 + 0.5) / 1e6 END AS var_pop,
+ CASE WHEN m2 > 0 THEN floor(m3 / sqrt(m2*m2*m2) * 1e6 + 0.5) / 1e6 END AS skew_pop,
+ CASE WHEN m2 > 0 THEN floor(m4 / (m2*m2) * 1e6 + 0.5) / 1e6 END AS kurt_pop,
+ CASE WHEN m2 > 0 AND varu > 0 THEN floor(cov / sqrt(m2*varu) * 1e6 + 0.5) / 1e6 END AS corr
+FROM m"""
+  }
 
   /** ClickHouse `sumMap` analog: per key, the element-wise sum of
     * (map-key → value) entries, emitted as a canonical sorted

@@ -2610,6 +2610,50 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.TimeSeries.deltaSumOracleSql)),
 
+    // retention(cond1, cond2, cond3) analog: users ever doing 'view',
+    // and of those the counts also doing 'click' / 'purchase'.
+    GraftQuery("q_retention",
+      (s, dir) => graft.ops.TimeSeries.retention(ev(s, dir), col("user_id"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase")),
+      Some(graft.ops.TimeSeries.retentionOracleSql("view", "click", "purchase"))),
+
+    // skewPop/kurtPop/corr analog family: exact DECIMAL(38,0) power
+    // sums (order-independent) + derived population moments whose
+    // double arithmetic mirrors the oracle operation-for-operation —
+    // the reproducible form of what corr()/skewness() compute with
+    // order-dependent double accumulation.
+    GraftQuery("q_moment_stats",
+      (s, dir) => graft.ops.TimeSeries.momentStats(ev(s, dir),
+        col("event_type"), round(col("value") * 100, 0).cast("long"),
+        col("user_id")),
+      Some(graft.ops.TimeSeries.momentStatsOracleSql)),
+
+    // INCREMENTAL M4: per-chunk mergeable partials (min/max/struct-
+    // first/struct-last/count) land as parts; the finalize re-aggregate
+    // must reproduce the one-shot M4 oracle bit-for-bit — part order
+    // and batching cannot matter because every component is
+    // associative+commutative.
+    GraftQuery("q_m4_inc",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_m4")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/m4mv"
+        val e = ev(s, dir)
+        (0 until 3).foreach { i =>
+          val part = graft.ops.TimeSeries.m4Partial(
+            e.filter(pmod(col("event_id"), lit(3)) === i),
+            col("event_type"), col("ts"), col("event_id"),
+            round(col("value") * 1e6, 0).cast("long"),
+            bucketUs = 86400000000L)
+          graft.sinks.SummingStore.appendDelta(part, mv,
+            tag = Some(s"m4-chunk$i"))
+        }
+        graft.ops.TimeSeries.m4FromPartials(
+          graft.sinks.SnapshotStore.read(s, mv).get)
+      },
+      Some(graft.ops.TimeSeries.m4DownsampleOracleSql(86400000000L))),
+
     // sumMap analog: per-user event_type → Σ µ-value map in canonical
     // sorted-string form.
     GraftQuery("q_summap",

@@ -439,6 +439,56 @@ class TimeSeriesSpec extends SparkSpec {
     assert(run(10000L) === expected)
   }
 
+  test("retention counts cond1 users and their cond-i intersections") {
+    val events = Seq(
+      (1L, "view"), (1L, "click"),                  // view+click
+      (2L, "view"), (2L, "purchase"),               // view+purchase
+      (3L, "click"), (3L, "purchase"),              // no view → excluded
+      (4L, "view")                                  // view only
+    ).toDF("user_id", "event_type")
+    val out = TimeSeries.retention(events, col("user_id"),
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"))
+      .as[(Long, Long, Long)].head()
+    assert(out === ((3L, 1L, 1L)))
+  }
+
+  test("m4 partials merge to the one-shot downsample under any chunking") {
+    val events = spark.range(0, 200).select(
+      lit("x").as("k"),
+      timestamp_micros(lit(1700000000000000L) +
+        col("id") * lit(1800000000L)).as("ts"), // every 30 min
+      col("id").as("event_id"),
+      pmod(hash(col("id")), lit(1000L)).as("v"))
+    val oneShot = TimeSeries.m4Downsample(events, col("k"), col("ts"),
+      col("event_id"), col("v"), bucketUs = 86400000000L)
+      .collect().map(_.toString).toSeq.sorted
+    for (chunks <- Seq(2, 3, 7)) {
+      val parts = (0 until chunks).map(i =>
+        TimeSeries.m4Partial(events.filter(pmod(col("event_id"), lit(chunks)) === i),
+          col("k"), col("ts"), col("event_id"), col("v"),
+          bucketUs = 86400000000L)).reduce(_ unionAll _)
+      val merged = TimeSeries.m4FromPartials(parts)
+        .collect().map(_.toString).toSeq.sorted
+      assert(merged === oneShot, s"chunking $chunks diverged")
+    }
+  }
+
+  test("momentStats power sums are exact and partitioning-independent") {
+    val df = Seq((1L, 10L, 3L), (1L, -20L, 5L), (1L, 30L, 7L), (2L, 4L, 1L))
+      .toDF("k", "v", "u")
+    for (parts <- Seq(1, 4)) {
+      val r = TimeSeries.momentStats(df.repartition(parts), col("k"),
+        col("v"), col("u"))
+        .filter(col("k") === 1L)
+        .select(col("n"), col("s1"), col("s2"), col("s3"), col("s4"))
+        .as[(Long, String, String, String, String)].head()
+      // Σv = 20, Σv² = 1400, Σv³ = 20000 (1000−8000+27000),
+      // Σv⁴ = 10000 + 160000 + 810000 = 980000
+      assert(r === ((3L, "20", "1400", "20000", "980000")), s"parts=$parts")
+    }
+  }
+
   test("sumMap emits one sorted map-key:sum entry per distinct map key") {
     val events = Seq(
       (1L, "view", 1.5), (1L, "click", 2.0), (1L, "view", 0.5),
