@@ -222,6 +222,47 @@ s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id
 s3 AS (SELECT e.user_id AS u, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.u WHERE e.event_type='$c3' AND e.ts > t2 GROUP BY 1)
 SELECT u.u, s3.u IS NOT NULL AS matched FROM u LEFT JOIN s3 ON u.u = s3.u"""
 
+  /** ClickHouse `sequenceNextNode('forward', 'first_match')` analog:
+    * for each user whose stream contains cond₁ … condₙ at strictly
+    * increasing timestamps (the [[sequenceMatchUsers]] min-chain —
+    * same deterministic earliest-match), the step value of the FIRST
+    * event strictly after the chain completes — "what do users do
+    * next after finishing the funnel". The next event is the struct
+    * min of (ts, tiebreak, step) over the user's events after tₙ, so
+    * the whole operator is chained user-keyed hash aggs on shrinking
+    * survivor sets — no window over raw events, no per-user buffering.
+    *
+    * Output: one row per chain-matching user — (u, next_step; null
+    * when the chain's last event is the user's final event). */
+  def sequenceNextNode(events: DataFrame, user: Column, ts: Column,
+                       tiebreak: Column, step: Column,
+                       conds: Seq[Column]): DataFrame = {
+    require(conds.nonEmpty, "sequenceNextNode needs at least one condition")
+    val e = events.select(Seq(user.as("u"), ts.as("ts"), tiebreak.as("tb"),
+      step.as("step")) ++
+      conds.zipWithIndex.map { case (p, i) => p.as(s"is_c${i + 1}") }: _*)
+    var cur = e.filter(col("is_c1")).groupBy(col("u")).agg(min(col("ts")).as("t1"))
+    for (k <- 2 to conds.size)
+      cur = e.filter(col(s"is_c$k")).join(Joins.corpusSide(cur), "u")
+        .filter(col("ts") > col(s"t${k - 1}"))
+        .groupBy(col("u")).agg(min(col("ts")).as(s"t$k"))
+    val matched = cur.select(col("u"), col(s"t${conds.size}").as("tn"))
+    e.join(Joins.corpusSide(matched), Seq("u"), "inner")
+      .groupBy(col("u"))
+      .agg(min(when(col("ts") > col("tn"),
+        struct(col("ts"), col("tb"), col("step")))).as("nxt"))
+      .select(col("u"), col("nxt").getField("step").as("next_step"))
+  }
+
+  /** DuckDB replica of a 2-condition [[sequenceNextNode]] keyed by
+    * user_id with event_type equality conditions, step = event_type,
+    * tiebreak = event_id. */
+  def sequenceNextNodeOracleSql(c1: String, c2: String): String =
+    s"""WITH s1 AS (SELECT user_id AS u, min(ts) AS t1 FROM events WHERE event_type='$c1' GROUP BY 1),
+s2 AS (SELECT e.user_id AS u, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.u WHERE e.event_type='$c2' AND e.ts > t1 GROUP BY 1),
+nx AS (SELECT u, event_type AS next_step FROM (SELECT e.user_id AS u, e.event_type, row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) AS rn FROM events e JOIN s2 ON e.user_id = s2.u WHERE e.ts > s2.t2) WHERE rn = 1)
+SELECT s2.u, nx.next_step FROM s2 LEFT JOIN nx ON s2.u = nx.u"""
+
   /** MAXIMUM-MATCHING sequence count: the number of NON-OVERLAPPING
     * condA→condB matches per user where each event is consumed at most
     * once (greedy left-to-right pairing) — computed relationally via

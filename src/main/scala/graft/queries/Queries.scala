@@ -2439,6 +2439,16 @@ FROM gf""")),
       Some(graft.ops.TimeSeries.sequenceMatchOracleSql(
         "view", "click", "purchase"))),
 
+    // sequenceNextNode('forward','first_match') analog: for users
+    // completing view → click (earliest chain), the event type they do
+    // NEXT — chained survivor-set hash aggs + one struct-min, no
+    // per-user window.
+    GraftQuery("q_seq_next_node",
+      (s, dir) => graft.ops.TimeSeries.sequenceNextNode(ev(s, dir),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        Seq(col("event_type") === "view", col("event_type") === "click")),
+      Some(graft.ops.TimeSeries.sequenceNextNodeOracleSql("view", "click"))),
+
     // sequenceCount('(?1).*(?2)') analog: greedy non-overlapping
     // view → purchase pairs per user via the prefix-deficit identity.
     GraftQuery("q_seq_count",
@@ -2610,9 +2620,11 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.TimeSeries.deltaSumOracleSql)),
 
-    // retention(cond1, cond2, cond3) analog: users ever doing 'view',
-    // and of those the counts also doing 'click' / 'purchase'.
-    GraftQuery("q_retention",
+    // retention(cond1, cond2, cond3) analog — ClickHouse's LITERAL
+    // condition-flag aggregate: users ever doing 'view', and of those
+    // the counts also doing 'click' / 'purchase' (the calendar-cohort
+    // table is the separate q_retention).
+    GraftQuery("q_retention_conds",
       (s, dir) => graft.ops.TimeSeries.retention(ev(s, dir), col("user_id"),
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase")),
