@@ -122,12 +122,15 @@ object Intervals {
                         bucket: Column => Column = to_date(_)): DataFrame = {
     val wIn = Window.partitionBy(col("k"), col("b")).orderBy(col("s"), col("e"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val rows = df.select(key.as("k"), bucket(start).as("b"),
-        unix_micros(start).as("s"), unix_micros(endCol).as("e"))
-      .withColumn("p_in", max(col("e")).over(wIn))
+    // one shared pre-window definition: the carry branch derives from
+    // it (not from the windowed frame), so the per-bucket sort runs
+    // once and the carry's hash agg reuses the same exchange stage
+    val base = df.select(key.as("k"), bucket(start).as("b"),
+      unix_micros(start).as("s"), unix_micros(endCol).as("e"))
+    val rows = base.withColumn("p_in", max(col("e")).over(wIn))
     val wB = Window.partitionBy(col("k")).orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = rows.groupBy(col("k"), col("b")).agg(max(col("e")).as("bmax"))
+    val carry = base.groupBy(col("k"), col("b")).agg(max(col("e")).as("bmax"))
       .withColumn("cin", max(col("bmax")).over(wB))
       .select(col("k"), col("b"), col("cin"))
     // greatest() evaluates before any subtraction, so the MinValue

@@ -421,25 +421,43 @@ SELECT u, CAST(sum(CASE WHEN isb AND pisb = FALSE THEN 1 ELSE 0 END) AS BIGINT) 
     * Output: (q_num INT, q_den INT, value BIGINT). */
   def weightedQuantiles(df: DataFrame, value: Column, weight: Column,
                         qs: Seq[(Int, Int)],
-                        bucketWidth: Long = 1L << 20): DataFrame = {
+                        bucketWidth: Long = 1L << 20): DataFrame =
+    weightedQuantilesFromWeights(
+      df.groupBy(value.as("v")).agg(sum(weight).as("w")), qs, bucketWidth)
+
+  /** [[weightedQuantiles]] starting from an already-aggregated
+    * per-value weight table (v BIGINT, w BIGINT) — the incremental
+    * entry point: per-value weights are ADDITIVE, so a SummingStore MV
+    * maintains them per micro-batch and the quantile read runs over
+    * the merged distinct-value table, never the event stream. */
+  def weightedQuantilesFromWeights(byV: DataFrame, qs: Seq[(Int, Int)],
+                                   bucketWidth: Long = 1L << 20): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n >= 0 && n <= d },
       "quantiles must be rationals in [0,1]")
     require(bucketWidth > 0, "bucketWidth must be positive")
-    val spark = df.sparkSession
+    val spark = byV.sparkSession
     import spark.implicits._
-    val byV = df.groupBy(value.as("v")).agg(sum(weight).as("w"))
+    // one shared definition of the bucketed distinct-value table: the
+    // window branch, the carry branch and the total all hang off it,
+    // so the three identical scan+aggregate exchange stages dedupe at
+    // runtime (AQE stage reuse) — and, critically, the carry/total
+    // branches never touch the window, so the bucket sort runs ONCE
+    // (the first cut derived the carry from the windowed frame and
+    // paid a second full sort of the distinct-value table)
+    val bucketed = byV
+      .select(floorDiv(col("v"), lit(bucketWidth)).as("b"), col("v"), col("w"))
     val inB = Window.partitionBy(col("b")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val inBucket = byV
-      .select(floorDiv(col("v"), lit(bucketWidth)).as("b"), col("v"), col("w"))
-      .withColumn("cw_in", sum(col("w")).over(inB))
+    val inBucket = bucketed.withColumn("cw_in", sum(col("w")).over(inB))
+    val perB = bucketed.groupBy(col("b")).agg(sum(col("w")).as("net"))
     val carryW = Window.orderBy(col("b"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = inBucket.groupBy(col("b")).agg(sum(col("w")).as("net"))
+    val carry = perB
       .select(col("b"), coalesce(sum(col("net")).over(carryW), lit(0L)).as("cin"))
     val cum = inBucket.join(Joins.corpusSide(carry), "b")
       .select(col("v"), (col("cw_in") + col("cin")).as("cw"))
-    val tot = byV.agg(sum(col("w")).as("tw"))
+    // W = Σ net over the |buckets|-row table — never a fourth corpus agg
+    val tot = perB.agg(sum(col("net")).as("tw"))
     val qdf = qs.toDF("q_num", "q_den")
     cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
       .filter(col("cw") * col("q_den") >= col("q_num") * col("tw"))

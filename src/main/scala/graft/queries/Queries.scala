@@ -2477,6 +2477,30 @@ FROM gf""")),
       Some(graft.ops.TimeSeries.weightedQuantilesOracleSql(
         Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)))),
 
+    // INCREMENTAL weighted quantiles: per-value weights are additive,
+    // so three simulated micro-batches land per-chunk (v → Σw) parts
+    // and the quantile read runs over the merged distinct-value MV —
+    // same oracle as the one-shot q_weighted_quantile.
+    GraftQuery("q_weighted_quantile_inc",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_wq")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/wqmv"
+        val e = ev(s, dir)
+        (0 until 3).foreach { i =>
+          val part = e.filter(pmod(col("event_id"), lit(3)) === i)
+            .groupBy(round(col("value") * 1e6, 0).cast("long").as("v"))
+            .agg(sum(lit(1L) + pmod(col("user_id"), lit(9L))).as("w"))
+          graft.sinks.SummingStore.appendDelta(part, mv,
+            tag = Some(s"wq-chunk$i"))
+        }
+        graft.ops.TimeSeries.weightedQuantilesFromWeights(
+          graft.sinks.SummingStore.read(s, mv, Seq("v"), Seq("w")).get,
+          Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16))
+      },
+      Some(graft.ops.TimeSeries.weightedQuantilesOracleSql(
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)))),
+
     // groupArrayMovingSum/Avg analog: 7-row moving frame over per-type
     // daily µ-unit sums.
     GraftQuery("q_moving_agg",
