@@ -102,11 +102,15 @@ object Enrich {
       rightTsField: String, tolerance: String): DataFrame = {
     // validate eagerly: a malformed unit spliced into expr() would
     // otherwise surface as an obscure Catalyst parse error downstream
+    // one or more '<count> <unit>' terms — compound Spark interval
+    // strings like '1 HOUR 30 MINUTES' and '1 WEEK' are valid splices
     val TolerancePattern =
-      """(?i)\s*\d+\s+(MICROSECONDS?|MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?)\s*""".r
+      ("""(?i)\s*(\d+\s+""" +
+        """(MICROSECONDS?|MILLISECONDS?|SECONDS?|MINUTES?|HOURS?|DAYS?|WEEKS?)\s*)+""").r
     require(TolerancePattern.pattern.matcher(tolerance).matches(),
-      s"asOfJoinWithin tolerance must be '<count> <unit>' with unit one of " +
-        s"MICROSECOND(S)/MILLISECOND(S)/SECOND(S)/MINUTE(S)/HOUR(S)/DAY(S); got: '$tolerance'")
+      s"asOfJoinWithin tolerance must be one or more '<count> <unit>' terms " +
+        s"with unit one of MICROSECOND(S)/MILLISECOND(S)/SECOND(S)/MINUTE(S)/" +
+        s"HOUR(S)/DAY(S)/WEEK(S); got: '$tolerance'")
     val joined = asOfJoin(left, leftKey, leftTs, right, rightKey, rightTs)
     val fresh = col("asof").getField(rightTsField) >=
       leftTs - expr(s"INTERVAL $tolerance")

@@ -86,6 +86,10 @@ object Intervals {
     adj
       .agg(max(struct(col("g"),
         (lit(0L) - unix_micros(col("day_max_t"))).as("negt"))).as("mx"))
+      // empty input: agg-without-groupBy yields one all-null row; drop
+      // it so the contract stays "no intervals → no rows" (the earlier
+      // self-join form's behavior)
+      .where(col("mx").isNotNull)
       .select(col("mx.g").as("max_concurrent"),
         date_format(timestamp_micros(lit(0L) - col("mx.negt")),
           "yyyy-MM-dd HH:mm:ss.SSSSSS").as("at_ts"))

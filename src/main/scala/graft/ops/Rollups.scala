@@ -38,7 +38,11 @@ object Rollups {
     * aggregation (the query's date_trunc output type must match). */
   def hourlyRollupMv(df: DataFrame, ts: Column, dims: Seq[Column], score: Column): DataFrame =
     df.groupBy((date_trunc("hour", ts).as("hour_ts") +: dims): _*)
-      .agg(count(lit(1)).as("cnt"), decSum(score).as("score_sum"))
+      .agg(count(lit(1)).as("cnt"), decSum(score).as("score_sum"),
+        // non-null score count: MvRouting's avg rewrite divides by
+        // Σ score_cnt (avg ignores nulls; cnt is count(*) and would
+        // silently diverge on a nullable score column)
+        count(score).as("score_cnt"))
 
   /** A5: per-minute top-k keys by score sum. Minute bucket uses the
     * reference's yyyyMMddHHmm key shape

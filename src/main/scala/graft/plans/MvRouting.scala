@@ -54,15 +54,28 @@ case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String,
     factTsCol: String = "event_ts", mvTsCol: String = "hour_ts",
     mvGranularity: String = "hour",
     cntCol: String = "cnt", sumCol: String = "score_sum",
+    scoreCntCol: String = "score_cnt",
     scoreCol: String = "engagement_score",
     dims: Seq[String] = Seq("content_type", "event_type"))
     extends Rule[LogicalPlan] {
 
   /** Calendar-unit coarseness ladder: date_trunc(g₂, date_trunc(g₁, t))
-    * = date_trunc(g₂, t) whenever rank(g₂) > rank(g₁) — every unit here
-    * only zeroes fields finer than itself. */
+    * = date_trunc(g₂, t) whenever g₂'s boundaries lie on g₁'s grid.
+    * Rank alone is NOT sufficient: a week boundary is a day boundary
+    * (so week composes over minute/hour/day), but month/quarter/year
+    * boundaries are NOT week boundaries — a week spans month ends, so
+    * date_trunc('month', date_trunc('week', t)) ≠ date_trunc('month', t).
+    * [[composesOver]] encodes both the rank order and the week cut. */
   private val granRank = Map("minute" -> 0, "hour" -> 1, "day" -> 2,
     "week" -> 3, "month" -> 4, "quarter" -> 5, "year" -> 6)
+
+  /** True iff a query grouped at `queryG` can be answered by re-truncating
+    * an MV stored at `mvG`: queryG strictly coarser, and never across the
+    * week cut — nothing coarser than a week-grained MV composes over it
+    * (month/quarter/year do not align to week starts), and 'week' itself
+    * only re-truncates cleanly from day-or-finer grains. */
+  private def composesOver(queryG: String, mvG: String): Boolean =
+    granRank(queryG) > granRank(mvG) && mvG != "week"
 
   /** WHITELIST match: the aggregate's child must be the fact relation
     * reachable through ONLY Project/SubqueryAlias nodes. Anything else
@@ -123,7 +136,7 @@ case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String,
         if ts.name == factTsCol && granRank.contains(g.toLowerCase) =>
       val gl = g.toLowerCase
       if (gl == mvGranularity) Some(attr(mv, mvTsCol))
-      else if (granRank(gl) > granRank(mvGranularity))
+      else if (composesOver(gl, mvGranularity))
         // coarser trunc composes over the MV's trunc: re-truncate the
         // MV's time column (keeps the original node's timezone)
         Some(t.withNewChildren(Seq(t.format, attr(mv, mvTsCol))))
@@ -151,14 +164,28 @@ case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String,
         Some(ae.copy(aggregateFunction = Sum(inner)))
       case av @ Average(e, _) if !ae.isDistinct && refersToScore(e) &&
           av.dataType == DoubleType =>
-        // avg decomposes over partial groups: Σ score_sum / Σ cnt.
-        // Each arm is its own AggregateExpression with a FRESH resultId
-        // (two aggregates sharing one id would collide in the agg map)
-        val sumAgg = ae.copy(aggregateFunction = Sum(attr(mv, sumCol)),
-          resultId = NamedExpression.newExprId)
-        val cntAgg = ae.copy(aggregateFunction = Sum(attr(mv, cntCol)),
-          resultId = NamedExpression.newExprId)
-        Some(Divide(sumAgg, Cast(cntAgg, DoubleType)))
+        // avg decomposes over partial groups as Σ score_sum / Σ denom,
+        // where denom must be the NON-NULL score count (avg ignores
+        // nulls). Prefer the MV's score_cnt column (count(score),
+        // written by Rollups.hourlyRollupMv); an MV lacking it can only
+        // route avg when the score attribute is non-nullable, in which
+        // case count(*) == count(score) and cnt serves. Nullable score
+        // + no score_cnt → None: base table answers rather than
+        // silently diverging.
+        val denom: Option[Attribute] =
+          mv.output.find(_.name == scoreCntCol)
+            .orElse(if (!scoreNullable(e)) mv.output.find(_.name == cntCol)
+                    else None)
+        denom.map { d =>
+          // Each arm is its own AggregateExpression with a FRESH
+          // resultId (two aggregates sharing one id would collide in
+          // the agg map)
+          val sumAgg = ae.copy(aggregateFunction = Sum(attr(mv, sumCol)),
+            resultId = NamedExpression.newExprId)
+          val cntAgg = ae.copy(aggregateFunction = Sum(d),
+            resultId = NamedExpression.newExprId)
+          Divide(sumAgg, Cast(cntAgg, DoubleType))
+        }
       case _ => None
     }
 
@@ -166,6 +193,14 @@ case class MvRouting(spark: SparkSession, factPath: String, rollupPath: String,
     case a: AttributeReference => a.name == scoreCol
     case Cast(c, _, _, _) => refersToScore(c)
     case _ => false
+  }
+
+  /** Nullability of the score attribute under casts (casts to a wider
+    * numeric type preserve nullability, so the leaf attribute decides). */
+  private def scoreNullable(e: Expression): Boolean = e match {
+    case a: AttributeReference => a.nullable
+    case Cast(c, _, _, _) => scoreNullable(c)
+    case _ => true // unknown shape — assume nullable, refuse the rewrite
   }
 
   /** Rewrite one named output expression, keeping name + exprId. */

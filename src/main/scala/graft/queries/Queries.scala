@@ -1796,15 +1796,26 @@ FROM agg a JOIN summary s ON a.event_type = s.event_type""")),
           factTsCol = "ts", dims = Seq("event_type"))
         s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ rule
-        val routed = s.read.parquet(factPath)
-          .groupBy(date_trunc("day", col("ts")).as("day_ts"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"),
-            graft.ops.Rollups.decSum(col("engagement_score")).as("score_sum"))
-        val phys = routed.queryExecution.executedPlan.toString()
-        require(phys.contains(mvPath) && !phys.contains(factPath),
-          "q_mv_routed_daily did not route onto the MV")
-        routed.select(date_format(col("day_ts"), "yyyy-MM-dd").as("day"),
-          col("event_type"), col("cnt"), col("score_sum"))
+        // UNINSTALL the session-global rule before returning: the
+        // caller executes the returned frame AFTER this function, so
+        // the routed plan is pinned via an eager localCheckpoint (the
+        // result is a |days|×|event_types| rollup — tiny) and the rule
+        // never leaks into subsequent queries or accumulates on reruns.
+        try {
+          val routed = s.read.parquet(factPath)
+            .groupBy(date_trunc("day", col("ts")).as("day_ts"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"),
+              graft.ops.Rollups.decSum(col("engagement_score")).as("score_sum"))
+          val phys = routed.queryExecution.executedPlan.toString()
+          require(phys.contains(mvPath) && !phys.contains(factPath),
+            "q_mv_routed_daily did not route onto the MV")
+          routed.select(date_format(col("day_ts"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("cnt"), col("score_sum"))
+            .localCheckpoint()
+        } finally {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ == rule)
+        }
       },
       Some("""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, count(*) AS cnt, CAST(sum(CAST(floor(value*100 + 0.5)/100 AS DECIMAL(28,2))) AS DOUBLE) AS score_sum FROM events GROUP BY 1, 2""")),
 

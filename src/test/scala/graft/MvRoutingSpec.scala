@@ -198,6 +198,102 @@ class MvRoutingSpec extends SparkSpec {
     }
   }
 
+  test("month query does NOT route over a week-grained MV (week cut)") {
+    // date_trunc('month', date_trunc('week', ts)) != date_trunc('month', ts):
+    // a week spans month boundaries, so nothing coarser than a week MV
+    // composes over it. A linear rank ladder would silently mis-route.
+    val weekMv = factPath + "_week_mv"
+    spark.read.parquet(factPath)
+      .groupBy(date_trunc("week", col("event_ts")).as("week_ts"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        Rollups.decSum(col("engagement_score")).as("score_sum"))
+      .write.mode("overwrite").parquet(weekMv)
+    val rule = MvRouting(spark, factPath, weekMv,
+      mvTsCol = "week_ts", mvGranularity = "week")
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ rule
+    try {
+      for (gran <- Seq("month", "quarter", "year")) {
+        val q = spark.read.parquet(factPath)
+          .groupBy(date_trunc(gran, col("event_ts")).as("ts_b"))
+          .agg(count(lit(1)).as("cnt"))
+        assert(q.queryExecution.executedPlan.toString().contains(factPath),
+          s"a $gran aggregate must NOT route onto a week-grained MV")
+      }
+      // the week shape itself still routes
+      val wq = spark.read.parquet(factPath)
+        .groupBy(date_trunc("week", col("event_ts")).as("week_ts"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(wq.queryExecution.executedPlan.toString().contains(weekMv),
+        "the exact week shape must still route onto the week MV")
+    } finally {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == rule)
+    }
+  }
+
+  test("week query DOES route over an hourly MV (week starts are day-aligned)") {
+    withRule {
+      val q = spark.read.parquet(factPath)
+        .groupBy(date_trunc("week", col("event_ts")).as("week_ts"))
+        .agg(count(lit(1)).as("cnt"))
+      val direct = spark.read.parquet(factPath)
+        .groupBy(date_trunc("week", col("event_ts")).as("week_ts"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(q.queryExecution.executedPlan.toString().contains(mvPath))
+      // numbers must agree with the (un-routable, rule removed) base scan
+      val got = q.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      spark.experimental.extraOptimizations = Seq.empty
+      val exp = direct.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(got === exp)
+    }
+  }
+
+  test("avg over a NULLABLE score only routes via the MV's score_cnt") {
+    // plant nulls in the score; the MV with score_cnt must route avg and
+    // stay exact; an MV LACKING score_cnt must refuse (cnt is count(*),
+    // dividing by it would diverge on the nulls)
+    val base = Files.createTempDirectory("mvnull").toString
+    val fact = spark.read.parquet(factPath)
+      .withColumn("engagement_score",
+        when(pmod(hash(col("event_ts")), lit(5)) === 0, lit(null))
+          .otherwise(col("engagement_score")))
+    fact.write.parquet(s"$base/fact")
+    val factDf = spark.read.parquet(s"$base/fact")
+    assert(factDf.schema("engagement_score").nullable)
+    Rollups.hourlyRollupMv(factDf, col("event_ts"),
+        Seq(col("content_type"), col("event_type")), col("engagement_score"))
+      .write.parquet(s"$base/mv")
+    // legacy MV without score_cnt
+    spark.read.parquet(s"$base/mv").drop("score_cnt")
+      .write.parquet(s"$base/mv_legacy")
+
+    def q() = spark.read.parquet(s"$base/fact")
+      .groupBy(col("content_type"))
+      .agg(avg(col("engagement_score")).as("avg_score"))
+    val direct = q().collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val goodRule = MvRouting(spark, s"$base/fact", s"$base/mv")
+    spark.experimental.extraOptimizations = Seq(goodRule)
+    try {
+      val routed = q()
+      assert(routed.queryExecution.executedPlan.toString().contains(s"$base/mv"))
+      routed.collect().map(r => r.getString(0) -> r.getDouble(1)).foreach {
+        case (k, v) => assert(math.abs(v - direct(k)) <= 1e-9,
+          s"nullable-score avg diverged for $k: $v vs ${direct(k)}")
+      }
+    } finally spark.experimental.extraOptimizations = Seq.empty
+
+    val legacyRule = MvRouting(spark, s"$base/fact", s"$base/mv_legacy")
+    spark.experimental.extraOptimizations = Seq(legacyRule)
+    try {
+      val unrouted = q()
+      assert(unrouted.queryExecution.executedPlan.toString().contains(s"$base/fact"),
+        "avg over a nullable score must NOT route onto an MV without score_cnt")
+    } finally spark.experimental.extraOptimizations = Seq.empty
+  }
+
   test("a sibling path sharing the fact prefix does NOT route") {
     // fact_archive shares the string prefix of factPath — contains()
     // matching would route it

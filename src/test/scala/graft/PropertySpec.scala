@@ -161,6 +161,24 @@ class PropertySpec extends SparkSpec {
         .sortBy(_._2).lastOption.filter(_._2 >= t - 10L).map(_._3)
     }.toMap
     assert(got === expected)
+
+    // compound interval terms and WEEK are valid splices (the validator
+    // must not reject what expr(INTERVAL ...) accepts): '0 MINUTES
+    // 10 SECONDS' ≡ '10 SECONDS', and '1 WEEK' parses
+    val gotCompound = graft.enrich.Enrich.asOfJoinWithin(l, col("k"), col("t"),
+        r, col("vk"), col("vt"), rightTsField = "vt",
+        tolerance = "0 MINUTES 10 SECONDS")
+      .select(col("eid"), col("asof.p").as("p")).collect()
+      .map(row => row.getLong(0) ->
+        (if (row.isNullAt(1)) None else Some(row.getDouble(1)))).toMap
+    assert(gotCompound === expected)
+    graft.enrich.Enrich.asOfJoinWithin(l, col("k"), col("t"),
+      r, col("vk"), col("vt"), rightTsField = "vt", tolerance = "1 WEEK").collect()
+    // malformed still rejected eagerly
+    intercept[IllegalArgumentException] {
+      graft.enrich.Enrich.asOfJoinWithin(l, col("k"), col("t"),
+        r, col("vk"), col("vt"), rightTsField = "vt", tolerance = "10 PARSECS")
+    }
   }
 
   test("property: bucketed range join equals the exact theta join (incl. empty intervals)") {

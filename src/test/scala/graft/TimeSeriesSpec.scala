@@ -180,6 +180,12 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq === Seq((3L, "2024-01-02 00:30:00.000000")))
   }
 
+  test("maxIntersections on empty input returns no rows (not one null row)") {
+    import graft.ops.Intervals
+    val iv = Seq.empty[(java.sql.Timestamp, java.sql.Timestamp)].toDF("s", "e")
+    assert(Intervals.maxIntersections(iv, col("s"), col("e")).count() === 0L)
+  }
+
   test("maxIntersections carry-in: a quiet day still inherits open intervals") {
     import graft.ops.Intervals
     // one interval open across THREE days; a second interval entirely
