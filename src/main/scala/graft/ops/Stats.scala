@@ -1,0 +1,429 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Two-sample statistical tests and categorical-association measures —
+  * the ClickHouse A/B-testing aggregate surface (`welchTTest`,
+  * `studentTTest`, `mannWhitneyUTest`, `kolmogorovSmirnovTest`,
+  * `cramersV`, `theilsU`) a dashboard over the reference's engagement
+  * stream would call to compare metric distributions between cohorts
+  * (event types, experiment arms) and detect drift.
+  *
+  * Reference context: the pipeline lands per-event engagement metrics in
+  * ClickHouse (reference sql/clickhouse-init.sql engagement tables);
+  * these functions are the standard ClickHouse analytics calls over that
+  * surface. Spark has none of them built in — each is re-derived here as
+  * a DECOMPOSED aggregate: one pass of exact integer/decimal sums
+  * (associative, map-side combinable, skew-immune), then scalar math on
+  * a one-row (or |categories|-row) table.
+  *
+  * Determinism contract (the repo-wide oracle discipline): inputs are
+  * integer µ-units; all sums are DecimalType(38,0) (exact, emitted as
+  * strings); derived doubles mirror the oracle SQL operation-for-
+  * operation and carry the engine-shared 6-dp floor rounding; any
+  * transcendental (ln) is quantized per-TERM to integers BEFORE summing,
+  * so double summation order can never differ between engines.
+  *
+  * Scale posture: the t-tests and association measures are single hash
+  * aggregations (state: a fixed handful of decimals — flat at any
+  * event count). The rank tests need a cumulative over the ORDERED
+  * distinct-value table; that runs in the two-phase bucketed form
+  * ([[TimeSeries.weightedQuantilesFromWeights]]'s shape): per-value-
+  * bucket windows plus a |buckets|-row carry, so no single WindowExec
+  * group ever holds more than one bucket — the SCALE.md fourteenth/
+  * fifteenth-finding treatment applied to the value axis.
+  */
+object Stats {
+
+  private val dec = DecimalType(38, 0)
+  private def d(c: Column): Column = c.cast(dec)
+  private def dbl(c: Column): Column = c.cast("double")
+  /** Floor division for possibly-negative n, den > 0 (the TimeSeries
+    * idiom): (n − pmod(n, den)) is divisible by den, and the double
+    * division is exact for |n| < 2^52. */
+  private def floorDiv(n: Column, den: Column): Column =
+    ((n - pmod(n, den)) / den).cast("long")
+  /** Engine-shared 6-dp floor rounding (the momentStats/jaccard idiom). */
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+
+  // ---------------------------------------------------------------- t-tests
+
+  /** One row of exact partials for a two-sample mean test: counts and
+    * Σv / Σv² per arm, flagged sums in a single hash aggregate (no
+    * pivot, no join). varnum_g = n_g·Σv² − (Σv)² is the exact sample-
+    * variance numerator: var_g = varnum_g / (n_g·(n_g−1)). */
+  private def meanPartials(df: DataFrame, isA: Column, v: Column): DataFrame =
+    df.select(isA.as("ga"), v.as("v"))
+      .agg(
+        sum(when(col("ga"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("ga"), d(col("v"))).otherwise(d(lit(0L)))).as("s1a"),
+        sum(when(col("ga"), d(col("v")) * d(col("v"))).otherwise(d(lit(0L)))).as("s2a"),
+        sum(when(!col("ga"), d(col("v"))).otherwise(d(lit(0L)))).as("s1b"),
+        sum(when(!col("ga"), d(col("v")) * d(col("v"))).otherwise(d(lit(0L)))).as("s2b"))
+      .withColumn("vna", d(col("n_a")) * col("s2a") - col("s1a") * col("s1a"))
+      .withColumn("vnb", d(col("n_b")) * col("s2b") - col("s1b") * col("s1b"))
+
+  /** ClickHouse `welchTTest(v, arm)` analog: Welch's unequal-variance
+    * t-statistic and Welch–Satterthwaite degrees of freedom for the
+    * difference in means between arm A (`isA`) and arm B (!isA).
+    * Caller pre-filters to the two arms; `v` is an integer µ-unit
+    * column. One hash aggregate; output is one row.
+    *
+    * Output: (n_a, n_b, s1_a, s2_a, s1_b, s2_b STRING exact,
+    *          mean_a, mean_b, t_stat r6, df_w r6). t/df are null when
+    * either arm has <2 rows or both variances are zero. */
+  def welchTTest(df: DataFrame, isA: Column, v: Column): DataFrame = {
+    val p = meanPartials(df, isA, v)
+    val naD = dbl(col("n_a")); val nbD = dbl(col("n_b"))
+    val meanA = dbl(col("s1a")) / naD
+    val meanB = dbl(col("s1b")) / nbD
+    // se_g = var_g / n_g = varnum_g / (n_g² (n_g−1))
+    val seA = dbl(col("vna")) / (naD * naD * (naD - lit(1.0)))
+    val seB = dbl(col("vnb")) / (nbD * nbD * (nbD - lit(1.0)))
+    val se = seA + seB
+    val t = (meanA - meanB) / sqrt(se)
+    val dfW = (se * se) /
+      (seA * seA / (naD - lit(1.0)) + seB * seB / (nbD - lit(1.0)))
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se > lit(0.0)
+    p.select(col("n_a"), col("n_b"),
+      col("s1a").cast("string").as("s1_a"), col("s2a").cast("string").as("s2_a"),
+      col("s1b").cast("string").as("s1_b"), col("s2b").cast("string").as("s2_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      when(ok, r6(t)).as("t_stat"),
+      when(ok, r6(dfW)).as("df_w"))
+  }
+
+  /** ClickHouse `studentTTest(v, arm)` analog: pooled-variance Student
+    * t-statistic, df = n_a + n_b − 2 (exact integer). Same one-pass
+    * partials as [[welchTTest]].
+    *
+    * Output: (n_a, n_b, s1_a, s1_b STRING, mean_a, mean_b,
+    *          t_stat r6, df_s LONG). */
+  def studentTTest(df: DataFrame, isA: Column, v: Column): DataFrame = {
+    val p = meanPartials(df, isA, v)
+    val naD = dbl(col("n_a")); val nbD = dbl(col("n_b"))
+    val meanA = dbl(col("s1a")) / naD
+    val meanB = dbl(col("s1b")) / nbD
+    // (n_g−1)·var_g = varnum_g / n_g  →  pooled sp²
+    val sp2 = (dbl(col("vna")) / naD + dbl(col("vnb")) / nbD) /
+      (naD + nbD - lit(2.0))
+    val t = (meanA - meanB) / sqrt(sp2 * (lit(1.0) / naD + lit(1.0) / nbD))
+    val ok = col("n_a") > 1 && col("n_b") > 1 && sp2 > lit(0.0)
+    p.select(col("n_a"), col("n_b"),
+      col("s1a").cast("string").as("s1_a"), col("s1b").cast("string").as("s1_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      when(ok, r6(t)).as("t_stat"),
+      (col("n_a") + col("n_b") - lit(2L)).as("df_s"))
+  }
+
+  // ------------------------------------------------------------ rank tests
+
+  /** Shared phase for the rank tests: the distinct-value table
+    * (v, c_a, c_t) with BUCKETED cumulative totals — cw_t (both arms)
+    * and cw_a (arm A) inclusive of the current value. Identical shape
+    * to weightedQuantilesFromWeights: per-bucket running sums + a
+    * |buckets|-row carry window, one corpus shuffle, no global window. */
+  private def cumCounts(df: DataFrame, isA: Column, v: Column,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val byV = df.select(isA.as("ga"), v.as("v"))
+      .groupBy(col("v"))
+      .agg(sum(when(col("ga"), 1L).otherwise(0L)).as("c_a"),
+        count(lit(1)).as("c_t"))
+    val bucketed = byV.select(floorDiv(col("v"), lit(bucketWidth)).as("b"),
+      col("v"), col("c_a"), col("c_t"))
+    val inB = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = bucketed
+      .withColumn("cwa_in", sum(col("c_a")).over(inB))
+      .withColumn("cwt_in", sum(col("c_t")).over(inB))
+    val perB = bucketed.groupBy(col("b"))
+      .agg(sum(col("c_a")).as("net_a"), sum(col("c_t")).as("net_t"))
+    val carryW = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perB.select(col("b"),
+      coalesce(sum(col("net_a")).over(carryW), lit(0L)).as("cin_a"),
+      coalesce(sum(col("net_t")).over(carryW), lit(0L)).as("cin_t"))
+    inBucket.join(Joins.corpusSide(carry), "b")
+      .select(col("v"), col("c_a"), col("c_t"),
+        (col("cwa_in") + col("cin_a")).as("cw_a"),
+        (col("cwt_in") + col("cin_t")).as("cw_t"))
+  }
+
+  /** ClickHouse `mannWhitneyUTest(v, arm)` analog: exact U statistics
+    * via midranks over the distinct-value table, with the standard
+    * tie-corrected normal approximation z. No continuity correction
+    * (ClickHouse's default).
+    *
+    * Midranks are kept as INTEGER doubled ranks — rank2(v) =
+    * 2·(#strictly-less) + count(v) + 1 = 2·cw_t − c_t + 1 — so
+    * 2·R_a = Σ_v c_a·rank2 is an exact decimal and
+    * 2·U_a = 2·R_a − n_a(n_a+1) an exact integer; doubles appear only
+    * in the final z. Tie term Σ(t³−t) is an exact decimal too.
+    *
+    * Output: (n_a, n_b, u2_a, u2_b, tie_sum STRING exact,
+    *          u_a DOUBLE = U_a, z r6 — null when the variance is 0). */
+  def mannWhitneyU(df: DataFrame, isA: Column, v: Column,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    val cum = cumCounts(df, isA, v, bucketWidth)
+    val agg = cum.agg(
+      sum(col("c_a")).as("n_a"),
+      sum(col("c_t") - col("c_a")).as("n_b"),
+      sum(d(col("c_a")) *
+        d(lit(2L) * col("cw_t") - col("c_t") + lit(1L))).as("r2a"),
+      sum(d(col("c_t")) * d(col("c_t")) * d(col("c_t")) - d(col("c_t")))
+        .as("tie"))
+    val u2a = col("r2a") - d(col("n_a")) * d(col("n_a") + lit(1L))
+    val naD = dbl(col("n_a")); val nbD = dbl(col("n_b"))
+    val nD = naD + nbD
+    val withU = agg
+      .withColumn("u2a", u2a)
+      .withColumn("u2b", d(lit(2L)) * d(col("n_a")) * d(col("n_b")) - u2a)
+    val sig2 = naD * nbD / lit(12.0) *
+      ((nD + lit(1.0)) - dbl(col("tie")) / (nD * (nD - lit(1.0))))
+    val z = (dbl(col("u2a")) / lit(2.0) - naD * nbD / lit(2.0)) / sqrt(sig2)
+    withU.select(col("n_a"), col("n_b"),
+      col("u2a").cast("string").as("u2_a"),
+      col("u2b").cast("string").as("u2_b"),
+      col("tie").cast("string").as("tie_sum"),
+      (dbl(col("u2a")) / lit(2.0)).as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sig2 > lit(0.0), r6(z)).as("z"))
+  }
+
+  /** ClickHouse `kolmogorovSmirnovTest(v, arm)` analog: the exact
+    * two-sample D statistic. D's numerator max_v |cw_a·n_b − cw_b·n_a|
+    * is integer-exact (sup over value boundaries — the sup over ℝ of
+    * |F_a−F_b| is attained at a sample point); the argmax value is
+    * reported with a smallest-v tiebreak via one struct-max. The
+    * asymptotic statistic z = D·√(n_a·n_b/(n_a+n_b)) is the number
+    * ClickHouse feeds its p-value from.
+    *
+    * Output: (n_a, n_b, d_num STRING exact, at_v BIGINT,
+    *          d_stat r6, ks_z r6). Empty arm → null stats. */
+  def ksTest(df: DataFrame, isA: Column, v: Column,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    val cum = cumCounts(df, isA, v, bucketWidth)
+    val tot = cum.agg(sum(col("c_a")).as("n_a"),
+      sum(col("c_t") - col("c_a")).as("n_b"))
+    val dn = abs(col("cw_a") * col("n_b") -
+      (col("cw_t") - col("cw_a")) * col("n_a"))
+    val mx = cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), dn.as("dn"), col("v"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(struct(col("dn"), (lit(0L) - col("v")).as("negv"))).as("mx"))
+    val naD = dbl(col("n_a")); val nbD = dbl(col("n_b"))
+    val dStat = dbl(col("mx.dn")) / (naD * nbD)
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    mx.select(col("n_a"), col("n_b"),
+      col("mx.dn").cast("string").as("d_num"),
+      (lit(0L) - col("mx.negv")).as("at_v"),
+      when(ok, r6(dStat)).as("d_stat"),
+      when(ok, r6(dStat * sqrt(naD * nbD / (naD + nbD)))).as("ks_z"))
+  }
+
+  // ------------------------------------------- categorical association
+
+  /** ClickHouse `cramersV(a, b)` analog: Cramér's V from the
+    * contingency table of two categorical columns. χ² is derived via
+    * the margin-normalized identity χ² = n·(Σ_{a,b} o²/(r_a·c_b) − 1);
+    * each cell's o²/(r_a·c_b) is quantized to 1e-12 BEFORE summing
+    * (floor(x·1e12 + 0.5) → decimal), so the only double summation —
+    * which engines order differently — never happens: the cell sum is
+    * exact integer arithmetic.
+    *
+    * Plan: one contingency hash agg (|A|·|B| rows), two margin aggs
+    * broadcast back onto it (margins are category-bounded), one final
+    * one-row agg. Output: (n, r_card, c_card, cell_q STRING exact,
+    * chi2 r6, v r6 — null when either cardinality is 1). */
+  def cramersV(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val ct = df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = ct.groupBy(col("a")).agg(sum(col("o")).as("r_a"))
+    val cb = ct.groupBy(col("b")).agg(sum(col("o")).as("c_b"))
+    val joined = ct
+      .join(broadcast(ra), "a")
+      .join(broadcast(cb), "b")
+    val cellQ = d(floor(dbl(col("o")) * dbl(col("o")) /
+      (dbl(col("r_a")) * dbl(col("c_b"))) * lit(1e12) + lit(0.5)))
+    val agg = joined.agg(
+      sum(col("o")).as("n"),
+      count_distinct(col("a")).as("r_card"),
+      count_distinct(col("b")).as("c_card"),
+      sum(cellQ).as("cell_q"))
+    val nD = dbl(col("n"))
+    val phi2 = dbl(col("cell_q")) / lit(1e12) - lit(1.0)
+    val minDim = dbl(least(col("r_card"), col("c_card")) - lit(1L))
+    val ok = col("r_card") > 1 && col("c_card") > 1
+    agg.select(col("n"), col("r_card"), col("c_card"),
+      col("cell_q").cast("string").as("cell_q"),
+      when(ok, r6(nD * phi2)).as("chi2"),
+      when(ok, r6(sqrt(greatest(phi2, lit(0.0)) / minDim))).as("v"))
+  }
+
+  /** ClickHouse `theilsU(a, b)` analog: the uncertainty coefficient
+    * U(a|b) = (H(A) − H(A|B)) / H(A) — how much knowing b reduces the
+    * entropy of a (asymmetric, unlike Cramér's V). Every entropy TERM
+    * −p·ln(q) is quantized to 1e-12 before summing (the UnigramLm ln
+    * idiom), keeping both engines' sums exact-integer; ln appears only
+    * inside the quantization.
+    *
+    * Output: (n, h_a_q, h_cond_q STRING exact, u r6 — null when
+    * H(A) = 0, i.e. a is constant). */
+  def theilsU(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val ct = df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = ct.groupBy(col("a")).agg(sum(col("o")).as("r_a"))
+    val cb = ct.groupBy(col("b")).agg(sum(col("o")).as("c_b"))
+    val tot = ra.agg(sum(col("r_a")).as("n"))
+    // H(A) terms over the |A|-row margin table
+    val haQ = ra.crossJoin(broadcast(tot))
+      .select(d(floor(lit(-1.0) * dbl(col("r_a")) / dbl(col("n")) *
+        log(dbl(col("r_a")) / dbl(col("n"))) * lit(1e12) + lit(0.5))).as("t"),
+        col("n"))
+      .groupBy(col("n")).agg(sum(col("t")).as("h_a_q"))
+    // H(A|B) terms over the contingency table: −(o/n)·ln(o/c_b)
+    val hcQ = ct.join(broadcast(cb), "b").crossJoin(broadcast(tot))
+      .select(d(floor(lit(-1.0) * dbl(col("o")) / dbl(col("n")) *
+        log(dbl(col("o")) / dbl(col("c_b"))) * lit(1e12) + lit(0.5))).as("t"),
+        col("n"))
+      .groupBy(col("n")).agg(sum(col("t")).as("h_cond_q"))
+    val joinedQ = haQ.join(hcQ, "n")
+    val u = (dbl(col("h_a_q")) - dbl(col("h_cond_q"))) / dbl(col("h_a_q"))
+    joinedQ.select(col("n"),
+      col("h_a_q").cast("string").as("h_a_q"),
+      col("h_cond_q").cast("string").as("h_cond_q"),
+      when(col("h_a_q") > 0, r6(u)).as("u"))
+  }
+
+  // ------------------------------------------------------------- oracles
+
+  private val vMicros = "CAST(round(value*1000000,0) AS BIGINT)"
+  /** Arm predicate shared by the registered A/B queries: click vs view
+    * engagement values. */
+  private val armFilter = "event_type IN ('click','view')"
+  private val armIsA = "event_type = 'click'"
+
+  /** DuckDB replica of [[welchTTest]] over events, click-vs-view on
+    * µ-unit value — every double op mirrors the Spark expressions. */
+  val welchTTestOracleSql: String =
+    s"""WITH p AS (SELECT
+ sum(CASE WHEN $armIsA THEN 1 ELSE 0 END) AS n_a,
+ sum(CASE WHEN $armIsA THEN 0 ELSE 1 END) AS n_b,
+ sum(CASE WHEN $armIsA THEN CAST($vMicros AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s1a,
+ sum(CASE WHEN $armIsA THEN CAST($vMicros AS DECIMAL(38,0)) * CAST($vMicros AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2a,
+ sum(CASE WHEN $armIsA THEN CAST(0 AS DECIMAL(38,0)) ELSE CAST($vMicros AS DECIMAL(38,0)) END) AS s1b,
+ sum(CASE WHEN $armIsA THEN CAST(0 AS DECIMAL(38,0)) ELSE CAST($vMicros AS DECIMAL(38,0)) * CAST($vMicros AS DECIMAL(38,0)) END) AS s2b
+ FROM events WHERE $armFilter),
+v AS (SELECT *, CAST(n_a AS DECIMAL(38,0))*s2a - s1a*s1a AS vna,
+               CAST(n_b AS DECIMAL(38,0))*s2b - s1b*s1b AS vnb FROM p),
+m AS (SELECT *,
+ CAST(s1a AS DOUBLE)/CAST(n_a AS DOUBLE) AS mean_a,
+ CAST(s1b AS DOUBLE)/CAST(n_b AS DOUBLE) AS mean_b,
+ CAST(vna AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE)-1.0)) AS sea,
+ CAST(vnb AS DOUBLE)/(CAST(n_b AS DOUBLE)*CAST(n_b AS DOUBLE)*(CAST(n_b AS DOUBLE)-1.0)) AS seb
+ FROM v)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+ CAST(s1a AS VARCHAR) AS s1_a, CAST(s2a AS VARCHAR) AS s2_a,
+ CAST(s1b AS VARCHAR) AS s1_b, CAST(s2b AS VARCHAR) AS s2_b, mean_a, mean_b,
+ CASE WHEN n_a > 1 AND n_b > 1 AND sea+seb > 0.0 THEN floor((mean_a-mean_b)/sqrt(sea+seb)*1e6+0.5)/1e6 END AS t_stat,
+ CASE WHEN n_a > 1 AND n_b > 1 AND sea+seb > 0.0 THEN floor((sea+seb)*(sea+seb)/(sea*sea/(CAST(n_a AS DOUBLE)-1.0)+seb*seb/(CAST(n_b AS DOUBLE)-1.0))*1e6+0.5)/1e6 END AS df_w
+FROM m"""
+
+  /** DuckDB replica of [[studentTTest]] (same arms/units). */
+  val studentTTestOracleSql: String =
+    s"""WITH p AS (SELECT
+ sum(CASE WHEN $armIsA THEN 1 ELSE 0 END) AS n_a,
+ sum(CASE WHEN $armIsA THEN 0 ELSE 1 END) AS n_b,
+ sum(CASE WHEN $armIsA THEN CAST($vMicros AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s1a,
+ sum(CASE WHEN $armIsA THEN CAST($vMicros AS DECIMAL(38,0)) * CAST($vMicros AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2a,
+ sum(CASE WHEN $armIsA THEN CAST(0 AS DECIMAL(38,0)) ELSE CAST($vMicros AS DECIMAL(38,0)) END) AS s1b,
+ sum(CASE WHEN $armIsA THEN CAST(0 AS DECIMAL(38,0)) ELSE CAST($vMicros AS DECIMAL(38,0)) * CAST($vMicros AS DECIMAL(38,0)) END) AS s2b
+ FROM events WHERE $armFilter),
+v AS (SELECT *, CAST(n_a AS DECIMAL(38,0))*s2a - s1a*s1a AS vna,
+               CAST(n_b AS DECIMAL(38,0))*s2b - s1b*s1b AS vnb FROM p),
+m AS (SELECT *,
+ CAST(s1a AS DOUBLE)/CAST(n_a AS DOUBLE) AS mean_a,
+ CAST(s1b AS DOUBLE)/CAST(n_b AS DOUBLE) AS mean_b,
+ (CAST(vna AS DOUBLE)/CAST(n_a AS DOUBLE) + CAST(vnb AS DOUBLE)/CAST(n_b AS DOUBLE))/(CAST(n_a AS DOUBLE)+CAST(n_b AS DOUBLE)-2.0) AS sp2
+ FROM v)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, CAST(s1a AS VARCHAR) AS s1_a, CAST(s1b AS VARCHAR) AS s1_b,
+ mean_a, mean_b,
+ CASE WHEN n_a > 1 AND n_b > 1 AND sp2 > 0.0 THEN floor((mean_a-mean_b)/sqrt(sp2*(1.0/CAST(n_a AS DOUBLE)+1.0/CAST(n_b AS DOUBLE)))*1e6+0.5)/1e6 END AS t_stat,
+ CAST(n_a + n_b - 2 AS BIGINT) AS df_s
+FROM m"""
+
+  /** DuckDB replica of [[mannWhitneyU]] — the spec keeps the SINGLE
+    * global cumulative window; Spark's bucketed two-phase execution must
+    * reproduce it exactly. */
+  val mannWhitneyUOracleSql: String =
+    s"""WITH byv AS (SELECT $vMicros AS v,
+ sum(CASE WHEN $armIsA THEN 1 ELSE 0 END) AS c_a, count(*) AS c_t
+ FROM events WHERE $armFilter GROUP BY 1),
+cum AS (SELECT v, c_a, c_t,
+ sum(c_t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw_t
+ FROM byv),
+agg AS (SELECT sum(c_a) AS n_a, sum(c_t - c_a) AS n_b,
+ sum(CAST(c_a AS DECIMAL(38,0)) * CAST(2*cw_t - c_t + 1 AS DECIMAL(38,0))) AS r2a,
+ sum(CAST(c_t AS DECIMAL(38,0))*CAST(c_t AS DECIMAL(38,0))*CAST(c_t AS DECIMAL(38,0)) - CAST(c_t AS DECIMAL(38,0))) AS tie
+ FROM cum),
+u AS (SELECT *, r2a - CAST(n_a AS DECIMAL(38,0))*CAST(n_a + 1 AS DECIMAL(38,0)) AS u2a FROM agg),
+m AS (SELECT *, CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+ CAST(n_a AS DOUBLE)+CAST(n_b AS DOUBLE) AS nd FROM u),
+s AS (SELECT *, nad*nbd/12.0*((nd+1.0) - CAST(tie AS DOUBLE)/(nd*(nd-1.0))) AS sig2 FROM m)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, CAST(u2a AS VARCHAR) AS u2_a,
+ CAST(CAST(2 AS DECIMAL(38,0))*CAST(n_a AS DECIMAL(38,0))*CAST(n_b AS DECIMAL(38,0)) - u2a AS VARCHAR) AS u2_b,
+ CAST(tie AS VARCHAR) AS tie_sum,
+ CAST(u2a AS DOUBLE)/2.0 AS u_a,
+ CASE WHEN n_a > 0 AND n_b > 0 AND sig2 > 0.0 THEN floor((CAST(u2a AS DOUBLE)/2.0 - nad*nbd/2.0)/sqrt(sig2)*1e6+0.5)/1e6 END AS z
+FROM s"""
+
+  /** DuckDB replica of [[ksTest]] (single-window spec). */
+  val ksTestOracleSql: String =
+    s"""WITH byv AS (SELECT $vMicros AS v,
+ sum(CASE WHEN $armIsA THEN 1 ELSE 0 END) AS c_a, count(*) AS c_t
+ FROM events WHERE $armFilter GROUP BY 1),
+cum AS (SELECT v,
+ sum(c_a) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw_a,
+ sum(c_t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw_t
+ FROM byv),
+tot AS (SELECT sum(c_a) AS n_a, sum(c_t - c_a) AS n_b FROM byv),
+dn AS (SELECT n_a, n_b, abs(cw_a*n_b - (cw_t - cw_a)*n_a) AS dn, v FROM cum, tot),
+mx AS (SELECT n_a, n_b, max(dn) AS d_num FROM dn GROUP BY 1, 2),
+arg AS (SELECT mx.n_a, mx.n_b, mx.d_num, min(dn.v) AS at_v
+ FROM mx JOIN dn ON dn.dn = mx.d_num GROUP BY 1, 2, 3)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, CAST(d_num AS VARCHAR) AS d_num, at_v,
+ CASE WHEN n_a > 0 AND n_b > 0 THEN floor(CAST(d_num AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))*1e6+0.5)/1e6 END AS d_stat,
+ CASE WHEN n_a > 0 AND n_b > 0 THEN floor(CAST(d_num AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE))*sqrt(CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)/(CAST(n_a AS DOUBLE)+CAST(n_b AS DOUBLE)))*1e6+0.5)/1e6 END AS ks_z
+FROM arg"""
+
+  /** DuckDB replica of [[cramersV]] over (event_type, user_id % 10). */
+  val cramersVOracleSql: String =
+    """WITH ct AS (SELECT event_type AS a, user_id % 10 AS b, count(*) AS o FROM events GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS r_a FROM ct GROUP BY 1),
+cb AS (SELECT b, sum(o) AS c_b FROM ct GROUP BY 1),
+cells AS (SELECT CAST(floor(CAST(o AS DOUBLE)*CAST(o AS DOUBLE)/(CAST(r_a AS DOUBLE)*CAST(c_b AS DOUBLE))*1e12+0.5) AS DECIMAL(38,0)) AS cq, o, ct.a, ct.b
+ FROM ct JOIN ra ON ct.a = ra.a JOIN cb ON ct.b = cb.b),
+agg AS (SELECT sum(o) AS n, count(DISTINCT a) AS r_card, count(DISTINCT b) AS c_card, sum(cq) AS cell_q FROM cells),
+m AS (SELECT *, CAST(cell_q AS DOUBLE)/1e12 - 1.0 AS phi2 FROM agg)
+SELECT CAST(n AS BIGINT) AS n, r_card, c_card, CAST(cell_q AS VARCHAR) AS cell_q,
+ CASE WHEN r_card > 1 AND c_card > 1 THEN floor(CAST(n AS DOUBLE)*phi2*1e6+0.5)/1e6 END AS chi2,
+ CASE WHEN r_card > 1 AND c_card > 1 THEN floor(sqrt(greatest(phi2, 0.0)/CAST(least(r_card, c_card)-1 AS DOUBLE))*1e6+0.5)/1e6 END AS v
+FROM m"""
+
+  /** DuckDB replica of [[theilsU]] over (event_type, user_id % 10). */
+  val theilsUOracleSql: String =
+    """WITH ct AS (SELECT event_type AS a, user_id % 10 AS b, count(*) AS o FROM events GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS r_a FROM ct GROUP BY 1),
+cb AS (SELECT b, sum(o) AS c_b FROM ct GROUP BY 1),
+tot AS (SELECT sum(r_a) AS n FROM ra),
+ha AS (SELECT n, sum(CAST(floor(-1.0*CAST(r_a AS DOUBLE)/CAST(n AS DOUBLE)*ln(CAST(r_a AS DOUBLE)/CAST(n AS DOUBLE))*1e12+0.5) AS DECIMAL(38,0))) AS h_a_q FROM ra, tot GROUP BY 1),
+hc AS (SELECT n, sum(CAST(floor(-1.0*CAST(o AS DOUBLE)/CAST(n AS DOUBLE)*ln(CAST(o AS DOUBLE)/CAST(c_b AS DOUBLE))*1e12+0.5) AS DECIMAL(38,0))) AS h_cond_q
+ FROM ct JOIN cb ON ct.b = cb.b, tot GROUP BY 1)
+SELECT CAST(ha.n AS BIGINT) AS n, CAST(h_a_q AS VARCHAR) AS h_a_q, CAST(h_cond_q AS VARCHAR) AS h_cond_q,
+ CASE WHEN h_a_q > 0 THEN floor((CAST(h_a_q AS DOUBLE) - CAST(h_cond_q AS DOUBLE))/CAST(h_a_q AS DOUBLE)*1e6+0.5)/1e6 END AS u
+FROM ha JOIN hc ON ha.n = hc.n"""
+}

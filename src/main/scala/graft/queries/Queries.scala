@@ -2707,7 +2707,49 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       (s, dir) => graft.ops.TimeSeries.sumMap(ev(s, dir),
         col("user_id"), col("event_type"),
         round(col("value") * 1e6, 0).cast("long")),
-      Some(graft.ops.TimeSeries.sumMapOracleSql))
+      Some(graft.ops.TimeSeries.sumMapOracleSql)),
+
+    // ClickHouse A/B statistical-test surface (welchTTest / studentTTest
+    // / mannWhitneyUTest / kolmogorovSmirnovTest / cramersV / theilsU
+    // analogs): click-vs-view µ-unit engagement values as the two arms;
+    // exact decimal partials + op-mirrored doubles (Stats scaladoc).
+    GraftQuery("q_welch_ttest",
+      (s, dir) => graft.ops.Stats.welchTTest(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.Stats.welchTTestOracleSql)),
+
+    GraftQuery("q_student_ttest",
+      (s, dir) => graft.ops.Stats.studentTTest(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.Stats.studentTTestOracleSql)),
+
+    GraftQuery("q_mann_whitney",
+      (s, dir) => graft.ops.Stats.mannWhitneyU(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.Stats.mannWhitneyUOracleSql)),
+
+    GraftQuery("q_ks_test",
+      (s, dir) => graft.ops.Stats.ksTest(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.Stats.ksTestOracleSql)),
+
+    GraftQuery("q_cramers_v",
+      (s, dir) => graft.ops.Stats.cramersV(ev(s, dir),
+        col("event_type"), col("user_id") % 10),
+      Some(graft.ops.Stats.cramersVOracleSql)),
+
+    GraftQuery("q_theils_u",
+      (s, dir) => graft.ops.Stats.theilsU(ev(s, dir),
+        col("event_type"), col("user_id") % 10),
+      Some(graft.ops.Stats.theilsUOracleSql))
   )
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Stats
+
+/** Semantics of the ClickHouse statistical-test analogs on planted
+  * fixtures, each checked against a hand-computed closed form:
+  * Welch/Student t on a tiny two-arm sample, Mann–Whitney exact U and
+  * tie correction (doubled-rank identity), KS sup over value
+  * boundaries with smallest-v argmax tiebreak, Cramér's V on a
+  * perfectly-associated 2×2 table, Theil's U asymmetry, and the
+  * degenerate guards (singleton arm, constant column → null stats).
+  * Bucket invariance: the rank tests' two-phase cumulative must give
+  * identical answers for any bucketWidth (values planted to straddle
+  * bucket boundaries, including negatives exercising floorDiv).
+  */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // arms: A = (1, 2, 3), B = (2, 4) — small enough for exact hand math
+  private def armed = Seq(
+    (true, 1L), (true, 2L), (true, 3L), (false, 2L), (false, 4L)
+  ).toDF("is_a", "v")
+
+  test("welchTTest matches the closed form on a tiny two-arm sample") {
+    val r = Stats.welchTTest(armed, col("is_a"), col("v")).collect().head
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[String]("s1_a") === "6" && r.getAs[String]("s2_a") === "14")
+    // mean_a = 2, mean_b = 3; var_a = 1, var_b = 2
+    // se = 1/3 + 2/2 = 4/3; t = (2-3)/sqrt(4/3) = -sqrt(3)/2
+    assert(math.abs(r.getAs[Double]("mean_a") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("t_stat") - (-math.sqrt(3.0) / 2)) < 1e-5)
+    // df_w = (4/3)² / ((1/3)²/2 + 1²/1) = (16/9)/(1/18 + 1) = 32/19
+    assert(math.abs(r.getAs[Double]("df_w") - 32.0 / 19.0) < 1e-5)
+  }
+
+  test("studentTTest pooled variance and integer df") {
+    val r = Stats.studentTTest(armed, col("is_a"), col("v")).collect().head
+    // sp² = (2·1 + 1·2)/3 = 4/3; t = -1/sqrt((4/3)(1/3+1/2)) = -sqrt(0.9)
+    assert(math.abs(r.getAs[Double]("t_stat") - (-math.sqrt(0.9))) < 1e-5)
+    assert(r.getAs[Long]("df_s") === 3L)
+  }
+
+  test("degenerate guards: singleton arm and constant column null out") {
+    val single = Seq((true, 5L), (false, 3L), (false, 4L)).toDF("is_a", "v")
+    val r1 = Stats.welchTTest(single, col("is_a"), col("v")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("t_stat")) && r1.isNullAt(r1.fieldIndex("df_w")))
+    val const = Seq((true, 7L), (true, 7L), (false, 7L), (false, 7L)).toDF("is_a", "v")
+    val r2 = Stats.studentTTest(const, col("is_a"), col("v")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("t_stat")))
+    val r3 = Stats.mannWhitneyU(const, col("is_a"), col("v")).collect().head
+    assert(r3.isNullAt(r3.fieldIndex("z")))
+  }
+
+  test("mannWhitneyU exact U, tie correction, and bucket invariance") {
+    // A = (1, 2), B = (2, 5): ranks 1, 2.5 | 2.5, 4
+    // R_a = 3.5 → U_a = 3.5 − 3 = 0.5; ties: one group of 2 → Σ(t³−t)=6
+    val df = Seq((true, 1L), (true, 2L), (false, 2L), (false, 5L))
+      .toDF("is_a", "v")
+    for (bw <- Seq(1L, 2L, 1L << 20)) {
+      val r = Stats.mannWhitneyU(df, col("is_a"), col("v"), bw).collect().head
+      assert(r.getAs[String]("u2_a") === "1", s"bw=$bw")   // 2·U_a
+      assert(r.getAs[String]("u2_b") === "7", s"bw=$bw")
+      assert(r.getAs[String]("tie_sum") === "6", s"bw=$bw")
+      assert(math.abs(r.getAs[Double]("u_a") - 0.5) < 1e-12)
+      // σ² = (2·2/12)·(5 − 6/(4·3)) = (1/3)·4.5 = 1.5; z = (0.5−2)/√1.5
+      assert(math.abs(r.getAs[Double]("z") - (-1.5 / math.sqrt(1.5))) < 1e-5)
+    }
+  }
+
+  test("rank tests handle negative values across bucket boundaries") {
+    // values straddle 0 so floorDiv bucketing must order (−3,−1,2,4)
+    val df = Seq((true, -3L), (true, 2L), (false, -1L), (false, 4L))
+      .toDF("is_a", "v")
+    val expected = Stats.mannWhitneyU(df, col("is_a"), col("v"), 1L << 40)
+      .collect().head
+    for (bw <- Seq(1L, 2L, 3L)) {
+      val r = Stats.mannWhitneyU(df, col("is_a"), col("v"), bw).collect().head
+      assert(r.getAs[String]("u2_a") === expected.getAs[String]("u2_a"), s"bw=$bw")
+      assert(r.getAs[Double]("z") === expected.getAs[Double]("z"), s"bw=$bw")
+    }
+  }
+
+  test("ksTest exact D and smallest-v argmax tiebreak") {
+    // A = (1, 3), B = (2, 4): F diffs at v=1,2,3,4 are 1/2,0,1/2,0 —
+    // D = 1/2 attained at v=1 and v=3; tiebreak must report v=1
+    val df = Seq((true, 1L), (true, 3L), (false, 2L), (false, 4L))
+      .toDF("is_a", "v")
+    for (bw <- Seq(1L, 2L, 1L << 20)) {
+      val r = Stats.ksTest(df, col("is_a"), col("v"), bw).collect().head
+      assert(r.getAs[String]("d_num") === "2", s"bw=$bw") // |cwa·nb − cwb·na|
+      assert(r.getAs[Long]("at_v") === 1L, s"bw=$bw")
+      assert(math.abs(r.getAs[Double]("d_stat") - 0.5) < 1e-12)
+      assert(math.abs(r.getAs[Double]("ks_z") - 0.5) < 1e-6) // √(4/4)·0.5
+    }
+  }
+
+  test("cramersV is 1 on a perfectly-associated table, null on constant") {
+    val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
+      .toDF("a", "b")
+    val r = Stats.cramersV(perfect, col("a"), col("b")).collect().head
+    assert(math.abs(r.getAs[Double]("v") - 1.0) < 1e-5)
+    assert(math.abs(r.getAs[Double]("chi2") - 4.0) < 1e-5)
+    val const = Seq(("x", 1L), ("x", 2L)).toDF("a", "b")
+    val r2 = Stats.cramersV(const, col("a"), col("b")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("v")))
+  }
+
+  test("theilsU: U(a|b)=1 when b determines a; asymmetric when not") {
+    // b determines a (each b value maps to one a), but a does NOT
+    // determine b (a=x spreads over b=1,2) → U(a|b)=1, U(b|a)<1
+    val df = Seq(("x", 1L), ("x", 2L), ("y", 3L), ("y", 3L)).toDF("a", "b")
+    val ab = Stats.theilsU(df, col("a"), col("b")).collect().head
+    assert(math.abs(ab.getAs[Double]("u") - 1.0) < 1e-5)
+    val ba = Stats.theilsU(df, col("b"), col("a")).collect().head
+    assert(ba.getAs[Double]("u") < 0.999)
+    val const = Seq(("x", 1L), ("x", 2L)).toDF("a", "b")
+    val r = Stats.theilsU(const, col("a"), col("b")).collect().head
+    assert(r.isNullAt(r.fieldIndex("u")))
+  }
+}
