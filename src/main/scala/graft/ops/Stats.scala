@@ -92,7 +92,8 @@ object Stats {
     p.select(col("n_a"), col("n_b"),
       col("s1a").cast("string").as("s1_a"), col("s2a").cast("string").as("s2_a"),
       col("s1b").cast("string").as("s1_b"), col("s2b").cast("string").as("s2_b"),
-      meanA.as("mean_a"), meanB.as("mean_b"),
+      when(col("n_a") > 0, meanA).as("mean_a"),
+      when(col("n_b") > 0, meanB).as("mean_b"),
       when(ok, r6(t)).as("t_stat"),
       when(ok, r6(dfW)).as("df_w"))
   }
@@ -115,7 +116,8 @@ object Stats {
     val ok = col("n_a") > 1 && col("n_b") > 1 && sp2 > lit(0.0)
     p.select(col("n_a"), col("n_b"),
       col("s1a").cast("string").as("s1_a"), col("s1b").cast("string").as("s1_b"),
-      meanA.as("mean_a"), meanB.as("mean_b"),
+      when(col("n_a") > 0, meanA).as("mean_a"),
+      when(col("n_b") > 0, meanB).as("mean_b"),
       when(ok, r6(t)).as("t_stat"),
       (col("n_a") + col("n_b") - lit(2L)).as("df_s"))
   }
@@ -225,6 +227,77 @@ object Stats {
       when(ok, r6(dStat * sqrt(naD * nbD / (naD + nbD)))).as("ks_z"))
   }
 
+  /** ClickHouse `rankCorr(x, y)` analog: Spearman's ρ with the midrank
+    * tie convention — the Pearson correlation of the rank variables.
+    * Ranks are kept as INTEGER doubled midranks (rank2 = 2·cw_t − c_t
+    * + 1, the [[mannWhitneyU]] identity applied per axis); the
+    * uniform ×2 cancels in ρ, so all five correlation sums are exact
+    * decimals and doubles appear only in the final ratio.
+    *
+    * Plan: one distinct-value rank table per axis (each the bucketed
+    * two-phase cumulative — no global window), joined back onto the
+    * row set (corpus-side sort-merge: the rank tables scale with
+    * distinct values), then one exact-sum hash aggregate.
+    *
+    * Output: (n, su, sv, suu, svv, suv STRING exact, rho r6 — null
+    * when either axis is constant). */
+  def rankCorr(df: DataFrame, x: Column, y: Column,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    val rows = df.select(x.as("x"), y.as("y"))
+    def rankTable(axis: String): DataFrame =
+      cumCounts(rows, lit(false), col(axis), bucketWidth)
+        .select(col("v").as(axis),
+          (lit(2L) * col("cw_t") - col("c_t") + lit(1L)).as(s"r_$axis"))
+    val ranked = rows
+      .join(Joins.corpusSide(rankTable("x")), "x")
+      .join(Joins.corpusSide(rankTable("y")), "y")
+    val agg = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(d(col("r_x"))).as("su"),
+      sum(d(col("r_y"))).as("sv"),
+      sum(d(col("r_x")) * d(col("r_x"))).as("suu"),
+      sum(d(col("r_y")) * d(col("r_y"))).as("svv"),
+      sum(d(col("r_x")) * d(col("r_y"))).as("suv"))
+    val nD = dbl(col("n"))
+    val num = nD * dbl(col("suv")) - dbl(col("su")) * dbl(col("sv"))
+    val dx = nD * dbl(col("suu")) - dbl(col("su")) * dbl(col("su"))
+    val dy = nD * dbl(col("svv")) - dbl(col("sv")) * dbl(col("sv"))
+    agg.select(col("n"),
+      col("su").cast("string").as("su"), col("sv").cast("string").as("sv"),
+      col("suu").cast("string").as("suu"), col("svv").cast("string").as("svv"),
+      col("suv").cast("string").as("suv"),
+      when(dx > lit(0.0) && dy > lit(0.0),
+        r6(num / (sqrt(dx) * sqrt(dy)))).as("rho"))
+  }
+
+  /** ClickHouse `meanZTest(σ²_a, σ²_b, …)(v, arm)` analog: two-sample
+    * z on the difference of means with KNOWN population variances —
+    * the cheap pre-test a dashboard runs when arm variances are
+    * pinned by historical data. Only the Σv partials are needed.
+    *
+    * Output: (n_a, n_b, s1_a, s1_b STRING, mean_a, mean_b, z r6 —
+    * null when either arm is empty or both variances are 0). */
+  def meanZTest(df: DataFrame, isA: Column, v: Column,
+      varA: Double, varB: Double): DataFrame = {
+    require(varA >= 0 && varB >= 0, "population variances must be >= 0")
+    val p = df.select(isA.as("ga"), v.as("v"))
+      .agg(
+        sum(when(col("ga"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("ga"), d(col("v"))).otherwise(d(lit(0L)))).as("s1a"),
+        sum(when(!col("ga"), d(col("v"))).otherwise(d(lit(0L)))).as("s1b"))
+    val naD = dbl(col("n_a")); val nbD = dbl(col("n_b"))
+    val meanA = dbl(col("s1a")) / naD
+    val meanB = dbl(col("s1b")) / nbD
+    val se = lit(varA) / naD + lit(varB) / nbD
+    val ok = col("n_a") > 0 && col("n_b") > 0 && se > lit(0.0)
+    p.select(col("n_a"), col("n_b"),
+      col("s1a").cast("string").as("s1_a"), col("s1b").cast("string").as("s1_b"),
+      when(col("n_a") > 0, meanA).as("mean_a"),
+      when(col("n_b") > 0, meanB).as("mean_b"),
+      when(ok, r6((meanA - meanB) / sqrt(se))).as("z"))
+  }
+
   // ------------------------------------------- categorical association
 
   /** ClickHouse `cramersV(a, b)` analog: Cramér's V from the
@@ -258,10 +331,21 @@ object Stats {
     val phi2 = dbl(col("cell_q")) / lit(1e12) - lit(1.0)
     val minDim = dbl(least(col("r_card"), col("c_card")) - lit(1L))
     val ok = col("r_card") > 1 && col("c_card") > 1
+    // ClickHouse cramersVBiasCorrected: Bergsma's correction — shrink
+    // φ² by its independence-expectation and the margins by their own
+    // small-sample inflation, all from the same one-row aggregates.
+    val rD = dbl(col("r_card")); val cD = dbl(col("c_card"))
+    val phi2bc = greatest(
+      phi2 - (rD - lit(1.0)) * (cD - lit(1.0)) / (nD - lit(1.0)), lit(0.0))
+    val rBc = rD - (rD - lit(1.0)) * (rD - lit(1.0)) / (nD - lit(1.0))
+    val cBc = cD - (cD - lit(1.0)) * (cD - lit(1.0)) / (nD - lit(1.0))
+    val minBc = least(rBc, cBc) - lit(1.0)
     agg.select(col("n"), col("r_card"), col("c_card"),
       col("cell_q").cast("string").as("cell_q"),
       when(ok, r6(nD * phi2)).as("chi2"),
-      when(ok, r6(sqrt(greatest(phi2, lit(0.0)) / minDim))).as("v"))
+      when(ok, r6(sqrt(greatest(phi2, lit(0.0)) / minDim))).as("v"),
+      when(ok && col("n") > 1 && minBc > lit(0.0),
+        r6(sqrt(phi2bc / minBc))).as("v_bc"))
   }
 
   /** ClickHouse `theilsU(a, b)` analog: the uncertainty coefficient
@@ -408,10 +492,53 @@ cb AS (SELECT b, sum(o) AS c_b FROM ct GROUP BY 1),
 cells AS (SELECT CAST(floor(CAST(o AS DOUBLE)*CAST(o AS DOUBLE)/(CAST(r_a AS DOUBLE)*CAST(c_b AS DOUBLE))*1e12+0.5) AS DECIMAL(38,0)) AS cq, o, ct.a, ct.b
  FROM ct JOIN ra ON ct.a = ra.a JOIN cb ON ct.b = cb.b),
 agg AS (SELECT sum(o) AS n, count(DISTINCT a) AS r_card, count(DISTINCT b) AS c_card, sum(cq) AS cell_q FROM cells),
-m AS (SELECT *, CAST(cell_q AS DOUBLE)/1e12 - 1.0 AS phi2 FROM agg)
+m AS (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(r_card AS DOUBLE) AS rd, CAST(c_card AS DOUBLE) AS cd, CAST(cell_q AS DOUBLE)/1e12 - 1.0 AS phi2 FROM agg),
+bc AS (SELECT *, greatest(phi2 - (rd-1.0)*(cd-1.0)/(nd-1.0), 0.0) AS phi2bc,
+ rd - (rd-1.0)*(rd-1.0)/(nd-1.0) AS rbc, cd - (cd-1.0)*(cd-1.0)/(nd-1.0) AS cbc FROM m)
 SELECT CAST(n AS BIGINT) AS n, r_card, c_card, CAST(cell_q AS VARCHAR) AS cell_q,
- CASE WHEN r_card > 1 AND c_card > 1 THEN floor(CAST(n AS DOUBLE)*phi2*1e6+0.5)/1e6 END AS chi2,
- CASE WHEN r_card > 1 AND c_card > 1 THEN floor(sqrt(greatest(phi2, 0.0)/CAST(least(r_card, c_card)-1 AS DOUBLE))*1e6+0.5)/1e6 END AS v
+ CASE WHEN r_card > 1 AND c_card > 1 THEN floor(nd*phi2*1e6+0.5)/1e6 END AS chi2,
+ CASE WHEN r_card > 1 AND c_card > 1 THEN floor(sqrt(greatest(phi2, 0.0)/CAST(least(r_card, c_card)-1 AS DOUBLE))*1e6+0.5)/1e6 END AS v,
+ CASE WHEN r_card > 1 AND c_card > 1 AND n > 1 AND least(rbc, cbc)-1.0 > 0.0 THEN floor(sqrt(phi2bc/(least(rbc, cbc)-1.0))*1e6+0.5)/1e6 END AS v_bc
+FROM bc"""
+
+  /** DuckDB replica of [[rankCorr]] over (µ-value, duration ms proxy)
+    * — midranks via the doubled-rank identity per axis, exact decimal
+    * Pearson over the rank pairs. The spec keeps single global
+    * windows; Spark's bucketed execution must reproduce them. */
+  val rankCorrOracleSql: String =
+    s"""WITH rows_ AS (SELECT $vMicros AS x, CAST(round(value*1000,0) AS BIGINT) % 1000 AS y FROM events WHERE $armFilter),
+rx AS (SELECT x, 2*sum(count(*)) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - count(*) + 1 AS r_x FROM rows_ GROUP BY x),
+ry AS (SELECT y, 2*sum(count(*)) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - count(*) + 1 AS r_y FROM rows_ GROUP BY y),
+ranked AS (SELECT r_x, r_y FROM rows_ JOIN rx USING (x) JOIN ry USING (y)),
+agg AS (SELECT count(*) AS n,
+ sum(CAST(r_x AS DECIMAL(38,0))) AS su, sum(CAST(r_y AS DECIMAL(38,0))) AS sv,
+ sum(CAST(r_x AS DECIMAL(38,0))*CAST(r_x AS DECIMAL(38,0))) AS suu,
+ sum(CAST(r_y AS DECIMAL(38,0))*CAST(r_y AS DECIMAL(38,0))) AS svv,
+ sum(CAST(r_x AS DECIMAL(38,0))*CAST(r_y AS DECIMAL(38,0))) AS suv FROM ranked),
+m AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+ CAST(n AS DOUBLE)*CAST(suv AS DOUBLE) - CAST(su AS DOUBLE)*CAST(sv AS DOUBLE) AS num,
+ CAST(n AS DOUBLE)*CAST(suu AS DOUBLE) - CAST(su AS DOUBLE)*CAST(su AS DOUBLE) AS dx,
+ CAST(n AS DOUBLE)*CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)*CAST(sv AS DOUBLE) AS dy FROM agg)
+SELECT CAST(n AS BIGINT) AS n, CAST(su AS VARCHAR) AS su, CAST(sv AS VARCHAR) AS sv,
+ CAST(suu AS VARCHAR) AS suu, CAST(svv AS VARCHAR) AS svv, CAST(suv AS VARCHAR) AS suv,
+ CASE WHEN dx > 0.0 AND dy > 0.0 THEN floor(num/(sqrt(dx)*sqrt(dy))*1e6+0.5)/1e6 END AS rho
+FROM m"""
+
+  /** DuckDB replica of [[meanZTest]] with pinned variances (1e14 each
+    * — the µ²-unit scale of the value column). */
+  val meanZTestOracleSql: String =
+    s"""WITH p AS (SELECT
+ sum(CASE WHEN $armIsA THEN 1 ELSE 0 END) AS n_a,
+ sum(CASE WHEN $armIsA THEN 0 ELSE 1 END) AS n_b,
+ sum(CASE WHEN $armIsA THEN CAST($vMicros AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s1a,
+ sum(CASE WHEN $armIsA THEN CAST(0 AS DECIMAL(38,0)) ELSE CAST($vMicros AS DECIMAL(38,0)) END) AS s1b
+ FROM events WHERE $armFilter),
+m AS (SELECT *, CAST(s1a AS DOUBLE)/CAST(n_a AS DOUBLE) AS mean_a,
+ CAST(s1b AS DOUBLE)/CAST(n_b AS DOUBLE) AS mean_b,
+ 1e14/CAST(n_a AS DOUBLE) + 1e14/CAST(n_b AS DOUBLE) AS se FROM p)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+ CAST(s1a AS VARCHAR) AS s1_a, CAST(s1b AS VARCHAR) AS s1_b, mean_a, mean_b,
+ CASE WHEN n_a > 0 AND n_b > 0 AND se > 0.0 THEN floor((mean_a-mean_b)/sqrt(se)*1e6+0.5)/1e6 END AS z
 FROM m"""
 
   /** DuckDB replica of [[theilsU]] over (event_type, user_id % 10). */

@@ -2749,7 +2749,24 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
     GraftQuery("q_theils_u",
       (s, dir) => graft.ops.Stats.theilsU(ev(s, dir),
         col("event_type"), col("user_id") % 10),
-      Some(graft.ops.Stats.theilsUOracleSql))
+      Some(graft.ops.Stats.theilsUOracleSql)),
+
+    // rankCorr (Spearman, midrank ties) between the µ-value and its
+    // millisecond remainder — two decorrelated integer axes.
+    GraftQuery("q_rank_corr",
+      (s, dir) => graft.ops.Stats.rankCorr(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        round(col("value") * 1e6, 0).cast("long"),
+        round(col("value") * 1e3, 0).cast("long") % 1000),
+      Some(graft.ops.Stats.rankCorrOracleSql)),
+
+    // meanZTest with variances pinned at the µ²-unit scale.
+    GraftQuery("q_mean_ztest",
+      (s, dir) => graft.ops.Stats.meanZTest(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        round(col("value") * 1e6, 0).cast("long"), 1e14, 1e14),
+      Some(graft.ops.Stats.meanZTestOracleSql))
   )
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =

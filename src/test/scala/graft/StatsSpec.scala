@@ -107,6 +107,50 @@ class StatsSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("v")))
   }
 
+  test("rankCorr: Spearman with midrank ties, bucket-invariant") {
+    // x = (1,2,2,4), y = (10,20,30,30): monotone up to ties.
+    // rank_x = 1, 2.5, 2.5, 4 | rank_y = 1, 2, 3.5, 3.5
+    // pairs (1,1) (2.5,2) (2.5,3.5) (4,3.5): devs x (−1.5,0,0,1.5),
+    // y (−1.5,−0.5,1,1) → Σxy=3.75, Σx²=Σy²=4.5 → ρ = 5/6
+    val df = Seq((1L, 10L), (2L, 20L), (2L, 30L), (4L, 30L)).toDF("x", "y")
+    for (bw <- Seq(1L, 3L, 1L << 20)) {
+      val r = Stats.rankCorr(df, col("x"), col("y"), bw).collect().head
+      assert(r.getAs[Long]("n") === 4L, s"bw=$bw")
+      assert(math.abs(r.getAs[Double]("rho") - 5.0 / 6.0) < 1e-5, s"bw=$bw")
+    }
+    // perfect monotone → ρ = 1; constant axis → null
+    val mono = Seq((1L, 5L), (2L, 9L), (3L, 11L)).toDF("x", "y")
+    val rm = Stats.rankCorr(mono, col("x"), col("y")).collect().head
+    assert(math.abs(rm.getAs[Double]("rho") - 1.0) < 1e-12)
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    val rc = Stats.rankCorr(const, col("x"), col("y")).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("rho")))
+  }
+
+  test("meanZTest with known variances; empty arm nulls out") {
+    // A = (2, 4) mean 3, B = (1,) mean 1; σ²_a = 8, σ²_b = 2
+    // se = 8/2 + 2/1 = 6 → z = 2/√6
+    val df = Seq((true, 2L), (true, 4L), (false, 1L)).toDF("is_a", "v")
+    val r = Stats.meanZTest(df, col("is_a"), col("v"), 8.0, 2.0).collect().head
+    assert(math.abs(r.getAs[Double]("z") - 2.0 / math.sqrt(6.0)) < 1e-5)
+    val oneArm = Seq((true, 2L)).toDF("is_a", "v")
+    val r2 = Stats.meanZTest(oneArm, col("is_a"), col("v"), 1.0, 1.0).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("z")))
+  }
+
+  test("cramersV bias-corrected variant shrinks toward 0 on small n") {
+    val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
+      .toDF("a", "b")
+    val r = Stats.cramersV(perfect, col("a"), col("b")).collect().head
+    // φ² = 1, correction (r−1)(c−1)/(n−1) = 1/3 → φ²_bc = 2/3;
+    // r_bc = c_bc = 2 − 1/3 = 5/3 → min−1 = 2/3 → v_bc = 1
+    assert(math.abs(r.getAs[Double]("v_bc") - 1.0) < 1e-5)
+    // independent 2×2 uniform: φ² = 0 → v_bc = 0
+    val indep = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L)).toDF("a", "b")
+    val ri = Stats.cramersV(indep, col("a"), col("b")).collect().head
+    assert(ri.getAs[Double]("v_bc") === 0.0)
+  }
+
   test("theilsU: U(a|b)=1 when b determines a; asymmetric when not") {
     // b determines a (each b value maps to one a), but a does NOT
     // determine b (a=x spreads over b=1,2) → U(a|b)=1, U(b|a)<1
