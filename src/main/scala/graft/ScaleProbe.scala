@@ -234,6 +234,30 @@ object ScaleProbe {
         force(graft.ops.Retrieval.rrfFusion(docs, col("doc_id"), col("text"),
           terms = Seq("the", "data")))
       }),
+      // the rank-test family (Mann–Whitney / KS / Spearman) on a
+      // CONTINUOUS value axis — |distinct values| ≈ |events|, the
+      // weighted_quantile hazard shape — so the cumulative midranks
+      // must run in the bucketed two-phase form (≤100k-row carry
+      // table, never a global one-task window). rankCorr additionally
+      // joins two event-proportional rank tables back onto the rows:
+      // both joins are corpus-side sort-merge, linear shuffle by
+      // construction; the final statistics are one-row aggregates so
+      // driver bytes stay flat
+      "rank_tests" -> (() => {
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          (pmod(col("id"), lit(2)) === 0).as("ga"),
+          pmod(hash(col("id") * lit(17L)), lit(1000000000000L)).as("v"),
+          pmod(hash(col("id") * lit(23L)), lit(1000000000000L)).as("y"))
+        withShufflePartitions(math.max(32L, eventsN / 250000L)) {
+          force(graft.ops.Stats.mannWhitneyU(e, col("ga"), col("v"),
+            bucketWidth = 10000000L)) +
+          force(graft.ops.Stats.ksTest(e, col("ga"), col("v"),
+            bucketWidth = 10000000L)) +
+          force(graft.ops.Stats.rankCorr(e, col("v"), col("y"),
+            bucketWidth = 10000000L))
+        }
+      }),
       // token-explode aggregation rungs: shuffle must track corpus
       // tokens (linear), driver results must stay count-sized
       "tfidf_topterms" -> (() =>
