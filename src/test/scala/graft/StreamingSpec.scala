@@ -680,4 +680,37 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 101L)))
     } finally q.stop()
   }
+
+  test("live Welch t-test: streaming complete-mode agg matches batch on the same events") {
+    import spark.implicits._
+    // the A/B surface's streaming twin: welchTTest is ONE global
+    // aggregate of associative decimal partials, so pointing it at a
+    // streaming DataFrame in complete mode yields a live-updating
+    // t-statistic with one row of state — no operator changes needed
+    val in = MemoryStream[(Boolean, Long)](spark)
+    val q = graft.ops.Stats.welchTTest(
+        in.toDF().toDF("is_a", "v"), col("is_a"), col("v"))
+      .writeStream.format("memory").queryName("welch_live")
+      .outputMode(OutputMode.Complete).start()
+    def live = spark.sql("SELECT * FROM welch_live")
+    def batchOf(rows: Seq[(Boolean, Long)]) =
+      graft.ops.Stats.welchTTest(rows.toDF("is_a", "v"), col("is_a"), col("v"))
+    val batch1 = Seq((true, 1L), (true, 2L), (false, 4L))
+    val batch2 = Seq((true, 3L), (false, 2L), (false, 6L))
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      // one arm still singleton: stats null, partials exact
+      val r1 = live.collect().head
+      assert(r1.getAs[String]("s1_a") === "3" && r1.isNullAt(r1.fieldIndex("t_stat")))
+      assert(live.collect().map(_.toString).toSeq ===
+        batchOf(batch1).collect().map(_.toString).toSeq)
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      val r2 = live.collect().head
+      assert(!r2.isNullAt(r2.fieldIndex("t_stat")))
+      assert(live.collect().map(_.toString).toSeq ===
+        batchOf(batch1 ++ batch2).collect().map(_.toString).toSeq)
+    } finally { q.stop() }
+  }
 }
