@@ -345,7 +345,10 @@ object Stats {
       when(ok, r6(nD * phi2)).as("chi2"),
       when(ok, r6(sqrt(greatest(phi2, lit(0.0)) / minDim))).as("v"),
       when(ok && col("n") > 1 && minBc > lit(0.0),
-        r6(sqrt(phi2bc / minBc))).as("v_bc"))
+        r6(sqrt(phi2bc / minBc))).as("v_bc"),
+      // ClickHouse contingency(a,b): C = √(χ²/(χ²+n)) = √(φ²/(φ²+1))
+      when(ok, r6(sqrt(greatest(phi2, lit(0.0)) /
+        (greatest(phi2, lit(0.0)) + lit(1.0))))).as("c_coef"))
   }
 
   /** ClickHouse `theilsU(a, b)` analog: the uncertainty coefficient
@@ -381,6 +384,57 @@ object Stats {
       col("h_a_q").cast("string").as("h_a_q"),
       col("h_cond_q").cast("string").as("h_cond_q"),
       when(col("h_a_q") > 0, r6(u)).as("u"))
+  }
+
+  /** ClickHouse `simpleLinearRegression(x, y)` analog: least-squares
+    * slope and intercept per group from one pass of exact decimal
+    * sums — slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept =
+    * (Σy − slope·Σx)/n. The dashboard's trend line over an hourly
+    * metric. Groups are bounded (one row per key); within-group state
+    * is five decimals, so the aggregate is skew-immune.
+    *
+    * Output: (k, n, sx, sy, sxx, sxy STRING exact, slope r6,
+    *          intercept r6 — null when x is constant in the group). */
+  def linearRegression(df: DataFrame, key: Column, x: Column,
+      y: Column): DataFrame = {
+    val agg = df.select(key.as("k"), x.as("x"), y.as("y"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+        sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"))
+    val nD = dbl(col("n"))
+    val den = nD * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))
+    val slope = (nD * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) / den
+    val intercept = (dbl(col("sy")) - slope * dbl(col("sx"))) / nD
+    agg.select(col("k"), col("n"),
+      col("sx").cast("string").as("sx"), col("sy").cast("string").as("sy"),
+      col("sxx").cast("string").as("sxx"), col("sxy").cast("string").as("sxy"),
+      when(den > lit(0.0), r6(slope)).as("slope"),
+      when(den > lit(0.0), r6(intercept)).as("intercept"))
+  }
+
+  /** ClickHouse `entropy(v)` analog: Shannon entropy (bits) of a
+    * column's value distribution. Each term −p·log2(p) is quantized
+    * to 1e-12 BEFORE summing (the [[theilsU]] idiom), so the only
+    * cross-engine double summation is exact-integer. One hash agg over
+    * distinct values + a one-row total broadcast.
+    *
+    * Output: (n, card, h_q STRING exact, entropy_bits r6). */
+  def columnEntropy(df: DataFrame, v: Column): DataFrame = {
+    val counts = df.select(v.as("v")).groupBy(col("v"))
+      .agg(count(lit(1)).as("o"))
+    val tot = counts.agg(sum(col("o")).as("n"))
+    val term = d(floor(lit(-1.0) * dbl(col("o")) / dbl(col("n")) *
+      (log(dbl(col("o")) / dbl(col("n"))) / lit(math.log(2.0))) *
+      lit(1e12) + lit(0.5)))
+    counts.crossJoin(broadcast(tot))
+      .select(term.as("t"), col("n"))
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("card"), sum(col("t")).as("h_q"))
+      .select(col("n"), col("card"),
+        col("h_q").cast("string").as("h_q"),
+        r6(dbl(col("h_q")) / lit(1e12)).as("entropy_bits"))
   }
 
   // ------------------------------------------------------------- oracles
@@ -498,8 +552,37 @@ bc AS (SELECT *, greatest(phi2 - (rd-1.0)*(cd-1.0)/(nd-1.0), 0.0) AS phi2bc,
 SELECT CAST(n AS BIGINT) AS n, r_card, c_card, CAST(cell_q AS VARCHAR) AS cell_q,
  CASE WHEN r_card > 1 AND c_card > 1 THEN floor(nd*phi2*1e6+0.5)/1e6 END AS chi2,
  CASE WHEN r_card > 1 AND c_card > 1 THEN floor(sqrt(greatest(phi2, 0.0)/CAST(least(r_card, c_card)-1 AS DOUBLE))*1e6+0.5)/1e6 END AS v,
- CASE WHEN r_card > 1 AND c_card > 1 AND n > 1 AND least(rbc, cbc)-1.0 > 0.0 THEN floor(sqrt(phi2bc/(least(rbc, cbc)-1.0))*1e6+0.5)/1e6 END AS v_bc
+ CASE WHEN r_card > 1 AND c_card > 1 AND n > 1 AND least(rbc, cbc)-1.0 > 0.0 THEN floor(sqrt(phi2bc/(least(rbc, cbc)-1.0))*1e6+0.5)/1e6 END AS v_bc,
+ CASE WHEN r_card > 1 AND c_card > 1 THEN floor(sqrt(greatest(phi2, 0.0)/(greatest(phi2, 0.0)+1.0))*1e6+0.5)/1e6 END AS c_coef
 FROM bc"""
+
+  /** DuckDB replica of [[linearRegression]]: per event-type trend of
+    * µ-value over the event's hour-of-epoch. */
+  val linearRegressionOracleSql: String =
+    s"""WITH rows_ AS (SELECT event_type AS k,
+ epoch_us(ts) // 3600000000 AS x, $vMicros AS y FROM events),
+agg AS (SELECT k, count(*) AS n,
+ sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+ sum(CAST(x AS DECIMAL(38,0))*CAST(x AS DECIMAL(38,0))) AS sxx,
+ sum(CAST(x AS DECIMAL(38,0))*CAST(y AS DECIMAL(38,0))) AS sxy
+ FROM rows_ GROUP BY k),
+m AS (SELECT *, CAST(n AS DOUBLE) AS nd,
+ CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) AS den,
+ CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE) AS num FROM agg)
+SELECT k, CAST(n AS BIGINT) AS n, CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+ CAST(sxx AS VARCHAR) AS sxx, CAST(sxy AS VARCHAR) AS sxy,
+ CASE WHEN den > 0.0 THEN floor(num/den*1e6+0.5)/1e6 END AS slope,
+ CASE WHEN den > 0.0 THEN floor((CAST(sy AS DOUBLE) - num/den*CAST(sx AS DOUBLE))/nd*1e6+0.5)/1e6 END AS intercept
+FROM m"""
+
+  /** DuckDB replica of [[columnEntropy]] over event_type. */
+  val columnEntropyOracleSql: String =
+    """WITH counts AS (SELECT event_type AS v, count(*) AS o FROM events GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM counts),
+terms AS (SELECT n, CAST(floor(-1.0*CAST(o AS DOUBLE)/CAST(n AS DOUBLE)*(ln(CAST(o AS DOUBLE)/CAST(n AS DOUBLE))/ln(2.0))*1e12+0.5) AS DECIMAL(38,0)) AS t FROM counts, tot)
+SELECT CAST(n AS BIGINT) AS n, count(*) AS card, CAST(sum(t) AS VARCHAR) AS h_q,
+ floor(CAST(sum(t) AS DOUBLE)/1e12*1e6+0.5)/1e6 AS entropy_bits
+FROM terms GROUP BY n"""
 
   /** DuckDB replica of [[rankCorr]] over (µ-value, duration ms proxy)
     * — midranks via the doubled-rank identity per axis, exact decimal

@@ -2766,7 +2766,22 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         ev(s, dir).filter(col("event_type").isin("click", "view")),
         col("event_type") === "click",
         round(col("value") * 1e6, 0).cast("long"), 1e14, 1e14),
-      Some(graft.ops.Stats.meanZTestOracleSql))
+      Some(graft.ops.Stats.meanZTestOracleSql)),
+
+    // simpleLinearRegression analog: per-event-type trend of the
+    // µ-value over the hour-of-epoch axis (integer-exact hour index).
+    GraftQuery("q_linreg",
+      (s, dir) => graft.ops.Stats.linearRegression(ev(s, dir),
+        col("event_type"),
+        expr("unix_micros(ts) div 3600000000"),
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.Stats.linearRegressionOracleSql)),
+
+    // entropy(event_type): Shannon bits of the value distribution.
+    GraftQuery("q_value_entropy",
+      (s, dir) => graft.ops.Stats.columnEntropy(ev(s, dir),
+        col("event_type")),
+      Some(graft.ops.Stats.columnEntropyOracleSql))
   )
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =

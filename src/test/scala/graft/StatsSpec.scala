@@ -151,6 +151,35 @@ class StatsSpec extends SparkSpec {
     assert(ri.getAs[Double]("v_bc") === 0.0)
   }
 
+  test("linearRegression: exact slope/intercept per group; constant-x nulls") {
+    // group g: y = 3x + 2 exactly → slope 3, intercept 2
+    val df = Seq(("g", 0L, 2L), ("g", 1L, 5L), ("g", 2L, 8L),
+      ("c", 4L, 1L), ("c", 4L, 9L)).toDF("k", "x", "y")
+    val out = Stats.linearRegression(df, col("k"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(math.abs(out("g").getAs[Double]("slope") - 3.0) < 1e-12)
+    assert(math.abs(out("g").getAs[Double]("intercept") - 2.0) < 1e-12)
+    assert(out("c").isNullAt(out("c").fieldIndex("slope")))
+  }
+
+  test("columnEntropy: uniform 4 values → 2 bits; constant → 0") {
+    val uniform = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val r = Stats.columnEntropy(uniform, col("v")).collect().head
+    assert(r.getAs[Long]("card") === 4L)
+    assert(math.abs(r.getAs[Double]("entropy_bits") - 2.0) < 1e-5)
+    val const = Seq(9L, 9L).toDF("v")
+    val rc = Stats.columnEntropy(const, col("v")).collect().head
+    assert(rc.getAs[Double]("entropy_bits") === 0.0)
+  }
+
+  test("contingency coefficient: √(φ²/(φ²+1)) alongside v") {
+    val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
+      .toDF("a", "b")
+    val r = Stats.cramersV(perfect, col("a"), col("b")).collect().head
+    // φ² = 1 → C = √(1/2)
+    assert(math.abs(r.getAs[Double]("c_coef") - math.sqrt(0.5)) < 1e-5)
+  }
+
   test("theilsU: U(a|b)=1 when b determines a; asymmetric when not") {
     // b determines a (each b value maps to one a), but a does NOT
     // determine b (a=x spreads over b=1,2) → U(a|b)=1, U(b|a)<1
