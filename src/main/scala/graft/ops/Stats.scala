@@ -437,6 +437,31 @@ object Stats {
         r6(dbl(col("h_q")) / lit(1e12)).as("entropy_bits"))
   }
 
+  /** ClickHouse `histogram(N)(v)` analog, made DETERMINISTIC: an exact
+    * equi-depth histogram. ClickHouse's adaptive streaming histogram is
+    * merge-order-dependent; the reproducible contract here assigns each
+    * DISTINCT value wholly to the bin of its first element's rank —
+    * bin = min(N−1, (cw − c)·N div n), all integer arithmetic — and
+    * reports per-bin (lo, hi, cnt). Ties therefore never split across
+    * bins, so bin counts are ~n/N ± the largest tie group, which is the
+    * standard equi-depth convention.
+    *
+    * Plan: the bucketed two-phase cumulative (no global window) + a
+    * one-row total broadcast + an N-row hash agg. */
+  def equiDepthHistogram(df: DataFrame, v: Column, nBins: Int,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val cum = cumCounts(df, lit(false), v, bucketWidth)
+    val tot = cum.agg(sum(col("c_t")).as("n"))
+    val binned = cum.crossJoin(broadcast(tot))
+      .select(col("v"), col("c_t"), col("n"),
+        least(lit(nBins - 1L),
+          expr(s"(cw_t - c_t) * $nBins div n")).as("bin"))
+    binned.groupBy(col("bin"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+        sum(col("c_t")).as("cnt"))
+  }
+
   // ------------------------------------------------------------- oracles
 
   private val vMicros = "CAST(round(value*1000000,0) AS BIGINT)"
@@ -574,6 +599,17 @@ SELECT k, CAST(n AS BIGINT) AS n, CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR)
  CASE WHEN den > 0.0 THEN floor(num/den*1e6+0.5)/1e6 END AS slope,
  CASE WHEN den > 0.0 THEN floor((CAST(sy AS DOUBLE) - num/den*CAST(sx AS DOUBLE))/nd*1e6+0.5)/1e6 END AS intercept
 FROM m"""
+
+  /** DuckDB replica of [[equiDepthHistogram]] (single-window spec) over
+    * the µ-value with 8 bins. */
+  val equiDepthHistogramOracleSql: String =
+    s"""WITH byv AS (SELECT $vMicros AS v, count(*) AS c_t FROM events GROUP BY 1),
+cum AS (SELECT v, c_t,
+ sum(c_t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw_t FROM byv),
+tot AS (SELECT sum(c_t) AS n FROM byv),
+binned AS (SELECT v, c_t, least(7, (cw_t - c_t) * 8 // n) AS bin FROM cum, tot)
+SELECT CAST(bin AS BIGINT) AS bin, min(v) AS lo, max(v) AS hi, CAST(sum(c_t) AS BIGINT) AS cnt
+FROM binned GROUP BY bin"""
 
   /** DuckDB replica of [[columnEntropy]] over event_type. */
   val columnEntropyOracleSql: String =

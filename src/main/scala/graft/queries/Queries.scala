@@ -2781,7 +2781,13 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
     GraftQuery("q_value_entropy",
       (s, dir) => graft.ops.Stats.columnEntropy(ev(s, dir),
         col("event_type")),
-      Some(graft.ops.Stats.columnEntropyOracleSql))
+      Some(graft.ops.Stats.columnEntropyOracleSql)),
+
+    // deterministic equi-depth histogram(8) over the µ-value.
+    GraftQuery("q_histogram",
+      (s, dir) => graft.ops.Stats.equiDepthHistogram(ev(s, dir),
+        round(col("value") * 1e6, 0).cast("long"), nBins = 8),
+      Some(graft.ops.Stats.equiDepthHistogramOracleSql))
   )
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =

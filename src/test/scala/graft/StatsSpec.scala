@@ -180,6 +180,19 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("c_coef") - math.sqrt(0.5)) < 1e-5)
   }
 
+  test("equiDepthHistogram: whole ties per bin, exact rank cuts, bucket-invariant") {
+    // 8 values into 4 bins of depth 2; value 30 has count 3 and its
+    // FIRST element sits at rank 5 → bin 2 takes the whole tie (3 rows)
+    val df = Seq(10L, 11L, 20L, 21L, 30L, 30L, 30L, 40L).toDF("v")
+    for (bw <- Seq(1L, 7L, 1L << 20)) {
+      val out = Stats.equiDepthHistogram(df, col("v"), nBins = 4, bw)
+        .collect().map(r => (r.getAs[Long]("bin"),
+          (r.getAs[Long]("lo"), r.getAs[Long]("hi"), r.getAs[Long]("cnt")))).toMap
+      assert(out === Map(0L -> ((10L, 11L, 2L)), 1L -> ((20L, 21L, 2L)),
+        2L -> ((30L, 30L, 3L)), 3L -> ((40L, 40L, 1L))), s"bw=$bw")
+    }
+  }
+
   test("theilsU: U(a|b)=1 when b determines a; asymmetric when not") {
     // b determines a (each b value maps to one a), but a does NOT
     // determine b (a=x spreads over b=1,2) → U(a|b)=1, U(b|a)<1
