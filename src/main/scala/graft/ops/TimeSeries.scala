@@ -835,6 +835,103 @@ SELECT k, tw_num, tw_den, CASE WHEN tw_den > 0 THEN CAST(tw_num AS DOUBLE) / CAS
 r AS (SELECT *, row_number() OVER (PARTITION BY k, bkt ORDER BY tu, event_id) AS rn_a, row_number() OVER (PARTITION BY k, bkt ORDER BY tu DESC, event_id DESC) AS rn_d FROM e)
 SELECT k, bkt, min(v) AS v_min, max(v) AS v_max, min(CASE WHEN rn_a = 1 THEN v END) AS v_first, min(CASE WHEN rn_d = 1 THEN v END) AS v_last, count(*) AS n FROM r GROUP BY 1, 2"""
 
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013;
+    * ClickHouse `largestTriangleThreeBuckets`), re-expressed for
+    * parallel execution. The sequential original anchors each bucket's
+    * triangle on the PREVIOUSLY SELECTED point — a loop-carried
+    * dependency no distributed plan can honor. This variant anchors on
+    * the previous bucket's CENTROID instead (the approximation the
+    * original already applies to the NEXT bucket), making every
+    * bucket's argmax independent: one centroid hash agg, one join, one
+    * argmax hash agg — no per-point window, so a dense bucket never
+    * becomes a WindowExec group.
+    *
+    * Buckets are fixed `bucketUs` time windows (the [[m4Downsample]]
+    * convention rather than equal point counts), indexed per key over
+    * NON-EMPTY buckets so time gaps don't break neighbor adjacency.
+    * Edge contract: the first bucket returns the series' first point,
+    * the last its last point (a single-bucket series returns its first
+    * point); middle buckets return the max-area point.
+    *
+    * Determinism: the area comparison is EXACT integer arithmetic —
+    * N = (x·nₐ − Σxₐ)·(nₐ·Σy_c − n_c·Σyₐ) − (nₐ·Σx_c − n_c·Σxₐ)·(y·nₐ − Σyₐ)
+    * is the doubled triangle area scaled by nₐ²·n_c > 0, carried in
+    * DECIMAL(38,0) (HUGEINT in the oracle); ties break on smallest
+    * (tu, tiebreak). Every factor is translation-invariant
+    * (x·nₐ − Σxₐ = nₐ·(x − x̄ₐ)), so magnitudes track bucket SPANS:
+    * |N| ≲ nₐ²·n_c·Δx·Δy stays under 10³⁸ for µs×µ-unit series with
+    * per-bucket counts up to ~10⁶ — bucketUs is the resolution knob.
+    *
+    * Output: (k, bkt BIGINT, tu BIGINT epoch-µs, v BIGINT µ). */
+  def lttb(events: DataFrame, key: Column, ts: Column, tiebreak: Column,
+      valueMicros: Column, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val dec38 = DecimalType(38, 0)
+    def d38(c: Column): Column = c.cast(dec38)
+    val tu = unix_micros(ts)
+    val bkt = ((tu - pmod(tu, lit(bucketUs))) / lit(bucketUs)).cast("long")
+    val pts = events.select(key.as("k"), bkt.as("bkt"), tu.as("tu"),
+      tiebreak.as("tb"), valueMicros.as("v"))
+    val cent = pts.groupBy(col("k"), col("bkt"))
+      .agg(count(lit(1)).as("n"),
+        sum(d38(col("tu"))).as("sx"), sum(d38(col("v"))).as("sy"),
+        min(struct(col("tu"), col("tb"), col("v"))).as("first_s"),
+        max(struct(col("tu"), col("tb"), col("v"))).as("last_s"))
+    // neighbor centroids by non-empty-bucket INDEX; the window groups
+    // are per-key BUCKET counts (span/bucketUs — the M4 result class),
+    // never event counts
+    val wk = Window.partitionBy(col("k")).orderBy(col("bkt"))
+    val idx = cent
+      .withColumn("i", row_number().over(wk))
+      .withColumn("m", count(lit(1)).over(Window.partitionBy(col("k"))))
+      .withColumn("na", lag(col("n"), 1).over(wk))
+      .withColumn("sxa", lag(col("sx"), 1).over(wk))
+      .withColumn("sya", lag(col("sy"), 1).over(wk))
+      .withColumn("nc", lead(col("n"), 1).over(wk))
+      .withColumn("sxc", lead(col("sx"), 1).over(wk))
+      .withColumn("syc", lead(col("sy"), 1).over(wk))
+    val edges = idx
+      .filter(col("i") === 1 || col("i") === col("m"))
+      .select(col("k"), col("bkt"),
+        when(col("i") === 1, col("first_s")).otherwise(col("last_s")).as("s"))
+      .select(col("k"), col("bkt"),
+        col("s").getField("tu").as("tu"), col("s").getField("v").as("v"))
+    val mids = pts.join(Joins.corpusSide(
+        idx.filter(col("i") > 1 && col("i") < col("m"))
+          .select(col("k"), col("bkt"), col("na"), col("sxa"), col("sya"),
+            col("nc"), col("sxc"), col("syc"))),
+      Seq("k", "bkt"))
+    val termA = d38(col("tu")) * col("na") - col("sxa")
+    val termB = col("na") * col("syc") - col("nc") * col("sya")
+    val termC = col("na") * col("sxc") - col("nc") * col("sxa")
+    val termD = d38(col("v")) * col("na") - col("sya")
+    val area = abs(termA * termB - termC * termD)
+    val picked = mids
+      .select(col("k"), col("bkt"),
+        struct(area.as("a"), (lit(0L) - col("tu")).as("ntu"),
+          (lit(0L) - col("tb")).as("ntb"),
+          col("tu"), col("v")).as("cand"))
+      .groupBy(col("k"), col("bkt"))
+      .agg(max(col("cand")).as("mx"))
+      .select(col("k"), col("bkt"),
+        col("mx").getField("tu").as("tu"), col("mx").getField("v").as("v"))
+    edges.unionByName(picked)
+  }
+
+  /** DuckDB replica of [[lttb]] keyed by event_type with event_id
+    * tiebreak (row_number form of the argmax — equivalent to the
+    * struct max because (area DESC, tu, tb) is a total order). */
+  def lttbOracleSql(bucketUs: Long): String =
+    s"""WITH e AS (SELECT event_type AS k, CAST((epoch_us(ts) - ((epoch_us(ts) % $bucketUs) + $bucketUs) % $bucketUs) / $bucketUs AS BIGINT) AS bkt, epoch_us(ts) AS tu, event_id, CAST(round(value*1000000,0) AS BIGINT) AS v FROM events),
+cent AS (SELECT k, bkt, count(*) AS n, sum(CAST(tu AS HUGEINT)) AS sx, sum(CAST(v AS HUGEINT)) AS sy FROM e GROUP BY 1, 2),
+idx AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY bkt) AS i, count(*) OVER (PARTITION BY k) AS m, lag(n) OVER w AS na, lag(sx) OVER w AS sxa, lag(sy) OVER w AS sya, lead(n) OVER w AS nc, lead(sx) OVER w AS sxc, lead(sy) OVER w AS syc FROM cent WINDOW w AS (PARTITION BY k ORDER BY bkt)),
+r AS (SELECT *, row_number() OVER (PARTITION BY k, bkt ORDER BY tu, event_id) AS rn_a, row_number() OVER (PARTITION BY k, bkt ORDER BY tu DESC, event_id DESC) AS rn_d FROM e),
+fl AS (SELECT k, bkt, min(CASE WHEN rn_a = 1 THEN tu END) AS ftu, min(CASE WHEN rn_a = 1 THEN v END) AS fv, min(CASE WHEN rn_d = 1 THEN tu END) AS ltu, min(CASE WHEN rn_d = 1 THEN v END) AS lv FROM r GROUP BY 1, 2),
+edges AS (SELECT idx.k, idx.bkt, CASE WHEN i = 1 THEN ftu ELSE ltu END AS tu, CASE WHEN i = 1 THEN fv ELSE lv END AS v FROM idx JOIN fl ON idx.k = fl.k AND idx.bkt = fl.bkt WHERE i = 1 OR i = m),
+mids AS (SELECT e.k, e.bkt, e.tu, e.v, e.event_id, abs((CAST(e.tu AS HUGEINT)*na - sxa)*(na*syc - nc*sya) - (na*sxc - nc*sxa)*(CAST(e.v AS HUGEINT)*na - sya)) AS area FROM e JOIN idx ON e.k = idx.k AND e.bkt = idx.bkt WHERE i > 1 AND i < m),
+sel AS (SELECT k, bkt, tu, v FROM mids QUALIFY row_number() OVER (PARTITION BY k, bkt ORDER BY area DESC, tu ASC, event_id ASC) = 1)
+SELECT k, bkt, tu, v FROM edges UNION ALL SELECT k, bkt, tu, v FROM sel"""
+
   /** ClickHouse `retention(cond₁, …, condₙ)` analog, aggregated: the
     * number of users satisfying cond₁, and for each later condition
     * the number satisfying BOTH cond₁ and condᵢ (the classic cohort

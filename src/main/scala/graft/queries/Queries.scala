@@ -2787,7 +2787,16 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
     GraftQuery("q_histogram",
       (s, dir) => graft.ops.Stats.equiDepthHistogram(ev(s, dir),
         round(col("value") * 1e6, 0).cast("long"), nBins = 8),
-      Some(graft.ops.Stats.equiDepthHistogramOracleSql))
+      Some(graft.ops.Stats.equiDepthHistogramOracleSql)),
+
+    // LTTB downsampling (parallel centroid-anchored variant), daily
+    // buckets per event type.
+    GraftQuery("q_lttb",
+      (s, dir) => graft.ops.TimeSeries.lttb(ev(s, dir),
+        col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 1e6, 0).cast("long"),
+        bucketUs = 86400000000L),
+      Some(graft.ops.TimeSeries.lttbOracleSql(86400000000L)))
   )
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =

@@ -507,4 +507,53 @@ class TimeSeriesSpec extends SparkSpec {
       (1L, "click:2000000,view:2000000"),
       (2L, "click:1000000")))
   }
+
+  test("lttb: edge points kept, middle bucket picks max-area vs neighbor centroids") {
+    // key a, 1-minute buckets over non-adjacent times (a GAP between
+    // bucket 0 and bucket 5 — index adjacency must bridge it):
+    //  bucket 0 (first): points at :00 (v=0) and :30 (v=100) → first
+    //    point (:00, 0) is kept
+    //  bucket 5 (middle): prev centroid = bucket 0 (x̄=15s, ȳ=50),
+    //    next centroid = bucket 9; candidates v = 0 / 1000 / 0 —
+    //    the spike at 1000 dominates the triangle area
+    //  bucket 9 (last): last point kept
+    val us = 60L * 1000000L
+    // base must sit ON a bucket boundary (divisible by 60) so the
+    // constructed bucket indices line up
+    def t(bucket: Long, sec: Long) =
+      new java.sql.Timestamp((1700000040L + bucket * 60 + sec) * 1000L)
+    val rows = Seq(
+      (1L, t(0, 0), 0L), (2L, t(0, 30), 100L),
+      (3L, t(5, 0), 0L), (4L, t(5, 20), 1000L), (5L, t(5, 40), 0L),
+      (6L, t(9, 0), 50L), (7L, t(9, 30), 60L))
+    val df = rows.toDF("event_id", "ts", "v")
+      .select(lit("a").as("et"), col("ts"), col("event_id"), col("v"))
+    val out = TimeSeries.lttb(df, col("et"), col("ts"), col("event_id"),
+        col("v"), bucketUs = us)
+      .orderBy(col("bkt"))
+      .collect().map(r => (r.getAs[Long]("tu"), r.getAs[Long]("v")))
+    val base = 1700000040L * 1000000L
+    assert(out.toSeq === Seq(
+      (base, 0L),                          // bucket 0: first point
+      (base + (5 * 60 + 20) * 1000000L, 1000L), // bucket 5: the spike
+      (base + (9 * 60 + 30) * 1000000L, 60L)))  // bucket 9: last point
+  }
+
+  test("lttb: single-bucket series returns its first point; two buckets return edges") {
+    val us = 60L * 1000000L
+    def t(sec: Long) = new java.sql.Timestamp((1700000000L + sec) * 1000L)
+    val one = Seq((1L, t(0), 7L), (2L, t(10), 9L))
+      .toDF("event_id", "ts", "v")
+      .select(lit("a").as("et"), col("ts"), col("event_id"), col("v"))
+    val o1 = TimeSeries.lttb(one, col("et"), col("ts"), col("event_id"),
+      col("v"), us).collect().map(r => r.getAs[Long]("v"))
+    assert(o1.toSeq === Seq(7L))
+    val two = Seq((1L, t(0), 7L), (2L, t(10), 9L), (3L, t(70), 3L))
+      .toDF("event_id", "ts", "v")
+      .select(lit("a").as("et"), col("ts"), col("event_id"), col("v"))
+    val o2 = TimeSeries.lttb(two, col("et"), col("ts"), col("event_id"),
+      col("v"), us).orderBy(col("bkt")).collect()
+      .map(r => r.getAs[Long]("v"))
+    assert(o2.toSeq === Seq(7L, 3L)) // first point, last point — no middles
+  }
 }
