@@ -437,6 +437,49 @@ object Stats {
         r6(dbl(col("h_q")) / lit(1e12)).as("entropy_bits"))
   }
 
+  /** ClickHouse `analysisOfVariance(v, group)` analog: one-way ANOVA
+    * F-statistic across the groups of a categorical column. Per-group
+    * exact decimal sums (one hash agg), then each group's squared-sum
+    * term ⌊S1_g²/n_g⌋ is computed in EXACT integer decimal arithmetic
+    * (S1_g² − pmod ≡ divisible, so the division is representation-
+    * exact; HUGEINT floor-division in the oracle) before the
+    * cross-group sum — group iteration order can never perturb it, and
+    * the ≤1-unit floor loss per group is far below the 6-dp F
+    * resolution. Then scalar math on one row:
+    * SSB = Σ_g⌊S1_g²/n_g⌋ − (Σv)²/n, SSW = Σv² − Σ_g⌊S1_g²/n_g⌋,
+    * F = (SSB/(G−1)) / (SSW/(n−G)).
+    *
+    * Output: (n, g_card, s1 STRING exact, sq_q STRING exact,
+    *          f_stat r6, df_between, df_within LONG — f null when
+    * G < 2, n ≤ G, or SSW = 0). */
+  def anovaF(df: DataFrame, v: Column, group: Column): DataFrame = {
+    val per = df.select(group.as("g"), v.as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(d(col("v"))).as("s1g"),
+        sum(d(col("v")) * d(col("v"))).as("s2g"))
+    val sq = col("s1g") * col("s1g")
+    val ngD = d(col("ng"))
+    val termG = ((sq - pmod(sq, ngD)) / ngD).cast(dec)
+    val agg = per.agg(
+      sum(col("ng")).as("n"),
+      count(lit(1)).as("g_card"),
+      sum(col("s1g")).as("s1"),
+      sum(col("s2g")).as("s2"),
+      sum(termG).as("sq_q"))
+    val nD = dbl(col("n")); val gD = dbl(col("g_card"))
+    val sqTerms = dbl(col("sq_q"))
+    val ssb = sqTerms - dbl(col("s1")) * dbl(col("s1")) / nD
+    val ssw = dbl(col("s2")) - sqTerms
+    val f = (ssb / (gD - lit(1.0))) / (ssw / (nD - gD))
+    val ok = col("g_card") > 1 && col("n") > col("g_card") && ssw > lit(0.0)
+    agg.select(col("n"), col("g_card"),
+      col("s1").cast("string").as("s1"),
+      col("sq_q").cast("string").as("sq_q"),
+      when(ok, r6(f)).as("f_stat"),
+      (col("g_card") - lit(1L)).as("df_between"),
+      (col("n") - col("g_card")).as("df_within"))
+  }
+
   /** ClickHouse `histogram(N)(v)` analog, made DETERMINISTIC: an exact
     * equi-depth histogram. ClickHouse's adaptive streaming histogram is
     * merge-order-dependent; the reproducible contract here assigns each
@@ -599,6 +642,24 @@ SELECT k, CAST(n AS BIGINT) AS n, CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR)
  CASE WHEN den > 0.0 THEN floor(num/den*1e6+0.5)/1e6 END AS slope,
  CASE WHEN den > 0.0 THEN floor((CAST(sy AS DOUBLE) - num/den*CAST(sx AS DOUBLE))/nd*1e6+0.5)/1e6 END AS intercept
 FROM m"""
+
+  /** DuckDB replica of [[anovaF]] over (µ-value, event_type). */
+  val anovaFOracleSql: String =
+    s"""WITH per AS (SELECT event_type AS g, count(*) AS ng,
+ sum(CAST($vMicros AS DECIMAL(38,0))) AS s1g,
+ sum(CAST($vMicros AS DECIMAL(38,0))*CAST($vMicros AS DECIMAL(38,0))) AS s2g
+ FROM events GROUP BY 1),
+agg AS (SELECT sum(ng) AS n, count(*) AS g_card, sum(s1g) AS s1, sum(s2g) AS s2,
+ sum((CAST(s1g AS HUGEINT)*CAST(s1g AS HUGEINT)) // CAST(ng AS HUGEINT)) AS sq_q FROM per),
+m AS (SELECT *, CAST(n AS DOUBLE) AS nd, CAST(g_card AS DOUBLE) AS gd,
+ CAST(sq_q AS DOUBLE) AS sqt FROM agg),
+s AS (SELECT *, sqt - CAST(s1 AS DOUBLE)*CAST(s1 AS DOUBLE)/nd AS ssb,
+ CAST(s2 AS DOUBLE) - sqt AS ssw FROM m)
+SELECT CAST(n AS BIGINT) AS n, g_card, CAST(s1 AS VARCHAR) AS s1,
+ CAST(sq_q AS VARCHAR) AS sq_q,
+ CASE WHEN g_card > 1 AND n > g_card AND ssw > 0.0 THEN floor((ssb/(gd-1.0))/(ssw/(nd-gd))*1e6+0.5)/1e6 END AS f_stat,
+ g_card - 1 AS df_between, CAST(n AS BIGINT) - g_card AS df_within
+FROM s"""
 
   /** DuckDB replica of [[equiDepthHistogram]] (single-window spec) over
     * the µ-value with 8 bins. */

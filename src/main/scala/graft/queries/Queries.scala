@@ -2796,7 +2796,13 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"), col("ts"), col("event_id"),
         round(col("value") * 1e6, 0).cast("long"),
         bucketUs = 86400000000L),
-      Some(graft.ops.TimeSeries.lttbOracleSql(86400000000L)))
+      Some(graft.ops.TimeSeries.lttbOracleSql(86400000000L))),
+
+    // one-way ANOVA F across event types over the µ-value.
+    GraftQuery("q_anova",
+      (s, dir) => graft.ops.Stats.anovaF(ev(s, dir),
+        round(col("value") * 1e6, 0).cast("long"), col("event_type")),
+      Some(graft.ops.Stats.anovaFOracleSql))
   )
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =

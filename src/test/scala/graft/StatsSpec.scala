@@ -193,6 +193,23 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("anovaF: closed form on three groups; degenerate guards") {
+    // groups: (1,2,3), (4,5,6), (7,8,9): means 2,5,8, grand 5
+    // SSB = 3·(9+0+9) = 54, SSW = 3·2 = 6 → F = (54/2)/(6/6) = 27
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L),
+      ("b", 6L), ("c", 7L), ("c", 8L), ("c", 9L)).toDF("g", "v")
+    val r = Stats.anovaF(df, col("v"), col("g")).collect().head
+    assert(math.abs(r.getAs[Double]("f_stat") - 27.0) < 1e-4)
+    assert(r.getAs[Long]("df_between") === 2L && r.getAs[Long]("df_within") === 6L)
+    // single group → null F; zero within-variance → null F
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val r1 = Stats.anovaF(one, col("v"), col("g")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("f_stat")))
+    val flat = Seq(("a", 3L), ("a", 3L), ("b", 7L), ("b", 7L)).toDF("g", "v")
+    val r2 = Stats.anovaF(flat, col("v"), col("g")).collect().head
+    assert(r2.isNullAt(r2.fieldIndex("f_stat")))
+  }
+
   test("theilsU: U(a|b)=1 when b determines a; asymmetric when not") {
     // b determines a (each b value maps to one a), but a does NOT
     // determine b (a=x spreads over b=1,2) → U(a|b)=1, U(b|a)<1
