@@ -359,4 +359,42 @@ class PlanSpec extends SparkSpec {
           lines.slice(winIdx, winIdx + 8).mkString("\n"))
     }
   }
+
+  test("q_welch_ttest: one partial+final hash aggregate, no window, no join") {
+    val p = plan("q_welch_ttest")
+    assert(!p.contains("WindowExec") && !p.contains("Join"), p.take(2000))
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate:\n${p.take(1500)}")
+  }
+
+  test("q_mann_whitney: bucketed cumulative — every WindowExec is partitioned") {
+    val p = plan("q_mann_whitney")
+    // the only permitted unpartitioned window is the |buckets|-row
+    // carry; it must sit on an Exchange SinglePartition over an
+    // ALREADY-AGGREGATED input, never over the raw distinct-value table
+    val lines = p.linesIterator.toSeq
+    val winSpecs = lines.filter(_.contains("windowspecdefinition"))
+    assert(winSpecs.nonEmpty, p.take(1500))
+    // raw per-value cumulative must be partitioned by bucket b
+    assert(winSpecs.exists(_.contains("b#")),
+      s"no bucket-partitioned window found:\n${winSpecs.mkString("\n")}")
+  }
+
+  test("q_rank_corr: rank-table joins are sort-merge (corpus pin), not broadcast") {
+    val p = plan("q_rank_corr")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    assert(!p.contains("BroadcastHashJoin"),
+      "event-proportional rank tables must never broadcast")
+  }
+
+  test("q_lttb: centroid join honors the corpus pin; argmax is a hash aggregate") {
+    val p = plan("q_lttb")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    // the per-bucket argmax must be an aggregate (max(struct)), not a
+    // per-point window
+    val aggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("SortAggregate") ||
+        l.contains("ObjectHashAggregate"))
+    assert(aggs >= 2, s"expected aggregate argmax:\n${p.take(1500)}")
+  }
 }
