@@ -49,6 +49,12 @@ object Stats {
   /** Engine-shared 6-dp floor rounding (the momentStats/jaccard idiom). */
   private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  private val vMicros = "CAST(round(value*1000000,0) AS BIGINT)"
+  /** Arm predicate shared by the registered A/B queries: click vs view
+    * engagement values. */
+  private val armFilter = "event_type IN ('click','view')"
+  private val armIsA = "event_type = 'click'"
+
   // ---------------------------------------------------------------- t-tests
 
   /** One row of exact partials for a two-sample mean test: counts and
@@ -505,13 +511,69 @@ object Stats {
         sum(col("c_t")).as("cnt"))
   }
 
+  /** ClickHouse `seriesOutliersDetectTukey` analog, table-form: per
+    * key, exact type-1 quartiles over the distinct-value table, then
+    * Tukey fences at q1 − (num/den)·IQR and q3 + (num/den)·IQR — the
+    * default 3/2 is the classic 1.5×IQR rule. The fence test is exact
+    * RATIONAL arithmetic (den·v < den·q1 − num·IQR), so no float ever
+    * enters the classification.
+    *
+    * Plan: the per-(key, value-bucket) two-phase cumulative (windows
+    * partition by (k, b); the carry partitions by k over BUCKET
+    * aggregates — the fifteenth-finding form), a category-bounded
+    * quartile table broadcast back, one summary hash agg.
+    *
+    * Output: (k, q1, q3 BIGINT, n_low, n_high BIGINT). */
+  def tukeyOutliers(df: DataFrame, key: Column, v: Column,
+      fenceNum: Int = 3, fenceDen: Int = 2,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(fenceNum >= 0 && fenceDen > 0, "fence must be a rational >= 0")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val byV = df.select(key.as("k"), v.as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("c"))
+    val bucketed = byV.withColumn("b", floorDiv(col("v"), lit(bucketWidth)))
+    val inB = Window.partitionBy(col("k"), col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = bucketed.withColumn("cw_in", sum(col("c")).over(inB))
+    val perB = bucketed.groupBy(col("k"), col("b")).agg(sum(col("c")).as("net"))
+    val carryW = Window.partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perB.select(col("k"), col("b"),
+      coalesce(sum(col("net")).over(carryW), lit(0L)).as("cin"))
+    val cum = inBucket.join(Joins.corpusSide(carry), Seq("k", "b"))
+      .select(col("k"), col("v"), col("c"),
+        (col("cw_in") + col("cin")).as("cw"))
+    val tot = byV.groupBy(col("k")).agg(sum(col("c")).as("tw"))
+    val quants = cum.join(broadcast(tot), "k")
+      .groupBy(col("k"))
+      .agg(min(when(col("cw") * 4 >= col("tw"), col("v"))).as("q1"),
+        min(when(col("cw") * 4 >= lit(3L) * col("tw"), col("v"))).as("q3"))
+    val iqr = col("q3") - col("q1")
+    val lowCond = lit(fenceDen.toLong) * col("v") <
+      lit(fenceDen.toLong) * col("q1") - lit(fenceNum.toLong) * iqr
+    val highCond = lit(fenceDen.toLong) * col("v") >
+      lit(fenceDen.toLong) * col("q3") + lit(fenceNum.toLong) * iqr
+    byV.join(broadcast(quants), "k")
+      .groupBy(col("k"), col("q1"), col("q3"))
+      .agg(sum(when(lowCond, col("c")).otherwise(lit(0L))).as("n_low"),
+        sum(when(highCond, col("c")).otherwise(lit(0L))).as("n_high"))
+  }
+
+  /** DuckDB replica of [[tukeyOutliers]] (single-window spec) over
+    * (event_type, µ-value) at the default 3/2 fence. */
+  val tukeyOutliersOracleSql: String =
+    s"""WITH byv AS (SELECT event_type AS k, $vMicros AS v, count(*) AS c FROM events GROUP BY 1, 2),
+cum AS (SELECT k, v, c, sum(c) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM byv),
+tot AS (SELECT k, sum(c) AS tw FROM byv GROUP BY 1),
+qs AS (SELECT cum.k, min(CASE WHEN cw*4 >= tw THEN v END) AS q1, min(CASE WHEN cw*4 >= 3*tw THEN v END) AS q3 FROM cum JOIN tot ON cum.k = tot.k GROUP BY 1),
+o AS (SELECT byv.k, q1, q3,
+ sum(CASE WHEN 2*v < 2*q1 - 3*(q3-q1) THEN c ELSE 0 END) AS n_low,
+ sum(CASE WHEN 2*v > 2*q3 + 3*(q3-q1) THEN c ELSE 0 END) AS n_high
+ FROM byv JOIN qs ON byv.k = qs.k GROUP BY 1, 2, 3)
+SELECT k, q1, q3, CAST(n_low AS BIGINT) AS n_low, CAST(n_high AS BIGINT) AS n_high FROM o"""
+
   // ------------------------------------------------------------- oracles
 
-  private val vMicros = "CAST(round(value*1000000,0) AS BIGINT)"
-  /** Arm predicate shared by the registered A/B queries: click vs view
-    * engagement values. */
-  private val armFilter = "event_type IN ('click','view')"
-  private val armIsA = "event_type = 'click'"
 
   /** DuckDB replica of [[welchTTest]] over events, click-vs-view on
     * µ-unit value — every double op mirrors the Spark expressions. */

@@ -2802,7 +2802,14 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
     GraftQuery("q_anova",
       (s, dir) => graft.ops.Stats.anovaF(ev(s, dir),
         round(col("value") * 1e6, 0).cast("long"), col("event_type")),
-      Some(graft.ops.Stats.anovaFOracleSql))
+      Some(graft.ops.Stats.anovaFOracleSql)),
+
+    // Tukey 1.5-IQR outlier fences per event type (exact quartiles,
+    // rational fence arithmetic).
+    GraftQuery("q_outliers_tukey",
+      (s, dir) => graft.ops.Stats.tukeyOutliers(ev(s, dir),
+        col("event_type"), round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.Stats.tukeyOutliersOracleSql))
   )
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =

@@ -210,6 +210,25 @@ class StatsSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("f_stat")))
   }
 
+  test("tukeyOutliers: exact quartile fences, rational arithmetic, bucket-invariant") {
+    // key a: values 1..8 plus spikes -100 and 200 (n=10)
+    // type-1 quartiles: q1 = v at rank ceil(10/4)=3 → 2; q3 at rank
+    // ceil(3·10/4)=8 → 7; IQR=5 → fences [2-7.5, 7+7.5] = [-5.5, 14.5]
+    // → one low outlier (-100), one high (200)
+    val vals = Seq(-100L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 200L)
+    val df = vals.map(("a", _)).toDF("k", "v")
+    for (bw <- Seq(1L, 3L, 1L << 20)) {
+      val r = Stats.tukeyOutliers(df, col("k"), col("v"),
+        bucketWidth = bw).collect().head
+      assert(r.getAs[Long]("q1") === 2L && r.getAs[Long]("q3") === 7L, s"bw=$bw")
+      assert(r.getAs[Long]("n_low") === 1L && r.getAs[Long]("n_high") === 1L, s"bw=$bw")
+    }
+    // constant series: IQR 0 → fences collapse to the value, 0 outliers
+    val const = Seq(("a", 5L), ("a", 5L), ("a", 5L)).toDF("k", "v")
+    val rc = Stats.tukeyOutliers(const, col("k"), col("v")).collect().head
+    assert(rc.getAs[Long]("n_low") === 0L && rc.getAs[Long]("n_high") === 0L)
+  }
+
   test("theilsU: U(a|b)=1 when b determines a; asymmetric when not") {
     // b determines a (each b value maps to one a), but a does NOT
     // determine b (a=x spreads over b=1,2) → U(a|b)=1, U(b|a)<1
