@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -141,6 +142,74 @@ SELECT k AS key, exact_cnt, min(cnt) AS est_cnt FROM probes JOIN counters USING 
   }
 
   /** DuckDB replica of [[hllDistinct]]. */
+  /** HDR-grid quantile sketch (the deterministic counterpart of
+    * ClickHouse `quantileTDigest`/`quantileBFloat16`): counts over a
+    * FIXED log₂ grid — values below 2^m are exact; above, the bucket
+    * is (msb exponent, top m mantissa bits), giving relative error
+    * ≤ 2^−m with at most (64 − m)·2^m + 2^m counters (m = 5 → ≤ 1.9k).
+    * Unlike t-digest the grid never depends on the data or the merge
+    * order, so parallel/incremental builds are bit-identical to a
+    * one-shot build — counts are ADDITIVE, a SummingStore MV maintains
+    * the sketch per micro-batch like any other rollup.
+    *
+    * The msb exponent derives from `length(bin(v))` — an exact integer
+    * path both engines share; `floor(log2(v))` in doubles mis-rounds
+    * near 2^k − 1 for k ≳ 52, so it is deliberately avoided. Contract:
+    * v ≥ 0 (µ-unit metrics).
+    *
+    * Output: (idx BIGINT, cnt BIGINT) — the mergeable state. */
+  def quantileSketch(df: DataFrame, v: Column, m: Int = 5): DataFrame = {
+    require(m >= 1 && m <= 16, "m must be in [1, 16]")
+    val base = 1L << m
+    df.select(v.as("v"))
+      .selectExpr(
+        s"CASE WHEN v < ${base}L THEN v ELSE CAST(length(bin(v)) - 1 - $m AS BIGINT) * ${base}L + shiftright(v, CAST(length(bin(v)) - 1 - $m AS INT)) END AS idx")
+      .groupBy(col("idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates from a [[quantileSketch]] state table: for
+    * each rational q = n/d, the LOWER BOUND of the grid bucket holding
+    * the type-1 q-quantile (exact below 2^m; within 2^−m relative
+    * error above). The cumulative runs over the ≤1.9k-row grid — a
+    * single-partition window bounded by CONSTRUCTION, not by data.
+    *
+    * Output: (q_num, q_den INT, est BIGINT). */
+  def sketchQuantiles(sketch: DataFrame, qs: Seq[(Int, Int)],
+      m: Int = 5): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n >= 0 && n <= d },
+      "quantiles must be rationals in [0,1]")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val base = 1L << m
+    val cum = sketch.withColumn("cw", sum(col("cnt")).over(
+      Window.orderBy(col("idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = sketch.agg(sum(col("cnt")).as("tw"))
+    val qdf = qs.toDF("q_num", "q_den")
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
+      .filter(col("cw") * col("q_den") >= col("q_num") * col("tw"))
+      .groupBy(col("q_num"), col("q_den"))
+      .agg(min(expr(
+        s"CASE WHEN idx < ${base}L THEN idx ELSE shiftleft(${base}L + idx % ${base}L, CAST(idx div ${base}L - 1 AS INT)) END"))
+        .as("est"))
+  }
+
+  /** DuckDB replica of [[quantileSketch]] + [[sketchQuantiles]] over
+    * `valueSql` from `src`. */
+  def quantileSketchOracleSql(valueSql: String, src: String,
+      qs: Seq[(Int, Int)], m: Int = 5): String = {
+    val base = 1L << m
+    val qrows = qs.map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH vals AS (SELECT $valueSql AS v FROM $src),
+sk AS (SELECT CASE WHEN v < $base THEN v ELSE CAST(length(bin(v)) - 1 - $m AS BIGINT) * $base + (v >> CAST(length(bin(v)) - 1 - $m AS BIGINT)) END AS idx, count(*) AS cnt FROM vals GROUP BY 1),
+cum AS (SELECT idx, cnt, sum(cnt) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM sk),
+tot AS (SELECT sum(cnt) AS tw FROM sk),
+q(q_num, q_den) AS (VALUES $qrows)
+SELECT q_num, q_den, min(CASE WHEN idx < $base THEN idx ELSE ($base + idx % $base) << CAST(idx // $base - 1 AS BIGINT) END) AS est
+FROM cum, tot, q WHERE cw * q_den >= q_num * tw GROUP BY 1, 2"""
+  }
+
   def hllOracleSql(keySql: String, src: String, m: Int = 64): String =
     s"""WITH keyed AS (SELECT DISTINCT CAST($keySql AS VARCHAR) AS k FROM $src),
 hashed AS (SELECT CAST('0x'||substring(md5(k),1,15) AS BIGINT) % $m AS bucket, CAST('0x'||substring(md5('r:' || k),1,15) AS BIGINT) % 4294967296 AS h2 FROM keyed),

@@ -2809,7 +2809,18 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
     GraftQuery("q_outliers_tukey",
       (s, dir) => graft.ops.Stats.tukeyOutliers(ev(s, dir),
         col("event_type"), round(col("value") * 1e6, 0).cast("long")),
-      Some(graft.ops.Stats.tukeyOutliersOracleSql))
+      Some(graft.ops.Stats.tukeyOutliersOracleSql)),
+
+    // HDR-grid quantile sketch (deterministic tdigest-class): bounded
+    // mergeable state, grid-exact quantile lower bounds.
+    GraftQuery("q_quantile_sketch",
+      (s, dir) => graft.ops.Sketches.sketchQuantiles(
+        graft.ops.Sketches.quantileSketch(ev(s, dir),
+          round(col("value") * 1e6, 0).cast("long")),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)),
+      Some(graft.ops.Sketches.quantileSketchOracleSql(
+        "CAST(round(value*1000000,0) AS BIGINT)", "events",
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))))
   )
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =

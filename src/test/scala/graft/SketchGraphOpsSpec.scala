@@ -89,4 +89,35 @@ class SketchGraphOpsSpec extends SparkSpec {
     // every returned rrf contribution is positive and ranks are 1..n
     assert(out.map(_.getAs[Int]("rank")).toSeq === (1 to out.length))
   }
+
+  test("quantileSketch: exact below 2^m, bounded relative error above, merge-identical") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    // values spanning both regimes: exact small values + large values
+    val vals = (1L to 31L) ++ Seq(100L, 1000L, 50000L, 1000000L, 999999999L)
+    val df = vals.toDF("v")
+    val sk = Sketches.quantileSketch(df, col("v"))
+    val qs = Seq(1 -> 4, 1 -> 2, 3 -> 4, 1 -> 1)
+    val est = Sketches.sketchQuantiles(sk, qs).collect()
+      .map(r => (r.getAs[Int]("q_num"), r.getAs[Int]("q_den")) -> r.getAs[Long]("est")).toMap
+    // type-1 exact quantiles of the 36 values
+    val sorted = vals.sorted
+    def exact(n: Int, d: Int): Long = sorted(math.max(0, (n * 36 + d - 1) / d - 1))
+    qs.foreach { case (n, d) =>
+      val e = est((n, d)); val x = exact(n, d)
+      if (x < 32) assert(e === x, s"small-regime q=$n/$d")
+      else {
+        assert(e <= x && x.toDouble <= e * (1.0 + 1.0 / 32) + 32,
+          s"q=$n/$d est=$e exact=$x out of grid bound")
+      }
+    }
+    // merge: sketch of chunks, summed, equals the one-shot sketch
+    val sk1 = Sketches.quantileSketch(vals.take(18).toDF("v"), col("v"))
+    val sk2 = Sketches.quantileSketch(vals.drop(18).toDF("v"), col("v"))
+    val merged = sk1.unionByName(sk2).groupBy(col("idx"))
+      .agg(sum(col("cnt")).as("cnt"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(canon(merged) === canon(sk))
+  }
 }
