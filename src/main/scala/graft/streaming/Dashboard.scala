@@ -72,4 +72,28 @@ object Dashboard {
     dailyObs(spark, mvPath)
       .map(o => TimeSeries.movingAggFromDaily(
         o.withColumnRenamed("v", "day_sum"), frame))
+
+  /** foreachBatch sink for a live quantile dashboard: land each
+    * micro-batch's [[graft.ops.Sketches.quantileSketch]] counts as one
+    * additive part, idempotent by batch id. The sketch's grid is FIXED
+    * (never data- or merge-order-dependent), so the incrementally
+    * merged state is bit-identical to a one-shot build over the whole
+    * stream — streaming quantiles with ≤1.9k rows of MV state. */
+  def quantileSketchSink(v: Column, mvPath: String,
+      m: Int = 5): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val tag = s"qsk-b$batchId"
+    if (!SnapshotStore.hasTag(spark, mvPath, tag)) {
+      val part = graft.ops.Sketches.quantileSketch(batch, v, m)
+      SummingStore.appendDelta(part, mvPath, tag = Some(tag))
+    }
+  }
+
+  /** Serving read: quantile estimates over the incrementally-
+    * maintained sketch — same output contract as the batch
+    * [[graft.ops.Sketches.sketchQuantiles]]. */
+  def servedQuantiles(spark: SparkSession, mvPath: String,
+      qs: Seq[(Int, Int)], m: Int = 5): Option[DataFrame] =
+    SummingStore.read(spark, mvPath, keys = Seq("idx"), addCols = Seq("cnt"))
+      .map(sk => graft.ops.Sketches.sketchQuantiles(sk, qs, m))
 }

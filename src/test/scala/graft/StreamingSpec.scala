@@ -713,4 +713,33 @@ class StreamingSpec extends SparkSpec {
         batchOf(batch1 ++ batch2).collect().map(_.toString).toSeq)
     } finally { q.stop() }
   }
+
+  test("live quantiles: incremental sketch MV matches the one-shot batch sketch") {
+    import graft.streaming.Dashboard
+    import graft.ops.Sketches
+    val mv = tmp("qsk") + "/mv"
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().toDF("v").writeStream
+      .option("checkpointLocation", tmp("qskckpt"))
+      .foreachBatch(Dashboard.quantileSketchSink(col("v"), mv)).start()
+    val qs = Seq(1 -> 2, 3 -> 4)
+    def served = Dashboard.servedQuantiles(spark, mv, qs).get
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    def batchOf(vals: Seq[Long]) = {
+      import spark.implicits._
+      Sketches.sketchQuantiles(
+          Sketches.quantileSketch(vals.toDF("v"), col("v")), qs)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).sorted.toSeq
+    }
+    val b1 = Seq(1L, 5L, 100L, 3000L)
+    val b2 = Seq(2L, 7L, 900000L, 12L, 40L)
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(served === batchOf(b1))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(served === batchOf(b1 ++ b2))
+    } finally { q.stop() }
+  }
 }
