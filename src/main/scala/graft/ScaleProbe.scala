@@ -258,6 +258,29 @@ object ScaleProbe {
             bucketWidth = 10000000L))
         }
       }),
+      // distribution-analysis family on the same continuous axis:
+      // tukey runs the per-(key, bucket) cumulative under key skew
+      // (hot key owns half the events), the equi-depth histogram the
+      // unkeyed bucketed cumulative, and the HDR quantile sketch must
+      // collapse everything to its ≤1.9k-counter grid (map-side
+      // combine ⇒ near-flat shuffle however large the input)
+      "dist_analysis" -> (() => {
+        val users = 1000L
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(hash(col("id")), lit(users))).as("k"),
+          pmod(hash(col("id") * lit(17L)), lit(1000000000000L)).as("v"))
+        withShufflePartitions(math.max(32L, eventsN / 250000L)) {
+          force(graft.ops.Stats.tukeyOutliers(e, col("k"), col("v"),
+            bucketWidth = 10000000L)) +
+          force(graft.ops.Stats.equiDepthHistogram(e, col("v"), nBins = 32,
+            bucketWidth = 10000000L)) +
+          force(graft.ops.Sketches.sketchQuantiles(
+            graft.ops.Sketches.quantileSketch(e, col("v")),
+            Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))
+        }
+      }),
       // token-explode aggregation rungs: shuffle must track corpus
       // tokens (linear), driver results must stay count-sized
       "tfidf_topterms" -> (() =>
