@@ -213,6 +213,84 @@ FROM w"""
       .select(col("u"), coalesce(col("matched"), lit(false)).as("matched"))
   }
 
+  /** ClickHouse `sequenceMatch('(?1)(?t<gap)(?2)(?t<gap)(?3)…')`
+    * analog — the ADJACENT-step time constraint, matched EXACTLY.
+    *
+    * A greedy min-chain (the [[sequenceMatchUsers]] shape) is
+    * incomplete under gap constraints: the earliest prefix match can
+    * strand a later step whose only witness needs a LATER prefix. The
+    * complete form is a per-step viable-SET dynamic program: S₁ = all
+    * cond₁ events; Sₖ = condₖ events t with some Sₖ₋₁ event in
+    * (t − gap, t) — equivalently max{Sₖ₋₁ ts < t} > t − gap, a
+    * running strict-max. A user matches iff Sₙ is non-empty. The
+    * running max is segment-associative, so each step runs the
+    * two-phase bucketed form: a RANGE window per (user, time bucket)
+    * (RANGE … 1 PRECEDING enforces the strict tu < t bound through
+    * ties) plus a per-user prefix-max carry over BUCKET aggregates —
+    * no per-user raw-event window survives a hot user (the
+    * fifteenth-finding treatment).
+    *
+    * Output: one row per user holding any condition event —
+    * (u, matched BOOLEAN). */
+  def sequenceMatchGapUsers(events: DataFrame, user: Column, ts: Column,
+      conds: Seq[Column], gapUs: Long,
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(conds.nonEmpty, "sequenceMatch needs at least one condition")
+    require(gapUs > 0 && bucketUs > 0, "gap and bucket must be positive")
+    val e = events.select(Seq(user.as("u"),
+      unix_micros(ts).as("tu")) ++
+      conds.zipWithIndex.map { case (p, i) => p.as(s"is_c${i + 1}") }: _*)
+    val universe = e.filter(conds.indices.map(i => col(s"is_c${i + 1}"))
+      .reduce(_ || _)).select(col("u")).distinct()
+    var viable = e.filter(col("is_c1")).select(col("u"), col("tu"))
+    for (k <- 2 to conds.size) {
+      val cur = e.filter(col(s"is_c$k")).select(col("u"), col("tu"))
+      val combined = viable.select(col("u"), col("tu"), lit(false).as("is_cur"))
+        .unionByName(cur.select(col("u"), col("tu"), lit(true).as("is_cur")))
+        .withColumn("b", ((col("tu") - pmod(col("tu"), lit(bucketUs))) /
+          lit(bucketUs)).cast("long"))
+      val inB = Window.partitionBy(col("u"), col("b")).orderBy(col("tu"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val withIn = combined.withColumn("pm_in",
+        max(when(!col("is_cur"), col("tu"))).over(inB))
+      // one row per ACTIVE bucket (cur or prev) so a cur-only bucket
+      // still receives the carry from earlier prev buckets; max()
+      // skips the null bmax of prev-free buckets
+      val perB = combined.groupBy(col("u"), col("b"))
+        .agg(max(when(!col("is_cur"), col("tu"))).as("bmax"))
+      val carryW = Window.partitionBy(col("u")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = perB.select(col("u"), col("b"),
+        max(col("bmax")).over(carryW).as("pm_carry"))
+      val joined = withIn.join(Joins.corpusSide(carry), Seq("u", "b"), "left")
+      viable = joined.filter(col("is_cur"))
+        .withColumn("pm", greatest(col("pm_in"), col("pm_carry")))
+        .filter(col("pm").isNotNull && col("pm") > col("tu") - lit(gapUs))
+        .select(col("u"), col("tu"))
+    }
+    universe.join(
+      Joins.corpusSide(viable.select(col("u")).distinct()
+        .withColumn("matched", lit(true))),
+      Seq("u"), "left")
+      .select(col("u"), coalesce(col("matched"), lit(false)).as("matched"))
+  }
+
+  /** DuckDB replica of a 3-condition [[sequenceMatchGapUsers]] keyed
+    * by user_id with event_type equality conditions (single-window
+    * spec: the viable-set DP with one RANGE window per step). */
+  def sequenceMatchGapOracleSql(c1: String, c2: String, c3: String,
+      gapUs: Long): String =
+    s"""WITH u AS (SELECT DISTINCT user_id AS u FROM events WHERE event_type IN ('$c1','$c2','$c3')),
+e AS (SELECT user_id AS u, epoch_us(ts) AS tu, event_type AS et FROM events),
+v1 AS (SELECT u, tu FROM e WHERE et = '$c1'),
+w2 AS (SELECT u, tu, is_cur, max(CASE WHEN NOT is_cur THEN tu END) OVER (PARTITION BY u ORDER BY tu RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+ FROM (SELECT u, tu, false AS is_cur FROM v1 UNION ALL SELECT u, tu, true AS is_cur FROM e WHERE et = '$c2')),
+v2 AS (SELECT u, tu FROM w2 WHERE is_cur AND pm IS NOT NULL AND pm > tu - $gapUs),
+w3 AS (SELECT u, tu, is_cur, max(CASE WHEN NOT is_cur THEN tu END) OVER (PARTITION BY u ORDER BY tu RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+ FROM (SELECT u, tu, false AS is_cur FROM v2 UNION ALL SELECT u, tu, true AS is_cur FROM e WHERE et = '$c3')),
+v3 AS (SELECT DISTINCT u FROM w3 WHERE is_cur AND pm IS NOT NULL AND pm > tu - $gapUs)
+SELECT u.u, v3.u IS NOT NULL AS matched FROM u LEFT JOIN v3 ON u.u = v3.u"""
+
   /** DuckDB replica of a 3-condition [[sequenceMatchUsers]] keyed by
     * user_id with per-condition event_type equality. */
   def sequenceMatchOracleSql(c1: String, c2: String, c3: String): String =

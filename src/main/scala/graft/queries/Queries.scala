@@ -2450,6 +2450,18 @@ FROM gf""")),
       Some(graft.ops.TimeSeries.sequenceMatchOracleSql(
         "view", "click", "purchase"))),
 
+    // sequenceMatch with the ADJACENT-step (?t<6h) constraint, matched
+    // exactly via the per-step viable-set DP (greedy min-chains are
+    // incomplete under gaps).
+    GraftQuery("q_seq_match_gap",
+      (s, dir) => graft.ops.TimeSeries.sequenceMatchGapUsers(ev(s, dir),
+        col("user_id"), col("ts"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        gapUs = 6L * 3600000000L),
+      Some(graft.ops.TimeSeries.sequenceMatchGapOracleSql(
+        "view", "click", "purchase", 6L * 3600000000L))),
+
     // sequenceNextNode('forward','first_match') analog: for users
     // completing view → click (earliest chain), the event type they do
     // NEXT — chained survivor-set hash aggs + one struct-min, no

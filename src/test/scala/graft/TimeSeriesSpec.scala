@@ -556,4 +556,40 @@ class TimeSeriesSpec extends SparkSpec {
       .map(r => r.getAs[Long]("v"))
     assert(o2.toSeq === Seq(7L, 3L)) // first point, last point — no middles
   }
+
+  test("sequenceMatchGapUsers: viable-set DP beats greedy; strict bounds; bucket-invariant") {
+    def ts(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // u1 is the GREEDY KILLER: A at 0 and 100; B at 50; C at 140.
+    //   greedy takes A@0 → B needs gap>50... with gap 60s: A@0→B@50 ok
+    //   (50<60), then C@140 needs B in (80,140): B@50 fails → greedy
+    //   says no. The viable-set DP also says no here UNLESS a later B
+    //   exists. Add B@90 (from A@100? no A@100 is after). B@90 viable
+    //   via A@40? Plant: A@0, A@40, B@90, C@140 with gap 60:
+    //   viable B: B@90 needs A in (30,90) → A@40 ✓.
+    //   viable C: C@140 needs viable B in (80,140) → B@90 ✓ → match.
+    //   Greedy (earliest chain): A@0 → first B after 0 within... t2=90
+    //   but 90-0=90 ≥ 60 → greedy-from-min-t1 FAILS. DP matches.
+    // u2: chain broken — gap too large between B and C.
+    // u3: strictness — B exactly gap after A is NOT a match (t<gap
+    //   strict); B at gap-1 is.
+    val gapUs = 60L * 1000000L
+    val rows = Seq(
+      (1L, ts(0), "A"), (1L, ts(40), "A"), (1L, ts(90), "B"), (1L, ts(140), "C"),
+      (2L, ts(0), "A"), (2L, ts(10), "B"), (2L, ts(500), "C"),
+      (3L, ts(0), "A"), (3L, ts(60), "B"), (3L, ts(100), "C"))
+    val df = rows.toDF("user_id", "ts", "et")
+    def conds = Seq(col("et") === "A", col("et") === "B", col("et") === "C")
+    for (bw <- Seq(1000000L, 25000000L, 3600000000L)) {
+      val out = TimeSeries.sequenceMatchGapUsers(df, col("user_id"),
+          col("ts"), conds, gapUs, bucketUs = bw)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out === Map(1L -> true, 2L -> false, 3L -> false), s"bw=$bw")
+    }
+    // u3 with B one µs inside the fence matches
+    val df3 = Seq((3L, ts(0), "A"), (3L, ts(59), "B"), (3L, ts(100), "C"))
+      .toDF("user_id", "ts", "et")
+    val o3 = TimeSeries.sequenceMatchGapUsers(df3, col("user_id"), col("ts"),
+      conds, gapUs).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(o3 === Map(3L -> true))
+  }
 }
