@@ -61,17 +61,25 @@ object Stats {
     * Σv / Σv² per arm, flagged sums in a single hash aggregate (no
     * pivot, no join). varnum_g = n_g·Σv² − (Σv)² is the exact sample-
     * variance numerator: var_g = varnum_g / (n_g·(n_g−1)). */
-  private def meanPartials(df: DataFrame, isA: Column, v: Column): DataFrame =
-    df.select(isA.as("ga"), v.as("v"))
-      .agg(
-        sum(when(col("ga"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),
-        sum(when(col("ga"), d(col("v"))).otherwise(d(lit(0L)))).as("s1a"),
-        sum(when(col("ga"), d(col("v")) * d(col("v"))).otherwise(d(lit(0L)))).as("s2a"),
-        sum(when(!col("ga"), d(col("v"))).otherwise(d(lit(0L)))).as("s1b"),
-        sum(when(!col("ga"), d(col("v")) * d(col("v"))).otherwise(d(lit(0L)))).as("s2b"))
+  private def meanPartials(df: DataFrame, isA: Column, v: Column,
+      keys: Seq[Column] = Nil): DataFrame = {
+    val base = df.select(keys.zipWithIndex.map { case (k, i) =>
+      k.as(s"k$i") } ++ Seq(isA.as("ga"), v.as("v")): _*)
+    val aggs = Seq(
+      sum(when(col("ga"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("ga"), d(col("v"))).otherwise(d(lit(0L)))).as("s1a"),
+      sum(when(col("ga"), d(col("v")) * d(col("v"))).otherwise(d(lit(0L)))).as("s2a"),
+      sum(when(!col("ga"), d(col("v"))).otherwise(d(lit(0L)))).as("s1b"),
+      sum(when(!col("ga"), d(col("v")) * d(col("v"))).otherwise(d(lit(0L)))).as("s2b"))
+    val grouped =
+      if (keys.isEmpty) base.agg(aggs.head, aggs.tail: _*)
+      else base.groupBy(keys.indices.map(i => col(s"k$i")): _*)
+        .agg(aggs.head, aggs.tail: _*)
+    grouped
       .withColumn("vna", d(col("n_a")) * col("s2a") - col("s1a") * col("s1a"))
       .withColumn("vnb", d(col("n_b")) * col("s2b") - col("s1b") * col("s1b"))
+  }
 
   /** ClickHouse `welchTTest(v, arm)` analog: Welch's unequal-variance
     * t-statistic and Welch–Satterthwaite degrees of freedom for the
@@ -103,6 +111,58 @@ object Stats {
       when(ok, r6(t)).as("t_stat"),
       when(ok, r6(dfW)).as("df_w"))
   }
+
+  /** [[welchTTest]] per group — the segmented dashboard form (`SELECT
+    * welchTTest(v, arm) … GROUP BY segment` in ClickHouse). Same
+    * one-pass exact partials keyed by `key`; output adds the leading
+    * `k` column. Per-group state is still a fixed handful of decimals,
+    * so the aggregate is skew-immune at any group cardinality. */
+  def welchTTestBy(df: DataFrame, key: Column, isA: Column,
+      v: Column): DataFrame = {
+    val p = meanPartials(df, isA, v, Seq(key)).withColumnRenamed("k0", "k")
+    val naD = dbl(col("n_a")); val nbD = dbl(col("n_b"))
+    val meanA = dbl(col("s1a")) / naD
+    val meanB = dbl(col("s1b")) / nbD
+    val seA = dbl(col("vna")) / (naD * naD * (naD - lit(1.0)))
+    val seB = dbl(col("vnb")) / (nbD * nbD * (nbD - lit(1.0)))
+    val se = seA + seB
+    val t = (meanA - meanB) / sqrt(se)
+    val dfW = (se * se) /
+      (seA * seA / (naD - lit(1.0)) + seB * seB / (nbD - lit(1.0)))
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se > lit(0.0)
+    p.select(col("k"), col("n_a"), col("n_b"),
+      col("s1a").cast("string").as("s1_a"), col("s1b").cast("string").as("s1_b"),
+      when(col("n_a") > 0, meanA).as("mean_a"),
+      when(col("n_b") > 0, meanB).as("mean_b"),
+      when(ok, r6(t)).as("t_stat"),
+      when(ok, r6(dfW)).as("df_w"))
+  }
+
+  /** DuckDB replica of [[welchTTestBy]] keyed by the event's platform
+    * cohort (user_id % 3). */
+  val welchTTestByOracleSql: String =
+    s"""WITH p AS (SELECT user_id % 3 AS k,
+ sum(CASE WHEN $armIsA THEN 1 ELSE 0 END) AS n_a,
+ sum(CASE WHEN $armIsA THEN 0 ELSE 1 END) AS n_b,
+ sum(CASE WHEN $armIsA THEN CAST($vMicros AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s1a,
+ sum(CASE WHEN $armIsA THEN CAST($vMicros AS DECIMAL(38,0)) * CAST($vMicros AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS s2a,
+ sum(CASE WHEN $armIsA THEN CAST(0 AS DECIMAL(38,0)) ELSE CAST($vMicros AS DECIMAL(38,0)) END) AS s1b,
+ sum(CASE WHEN $armIsA THEN CAST(0 AS DECIMAL(38,0)) ELSE CAST($vMicros AS DECIMAL(38,0)) * CAST($vMicros AS DECIMAL(38,0)) END) AS s2b
+ FROM events WHERE $armFilter GROUP BY 1),
+v AS (SELECT *, CAST(n_a AS DECIMAL(38,0))*s2a - s1a*s1a AS vna,
+               CAST(n_b AS DECIMAL(38,0))*s2b - s1b*s1b AS vnb FROM p),
+m AS (SELECT *,
+ CAST(s1a AS DOUBLE)/CAST(n_a AS DOUBLE) AS mean_a,
+ CAST(s1b AS DOUBLE)/CAST(n_b AS DOUBLE) AS mean_b,
+ CAST(vna AS DOUBLE)/(CAST(n_a AS DOUBLE)*CAST(n_a AS DOUBLE)*(CAST(n_a AS DOUBLE)-1.0)) AS sea,
+ CAST(vnb AS DOUBLE)/(CAST(n_b AS DOUBLE)*CAST(n_b AS DOUBLE)*(CAST(n_b AS DOUBLE)-1.0)) AS seb
+ FROM v)
+SELECT k, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+ CAST(s1a AS VARCHAR) AS s1_a, CAST(s1b AS VARCHAR) AS s1_b,
+ CASE WHEN n_a > 0 THEN mean_a END AS mean_a, CASE WHEN n_b > 0 THEN mean_b END AS mean_b,
+ CASE WHEN n_a > 1 AND n_b > 1 AND sea+seb > 0.0 THEN floor((mean_a-mean_b)/sqrt(sea+seb)*1e6+0.5)/1e6 END AS t_stat,
+ CASE WHEN n_a > 1 AND n_b > 1 AND sea+seb > 0.0 THEN floor((sea+seb)*(sea+seb)/(sea*sea/(CAST(n_a AS DOUBLE)-1.0)+seb*seb/(CAST(n_b AS DOUBLE)-1.0))*1e6+0.5)/1e6 END AS df_w
+FROM m"""
 
   /** ClickHouse `studentTTest(v, arm)` analog: pooled-variance Student
     * t-statistic, df = n_a + n_b − 2 (exact integer). Same one-pass

@@ -2823,6 +2823,15 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"), round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.Stats.tukeyOutliersOracleSql)),
 
+    // segmented Welch t: the GROUP BY cohort form of the A/B test.
+    GraftQuery("q_welch_by_cohort",
+      (s, dir) => graft.ops.Stats.welchTTestBy(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        col("user_id") % 3,
+        col("event_type") === "click",
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.Stats.welchTTestByOracleSql)),
+
     // HDR-grid quantile sketch (deterministic tdigest-class): bounded
     // mergeable state, grid-exact quantile lower bounds.
     GraftQuery("q_quantile_sketch",
