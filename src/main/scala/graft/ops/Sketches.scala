@@ -141,7 +141,109 @@ SELECT k AS key, exact_cnt, min(cnt) AS est_cnt FROM probes JOIN counters USING 
         col("est_distinct"), col("exact_distinct"))
   }
 
-  /** DuckDB replica of [[hllDistinct]]. */
+  /** Audience set-algebra on the raw-HLL register tier (ClickHouse's
+    * uniq-sketch union / `uniqTheta`-style intersect use case): one
+    * register table per segment; the UNION sketch is the register-wise
+    * max — EXACTLY the sketch the union's keys would have built, by
+    * construction — and |A∩B| is estimated by inclusion–exclusion over
+    * the three raw-HLL estimates. All register math is the
+    * [[hllDistinct]] integer-exact path, so the oracle replays every
+    * estimate bit-for-bit; the exact intersection rides along as the
+    * accuracy contract.
+    *
+    * Scale: registers are a |segments|·m hash aggregate (map-side
+    * max); the dense pair grid is |segments|²·m rows — category-
+    * bounded, never corpus-proportional; the exact-intersect self-join
+    * keys on the distinct (segment, key) table where each key appears
+    * at most |segments| times.
+    *
+    * Output per unordered pair: (s_a, s_b, est_a, est_b, est_union,
+    * est_intersect BIGINT clamped ≥ 0, exact_intersect BIGINT). */
+  def hllSegmentOverlap(df: DataFrame, segment: Column, key: Column,
+      m: Int = 64): DataFrame = {
+    require(m >= 2 && (m & (m - 1)) == 0, "m must be a power of two")
+    val spark = df.sparkSession
+    val base = df.select(segment.cast("string").as("s"),
+      key.cast("string").as("k")).distinct()
+    val h1 = TextFunctions.md5Long(col("k"))
+    val h2v = pmod(TextFunctions.md5Long(concat(lit("r:"), col("k"))),
+      lit(4294967296L))
+    val rho = when(col("h2") === 0L, lit(32L))
+      .otherwise(least(
+        bit_count(col("h2").bitwiseAND(-col("h2")) - 1).cast("long") + 1L,
+        lit(32L)))
+    val regs = base
+      .select(col("s"), pmod(h1, lit(m.toLong)).as("bucket"), h2v.as("h2"))
+      .select(col("s"), col("bucket"), rho.as("rho"))
+      .groupBy(col("s"), col("bucket")).agg(max(col("rho")).as("reg"))
+    val segs = regs.select(col("s")).distinct()
+    // dense grid: an empty register appears as reg = 0, contributing
+    // 2^32 to the numerator — the zeros handling, made positional
+    val grid = segs
+      .crossJoin(spark.range(m).select(col("id").as("bucket")))
+      .join(regs, Seq("s", "bucket"), "left")
+      .select(col("s"), col("bucket"), coalesce(col("reg"), lit(0L)).as("reg"))
+    val aSide = grid.select(col("s").as("s_a"), col("bucket"),
+      col("reg").as("reg_a"))
+    val bSide = grid.select(col("s").as("s_b"), col("bucket"),
+      col("reg").as("reg_b"))
+    val contrib = aSide.join(bSide, Seq("bucket"))
+      .filter(col("s_a") < col("s_b"))
+      .select(col("s_a"), col("s_b"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - reg_a AS INT))").as("c_a"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - reg_b AS INT))").as("c_b"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(32 - greatest(reg_a, reg_b) AS INT))").as("c_u"))
+    val nums = contrib.groupBy(col("s_a"), col("s_b"))
+      .agg(sum(col("c_a")).as("num_a"), sum(col("c_b")).as("num_b"),
+        sum(col("c_u")).as("num_u"))
+    val cNum = 709L * m.toLong * m.toLong
+    def est(numName: String): Column =
+      expr(s"CAST(($cNum * 4294967296) DIV (1000 * $numName) AS BIGINT)")
+    val ests = nums
+      .withColumn("est_a", est("num_a"))
+      .withColumn("est_b", est("num_b"))
+      .withColumn("est_union", est("num_u"))
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+    val exact = base.select(col("s").as("s_a"), col("k"))
+      .join(base.select(col("s").as("s_b"), col("k")), "k")
+      .filter(col("s_a") < col("s_b"))
+      .groupBy(col("s_a"), col("s_b"))
+      .agg(count(lit(1)).as("exact_intersect"))
+    ests.join(exact, Seq("s_a", "s_b"), "left")
+      .select(col("s_a"), col("s_b"), col("est_a"), col("est_b"),
+        col("est_union"), col("est_intersect"),
+        coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
+  }
+
+  /** DuckDB replica of [[hllSegmentOverlap]] over `(segSql, keySql)`
+    * from `src`. */
+  def hllOverlapOracleSql(segSql: String, keySql: String, src: String,
+      m: Int = 64): String = {
+    val cNum = 709L * m.toLong * m.toLong
+    s"""WITH base AS (SELECT DISTINCT CAST($segSql AS VARCHAR) AS s, CAST($keySql AS VARCHAR) AS k FROM $src),
+h AS (SELECT s, CAST('0x'||substring(md5(k),1,15) AS BIGINT) % $m AS bucket, CAST('0x'||substring(md5('r:'||k),1,15) AS BIGINT) % 4294967296 AS h2 FROM base),
+r AS (SELECT s, bucket, max(CASE WHEN h2 = 0 THEN 32 ELSE least(bit_count((h2 & -h2) - 1) + 1, 32) END) AS reg FROM h GROUP BY 1, 2),
+segs AS (SELECT DISTINCT s FROM r),
+grid AS (SELECT segs.s, t.bucket, coalesce(r.reg, 0) AS reg FROM segs CROSS JOIN (SELECT unnest(range(0, $m)) AS bucket) t LEFT JOIN r ON r.s = segs.s AND r.bucket = t.bucket),
+contrib AS (SELECT a.s AS s_a, b.s AS s_b,
+ (CAST(1 AS BIGINT) << CAST(32 - a.reg AS BIGINT)) AS c_a,
+ (CAST(1 AS BIGINT) << CAST(32 - b.reg AS BIGINT)) AS c_b,
+ (CAST(1 AS BIGINT) << CAST(32 - greatest(a.reg, b.reg) AS BIGINT)) AS c_u
+ FROM grid a JOIN grid b ON a.bucket = b.bucket AND a.s < b.s),
+nums AS (SELECT s_a, s_b, sum(c_a) AS num_a, sum(c_b) AS num_b, sum(c_u) AS num_u FROM contrib GROUP BY 1, 2),
+ests AS (SELECT s_a, s_b,
+ CAST(($cNum * 4294967296) // (1000 * num_a) AS BIGINT) AS est_a,
+ CAST(($cNum * 4294967296) // (1000 * num_b) AS BIGINT) AS est_b,
+ CAST(($cNum * 4294967296) // (1000 * num_u) AS BIGINT) AS est_union FROM nums),
+exact AS (SELECT a.s AS s_a, b.s AS s_b, count(*) AS exact_intersect
+ FROM base a JOIN base b ON a.k = b.k AND a.s < b.s GROUP BY 1, 2)
+SELECT ests.s_a, ests.s_b, est_a, est_b, est_union,
+ greatest(est_a + est_b - est_union, 0) AS est_intersect,
+ CAST(coalesce(exact_intersect, 0) AS BIGINT) AS exact_intersect
+FROM ests LEFT JOIN exact ON ests.s_a = exact.s_a AND ests.s_b = exact.s_b"""
+  }
+
   /** HDR-grid quantile sketch (the deterministic counterpart of
     * ClickHouse `quantileTDigest`/`quantileBFloat16`): counts over a
     * FIXED log₂ grid — values below 2^m are exact; above, the bucket
@@ -210,6 +312,7 @@ SELECT q_num, q_den, min(CASE WHEN idx < $base THEN idx ELSE ($base + idx % $bas
 FROM cum, tot, q WHERE cw * q_den >= q_num * tw GROUP BY 1, 2"""
   }
 
+  /** DuckDB replica of [[hllDistinct]]. */
   def hllOracleSql(keySql: String, src: String, m: Int = 64): String =
     s"""WITH keyed AS (SELECT DISTINCT CAST($keySql AS VARCHAR) AS k FROM $src),
 hashed AS (SELECT CAST('0x'||substring(md5(k),1,15) AS BIGINT) % $m AS bucket, CAST('0x'||substring(md5('r:' || k),1,15) AS BIGINT) % 4294967296 AS h2 FROM keyed),

@@ -2823,6 +2823,14 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"), round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.Stats.tukeyOutliersOracleSql)),
 
+    // HLL register set-algebra: per-event-type audience sketches,
+    // union by register max, inclusion-exclusion intersect estimate.
+    GraftQuery("q_hll_overlap",
+      (s, dir) => graft.ops.Sketches.hllSegmentOverlap(ev(s, dir),
+        col("event_type"), col("user_id")),
+      Some(graft.ops.Sketches.hllOverlapOracleSql(
+        "event_type", "user_id", "events"))),
+
     // segmented Welch t: the GROUP BY cohort form of the A/B test.
     GraftQuery("q_welch_by_cohort",
       (s, dir) => graft.ops.Stats.welchTTestBy(

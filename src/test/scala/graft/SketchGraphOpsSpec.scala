@@ -120,4 +120,30 @@ class SketchGraphOpsSpec extends SparkSpec {
       d.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(canon(merged) === canon(sk))
   }
+
+  test("hllSegmentOverlap: union = register max; disjoint vs identical segments") {
+    import spark.implicits._
+    import graft.ops.Sketches
+    // segments: p and q DISJOINT (1..800 vs 1001..1800), r IDENTICAL
+    // to p — at 800 keys the raw estimator is in its working range
+    val rows = (1 to 800).map(i => ("p", s"u$i")) ++
+      (1001 to 1800).map(i => ("q", s"u$i")) ++
+      (1 to 800).map(i => ("r", s"u$i"))
+    val df = rows.toDF("seg", "uid")
+    val out = Sketches.hllSegmentOverlap(df, col("seg"), col("uid"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val pq = out(("p", "q"))
+    val pr = out(("p", "r"))
+    // identical segments: identical registers → union estimate equals
+    // the per-segment estimate exactly, intersect estimate = est_a
+    assert(pr.getAs[Long]("est_union") === pr.getAs[Long]("est_a"))
+    assert(pr.getAs[Long]("est_intersect") === pr.getAs[Long]("est_a"))
+    assert(pr.getAs[Long]("exact_intersect") === 800L)
+    // disjoint segments: union estimate well above either side, and the
+    // intersect estimate is small relative to the sets (<20% of 800)
+    assert(pq.getAs[Long]("exact_intersect") === 0L)
+    assert(pq.getAs[Long]("est_union") > pq.getAs[Long]("est_a"))
+    assert(pq.getAs[Long]("est_intersect") < 160L,
+      s"disjoint intersect estimate ${pq.getAs[Long]("est_intersect")}")
+  }
 }
