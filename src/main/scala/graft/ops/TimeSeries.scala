@@ -275,6 +275,98 @@ FROM w"""
       .select(col("u"), coalesce(col("matched"), lit(false)).as("matched"))
   }
 
+  /** ClickHouse `windowFunnel(... 'strict_order')` / strict-order
+    * `sequenceMatch` analog: a user matches iff some chain
+    * t₁ < t₂ < … < tₙ of cond events exists with NO OTHER INPUT EVENT
+    * strictly between consecutive chain steps — any interposed event
+    * breaks the chain (the ClickHouse strict_order contract over the
+    * rows the aggregate sees).
+    *
+    * Same viable-set DP as [[sequenceMatchGapUsers]] (greedy is
+    * incomplete here too), with the break test reduced to a value
+    * identity: for a condₖ event at t, let P = max viable Sₖ₋₁ time
+    * < t and L = max ANY-event time < t (L ≥ P always). The step is
+    * interposer-free iff P = L. L is per-event static, computed ONCE
+    * with the two-phase bucketed running max; each step then only
+    * recomputes P over its shrinking viable set. Ties: events sharing
+    * a timestamp are mutually unordered, so neither breaks the other
+    * (time-granularity contract).
+    *
+    * Output: one row per user holding any condition event —
+    * (u, matched BOOLEAN). */
+  def sequenceMatchStrictOrderUsers(events: DataFrame, user: Column,
+      ts: Column, conds: Seq[Column],
+      bucketUs: Long = 3600000000L): DataFrame = {
+    require(conds.nonEmpty, "sequenceMatch needs at least one condition")
+    require(bucketUs > 0, "bucket must be positive")
+    val e = events.select(Seq(user.as("u"),
+      unix_micros(ts).as("tu")) ++
+      conds.zipWithIndex.map { case (p, i) => p.as(s"is_c${i + 1}") }: _*)
+    val universe = e.filter(conds.indices.map(i => col(s"is_c${i + 1}"))
+      .reduce(_ || _)).select(col("u")).distinct()
+    def bucketed(df: DataFrame): DataFrame =
+      df.withColumn("b", ((col("tu") - pmod(col("tu"), lit(bucketUs))) /
+        lit(bucketUs)).cast("long"))
+    // L: latest any-event time strictly before each row, two-phase
+    val eb = bucketed(e)
+    val inBAll = Window.partitionBy(col("u"), col("b")).orderBy(col("tu"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val carryWAll = Window.partitionBy(col("u")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perBAll = eb.groupBy(col("u"), col("b")).agg(max(col("tu")).as("bmax"))
+    val carryAll = perBAll.select(col("u"), col("b"),
+      max(col("bmax")).over(carryWAll).as("la_carry"))
+    val base = eb.withColumn("la_in", max(col("tu")).over(inBAll))
+      .join(Joins.corpusSide(carryAll), Seq("u", "b"), "left")
+      .withColumn("la", greatest(col("la_in"), col("la_carry")))
+    var viable = base.filter(col("is_c1")).select(col("u"), col("tu"))
+    for (k <- 2 to conds.size) {
+      val cur = base.filter(col(s"is_c$k")).select(col("u"), col("tu"), col("la"))
+      val combined = bucketed(
+        viable.select(col("u"), col("tu"), lit(null).cast("long").as("la"),
+            lit(false).as("is_cur"))
+          .unionByName(cur.withColumn("is_cur", lit(true))))
+      val inB = Window.partitionBy(col("u"), col("b")).orderBy(col("tu"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val withIn = combined.withColumn("pm_in",
+        max(when(!col("is_cur"), col("tu"))).over(inB))
+      val perB = combined.groupBy(col("u"), col("b"))
+        .agg(max(when(!col("is_cur"), col("tu"))).as("bmax"))
+      val carryW = Window.partitionBy(col("u")).orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val carry = perB.select(col("u"), col("b"),
+        max(col("bmax")).over(carryW).as("pm_carry"))
+      viable = withIn.join(Joins.corpusSide(carry), Seq("u", "b"), "left")
+        .filter(col("is_cur"))
+        .withColumn("pm", greatest(col("pm_in"), col("pm_carry")))
+        .filter(col("pm").isNotNull && col("pm") === col("la"))
+        .select(col("u"), col("tu"))
+    }
+    universe.join(
+      Joins.corpusSide(viable.select(col("u")).distinct()
+        .withColumn("matched", lit(true))),
+      Seq("u"), "left")
+      .select(col("u"), coalesce(col("matched"), lit(false)).as("matched"))
+  }
+
+  /** DuckDB replica of a 3-condition [[sequenceMatchStrictOrderUsers]]
+    * keyed by user_id with event_type equality conditions
+    * (single-window spec). */
+  def sequenceMatchStrictOrderOracleSql(c1: String, c2: String,
+      c3: String): String =
+    s"""WITH u AS (SELECT DISTINCT user_id AS u FROM events WHERE event_type IN ('$c1','$c2','$c3')),
+e AS (SELECT user_id AS u, epoch_us(ts) AS tu, event_type AS et,
+ max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS la
+ FROM events),
+v1 AS (SELECT u, tu FROM e WHERE et = '$c1'),
+w2 AS (SELECT u, tu, la, is_cur, max(CASE WHEN NOT is_cur THEN tu END) OVER (PARTITION BY u ORDER BY tu RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+ FROM (SELECT u, tu, NULL AS la, false AS is_cur FROM v1 UNION ALL SELECT u, tu, la, true AS is_cur FROM e WHERE et = '$c2')),
+v2 AS (SELECT u, tu FROM w2 WHERE is_cur AND pm IS NOT NULL AND pm = la),
+w3 AS (SELECT u, tu, la, is_cur, max(CASE WHEN NOT is_cur THEN tu END) OVER (PARTITION BY u ORDER BY tu RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+ FROM (SELECT u, tu, NULL AS la, false AS is_cur FROM v2 UNION ALL SELECT u, tu, la, true AS is_cur FROM e WHERE et = '$c3')),
+v3 AS (SELECT DISTINCT u FROM w3 WHERE is_cur AND pm IS NOT NULL AND pm = la)
+SELECT u.u, v3.u IS NOT NULL AS matched FROM u LEFT JOIN v3 ON u.u = v3.u"""
+
   /** DuckDB replica of a 3-condition [[sequenceMatchGapUsers]] keyed
     * by user_id with event_type equality conditions (single-window
     * spec: the viable-set DP with one RANGE window per step). */

@@ -2462,6 +2462,16 @@ FROM gf""")),
       Some(graft.ops.TimeSeries.sequenceMatchGapOracleSql(
         "view", "click", "purchase", 6L * 3600000000L))),
 
+    // strict_order sequenceMatch: any interposed event breaks the
+    // chain; exact via the viable-set DP with the P = L identity.
+    GraftQuery("q_seq_match_strict",
+      (s, dir) => graft.ops.TimeSeries.sequenceMatchStrictOrderUsers(
+        ev(s, dir), col("user_id"), col("ts"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase")),
+      Some(graft.ops.TimeSeries.sequenceMatchStrictOrderOracleSql(
+        "view", "click", "purchase"))),
+
     // sequenceNextNode('forward','first_match') analog: for users
     // completing view → click (earliest chain), the event type they do
     // NEXT — chained survivor-set hash aggs + one struct-min, no

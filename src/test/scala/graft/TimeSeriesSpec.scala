@@ -592,4 +592,30 @@ class TimeSeriesSpec extends SparkSpec {
       conds, gapUs).collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(o3 === Map(3L -> true))
   }
+
+  test("sequenceMatchStrictOrderUsers: interposers break, later chains rescue, bucket-invariant") {
+    def t(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // u1: A B C consecutive → match
+    // u2: A X B C — X between A and B breaks that chain and no other
+    //     A exists → no match (X is a non-step input event)
+    // u3: A X B A B C — first A is broken by X, but the SECOND A at
+    //     t=40 chains A(40) B(50) C(60) consecutively → match
+    //     (the greedy-killer: earliest-A logic would fail)
+    // u4: A B X C — break between B and C → no match
+    val rows = Seq(
+      (1L, t(0), "A"), (1L, t(10), "B"), (1L, t(20), "C"),
+      (2L, t(0), "A"), (2L, t(10), "X"), (2L, t(20), "B"), (2L, t(30), "C"),
+      (3L, t(0), "A"), (3L, t(10), "X"), (3L, t(20), "B"),
+      (3L, t(40), "A"), (3L, t(50), "B"), (3L, t(60), "C"),
+      (4L, t(0), "A"), (4L, t(10), "B"), (4L, t(20), "X"), (4L, t(30), "C"))
+    val df = rows.toDF("user_id", "ts", "et")
+    def conds = Seq(col("et") === "A", col("et") === "B", col("et") === "C")
+    for (bw <- Seq(5000000L, 15000000L, 3600000000L)) {
+      val out = TimeSeries.sequenceMatchStrictOrderUsers(df, col("user_id"),
+          col("ts"), conds, bucketUs = bw)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(out === Map(1L -> true, 2L -> false, 3L -> true, 4L -> false),
+        s"bw=$bw")
+    }
+  }
 }
