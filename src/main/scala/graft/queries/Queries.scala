@@ -2833,6 +2833,13 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"), round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.Stats.tukeyOutliersOracleSql)),
 
+    // table profile: per-column null/distinct/min/max/top-values
+    // report over the documents drop.
+    GraftQuery("q_profile",
+      (s, dir) => graft.ops.Profile.columns(
+        graft.Tables.documents(s, dir), Seq("lang", "source", "n_chars")),
+      Some(graft.ops.Profile.documentsOracleSql)),
+
     // HLL register set-algebra: per-event-type audience sketches,
     // union by register max, inclusion-exclusion intersect estimate.
     GraftQuery("q_hll_overlap",

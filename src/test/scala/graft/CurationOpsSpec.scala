@@ -233,4 +233,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(!out.map(_.getAs[Long]("vec_id")).contains(2L))
     assert(out.head.getAs[Long]("vec_id") === 1L) // identical vector ranks first
   }
+
+  test("Profile.columns: nulls/distinct/minmax/top with canonical tie order") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 1L), (Some("a"), 2L), (Some("b"), 2L),
+      (Some("b"), 3L), (None, 3L), (Some("c"), 3L)
+    ).toDF("s", "n")
+    val out = graft.ops.Profile.columns(df, Seq("s", "n"), topK = 2)
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val sCol = out("s")
+    assert(sCol.getAs[Long]("n_rows") === 6L && sCol.getAs[Long]("n_nulls") === 1L)
+    assert(sCol.getAs[Long]("n_distinct") === 3L)
+    assert(sCol.getAs[String]("min_v") === "a" && sCol.getAs[String]("max_v") === "c")
+    // a and b both count 2 → tie broken by value asc
+    assert(sCol.getAs[String]("top_values") === "a:2,b:2")
+    val nCol = out("n")
+    assert(nCol.getAs[Long]("n_nulls") === 0L)
+    assert(nCol.getAs[String]("top_values") === "3:3,2:2")
+    // minCount floor drops singletons from the top list
+    val floored = graft.ops.Profile.columns(df, Seq("s"), topK = 3, minCount = 2L)
+      .collect().head.getAs[String]("top_values")
+    assert(floored === "a:2,b:2")
+  }
 }
