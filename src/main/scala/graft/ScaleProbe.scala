@@ -258,6 +258,31 @@ object ScaleProbe {
             bucketWidth = 10000000L))
         }
       }),
+      // the round-9 sequence matchers (adjacent-gap + strict-order
+      // viable-set DP) under the seq_count_skew adversary: one user
+      // owns half of all events. Every per-step running max is
+      // two-phase (RANGE window per (user, hour bucket) + bucket-
+      // aggregate carry), so the hot user's window groups stay at
+      // in-bucket size — the shared zero-spill invariant asserts it
+      "seq_gap_skew" -> (() => {
+        val spanUs = 64L * 86400L * 1000000L
+        val users = math.max(eventsN / 100, 1)
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(hash(col("id")), lit(users))).as("user_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(col("id") * lit(7919L), lit(spanUs))).as("ts"),
+          concat(lit("t"), pmod(hash(col("id") * lit(13L)), lit(5))).as("et"))
+        val conds = Seq(col("et") === "t0", col("et") === "t1",
+          col("et") === "t2")
+        withShufflePartitions(math.max(32L, eventsN / 500000L)) {
+          force(graft.ops.TimeSeries.sequenceMatchGapUsers(e, col("user_id"),
+            col("ts"), conds, gapUs = 3600000000L)) +
+          force(graft.ops.TimeSeries.sequenceMatchStrictOrderUsers(e,
+            col("user_id"), col("ts"), conds))
+        }
+      }),
       // distribution-analysis family on the same continuous axis:
       // tukey runs the per-(key, bucket) cumulative under key skew
       // (hot key owns half the events), the equi-depth histogram the
