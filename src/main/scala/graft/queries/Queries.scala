@@ -2833,6 +2833,24 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"), round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.Stats.tukeyOutliersOracleSql)),
 
+    // ClickHouse URL-function family over a synthesized referrer URL.
+    GraftQuery("q_url_funcs",
+      (s, dir) => {
+        val u = graft.functions.UrlFunctions
+        ev(s, dir).select(col("event_id"),
+          u.syntheticUrl(col("user_id"), col("event_type"),
+            col("event_id")).as("url"))
+          .select(col("event_id"),
+            u.protocol(col("url")).as("proto"),
+            u.domain(col("url")).as("dom"),
+            u.topLevelDomain(col("url")).as("tld"),
+            u.path(col("url")).as("path"),
+            u.queryString(col("url")).as("qs"),
+            u.extractURLParameter(col("url"), "q").as("q_param"),
+            u.cutQueryString(col("url")).as("cut_qs"))
+      },
+      Some(graft.functions.UrlFunctions.urlFuncsOracleSql)),
+
     // table profile: per-column null/distinct/min/max/top-values
     // report over the documents drop.
     GraftQuery("q_profile",
