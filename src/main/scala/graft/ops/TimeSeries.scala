@@ -1244,6 +1244,101 @@ FROM m"""
         concat(col("mk"), lit(":"), col("v").cast("string")))), ",").as("m"))
   }
 
+  /** ClickHouse `minMap`/`maxMap` companions to [[sumMap]]: per key,
+    * the canonical sorted `mk:min,…` / `mk:max,…` map strings in one
+    * hash aggregate. */
+  def minMaxMap(events: DataFrame, key: Column, mapKey: Column,
+      valueMicros: Column): DataFrame = {
+    events.groupBy(key.as("k"), mapKey.as("mk"))
+      .agg(min(valueMicros).as("mn"), max(valueMicros).as("mx"))
+      .groupBy(col("k"))
+      .agg(
+        array_join(sort_array(collect_list(
+          concat(col("mk"), lit(":"), col("mn").cast("string")))), ",").as("min_map"),
+        array_join(sort_array(collect_list(
+          concat(col("mk"), lit(":"), col("mx").cast("string")))), ",").as("max_map"))
+  }
+
+  /** DuckDB replica of [[minMaxMap]] keyed by user_id with map-key
+    * event_type. */
+  val minMaxMapOracleSql: String =
+    """WITH g AS (SELECT user_id AS k, event_type AS mk, min(CAST(round(value*1000000,0) AS BIGINT)) AS mn, max(CAST(round(value*1000000,0) AS BIGINT)) AS mx FROM events GROUP BY 1, 2)
+SELECT k, string_agg(mk || ':' || CAST(mn AS VARCHAR), ',' ORDER BY mk || ':' || CAST(mn AS VARCHAR)) AS min_map,
+ string_agg(mk || ':' || CAST(mx AS VARCHAR), ',' ORDER BY mk || ':' || CAST(mx AS VARCHAR)) AS max_map
+FROM g GROUP BY 1"""
+
+  /** ClickHouse `boundingRatio(t, v)` analog: per key, the slope
+    * between the chronologically first and last points —
+    * (v_last − v_first) / (t_last − t_first) in seconds. One hash
+    * aggregate of (t, tiebreak, v) struct min/max; exact integer
+    * numerator/denominator emitted alongside the r6 double ratio
+    * (null for single-point keys). */
+  def boundingRatio(events: DataFrame, key: Column, ts: Column,
+      tiebreak: Column, valueMicros: Column): DataFrame = {
+    val agg = events.select(key.as("k"), unix_micros(ts).as("tu"),
+        tiebreak.as("tb"), valueMicros.as("v"))
+      .groupBy(col("k"))
+      .agg(min(struct(col("tu"), col("tb"), col("v"))).as("f"),
+        max(struct(col("tu"), col("tb"), col("v"))).as("l"))
+    val dv = col("l").getField("v") - col("f").getField("v")
+    val dt = col("l").getField("tu") - col("f").getField("tu")
+    agg.select(col("k"), dv.as("dv"), dt.as("dt_us"),
+      when(dt > 0, floor(dv.cast("double") /
+        (dt.cast("double") / lit(1e6)) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("ratio"))
+  }
+
+  /** DuckDB replica of [[boundingRatio]] keyed by event_type. */
+  val boundingRatioOracleSql: String =
+    """WITH e AS (SELECT event_type AS k, epoch_us(ts) AS tu, event_id AS tb, CAST(round(value*1000000,0) AS BIGINT) AS v FROM events),
+r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY tu, tb, v) AS rn_a, row_number() OVER (PARTITION BY k ORDER BY tu DESC, tb DESC, v DESC) AS rn_d FROM e),
+fl AS (SELECT k, min(CASE WHEN rn_a = 1 THEN v END) AS fv, min(CASE WHEN rn_a = 1 THEN tu END) AS ftu, min(CASE WHEN rn_d = 1 THEN v END) AS lv, min(CASE WHEN rn_d = 1 THEN tu END) AS ltu FROM r GROUP BY 1)
+SELECT k, lv - fv AS dv, ltu - ftu AS dt_us,
+ CASE WHEN ltu - ftu > 0 THEN floor(CAST(lv - fv AS DOUBLE)/(CAST(ltu - ftu AS DOUBLE)/1e6)*1e6+0.5)/1e6 END AS ratio
+FROM fl"""
+
+  /** ClickHouse `sparkbar(N)` analog: per key, an N-character block
+    * bar chart of the per-time-bucket µ-sums, levels 1–8 normalized
+    * to the key's max bucket (empty buckets render as spaces). Level
+    * arithmetic is exact integer — ceil(8·v/max) = (8v + max − 1)
+    * div max — and the glyph is drawn by substring from a shared
+    * literal, so both engines emit identical strings. */
+  def sparkbar(events: DataFrame, key: Column, ts: Column,
+      valueMicros: Column, buckets: Int, spanStartUs: Long,
+      spanUs: Long): DataFrame = {
+    require(buckets >= 1 && buckets <= 256, "buckets must be in [1, 256]")
+    require(spanUs > 0, "span must be positive")
+    val spark = events.sparkSession
+    val w = spanUs / buckets
+    val bkt = least(lit(buckets.toLong - 1), greatest(lit(0L),
+      ((unix_micros(ts) - lit(spanStartUs)) / lit(w)).cast("long")))
+    val sums = events.select(key.as("k"), bkt.as("b"), valueMicros.as("v"))
+      .groupBy(col("k"), col("b")).agg(sum(col("v")).as("s"))
+    val mx = sums.groupBy(col("k")).agg(max(col("s")).as("mx"))
+    val grid = mx.crossJoin(spark.range(buckets).select(col("id").as("b")))
+      .join(sums, Seq("k", "b"), "left")
+    val lvl = when(col("s").isNull || col("s") <= 0 || col("mx") <= 0, lit(0L))
+      .otherwise(expr("(8 * s + mx - 1) div mx"))
+    grid.select(col("k"), col("b"),
+        substring(lit(" ▁▂▃▄▅▆▇█"),
+          (lvl + 1).cast("int"), lit(1)).as("ch"))
+      .groupBy(col("k"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("b"), col("ch")))), x => x.getField("ch")), "").as("bar"))
+  }
+
+  /** DuckDB replica of [[sparkbar]] keyed by event_type. */
+  def sparkbarOracleSql(buckets: Int, spanStartUs: Long,
+      spanUs: Long): String = {
+    val w = spanUs / buckets
+    s"""WITH e AS (SELECT event_type AS k, least(${buckets - 1}, greatest(0, (epoch_us(ts) - $spanStartUs) // $w)) AS b, CAST(round(value*1000000,0) AS BIGINT) AS v FROM events),
+sums AS (SELECT k, b, sum(v) AS s FROM e GROUP BY 1, 2),
+mx AS (SELECT k, max(s) AS mx FROM sums GROUP BY 1),
+grid AS (SELECT mx.k, t.b, sums.s, mx.mx FROM mx CROSS JOIN (SELECT unnest(range(0, $buckets)) AS b) t LEFT JOIN sums ON sums.k = mx.k AND sums.b = t.b),
+lv AS (SELECT k, b, CASE WHEN s IS NULL OR s <= 0 OR mx <= 0 THEN 0 ELSE (8 * s + mx - 1) // mx END AS lvl FROM grid)
+SELECT k, string_agg(substring(' ▁▂▃▄▅▆▇█', CAST(lvl + 1 AS INT), 1), '' ORDER BY b) AS bar FROM lv GROUP BY 1"""
+  }
+
   /** DuckDB replica of [[sumMap]] keyed by user_id with map-key
     * event_type. */
   val sumMapOracleSql: String =

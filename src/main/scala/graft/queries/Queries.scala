@@ -2833,6 +2833,30 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"), round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.Stats.tukeyOutliersOracleSql)),
 
+    // minMap/maxMap companions to sumMap.
+    GraftQuery("q_minmax_map",
+      (s, dir) => graft.ops.TimeSeries.minMaxMap(ev(s, dir),
+        col("user_id"), col("event_type"),
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.TimeSeries.minMaxMapOracleSql)),
+
+    // boundingRatio: first→last slope per event type (µ-units/sec).
+    GraftQuery("q_bounding_ratio",
+      (s, dir) => graft.ops.TimeSeries.boundingRatio(ev(s, dir),
+        col("event_type"), col("ts"), col("event_id"),
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.TimeSeries.boundingRatioOracleSql)),
+
+    // sparkbar(31): daily activity bar per event type over Jan 2024.
+    GraftQuery("q_sparkbar",
+      (s, dir) => graft.ops.TimeSeries.sparkbar(ev(s, dir),
+        col("event_type"), col("ts"),
+        round(col("value") * 1e6, 0).cast("long"),
+        buckets = 31, spanStartUs = 1704067200000000L,
+        spanUs = 31L * 86400000000L),
+      Some(graft.ops.TimeSeries.sparkbarOracleSql(
+        31, 1704067200000000L, 31L * 86400000000L))),
+
     // ClickHouse URL-function family over a synthesized referrer URL.
     GraftQuery("q_url_funcs",
       (s, dir) => {
