@@ -2857,6 +2857,23 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       Some(graft.ops.TimeSeries.sparkbarOracleSql(
         31, 1704067200000000L, 31L * 86400000000L))),
 
+    // IPv4 function family: num→string→num round-trip + /24 range
+    // over a hash-derived address.
+    GraftQuery("q_ipv4_funcs",
+      (s, dir) => {
+        val u = graft.functions.UrlFunctions
+        ev(s, dir).select(col("event_id"),
+            pmod(TextFunctions.md5Long(col("user_id").cast("string")),
+              lit(4294967296L)).as("ip"))
+          .select(col("event_id"), col("ip"),
+            u.ipv4NumToString(col("ip")).as("ip_str"))
+          .select(col("event_id"), col("ip"), col("ip_str"),
+            u.ipv4StringToNum(col("ip_str")).as("round_trip"),
+            u.ipv4CidrToRange(col("ip"), 24).getField("lo").as("net_lo"),
+            u.ipv4CidrToRange(col("ip"), 24).getField("hi").as("net_hi"))
+      },
+      Some(graft.functions.UrlFunctions.ipv4FuncsOracleSql)),
+
     // ClickHouse URL-function family over a synthesized referrer URL.
     GraftQuery("q_url_funcs",
       (s, dir) => {
