@@ -303,4 +303,69 @@ class PropertySpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
   }
+
+  test("property: mannWhitneyU matches a brute-force O(n^2) U on random samples") {
+    import graft.ops.Stats
+    val rng = new scala.util.Random(9001)
+    for (trial <- 1 to 4) {
+      val na = 2 + rng.nextInt(12); val nb = 2 + rng.nextInt(12)
+      // small value domain forces heavy ties
+      val a = Seq.fill(na)(rng.nextInt(6).toLong)
+      val b = Seq.fill(nb)(rng.nextInt(6).toLong)
+      // brute force: U_a = #(a>b) + 0.5*#(a==b), doubled to stay exact
+      val u2 = (for (x <- a; y <- b) yield
+        (if (x > y) 2L else if (x == y) 1L else 0L)).sum
+      val df = (a.map((true, _)) ++ b.map((false, _))).toDF("is_a", "v")
+      val r = Stats.mannWhitneyU(df, col("is_a"), col("v"),
+        bucketWidth = 1L + rng.nextInt(4)).collect().head
+      assert(r.getAs[String]("u2_a") === u2.toString, s"trial=$trial a=$a b=$b")
+    }
+  }
+
+  test("property: ksTest D numerator matches brute-force sup over sample points") {
+    import graft.ops.Stats
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 4) {
+      val na = 2 + rng.nextInt(10); val nb = 2 + rng.nextInt(10)
+      val a = Seq.fill(na)(rng.nextInt(8).toLong)
+      val b = Seq.fill(nb)(rng.nextInt(8).toLong)
+      val vs = (a ++ b).distinct.sorted
+      val dnum = vs.map(v =>
+        math.abs(a.count(_ <= v).toLong * nb - b.count(_ <= v).toLong * na)).max
+      val df = (a.map((true, _)) ++ b.map((false, _))).toDF("is_a", "v")
+      val r = Stats.ksTest(df, col("is_a"), col("v"),
+        bucketWidth = 1L + rng.nextInt(4)).collect().head
+      assert(r.getAs[String]("d_num") === dnum.toString, s"trial=$trial a=$a b=$b")
+    }
+  }
+
+  test("property: rankCorr matches brute-force Spearman-with-midranks") {
+    import graft.ops.Stats
+    val rng = new scala.util.Random(1337)
+    def midranks(v: Seq[Long]): Seq[Double] = {
+      val sorted = v.sorted
+      v.map { x =>
+        val lt = sorted.count(_ < x); val eq = sorted.count(_ == x)
+        lt + (eq + 1) / 2.0
+      }
+    }
+    for (trial <- 1 to 4) {
+      val n = 4 + rng.nextInt(16)
+      val xs = Seq.fill(n)(rng.nextInt(6).toLong)
+      val ys = Seq.fill(n)(rng.nextInt(6).toLong)
+      val rx = midranks(xs); val ry = midranks(ys)
+      val mx = rx.sum / n; val my = ry.sum / n
+      val num = rx.zip(ry).map { case (u, w) => (u - mx) * (w - my) }.sum
+      val dx = rx.map(u => (u - mx) * (u - mx)).sum
+      val dy = ry.map(w => (w - my) * (w - my)).sum
+      val df = xs.zip(ys).toDF("x", "y")
+      val r = Stats.rankCorr(df, col("x"), col("y"),
+        bucketWidth = 1L + rng.nextInt(4)).collect().head
+      if (dx > 0 && dy > 0) {
+        val expected = num / math.sqrt(dx * dy)
+        assert(math.abs(r.getAs[Double]("rho") - expected) < 1e-5,
+          s"trial=$trial xs=$xs ys=$ys")
+      } else assert(r.isNullAt(r.fieldIndex("rho")), s"trial=$trial")
+    }
+  }
 }
