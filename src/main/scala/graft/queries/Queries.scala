@@ -2857,6 +2857,16 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       Some(graft.ops.TimeSeries.sparkbarOracleSql(
         31, 1704067200000000L, 31L * 86400000000L))),
 
+    // geohashEncode over synthesized coordinates (precision 6).
+    GraftQuery("q_geohash",
+      (s, dir) => ev(s, dir).select(col("event_id"),
+          (pmod(col("user_id"), lit(3600)).cast("double") / 10 - 180).as("lon"),
+          (pmod(col("event_id"), lit(1700)).cast("double") / 10 - 85).as("lat"))
+        .select(col("event_id"),
+          graft.functions.GeoFunctions.geohashEncode(
+            col("lon"), col("lat"), 6).as("gh6")),
+      Some(graft.functions.GeoFunctions.geohashOracleSql)),
+
     // IPv4 function family: num→string→num round-trip + /24 range
     // over a hash-derived address.
     GraftQuery("q_ipv4_funcs",
