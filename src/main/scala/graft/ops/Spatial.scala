@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 2-D spatial band join — the distributed "points within a box"
+  * primitive behind radius search and geo dedup (the spatial analog of
+  * [[RangeJoin]]'s 1-D interval compile-out, and the join pattern a
+  * geohash/grid bucketing exists to serve).
+  *
+  * Grid-stencil shape: coordinates are integer µ-degrees (exact);
+  * cells are box-sized, so any qualifying pair sits within one cell of
+  * each other; the LEFT side explodes to its 3×3 cell stencil and
+  * joins the RIGHT side's exact cell — every qualifying pair is found
+  * exactly once (the right point's cell is unique), and the exact box
+  * filter runs in integer arithmetic. NO all-pairs stage exists at any
+  * scale: shuffle is 9× points plus density-bounded candidate pairs.
+  *
+  * At 100 TB the cell size is the knob: cells ≈ box keep the stencil
+  * at 9; a hot cell (urban density) bounds candidates by its own
+  * population — the Skew.saltedJoin treatment applies above that. */
+object Spatial {
+
+  /** Unordered pairs of points within `boxMicroDeg` in BOTH axes
+    * (Chebyshev box, exact). Output: (id_a, id_b, dlon_u, dlat_u). */
+  def boxPairs(points: DataFrame, id: Column, lonMicro: Column,
+      latMicro: Column, boxMicroDeg: Long): DataFrame = {
+    require(boxMicroDeg > 0, "box must be positive")
+    val pts = points.select(id.as("pid"), lonMicro.as("x"), latMicro.as("y"))
+    def cellOf(c: Column): Column =
+      ((c - pmod(c, lit(boxMicroDeg))) / lit(boxMicroDeg)).cast("long")
+    val right = pts.select(col("pid").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), cellOf(col("x")).as("cx"), cellOf(col("y")).as("cy"))
+    val offsets = Seq(-1, 0, 1).flatMap(dx => Seq(-1, 0, 1).map(dy => (dx, dy)))
+    val left = pts
+      .withColumn("o", explode(typedLit(offsets)))
+      .select(col("pid").as("id_a"), col("x").as("xa"), col("y").as("ya"),
+        (cellOf(col("x")) + col("o._1")).as("cx"),
+        (cellOf(col("y")) + col("o._2")).as("cy"))
+    left.join(Joins.corpusSide(right), Seq("cx", "cy"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("xa") - col("xb")) <= boxMicroDeg &&
+        abs(col("ya") - col("yb")) <= boxMicroDeg)
+      .select(col("id_a"), col("id_b"),
+        (col("xb") - col("xa")).as("dlon_u"),
+        (col("yb") - col("ya")).as("dlat_u"))
+  }
+
+  /** DuckDB replica (brute-force spec — valid because the registered
+    * query samples the point set). */
+  def boxPairsOracleSql(sampleMod: Long, boxMicroDeg: Long): String =
+    s"""WITH pts AS (SELECT event_id AS pid,
+ CAST(round((CAST(user_id % 3600 AS DOUBLE)/10 - 180) * 1e6, 0) AS BIGINT) AS x,
+ CAST(round((CAST(event_id % 1700 AS DOUBLE)/10 - 85) * 1e6, 0) AS BIGINT) AS y
+ FROM events WHERE user_id % $sampleMod = 0)
+SELECT a.pid AS id_a, b.pid AS id_b, b.x - a.x AS dlon_u, b.y - a.y AS dlat_u
+FROM pts a JOIN pts b ON a.pid < b.pid
+ AND abs(a.x - b.x) <= $boxMicroDeg AND abs(a.y - b.y) <= $boxMicroDeg"""
+}

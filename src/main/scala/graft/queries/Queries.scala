@@ -2857,6 +2857,20 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       Some(graft.ops.TimeSeries.sparkbarOracleSql(
         31, 1704067200000000L, 31L * 86400000000L))),
 
+    // 2-D spatial band join: grid-stencil pairs within a 2-degree box
+    // on a sampled point set (brute-force oracle is the spec).
+    GraftQuery("q_geo_box_join",
+      (s, dir) => graft.ops.Spatial.boxPairs(
+        ev(s, dir).filter(pmod(col("user_id"), lit(37)) === 0)
+          .select(col("event_id"),
+            round((pmod(col("user_id"), lit(3600)).cast("double") / 10 - 180)
+              * 1e6, 0).cast("long").as("lon_u"),
+            round((pmod(col("event_id"), lit(1700)).cast("double") / 10 - 85)
+              * 1e6, 0).cast("long").as("lat_u")),
+        col("event_id"), col("lon_u"), col("lat_u"),
+        boxMicroDeg = 2000000L),
+      Some(graft.ops.Spatial.boxPairsOracleSql(37L, 2000000L))),
+
     // geohashEncode over synthesized coordinates (precision 6).
     GraftQuery("q_geohash",
       (s, dir) => ev(s, dir).select(col("event_id"),
