@@ -306,6 +306,40 @@ object ScaleProbe {
             Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))
         }
       }),
+      // spatial band join at CONSTANT density over a GROWING area —
+      // the quadratic-risk join class: pair volume must track density²
+      // × area (linear in points when density is fixed), never
+      // points². A FIXED-size hot cell (~1000 points regardless of N)
+      // exercises skew without making the ANSWER quadratic — a city
+      // where 1% of a 100M corpus co-locates genuinely has ~10¹¹
+      // qualifying pairs, which no join strategy can bound; density-
+      // bounded input is the operator's documented contract (the
+      // prefix_join posture)
+      "spatial_join" -> (() => {
+        // input splits sized to the EXPLODED row count a map task
+        // shuffles (9× points): 1M-row splits spilled 63 GB in the
+        // shuffle-write sorter at 100M — the same artifact class as
+        // zorder_box's generator note
+        val inParts = math.max(32L, eventsN / 250000L).toInt
+        // area scales with N: grid side √N cells of 1e6 µdeg, ~1 point
+        // per cell on average
+        val side = math.max(4L, math.sqrt(eventsN.toDouble).toLong)
+        val hotEvery = math.max(eventsN / 1000L, 1L)
+        val pts = spark.range(0, eventsN, 1, inParts).select(
+          col("id").as("pid"),
+          when(pmod(col("id"), lit(hotEvery)) === 0, lit(500000L))
+            .otherwise(pmod(hash(col("id")), lit(side)) * 1000000L +
+              pmod(hash(col("id") * lit(7L)), lit(1000000L))).as("x"),
+          when(pmod(col("id"), lit(hotEvery)) === 0, lit(500000L))
+            .otherwise(pmod(hash(col("id") * lit(13L)), lit(side)) * 1000000L +
+              pmod(hash(col("id") * lit(17L)), lit(1000000L))).as("y"))
+        // partitions sized to the 9×-exploded stencil side, not the
+        // raw point count (first cut at N/250k spilled 3.3 GB at 10M)
+        withShufflePartitions(math.max(32L, eventsN / 50000L)) {
+          force(graft.ops.Spatial.boxPairs(pts, col("pid"), col("x"),
+            col("y"), boxMicroDeg = 1000000L))
+        }
+      }),
       // token-explode aggregation rungs: shuffle must track corpus
       // tokens (linear), driver results must stay count-sized
       "tfidf_topterms" -> (() =>
