@@ -2806,7 +2806,10 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       Some(graft.ops.Stats.columnEntropyOracleSql)),
 
     // deterministic equi-depth histogram(8) over the µ-value.
-    GraftQuery("q_histogram",
+    // (named _eqdepth: q_histogram is the round-2 equi-width query —
+    // a duplicate name silently shadows the earlier entry in the
+    // runners/oracles maps and drops it from the correctness gate)
+    GraftQuery("q_histogram_eqdepth",
       (s, dir) => graft.ops.Stats.equiDepthHistogram(ev(s, dir),
         round(col("value") * 1e6, 0).cast("long"), nBins = 8),
       Some(graft.ops.Stats.equiDepthHistogramOracleSql)),
@@ -2942,7 +2945,9 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
 
     // HDR-grid quantile sketch (deterministic tdigest-class): bounded
     // mergeable state, grid-exact quantile lower bounds.
-    GraftQuery("q_quantile_sketch",
+    // (named _hdr: q_quantile_sketch is the round-6 approx_percentile
+    // rank-window probe — same shadowing hazard as q_histogram above)
+    GraftQuery("q_quantile_sketch_hdr",
       (s, dir) => graft.ops.Sketches.sketchQuantiles(
         graft.ops.Sketches.quantileSketch(ev(s, dir),
           round(col("value") * 1e6, 0).cast("long")),
@@ -2951,6 +2956,15 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         "CAST(round(value*1000000,0) AS BIGINT)", "events",
         Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))))
   )
+
+  // A duplicate name silently shadows the earlier query once the Seq
+  // collapses to the runners/oracles maps — the shadowed entry drops
+  // out of the correctness gate with no error (it happened: round 9's
+  // q_histogram/q_quantile_sketch overwrote the round-2/6 entries).
+  require(all.map(_.name).distinct.size == all.size,
+    "duplicate query names: " + all.groupBy(_.name).collect {
+      case (n, qs) if qs.size > 1 => n
+    }.mkString(", "))
 
   def runners: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
