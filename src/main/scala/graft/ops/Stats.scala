@@ -262,6 +262,36 @@ FROM m"""
       when(col("n_a") > 0 && col("n_b") > 0 && sig2 > lit(0.0), r6(z)).as("z"))
   }
 
+  /** ClickHouse `arrayAUC(scores, labels)` analog over row-shaped
+    * input: exact ROC AUC with the midrank tie convention,
+    * AUC = U_pos / (n_pos·n_neg) — the probability a random positive
+    * outscores a random negative, ties counting ½. Reuses the
+    * [[mannWhitneyU]] doubled-rank identity: 2·R_pos = Σ_v c_pos·rank2
+    * is an exact decimal, 2·U = 2·R_pos − n_pos(n_pos+1) an exact
+    * integer, so AUC = u2/(2·n_pos·n_neg) is the only double.
+    * ClickHouse materializes (scores, labels) arrays and sorts on one
+    * host; the row form here is one distinct-score aggregation plus the
+    * bucketed two-phase cumulative — no global sort, no array.
+    *
+    * Output: (n_pos, n_neg, u2_pos STRING exact, auc r6 — null when
+    * either class is empty). */
+  def rocAuc(df: DataFrame, isPos: Column, score: Column,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    val cum = cumCounts(df, isPos, score, bucketWidth)
+    val agg = cum.agg(
+      sum(col("c_a")).as("n_pos"),
+      sum(col("c_t") - col("c_a")).as("n_neg"),
+      sum(d(col("c_a")) *
+        d(lit(2L) * col("cw_t") - col("c_t") + lit(1L))).as("r2p"))
+    val withU = agg.withColumn("u2",
+      col("r2p") - d(col("n_pos")) * d(col("n_pos") + lit(1L)))
+    withU.select(col("n_pos"), col("n_neg"),
+      col("u2").cast("string").as("u2_pos"),
+      when(col("n_pos") > 0 && col("n_neg") > 0,
+        r6(dbl(col("u2")) /
+          (lit(2.0) * dbl(col("n_pos")) * dbl(col("n_neg"))))).as("auc"))
+  }
+
   /** ClickHouse `kolmogorovSmirnovTest(v, arm)` analog: the exact
     * two-sample D statistic. D's numerator max_v |cw_a·n_b − cw_b·n_a|
     * is integer-exact (sup over value boundaries — the sup over ℝ of
@@ -365,6 +395,45 @@ FROM m"""
   }
 
   // ------------------------------------------- categorical association
+
+  /** ClickHouse `categoricalInformationValue(cat, tag)` analog, kept
+    * per-category: weight of evidence WoE_i = ln(p_i/q_i) and the IV
+    * term (p_i − q_i)·WoE_i for each category of `cat` against a
+    * binary tag, where p_i = pos_i/Σpos and q_i = neg_i/Σneg — the
+    * standard feature-screening scorecard (total IV = Σ terms over
+    * this |categories|-row output).
+    *
+    * Determinism: the ln argument is formed as
+    * (pos_i·Σneg)/(Σpos·neg_i) in doubles mirrored operation-for-
+    * operation by the oracle; the IV term is quantized to 1e-12
+    * decimal (`iv_q`, exact string) per the [[cramersV]] discipline so
+    * any cross-category summation a caller does is exact integer
+    * arithmetic. Categories with an empty side (pos_i or neg_i = 0)
+    * have infinite WoE — emitted as null woe/iv (documented ClickHouse
+    * divergence: it returns ±inf into the sum).
+    *
+    * Plan: one |categories|-row hash agg, totals broadcast back.
+    * Output: (cat, n_pos, n_neg, woe r6, iv_q STRING, iv r6). */
+  def categoricalWoe(df: DataFrame, cat: Column, isPos: Column): DataFrame = {
+    val per = df.select(cat.as("cat"), isPos.as("p"))
+      .groupBy(col("cat"))
+      .agg(sum(when(col("p"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("p"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = per.agg(sum(col("n_pos")).as("goods"),
+      sum(col("n_neg")).as("bads"))
+    val ok = col("n_pos") > 0 && col("n_neg") > 0 &&
+      col("goods") > 0 && col("bads") > 0
+    val woe = log((dbl(col("n_pos")) * dbl(col("bads"))) /
+      (dbl(col("goods")) * dbl(col("n_neg"))))
+    val term = (dbl(col("n_pos")) / dbl(col("goods")) -
+      dbl(col("n_neg")) / dbl(col("bads"))) * woe
+    val termQ = d(floor(term * lit(1e12) + lit(0.5)))
+    per.crossJoin(broadcast(tot))
+      .select(col("cat"), col("n_pos"), col("n_neg"),
+        when(ok, r6(woe)).as("woe"),
+        when(ok, termQ.cast("string")).as("iv_q"),
+        when(ok, r6(dbl(termQ) / lit(1e12))).as("iv"))
+  }
 
   /** ClickHouse `cramersV(a, b)` analog: Cramér's V from the
     * contingency table of two categorical columns. χ² is derived via
@@ -709,6 +778,24 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b, CAST(u2a AS VARCH
  CASE WHEN n_a > 0 AND n_b > 0 AND sig2 > 0.0 THEN floor((CAST(u2a AS DOUBLE)/2.0 - nad*nbd/2.0)/sqrt(sig2)*1e6+0.5)/1e6 END AS z
 FROM s"""
 
+  /** DuckDB replica of [[rocAuc]] (single-window spec): AUC of the
+    * µ-value separating clicks from views. */
+  val rocAucOracleSql: String =
+    s"""WITH byv AS (SELECT $vMicros AS v,
+ sum(CASE WHEN $armIsA THEN 1 ELSE 0 END) AS c_a, count(*) AS c_t
+ FROM events WHERE $armFilter GROUP BY 1),
+cum AS (SELECT v, c_a, c_t,
+ sum(c_t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw_t
+ FROM byv),
+agg AS (SELECT sum(c_a) AS n_pos, sum(c_t - c_a) AS n_neg,
+ sum(CAST(c_a AS DECIMAL(38,0)) * CAST(2*cw_t - c_t + 1 AS DECIMAL(38,0))) AS r2p
+ FROM cum),
+u AS (SELECT *, r2p - CAST(n_pos AS DECIMAL(38,0))*CAST(n_pos + 1 AS DECIMAL(38,0)) AS u2 FROM agg)
+SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+ CAST(u2 AS VARCHAR) AS u2_pos,
+ CASE WHEN n_pos > 0 AND n_neg > 0 THEN floor(CAST(u2 AS DOUBLE)/(2.0*CAST(n_pos AS DOUBLE)*CAST(n_neg AS DOUBLE))*1e6+0.5)/1e6 END AS auc
+FROM u"""
+
   /** DuckDB replica of [[ksTest]] (single-window spec). */
   val ksTestOracleSql: String =
     s"""WITH byv AS (SELECT $vMicros AS v,
@@ -745,6 +832,27 @@ SELECT CAST(n AS BIGINT) AS n, r_card, c_card, CAST(cell_q AS VARCHAR) AS cell_q
  CASE WHEN r_card > 1 AND c_card > 1 AND n > 1 AND least(rbc, cbc)-1.0 > 0.0 THEN floor(sqrt(phi2bc/(least(rbc, cbc)-1.0))*1e6+0.5)/1e6 END AS v_bc,
  CASE WHEN r_card > 1 AND c_card > 1 THEN floor(sqrt(greatest(phi2, 0.0)/(greatest(phi2, 0.0)+1.0))*1e6+0.5)/1e6 END AS c_coef
 FROM bc"""
+
+  /** DuckDB replica of [[categoricalWoe]] over (user_id % 10,
+    * event_type = 'click'). */
+  val categoricalWoeOracleSql: String =
+    """WITH per AS (SELECT user_id % 10 AS cat,
+ sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_pos,
+ sum(CASE WHEN event_type = 'click' THEN 0 ELSE 1 END) AS n_neg
+ FROM events GROUP BY 1),
+tot AS (SELECT sum(n_pos) AS goods, sum(n_neg) AS bads FROM per),
+t AS (SELECT cat, n_pos, n_neg, goods, bads,
+ (CAST(n_pos AS DOUBLE)*CAST(bads AS DOUBLE))/(CAST(goods AS DOUBLE)*CAST(n_neg AS DOUBLE)) AS lnarg,
+ CAST(n_pos AS DOUBLE)/CAST(goods AS DOUBLE) - CAST(n_neg AS DOUBLE)/CAST(bads AS DOUBLE) AS pq,
+ (n_pos > 0 AND n_neg > 0 AND goods > 0 AND bads > 0) AS ok
+ FROM per, tot),
+q AS (SELECT *, CASE WHEN ok
+ THEN CAST(floor(pq*ln(lnarg)*1e12 + 0.5) AS DECIMAL(38,0)) END AS tq FROM t)
+SELECT CAST(cat AS BIGINT) AS cat, CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+ CASE WHEN ok THEN floor(ln(lnarg)*1e6+0.5)/1e6 END AS woe,
+ CASE WHEN ok THEN CAST(tq AS VARCHAR) END AS iv_q,
+ CASE WHEN ok THEN floor(CAST(tq AS DOUBLE)/1e12*1e6+0.5)/1e6 END AS iv
+FROM q"""
 
   /** DuckDB replica of [[linearRegression]]: per event-type trend of
     * µ-value over the event's hour-of-epoch. */

@@ -2763,6 +2763,22 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.Stats.ksTestOracleSql)),
 
+    // exact ROC AUC of the µ-value separating clicks from views
+    // (arrayAUC analog, midrank ties, no global sort).
+    GraftQuery("q_roc_auc",
+      (s, dir) => graft.ops.Stats.rocAuc(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        round(col("value") * 1e6, 0).cast("long")),
+      Some(graft.ops.Stats.rocAucOracleSql)),
+
+    // per-category weight of evidence + IV terms of user_id%10
+    // against the click tag (categoricalInformationValue analog).
+    GraftQuery("q_categorical_woe",
+      (s, dir) => graft.ops.Stats.categoricalWoe(ev(s, dir),
+        col("user_id") % 10, col("event_type") === "click"),
+      Some(graft.ops.Stats.categoricalWoeOracleSql)),
+
     GraftQuery("q_cramers_v",
       (s, dir) => graft.ops.Stats.cramersV(ev(s, dir),
         col("event_type"), col("user_id") % 10),

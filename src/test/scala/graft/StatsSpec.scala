@@ -241,4 +241,42 @@ class StatsSpec extends SparkSpec {
     val r = Stats.theilsU(const, col("a"), col("b")).collect().head
     assert(r.isNullAt(r.fieldIndex("u")))
   }
+
+  test("rocAuc: exact AUC with midrank ties, bucket-invariant") {
+    // pos = (1,2,3) vs neg = (2,4): of the 6 (pos, neg) pairs one is a
+    // win (3>2) and one a tie (2=2) → U = 1.5, AUC = 1.5/6 = 0.25
+    for (bw <- Seq(1L, 2L, 1L << 20)) {
+      val r = Stats.rocAuc(armed, col("is_a"), col("v"),
+        bucketWidth = bw).collect().head
+      assert(r.getAs[Long]("n_pos") === 3L && r.getAs[Long]("n_neg") === 2L)
+      assert(r.getAs[String]("u2_pos") === "3", s"bw=$bw") // 2·U exact
+      assert(math.abs(r.getAs[Double]("auc") - 0.25) < 1e-9, s"bw=$bw")
+    }
+    // one-class input nulls out
+    val oneClass = Seq((true, 1L), (true, 2L)).toDF("is_a", "v")
+    val r1 = Stats.rocAuc(oneClass, col("is_a"), col("v")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("auc")))
+  }
+
+  test("categoricalWoe: hand WoE/IV; empty-side category nulls out") {
+    // X: 3 pos / 1 neg, Y: 1 pos / 3 neg → goods = bads = 4
+    // WoE_X = ln((3/4)/(1/4)) = ln 3; IV term = (3/4 − 1/4)·ln 3
+    val df = Seq(("x", true), ("x", true), ("x", true), ("x", false),
+      ("y", true), ("y", false), ("y", false), ("y", false))
+      .toDF("cat", "p")
+    val rows = Stats.categoricalWoe(df, col("cat"), col("p"))
+      .collect().map(r => r.getAs[String]("cat") -> r).toMap
+    val ln3 = math.log(3.0)
+    assert(math.abs(rows("x").getAs[Double]("woe") - ln3) < 1e-5)
+    assert(math.abs(rows("y").getAs[Double]("woe") + ln3) < 1e-5)
+    // both categories contribute the same positive IV term 0.5·ln 3
+    assert(math.abs(rows("x").getAs[Double]("iv") - 0.5 * ln3) < 1e-5)
+    assert(math.abs(rows("y").getAs[Double]("iv") - 0.5 * ln3) < 1e-5)
+    // a category with no negatives has infinite WoE → null, counts kept
+    val withEmpty = df.union(Seq(("z", true), ("z", true)).toDF("cat", "p"))
+    val z = Stats.categoricalWoe(withEmpty, col("cat"), col("p"))
+      .collect().find(_.getAs[String]("cat") == "z").get
+    assert(z.getAs[Long]("n_pos") === 2L && z.getAs[Long]("n_neg") === 0L)
+    assert(z.isNullAt(z.fieldIndex("woe")) && z.isNullAt(z.fieldIndex("iv")))
+  }
 }
