@@ -2544,6 +2544,14 @@ FROM gf""")),
 
     // groupBitmapAnd analog: exact audience intersections + Jaccard for
     // every event-type pair.
+    // groupBitmap/bitmapAnd|Or|Xor|AndnotCardinality analog: full
+    // segment-pair set algebra over word-level bitmap relations (only
+    // the intersection joins; or/xor/andnot derive from cardinalities).
+    GraftQuery("q_bitmap_overlap",
+      (s, dir) => graft.ops.Bitmaps.segmentOverlap(ev(s, dir),
+        col("event_type"), col("user_id")),
+      Some(graft.ops.Bitmaps.segmentOverlapOracleSql)),
+
     GraftQuery("q_audience_overlap",
       (s, dir) => graft.ops.TimeSeries.audienceOverlap(ev(s, dir),
         col("event_type"), col("user_id")),

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Graph, Retrieval, Rollups, Sketches}
+import graft.ops.{Bitmaps, Graph, Retrieval, Rollups, Sketches}
 
 /** Unit fixtures for the round-7 analytics additions (the registered
   * queries oracle-gate them corpus-wide; these pin the semantics on
@@ -145,5 +145,41 @@ class SketchGraphOpsSpec extends SparkSpec {
     assert(pq.getAs[Long]("est_union") > pq.getAs[Long]("est_a"))
     assert(pq.getAs[Long]("est_intersect") < 160L,
       s"disjoint intersect estimate ${pq.getAs[Long]("est_intersect")}")
+  }
+
+  test("bitmaps: word-boundary ids, duplicate collapse, exact pair algebra") {
+    // ids straddle the 64-bit word boundary (63|64) and repeat; A∩B
+    // spans two words. A = {0,63,64,200}, B = {63,64,65,300}
+    val df = Seq(("a", 0L), ("a", 63L), ("a", 63L), ("a", 64L), ("a", 200L),
+      ("b", 63L), ("b", 64L), ("b", 65L), ("b", 300L)).toDF("seg", "id")
+    val bm = Bitmaps.build(df, col("seg"), col("id"))
+    // non-empty words only: a → {0 (ids 0,63), 1 (64), 3 (200)}
+    assert(bm.filter(col("key") === "a").count() === 3L)
+    val card = Bitmaps.cardinality(bm).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("card")).toMap
+    assert(card === Map("a" -> 4L, "b" -> 4L))
+    val ov = Bitmaps.segmentOverlap(df, col("seg"), col("id")).collect().head
+    assert(ov.getAs[Long]("and_card") === 2L) // {63, 64}
+    assert(ov.getAs[Long]("or_card") === 6L)
+    assert(ov.getAs[Long]("xor_card") === 4L)
+    assert(ov.getAs[Long]("andnot_card") === 2L) // {0, 200}
+    assert(math.abs(ov.getAs[Double]("jaccard") - 2.0 / 6.0) < 1e-5)
+  }
+
+  test("bitmaps: disjoint pair survives with and_card 0; merge law holds") {
+    val x = Seq(("p", 1L), ("q", 2L)).toDF("seg", "id")
+    val ov = Bitmaps.segmentOverlap(x, col("seg"), col("id")).collect().head
+    assert(ov.getAs[Long]("and_card") === 0L && ov.getAs[Long]("or_card") === 2L)
+    // merge law (the AggregatingMergeTree posture): union two builds
+    // and re-aggregate bit_or == build of the unioned input
+    val d1 = Seq(("s", 5L), ("s", 70L)).toDF("seg", "id")
+    val d2 = Seq(("s", 5L), ("s", 71L), ("s", 200L)).toDF("seg", "id")
+    val merged = Bitmaps.build(d1, col("seg"), col("id"))
+      .unionByName(Bitmaps.build(d2, col("seg"), col("id")))
+      .groupBy(col("key"), col("w"))
+      .agg(expr("bit_or(bits)").as("bits"))
+    val direct = Bitmaps.build(d1.unionByName(d2), col("seg"), col("id"))
+    assert(merged.collect().toSet === direct.collect().toSet)
+    assert(Bitmaps.cardinality(merged).collect().head.getAs[Long]("card") === 4L)
   }
 }
