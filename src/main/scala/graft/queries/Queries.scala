@@ -1203,6 +1203,29 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
       },
       Some("SELECT event_id, user_id, value FROM events WHERE user_id IS NULL OR NOT (user_id BETWEEN 10 AND 20)")),
 
+    // ALTER TABLE UPDATE mutation analog: SET evaluated against the
+    // OLD row, stats-pruned partial rewrite (only key-range-overlapping
+    // files rewritten — pinned in SnapshotStoreSpec), NULL predicate
+    // keeps. Read-back equals the CASE-WHEN projection, the oracle.
+    // Side-effecting scratch store per invocation — never headline.
+    GraftQuery("q_snapshot_update",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_snapupd")
+        deleteRecursivelyOnExit(tmpPath)
+        val base = tmpPath.toString + "/store"
+        val d = ev(s, dir).select(col("event_id"), col("user_id"), col("value"))
+          .repartitionByRange(8, col("user_id"))
+        graft.sinks.SnapshotStore.commitReplace(s, base, d,
+          statsCols = Seq("user_id"))
+        graft.sinks.SnapshotStore.updateRange(s, base, "user_id", 10.0, 20.0,
+          set = Map("value" -> (col("value") * 2 + col("user_id"))),
+          statsCols = Seq("user_id"))
+        graft.sinks.SnapshotStore.read(s, base)
+          .getOrElse(sys.error("empty store after update"))
+          .select("event_id", "user_id", "value")
+      },
+      Some("SELECT event_id, user_id, CASE WHEN user_id BETWEEN 10 AND 20 THEN value * 2 + user_id ELSE value END AS value FROM events")),
+
     // Keyed MERGE (CDC apply): one batch of upserts (+1000 to value for
     // event_id % 97 = 0) and deletes (event_id % 101 = 0; delete wins
     // on overlap) applied to a key-clustered store via the stats-pruned

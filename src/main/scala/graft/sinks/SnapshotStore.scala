@@ -5,7 +5,7 @@ import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not}
+import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, max, min, not, when}
 
 /** Transactional snapshot commits on a plain filesystem — the atomicity
   * the reference gets for free from ClickHouse part-swaps
@@ -431,6 +431,54 @@ object SnapshotStore {
           .parquet(affected.map(f => s"$dd/$f"): _*)
           .filter(not(coalesce(deletePred, lit(false))))
         val staged = stageWrite(spark, base, survivors, Nil)
+        commitManifest(spark, base, keep ++ staged,
+          newStats = computeStats(spark, base, staged, statsCols))
+        affected.size
+      }
+    }
+
+  /** `ALTER TABLE … UPDATE` mutation analog (completing the
+    * delete/MERGE/update triad ClickHouse mutations offer): set
+    * columns on rows matching `column ∈ [lo, hi]` (AND the optional
+    * `extra` predicate) with the same stats-pruned PARTIAL REWRITE as
+    * [[deleteRange]] — only files whose recorded [min,max] can contain
+    * a matching row are rewritten; the rest carry over by reference.
+    *
+    * SQL UPDATE semantics: every SET expression is evaluated against
+    * the OLD row (one select — `set("a") = col("b"), set("b") =
+    * col("a")` swaps), a NULL predicate means keep-unchanged
+    * (three-valued logic, the [[deleteRange]] rule), and each SET
+    * value is cast back to the column's existing type so the table
+    * schema can never drift through a mutation. SET columns must
+    * exist. Returns files rewritten (0 = no file can match:
+    * metadata-only no-op, no new manifest). Atomic: readers see the
+    * pre- or post-update snapshot, never a mix. */
+  def updateRange(spark: SparkSession, base: String, column: String,
+      lo: Double, hi: Double, set: Map[String, Column],
+      statsCols: Seq[String] = Nil, extra: Option[Column] = None): Int =
+    commitLock(base).synchronized {
+      require(set.nonEmpty, "UPDATE needs at least one SET column")
+      val affected = pruneFiles(spark, base, column, lo, hi)
+      if (affected.isEmpty) 0
+      else {
+        val keep = listFiles(spark, base).filterNot(affected.toSet)
+        val dd = dataDir(base)
+        val pred = coalesce(col(column) >= lo && col(column) <= hi &&
+          extra.getOrElse(lit(true)), lit(false))
+        val src = spark.read.option("basePath", dd)
+          .parquet(affected.map(f => s"$dd/$f"): _*)
+        val types = src.schema.map(f => f.name -> f.dataType).toMap
+        val missing = set.keySet -- types.keySet
+        require(missing.isEmpty, s"SET columns not in table: $missing")
+        val rewritten = src.withColumn("__hit", pred)
+          .select(src.columns.toSeq.map { c =>
+            (set.get(c) match {
+              case Some(v) =>
+                when(col("__hit"), v.cast(types(c))).otherwise(col(c))
+              case None => col(c)
+            }).as(c)
+          }: _*)
+        val staged = stageWrite(spark, base, rewritten, Nil)
         commitManifest(spark, base, keep ++ staged,
           newStats = computeStats(spark, base, staged, statsCols))
         affected.size

@@ -457,4 +457,57 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.mergeKeyed(spark, base, changes2, "k", col("__del")) === 0)
     assert(SnapshotStore.versions(spark, base).size === versions)
   }
+
+  test("updateRange: pruned partial rewrite; SET sees the old row; schema stable") {
+    import spark.implicits._
+    val base = tmp("snapupd")
+    val d = spark.range(1000).select(col("id").as("a"), (col("id") * 10).as("b"),
+        (col("id") % 1000).as("user_id"))
+      .repartitionByRange(10, col("user_id"))
+    SnapshotStore.commitReplace(spark, base, d, statsCols = Seq("user_id"))
+    val before = SnapshotStore.listFiles(spark, base)
+    assert(before.size === 10)
+
+    // swap a and b for users 150–249: both SETs must see the OLD row
+    val rewritten = SnapshotStore.updateRange(spark, base, "user_id",
+      150.0, 249.0, set = Map("a" -> col("b"), "b" -> col("a")),
+      statsCols = Seq("user_id"))
+    assert(rewritten <= 2, s"update rewrote $rewritten files — pruning broke")
+    val after = SnapshotStore.listFiles(spark, base)
+    assert(before.toSet.intersect(after.toSet).size === before.size - rewritten,
+      "untouched files must carry over by reference")
+    val rows = SnapshotStore.read(spark, base).get
+      .select("user_id", "a", "b").as[(Long, Long, Long)].collect()
+    assert(rows.length === 1000)
+    rows.foreach { case (u, a, b) =>
+      if (u >= 150 && u <= 249) assert(a === u * 10 && b === u, s"user $u")
+      else assert(a === u && b === u * 10, s"user $u")
+    }
+    // schema stable: SET value cast back to the column's type
+    val sch = SnapshotStore.read(spark, base).get.schema
+    assert(sch("a").dataType.typeName === "long" &&
+      sch("b").dataType.typeName === "long")
+
+    // no-match range → metadata no-op, no new manifest
+    val versions = SnapshotStore.versions(spark, base).size
+    assert(SnapshotStore.updateRange(spark, base, "user_id", 5000.0, 6000.0,
+      set = Map("a" -> lit(0L))) === 0)
+    assert(SnapshotStore.versions(spark, base).size === versions)
+
+    // extra predicate narrows inside the range; unknown SET column throws
+    val r2 = SnapshotStore.updateRange(spark, base, "user_id", 0.0, 49.0,
+      set = Map("b" -> lit(-1L)), statsCols = Seq("user_id"),
+      extra = Some(col("a") % 2 === 0))
+    assert(r2 >= 1)
+    val head = SnapshotStore.read(spark, base).get
+      .filter(col("user_id") <= 49).select("a", "b").as[(Long, Long)].collect()
+    assert(head.nonEmpty)
+    head.foreach { case (a, b) =>
+      if (a % 2 == 0) assert(b === -1L) else assert(b === a * 10)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotStore.updateRange(spark, base, "user_id", 0.0, 1.0,
+        set = Map("nope" -> lit(1)))
+    }
+  }
 }
