@@ -340,6 +340,15 @@ object ScaleProbe {
             col("y"), boxMicroDeg = 1000000L))
         }
       }),
+      // bitmap set algebra: the build must compress against the
+      // distinct relation (dense ids → up to 64 ids/word), the
+      // word-aligned intersection join must stay linear in words, and
+      // the output is the fixed 28-row pair table
+      "bitmap_overlap" -> (() => {
+        val pts = spark.range(0, eventsN).select(
+          pmod(hash(col("id")), lit(8)).as("seg"), col("id").as("v"))
+        force(graft.ops.Bitmaps.segmentOverlap(pts, col("seg"), col("v")))
+      }),
       // token-explode aggregation rungs: shuffle must track corpus
       // tokens (linear), driver results must stay count-sized
       "tfidf_topterms" -> (() =>

@@ -86,6 +86,49 @@ object Bitmaps {
         orC.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard"))
   }
 
+  // ------------------------------------------------- live bitmap MV
+
+  /** foreachBatch sink for a LIVE segment-bitmap MV (the streaming
+    * twin of [[build]], the `groupBitmapState` + AggregatingMergeTree
+    * posture): land each micro-batch's bitmap relation as one part,
+    * idempotent by batch id — a foreachBatch retry re-offers the same
+    * batchId and the tag probe makes the duplicate a no-op. Because
+    * `bit_or` is idempotent AND commutative, the merged state is
+    * bit-identical to a one-shot build over the whole stream
+    * regardless of batch boundaries or replay — exactly-once
+    * cardinalities without exactly-once delivery. */
+  def bitmapSink(key: Column, id: Column,
+      mvPath: String): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val tag = s"bm-b$batchId"
+    if (!graft.sinks.SnapshotStore.hasTag(spark, mvPath, tag))
+      graft.sinks.SnapshotStore.commitAppend(spark, mvPath,
+        build(batch, key, id), tag = Some(tag))
+  }
+
+  /** Merge-on-read: OR-combine every part per (key, w). None before
+    * the first part lands. */
+  def readBitmap(spark: org.apache.spark.sql.SparkSession,
+      mvPath: String): Option[DataFrame] =
+    graft.sinks.SnapshotStore.read(spark, mvPath)
+      .map(_.groupBy(col("key"), col("w"))
+        .agg(expr("bit_or(bits)").as("bits")))
+
+  /** Serving read: exact per-segment distinct cardinalities over the
+    * incrementally-maintained bitmap — same output contract as the
+    * batch [[cardinality]]∘[[build]]. */
+  def servedCardinality(spark: org.apache.spark.sql.SparkSession,
+      mvPath: String): Option[DataFrame] =
+    readBitmap(spark, mvPath).map(cardinality)
+
+  /** OPTIMIZE analog: collapse the parts to one merged part,
+    * atomically — bounds part count independently of stream
+    * lifetime. */
+  def compact(spark: org.apache.spark.sql.SparkSession,
+      mvPath: String): Unit =
+    readBitmap(spark, mvPath)
+      .foreach(m => graft.sinks.SnapshotStore.commitReplace(spark, mvPath, m))
+
   /** DuckDB replica of [[segmentOverlap]] over
     * (event_type, user_id): plain distinct-set algebra — valid
     * because the word-level representation is exact. */

@@ -28,9 +28,21 @@ object Funnel {
   /** Per-user funnel level, then the classic funnel report: one row per
     * step with the number of users whose level reaches that step
     * (cumulative by construction). `steps` are ordered predicates.
-    * Output: (step BIGINT 1-based, users BIGINT). */
+    * Output: (step BIGINT 1-based, users BIGINT).
+    *
+    * `strictOrder` = ClickHouse's `'strict_order'` mode: an
+    * INTERPOSING event — any event strictly between t_{k-1} and the
+    * step-k candidate that does NOT satisfy step k (repeats of earlier
+    * steps included) — breaks the chain at level k−1. An event tied
+    * with the candidate's timestamp does not break (equal timestamps
+    * carry no order; ClickHouse leaves ties unspecified — this is the
+    * deterministic reading), and events at exactly t_{k-1} are not
+    * "between". The check is one extra user-keyed min-aggregate join
+    * per stage over the survivors' events — same scale class as the
+    * stage itself. */
   def windowFunnel(events: DataFrame, user: Column, ts: Column,
-                   steps: Seq[Column], window: String): DataFrame = {
+                   steps: Seq[Column], window: String,
+                   strictOrder: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
     val win = expr(s"INTERVAL $window")
     val e = events.select(Seq(user.as("u"), ts.as("ts")) ++
@@ -45,11 +57,23 @@ object Funnel {
     var cur = e.filter(col("is_s1")).groupBy(col("u")).agg(min(col("ts")).as("t1"))
     var lv = cur.select(col("u"), lit(1).as("level"))
     for (k <- 2 to steps.size) {
-      cur = e.filter(col(s"is_s$k")).join(Joins.corpusSide(cur), "u")
+      val prev = cur
+      cur = e.filter(col(s"is_s$k")).join(Joins.corpusSide(prev), "u")
         .filter(col("ts") > col(s"t${k - 1}") && col("ts") <= col("t1") + win)
         .groupBy(col("u"))
         .agg(min(col("ts")).as(s"t$k"),
           (1 until k).map(j => min(col(s"t$j")).as(s"t$j")): _*)
+      if (strictOrder) {
+        // first NON-step-k event after t_{k-1}; the candidate survives
+        // only if no such event strictly precedes it
+        val interp = e.filter(!coalesce(col(s"is_s$k"), lit(false)))
+          .join(Joins.corpusSide(prev.select(col("u"), col(s"t${k - 1}"))), "u")
+          .filter(col("ts") > col(s"t${k - 1}"))
+          .groupBy(col("u")).agg(min(col("ts")).as("__m"))
+        cur = cur.join(interp, Seq("u"), "left")
+          .filter(col("__m").isNull || col(s"t$k") <= col("__m"))
+          .drop("__m")
+      }
       lv = lv.join(Joins.corpusSide(
           cur.select(col("u"), lit(1).as(s"hit$k"))), Seq("u"), "left")
         .select(col("u"),
@@ -66,6 +90,23 @@ object Funnel {
     s"""WITH f1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type='$s1' GROUP BY 1),
 f2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1) AS t1 FROM events e JOIN f1 USING(user_id) WHERE e.event_type='$s2' AND e.ts > t1 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
 f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN f2 ON e.user_id = f2.user_id WHERE e.event_type='$s3' AND e.ts > t2 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
+lv AS (SELECT f1.user_id, 1 + CAST(f2.user_id IS NOT NULL AS INT) + CAST(f3.user_id IS NOT NULL AS INT) AS level FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id LEFT JOIN f3 ON f1.user_id = f3.user_id)
+SELECT step, count(*) AS users FROM (SELECT unnest(range(1, level + 1)) AS step FROM lv) GROUP BY 1"""
+
+  /** DuckDB replica of the 3-step STRICT-ORDER windowFunnel: each
+    * stage k additionally computes m_k = the first non-step-k event
+    * after t_{k-1}; the candidate survives only if t_k ≤ m_k. A null
+    * event_type never matches a step, so it interposes (the Spark
+    * side's coalesce-to-false reading). */
+  def windowFunnelStrictOracleSql(s1: String, s2: String, s3: String,
+                                  windowSql: String): String =
+    s"""WITH f1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type='$s1' GROUP BY 1),
+c2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1) AS t1 FROM events e JOIN f1 USING(user_id) WHERE e.event_type='$s2' AND e.ts > t1 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
+m2 AS (SELECT e.user_id, min(e.ts) AS m FROM events e JOIN f1 USING(user_id) WHERE (e.event_type <> '$s2' OR e.event_type IS NULL) AND e.ts > t1 GROUP BY 1),
+f2 AS (SELECT c2.user_id, c2.t2, c2.t1 FROM c2 LEFT JOIN m2 ON c2.user_id = m2.user_id WHERE m2.m IS NULL OR c2.t2 <= m2.m),
+c3 AS (SELECT e.user_id, min(e.ts) AS t3, min(t2) AS t2 FROM events e JOIN f2 ON e.user_id = f2.user_id WHERE e.event_type='$s3' AND e.ts > t2 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
+m3 AS (SELECT e.user_id, min(e.ts) AS m FROM events e JOIN f2 ON e.user_id = f2.user_id WHERE (e.event_type <> '$s3' OR e.event_type IS NULL) AND e.ts > f2.t2 GROUP BY 1),
+f3 AS (SELECT c3.user_id FROM c3 LEFT JOIN m3 ON c3.user_id = m3.user_id WHERE m3.m IS NULL OR c3.t3 <= m3.m),
 lv AS (SELECT f1.user_id, 1 + CAST(f2.user_id IS NOT NULL AS INT) + CAST(f3.user_id IS NOT NULL AS INT) AS level FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id LEFT JOIN f3 ON f1.user_id = f3.user_id)
 SELECT step, count(*) AS users FROM (SELECT unnest(range(1, level + 1)) AS step FROM lv) GROUP BY 1"""
 

@@ -507,6 +507,18 @@ object Queries {
         "view", "click", "purchase", "7 DAY")),
       headline = true),
 
+    // windowFunnel 'strict_order' mode: any non-next-step event
+    // between chained steps breaks the chain (ties don't break —
+    // equal timestamps carry no order).
+    GraftQuery("q_funnel_strict",
+      (s, dir) => graft.ops.Funnel.windowFunnel(ev(s, dir),
+        col("user_id"), col("ts"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        window = "7 DAYS", strictOrder = true),
+      Some(graft.ops.Funnel.windowFunnelStrictOracleSql(
+        "view", "click", "purchase", "7 DAY"))),
+
     // ClickHouse retention analog: day-0 cohorts by first event date,
     // re-activity at +1/+3/+7 days. Shuffle volume = distinct
     // (user, active-day) pairs, not events.

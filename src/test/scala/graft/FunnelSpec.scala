@@ -44,6 +44,40 @@ class FunnelSpec extends SparkSpec {
     assert(out === Map(1L -> 4L, 2L -> 3L, 3L -> 1L))
   }
 
+  test("windowFunnel strict_order: interposers break, ties don't") {
+    val events = Seq(
+      // u1: clean chain — unaffected by strict order
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:10:00"), "click"),
+      (1L, ts("2024-01-01 00:20:00"), "purchase"),
+      // u2: a SECOND view interposes before the click → breaks at 1
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:05:00"), "view"),
+      (2L, ts("2024-01-01 00:10:00"), "click"),
+      // u3: view interposes between click and purchase → breaks at 2
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:10:00"), "click"),
+      (3L, ts("2024-01-01 00:15:00"), "view"),
+      (3L, ts("2024-01-01 00:20:00"), "purchase"),
+      // u4: a view TIED with the click's timestamp — no order between
+      // equals, chain survives to 2
+      (4L, ts("2024-01-01 00:00:00"), "view"),
+      (4L, ts("2024-01-01 00:10:00"), "view"),
+      (4L, ts("2024-01-01 00:10:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    def run(strict: Boolean) = Funnel.windowFunnel(events,
+      col("user_id"), col("ts"),
+      Seq(col("event_type") === "view", col("event_type") === "click",
+        col("event_type") === "purchase"),
+      window = "1 HOUR", strictOrder = strict)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // default mode ignores interposers entirely
+    assert(run(strict = false) === Map(1L -> 4L, 2L -> 4L, 3L -> 2L))
+    // strict: u1 full (3), u2 breaks at 1, u3 breaks at 2, u4 keeps 2
+    // (its interposing view is tied with t2, so it does not precede it)
+    assert(run(strict = true) === Map(1L -> 4L, 2L -> 3L, 3L -> 1L))
+  }
+
   test("retention counts re-activity at exact day offsets per cohort") {
     val events = Seq(
       // cohort 2024-01-01: A active +1 and +3; B never returns

@@ -742,4 +742,36 @@ class StreamingSpec extends SparkSpec {
       assert(served === batchOf(b1 ++ b2))
     } finally { q.stop() }
   }
+
+  test("live bitmaps: incremental OR-merged MV matches the one-shot build") {
+    import graft.ops.Bitmaps
+    val mv = tmp("bmmv") + "/mv"
+    val in = MemoryStream[(String, Long)](spark)
+    val q = in.toDF().toDF("seg", "id").writeStream
+      .option("checkpointLocation", tmp("bmckpt"))
+      .foreachBatch(Bitmaps.bitmapSink(col("seg"), col("id"), mv)).start()
+    def served = Bitmaps.servedCardinality(spark, mv).get
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("card"))
+      .sorted.toSeq
+    def batchOf(rows: Seq[(String, Long)]) =
+      Bitmaps.cardinality(Bitmaps.build(rows.toDF("seg", "id"),
+          col("seg"), col("id")))
+        .collect().map(r => r.getAs[String]("key") -> r.getAs[Long]("card"))
+        .sorted.toSeq
+    // ids straddle word boundaries and REPEAT across batches — the
+    // OR merge must absorb the duplicates, not double-count them
+    val b1 = Seq(("a", 0L), ("a", 63L), ("b", 64L))
+    val b2 = Seq(("a", 63L), ("a", 64L), ("b", 64L), ("b", 200L))
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(served === batchOf(b1))
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(served === batchOf(b1 ++ b2)) // a→3, b→2 (dups absorbed)
+      // compaction preserves the state exactly
+      Bitmaps.compact(spark, mv)
+      assert(served === batchOf(b1 ++ b2))
+    } finally { q.stop() }
+  }
 }
