@@ -39,10 +39,19 @@ object Funnel {
     * deterministic reading), and events at exactly t_{k-1} are not
     * "between". The check is one extra user-keyed min-aggregate join
     * per stage over the survivors' events — same scale class as the
-    * stage itself. */
+    * stage itself.
+    *
+    * `strictDedup` = ClickHouse's `'strict_dedup'`: only a REPEAT of
+    * an already-matched condition (steps 1..k−1) interrupts; events
+    * matching no condition pass freely, and an event that also matches
+    * step k advances rather than interrupts. Same tie rule, same plan
+    * shape. The two modes are mutually exclusive by construction here
+    * (strictOrder wins if both are set — it subsumes the dedup
+    * breakers). */
   def windowFunnel(events: DataFrame, user: Column, ts: Column,
                    steps: Seq[Column], window: String,
-                   strictOrder: Boolean = false): DataFrame = {
+                   strictOrder: Boolean = false,
+                   strictDedup: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
     val win = expr(s"INTERVAL $window")
     val e = events.select(Seq(user.as("u"), ts.as("ts")) ++
@@ -63,10 +72,21 @@ object Funnel {
         .groupBy(col("u"))
         .agg(min(col("ts")).as(s"t$k"),
           (1 until k).map(j => min(col(s"t$j")).as(s"t$j")): _*)
-      if (strictOrder) {
-        // first NON-step-k event after t_{k-1}; the candidate survives
-        // only if no such event strictly precedes it
-        val interp = e.filter(!coalesce(col(s"is_s$k"), lit(false)))
+      // breaker events for the two strict modes — both reduce to "the
+      // first event of class C after t_{k-1} must not strictly precede
+      // the step-k candidate":
+      //   strict_order: C = everything that is not a step-k match
+      //   strict_dedup: C = repeats of the ALREADY-matched conditions
+      //     1..k−1 (a condition-free event passes; an event that also
+      //     matches step k advances rather than interrupts)
+      val breakerPred: Option[Column] =
+        if (strictOrder) Some(!coalesce(col(s"is_s$k"), lit(false)))
+        else if (strictDedup) Some(
+          (1 until k).map(j => coalesce(col(s"is_s$j"), lit(false)))
+            .reduce(_ || _) && !coalesce(col(s"is_s$k"), lit(false)))
+        else None
+      breakerPred.foreach { p =>
+        val interp = e.filter(p)
           .join(Joins.corpusSide(prev.select(col("u"), col(s"t${k - 1}"))), "u")
           .filter(col("ts") > col(s"t${k - 1}"))
           .groupBy(col("u")).agg(min(col("ts")).as("__m"))
@@ -106,6 +126,22 @@ m2 AS (SELECT e.user_id, min(e.ts) AS m FROM events e JOIN f1 USING(user_id) WHE
 f2 AS (SELECT c2.user_id, c2.t2, c2.t1 FROM c2 LEFT JOIN m2 ON c2.user_id = m2.user_id WHERE m2.m IS NULL OR c2.t2 <= m2.m),
 c3 AS (SELECT e.user_id, min(e.ts) AS t3, min(t2) AS t2 FROM events e JOIN f2 ON e.user_id = f2.user_id WHERE e.event_type='$s3' AND e.ts > t2 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
 m3 AS (SELECT e.user_id, min(e.ts) AS m FROM events e JOIN f2 ON e.user_id = f2.user_id WHERE (e.event_type <> '$s3' OR e.event_type IS NULL) AND e.ts > f2.t2 GROUP BY 1),
+f3 AS (SELECT c3.user_id FROM c3 LEFT JOIN m3 ON c3.user_id = m3.user_id WHERE m3.m IS NULL OR c3.t3 <= m3.m),
+lv AS (SELECT f1.user_id, 1 + CAST(f2.user_id IS NOT NULL AS INT) + CAST(f3.user_id IS NOT NULL AS INT) AS level FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id LEFT JOIN f3 ON f1.user_id = f3.user_id)
+SELECT step, count(*) AS users FROM (SELECT unnest(range(1, level + 1)) AS step FROM lv) GROUP BY 1"""
+
+  /** DuckDB replica of the 3-step STRICT-DEDUP windowFunnel: stage-k
+    * breakers are repeats of the already-matched conditions (step-1
+    * types at stage 2; step-1-or-2 types at stage 3), never
+    * condition-free events. */
+  def windowFunnelDedupOracleSql(s1: String, s2: String, s3: String,
+                                 windowSql: String): String =
+    s"""WITH f1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type='$s1' GROUP BY 1),
+c2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1) AS t1 FROM events e JOIN f1 USING(user_id) WHERE e.event_type='$s2' AND e.ts > t1 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
+m2 AS (SELECT e.user_id, min(e.ts) AS m FROM events e JOIN f1 USING(user_id) WHERE e.event_type='$s1' AND e.ts > t1 GROUP BY 1),
+f2 AS (SELECT c2.user_id, c2.t2, c2.t1 FROM c2 LEFT JOIN m2 ON c2.user_id = m2.user_id WHERE m2.m IS NULL OR c2.t2 <= m2.m),
+c3 AS (SELECT e.user_id, min(e.ts) AS t3, min(t2) AS t2 FROM events e JOIN f2 ON e.user_id = f2.user_id WHERE e.event_type='$s3' AND e.ts > t2 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
+m3 AS (SELECT e.user_id, min(e.ts) AS m FROM events e JOIN f2 ON e.user_id = f2.user_id WHERE e.event_type IN ('$s1', '$s2') AND e.ts > f2.t2 GROUP BY 1),
 f3 AS (SELECT c3.user_id FROM c3 LEFT JOIN m3 ON c3.user_id = m3.user_id WHERE m3.m IS NULL OR c3.t3 <= m3.m),
 lv AS (SELECT f1.user_id, 1 + CAST(f2.user_id IS NOT NULL AS INT) + CAST(f3.user_id IS NOT NULL AS INT) AS level FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id LEFT JOIN f3 ON f1.user_id = f3.user_id)
 SELECT step, count(*) AS users FROM (SELECT unnest(range(1, level + 1)) AS step FROM lv) GROUP BY 1"""

@@ -519,6 +519,17 @@ object Queries {
       Some(graft.ops.Funnel.windowFunnelStrictOracleSql(
         "view", "click", "purchase", "7 DAY"))),
 
+    // windowFunnel 'strict_dedup' mode: only a repeat of an already-
+    // matched condition interrupts; condition-free events pass.
+    GraftQuery("q_funnel_dedup",
+      (s, dir) => graft.ops.Funnel.windowFunnel(ev(s, dir),
+        col("user_id"), col("ts"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        window = "7 DAYS", strictDedup = true),
+      Some(graft.ops.Funnel.windowFunnelDedupOracleSql(
+        "view", "click", "purchase", "7 DAY"))),
+
     // ClickHouse retention analog: day-0 cohorts by first event date,
     // re-activity at +1/+3/+7 days. Shuffle volume = distinct
     // (user, active-day) pairs, not events.

@@ -78,6 +78,37 @@ class FunnelSpec extends SparkSpec {
     assert(run(strict = true) === Map(1L -> 4L, 2L -> 3L, 3L -> 1L))
   }
 
+  test("windowFunnel strict_dedup: repeats interrupt, condition-free events don't") {
+    val events = Seq(
+      // u1: a condition-FREE event (share) interposes — dedup passes,
+      // strict_order would break
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:05:00"), "share"),
+      (1L, ts("2024-01-01 00:10:00"), "click"),
+      (1L, ts("2024-01-01 00:20:00"), "purchase"),
+      // u2: a REPEATED view before the click — dedup breaks at 1
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:05:00"), "view"),
+      (2L, ts("2024-01-01 00:10:00"), "click"),
+      // u3: a repeated CLICK between click and purchase — breaks at 2
+      (3L, ts("2024-01-01 00:00:00"), "view"),
+      (3L, ts("2024-01-01 00:10:00"), "click"),
+      (3L, ts("2024-01-01 00:15:00"), "click"),
+      (3L, ts("2024-01-01 00:20:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    val dedup = Funnel.windowFunnel(events, col("user_id"), col("ts"),
+      steps, window = "1 HOUR", strictDedup = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dedup === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    // contrast: strict_order breaks u1 on the share
+    val so = Funnel.windowFunnel(events, col("user_id"), col("ts"),
+      steps, window = "1 HOUR", strictOrder = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(so(1L) === 3L && so.getOrElse(2L, 0L) === 1L)
+  }
+
   test("retention counts re-activity at exact day offsets per cohort") {
     val events = Seq(
       // cohort 2024-01-01: A active +1 and +3; B never returns
