@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Seasonality analysis — the ClickHouse `seriesPeriodDetectFFT` /
+  * `seriesDecomposeSTL` surface, re-derived deterministically: period
+  * detection is exact-integer autocorrelation over the regular bucket
+  * grid (argmax of the tie-broken quantized ACF — an FFT finds the
+  * same dominant cycle for series whose length is a few thousand
+  * buckets, without float butterflies that no two engines order
+  * identically), and decomposition is the classical
+  * moving-average/seasonal-means form with every intermediate kept as
+  * an exact integer numerator over a constant denominator.
+  *
+  * Scale posture: the series table is |keys| × span-buckets (built by
+  * the [[TimeSeries.gapFillDaily]] per-key grid trick — never event
+  * volume); the lag fan-out is series × maxLag with maxLag a bounded
+  * parameter; every aggregate is a (key, lag)- or (key, phase)-keyed
+  * hash agg; no global window anywhere.
+  */
+object Seasonal {
+
+  private val dec = DecimalType(38, 0)
+  private def d(c: Column): Column = c.cast(dec)
+  private def dbl(c: Column): Column = c.cast("double")
+  private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def floorDiv(n: Column, den: Column): Column =
+    ((n - pmod(n, den)) / den).cast("long")
+
+  /** Dense zero-filled per-key bucket series (k, b, v): missing
+    * buckets genuinely mean "sum of nothing" for an additive metric,
+    * so the grid join closes the gaps with 0. Grid rows are generated
+    * per key from its own [min, max] span — keys × span-buckets,
+    * independent of event volume. */
+  def bucketSeries(df: DataFrame, key: Column, ts: Column,
+      valueMicros: Column, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "bucketUs must be positive")
+    val obs = df.select(key.as("k"),
+        floorDiv(unix_micros(ts), lit(bucketUs)).as("b"),
+        valueMicros.as("v"))
+      .groupBy(col("k"), col("b")).agg(sum(col("v")).as("v"))
+    val grid = obs.groupBy(col("k"))
+      .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
+      .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("b"))
+    grid.join(obs, Seq("k", "b"), "left")
+      .select(col("k"), col("b"), coalesce(col("v"), lit(0L)).as("v"))
+  }
+
+  /** Dominant period per key: argmax over lags 1..maxLag of the
+    * mean-centered autocorrelation, computed from exact decimal sums
+    * (acf = (m·Σxy − Σx·Σy) / √((m·Σxx − Σx²)(m·Σyy − Σy²)) — the
+    * only doubles are the final ratio, quantized r6, with a
+    * smallest-lag tiebreak). Lags with degenerate windows (m < 2 or a
+    * constant side) are skipped; a key with no valid lag is omitted.
+    *
+    * Output: (k, period BIGINT, acf r6). */
+  def periodDetect(df: DataFrame, key: Column, ts: Column,
+      valueMicros: Column, bucketUs: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val s = bucketSeries(df, key, ts, valueMicros, bucketUs)
+    // .toList, not .toSeq — a Range IS a Seq and typedLit rejects it
+    val left = s.withColumn("lag", explode(typedLit((1 to maxLag).toList)))
+      .select(col("k"), col("lag"), col("v").as("vx"),
+        (col("b") + col("lag")).as("b2"))
+    val right = s.select(col("k"), col("b").as("b2"), col("v").as("vy"))
+    val agg = left.join(Joins.corpusSide(right), Seq("k", "b2"))
+      .groupBy(col("k"), col("lag"))
+      .agg(count(lit(1)).as("m"),
+        sum(d(col("vx"))).as("sx"), sum(d(col("vy"))).as("sy"),
+        sum(d(col("vx")) * d(col("vx"))).as("sxx"),
+        sum(d(col("vy")) * d(col("vy"))).as("syy"),
+        sum(d(col("vx")) * d(col("vy"))).as("sxy"))
+    val num = d(col("m")) * col("sxy") - col("sx") * col("sy")
+    val vx = d(col("m")) * col("sxx") - col("sx") * col("sx")
+    val vy = d(col("m")) * col("syy") - col("sy") * col("sy")
+    val scored = agg.select(col("k"), col("lag"),
+        when(col("m") >= 2 && dbl(vx) > lit(0.0) && dbl(vy) > lit(0.0),
+          r6(dbl(num) / sqrt(dbl(vx) * dbl(vy)))).as("acf"))
+      .filter(col("acf").isNotNull)
+    scored.groupBy(col("k"))
+      .agg(max(struct(col("acf"),
+        (lit(0) - col("lag")).as("neglag"))).as("mx"))
+      .select(col("k"), (lit(0L) - col("mx.neglag")).cast("long").as("period"),
+        col("mx.acf").as("acf"))
+  }
+
+  /** DuckDB replica of [[periodDetect]] over
+    * (event_type, hourly buckets, µ-value sums). */
+  def periodDetectOracleSql(bucketUs: Long, maxLag: Int): String =
+    s"""WITH obs AS (SELECT event_type AS k, CAST((epoch_us(ts) - ((epoch_us(ts) % $bucketUs) + $bucketUs) % $bucketUs) / $bucketUs AS BIGINT) AS b, sum(CAST(round(value*1000000,0) AS BIGINT)) AS v FROM events GROUP BY 1, 2),
+grid AS (SELECT k, unnest(range(b0, b1 + 1)) AS b FROM (SELECT k, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1)),
+s AS (SELECT g.k, g.b, coalesce(CAST(o.v AS BIGINT), 0) AS v FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.b = o.b),
+lg AS (SELECT unnest(range(1, $maxLag + 1)) AS lag),
+a AS (SELECT s.k, lg.lag, count(*) AS m,
+ sum(CAST(s.v AS DECIMAL(38,0))) AS sx, sum(CAST(s2.v AS DECIMAL(38,0))) AS sy,
+ sum(CAST(s.v AS DECIMAL(38,0)) * CAST(s.v AS DECIMAL(38,0))) AS sxx,
+ sum(CAST(s2.v AS DECIMAL(38,0)) * CAST(s2.v AS DECIMAL(38,0))) AS syy,
+ sum(CAST(s.v AS DECIMAL(38,0)) * CAST(s2.v AS DECIMAL(38,0))) AS sxy
+ FROM s CROSS JOIN lg JOIN s s2 ON s2.k = s.k AND s2.b = s.b + lg.lag
+ GROUP BY 1, 2),
+sc AS (SELECT k, lag,
+ CASE WHEN m >= 2
+  AND CAST(CAST(m AS DECIMAL(38,0))*sxx - sx*sx AS DOUBLE) > 0.0
+  AND CAST(CAST(m AS DECIMAL(38,0))*syy - sy*sy AS DOUBLE) > 0.0
+ THEN floor(CAST(CAST(m AS DECIMAL(38,0))*sxy - sx*sy AS DOUBLE)
+  / sqrt(CAST(CAST(m AS DECIMAL(38,0))*sxx - sx*sx AS DOUBLE)
+   * CAST(CAST(m AS DECIMAL(38,0))*syy - sy*sy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+ END AS acf FROM a)
+SELECT k, CAST(lag AS BIGINT) AS period, acf
+FROM sc WHERE acf IS NOT NULL
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY acf DESC, lag ASC) = 1"""
+
+  /** Classical seasonal decomposition (`seriesDecomposeSTL` analog,
+    * the moving-average flavor) for a KNOWN period p, exact to the
+    * last integer: per (key, bucket) the centered p-window trend, the
+    * per-phase seasonal mean of the detrended series, and the
+    * residual. Every value is kept as an integer NUMERATOR over a
+    * constant denominator — trend = W/p (W = the p-window sum),
+    * detrended×p = p·v − W, seasonal = Σ_phase(p·v − W)/(p·m_phase) —
+    * so engines can only disagree at the final r6-quantized doubles,
+    * which mirror the oracle operation-for-operation.
+    *
+    * Rows whose centered window falls off either end of the series
+    * have null trend/seasonal/residual (the classical edge contract).
+    * For even p the window is the standard 2×p moving average
+    * (half-weight endpoints): W = Σ_{j=-p/2..p/2} w_j·v_{b+j} with
+    * w = ½,1,…,1,½ doubled to stay integral (denominator 2p).
+    *
+    * Output: (k, b, v, trend r6, seasonal r6, resid r6). */
+  def stlDecompose(df: DataFrame, key: Column, ts: Column,
+      valueMicros: Column, bucketUs: Long, period: Int): DataFrame = {
+    require(period >= 2, "period must be >= 2")
+    val p = period
+    val s = bucketSeries(df, key, ts, valueMicros, bucketUs)
+    // window offsets and integer weights (×1 odd p, ×2 even p)
+    val (offs, den) =
+      if (p % 2 == 1) ((-(p / 2) to p / 2).map(_ -> 1L), p.toLong)
+      else ((-(p / 2) to p / 2).map(j =>
+        j -> (if (j == -(p / 2) || j == p / 2) 1L else 2L)), 2L * p)
+    // trend numerator W via an offset explode + (k, b) re-aggregate —
+    // relational, no window frame, skew-immune
+    val contrib = s.withColumn("o", explode(typedLit(offs)))
+      .select(col("k"), (col("b") + col("o._1")).as("b"),
+        (col("v") * col("o._2")).as("wv"), lit(1L).as("cnt"))
+    val w = contrib.groupBy(col("k"), col("b"))
+      .agg(sum(col("wv")).as("w"), sum(col("cnt")).as("nterms"))
+    // only rows with the FULL window are valid (edge contract)
+    val withTrend = s.join(w, Seq("k", "b"), "left")
+      .select(col("k"), col("b"), col("v"),
+        when(col("nterms") === offs.size, col("w")).as("w"))
+    // detrended numerator: den·v − W; seasonal mean per phase
+    val seas = withTrend.filter(col("w").isNotNull)
+      .groupBy(col("k"), pmod(col("b"), lit(p.toLong)).as("ph"))
+      .agg(sum(d(lit(den) * col("v") - col("w"))).as("snum"),
+        count(lit(1)).as("sm"))
+    val joined = withTrend
+      .withColumn("ph", pmod(col("b"), lit(p.toLong)))
+      .join(seas, Seq("k", "ph"), "left")
+    val trend = dbl(col("w")) / lit(den.toDouble)
+    val seasonal = dbl(col("snum")) / (lit(den.toDouble) * dbl(col("sm")))
+    val ok = col("w").isNotNull && col("snum").isNotNull
+    joined.select(col("k"), col("b"), col("v"),
+      when(col("w").isNotNull, r6(trend)).as("trend"),
+      when(ok, r6(seasonal)).as("seasonal"),
+      when(ok, r6(dbl(col("v")) - trend - seasonal)).as("resid"))
+  }
+
+  /** DuckDB replica of [[stlDecompose]] over
+    * (event_type, hourly buckets, µ-value sums) for the given period. */
+  def stlDecomposeOracleSql(bucketUs: Long, period: Int): String = {
+    val p = period
+    val half = p / 2
+    val (loOff, nTerms, den) =
+      if (p % 2 == 1) (-half, p, p.toLong) else (-half, p + 1, 2L * p)
+    val weight =
+      if (p % 2 == 1) "1"
+      else s"CASE WHEN o.o = ${-half} OR o.o = $half THEN 1 ELSE 2 END"
+    s"""WITH obs AS (SELECT event_type AS k, CAST((epoch_us(ts) - ((epoch_us(ts) % $bucketUs) + $bucketUs) % $bucketUs) / $bucketUs AS BIGINT) AS b, sum(CAST(round(value*1000000,0) AS BIGINT)) AS v FROM events GROUP BY 1, 2),
+grid AS (SELECT k, unnest(range(b0, b1 + 1)) AS b FROM (SELECT k, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1)),
+s AS (SELECT g.k, g.b, coalesce(CAST(o.v AS BIGINT), 0) AS v FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.b = o.b),
+off AS (SELECT unnest(range($loOff, ${half + 1})) AS o),
+w AS (SELECT s.k, s.b + o.o AS b, sum(s.v * $weight) AS w, count(*) AS nterms FROM s CROSS JOIN off o GROUP BY 1, 2),
+t AS (SELECT s.k, s.b, s.v, CASE WHEN w.nterms = $nTerms THEN w.w END AS w FROM s LEFT JOIN w ON s.k = w.k AND s.b = w.b),
+seas AS (SELECT k, ((b % $p) + $p) % $p AS ph, sum(CAST($den*v - w AS DECIMAL(38,0))) AS snum, count(*) AS sm FROM t WHERE w IS NOT NULL GROUP BY 1, 2),
+j AS (SELECT t.k, t.b, t.v, t.w, seas.snum, seas.sm FROM t LEFT JOIN seas ON t.k = seas.k AND ((t.b % $p) + $p) % $p = seas.ph)
+SELECT k, b, v,
+ CASE WHEN w IS NOT NULL THEN floor(CAST(w AS DOUBLE)/$den.0*1e6+0.5)/1e6 END AS trend,
+ CASE WHEN w IS NOT NULL AND snum IS NOT NULL THEN floor(CAST(snum AS DOUBLE)/($den.0*CAST(sm AS DOUBLE))*1e6+0.5)/1e6 END AS seasonal,
+ CASE WHEN w IS NOT NULL AND snum IS NOT NULL THEN floor((CAST(v AS DOUBLE) - CAST(w AS DOUBLE)/$den.0 - CAST(snum AS DOUBLE)/($den.0*CAST(sm AS DOUBLE)))*1e6+0.5)/1e6 END AS resid
+FROM j"""
+  }
+}

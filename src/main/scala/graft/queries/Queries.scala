@@ -2817,6 +2817,26 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.Stats.ksTestOracleSql)),
 
+    // dominant period per event type: exact-integer autocorrelation
+    // over zero-filled hourly buckets, argmax of the quantized ACF
+    // with a smallest-lag tiebreak (seriesPeriodDetectFFT analog).
+    GraftQuery("q_series_period",
+      (s, dir) => graft.ops.Seasonal.periodDetect(ev(s, dir),
+        col("event_type"), col("ts"),
+        round(col("value") * 1e6, 0).cast("long"),
+        bucketUs = 3600000000L, maxLag = 36),
+      Some(graft.ops.Seasonal.periodDetectOracleSql(3600000000L, 36))),
+
+    // classical seasonal decomposition at period 24 over hourly
+    // buckets: exact integer numerators, r6-quantized trend/seasonal/
+    // residual (seriesDecomposeSTL analog, moving-average flavor).
+    GraftQuery("q_series_stl",
+      (s, dir) => graft.ops.Seasonal.stlDecompose(ev(s, dir),
+        col("event_type"), col("ts"),
+        round(col("value") * 1e6, 0).cast("long"),
+        bucketUs = 3600000000L, period = 24),
+      Some(graft.ops.Seasonal.stlDecomposeOracleSql(3600000000L, 24))),
+
     // exact ROC AUC of the µ-value separating clicks from views
     // (arrayAUC analog, midrank ties, no global sort).
     GraftQuery("q_roc_auc",

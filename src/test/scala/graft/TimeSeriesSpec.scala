@@ -618,4 +618,32 @@ class TimeSeriesSpec extends SparkSpec {
         s"bw=$bw")
     }
   }
+
+  test("periodDetect finds a planted 7-cycle; stlDecompose reconstructs it exactly") {
+    import graft.ops.Seasonal
+    val bucketUs = 1000000L
+    val rows = (0 until 70).map(b =>
+      ("k", b.toLong, if (b % 7 == 0) 700L else 0L))
+    val df = rows.toDF("key", "b", "v")
+      .select(col("key"), timestamp_micros(col("b") * bucketUs).as("ts"),
+        col("v"))
+    val pd = Seasonal.periodDetect(df, col("key"), col("ts"), col("v"),
+      bucketUs, maxLag = 20).collect().head
+    // acf is exactly 1 at lags 7 and 14 — the smallest-lag tiebreak
+    // must pick the fundamental
+    assert(pd.getAs[Long]("period") === 7L)
+    assert(math.abs(pd.getAs[Double]("acf") - 1.0) < 1e-9)
+
+    val stl = Seasonal.stlDecompose(df, col("key"), col("ts"), col("v"),
+      bucketUs, period = 7).collect()
+    assert(stl.length === 70)
+    val (valid, edges) = stl.partition(!_.isNullAt(3))
+    assert(edges.length === 6, "±3 edge rows on each end lack a full window")
+    valid.foreach { r =>
+      val v = r.getAs[Long]("v")
+      assert(r.getAs[Double]("trend") === 100.0) // one spike per window
+      assert(r.getAs[Double]("seasonal") === (if (v == 700L) 600.0 else -100.0))
+      assert(r.getAs[Double]("resid") === 0.0)
+    }
+  }
 }
