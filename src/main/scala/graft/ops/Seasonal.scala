@@ -167,6 +167,50 @@ QUALIFY row_number() OVER (PARTITION BY k ORDER BY acf DESC, lag ASC) = 1"""
       when(ok, r6(dbl(col("v")) - trend - seasonal)).as("resid"))
   }
 
+  /** Seasonal-aware anomaly detection: buckets whose STL residual
+    * sits more than `z` population standard deviations from the
+    * per-key residual mean — the composition a metrics dashboard
+    * actually wants (a raw z-score flags every daily peak; the
+    * residual z-score flags only departures from the SEASONAL norm).
+    *
+    * Exactness: residuals are re-quantized to 1e-6 integers
+    * (`round(resid·1e6)` — resid is already on the 1e-6 grid, so the
+    * round only strips the division ulp, identically in both
+    * engines), and the flag is the EXACT integer-decimal comparison
+    * (n·r − Σr)² > z²·(n·Σr² − (Σr)²) — no sqrt, no float
+    * accumulation anywhere. Magnitude bound: |µ-residual| × series
+    * length must stay under ~1e19 for the squared decimals to fit
+    * DECIMAL(38) (µ-unit bucket sums over day-scale grids sit orders
+    * below that).
+    *
+    * Output: the anomalous rows (k, b, v, resid), z² fixed at
+    * `zSq` (integer, default 9 = 3σ). */
+  def stlAnomalies(df: DataFrame, key: Column, ts: Column,
+      valueMicros: Column, bucketUs: Long, period: Int,
+      zSq: Int = 9): DataFrame = {
+    val r = stlDecompose(df, key, ts, valueMicros, bucketUs, period)
+      .filter(col("resid").isNotNull)
+      .withColumn("rq", round(col("resid") * lit(1e6)).cast("long"))
+    val stats = r.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      sum(d(col("rq"))).as("s1"),
+      sum(d(col("rq")) * d(col("rq"))).as("s2"))
+    val dev = d(col("n")) * d(col("rq")) - col("s1")
+    val varNum = d(col("n")) * col("s2") - col("s1") * col("s1")
+    r.join(broadcast(stats), Seq("k"))
+      .filter(dev * dev > d(lit(zSq.toLong)) * varNum)
+      .select(col("k"), col("b"), col("v"), col("resid"))
+  }
+
+  /** DuckDB replica of [[stlAnomalies]] (same parameters as
+    * [[stlDecomposeOracleSql]], z² = 9). */
+  def stlAnomaliesOracleSql(bucketUs: Long, period: Int): String =
+    s"""WITH base AS (${stlDecomposeOracleSql(bucketUs, period)}),
+r AS (SELECT k, b, v, resid, CAST(round(resid*1e6) AS BIGINT) AS rq FROM base WHERE resid IS NOT NULL),
+st AS (SELECT k, count(*) AS n, sum(CAST(rq AS DECIMAL(38,0))) AS s1, sum(CAST(rq AS DECIMAL(38,0))*CAST(rq AS DECIMAL(38,0))) AS s2 FROM r GROUP BY 1)
+SELECT r.k, r.b, r.v, r.resid FROM r JOIN st ON r.k = st.k
+WHERE (CAST(st.n AS DECIMAL(38,0))*CAST(r.rq AS DECIMAL(38,0)) - st.s1)*(CAST(st.n AS DECIMAL(38,0))*CAST(r.rq AS DECIMAL(38,0)) - st.s1)
+ > CAST(9 AS DECIMAL(38,0))*(CAST(st.n AS DECIMAL(38,0))*st.s2 - st.s1*st.s1)"""
+
   /** DuckDB replica of [[stlDecompose]] over
     * (event_type, hourly buckets, µ-value sums) for the given period. */
   def stlDecomposeOracleSql(bucketUs: Long, period: Int): String = {

@@ -396,6 +396,41 @@ FROM m"""
 
   // ------------------------------------------- categorical association
 
+  /** ClickHouse `corrMatrix(x1, …, xk)` analog: pairwise Pearson
+    * correlations of k numeric columns from ONE pass of exact decimal
+    * sums (n, Σxᵢ, Σxᵢ², Σxᵢxⱼ for every pair — k(k+3)/2 decimals of
+    * aggregate state, map-side combinable), then a `stack` of the
+    * k(k−1)/2 pair rows off the single one-row aggregate — one corpus
+    * scan total, no matter how many pairs. corr is the only double
+    * (r6), null when either side is constant.
+    *
+    * Output: (col_a, col_b, corr r6), one row per unordered pair in
+    * input order. */
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val names = cols.map(_._1)
+    val named = df.select(cols.map { case (n, c) => c.as(n) }: _*)
+    val pairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (names(i), names(j))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      names.map(n => sum(d(col(n))).as(s"s_$n")) ++
+      names.map(n => sum(d(col(n)) * d(col(n))).as(s"ss_$n")) ++
+      pairs.map { case (x, y) =>
+        sum(d(col(x)) * d(col(y))).as(s"sp_${x}_$y") }
+    val a = named.agg(aggs.head, aggs.tail: _*)
+    val withCorr = a.select(pairs.map { case (x, y) =>
+      val num = d(col("n")) * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")
+      val vx = d(col("n")) * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")
+      val vy = d(col("n")) * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")
+      when(dbl(vx) > lit(0.0) && dbl(vy) > lit(0.0),
+        r6(dbl(num) / sqrt(dbl(vx) * dbl(vy)))).as(s"c_${x}_$y")
+    }: _*)
+    withCorr.select(expr("stack(" + pairs.size + ", " +
+      pairs.map { case (x, y) => s"'$x', '$y', c_${x}_$y" }.mkString(", ") +
+      ") AS (col_a, col_b, corr)"))
+  }
+
   /** ClickHouse `categoricalInformationValue(cat, tag)` analog, kept
     * per-category: weight of evidence WoE_i = ln(p_i/q_i) and the IV
     * term (p_i − q_i)·WoE_i for each category of `cat` against a
@@ -832,6 +867,30 @@ SELECT CAST(n AS BIGINT) AS n, r_card, c_card, CAST(cell_q AS VARCHAR) AS cell_q
  CASE WHEN r_card > 1 AND c_card > 1 AND n > 1 AND least(rbc, cbc)-1.0 > 0.0 THEN floor(sqrt(phi2bc/(least(rbc, cbc)-1.0))*1e6+0.5)/1e6 END AS v_bc,
  CASE WHEN r_card > 1 AND c_card > 1 THEN floor(sqrt(greatest(phi2, 0.0)/(greatest(phi2, 0.0)+1.0))*1e6+0.5)/1e6 END AS c_coef
 FROM bc"""
+
+  /** DuckDB replica of [[corrMatrix]] over (µ-value, hour-of-ts,
+    * user_id % 100). */
+  val corrMatrixOracleSql: String = {
+    def cell(x: String, y: String): String =
+      s"""SELECT '$x' AS col_a, '$y' AS col_b,
+ CASE WHEN CAST(CAST(n AS DECIMAL(38,0))*ss_$x - s_$x*s_$x AS DOUBLE) > 0.0
+  AND CAST(CAST(n AS DECIMAL(38,0))*ss_$y - s_$y*s_$y AS DOUBLE) > 0.0
+ THEN floor(CAST(CAST(n AS DECIMAL(38,0))*sp_${x}_$y - s_$x*s_$y AS DOUBLE)
+  / sqrt(CAST(CAST(n AS DECIMAL(38,0))*ss_$x - s_$x*s_$x AS DOUBLE)
+   * CAST(CAST(n AS DECIMAL(38,0))*ss_$y - s_$y*s_$y AS DOUBLE)) * 1e6 + 0.5) / 1e6
+ END AS corr FROM a"""
+    s"""WITH src AS (SELECT $vMicros AS v, CAST(hour(ts) AS BIGINT) AS h, user_id % 100 AS u FROM events),
+a AS (SELECT count(*) AS n,
+ sum(CAST(v AS DECIMAL(38,0))) AS s_v, sum(CAST(h AS DECIMAL(38,0))) AS s_h, sum(CAST(u AS DECIMAL(38,0))) AS s_u,
+ sum(CAST(v AS DECIMAL(38,0))*CAST(v AS DECIMAL(38,0))) AS ss_v,
+ sum(CAST(h AS DECIMAL(38,0))*CAST(h AS DECIMAL(38,0))) AS ss_h,
+ sum(CAST(u AS DECIMAL(38,0))*CAST(u AS DECIMAL(38,0))) AS ss_u,
+ sum(CAST(v AS DECIMAL(38,0))*CAST(h AS DECIMAL(38,0))) AS sp_v_h,
+ sum(CAST(v AS DECIMAL(38,0))*CAST(u AS DECIMAL(38,0))) AS sp_v_u,
+ sum(CAST(h AS DECIMAL(38,0))*CAST(u AS DECIMAL(38,0))) AS sp_h_u
+ FROM src)
+${cell("v", "h")} UNION ALL ${cell("v", "u")} UNION ALL ${cell("h", "u")}"""
+  }
 
   /** DuckDB replica of [[categoricalWoe]] over (user_id % 10,
     * event_type = 'click'). */

@@ -2837,6 +2837,24 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         bucketUs = 3600000000L, period = 24),
       Some(graft.ops.Seasonal.stlDecomposeOracleSql(3600000000L, 24))),
 
+    // seasonal-aware anomalies: STL residuals beyond 3σ of the
+    // per-key residual distribution, exact integer comparison.
+    GraftQuery("q_series_anomaly",
+      (s, dir) => graft.ops.Seasonal.stlAnomalies(ev(s, dir),
+        col("event_type"), col("ts"),
+        round(col("value") * 1e6, 0).cast("long"),
+        bucketUs = 3600000000L, period = 24),
+      Some(graft.ops.Seasonal.stlAnomaliesOracleSql(3600000000L, 24))),
+
+    // pairwise Pearson matrix of (µ-value, hour, user bucket) from
+    // one pass of exact sums (corrMatrix analog).
+    GraftQuery("q_corr_matrix",
+      (s, dir) => graft.ops.Stats.corrMatrix(ev(s, dir), Seq(
+        "v" -> round(col("value") * 1e6, 0).cast("long"),
+        "h" -> hour(col("ts")).cast("long"),
+        "u" -> (col("user_id") % 100))),
+      Some(graft.ops.Stats.corrMatrixOracleSql)),
+
     // exact ROC AUC of the µ-value separating clicks from views
     // (arrayAUC analog, midrank ties, no global sort).
     GraftQuery("q_roc_auc",

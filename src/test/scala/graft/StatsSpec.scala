@@ -242,6 +242,21 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("u")))
   }
 
+  test("corrMatrix: one-pass pairwise Pearson; constant column nulls its pairs") {
+    // y = 2x (corr 1), z = -x (corr -1 with x, -1 with y), c constant
+    val df = Seq((1L, 2L, -1L, 5L), (2L, 4L, -2L, 5L), (3L, 6L, -3L, 5L))
+      .toDF("x", "y", "z", "c")
+    val out = Stats.corrMatrix(df, Seq("x" -> col("x"), "y" -> col("y"),
+        "z" -> col("z"), "c" -> col("c")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out.size === 6)
+    assert(out(("x", "y")) === Some(1.0))
+    assert(out(("x", "z")) === Some(-1.0) && out(("y", "z")) === Some(-1.0))
+    assert(out(("x", "c")) === None && out(("y", "c")) === None &&
+      out(("z", "c")) === None)
+  }
+
   test("rocAuc: exact AUC with midrank ties, bucket-invariant") {
     // pos = (1,2,3) vs neg = (2,4): of the 6 (pos, neg) pairs one is a
     // win (3>2) and one a tie (2=2) → U = 1.5, AUC = 1.5/6 = 0.25

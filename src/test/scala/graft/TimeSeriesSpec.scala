@@ -646,4 +646,24 @@ class TimeSeriesSpec extends SparkSpec {
       assert(r.getAs[Double]("resid") === 0.0)
     }
   }
+
+  test("stlAnomalies flags only the bucket that departs from the seasonal norm") {
+    import graft.ops.Seasonal
+    val bucketUs = 1000000L
+    // perfect 7-cycle plus ONE corrupted bucket (b=31 carries 7000
+    // instead of the seasonal 700): every other residual is ~0, so the
+    // 3σ fence isolates the neighborhood of the spike
+    val rows = (0 until 70).map { b =>
+      val v = if (b == 31) 7000L else if (b % 7 == 3) 700L else 0L
+      ("k", b.toLong, v)
+    }
+    val df = rows.toDF("key", "b", "v")
+      .select(col("key"), timestamp_micros(col("b") * bucketUs).as("ts"),
+        col("v"))
+    val hits = Seasonal.stlAnomalies(df, col("key"), col("ts"), col("v"),
+      bucketUs, period = 7).collect().map(_.getAs[Long]("b"))
+    assert(hits.contains(31L), s"corrupted bucket missed: ${hits.toSeq}")
+    // the anomaly bleeds into at most the MA window around it
+    assert(hits.forall(b => math.abs(b - 31L) <= 3), hits.toSeq.toString)
+  }
 }
