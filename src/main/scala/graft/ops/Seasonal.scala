@@ -29,24 +29,37 @@ object Seasonal {
   private def floorDiv(n: Column, den: Column): Column =
     ((n - pmod(n, den)) / den).cast("long")
 
-  /** Dense zero-filled per-key bucket series (k, b, v): missing
-    * buckets genuinely mean "sum of nothing" for an additive metric,
-    * so the grid join closes the gaps with 0. Grid rows are generated
-    * per key from its own [min, max] span — keys × span-buckets,
-    * independent of event volume. */
-  def bucketSeries(df: DataFrame, key: Column, ts: Column,
-      valueMicros: Column, bucketUs: Long): DataFrame = {
+  /** Per-(key, bucket) µ-sum observations (k, b, v) — the aggregate a
+    * SummingStore MV maintains incrementally; [[zeroFill]] +
+    * the `FromSeries` cores below serve batch and MV paths through
+    * the SAME operators (the Dashboard parity discipline). */
+  def obs(df: DataFrame, key: Column, ts: Column, valueMicros: Column,
+      bucketUs: Long): DataFrame = {
     require(bucketUs > 0, "bucketUs must be positive")
-    val obs = df.select(key.as("k"),
+    df.select(key.as("k"),
         floorDiv(unix_micros(ts), lit(bucketUs)).as("b"),
         valueMicros.as("v"))
       .groupBy(col("k"), col("b")).agg(sum(col("v")).as("v"))
+  }
+
+  /** Dense zero-filled per-key series from (k, b, v) observations:
+    * missing buckets genuinely mean "sum of nothing" for an additive
+    * metric, so the grid join closes the gaps with 0. Grid rows are
+    * generated per key from its own [min, max] span — keys ×
+    * span-buckets, independent of event volume. */
+  def zeroFill(obs: DataFrame): DataFrame = {
     val grid = obs.groupBy(col("k"))
       .agg(min(col("b")).as("b0"), max(col("b")).as("b1"))
       .select(col("k"), explode(sequence(col("b0"), col("b1"))).as("b"))
     grid.join(obs, Seq("k", "b"), "left")
-      .select(col("k"), col("b"), coalesce(col("v"), lit(0L)).as("v"))
+      .select(col("k"), col("b"),
+        coalesce(col("v").cast("long"), lit(0L)).as("v"))
   }
+
+  /** [[obs]] ∘ [[zeroFill]]. */
+  def bucketSeries(df: DataFrame, key: Column, ts: Column,
+      valueMicros: Column, bucketUs: Long): DataFrame =
+    zeroFill(obs(df, key, ts, valueMicros, bucketUs))
 
   /** Dominant period per key: argmax over lags 1..maxLag of the
     * mean-centered autocorrelation, computed from exact decimal sums
@@ -57,9 +70,15 @@ object Seasonal {
     *
     * Output: (k, period BIGINT, acf r6). */
   def periodDetect(df: DataFrame, key: Column, ts: Column,
-      valueMicros: Column, bucketUs: Long, maxLag: Int): DataFrame = {
+      valueMicros: Column, bucketUs: Long, maxLag: Int): DataFrame =
+    periodDetectFromSeries(
+      bucketSeries(df, key, ts, valueMicros, bucketUs), maxLag)
+
+  /** [[periodDetect]] core over a prepared dense (k, b, v) series —
+    * the serving entry for an incrementally-maintained bucket-sum MV
+    * ([[graft.streaming.Dashboard.servedPeriod]]). */
+  def periodDetectFromSeries(s: DataFrame, maxLag: Int): DataFrame = {
     require(maxLag >= 1, "maxLag must be >= 1")
-    val s = bucketSeries(df, key, ts, valueMicros, bucketUs)
     // .toList, not .toSeq — a Range IS a Seq and typedLit rejects it
     val left = s.withColumn("lag", explode(typedLit((1 to maxLag).toList)))
       .select(col("k"), col("lag"), col("v").as("vx"),
@@ -130,10 +149,16 @@ QUALIFY row_number() OVER (PARTITION BY k ORDER BY acf DESC, lag ASC) = 1"""
     *
     * Output: (k, b, v, trend r6, seasonal r6, resid r6). */
   def stlDecompose(df: DataFrame, key: Column, ts: Column,
-      valueMicros: Column, bucketUs: Long, period: Int): DataFrame = {
+      valueMicros: Column, bucketUs: Long, period: Int): DataFrame =
+    stlDecomposeFromSeries(
+      bucketSeries(df, key, ts, valueMicros, bucketUs), period)
+
+  /** [[stlDecompose]] core over a prepared dense (k, b, v) series —
+    * the serving entry for an incrementally-maintained bucket-sum MV
+    * ([[graft.streaming.Dashboard.servedStl]]). */
+  def stlDecomposeFromSeries(s: DataFrame, period: Int): DataFrame = {
     require(period >= 2, "period must be >= 2")
     val p = period
-    val s = bucketSeries(df, key, ts, valueMicros, bucketUs)
     // window offsets and integer weights (×1 odd p, ×2 even p)
     val (offs, den) =
       if (p % 2 == 1) ((-(p / 2) to p / 2).map(_ -> 1L), p.toLong)

@@ -96,4 +96,44 @@ object Dashboard {
       qs: Seq[(Int, Int)], m: Int = 5): Option[DataFrame] =
     SummingStore.read(spark, mvPath, keys = Seq("idx"), addCols = Seq("cnt"))
       .map(sk => graft.ops.Sketches.sketchQuantiles(sk, qs, m))
+
+  /** foreachBatch sink for the SEASONALITY surface: land each
+    * micro-batch's per-(key, bucket) µ-sums ([[graft.ops.Seasonal
+    * .obs]]) as one additive part, idempotent by batch id. Sums are
+    * associative, so the merged MV equals the one-shot aggregation of
+    * the whole stream regardless of batch boundaries. */
+  def bucketSumSink(key: Column, ts: Column, valueMicros: Column,
+      bucketUs: Long, mvPath: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      val spark = batch.sparkSession
+      val tag = s"seas-b$batchId"
+      if (!SnapshotStore.hasTag(spark, mvPath, tag)) {
+        val part = graft.ops.Seasonal.obs(batch, key, ts, valueMicros,
+          bucketUs)
+        SummingStore.appendDelta(part, mvPath, tag = Some(tag))
+      }
+    }
+
+  /** Merged + zero-filled series from the seasonality MV. */
+  private def servedSeries(spark: SparkSession,
+      mvPath: String): Option[DataFrame] =
+    SummingStore.read(spark, mvPath, keys = Seq("k", "b"),
+        addCols = Seq("v"))
+      .map(graft.ops.Seasonal.zeroFill)
+
+  /** Serving read: STL decomposition over the incrementally-
+    * maintained bucket sums — same output contract as the batch
+    * [[graft.ops.Seasonal.stlDecompose]]. */
+  def servedStl(spark: SparkSession, mvPath: String,
+      period: Int): Option[DataFrame] =
+    servedSeries(spark, mvPath)
+      .map(graft.ops.Seasonal.stlDecomposeFromSeries(_, period))
+
+  /** Serving read: dominant period over the incrementally-maintained
+    * bucket sums — same output contract as the batch
+    * [[graft.ops.Seasonal.periodDetect]]. */
+  def servedPeriod(spark: SparkSession, mvPath: String,
+      maxLag: Int): Option[DataFrame] =
+    servedSeries(spark, mvPath)
+      .map(graft.ops.Seasonal.periodDetectFromSeries(_, maxLag))
 }

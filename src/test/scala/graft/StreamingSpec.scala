@@ -774,4 +774,45 @@ class StreamingSpec extends SparkSpec {
       assert(served === batchOf(b1 ++ b2))
     } finally { q.stop() }
   }
+
+  test("live seasonality: STL + period over the bucket-sum MV match one-shot batch") {
+    import graft.streaming.Dashboard
+    import graft.ops.Seasonal
+    val bucketUs = 1000000L
+    val mv = tmp("seasmv") + "/mv"
+    val in = MemoryStream[(String, Long, Long)](spark)
+    val toTs = (df: DataFrame) => df.toDF("seg", "b", "v")
+      .select(col("seg"), timestamp_micros(col("b") * bucketUs).as("ts"),
+        col("v"))
+    val q = toTs(in.toDF()).writeStream
+      .option("checkpointLocation", tmp("seasckpt"))
+      .foreachBatch(Dashboard.bucketSumSink(col("seg"), col("ts"),
+        col("v"), bucketUs, mv)).start()
+    def dump(df: DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    def batchStl(rows: Seq[(String, Long, Long)]) =
+      dump(Seasonal.stlDecompose(toTs(rows.toDF("seg", "b", "v")),
+        col("seg"), col("ts"), col("v"), bucketUs, period = 7))
+    // a 7-cycle split across two batches, with one bucket's sum split
+    // BETWEEN the batches (additivity must reassemble it)
+    val b1 = (0 until 35).map(b =>
+      ("k", b.toLong, if (b % 7 == 3) 400L else 0L))
+    val b2 = (0 until 70).flatMap { b =>
+      val spike = if (b % 7 == 3) Some(("k", b.toLong, 300L)) else None
+      if (b < 35) spike.toSeq else Seq(("k", b.toLong,
+        if (b % 7 == 3) 700L else 0L))
+    }
+    try {
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(Dashboard.servedStl(spark, mv, period = 7).get.count() === 35L)
+      in.addData(b2: _*)
+      q.processAllAvailable()
+      assert(dump(Dashboard.servedStl(spark, mv, period = 7).get) ===
+        batchStl(b1 ++ b2))
+      val p = Dashboard.servedPeriod(spark, mv, maxLag = 20).get
+        .collect().head
+      assert(p.getAs[Long]("period") === 7L)
+    } finally { q.stop() }
+  }
 }
