@@ -397,4 +397,37 @@ class PlanSpec extends SparkSpec {
         l.contains("ObjectHashAggregate"))
     assert(aggs >= 2, s"expected aggregate argmax:\n${p.take(1500)}")
   }
+
+  test("q_corr_matrix: ONE corpus scan feeds every pair — no per-pair rescans") {
+    val p = plan("q_corr_matrix")
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans === 1, s"expected a single events scan, got $scans:\n${p.take(1500)}")
+    assert(!p.contains("WindowExec") && !p.contains("Join"), p.take(1500))
+  }
+
+  test("q_bitmap_overlap: bit_or builds combine map-side; no window, bounded broadcasts") {
+    val p = plan("q_bitmap_overlap")
+    // the (key, w) bitmap build must be partial+final
+    val bitOrAggs = p.linesIterator.count(l =>
+      l.contains("Aggregate") && l.contains("bit_or"))
+    assert(bitOrAggs >= 2, s"expected partial+final bit_or:\n${p.take(1500)}")
+    assert(!p.contains("WindowExec"), p.take(1500))
+    // the word-aligned intersection must honor the corpus pin
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("q_series_period: lag fanout aggregates partial+final; windows only on the series grid") {
+    val p = plan("q_series_period")
+    assert(!p.contains("WindowExec"),
+      s"period detection is pure joins+aggregates:\n${p.take(1500)}")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 4, s"expected chained partial+final aggs:\n${p.take(1500)}")
+  }
+
+  test("q_funnel_strict: breaker checks stay user-keyed — no window, no broadcast of survivors") {
+    val p = plan("q_funnel_strict")
+    assert(!p.contains("WindowExec"), p.take(1500))
+    assert(p.contains("SortMergeJoin"),
+      "survivor/breaker joins must honor the corpus pin")
+  }
 }
