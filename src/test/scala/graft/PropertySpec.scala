@@ -368,4 +368,47 @@ class PropertySpec extends SparkSpec {
       } else assert(r.isNullAt(r.fieldIndex("rho")), s"trial=$trial")
     }
   }
+
+  test("property: rocAuc equals brute-force pair counting (ties = half-wins)") {
+    import graft.ops.Stats
+    val rng = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 5 + rng.nextInt(20)
+      val rows = Seq.fill(n)((rng.nextBoolean(), rng.nextInt(8).toLong))
+      val pos = rows.filter(_._1).map(_._2); val neg = rows.filterNot(_._1).map(_._2)
+      val df = rows.toDF("is_pos", "v")
+      val r = Stats.rocAuc(df, col("is_pos"), col("v"),
+        bucketWidth = 1L + rng.nextInt(3)).collect().head
+      if (pos.nonEmpty && neg.nonEmpty) {
+        val wins = (for (p <- pos; q <- neg) yield
+          if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val expected = wins / (pos.size.toDouble * neg.size)
+        assert(math.abs(r.getAs[Double]("auc") - expected) < 1e-5,
+          s"trial=$trial rows=$rows")
+      } else assert(r.isNullAt(r.fieldIndex("auc")), s"trial=$trial")
+    }
+  }
+
+  test("property: bitmap pair algebra equals brute-force set algebra") {
+    import graft.ops.Bitmaps
+    val rng = new scala.util.Random(12)
+    for (trial <- 1 to 4) {
+      // ids chosen to straddle word boundaries (range spans 3 words)
+      val a = Seq.fill(3 + rng.nextInt(40))(rng.nextInt(180).toLong).toSet
+      val b = Seq.fill(3 + rng.nextInt(40))(rng.nextInt(180).toLong).toSet
+      val rows = a.toSeq.map(("a", _)) ++ b.toSeq.map(("b", _))
+      // duplicate some rows — builds must absorb them
+      val df = (rows ++ rows.take(5)).toDF("seg", "id")
+      val ov = Bitmaps.segmentOverlap(df, col("seg"), col("id"))
+        .collect().head
+      assert(ov.getAs[Long]("card_a") === a.size.toLong, s"trial=$trial")
+      assert(ov.getAs[Long]("card_b") === b.size.toLong, s"trial=$trial")
+      assert(ov.getAs[Long]("and_card") === (a & b).size.toLong, s"trial=$trial")
+      assert(ov.getAs[Long]("or_card") === (a | b).size.toLong, s"trial=$trial")
+      assert(ov.getAs[Long]("xor_card") ===
+        ((a | b) -- (a & b)).size.toLong, s"trial=$trial")
+      assert(ov.getAs[Long]("andnot_card") === (a -- b).size.toLong,
+        s"trial=$trial")
+    }
+  }
 }
