@@ -236,6 +236,47 @@ SELECT r.k, r.b, r.v, r.resid FROM r JOIN st ON r.k = st.k
 WHERE (CAST(st.n AS DECIMAL(38,0))*CAST(r.rq AS DECIMAL(38,0)) - st.s1)*(CAST(st.n AS DECIMAL(38,0))*CAST(r.rq AS DECIMAL(38,0)) - st.s1)
  > CAST(9 AS DECIMAL(38,0))*(CAST(st.n AS DECIMAL(38,0))*st.s2 - st.s1*st.s1)"""
 
+  /** Dashboard drill-down composition: for every seasonally-anomalous
+    * (key, bucket) from [[stlAnomalies]], the top-`topK` contributing
+    * users by in-bucket µ-sum — the "what drove this spike" query.
+    * The anomaly set is bounded by keys × span-buckets (series-sized,
+    * never event-sized), so it broadcasts safely into the event scan;
+    * the per-(key, bucket) rank window's groups are single buckets.
+    * Ties break on ascending user id.
+    *
+    * Output: (k, b, u, user_value, resid, rnk). */
+  def anomalyDrilldown(df: DataFrame, key: Column, ts: Column,
+      user: Column, valueMicros: Column, bucketUs: Long, period: Int,
+      topK: Int = 3): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val anom = stlAnomalies(df, key, ts, valueMicros, bucketUs, period)
+      .select(col("k"), col("b"), col("resid"))
+    val contrib = df.select(key.as("k"),
+        floorDiv(unix_micros(ts), lit(bucketUs)).as("b"),
+        user.as("u"), valueMicros.as("v"))
+      .join(broadcast(anom), Seq("k", "b"))
+      .groupBy(col("k"), col("b"), col("u"))
+      .agg(sum(col("v")).as("user_value"), min(col("resid")).as("resid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k"), col("b"))
+      .orderBy(col("user_value").desc, col("u").asc)
+    contrib.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("k"), col("b"), col("u"), col("user_value"),
+        col("resid"), col("rnk"))
+  }
+
+  /** DuckDB replica of [[anomalyDrilldown]] (z² = 9). */
+  def anomalyDrilldownOracleSql(bucketUs: Long, period: Int,
+      topK: Int): String =
+    s"""WITH anom AS (${stlAnomaliesOracleSql(bucketUs, period)}),
+evb AS (SELECT event_type AS k, CAST((epoch_us(ts) - ((epoch_us(ts) % $bucketUs) + $bucketUs) % $bucketUs) / $bucketUs AS BIGINT) AS b, user_id AS u, CAST(round(value*1000000,0) AS BIGINT) AS v FROM events),
+cj AS (SELECT e.k, e.b, e.u, sum(e.v) AS uv, min(a.resid) AS resid
+ FROM evb e JOIN anom a ON e.k = a.k AND e.b = a.b GROUP BY 1, 2, 3)
+SELECT k, b, u, CAST(uv AS BIGINT) AS user_value, resid, CAST(rnk AS BIGINT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY k, b ORDER BY uv DESC, u ASC) AS rnk FROM cj)
+WHERE rnk <= $topK"""
+
   /** DuckDB replica of [[stlDecompose]] over
     * (event_type, hourly buckets, µ-value sums) for the given period. */
   def stlDecomposeOracleSql(bucketUs: Long, period: Int): String = {

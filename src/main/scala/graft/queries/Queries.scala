@@ -2846,6 +2846,17 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         bucketUs = 3600000000L, period = 24),
       Some(graft.ops.Seasonal.stlAnomaliesOracleSql(3600000000L, 24))),
 
+    // drill-down composition: top-3 contributing users per
+    // seasonally-anomalous bucket (series-bounded anomaly broadcast,
+    // per-bucket rank window).
+    GraftQuery("q_anomaly_drilldown",
+      (s, dir) => graft.ops.Seasonal.anomalyDrilldown(ev(s, dir),
+        col("event_type"), col("ts"), col("user_id"),
+        round(col("value") * 1e6, 0).cast("long"),
+        bucketUs = 3600000000L, period = 24, topK = 3),
+      Some(graft.ops.Seasonal.anomalyDrilldownOracleSql(
+        3600000000L, 24, 3))),
+
     // pairwise Pearson matrix of (µ-value, hour, user bucket) from
     // one pass of exact sums (corrMatrix analog).
     GraftQuery("q_corr_matrix",
