@@ -54,4 +54,43 @@ object VectorFunctions {
   /** DuckDB twin of [[hashingVectorizer]] over a token-list SQL expr. */
   def hashingVectorizerSql(toksSql: String, dim: Int): String =
     s"[CAST(len(list_filter(list_transform($toksSql, t -> CAST('0x'||substring(md5(t),1,15) AS BIGINT) % $dim), b -> b = j)) AS DOUBLE) FOR j IN range(0, $dim)]"
+
+  /** ClickHouse `avgForEach` analog: per-group ELEMENTWISE vector
+    * mean, integer-exact — components quantize to 1e6 µ-units before
+    * summation (float accumulation order can never differ between
+    * engines), per-(group, position) long sums aggregate
+    * partial+final, and the vector reassembles in position order from
+    * a dim-bounded collect. The natural centroid/"mean embedding per
+    * cluster" aggregate for the embeddings table.
+    *
+    * Output: (g, n BIGINT rows averaged, mean_vec ARRAY<DOUBLE> r6).
+    * Ragged inputs: each position averages over the rows that HAVE it
+    * (document divergence from a strict equal-length contract). */
+  def vectorMeanBy(df: org.apache.spark.sql.DataFrame, group: Column,
+      vec: Column): org.apache.spark.sql.DataFrame = {
+    def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val ex = df.select(group.as("g"), posexplode(asDouble(vec)))
+      .select(col("g"), col("pos"),
+        round(col("col") * lit(1e6)).cast("long").as("xq"))
+    val sums = ex.groupBy(col("g"), col("pos"))
+      .agg(sum(col("xq")).as("s"), count(lit(1)).as("n"))
+    sums.groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          e => r6(e.getField("s").cast("double") /
+            e.getField("n").cast("double") / lit(1e6))).as("mean_vec"))
+  }
+
+  /** DuckDB replica of the flattened [[vectorMeanBy]] projection over
+    * (embeddings.label, embeddings.embedding) — one row per (group,
+    * position), the gate-sortable form. */
+  val vectorMeanByFlatOracleSql: String =
+    """WITH ex0 AS (SELECT label AS g, unnest(range(0, len(embedding))) AS pos, unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings),
+ex AS (SELECT g, pos, CAST(round(x*1e6) AS BIGINT) AS xq FROM ex0),
+s AS (SELECT g, pos, sum(xq) AS s, count(*) AS n FROM ex GROUP BY 1, 2),
+m AS (SELECT g, pos, n, floor(CAST(s AS DOUBLE)/CAST(n AS DOUBLE)/1e6*1e6+0.5)/1e6 AS mv FROM s),
+t AS (SELECT g, max(n) AS n FROM m GROUP BY g)
+SELECT m.g, CAST(t.n AS BIGINT) AS n, CAST(m.pos AS BIGINT) AS pos, m.mv AS mean_val
+FROM m JOIN t ON m.g = t.g"""
 }

@@ -2390,6 +2390,19 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
     // a training pipeline): per-vector scale = max|x|, q = round-to-int8,
     // reported as the max absolute dequantization error. All arithmetic
     // in portable floor-form.
+    // avgForEach analog: per-label elementwise mean embedding,
+    // integer-exact µ-quantized sums, dim-bounded reassembly. The
+    // gate's row-sort can't order array columns, so the registered
+    // form flattens the mean vector to (g, n, pos, mean_val); the
+    // array-valued API is spec-tested (TextVectorSpec).
+    GraftQuery("q_vector_mean_by",
+      (s, dir) => graft.functions.VectorFunctions.vectorMeanBy(
+          Tables.embeddings(s, dir), col("label"), col("embedding"))
+        .select(col("g"), col("n"), posexplode(col("mean_vec")))
+        .select(col("g"), col("n"), col("pos").cast("long").as("pos"),
+          col("col").as("mean_val")),
+      Some(graft.functions.VectorFunctions.vectorMeanByFlatOracleSql)),
+
     GraftQuery("q_embedding_quantize",
       (s, dir) => {
         // scale and quant are bound once per row (bindOnce) — inlining

@@ -139,4 +139,15 @@ class TextVectorSpec extends SparkSpec {
       .head.getLong(0)
     assert(fp < 100L, s"false-positive count $fp of 1000")
   }
+
+  test("vectorMeanBy: elementwise per-group mean, position order preserved") {
+    val df = Seq(
+      ("a", Seq(1.0f, 3.0f, -2.0f)), ("a", Seq(3.0f, 5.0f, 0.0f)),
+      ("b", Seq(10.0f, 0.0f, 0.0f))).toDF("g", "vec")
+    val out = VectorFunctions.vectorMeanBy(df, col("g"), col("vec"))
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Seq[Double]]("mean_vec")))).toMap
+    assert(out("a") === ((2L, Seq(2.0, 4.0, -1.0))))
+    assert(out("b") === ((1L, Seq(10.0, 0.0, 0.0))))
+  }
 }
