@@ -340,6 +340,28 @@ object ScaleProbe {
             col("y"), boxMicroDeg = 1000000L))
         }
       }),
+      // seasonality: the event-side cost is ONE per-(key, bucket) hash
+      // agg (linear, map-side combinable); everything after runs on
+      // the series table (keys × span-buckets — here keys grow with N
+      // over the FIXED 64-day span, the gap_fill discipline). Period
+      // detection adds the ×maxLag series fanout; STL the ×(p+1)
+      // window fanout — both bounded parameters, never event volume.
+      "seasonal" -> (() => {
+        val keys = math.max(eventsN / 200000L, 4L)
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val spanUs = 64L * 86400L * 1000000L
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          pmod(col("id"), lit(keys)).as("k"),
+          timestamp_micros(lit(1700000000000000L) +
+            pmod(hash(col("id")), lit(spanUs))).as("ts"),
+          (pmod(hash(col("id") * 31L), lit(1000000L)) + lit(1L)).as("v"))
+        withShufflePartitions(math.max(32L, eventsN / 500000L)) {
+          force(graft.ops.Seasonal.stlDecompose(e, col("k"), col("ts"),
+            col("v"), bucketUs = 3600000000L, period = 24)) +
+          force(graft.ops.Seasonal.periodDetect(e, col("k"), col("ts"),
+            col("v"), bucketUs = 3600000000L, maxLag = 36))
+        }
+      }),
       // bitmap set algebra: the build must compress against the
       // distinct relation (dense ids → up to 64 ids/word), the
       // word-aligned intersection join must stay linear in words, and
