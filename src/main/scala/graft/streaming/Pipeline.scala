@@ -308,6 +308,76 @@ object Pipeline {
       }
   }
 
+  case class StrictFunnelState(t1: Long, t2: Long, t3: Long, broken: Boolean)
+
+  /** Incremental STRICT-MODE streaming funnel: the real-time
+    * counterpart of batch `windowFunnel(strictOrder/strictDedup)`.
+    * Input rows carry `step` ∈ 0..3 where 0 = an event matching no
+    * condition (strict modes need the FULL event stream — breakers
+    * include non-step events).
+    *
+    * Tie-exactness with the batch form: within one timestamp, the
+    * advancing match applies BEFORE breaker evaluation, and an advance
+    * at ts suppresses same-ts breakers — reproducing the batch rule
+    * that a candidate tied with its breaker survives (equal
+    * timestamps carry no order). A breaker at a strictly earlier ts
+    * than any candidate breaks permanently. Cross-batch late events
+    * fold at arrival order (the ST4 accept-late-divergence class, as
+    * with [[streamingFunnel]]). State: three longs + a flag per user.
+    *
+    * `dedup` = false → strict_order (any non-next-step event breaks);
+    * true → strict_dedup (only repeats of already-matched conditions
+    * break). */
+  def streamingFunnelStrict(events: DataFrame, windowMicros: Long,
+      dedup: Boolean = false): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val Unset = Long.MinValue
+    events.select(col("user_id").cast("long"),
+        unix_micros(col("event_ts")).as("ts_us"), col("step").cast("int"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[StrictFunnelState, FunnelUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (user, rows, state) =>
+          var st = state.getOption.getOrElse(
+            StrictFunnelState(Unset, Unset, Unset, broken = false))
+          def level = Seq(st.t1, st.t2, st.t3).takeWhile(_ != Unset).size
+          def tPrev = level match {
+            case 1 => st.t1; case 2 => st.t2; case _ => Unset
+          }
+          // ts-groups in order; inside a group candidates precede
+          // breakers by construction (advance first, then break)
+          rows.toSeq.sortBy(r => (r._2, r._3))
+            .groupBy(_._2).toSeq.sortBy(_._1).foreach { case (ts, evs) =>
+              if (!st.broken && level < 3) {
+                val expected = level + 1
+                val advanced =
+                  if (level == 0)
+                    evs.exists(_._3 == 1) && { st = st.copy(t1 = ts); true }
+                  else
+                    evs.exists(_._3 == expected) && ts > tPrev &&
+                      ts <= st.t1 + windowMicros && {
+                        st = if (expected == 2) st.copy(t2 = ts)
+                             else st.copy(t3 = ts)
+                        true
+                      }
+                // breaker evaluation with the PRE-advance stage; an
+                // advance at this ts suppresses same-ts breakers (tie)
+                if (!advanced && level > 0 && level < 3 && ts > tPrev) {
+                  val breaks = evs.exists { case (_, _, s) =>
+                    if (dedup) s >= 1 && s <= level && s != expected
+                    else s != expected
+                  }
+                  if (breaks) st = st.copy(broken = true)
+                }
+              }
+            }
+          state.update(st)
+          FunnelUpdate(user, level)
+      }
+  }
+
   case class SeqCountState(availA: Long, matches: Long)
   case class SeqCountUpdate(userId: Long, matches: Long)
 

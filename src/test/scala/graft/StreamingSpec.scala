@@ -815,4 +815,51 @@ class StreamingSpec extends SparkSpec {
       assert(p.getAs[Long]("period") === 7L)
     } finally { q.stop() }
   }
+
+  test("streaming strict funnel matches batch strict modes on ordered batches") {
+    import graft.ops.Funnel
+    val rng = new scala.util.Random(7)
+    // randomized event soup: 30 users, steps 0..3 (0 = condition-free),
+    // dense enough that interposers, ties, repeats and window misses
+    // all occur; ~3 events share each timestamp to exercise tie rules
+    val all = (0 until 600).map { i =>
+      (rng.nextInt(30).toLong, (i / 3).toLong * 1000000L, rng.nextInt(4))
+    }
+    val winUs = 120L * 1000000L
+    def batchCounts(dedup: Boolean): Map[Long, Long] = {
+      val df = all.toDF("user_id", "ts_us", "step")
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("step"))
+      Funnel.windowFunnel(df, col("user_id"), col("ts"),
+        (1 to 3).map(k => col("step") === k), window = "2 MINUTES",
+        strictOrder = !dedup, strictDedup = dedup)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    for (dedup <- Seq(false, true)) {
+      val in = MemoryStream[(Long, Long, Int)](spark)
+      val name = s"strictfunnel_$dedup"
+      val q = graft.streaming.Pipeline.streamingFunnelStrict(
+          in.toDF().toDF("user_id", "ts_us", "step")
+            .select(col("user_id"),
+              timestamp_micros(col("ts_us")).as("event_ts"), col("step")),
+          winUs, dedup)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update).start()
+      try {
+        // two ts-ordered micro-batches (state only moves forward, so
+        // an ordered split must reproduce the one-shot batch result)
+        val (b1, b2) = all.sortBy(_._2).splitAt(300)
+        in.addData(b1: _*)
+        q.processAllAvailable()
+        in.addData(b2: _*)
+        q.processAllAvailable()
+        val levels = spark.sql(s"SELECT userId, level FROM $name")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._1)
+          .map { case (u, vs) => u -> vs.map(_._2).max }
+        val got = (1L to 3L).map(s =>
+          s -> levels.values.count(_ >= s).toLong).filter(_._2 > 0).toMap
+        assert(got === batchCounts(dedup), s"dedup=$dedup")
+      } finally { q.stop() }
+    }
+  }
 }
