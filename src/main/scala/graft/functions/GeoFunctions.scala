@@ -76,4 +76,65 @@ object GeoFunctions {
  CAST(user_id % 3600 AS DOUBLE)/10 - 180 AS lon,
  CAST(event_id % 1700 AS DOUBLE)/10 - 85 AS lat FROM events)
 SELECT event_id, ${geohashEncodeSql(6)} AS gh6 FROM c"""
+
+  /** ClickHouse `geohashDecode` analog: cell CENTER of a geohash —
+    * char lookup → integer deinterleave → one mirrored double op per
+    * axis ((i + 0.5)·span/2^bits + lo). Same single-source bit loop as
+    * [[geohashEncode]]. Contract: input must be a valid lowercase
+    * geohash of exactly `precision` chars. Returns
+    * struct(lon DOUBLE, lat DOUBLE). */
+  def geohashDecode(gh: Column, precision: Int): Column = {
+    require(precision >= 1 && precision <= 12, "precision must be in [1, 12]")
+    val total = 5 * precision
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    val value = (0 until precision).map { g =>
+      (instr(lit(alphabet), substring(gh, g + 1, 1)).cast("long") - lit(1L)) *
+        lit(1L << (5 * (precision - 1 - g)))
+    }.reduce(_ + _)
+    def axis(parity: Int, bits: Int): Column =
+      (0 until total).filter(_ % 2 == parity).zipWithIndex.map {
+        case (j, i) =>
+          pmod((value / lit(1L << (total - 1 - j))).cast("long"), lit(2L)) *
+            lit(1L << (bits - 1 - i))
+      }.reduce(_ + _)
+    def center(iv: Column, lo: Double, span: Double, bits: Int): Column =
+      (iv.cast("double") + lit(0.5)) * lit(span) /
+        lit(math.pow(2, bits)) + lit(lo)
+    struct(
+      center(axis(0, lonBits), -180.0, 360.0, lonBits).as("lon"),
+      center(axis(1, latBits), -90.0, 180.0, latBits).as("lat"))
+  }
+
+  /** The same decode loop rendered as DuckDB SQL over a column named
+    * `gh`. Returns two SQL expressions (lon, lat). */
+  def geohashDecodeSql(precision: Int): (String, String) = {
+    require(precision >= 1 && precision <= 12)
+    val total = 5 * precision
+    val lonBits = (total + 1) / 2
+    val latBits = total / 2
+    val value = (0 until precision).map { g =>
+      s"(strpos('$alphabet', substring(gh, ${g + 1}, 1)) - 1) * ${1L << (5 * (precision - 1 - g))}"
+    }.mkString(" + ")
+    def axis(parity: Int, bits: Int): String =
+      (0 until total).filter(_ % 2 == parity).zipWithIndex.map {
+        case (j, i) =>
+          s"((($value) // ${1L << (total - 1 - j)}) % 2) * ${1L << (bits - 1 - i)}"
+      }.mkString(" + ")
+    def center(iv: String, lo: Double, span: Double, bits: Int): String =
+      s"(CAST($iv AS DOUBLE) + 0.5) * $span / ${math.pow(2, bits)} + ($lo)"
+    (center(axis(0, lonBits), -180.0, 360.0, lonBits),
+      center(axis(1, latBits), -90.0, 180.0, latBits))
+  }
+
+  /** DuckDB replica of q_geohash_roundtrip: encode precision 5, decode
+    * to the cell center. */
+  val geohashRoundtripOracleSql: String = {
+    val (lonSql, latSql) = geohashDecodeSql(5)
+    s"""WITH c AS (SELECT event_id,
+ CAST(user_id % 3600 AS DOUBLE)/10 - 180 AS lon,
+ CAST(event_id % 1700 AS DOUBLE)/10 - 85 AS lat FROM events),
+g AS (SELECT event_id, ${geohashEncodeSql(5)} AS gh FROM c)
+SELECT event_id, gh, $lonSql AS lon_c, $latSql AS lat_c FROM g"""
+  }
 }

@@ -3016,6 +3016,23 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
             col("lon"), col("lat"), 6).as("gh6")),
       Some(graft.functions.GeoFunctions.geohashOracleSql)),
 
+    // geohashEncode→Decode round-trip at precision 5: decode returns
+    // the cell center via the shared single-source bit loop.
+    GraftQuery("q_geohash_roundtrip",
+      (s, dir) => {
+        val coords = ev(s, dir).select(col("event_id"),
+          (pmod(col("user_id"), lit(3600)).cast("double") / 10 - 180).as("lon"),
+          (pmod(col("event_id"), lit(1700)).cast("double") / 10 - 85).as("lat"))
+        coords.select(col("event_id"),
+            graft.functions.GeoFunctions.geohashEncode(
+              col("lon"), col("lat"), 5).as("gh"))
+          .select(col("event_id"), col("gh"),
+            graft.functions.GeoFunctions.geohashDecode(col("gh"), 5).as("c"))
+          .select(col("event_id"), col("gh"),
+            col("c.lon").as("lon_c"), col("c.lat").as("lat_c"))
+      },
+      Some(graft.functions.GeoFunctions.geohashRoundtripOracleSql)),
+
     // IPv4 function family: num→string→num round-trip + /24 range
     // over a hash-derived address.
     GraftQuery("q_ipv4_funcs",

@@ -389,6 +389,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: geohash decode center lies within half a cell of the input") {
+    import graft.functions.GeoFunctions
+    val rng = new scala.util.Random(13)
+    val pts = Seq.fill(60)((rng.nextDouble() * 360 - 180,
+      rng.nextDouble() * 180 - 90))
+    val df = pts.toDF("lon", "lat")
+      .select(col("lon"), col("lat"),
+        GeoFunctions.geohashDecode(
+          GeoFunctions.geohashEncode(col("lon"), col("lat"), 5), 5).as("c"))
+      .select(col("lon"), col("lat"), col("c.lon").as("lc"), col("c.lat").as("lt"))
+    val (lonHalf, latHalf) = (360.0 / (1 << 13) / 2, 180.0 / (1 << 12) / 2)
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) <= lonHalf + 1e-9, r)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) <= latHalf + 1e-9, r)
+    }
+  }
+
   test("property: bitmap pair algebra equals brute-force set algebra") {
     import graft.ops.Bitmaps
     val rng = new scala.util.Random(12)
