@@ -552,6 +552,27 @@ object SnapshotStore {
       }
     }
 
+  /** RESTORE analog (rollback/roll-forward time travel as a COMMIT):
+    * publish a new manifest that re-references the data files of
+    * retained version `v` — metadata-only, no data read or written, so
+    * restoring a 100 TB table costs two manifest file operations. The
+    * restored files' stats lines carry over from the old manifest
+    * (deduplicated against files still live), so pruning keeps
+    * working; the current idempotence-tag window carries forward as
+    * with every commit. Readers see the pre- or post-restore snapshot
+    * atomically. Throws FileNotFoundException when `v` was vacuumed. */
+  def restore(spark: SparkSession, base: String, v: Long): Unit =
+    commitLock(base).synchronized {
+      val name = f"m$v%010d"
+      val files = manifestFiles(spark, base, name)
+      val fileSet = files.toSet
+      val cur = listFiles(spark, base).toSet
+      val revived = manifestLines(spark, base, name)
+        .filter(_.startsWith(StatsPrefix))
+        .filter(l => statsLineFile(l).exists(f => fileSet(f) && !cur(f)))
+      commitManifest(spark, base, files, newStats = revived)
+    }
+
   // ---- retention ----------------------------------------------------------
 
   /** Drop manifests older than the newest `keepManifests` and delete

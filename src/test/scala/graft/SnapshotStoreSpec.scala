@@ -458,6 +458,33 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.versions(spark, base).size === versions)
   }
 
+  test("restore: metadata-only rollback revives old files and their stats") {
+    import spark.implicits._
+    val base = tmp("snaprestore")
+    val d0 = spark.range(100).select(col("id"), (col("id") % 100).as("user_id"))
+      .repartitionByRange(4, col("user_id"))
+    SnapshotStore.commitReplace(spark, base, d0, statsCols = Seq("user_id"))
+    val v0 = SnapshotStore.versions(spark, base).max
+    val v0Files = SnapshotStore.listFiles(spark, base).toSet
+    SnapshotStore.deleteRange(spark, base, "user_id", 0.0, 49.0,
+      statsCols = Seq("user_id"))
+    assert(SnapshotStore.read(spark, base).get.count() === 50L)
+
+    SnapshotStore.restore(spark, base, v0)
+    // a NEW version whose content and file set equal v0 — no rewrite
+    assert(SnapshotStore.versions(spark, base).max > v0 + 0)
+    assert(SnapshotStore.listFiles(spark, base).toSet === v0Files,
+      "restore must re-reference v0's files, not copy them")
+    assert(SnapshotStore.read(spark, base).get.count() === 100L)
+    // revived stats still prune: a range held by one clustered file
+    val pruned = SnapshotStore.pruneFiles(spark, base, "user_id", 10.0, 20.0)
+    assert(pruned.size <= 1, s"stats lost on restore: ${pruned.size} files match")
+    // restoring a never-written version throws
+    intercept[java.io.FileNotFoundException] {
+      SnapshotStore.restore(spark, base, 9999L)
+    }
+  }
+
   test("updateRange: pruned partial rewrite; SET sees the old row; schema stable") {
     import spark.implicits._
     val base = tmp("snapupd")
