@@ -34,18 +34,25 @@ object GeoFunctions {
           .cast("long")))
     val ilon = quant(lon, -180.0, 360.0, lonBits)
     val ilat = quant(lat, -90.0, 180.0, latBits)
-    // interleave, longitude at the most significant bit
+    // interleave, longitude at the most significant bit. Bit/digit
+    // extraction is shiftright, NOT `/` — Spark's `/` on longs is
+    // DOUBLE division, which loses low-order bits once the interleaved
+    // value passes 2^53 (precision ≥ 11; total bits reach 60 at 12)
     val value = (0 until total).map { j =>
       val (src, srcBits, i) =
         if (j % 2 == 0) (ilon, lonBits, j / 2) else (ilat, latBits, j / 2)
-      val bit = pmod((src / lit(1L << (srcBits - 1 - i))).cast("long"), lit(2L))
+      val bit = pmod(shiftright(src, srcBits - 1 - i), lit(2L))
       bit * lit(1L << (total - 1 - j))
     }.reduce(_ + _)
-    (0 until precision).map { g =>
-      val idx = pmod((value / lit(1L << (5 * (precision - 1 - g))))
-        .cast("long"), lit(32L))
-      substring(lit(alphabet), (idx + 1).cast("int"), lit(1))
-    }.reduce(concat(_, _))
+    // bind the interleaved value ONCE: inlining it into all `precision`
+    // digit extractions multiplies the tree by total-bits — composed
+    // with decode-of-encode it reaches millions of Catalyst nodes
+    TextFunctions.bindOnce(value) { v =>
+      (0 until precision).map { g =>
+        val idx = pmod(shiftright(v, 5 * (precision - 1 - g)), lit(32L))
+        substring(lit(alphabet), (idx + 1).cast("int"), lit(1))
+      }.reduce(concat(_, _))
+    }
   }
 
   /** The same bit loop rendered as DuckDB SQL over columns named
@@ -88,22 +95,31 @@ SELECT event_id, ${geohashEncodeSql(6)} AS gh6 FROM c"""
     val total = 5 * precision
     val lonBits = (total + 1) / 2
     val latBits = total / 2
-    val value = (0 until precision).map { g =>
-      (instr(lit(alphabet), substring(gh, g + 1, 1)).cast("long") - lit(1L)) *
-        lit(1L << (5 * (precision - 1 - g)))
-    }.reduce(_ + _)
-    def axis(parity: Int, bits: Int): Column =
-      (0 until total).filter(_ % 2 == parity).zipWithIndex.map {
-        case (j, i) =>
-          pmod((value / lit(1L << (total - 1 - j))).cast("long"), lit(2L)) *
-            lit(1L << (bits - 1 - i))
+    // bind gh AND the deinterleave value once each: gh may itself be a
+    // large expression (decode-of-encode), and the value would
+    // otherwise inline into all total-bits axis terms — unbound, the
+    // composed round-trip tree is O(precision² · total²) nodes
+    TextFunctions.bindOnce(gh) { g =>
+      val value = (0 until precision).map { gi =>
+        (instr(lit(alphabet), substring(g, gi + 1, 1)).cast("long") -
+          lit(1L)) * lit(1L << (5 * (precision - 1 - gi)))
       }.reduce(_ + _)
-    def center(iv: Column, lo: Double, span: Double, bits: Int): Column =
-      (iv.cast("double") + lit(0.5)) * lit(span) /
-        lit(math.pow(2, bits)) + lit(lo)
-    struct(
-      center(axis(0, lonBits), -180.0, 360.0, lonBits).as("lon"),
-      center(axis(1, latBits), -90.0, 180.0, latBits).as("lat"))
+      TextFunctions.bindOnce(value) { v =>
+        def axis(parity: Int, bits: Int): Column =
+          (0 until total).filter(_ % 2 == parity).zipWithIndex.map {
+            case (j, i) =>
+              // shiftright, not `/`: exact above 2^53 (geohashEncode)
+              pmod(shiftright(v, total - 1 - j), lit(2L)) *
+                lit(1L << (bits - 1 - i))
+          }.reduce(_ + _)
+        def center(iv: Column, lo: Double, span: Double, bits: Int): Column =
+          (iv.cast("double") + lit(0.5)) * lit(span) /
+            lit(math.pow(2, bits)) + lit(lo)
+        struct(
+          center(axis(0, lonBits), -180.0, 360.0, lonBits).as("lon"),
+          center(axis(1, latBits), -90.0, 180.0, latBits).as("lat"))
+      }
+    }
   }
 
   /** The same decode loop rendered as DuckDB SQL over a column named

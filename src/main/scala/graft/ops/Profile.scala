@@ -33,10 +33,14 @@ object Profile {
       minCount: Long = 1L): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     require(topK >= 1 && minCount >= 1, "topK and minCount must be >= 1")
-    val pairs = cols.map(c =>
-      s"'$c', CAST(`$c` AS STRING)").mkString(", ")
-    val long = df.selectExpr(
-      s"stack(${cols.size}, $pairs) AS (col_name, v)")
+    // parse-free unpivot: names travel as lit() values and columns
+    // resolve via col(), so a name with a quote or backtick — exactly
+    // what a profiler pointed at an unfamiliar schema meets — can
+    // never break a generated stack() literal
+    val long = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"),
+          col(c).cast("string").as("v"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.v"))
     val counts = long.filter(col("v").isNotNull)
       .groupBy(col("col_name"), col("v")).agg(count(lit(1)).as("cnt"))
     val summary = long.groupBy(col("col_name")).agg(

@@ -90,8 +90,12 @@ object Stats {
     * Output: (n_a, n_b, s1_a, s2_a, s1_b, s2_b STRING exact,
     *          mean_a, mean_b, t_stat r6, df_w r6). t/df are null when
     * either arm has <2 rows or both variances are zero. */
-  def welchTTest(df: DataFrame, isA: Column, v: Column): DataFrame = {
-    val p = meanPartials(df, isA, v)
+  /** Welch scalar derivation over a [[meanPartials]] frame — the one
+    * shared source for the ungrouped and GROUP BY forms (they drifted
+    * once: the grouped form silently stopped emitting s2_a/s2_b).
+    * Emits `lead` columns first, then the shared tail. */
+  private def welchSelect(p: DataFrame, lead: Seq[Column],
+      withS2: Boolean): DataFrame = {
     val naD = dbl(col("n_a")); val nbD = dbl(col("n_b"))
     val meanA = dbl(col("s1a")) / naD
     val meanB = dbl(col("s1b")) / nbD
@@ -103,14 +107,19 @@ object Stats {
     val dfW = (se * se) /
       (seA * seA / (naD - lit(1.0)) + seB * seB / (nbD - lit(1.0)))
     val ok = col("n_a") > 1 && col("n_b") > 1 && se > lit(0.0)
-    p.select(col("n_a"), col("n_b"),
-      col("s1a").cast("string").as("s1_a"), col("s2a").cast("string").as("s2_a"),
-      col("s1b").cast("string").as("s1_b"), col("s2b").cast("string").as("s2_b"),
+    val s2 = if (withS2) Seq(col("s2a").cast("string").as("s2_a")) else Nil
+    val s2b = if (withS2) Seq(col("s2b").cast("string").as("s2_b")) else Nil
+    p.select(lead ++ Seq(col("n_a"), col("n_b"),
+      col("s1a").cast("string").as("s1_a")) ++ s2 ++
+      Seq(col("s1b").cast("string").as("s1_b")) ++ s2b ++ Seq(
       when(col("n_a") > 0, meanA).as("mean_a"),
       when(col("n_b") > 0, meanB).as("mean_b"),
       when(ok, r6(t)).as("t_stat"),
-      when(ok, r6(dfW)).as("df_w"))
+      when(ok, r6(dfW)).as("df_w")): _*)
   }
+
+  def welchTTest(df: DataFrame, isA: Column, v: Column): DataFrame =
+    welchSelect(meanPartials(df, isA, v), Nil, withS2 = true)
 
   /** [[welchTTest]] per group — the segmented dashboard form (`SELECT
     * welchTTest(v, arm) … GROUP BY segment` in ClickHouse). Same
@@ -118,25 +127,10 @@ object Stats {
     * `k` column. Per-group state is still a fixed handful of decimals,
     * so the aggregate is skew-immune at any group cardinality. */
   def welchTTestBy(df: DataFrame, key: Column, isA: Column,
-      v: Column): DataFrame = {
-    val p = meanPartials(df, isA, v, Seq(key)).withColumnRenamed("k0", "k")
-    val naD = dbl(col("n_a")); val nbD = dbl(col("n_b"))
-    val meanA = dbl(col("s1a")) / naD
-    val meanB = dbl(col("s1b")) / nbD
-    val seA = dbl(col("vna")) / (naD * naD * (naD - lit(1.0)))
-    val seB = dbl(col("vnb")) / (nbD * nbD * (nbD - lit(1.0)))
-    val se = seA + seB
-    val t = (meanA - meanB) / sqrt(se)
-    val dfW = (se * se) /
-      (seA * seA / (naD - lit(1.0)) + seB * seB / (nbD - lit(1.0)))
-    val ok = col("n_a") > 1 && col("n_b") > 1 && se > lit(0.0)
-    p.select(col("k"), col("n_a"), col("n_b"),
-      col("s1a").cast("string").as("s1_a"), col("s1b").cast("string").as("s1_b"),
-      when(col("n_a") > 0, meanA).as("mean_a"),
-      when(col("n_b") > 0, meanB).as("mean_b"),
-      when(ok, r6(t)).as("t_stat"),
-      when(ok, r6(dfW)).as("df_w"))
-  }
+      v: Column): DataFrame =
+    welchSelect(
+      meanPartials(df, isA, v, Seq(key)).withColumnRenamed("k0", "k"),
+      Seq(col("k")), withS2 = false)
 
   /** DuckDB replica of [[welchTTestBy]] keyed by the event's platform
     * cohort (user_id % 3). */
@@ -307,8 +301,11 @@ FROM m"""
     val cum = cumCounts(df, isA, v, bucketWidth)
     val tot = cum.agg(sum(col("c_a")).as("n_a"),
       sum(col("c_t") - col("c_a")).as("n_b"))
-    val dn = abs(col("cw_a") * col("n_b") -
-      (col("cw_t") - col("cw_a")) * col("n_a"))
+    // DECIMAL(38,0) products: cw·n reaches n_a·n_b, which passes
+    // Long.MaxValue near 3e9 rows per arm and would wrap silently in
+    // LongType (the DuckDB twin auto-promotes to HUGEINT)
+    val dn = abs(d(col("cw_a")) * d(col("n_b")) -
+      d(col("cw_t") - col("cw_a")) * d(col("n_a")))
     val mx = cum.crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"), dn.as("dn"), col("v"))
       .groupBy(col("n_a"), col("n_b"))
@@ -409,26 +406,32 @@ FROM m"""
   def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val names = cols.map(_._1)
-    val named = df.select(cols.map { case (n, c) => c.as(n) }: _*)
-    val pairs = for {
+    // internal aliases are POSITIONAL (s_0, sp_0_1): name-derived
+    // aliases collide for underscore-bearing names ((a, b_c) vs
+    // (a_b, c) both render sp_a_b_c), and display names only ever
+    // appear as lit() values — never spliced into parsed SQL
+    val named = df.select(cols.zipWithIndex.map {
+      case ((_, c), i) => c.as(s"x_$i") }: _*)
+    val idxPairs = for {
       i <- names.indices; j <- (i + 1) until names.size
-    } yield (names(i), names(j))
+    } yield (i, j)
     val aggs = Seq(count(lit(1)).as("n")) ++
-      names.map(n => sum(d(col(n))).as(s"s_$n")) ++
-      names.map(n => sum(d(col(n)) * d(col(n))).as(s"ss_$n")) ++
-      pairs.map { case (x, y) =>
-        sum(d(col(x)) * d(col(y))).as(s"sp_${x}_$y") }
+      names.indices.map(i => sum(d(col(s"x_$i"))).as(s"s_$i")) ++
+      names.indices.map(i =>
+        sum(d(col(s"x_$i")) * d(col(s"x_$i"))).as(s"ss_$i")) ++
+      idxPairs.map { case (i, j) =>
+        sum(d(col(s"x_$i")) * d(col(s"x_$j"))).as(s"sp_${i}_$j") }
     val a = named.agg(aggs.head, aggs.tail: _*)
-    val withCorr = a.select(pairs.map { case (x, y) =>
-      val num = d(col("n")) * col(s"sp_${x}_$y") - col(s"s_$x") * col(s"s_$y")
-      val vx = d(col("n")) * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")
-      val vy = d(col("n")) * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y")
-      when(dbl(vx) > lit(0.0) && dbl(vy) > lit(0.0),
-        r6(dbl(num) / sqrt(dbl(vx) * dbl(vy)))).as(s"c_${x}_$y")
-    }: _*)
-    withCorr.select(expr("stack(" + pairs.size + ", " +
-      pairs.map { case (x, y) => s"'$x', '$y', c_${x}_$y" }.mkString(", ") +
-      ") AS (col_a, col_b, corr)"))
+    val pairRows = idxPairs.map { case (i, j) =>
+      val num = d(col("n")) * col(s"sp_${i}_$j") - col(s"s_$i") * col(s"s_$j")
+      val vx = d(col("n")) * col(s"ss_$i") - col(s"s_$i") * col(s"s_$i")
+      val vy = d(col("n")) * col(s"ss_$j") - col(s"s_$j") * col(s"s_$j")
+      struct(lit(names(i)).as("col_a"), lit(names(j)).as("col_b"),
+        when(dbl(vx) > lit(0.0) && dbl(vy) > lit(0.0),
+          r6(dbl(num) / sqrt(dbl(vx) * dbl(vy)))).as("corr"))
+    }
+    a.select(explode(array(pairRows: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.corr"))
   }
 
   /** ClickHouse `categoricalInformationValue(cat, tag)` analog, kept

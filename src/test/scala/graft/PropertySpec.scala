@@ -404,6 +404,19 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(r.getDouble(0) - r.getDouble(2)) <= lonHalf + 1e-9, r)
       assert(math.abs(r.getDouble(1) - r.getDouble(3)) <= latHalf + 1e-9, r)
     }
+    // precision 12 drives the interleaved value to 60 bits — the zone
+    // where the old `/`-based bit extraction (double division) lost
+    // low-order bits; shiftright must stay exact
+    val df12 = pts.take(20).toDF("lon", "lat")
+      .select(col("lon"), col("lat"),
+        GeoFunctions.geohashDecode(
+          GeoFunctions.geohashEncode(col("lon"), col("lat"), 12), 12).as("c"))
+      .select(col("lon"), col("lat"), col("c.lon"), col("c.lat"))
+    val (lh12, th12) = (360.0 / (1L << 30) / 2, 180.0 / (1L << 30) / 2)
+    df12.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) <= lh12 * (1 + 1e-9), r)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) <= th12 * (1 + 1e-9), r)
+    }
   }
 
   test("property: bitmap pair algebra equals brute-force set algebra") {

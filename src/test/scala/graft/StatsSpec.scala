@@ -255,6 +255,15 @@ class StatsSpec extends SparkSpec {
     assert(out(("x", "z")) === Some(-1.0) && out(("y", "z")) === Some(-1.0))
     assert(out(("x", "c")) === None && out(("y", "c")) === None &&
       out(("z", "c")) === None)
+    // underscore-bearing names whose NAME-derived aliases would
+    // collide ((a, b_c) vs (a_b, c) → sp_a_b_c) must work: internal
+    // aliases are positional and display names never enter parsed SQL
+    val tricky = Seq((1L, 2L, 3L, 4L), (2L, 4L, 5L, 9L), (3L, 6L, 9L, 1L))
+      .toDF("w1", "w2", "w3", "w4")
+    val t = Stats.corrMatrix(tricky, Seq("a" -> col("w1"), "b_c" -> col("w2"),
+        "a_b" -> col("w3"), "c" -> col("w4")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t.size === 6 && t.contains(("a", "b_c")) && t.contains(("a_b", "c")))
   }
 
   test("rocAuc: exact AUC with midrank ties, bucket-invariant") {
