@@ -236,6 +236,54 @@ SELECT r.k, r.b, r.v, r.resid FROM r JOIN st ON r.k = st.k
 WHERE (CAST(st.n AS DECIMAL(38,0))*CAST(r.rq AS DECIMAL(38,0)) - st.s1)*(CAST(st.n AS DECIMAL(38,0))*CAST(r.rq AS DECIMAL(38,0)) - st.s1)
  > CAST(9 AS DECIMAL(38,0))*(CAST(st.n AS DECIMAL(38,0))*st.s2 - st.s1*st.s1)"""
 
+  /** Seasonal-naive forecast backtest: predict each bucket with the
+    * value one period earlier (f_b = v_{b−p} — THE baseline every
+    * fancier forecaster must beat) and report per-key error metrics,
+    * exactly: m evaluated buckets, Σ|v−f| as an exact decimal, MAE,
+    * and sMAPE = mean(2|e|/(|v|+|f|)) with each term quantized to
+    * 1e-12 before the sum (the [[Stats.cramersV]] discipline — float
+    * summation order can never differ between engines); |v|+|f| = 0
+    * terms contribute 0. The first p buckets of each key have no
+    * forecast and are excluded by the inner self-join.
+    *
+    * Output: (k, m, sae STRING exact, mae r6, smape r6 — nulls when
+    * m = 0 is impossible by construction since keys without ≥ p+1
+    * buckets simply drop out). */
+  def seasonalNaiveEval(df: DataFrame, key: Column, ts: Column,
+      valueMicros: Column, bucketUs: Long, period: Int): DataFrame = {
+    require(period >= 1, "period must be >= 1")
+    val s = bucketSeries(df, key, ts, valueMicros, bucketUs)
+    val fc = s.select(col("k"), (col("b") + lit(period.toLong)).as("b"),
+      col("v").as("f"))
+    val j = s.join(Joins.corpusSide(fc), Seq("k", "b"))
+    val e = abs(col("v") - col("f"))
+    val den = abs(col("v")) + abs(col("f"))
+    val tq = when(den > 0, d(floor(lit(2.0) * e.cast("double") /
+      den.cast("double") * lit(1e12) + lit(0.5)))).otherwise(d(lit(0L)))
+    j.groupBy(col("k"))
+      .agg(count(lit(1)).as("m"), sum(d(e)).as("sae"), sum(tq).as("stq"))
+      .select(col("k"), col("m"),
+        col("sae").cast("string").as("sae"),
+        r6(dbl(col("sae")) / dbl(col("m"))).as("mae"),
+        r6(dbl(col("stq")) / lit(1e12) / dbl(col("m"))).as("smape"))
+  }
+
+  /** DuckDB replica of [[seasonalNaiveEval]] over
+    * (event_type, hourly buckets, µ-value sums). */
+  def seasonalNaiveEvalOracleSql(bucketUs: Long, period: Int): String =
+    s"""WITH obs AS (SELECT event_type AS k, CAST((epoch_us(ts) - ((epoch_us(ts) % $bucketUs) + $bucketUs) % $bucketUs) / $bucketUs AS BIGINT) AS b, sum(CAST(round(value*1000000,0) AS BIGINT)) AS v FROM events GROUP BY 1, 2),
+grid AS (SELECT k, unnest(range(b0, b1 + 1)) AS b FROM (SELECT k, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1)),
+s AS (SELECT g.k, g.b, coalesce(CAST(o.v AS BIGINT), 0) AS v FROM grid g LEFT JOIN obs o ON g.k = o.k AND g.b = o.b),
+j AS (SELECT s.k, s.b, s.v, f.v AS f FROM s JOIN s f ON f.k = s.k AND f.b + $period = s.b),
+t AS (SELECT k, abs(v - f) AS e, abs(v) + abs(f) AS den FROM j),
+a AS (SELECT k, count(*) AS m, sum(CAST(e AS DECIMAL(38,0))) AS sae,
+ sum(CASE WHEN den > 0 THEN CAST(floor(2.0*CAST(e AS DOUBLE)/CAST(den AS DOUBLE)*1e12 + 0.5) AS DECIMAL(38,0)) ELSE CAST(0 AS DECIMAL(38,0)) END) AS stq
+ FROM t GROUP BY 1)
+SELECT k, CAST(m AS BIGINT) AS m, CAST(sae AS VARCHAR) AS sae,
+ floor(CAST(sae AS DOUBLE)/CAST(m AS DOUBLE)*1e6+0.5)/1e6 AS mae,
+ floor(CAST(stq AS DOUBLE)/1e12/CAST(m AS DOUBLE)*1e6+0.5)/1e6 AS smape
+FROM a"""
+
   /** Dashboard drill-down composition: for every seasonally-anomalous
     * (key, bucket) from [[stlAnomalies]], the top-`topK` contributing
     * users by in-bucket µ-sum — the "what drove this spike" query.

@@ -2859,6 +2859,15 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         bucketUs = 3600000000L, period = 24),
       Some(graft.ops.Seasonal.stlAnomaliesOracleSql(3600000000L, 24))),
 
+    // seasonal-naive forecast backtest: f_b = v_{b-24} over hourly
+    // buckets, exact MAE/sMAPE per event type.
+    GraftQuery("q_forecast_eval",
+      (s, dir) => graft.ops.Seasonal.seasonalNaiveEval(ev(s, dir),
+        col("event_type"), col("ts"),
+        round(col("value") * 1e6, 0).cast("long"),
+        bucketUs = 3600000000L, period = 24),
+      Some(graft.ops.Seasonal.seasonalNaiveEvalOracleSql(3600000000L, 24))),
+
     // drill-down composition: top-3 contributing users per
     // seasonally-anomalous bucket (series-bounded anomaly broadcast,
     // per-bucket rank window).

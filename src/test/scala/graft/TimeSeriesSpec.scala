@@ -647,6 +647,30 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("seasonalNaiveEval: perfect cycle scores 0; hand-checked MAE/sMAPE") {
+    import graft.ops.Seasonal
+    val bucketUs = 1000000L
+    def series(vs: Seq[Long]) = vs.zipWithIndex
+      .map { case (v, b) => ("k", b.toLong, v) }.toDF("key", "b", "v")
+      .select(col("key"), timestamp_micros(col("b") * bucketUs).as("ts"),
+        col("v"))
+    // exactly periodic → every error 0
+    val perfect = Seasonal.seasonalNaiveEval(
+      series(Seq(5L, 9L, 5L, 9L, 5L, 9L)), col("key"), col("ts"), col("v"),
+      bucketUs, period = 2).collect().head
+    assert(perfect.getAs[Long]("m") === 4L)
+    assert(perfect.getAs[Double]("mae") === 0.0 &&
+      perfect.getAs[Double]("smape") === 0.0)
+    // [10,0,10,0,12] period 2: only b4 errs (|12-10|=2, den 22) →
+    // m=3, sae=2, mae=2/3, smape=(2·2/22)/3
+    val r = Seasonal.seasonalNaiveEval(
+      series(Seq(10L, 0L, 10L, 0L, 12L)), col("key"), col("ts"), col("v"),
+      bucketUs, period = 2).collect().head
+    assert(r.getAs[Long]("m") === 3L && r.getAs[String]("sae") === "2")
+    assert(r.getAs[Double]("mae") === 0.666667)
+    assert(r.getAs[Double]("smape") === 0.060606)
+  }
+
   test("stlAnomalies flags only the bucket that departs from the seasonal norm") {
     import graft.ops.Seasonal
     val bucketUs = 1000000L
