@@ -250,9 +250,15 @@ WHERE (CAST(st.n AS DECIMAL(38,0))*CAST(r.rq AS DECIMAL(38,0)) - st.s1)*(CAST(st
     * m = 0 is impossible by construction since keys without ≥ p+1
     * buckets simply drop out). */
   def seasonalNaiveEval(df: DataFrame, key: Column, ts: Column,
-      valueMicros: Column, bucketUs: Long, period: Int): DataFrame = {
+      valueMicros: Column, bucketUs: Long, period: Int): DataFrame =
+    seasonalNaiveEvalFromSeries(
+      bucketSeries(df, key, ts, valueMicros, bucketUs), period)
+
+  /** [[seasonalNaiveEval]] core over a prepared dense (k, b, v)
+    * series — the serving entry for the bucket-sum MV
+    * ([[graft.streaming.Dashboard.servedForecastEval]]). */
+  def seasonalNaiveEvalFromSeries(s: DataFrame, period: Int): DataFrame = {
     require(period >= 1, "period must be >= 1")
-    val s = bucketSeries(df, key, ts, valueMicros, bucketUs)
     val fc = s.select(col("k"), (col("b") + lit(period.toLong)).as("b"),
       col("v").as("f"))
     val j = s.join(Joins.corpusSide(fc), Seq("k", "b"))

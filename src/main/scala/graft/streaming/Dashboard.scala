@@ -136,4 +136,12 @@ object Dashboard {
       maxLag: Int): Option[DataFrame] =
     servedSeries(spark, mvPath)
       .map(graft.ops.Seasonal.periodDetectFromSeries(_, maxLag))
+
+  /** Serving read: live seasonal-naive backtest (MAE/sMAPE per key)
+    * over the incrementally-maintained bucket sums — same output
+    * contract as the batch [[graft.ops.Seasonal.seasonalNaiveEval]]. */
+  def servedForecastEval(spark: SparkSession, mvPath: String,
+      period: Int): Option[DataFrame] =
+    servedSeries(spark, mvPath)
+      .map(graft.ops.Seasonal.seasonalNaiveEvalFromSeries(_, period))
 }

@@ -813,6 +813,13 @@ class StreamingSpec extends SparkSpec {
       val p = Dashboard.servedPeriod(spark, mv, maxLag = 20).get
         .collect().head
       assert(p.getAs[Long]("period") === 7L)
+      // live forecast backtest off the same MV matches one-shot batch
+      val fServed = Dashboard.servedForecastEval(spark, mv, period = 7).get
+      val fBatch = Seasonal.seasonalNaiveEval(toTs((b1 ++ b2).toDF()),
+        col("seg"), col("ts"), col("v"), bucketUs, period = 7)
+      assert(dump(fServed) === dump(fBatch))
+      // the stream is exactly periodic after merge → zero error
+      assert(fServed.collect().head.getAs[Double]("mae") === 0.0)
     } finally { q.stop() }
   }
 
