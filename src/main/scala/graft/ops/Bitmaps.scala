@@ -86,6 +86,41 @@ object Bitmaps {
         orC.cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("jaccard"))
   }
 
+  /** ClickHouse `bitmapMin`/`bitmapMax` analog: smallest and largest
+    * id per key, read off the bitmap relation without touching raw
+    * ids — one struct-min/max over (w, bits) picks the extreme words,
+    * then branch-free bit arithmetic finds the extreme bit:
+    * lsb index = bit_count((b & −b) − 1), msb index = bit_count of the
+    * bit-smeared word (OR-cascade of static unsigned shifts) − 1.
+    * Everything is codegen'd integer ops; no dynamic shifts, no UDF.
+    *
+    * Output: (key, min_id, max_id). */
+  def minMax(bitmap: DataFrame): DataFrame = {
+    val ext = bitmap.groupBy(col("key"))
+      .agg(min(struct(col("w"), col("bits"))).as("lo"),
+        max(struct(col("w"), col("bits"))).as("hi"))
+    // a word holding ONLY bit 63 is Long.MinValue: its negation (and
+    // isolated-bit minus 1) overflows under ANSI — special-case it;
+    // every other word negates/decrements safely
+    val lsbIdx = when(col("lo.bits") === Long.MinValue, lit(63L))
+      .otherwise(expr("bit_count((lo.bits & -lo.bits) - 1)").cast("long"))
+    // smear all bits below the msb, then count: msb_idx = popcount − 1
+    val smeared = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("hi.bits")) {
+      (acc, s) => acc.bitwiseOR(shiftrightunsigned(acc, s))
+    }
+    val msbIdx = (bit_count(smeared) - lit(1)).cast("long")
+    ext.select(col("key"),
+      (col("lo.w") * lit(64L) + lsbIdx).as("min_id"),
+      (col("hi.w") * lit(64L) + msbIdx).as("max_id"))
+  }
+
+  /** DuckDB replica of [[minMax]]∘[[build]] over
+    * (event_type, user_id): plain min/max — valid because the bitmap
+    * relation is exact. */
+  val minMaxOracleSql: String =
+    """SELECT event_type AS key, min(user_id) AS min_id, max(user_id) AS max_id
+FROM events GROUP BY 1"""
+
   // ------------------------------------------------- live bitmap MV
 
   /** foreachBatch sink for a LIVE segment-bitmap MV (the streaming

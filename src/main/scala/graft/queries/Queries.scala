@@ -2611,6 +2611,13 @@ FROM gf""")),
         col("event_type"), col("user_id")),
       Some(graft.ops.Bitmaps.segmentOverlapOracleSql)),
 
+    // bitmapMin/bitmapMax analog: per-segment id extremes read off
+    // the bitmap words (struct-min/max + branch-free bit arithmetic).
+    GraftQuery("q_bitmap_minmax",
+      (s, dir) => graft.ops.Bitmaps.minMax(graft.ops.Bitmaps.build(
+        ev(s, dir), col("event_type"), col("user_id"))),
+      Some(graft.ops.Bitmaps.minMaxOracleSql)),
+
     GraftQuery("q_audience_overlap",
       (s, dir) => graft.ops.TimeSeries.audienceOverlap(ev(s, dir),
         col("event_type"), col("user_id")),

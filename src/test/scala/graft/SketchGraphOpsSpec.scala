@@ -166,6 +166,17 @@ class SketchGraphOpsSpec extends SparkSpec {
     assert(math.abs(ov.getAs[Double]("jaccard") - 2.0 / 6.0) < 1e-5)
   }
 
+  test("bitmaps: minMax reads extremes off the words, incl. bit 63 and word edges") {
+    // ids planted at word boundaries and at bit 63 (the sign bit of
+    // the word long — the unsigned-shift smear must not wrap)
+    val df = Seq(("a", 63L), ("a", 64L), ("a", 127L), ("a", 100L),
+      ("b", 0L), ("b", 5L)).toDF("seg", "id")
+    val mm = Bitmaps.minMax(Bitmaps.build(df, col("seg"), col("id")))
+      .collect().map(r => r.getAs[String]("key") ->
+        ((r.getAs[Long]("min_id"), r.getAs[Long]("max_id")))).toMap
+    assert(mm === Map("a" -> ((63L, 127L)), "b" -> ((0L, 5L))))
+  }
+
   test("bitmaps: disjoint pair survives with and_card 0; merge law holds") {
     val x = Seq(("p", 1L), ("q", 2L)).toDF("seg", "id")
     val ov = Bitmaps.segmentOverlap(x, col("seg"), col("id")).collect().head
