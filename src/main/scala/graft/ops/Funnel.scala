@@ -51,9 +51,21 @@ object Funnel {
   def windowFunnel(events: DataFrame, user: Column, ts: Column,
                    steps: Seq[Column], window: String,
                    strictOrder: Boolean = false,
-                   strictDedup: Boolean = false): DataFrame = {
+                   strictDedup: Boolean = false,
+                   allowTies: Boolean = false): DataFrame = {
     require(steps.nonEmpty, "windowFunnel needs at least one step")
+    require(!allowTies || (!strictOrder && !strictDedup),
+      "allowTies (the ClickHouse default mode) and the strict modes are exclusive")
     val win = expr(s"INTERVAL $window")
+    // default chaining is STRICT increase (t_k > t_{k-1} — ClickHouse
+    // 'strict_increase'); allowTies switches to >= (the ClickHouse
+    // DEFAULT, where same-timestamp events may chain consecutive
+    // steps). With disjoint step predicates a single event can never
+    // satisfy two steps; overlapping predicates could chain one event
+    // into itself under ties — the relational chain tracks timestamps,
+    // not event identity (documented divergence).
+    def after(a: Column, b: Column): Column =
+      if (allowTies) a >= b else a > b
     val e = events.select(Seq(user.as("u"), ts.as("ts")) ++
       steps.zipWithIndex.map { case (p, i) => p.as(s"is_s${i + 1}") }: _*)
 
@@ -68,7 +80,8 @@ object Funnel {
     for (k <- 2 to steps.size) {
       val prev = cur
       cur = e.filter(col(s"is_s$k")).join(Joins.corpusSide(prev), "u")
-        .filter(col("ts") > col(s"t${k - 1}") && col("ts") <= col("t1") + win)
+        .filter(after(col("ts"), col(s"t${k - 1}")) &&
+          col("ts") <= col("t1") + win)
         .groupBy(col("u"))
         .agg(min(col("ts")).as(s"t$k"),
           (1 until k).map(j => min(col(s"t$j")).as(s"t$j")): _*)
@@ -104,12 +117,14 @@ object Funnel {
   }
 
   /** DuckDB replica of a 3-step windowFunnel over `events` with the
-    * given per-step event_type values. */
+    * given per-step event_type values. `op` is the chaining
+    * comparison: ">" (strict increase, the engine default) or ">="
+    * (ClickHouse's tie-chaining default mode). */
   def windowFunnelOracleSql(s1: String, s2: String, s3: String,
-                            windowSql: String): String =
+                            windowSql: String, op: String = ">"): String =
     s"""WITH f1 AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type='$s1' GROUP BY 1),
-f2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1) AS t1 FROM events e JOIN f1 USING(user_id) WHERE e.event_type='$s2' AND e.ts > t1 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
-f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN f2 ON e.user_id = f2.user_id WHERE e.event_type='$s3' AND e.ts > t2 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
+f2 AS (SELECT e.user_id, min(e.ts) AS t2, min(t1) AS t1 FROM events e JOIN f1 USING(user_id) WHERE e.event_type='$s2' AND e.ts $op t1 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
+f3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN f2 ON e.user_id = f2.user_id WHERE e.event_type='$s3' AND e.ts $op t2 AND e.ts <= t1 + INTERVAL $windowSql GROUP BY 1),
 lv AS (SELECT f1.user_id, 1 + CAST(f2.user_id IS NOT NULL AS INT) + CAST(f3.user_id IS NOT NULL AS INT) AS level FROM f1 LEFT JOIN f2 ON f1.user_id = f2.user_id LEFT JOIN f3 ON f1.user_id = f3.user_id)
 SELECT step, count(*) AS users FROM (SELECT unnest(range(1, level + 1)) AS step FROM lv) GROUP BY 1"""
 

@@ -507,6 +507,17 @@ object Queries {
         "view", "click", "purchase", "7 DAY")),
       headline = true),
 
+    // windowFunnel default ClickHouse mode: same-timestamp events may
+    // chain consecutive steps (>= comparison).
+    GraftQuery("q_funnel_ties",
+      (s, dir) => graft.ops.Funnel.windowFunnel(ev(s, dir),
+        col("user_id"), col("ts"),
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"),
+        window = "7 DAYS", allowTies = true),
+      Some(graft.ops.Funnel.windowFunnelOracleSql(
+        "view", "click", "purchase", "7 DAY", op = ">="))),
+
     // windowFunnel 'strict_order' mode: any non-next-step event
     // between chained steps breaks the chain (ties don't break —
     // equal timestamps carry no order).

@@ -78,6 +78,30 @@ class FunnelSpec extends SparkSpec {
     assert(run(strict = true) === Map(1L -> 4L, 2L -> 3L, 3L -> 1L))
   }
 
+  test("windowFunnel allowTies: same-timestamp events chain (ClickHouse default mode)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), "view"),
+      (1L, ts("2024-01-01 00:00:00"), "click"), // tied with the view
+      (1L, ts("2024-01-01 00:10:00"), "purchase"),
+      (2L, ts("2024-01-01 00:00:00"), "view"),
+      (2L, ts("2024-01-01 00:10:00"), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val steps = Seq(col("event_type") === "view",
+      col("event_type") === "click", col("event_type") === "purchase")
+    def run(ties: Boolean) = Funnel.windowFunnel(events, col("user_id"),
+      col("ts"), steps, window = "1 HOUR", allowTies = ties)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // strict increase (default): u1's tied click cannot chain → only
+    // u2 reaches step 2
+    assert(run(ties = false) === Map(1L -> 2L, 2L -> 1L))
+    // ties allowed: u1 walks view=click@t0 -> purchase
+    assert(run(ties = true) === Map(1L -> 2L, 2L -> 2L, 3L -> 1L))
+    intercept[IllegalArgumentException] {
+      Funnel.windowFunnel(events, col("user_id"), col("ts"), steps,
+        window = "1 HOUR", allowTies = true, strictOrder = true)
+    }
+  }
+
   test("windowFunnel strict_dedup: repeats interrupt, condition-free events don't") {
     val events = Seq(
       // u1: a condition-FREE event (share) interposes — dedup passes,
