@@ -321,4 +321,49 @@ regs AS (SELECT bucket, max(rho) AS reg FROM rhos GROUP BY 1),
 summary AS (SELECT CAST(count(*) AS BIGINT) AS filled, CAST(sum(CAST(1 AS BIGINT) << CAST(32 - reg AS INTEGER)) AS BIGINT) AS num_filled FROM regs),
 ex AS (SELECT CAST(count(DISTINCT CAST($keySql AS VARCHAR)) AS BIGINT) AS exact_distinct FROM $src)
 SELECT CAST($m AS BIGINT) AS m, $m - filled AS zeros, num_filled + ($m - filled) * 4294967296 AS numerator_q32, CAST((${709L * m.toLong * m.toLong} * 4294967296) // (1000 * (num_filled + ($m - filled) * 4294967296)) AS BIGINT) AS est_distinct, exact_distinct FROM summary, ex"""
+
+  /** KMV / bottom-k distinct sketch per group (see
+    * [[graft.functions.KmvSketch]]): one bounded-state hash aggregate
+    * over md5Long-hashed ids, exploded to (group, rank, h) with the
+    * derived estimate. n̂ = kept when the sketch never filled (exact),
+    * else ⌊(k−1)·2^60 / h_k⌋ — the division runs in DOUBLE on both
+    * engines (identical IEEE operands → identical result), everything
+    * upstream of it is exact integers.
+    *
+    * Scale: per-group state is ≤ k longs and map-side combinable; the
+    * shuffle carries |groups|·k rows max. The k-set output (not just
+    * the scalar) is what makes theta-style set algebra possible at
+    * serve time — union two groups' sketches by re-aggregating. */
+  def kmvDistinct(df: DataFrame, group: Column, id: Column,
+      k: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.KmvSketch.register(spark)
+    val hashed = df.select(group.as("g"),
+      graft.functions.TextFunctions.md5Long(
+        concat(lit("kmv:"), id.cast("string"))).as("h"))
+    hashed.groupBy(col("g"))
+      .agg(expr(s"kmv_sketch(h, $k)").as("ks"))
+      .select(col("g"), col("ks"),
+        when(size(col("ks")) < k, size(col("ks")).cast("long"))
+          .otherwise(floor(
+            lit((k - 1).toDouble * 1152921504606846976.0) /
+              element_at(col("ks"), k).cast("double")).cast("long"))
+          .as("est"))
+      .select(col("g"), col("est"),
+        posexplode(col("ks")).as(Seq("rank", "h")))
+      .select(col("g"), col("rank"), col("h"), col("est"))
+  }
+
+  /** DuckDB replica of [[kmvDistinct]]: distinct hashes, bottom-k by
+    * row_number, estimate from the k-th minimum. */
+  def kmvOracleSql(groupSql: String, idSql: String, src: String,
+      k: Int = 64): String =
+    s"""WITH h AS (SELECT DISTINCT $groupSql AS g, CAST('0x'||substring(md5('kmv:' || CAST($idSql AS VARCHAR)),1,15) AS BIGINT) AS h FROM $src),
+r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h),
+kept AS (SELECT g, h, rk FROM r WHERE rk <= $k),
+est AS (SELECT g, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk FROM kept GROUP BY g)
+SELECT kept.g, CAST(kept.rk - 1 AS INT) AS rank, kept.h,
+       CASE WHEN est.n_kept < $k THEN est.n_kept
+            ELSE CAST(floor(${(k - 1).toDouble * 1152921504606846976.0} / CAST(est.hk AS DOUBLE)) AS BIGINT) END AS est
+FROM kept JOIN est ON kept.g = est.g"""
 }

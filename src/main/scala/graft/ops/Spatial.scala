@@ -75,4 +75,53 @@ object Spatial {
 SELECT a.pid AS id_a, b.pid AS id_b, b.x - a.x AS dlon_u, b.y - a.y AS dlat_u
 FROM pts a JOIN pts b ON a.pid < b.pid
  AND abs(a.x - b.x) <= $boxMicroDeg AND abs(a.y - b.y) <= $boxMicroDeg"""
+
+  /** Point-in-polygon (ClickHouse `pointInPolygon`) by the crossing-
+    * number rule, EXACT in integer µ-degrees: a horizontal ray from
+    * the point crosses edge (x1,y1)→(x2,y2) iff the edge spans the
+    * point's latitude (half-open: y1 ≤ py xor y2 ≤ py, which counts a
+    * vertex hit exactly once) and the point lies strictly on the
+    * interior side of the edge line — a 64-bit cross-product SIGN
+    * test, no division, no floats (|coords| ≤ 3.6e8 → products ≤
+    * ~6e16, far inside Long). Handles CONCAVE polygons (odd/even
+    * crossings); horizontal edges never span and drop out.
+    *
+    * The polygon is a compile-time literal, so the whole test unrolls
+    * to one codegen'd arithmetic expression per row — a pure
+    * projection over the point set: no shuffle, no join, trivially
+    * 100 TB-parallel. (A per-row polygon COLUMN would use the same
+    * terms under `aggregate()` over the edge array.) */
+  def pointInPolygon(points: DataFrame, id: Column, lonMicro: Column,
+      latMicro: Column, poly: Seq[(Long, Long)]): DataFrame = {
+    require(poly.length >= 3, "polygon needs >= 3 vertices")
+    val base = points.select(id.as("pid"), lonMicro.as("px"), latMicro.as("py"))
+    val px = col("px"); val py = col("py")
+    val crossings: Column = poly.indices.map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % poly.length)
+      val spans = (lit(y1) <= py) =!= (lit(y2) <= py)
+      val cross = lit(x2 - x1) * (py - lit(y1)) - (px - lit(x1)) * lit(y2 - y1)
+      val hit = if (y2 > y1) cross > 0 else cross < 0
+      when(spans && hit, 1).otherwise(0)
+    }.reduce(_ + _)
+    base.select(col("pid"), px.as("lon_u"), py.as("lat_u"),
+      crossings.as("crossings"),
+      (crossings % 2 === 1).as("inside"))
+  }
+
+  /** DuckDB replica of [[pointInPolygon]]: the identical per-edge
+    * terms, unrolled from the same vertex list. `pointsSql` must
+    * yield (pid, px, py). */
+  def pointInPolygonOracleSql(pointsSql: String,
+      poly: Seq[(Long, Long)]): String = {
+    val terms = poly.indices.map { i =>
+      val (x1, y1) = poly(i)
+      val (x2, y2) = poly((i + 1) % poly.length)
+      val cmp = if (y2 > y1) ">" else "<"
+      s"(CASE WHEN (($y1 <= py) <> ($y2 <= py)) AND ((${x2 - x1}) * (py - ($y1)) - (px - ($x1)) * (${y2 - y1}) $cmp 0) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH pts AS ($pointsSql),
+c AS (SELECT pid, px, py, $terms AS crossings FROM pts)
+SELECT pid, px AS lon_u, py AS lat_u, crossings, crossings % 2 = 1 AS inside FROM c"""
+  }
 }

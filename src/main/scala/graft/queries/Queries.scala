@@ -44,6 +44,13 @@ object Queries {
 
   private def ev(s: SparkSession, dir: String) = Tables.events(s, dir)
 
+  /** Concave test polygon (a dart) in integer µ-degrees, shared by the
+    * point-in-polygon query and its oracle builder — concavity is the
+    * point: it exercises crossing counts > 1. */
+  val dartPolygon: Seq[(Long, Long)] = Seq(
+    (-120000000L, -60000000L), (0L, 80000000L),
+    (120000000L, -60000000L), (0L, -10000000L))
+
   /** DuckDB replica of [[TextFunctions.qualityScore]] over `documents`
     * — shared by q_quality_score and the q_quality_ensemble gate. */
   private lazy val qualityScoreOracleSql: String = {
@@ -761,6 +768,62 @@ object Queries {
       },
       Some("""SELECT c_custkey, 'has_orders' AS status FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) UNION ALL SELECT c_custkey, 'no_orders' AS status FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""")),
 
+    // ClickHouse LEFT ANY JOIN: one row per part, paired with its
+    // tiebreak-minimal lineitem (cheapest sale; order/line break
+    // residual ties). Reduce-then-join — the right side collapses to
+    // one row per key BEFORE the join, so join amplification is
+    // structurally impossible (see ops/AnyJoin.scala).
+    GraftQuery("q_any_join",
+      (s, dir) => graft.ops.AnyJoin.anyJoin(
+        Tables.part(s, dir).select(col("p_partkey"), col("p_name")),
+        Tables.lineitem(s, dir).select(col("l_partkey").as("p_partkey"),
+          col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+        keys = Seq("p_partkey"),
+        tiebreak = Seq("l_extendedprice", "l_orderkey", "l_linenumber")),
+      Some("""SELECT p_partkey, p_name, l_extendedprice, l_orderkey, l_linenumber FROM part LEFT JOIN (SELECT l_partkey, l_extendedprice, l_orderkey, l_linenumber FROM (SELECT l_partkey, l_extendedprice, l_orderkey, l_linenumber, row_number() OVER (PARTITION BY l_partkey ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn FROM lineitem) WHERE rn = 1) r ON p_partkey = r.l_partkey""")),
+
+    // ClickHouse array-function surface (arrayCumSum / arrayDifference
+    // / arrayCompact / arrayUniq) as codegen'd higher-order functions,
+    // exploded so the oracle checks the array semantics relationally.
+    GraftQuery("q_array_funcs",
+      (s, dir) => graft.ops.ArrayFuncs.sweep(ev(s, dir)),
+      Some(graft.ops.ArrayFuncs.sweepOracleSql)),
+
+    // Bitwise aggregates (ClickHouse groupBitAnd/Or/Xor) over exact
+    // value-millisecond longs — one map-side-combinable hash agg.
+    GraftQuery("q_bit_agg",
+      (s, dir) => ev(s, dir)
+        .select(col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+        .groupBy(col("event_type"))
+        .agg(expr("bit_and(v)").as("band"), expr("bit_or(v)").as("bor"),
+          expr("bit_xor(v)").as("bxor"), count(lit(1)).as("cnt")),
+      Some("""SELECT event_type, bit_and(v) AS band, bit_or(v) AS bor, bit_xor(v) AS bxor, count(*) AS cnt FROM (SELECT event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v FROM events) GROUP BY event_type""")),
+
+    // KMV / bottom-k theta sketch: per-type distinct event ids with
+    // the full k-set replayed bit-for-bit, estimate included.
+    GraftQuery("q_kmv_distinct",
+      (s, dir) => graft.ops.Sketches.kmvDistinct(
+        ev(s, dir), col("event_type"), col("event_id"), k = 64),
+      Some(graft.ops.Sketches.kmvOracleSql("event_type", "event_id",
+        "events", k = 64))),
+
+    // Point-in-polygon (crossing number, concave dart, exact integer
+    // µ-degrees) over the synthesized event coordinates.
+    GraftQuery("q_point_in_polygon",
+      (s, dir) => graft.ops.Spatial.pointInPolygon(
+        ev(s, dir).select(col("event_id"),
+          round((pmod(col("user_id"), lit(3600)).cast("double") / 10 - 180)
+            * 1e6, 0).cast("long").as("lon_u"),
+          round((pmod(col("event_id"), lit(1700)).cast("double") / 10 - 85)
+            * 1e6, 0).cast("long").as("lat_u")),
+        col("event_id"), col("lon_u"), col("lat_u"), Queries.dartPolygon),
+      Some(graft.ops.Spatial.pointInPolygonOracleSql(
+        """SELECT event_id AS pid,
+ CAST(round((CAST(user_id % 3600 AS DOUBLE)/10 - 180) * 1e6, 0) AS BIGINT) AS px,
+ CAST(round((CAST(event_id % 1700 AS DOUBLE)/10 - 85) * 1e6, 0) AS BIGINT) AS py
+ FROM events""", Queries.dartPolygon))),
+
     // Multi-key record linkage (entity resolution): deterministic
     // account fixture over customer (re-registrations sharing a phone,
     // second accounts sharing an email), per-key size-capped blocking,
@@ -1236,6 +1299,34 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
           .select("event_id", "user_id", "value")
       },
       Some("SELECT event_id, user_id, value FROM events WHERE user_id IS NULL OR NOT (user_id BETWEEN 10 AND 20)")),
+
+    // ClickHouse TTL ... GROUP BY analog: rows older than day 180 age
+    // into weekly (event_type) sums inside the store — one atomic
+    // stats-pruned partial rewrite; fresh rows stay raw.
+    GraftQuery("q_snapshot_ttl",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_snapttl")
+        deleteRecursivelyOnExit(tmpPath)
+        val base = tmpPath.toString + "/store"
+        val d = ev(s, dir).select(
+          datediff(col("ts"), lit("2024-01-01")).cast("long").as("day_no"),
+          col("event_type"),
+          floor(col("value") * 1000 + 0.5).cast("long").as("v"))
+          .repartitionByRange(8, col("day_no"))
+        graft.sinks.SnapshotStore.commitReplace(s, base, d,
+          statsCols = Seq("day_no"))
+        graft.sinks.SnapshotStore.ttlExpire(s, base, "day_no", 180.0,
+          expired => expired
+            .groupBy((col("day_no") - pmod(col("day_no"), lit(7))).as("day_no"),
+              col("event_type"))
+            .agg(sum(col("v")).as("v"))
+            .select(col("day_no"), col("event_type"), col("v")),
+          statsCols = Seq("day_no"))
+        graft.sinks.SnapshotStore.read(s, base)
+          .getOrElse(sys.error("empty store after TTL"))
+          .select("day_no", "event_type", "v")
+      },
+      Some("""WITH b AS (SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d, event_type, CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v FROM events) SELECT d - d % 7 AS day_no, event_type, CAST(sum(v) AS BIGINT) AS v FROM b WHERE d < 180 GROUP BY 1, 2 UNION ALL SELECT d AS day_no, event_type, v FROM b WHERE d >= 180""")),
 
     // ALTER TABLE UPDATE mutation analog: SET evaluated against the
     // OLD row, stats-pruned partial rewrite (only key-range-overlapping

@@ -437,6 +437,59 @@ object SnapshotStore {
       }
     }
 
+  /** ClickHouse table-TTL analog with rollup aging — `TTL ts +
+    * INTERVAL … GROUP BY k SET v = sum(v)` (MergeTree's "age raw rows
+    * into aggregate rows" lifecycle, the 100 TB retention idiom that
+    * keeps dashboards serving YEARS of history at day granularity
+    * while raw rows only live for days).
+    *
+    * Rows with `column` < `cutoff` (strict; NULL axis = keep, the
+    * [[deleteRange]] three-valued rule) are removed and replaced by
+    * `rollup(expiredRows)` — which MUST return the table's own schema
+    * (names + types, checked) so rolled rows coexist with raw ones.
+    *
+    * Stats-pruned partial rewrite, same as [[deleteRange]]: only
+    * files whose recorded [min,max] can contain an expired row are
+    * read; the rest carry over by reference. Survivors and rollup
+    * rows commit in ONE manifest — readers see pre- or post-TTL,
+    * never a mix.
+    *
+    * Re-aggregation contract (part-merge semantics): a later TTL pass
+    * re-reads previously-rolled rows whose axis value is still below
+    * the (new) cutoff and aggregates them WITH newly-expired raws —
+    * so `rollup` must be re-applicable (sum of sums, min of mins:
+    * emit re-aggregable columns and a group-stable axis value, e.g.
+    * the bucket start). That is exactly how ClickHouse TTL GROUP BY
+    * behaves across merges.
+    *
+    * Returns files rewritten (0 = nothing can be expired:
+    * metadata-only no-op). */
+  def ttlExpire(spark: SparkSession, base: String, column: String,
+      cutoff: Double, rollup: DataFrame => DataFrame,
+      statsCols: Seq[String] = Nil): Int =
+    commitLock(base).synchronized {
+      val affected = pruneFiles(spark, base, column,
+        Double.NegativeInfinity, cutoff)
+      if (affected.isEmpty) 0
+      else {
+        val keep = listFiles(spark, base).filterNot(affected.toSet)
+        val dd = dataDir(base)
+        val scan = spark.read.option("basePath", dd)
+          .parquet(affected.map(f => s"$dd/$f"): _*)
+        val expiredPred = coalesce(col(column) < cutoff, lit(false))
+        val survivors = scan.filter(not(expiredPred))
+        val rolled = rollup(scan.filter(expiredPred))
+        val want = scan.schema.map(f => (f.name, f.dataType))
+        val got = rolled.schema.map(f => (f.name, f.dataType))
+        require(got == want,
+          s"TTL rollup must preserve the table schema; expected $want, got $got")
+        val staged = stageWrite(spark, base, survivors.unionByName(rolled), Nil)
+        commitManifest(spark, base, keep ++ staged,
+          newStats = computeStats(spark, base, staged, statsCols))
+        affected.size
+      }
+    }
+
   /** `ALTER TABLE … UPDATE` mutation analog (completing the
     * delete/MERGE/update triad ClickHouse mutations offer): set
     * columns on rows matching `column ∈ [lo, hi]` (AND the optional

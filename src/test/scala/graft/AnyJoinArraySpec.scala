@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{AnyJoin, ArrayFuncs, Spatial}
+
+/** Hand-checkable fixtures for the ANY JOIN, array-function, and
+  * point-in-polygon operators (their registered queries oracle-gate
+  * them corpus-wide; these pin the semantics). */
+class AnyJoinArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val right = Seq(
+    (1L, 30.0, "r13"), (1L, 10.0, "r11"), (1L, 20.0, "r12"),
+    (2L, 5.0, "r25")).toDF("k", "price", "tag")
+  private val left = Seq((1L, "L1"), (2L, "L2"), (3L, "L3")).toDF("k", "name")
+
+  test("anyJoin left: tiebreak-minimal right row per key; unmatched left keeps nulls") {
+    val out = AnyJoin.anyJoin(left, right, Seq("k"), Seq("price"))
+      .orderBy("k").collect()
+    assert(out.length === 3)
+    assert(out(0).getString(1) === "L1" && out(0).getDouble(2) === 10.0 &&
+      out(0).getString(3) === "r11")
+    assert(out(1).getDouble(2) === 5.0 && out(1).getString(3) === "r25")
+    assert(out(2).isNullAt(2) && out(2).isNullAt(3), "unmatched left row must survive with nulls")
+  }
+
+  test("anyJoin inner drops unmatched; ties on the tiebreak fall through to payload order") {
+    val tied = Seq((1L, 10.0, "b"), (1L, 10.0, "a")).toDF("k", "price", "tag")
+    val out = AnyJoin.anyJoin(left, tied, Seq("k"), Seq("price"), joinType = "inner")
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getString(3) === "a", "payload extends the tiebreak to a total order")
+  }
+
+  test("anyJoin output is one row per left row regardless of right fanout") {
+    val out = AnyJoin.anyJoin(left, right, Seq("k"), Seq("price"))
+    assert(out.count() === left.count())
+  }
+
+  test("array sweep: cum/dif/compact/distinct match hand computation") {
+    val evs = Seq(
+      // user 7, one day: values 1.0, 1.0, 2.0 in ts order
+      (100L, "2024-03-01 10:00:00", 7L, 1.0),
+      (101L, "2024-03-01 11:00:00", 7L, 1.0),
+      (102L, "2024-03-01 12:00:00", 7L, 2.0),
+      // user 7, next day: single value
+      (103L, "2024-03-02 09:00:00", 7L, 5.0))
+      .toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = ArrayFuncs.sweep(evs)
+      .orderBy("day", "idx")
+      .select("day", "idx", "v", "cum", "dif", "n", "n_distinct", "n_compact")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(out.toSeq === Seq(
+      ("2024-03-01", 0, 1000L, 1000L, 0L, 3L, 2L, 2L),
+      ("2024-03-01", 1, 1000L, 2000L, 0L, 3L, 2L, 2L),
+      ("2024-03-01", 2, 2000L, 4000L, 1000L, 3L, 2L, 2L),
+      ("2024-03-02", 0, 5000L, 5000L, 0L, 1L, 1L, 1L)))
+  }
+
+  test("pointInPolygon: concave dart — notch point outside, wing point inside") {
+    val pts = Seq(
+      (1L, 0L, 20000000L),     // inside the dart body
+      (2L, 0L, -30000000L),    // inside triangle ABC but in the notch -> outside
+      (3L, -200000000L, 0L),   // left of everything -> outside
+      (4L, -60000000L, -20000000L)) // left wing interior -> inside
+      .toDF("pid", "x", "y")
+    val out = Spatial.pointInPolygon(pts, col("pid"), col("x"), col("y"),
+      graft.queries.Queries.dartPolygon)
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, 1, true), (2L, 2, false), (3L, 2, false), (4L, 3, true)))
+  }
+}

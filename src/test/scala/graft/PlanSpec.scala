@@ -430,4 +430,41 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"),
       "survivor/breaker joins must honor the corpus pin")
   }
+
+  test("q_any_join: reduce-then-join — right side collapses via hash agg, NO window-rank") {
+    val p = plan("q_any_join")
+    assert(!p.contains("WindowExec"),
+      s"ANY JOIN must never rank the joined fanout:\n${p.take(1500)}")
+    // min(struct) buffers a struct -> plans as SortAggregate; the
+    // partial+final split (map-side combine) is what matters.
+    val aggs = p.linesIterator.count(l =>
+      l.contains("HashAggregate") || l.contains("SortAggregate"))
+    assert(aggs >= 2, s"expected partial+final min(struct) agg:\n${p.take(1500)}")
+  }
+
+  test("q_point_in_polygon: pure projection — no exchange, no join, no aggregate") {
+    val p = plan("q_point_in_polygon")
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("HashAggregate"),
+      s"crossing test must stay a per-row map:\n${p.take(1500)}")
+    // executedPlan.toString renders whole-stage codegen spans as *(n)
+    assert(p.contains("WholeStageCodegen") || p.contains("*(1)"), p.take(800))
+  }
+
+  test("q_kmv_distinct: kmv_sketch aggregates partial+final (map-side combinable)") {
+    val p = plan("q_kmv_distinct")
+    val objAggs = p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+    assert(objAggs >= 2,
+      s"expected partial+final kmv_sketch aggregation:\n${p.take(1500)}")
+    assert(!p.contains("WindowExec"), "no per-key global rank may appear")
+  }
+
+  test("q_bit_agg: single partial+final hash agg, no shuffle beyond the group-by") {
+    val p = plan("q_bit_agg")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, p.take(1500))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"one group-by shuffle (+AQE read) at most:\n${p.take(1500)}")
+  }
 }

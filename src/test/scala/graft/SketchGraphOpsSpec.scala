@@ -193,4 +193,24 @@ class SketchGraphOpsSpec extends SparkSpec {
     assert(merged.collect().toSet === direct.collect().toSet)
     assert(Bitmaps.cardinality(merged).collect().head.getAs[Long]("card") === 4L)
   }
+
+  test("kmv: exact below k; full sketch estimates within KMV error; merge-order independent") {
+    // 10 distinct ids with k=64: sketch never fills -> est is the exact count
+    val small = spark.range(10).select(lit("g").as("g"), col("id"))
+    val sRows = Sketches.kmvDistinct(small, col("g"), col("id"), k = 64).collect()
+    assert(sRows.length === 10, "one exploded row per kept hash")
+    assert(sRows.forall(_.getAs[Long]("est") === 10L))
+    // 5000 distinct with k=64: estimator path; KMV stderr ~ 1/sqrt(k-2) ~ 13%
+    val big = spark.range(5000).select(lit("g").as("g"), col("id"))
+    val est = Sketches.kmvDistinct(big, col("g"), col("id"), k = 64)
+      .select("est").head().getLong(0)
+    assert(math.abs(est - 5000L) <= 2000L,
+      s"estimate $est vs exact 5000 — outside any plausible KMV error")
+    // merge-order independence: radically different partitionings agree
+    val a = Sketches.kmvDistinct(big.repartition(13), col("g"), col("id"), k = 64)
+      .collect().map(_.toSeq).toSet
+    val b = Sketches.kmvDistinct(big.coalesce(1), col("g"), col("id"), k = 64)
+      .collect().map(_.toSeq).toSet
+    assert(a === b, "k smallest of a union is a function of the k-sets alone")
+  }
 }

@@ -537,4 +537,41 @@ class SnapshotStoreSpec extends SparkSpec {
         set = Map("nope" -> lit(1)))
     }
   }
+
+  test("ttlExpire: aged rows roll up in place; fresh files carry by reference; re-run stable") {
+    val base = tmp("ss-ttl")
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L), // day < 10: expire
+      (15L, "a", 100L), (16L, "b", 200L))            // fresh
+      .toDF("day_no", "t", "v").repartitionByRange(2, col("day_no"))
+    SnapshotStore.commitReplace(spark, base, df, statsCols = Seq("day_no"))
+    val before = SnapshotStore.listFiles(spark, base)
+    def weekly(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy((col("day_no") - pmod(col("day_no"), lit(7))).as("day_no"), col("t"))
+      .agg(sum(col("v")).as("v")).select("day_no", "t", "v")
+    val n = SnapshotStore.ttlExpire(spark, base, "day_no", 10.0, weekly,
+      statsCols = Seq("day_no"))
+    assert(n >= 1, "at least the old-day file must rewrite")
+    def snapshot(): Seq[(Long, String, Long)] =
+      SnapshotStore.read(spark, base).get.orderBy("day_no", "t").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val got = snapshot()
+    assert(got === Seq((0L, "a", 30L), (0L, "b", 5L),
+      (15L, "a", 100L), (16L, "b", 200L)))
+    // the fresh file's stats exclude the TTL range -> carried by reference
+    val after = SnapshotStore.listFiles(spark, base)
+    assert(before.exists(after.contains),
+      "a file outside the TTL range must carry over without rewrite")
+    // second pass at the same cutoff: re-aggregating the rolled rows
+    // with no new expired raws is content-stable (part-merge semantics)
+    SnapshotStore.ttlExpire(spark, base, "day_no", 10.0, weekly,
+      statsCols = Seq("day_no"))
+    assert(snapshot() === got)
+    // a rollup that drifts the schema is rejected before any commit
+    intercept[IllegalArgumentException] {
+      SnapshotStore.ttlExpire(spark, base, "day_no", 50.0,
+        d => d.groupBy(col("day_no")).agg(sum(col("v")).as("v")))
+    }
+    assert(snapshot() === got, "failed TTL must not tear the snapshot")
+  }
 }
