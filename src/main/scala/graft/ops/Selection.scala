@@ -198,6 +198,39 @@ SELECT doc_id, source, q_micros, cut, CAST(q_micros AS DOUBLE) >= cut AS keep FR
     raw"""WITH t AS (SELECT doc_id, greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS w, CAST('0x'||substring(md5('ws:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 1000000 + 1 AS u_micro FROM documents)
 SELECT doc_id, CAST(w AS BIGINT) AS weight, CAST(floor(ln(CAST(u_micro AS DOUBLE) / 1000001.0) / CAST(w AS DOUBLE) * 1000000.0) AS BIGINT) AS key_micros FROM t ORDER BY key_micros DESC, doc_id ASC LIMIT $k"""
 
+  /** ClickHouse `SAMPLE num/den` clause analog (table-level consistent
+    * sampling, reference context: a MergeTree table declares
+    * `SAMPLE BY intHash32(user_id)` and every dashboard query may add
+    * `SAMPLE 1/8` to trade accuracy for an 8× scan cut): keep a row
+    * iff its KEY's portable hash falls in the bottom num/den of the
+    * 2^60 hash domain.
+    *
+    * The load-bearing property is BY-KEY consistency: a kept user is
+    * kept with ALL their rows, in every table sampled on the same key
+    * and in every query — so per-user aggregates (sessions, funnels,
+    * retention) stay internally complete inside the sample, and
+    * `SAMPLE 1/16` is a strict subset of `SAMPLE 1/8` (nested cuts of
+    * the same hash axis, ClickHouse's documented nesting guarantee).
+    *
+    * Scale: a pure per-row codegen'd filter — no shuffle, no state;
+    * every downstream shuffle/agg then runs at num/den of the data.
+    * Extrapolate additive aggregates by den/num (the registered query
+    * emits both raw and scaled counts). */
+  def sampleByKey(df: DataFrame, key: Column, num: Long, den: Long): DataFrame = {
+    require(num > 0 && num <= den, s"need 0 < num <= den, got $num/$den")
+    val cut = (BigInt(num) << 60) / BigInt(den)
+    df.filter(TextFunctions.md5Long(
+      concat(lit("smp:"), key.cast("string"))) < lit(cut.toLong))
+  }
+
+  /** The hash-domain cut [[sampleByKey]] applies, for oracle reuse. */
+  def sampleCut(num: Long, den: Long): Long =
+    ((BigInt(num) << 60) / BigInt(den)).toLong
+
+  /** DuckDB predicate replica of [[sampleByKey]] over `keySql`. */
+  def sampleByKeyOraclePred(keySql: String, num: Long, den: Long): String =
+    s"CAST('0x'||substring(md5('smp:'||CAST($keySql AS VARCHAR)),1,15) AS BIGINT) < ${sampleCut(num, den)}"
+
   /** Token-budget greedy selection: order documents by (quality desc,
     * doc_id asc) and keep the prefix whose cumulative token count stays
     * under `budgetTokens` (the doc straddling the boundary is kept —

@@ -366,4 +366,98 @@ SELECT kept.g, CAST(kept.rk - 1 AS INT) AS rank, kept.h,
        CASE WHEN est.n_kept < $k THEN est.n_kept
             ELSE CAST(floor(${(k - 1).toDouble * 1152921504606846976.0} / CAST(est.hk AS DOUBLE)) AS BIGINT) END AS est
 FROM kept JOIN est ON kept.g = est.g"""
+
+  /** 2^60 — the top of the portable hash domain; an unfilled sketch's
+    * effective theta (it saw its whole stream). */
+  private val ThetaFull = 1152921504606846976L
+
+  /** Theta-sketch SET ALGEBRA over the [[kmvDistinct]] k-sets — the
+    * ClickHouse `uniqTheta` + `uniqThetaIntersect/Union/Not` surface:
+    * for every ordered pair of groups, estimated |A∪B|, |A∩B|, |A\B|,
+    * |B\A| from the two bottom-k sketches ALONE (no second data scan).
+    *
+    * Construction (the standard theta form): merge the two k-sets,
+    * θ = k-th smallest of the merge (or 2^60 when the merge never
+    * filled — then everything is exact); the retained sample is the
+    * k−1 hashes strictly below θ, each of which is decidable for
+    * membership in A and B exactly (θ ≤ θ_A, θ_B, so h < θ is in
+    * stream A iff h ∈ ksA). Estimates are ρ·2^60/θ with the same
+    * double-division idiom as [[kmvDistinct]] (exact integer operands,
+    * identical IEEE division on both engines). Because the sample is
+    * partitioned by (∈A∩B, ∈A\B, ∈B\A), ρ_i + ρ_ab + ρ_ba = k−1
+    * exactly — the three directional estimates are self-consistent
+    * with the union estimate by construction.
+    *
+    * Scale: the data scan is the one bounded-state kmv aggregate
+    * (≤ k longs per group, map-side combinable); everything after runs
+    * on the |groups|-row sketch table — the pair join is
+    * |groups|²/2 rows of 2k longs each, a broadcast-sized serve-time
+    * computation for any realistic segment count (that is the POINT of
+    * theta sketches at 100 TB: audience overlap without rescanning). */
+  def kmvSetOps(df: DataFrame, group: Column, id: Column,
+      k: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.KmvSketch.register(spark)
+    val sk = df.select(group.as("g"),
+        TextFunctions.md5Long(concat(lit("kmv:"), id.cast("string"))).as("h"))
+      .groupBy(col("g")).agg(expr(s"kmv_sketch(h, $k)").as("ks"))
+    val pairs = sk.select(col("g").as("g_a"), col("ks").as("ks_a"))
+      .join(sk.select(col("g").as("g_b"), col("ks").as("ks_b")),
+        col("g_a") < col("g_b"))
+      .withColumn("u", array_sort(array_union(col("ks_a"), col("ks_b"))))
+      .withColumn("filled", size(col("u")) >= k)
+      .withColumn("theta",
+        when(col("filled"), element_at(col("u"), k)).otherwise(lit(ThetaFull)))
+      .withColumn("sample",
+        when(col("filled"), slice(col("u"), 1, k - 1)).otherwise(col("u")))
+    def rho(pred: Column => Column): Column =
+      size(filter(col("sample"), pred))
+    val rhoI = rho(x => array_contains(col("ks_a"), x) &&
+      array_contains(col("ks_b"), x))
+    val rhoAB = rho(x => array_contains(col("ks_a"), x) &&
+      !array_contains(col("ks_b"), x))
+    val rhoBA = rho(x => !array_contains(col("ks_a"), x) &&
+      array_contains(col("ks_b"), x))
+    def est(r: Column): Column =
+      when(!col("filled"), r.cast("long"))
+        .otherwise(floor(r.cast("double") * lit(ThetaFull.toDouble) /
+          col("theta").cast("double")).cast("long"))
+    pairs.select(col("g_a"), col("g_b"), col("theta"),
+      est(size(col("sample"))).as("union_est"),
+      est(rhoI).as("inter_est"),
+      est(rhoAB).as("a_not_b_est"),
+      est(rhoBA).as("b_not_a_est"))
+  }
+
+  /** DuckDB replica of [[kmvSetOps]]: bottom-k per group relationally,
+    * pair-merged ranks, membership via left joins back to the k-sets,
+    * identical estimate arithmetic. */
+  def kmvSetOpsOracleSql(groupSql: String, idSql: String, src: String,
+      k: Int = 64): String =
+    s"""WITH h AS (SELECT DISTINCT $groupSql AS g, CAST('0x'||substring(md5('kmv:' || CAST($idSql AS VARCHAR)),1,15) AS BIGINT) AS h FROM $src),
+r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h),
+kept AS (SELECT g, h FROM r WHERE rk <= $k),
+gs AS (SELECT DISTINCT g FROM kept),
+pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a JOIN gs b ON a.g < b.g),
+u AS (SELECT p.ga, p.gb, kk.h FROM pairs p JOIN kept kk ON kk.g = p.ga OR kk.g = p.gb GROUP BY 1, 2, 3),
+ur AS (SELECT ga, gb, h, row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS urk, count(*) OVER (PARTITION BY ga, gb) AS usz FROM u),
+mem AS (SELECT ur.ga, ur.gb, ur.h, ur.urk, ur.usz,
+        (ur.usz >= $k) AS filled,
+        (ka.h IS NOT NULL) AS am, (kb.h IS NOT NULL) AS bm
+        FROM ur
+        LEFT JOIN kept ka ON ka.g = ur.ga AND ka.h = ur.h
+        LEFT JOIN kept kb ON kb.g = ur.gb AND kb.h = ur.h),
+agg AS (SELECT ga, gb, max(usz) AS usz, bool_or(filled) AS filled,
+        CASE WHEN max(usz) >= $k THEN max(CASE WHEN urk = $k THEN h END) ELSE $ThetaFull END AS theta,
+        count(*) FILTER (WHERE urk <= CASE WHEN usz >= $k THEN ${k - 1} ELSE usz END) AS n_samp,
+        count(*) FILTER (WHERE urk <= CASE WHEN usz >= $k THEN ${k - 1} ELSE usz END AND am AND bm) AS rho_i,
+        count(*) FILTER (WHERE urk <= CASE WHEN usz >= $k THEN ${k - 1} ELSE usz END AND am AND NOT bm) AS rho_ab,
+        count(*) FILTER (WHERE urk <= CASE WHEN usz >= $k THEN ${k - 1} ELSE usz END AND bm AND NOT am) AS rho_ba
+        FROM mem GROUP BY 1, 2)
+SELECT ga AS g_a, gb AS g_b, theta,
+       CASE WHEN NOT filled THEN n_samp ELSE CAST(floor(CAST(n_samp AS DOUBLE) * ${ThetaFull.toDouble} / CAST(theta AS DOUBLE)) AS BIGINT) END AS union_est,
+       CASE WHEN NOT filled THEN rho_i ELSE CAST(floor(CAST(rho_i AS DOUBLE) * ${ThetaFull.toDouble} / CAST(theta AS DOUBLE)) AS BIGINT) END AS inter_est,
+       CASE WHEN NOT filled THEN rho_ab ELSE CAST(floor(CAST(rho_ab AS DOUBLE) * ${ThetaFull.toDouble} / CAST(theta AS DOUBLE)) AS BIGINT) END AS a_not_b_est,
+       CASE WHEN NOT filled THEN rho_ba ELSE CAST(floor(CAST(rho_ba AS DOUBLE) * ${ThetaFull.toDouble} / CAST(theta AS DOUBLE)) AS BIGINT) END AS b_not_a_est
+FROM agg"""
 }

@@ -739,6 +739,116 @@ o AS (SELECT byv.k, q1, q3,
  FROM byv JOIN qs ON byv.k = qs.k GROUP BY 1, 2, 3)
 SELECT k, q1, q3, CAST(n_low AS BIGINT) AS n_low, CAST(n_high AS BIGINT) AS n_high FROM o"""
 
+  // -------------------------------------------------------------- CUPED
+
+  /** CUPED variance reduction (Deng et al., WSDM'13 — the standard
+    * industry A/B-test post-stratification; ClickHouse exposes the
+    * same family as `varianceReduction`-style dashboard math): adjust
+    * each unit's experiment-period metric Y by its PRE-experiment
+    * metric X, Ŷ = Y − θ·(X − μ_X), θ = cov(X,Y)/var(X) pooled. The
+    * adjusted means preserve the treatment-effect estimate (θ·μ_X
+    * cancels between arms) while the variance drops by the factor
+    * (1 − ρ²) — the engine a dashboard needs to call experiments
+    * earlier on the reference's engagement stream.
+    *
+    * Decomposition (everything exact until the final scalar row):
+    * 1. per-UNIT pre/post sums — one hash aggregate over events;
+    * 2. per-ARM exact partials n, Σx, Σy, Σx², Σy², Σxy in
+    *    DecimalType(38,0) — a 2-row table;
+    * 3. pooled partials = the sum of the arm rows (associativity of
+    *    the partials IS the CUPED identity here);
+    * 4. scalar doubles: θ, μ_X, adjusted mean and adjusted variance
+    *    per arm, each op mirrored in [[cupedOracleSql]] and r6-floored.
+    *
+    * var_adj_g = var(Y) − 2θ·cov_g(X,Y) + θ²·var_g(X), all sample
+    * (n−1) forms from the same exact partials.
+    *
+    * Scale: two hash aggregates (unit, then arm) — both map-side
+    * combinable with fixed per-group state — and scalar math on a
+    * 2-row table. No window, no join against the fact. */
+  def cuped(df: DataFrame, unit: Column, arm: Column, isPre: Column,
+      v: Column): DataFrame = {
+    val perUnit = df
+      .select(unit.as("u"), arm.as("arm"), isPre.as("pre"), v.as("v"))
+      .groupBy(col("u"), col("arm"))
+      .agg(sum(when(col("pre"), col("v")).otherwise(lit(0L))).as("x"),
+        sum(when(!col("pre"), col("v")).otherwise(lit(0L))).as("y"))
+    val perArm = perUnit.groupBy(col("arm")).agg(
+      count(lit(1)).as("n_g"),
+      sum(d(col("x"))).as("sx"), sum(d(col("y"))).as("sy"),
+      sum(d(col("x")) * d(col("x"))).as("sxx"),
+      sum(d(col("y")) * d(col("y"))).as("syy"),
+      sum(d(col("x")) * d(col("y"))).as("sxy"))
+    val pooled = perArm.agg(
+      sum(col("n_g")).as("n"), sum(col("sx")).as("psx"),
+      sum(col("sy")).as("psy"), sum(col("sxx")).as("psxx"),
+      sum(col("sxy")).as("psxy"))
+    val j = perArm.crossJoin(pooled)
+    val covnum = d(col("n")) * col("psxy") - col("psx") * col("psy")
+    val varnum = d(col("n")) * col("psxx") - col("psx") * col("psx")
+    val theta = when(varnum === d(lit(0L)), lit(0.0))
+      .otherwise(dbl(covnum) / dbl(varnum))
+    val muX = dbl(col("psx")) / dbl(col("n"))
+    val ngD = dbl(col("n_g"))
+    val meanY = dbl(col("sy")) / ngD
+    val meanX = dbl(col("sx")) / ngD
+    val denom = ngD * (ngD - lit(1.0))
+    val varY = dbl(d(col("n_g")) * col("syy") - col("sy") * col("sy")) / denom
+    val varX = dbl(d(col("n_g")) * col("sxx") - col("sx") * col("sx")) / denom
+    val covG = dbl(d(col("n_g")) * col("sxy") - col("sx") * col("sy")) / denom
+    val ok = col("n_g") > 1
+    j.select(col("arm"), col("n_g").as("n_units"),
+      col("sx").cast("string").as("s_pre"),
+      col("sy").cast("string").as("s_post"),
+      r6(theta).as("theta"),
+      when(col("n_g") > 0, r6(meanY)).as("mean_post"),
+      when(col("n_g") > 0, r6(meanY - theta * (meanX - muX))).as("mean_adj"),
+      when(ok, r6(varY)).as("var_post"),
+      when(ok, r6(varY - lit(2.0) * theta * covG + theta * theta * varX))
+        .as("var_adj"))
+  }
+
+  /** DuckDB replica of [[cuped]] over the registered fixture: unit =
+    * user_id, arm = user_id % 2, pre/post split at the midpoint of the
+    * event time range (exact epoch-µs integer midpoint), metric = the
+    * µ-unit engagement value. Every double op mirrors the Spark
+    * expressions operation-for-operation. */
+  val cupedOracleSql: String =
+    s"""WITH b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid FROM events),
+pu AS (SELECT user_id AS u, user_id % 2 AS arm,
+ sum(CASE WHEN epoch_us(ts) < mid THEN $vMicros ELSE 0 END) AS x,
+ sum(CASE WHEN epoch_us(ts) >= mid THEN $vMicros ELSE 0 END) AS y
+ FROM events, b GROUP BY 1, 2),
+pa AS (SELECT arm, count(*) AS n_g,
+ sum(CAST(x AS DECIMAL(38,0))) AS sx, sum(CAST(y AS DECIMAL(38,0))) AS sy,
+ sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS sxx,
+ sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS syy,
+ sum(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS sxy
+ FROM pu GROUP BY 1),
+pl AS (SELECT sum(n_g) AS n, sum(sx) AS psx, sum(sy) AS psy,
+ sum(sxx) AS psxx, sum(sxy) AS psxy FROM pa),
+m AS (SELECT pa.*, pl.n, pl.psx,
+ CAST(pl.n AS DECIMAL(38,0))*pl.psxy - pl.psx*pl.psy AS covnum,
+ CAST(pl.n AS DECIMAL(38,0))*pl.psxx - pl.psx*pl.psx AS varnum
+ FROM pa, pl),
+t AS (SELECT m.*,
+ CASE WHEN varnum = 0 THEN 0.0 ELSE CAST(covnum AS DOUBLE)/CAST(varnum AS DOUBLE) END AS theta,
+ CAST(psx AS DOUBLE)/CAST(n AS DOUBLE) AS mu_x,
+ CAST(sy AS DOUBLE)/CAST(n_g AS DOUBLE) AS mean_y,
+ CAST(sx AS DOUBLE)/CAST(n_g AS DOUBLE) AS mean_x,
+ CAST(n_g AS DOUBLE)*(CAST(n_g AS DOUBLE)-1.0) AS den,
+ CAST(CAST(n_g AS DECIMAL(38,0))*syy - sy*sy AS DOUBLE) AS vny,
+ CAST(CAST(n_g AS DECIMAL(38,0))*sxx - sx*sx AS DOUBLE) AS vnx,
+ CAST(CAST(n_g AS DECIMAL(38,0))*sxy - sx*sy AS DOUBLE) AS cvn
+ FROM m)
+SELECT arm, n_g AS n_units, CAST(sx AS VARCHAR) AS s_pre, CAST(sy AS VARCHAR) AS s_post,
+ floor(theta*1e6 + 0.5)/1e6 AS theta,
+ CASE WHEN n_g > 0 THEN floor((mean_y)*1e6 + 0.5)/1e6 END AS mean_post,
+ CASE WHEN n_g > 0 THEN floor((mean_y - theta*(mean_x - mu_x))*1e6 + 0.5)/1e6 END AS mean_adj,
+ CASE WHEN n_g > 1 THEN floor((vny/den)*1e6 + 0.5)/1e6 END AS var_post,
+ CASE WHEN n_g > 1 THEN floor((vny/den - 2.0*theta*(cvn/den) + theta*theta*(vnx/den))*1e6 + 0.5)/1e6 END AS var_adj
+FROM t"""
+
   // ------------------------------------------------------------- oracles
 
 
