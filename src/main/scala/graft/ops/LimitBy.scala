@@ -23,8 +23,18 @@ import org.apache.spark.sql.functions._
 object LimitBy {
 
   /** Rows ranked [offset, offset+n) per group under (score DESC,
-    * rowKey ASC). `rowKey` must be unique in `df` (it is the join-back
-    * identity); output adds a 0-based `pos` rank column.
+    * rowKey ASC). Contract: `rowKey` must be unique in `df` (it is the
+    * join-back identity); rows where `score` or `rowKey` is null are
+    * SKIPPED (they never rank — mirror this in any oracle with an
+    * `IS NOT NULL` guard); the rank order compares `score` as a
+    * double, so integer scores beyond 2⁵³ may tie-collapse — the
+    * rowKey ASC tiebreak then decides (cast such scores down or
+    * rescale before calling). Output adds a 0-based rank column
+    * (`rankCol`, default "pos").
+    *
+    * Internal working columns carry a suffix derived from the input
+    * column names, so a `df` that already has `pos`/`_s`/`_rk`
+    * columns cannot collide; `rankCol` is asserted absent from `df`.
     *
     * Scale: one bounded-heap hash aggregate (state ≤ 2(n+offset)
     * pairs/key) + one join whose build side is |groups|·(n+offset)
@@ -32,29 +42,39 @@ object LimitBy {
     * amplification; at warehouse scale the rank side is orders of
     * magnitude smaller than the fact and AQE broadcast-plans it. */
   def limitBy(df: DataFrame, groupCols: Seq[String], score: Column,
-      rowKey: Column, n: Int, offset: Int = 0): DataFrame = {
+      rowKey: Column, n: Int, offset: Int = 0,
+      rankCol: String = "pos"): DataFrame = {
     require(n > 0 && offset >= 0, s"need n > 0, offset >= 0; got $n/$offset")
+    require(!df.columns.contains(rankCol),
+      s"rank column '$rankCol' already exists in the input; pass rankCol=")
+    // Deterministic nonce: first free "_gN" suffix vs the input schema.
+    val nonce = Iterator.from(0).map(i => s"_g$i")
+      .find(sfx => !df.columns.exists(_.endsWith(sfx))).get
+    val sC = s"_s$nonce"; val rkC = s"_rk$nonce"; val topC = s"_top$nonce"
+    val kvC = s"_kv$nonce"
     val spark = df.sparkSession
     graft.functions.BoundedTopK.register(spark)
     val g = groupCols.map(col)
     val ranked = df
-      .select(g :+ score.cast("double").as("_s") :+
-        rowKey.cast("long").as("_rk"): _*)
+      .select(g :+ score.cast("double").as(sC) :+
+        rowKey.cast("long").as(rkC): _*)
       .groupBy(g: _*)
-      .agg(expr(s"bounded_top_k(_s, _rk, ${n + offset})").as("_top"))
-      .select(g :+ posexplode(col("_top")).as(Seq("pos", "_kv")): _*)
-      .where(col("pos") >= offset)
-      .select(col("_kv.key").as("_rk"), col("pos"))
-    df.join(ranked, rowKey.cast("long") === ranked("_rk"))
-      .drop("_rk")
+      .agg(expr(s"bounded_top_k(`$sC`, `$rkC`, ${n + offset})").as(topC))
+      .select(g :+ posexplode(col(topC)).as(Seq(rankCol, kvC)): _*)
+      .where(col(rankCol) >= offset)
+      .select(col(s"$kvC.key").as(rkC), col(rankCol))
+    df.join(ranked, rowKey.cast("long") === ranked(rkC))
+      .drop(rkC)
   }
 
   /** DuckDB replica: row_number pagination (the semantics spec — the
-    * oracle may sort whole groups; the engine may not). */
+    * oracle may sort whole groups; the engine may not). Mirrors the
+    * engine's contract explicitly: double-cast rank order and the
+    * null-score / null-rowKey skip. */
   def oracleSql(src: String, groupSql: Seq[String], scoreSql: String,
       rowKeySql: String, selectSql: String, n: Int, offset: Int): String = {
     val part = groupSql.mkString(", ")
-    s"""WITH r AS (SELECT *, row_number() OVER (PARTITION BY $part ORDER BY $scoreSql DESC, $rowKeySql ASC) - 1 AS pos FROM $src)
+    s"""WITH r AS (SELECT *, row_number() OVER (PARTITION BY $part ORDER BY CAST($scoreSql AS DOUBLE) DESC, $rowKeySql ASC) - 1 AS pos FROM $src WHERE ($scoreSql) IS NOT NULL AND ($rowKeySql) IS NOT NULL)
 SELECT $selectSql, CAST(pos AS INT) AS pos FROM r WHERE pos >= $offset AND pos < ${offset + n}"""
   }
 }

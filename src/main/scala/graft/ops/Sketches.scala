@@ -358,7 +358,7 @@ SELECT CAST($m AS BIGINT) AS m, $m - filled AS zeros, num_filled + ($m - filled)
     * row_number, estimate from the k-th minimum. */
   def kmvOracleSql(groupSql: String, idSql: String, src: String,
       k: Int = 64): String =
-    s"""WITH h AS (SELECT DISTINCT $groupSql AS g, CAST('0x'||substring(md5('kmv:' || CAST($idSql AS VARCHAR)),1,15) AS BIGINT) AS h FROM $src),
+    s"""WITH h AS (SELECT DISTINCT $groupSql AS g, CAST('0x'||substring(md5('kmv:' || CAST($idSql AS VARCHAR)),1,15) AS BIGINT) AS h FROM $src WHERE ($idSql) IS NOT NULL),
 r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h),
 kept AS (SELECT g, h, rk FROM r WHERE rk <= $k),
 est AS (SELECT g, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk FROM kept GROUP BY g)
@@ -393,7 +393,10 @@ FROM kept JOIN est ON kept.g = est.g"""
     * on the |groups|-row sketch table — the pair join is
     * |groups|²/2 rows of 2k longs each, a broadcast-sized serve-time
     * computation for any realistic segment count (that is the POINT of
-    * theta sketches at 100 TB: audience overlap without rescanning). */
+    * theta sketches at 100 TB: audience overlap without rescanning).
+    *
+    * Null ids are SKIPPED (kmv_sketch drops null hashes) — the oracle
+    * mirrors this with an `IS NOT NULL` guard on the hash CTE. */
   def kmvSetOps(df: DataFrame, group: Column, id: Column,
       k: Int = 64): DataFrame = {
     val spark = df.sparkSession
@@ -434,7 +437,7 @@ FROM kept JOIN est ON kept.g = est.g"""
     * identical estimate arithmetic. */
   def kmvSetOpsOracleSql(groupSql: String, idSql: String, src: String,
       k: Int = 64): String =
-    s"""WITH h AS (SELECT DISTINCT $groupSql AS g, CAST('0x'||substring(md5('kmv:' || CAST($idSql AS VARCHAR)),1,15) AS BIGINT) AS h FROM $src),
+    s"""WITH h AS (SELECT DISTINCT $groupSql AS g, CAST('0x'||substring(md5('kmv:' || CAST($idSql AS VARCHAR)),1,15) AS BIGINT) AS h FROM $src WHERE ($idSql) IS NOT NULL),
 r AS (SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk FROM h),
 kept AS (SELECT g, h FROM r WHERE rk <= $k),
 gs AS (SELECT DISTINCT g FROM kept),

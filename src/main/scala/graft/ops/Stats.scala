@@ -49,6 +49,22 @@ object Stats {
   /** Engine-shared 6-dp floor rounding (the momentStats/jaccard idiom). */
   private def r6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
+  /** [[r6]] for possibly-large doubles (variances of µ-values reach
+    * 1e17+): Spark's floor(double) returns a LONG, so c·1e6 beyond
+    * 2^63 clamps to Long.MaxValue — silently wrong. Below 4e9 the
+    * scaled product stays under 2^52 (exact in the long conversion
+    * AND as a double, so both engines agree bit-for-bit); above it a
+    * double's ulp already exceeds 1e-6 and rounding is the identity.
+    * Both engines take the same branch on the same operand →
+    * identical bits. Oracle twin: [[r6bigSql]]. */
+  private def r6big(c: Column): Column =
+    when(abs(c) < lit(4.0e9), r6(c)).otherwise(c)
+
+  /** DuckDB twin of [[r6big]] (DuckDB's floor keeps DOUBLE, so only
+    * the branch structure needs mirroring, not an overflow guard). */
+  private def r6bigSql(x: String): String =
+    s"CASE WHEN abs($x) < 4e9 THEN floor(($x)*1e6 + 0.5)/1e6 ELSE ($x) END"
+
   private val vMicros = "CAST(round(value*1000000,0) AS BIGINT)"
   /** Arm predicate shared by the registered A/B queries: click vs view
     * engagement values. */
@@ -803,8 +819,8 @@ SELECT k, q1, q3, CAST(n_low AS BIGINT) AS n_low, CAST(n_high AS BIGINT) AS n_hi
       r6(theta).as("theta"),
       when(col("n_g") > 0, r6(meanY)).as("mean_post"),
       when(col("n_g") > 0, r6(meanY - theta * (meanX - muX))).as("mean_adj"),
-      when(ok, r6(varY)).as("var_post"),
-      when(ok, r6(varY - lit(2.0) * theta * covG + theta * theta * varX))
+      when(ok, r6big(varY)).as("var_post"),
+      when(ok, r6big(varY - lit(2.0) * theta * covG + theta * theta * varX))
         .as("var_adj"))
   }
 
@@ -845,8 +861,8 @@ SELECT arm, n_g AS n_units, CAST(sx AS VARCHAR) AS s_pre, CAST(sy AS VARCHAR) AS
  floor(theta*1e6 + 0.5)/1e6 AS theta,
  CASE WHEN n_g > 0 THEN floor((mean_y)*1e6 + 0.5)/1e6 END AS mean_post,
  CASE WHEN n_g > 0 THEN floor((mean_y - theta*(mean_x - mu_x))*1e6 + 0.5)/1e6 END AS mean_adj,
- CASE WHEN n_g > 1 THEN floor((vny/den)*1e6 + 0.5)/1e6 END AS var_post,
- CASE WHEN n_g > 1 THEN floor((vny/den - 2.0*theta*(cvn/den) + theta*theta*(vnx/den))*1e6 + 0.5)/1e6 END AS var_adj
+ CASE WHEN n_g > 1 THEN ${r6bigSql("vny/den")} END AS var_post,
+ CASE WHEN n_g > 1 THEN ${r6bigSql("vny/den - 2.0*theta*(cvn/den) + theta*theta*(vnx/den)")} END AS var_adj
 FROM t"""
 
   // ------------------------------------------------------------- oracles

@@ -3221,7 +3221,55 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)),
       Some(graft.ops.Sketches.quantileSketchOracleSql(
         "CAST(round(value*1000000,0) AS BIGINT)", "events",
-        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))))
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
+
+    // ClickHouse `LIMIT n OFFSET m BY key` pagination: each user's
+    // events ranked [1, 4) by engagement score — bounded-heap rank,
+    // never a per-key window sort (the fifteenth-finding hazard).
+    GraftQuery("q_limit_by",
+      (s, dir) => graft.ops.LimitBy.limitBy(ev(s, dir),
+          Seq("user_id"), score, col("event_id"), n = 3, offset = 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("pos")),
+      Some(graft.ops.LimitBy.oracleSql(
+        src = s"(SELECT user_id, event_id, event_type, $scoreSql AS sc FROM events) t",
+        groupSql = Seq("user_id"), scoreSql = "sc", rowKeySql = "event_id",
+        selectSql = "user_id, event_id, event_type", n = 3, offset = 1))),
+
+    // ClickHouse `SAMPLE 1/8` clause: by-key consistent hash-domain
+    // cut, then per-type raw + den/num-extrapolated counts (the doc'd
+    // dashboard idiom — trade accuracy for an 8× scan cut).
+    GraftQuery("q_sample_clause",
+      (s, dir) => Selection.sampleByKey(ev(s, dir), col("user_id"), 1, 4)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_raw"),
+          (count(lit(1)) * lit(4L)).as("n_scaled"),
+          countDistinct(col("user_id")).as("n_users")),
+      Some(s"""SELECT event_type, count(*) AS n_raw, CAST(count(*) * 4 AS BIGINT) AS n_scaled, count(DISTINCT user_id) AS n_users FROM events WHERE ${Selection.sampleByKeyOraclePred("user_id", 1, 4)} GROUP BY 1""")),
+
+    // Theta-sketch set algebra (uniqThetaUnion/Intersect/Not): pairwise
+    // audience overlap estimates across event types from the bottom-64
+    // sketches alone — no second scan of the fact.
+    GraftQuery("q_kmv_setops",
+      (s, dir) => graft.ops.Sketches.kmvSetOps(ev(s, dir),
+        col("event_type"), col("user_id"), k = 64),
+      Some(graft.ops.Sketches.kmvSetOpsOracleSql(
+        "event_type", "user_id", "events", k = 64))),
+
+    // CUPED variance reduction: per-user pre/post split at the exact
+    // integer midpoint of the event-time range, arm = user_id parity,
+    // θ from pooled exact partials; adjusted mean + variance per arm.
+    GraftQuery("q_cuped",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val mid = e.agg(expr(
+          "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid"))
+        graft.ops.Stats.cuped(e.crossJoin(broadcast(mid)),
+          unit = col("user_id"), arm = pmod(col("user_id"), lit(2)),
+          isPre = unix_micros(col("ts")) < col("mid"),
+          v = round(col("value") * 1e6, 0).cast("long"))
+      },
+      Some(graft.ops.Stats.cupedOracleSql))
   )
 
   // A duplicate name silently shadows the earlier query once the Seq

@@ -347,4 +347,31 @@ class SelectionSpec extends SparkSpec {
         assert(r.getAs[Int]("max_dropped_rk") < r.getAs[Int]("min_kept_rk"))
     }
   }
+
+  test("sampleByKey: by-key consistency and nested cuts (SAMPLE 1/16 subset of 1/8)") {
+    val df = spark.range(4000).select((col("id") % 400).as("k"), col("id"))
+    val s8 = Selection.sampleByKey(df, col("k"), 1, 8)
+    val s16 = Selection.sampleByKey(df, col("k"), 1, 16)
+    // by-key: a kept key keeps ALL its rows (10 rows per key here)
+    val perKey = s8.groupBy(col("k")).count().collect()
+    assert(perKey.nonEmpty && perKey.forall(_.getAs[Long]("count") === 10L),
+      "a sampled key must survive with its complete row set")
+    // nesting: the 1/16 key set is a subset of the 1/8 key set
+    val k8 = s8.select("k").distinct().collect().map(_.getLong(0)).toSet
+    val k16 = s16.select("k").distinct().collect().map(_.getLong(0)).toSet
+    assert(k16.subsetOf(k8), "SAMPLE 1/16 must nest inside SAMPLE 1/8")
+    // selectivity sanity: ~1/8 of 400 keys, generous 3-sigma band
+    assert(k8.size > 20 && k8.size < 90, s"kept ${k8.size} of 400 keys at 1/8")
+    intercept[IllegalArgumentException] {
+      Selection.sampleByKey(df, col("k"), 3, 2)
+    }
+  }
+
+  test("sampleByKey: pure filter plan — no shuffle, no aggregate") {
+    val df = spark.range(100).select(col("id").as("k"))
+    val plan = Selection.sampleByKey(df, col("k"), 1, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
+      s"SAMPLE must stay a per-row filter, got:\n$plan")
+  }
 }

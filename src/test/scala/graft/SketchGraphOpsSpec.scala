@@ -213,4 +213,47 @@ class SketchGraphOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a === b, "k smallest of a union is a function of the k-sets alone")
   }
+
+  test("kmvSetOps: unfilled sketches give EXACT set algebra") {
+    // A = {0..29}, B = {20..49}: |A∪B|=50, |A∩B|=10, |A\\B|=|B\\A|=20,
+    // all under k=64 so theta stays 2^60 and every estimate is exact.
+    val df = spark.range(30).select(lit("A").as("g"), col("id"))
+      .union(spark.range(20, 50).select(lit("B").as("g"), col("id")))
+    val r = Sketches.kmvSetOps(df, col("g"), col("id"), k = 64).head()
+    assert(r.getAs[String]("g_a") === "A" && r.getAs[String]("g_b") === "B")
+    assert(r.getAs[Long]("theta") === 1152921504606846976L)
+    assert(r.getAs[Long]("union_est") === 50L)
+    assert(r.getAs[Long]("inter_est") === 10L)
+    assert(r.getAs[Long]("a_not_b_est") === 20L)
+    assert(r.getAs[Long]("b_not_a_est") === 20L)
+  }
+
+  test("kmvSetOps: filled sketches are self-consistent and in KMV error") {
+    // A = {0..3999}, B = {2000..5999}: truth 6000/2000/2000/2000
+    val df = spark.range(4000).select(lit("A").as("g"), col("id"))
+      .union(spark.range(2000, 6000).select(lit("B").as("g"), col("id")))
+    val r = Sketches.kmvSetOps(df, col("g"), col("id"), k = 64).head()
+    val (u, i, ab, ba) = (r.getAs[Long]("union_est"), r.getAs[Long]("inter_est"),
+      r.getAs[Long]("a_not_b_est"), r.getAs[Long]("b_not_a_est"))
+    // the sample partitions into (∩, A\\B, B\\A): directional estimates
+    // sum to the union estimate up to the three independent floors
+    assert(math.abs(u - (i + ab + ba)) <= 3L,
+      s"union $u vs parts ${i + ab + ba} — partition identity broken")
+    assert(math.abs(u - 6000L) <= 2500L, s"union_est $u vs 6000")
+    assert(math.abs(i - 2000L) <= 1500L, s"inter_est $i vs 2000")
+    // partition-order independence (merge is a set union of k-sets)
+    val r2 = Sketches.kmvSetOps(df.repartition(17), col("g"), col("id"),
+      k = 64).head()
+    assert(r2.toSeq === r.toSeq)
+  }
+
+  test("kmvSetOps: null ids are skipped (engine contract = oracle guard)") {
+    val df = Seq((Some("A"), Some(1L)), (Some("A"), None),
+      (Some("B"), Some(1L)), (Some("B"), Some(2L)), (Some("B"), None))
+      .toDF("g", "id")
+    val r = Sketches.kmvSetOps(df, col("g"), col("id"), k = 8).head()
+    assert(r.getAs[Long]("union_est") === 2L)
+    assert(r.getAs[Long]("inter_est") === 1L)
+    assert(r.getAs[Long]("b_not_a_est") === 1L)
+  }
 }

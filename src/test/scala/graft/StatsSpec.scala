@@ -303,4 +303,64 @@ class StatsSpec extends SparkSpec {
     assert(z.getAs[Long]("n_pos") === 2L && z.getAs[Long]("n_neg") === 0L)
     assert(z.isNullAt(z.fieldIndex("woe")) && z.isNullAt(z.fieldIndex("iv")))
   }
+
+  test("cuped: perfectly-correlated covariate collapses variance; means stay unbiased") {
+    // pair p = i/2 puts one unit in each arm with IDENTICAL pre value
+    // (so cov(X, arm) = 0 and pooled theta = 1 exactly); post = pre +
+    // 1000 + 500·arm — X fully predicts Y within arm, so var_adj = 0
+    // while var_post is the raw post variance.
+    val rows = (0L until 40L).map { i =>
+      val arm = i % 2
+      val pre = 1000L + (i / 2) * 10L
+      Seq((i, arm, true, pre),
+          (i, arm, false, pre + 1000L + arm * 500L))
+    }.flatten
+    val df = rows.toDF("u", "arm", "pre", "v")
+    val out = Stats.cuped(df, col("u"), col("arm"), col("pre"), col("v"))
+      .collect().map(r => r.getAs[Long]("arm") -> r).toMap
+    assert(out.keySet === Set(0L, 1L))
+    val v0 = out(0L); val v1 = out(1L)
+    assert(v0.getAs[Long]("n_units") === 20L)
+    // raw post variance per arm: values step by 20 over 20 units
+    assert(v0.getAs[Double]("var_post") > 1000.0)
+    // theta = pooled cov/var = 1 exactly (Y = X + const within arm)
+    assert(math.abs(v0.getAs[Double]("theta") - 1.0) < 1e-9)
+    // adjustment removes ALL within-arm variance
+    assert(math.abs(v0.getAs[Double]("var_adj")) < 1e-6)
+    assert(math.abs(v1.getAs[Double]("var_adj")) < 1e-6)
+    // adjusted-mean DIFFERENCE preserves the true effect (500):
+    // CUPED shifts both arms by theta*(mean_x_g - mu_x) and the arm
+    // pre-means differ here, so the per-arm shift is nonzero but the
+    // contrast stays the designed uplift.
+    val diff = v1.getAs[Double]("mean_adj") - v0.getAs[Double]("mean_adj")
+    assert(math.abs(diff - 500.0) < 1.0, s"adjusted uplift $diff vs 500")
+  }
+
+  test("cuped: zero-variance covariate degrades to the raw estimator") {
+    val rows = (0L until 10L).flatMap { i =>
+      Seq((i, i % 2, true, 7L), (i, i % 2, false, 100L + i))
+    }
+    val df = rows.toDF("u", "arm", "pre", "v")
+    val out = Stats.cuped(df, col("u"), col("arm"), col("pre"), col("v"))
+      .collect().map(r => r.getAs[Long]("arm") -> r).toMap
+    // varnum = 0 → theta = 0 → adjusted == raw
+    assert(out.values.forall(r => r.getAs[Double]("theta") === 0.0))
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("mean_adj") === r.getAs[Double]("mean_post"))
+      assert(r.getAs[Double]("var_adj") === r.getAs[Double]("var_post"))
+    }
+  }
+
+  test("cuped: singleton arm nulls its variances, keeps sums") {
+    val df = Seq((1L, 0L, true, 5L), (1L, 0L, false, 9L),
+      (2L, 1L, true, 3L), (2L, 1L, false, 4L),
+      (3L, 1L, true, 6L), (3L, 1L, false, 8L)).toDF("u", "arm", "pre", "v")
+    val out = Stats.cuped(df, col("u"), col("arm"), col("pre"), col("v"))
+      .collect().map(r => r.getAs[Long]("arm") -> r).toMap
+    val solo = out(0L)
+    assert(solo.getAs[Long]("n_units") === 1L)
+    assert(solo.getAs[String]("s_pre") === "5" && solo.getAs[String]("s_post") === "9")
+    assert(solo.isNullAt(solo.fieldIndex("var_post")))
+    assert(solo.isNullAt(solo.fieldIndex("var_adj")))
+  }
 }
