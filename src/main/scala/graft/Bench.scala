@@ -67,7 +67,19 @@ object Bench {
     // `value` (median, honest about typical latency on this host) and
     // `min_value` (floor; compare THIS across rounds/machines).
     val totalMin = results.map(_._2._1).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","min_value":${f(totalMin)},"estimators":{"value":"median-of-iters per query, summed","min_value":"min-of-iters per query, summed (contention-robust; use for cross-round comparison)"},"queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}""")
+    // Self-adjudicating run-quality flag: the median over queries of
+    // each query's max/min spread. An identical plan re-run 5x in a
+    // quiet JVM lands ~1.0-1.5x; host contention shows up as 3-10x
+    // spreads on a FEW queries (the round-9 artifact's q1_agg hit 8.2x
+    // while its plan was provably unchanged). Readers: when
+    // contention_ratio > ~2, compare min_value across rounds, not
+    // value — the medians of that run measure the host, not the plans.
+    val ratios = results.map(_._2).collect {
+      case (mn, _, mx) if mn > 0 => mx / mn
+    }.sorted
+    val contention =
+      if (ratios.isEmpty) -1.0 else ratios(ratios.length / 2)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","min_value":${f(totalMin)},"contention_ratio":${f(contention)},"estimators":{"value":"median-of-iters per query, summed","min_value":"min-of-iters per query, summed (contention-robust; use for cross-round comparison)","contention_ratio":"median over queries of max/min spread; > ~2 means medians measured the host, compare min_value"},"queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -192,6 +192,57 @@ object ScaleProbe {
             col("ts"), endCol, minute))
         }
       }),
+      // LIMIT n BY key + ANY JOIN under the seq_count_skew adversary
+      // (ONE user owns half of all events / half of the right side
+      // lands on ONE key): limitBy's whole rationale is the bounded
+      // heap — the hot user's millions of rows reduce to ≤ 2(n+m)
+      // pairs in EACH map task before any shuffle, where the
+      // window-rank form would buffer the full half-corpus group in
+      // one WindowExec (fifteenth finding). anyJoin's reduce-then-join
+      // collapses the duplicate-heavy right side with a map-side
+      // min(struct) BEFORE the join, so the hot key never amplifies.
+      // Shared invariants assert: zero spill, ~linear shuffle, flat
+      // driver bytes at 1×/10×/100×. Broadcast is DISABLED inside the
+      // rung: at CI sizes AQE broadcasts the reduced sides (join
+      // shuffle ≈ 0), at 10×+ it flips to shuffle joins — a strategy
+      // flip mid-ladder fakes super-linear growth. Pinning the
+      // shuffle-join path measures the worst case (a reduced side too
+      // big to broadcast — |distinct users| at 100 TB) at every scale;
+      // production keeps broadcast on and only improves on this bound.
+      "limit_by_skew" -> (() => {
+        val users = math.max(eventsN / 100, 1)
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          when(pmod(col("id"), lit(2)) === 0, lit(0L))
+            .otherwise(pmod(hash(col("id")), lit(users))).as("user_id"),
+          col("id").as("event_id"),
+          pmod(hash(col("id") * lit(3L)), lit(1000000L))
+            .cast("double").as("v"))
+        // right side: eventsN/10 rows, half of them on key 0
+        val r = spark.range(0, math.max(eventsN / 10, 1000L), 1, inParts)
+          .select(
+            when(pmod(col("id"), lit(2)) === 0, lit(0L))
+              .otherwise(pmod(hash(col("id") * lit(11L)), lit(users)))
+              .as("user_id"),
+            pmod(hash(col("id") * lit(23L)), lit(100000L)).as("rank_key"),
+            concat(lit("p"), pmod(col("id"), lit(997L))).as("payload"))
+        val prevB = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+        val prevA = spark.conf.getOption(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        def restore(key: String, v: Option[String]): Unit =
+          v.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        try withShufflePartitions(math.max(32L, eventsN / 500000L)) {
+          force(graft.ops.LimitBy.limitBy(e, Seq("user_id"), col("v"),
+            col("event_id"), n = 3, offset = 1)) +
+          force(graft.ops.AnyJoin.anyJoin(e, r, Seq("user_id"),
+            tiebreak = Seq("rank_key"), joinType = "left"))
+        } finally {
+          restore("spark.sql.autoBroadcastJoinThreshold", prevB)
+          restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+        }
+      }),
       // degree-oriented triangle counting under a PLANTED HUB (half of
       // all edges touch node 0): the orientation points every hub edge
       // INTO the hub, so wedge volume tracks Σ out-degree² of the

@@ -92,17 +92,34 @@ FROM pts a JOIN pts b ON a.pid < b.pid
     * 100 TB-parallel. (A per-row polygon COLUMN would use the same
     * terms under `aggregate()` over the edge array.) */
   def pointInPolygon(points: DataFrame, id: Column, lonMicro: Column,
-      latMicro: Column, poly: Seq[(Long, Long)]): DataFrame = {
-    require(poly.length >= 3, "polygon needs >= 3 vertices")
+      latMicro: Column, poly: Seq[(Long, Long)]): DataFrame =
+    pointInPolygonRings(points, id, lonMicro, latMicro, Seq(poly))
+
+  /** Multi-ring [[pointInPolygon]] — the full ClickHouse signature
+    * `pointInPolygon(pt, outer, hole1, …)`: the first ring is the
+    * outer boundary, the rest are holes. Under the even-odd rule the
+    * generalization is free: crossings sum over ALL rings' edges, and
+    * a point inside the outer ring AND inside a hole accumulates an
+    * even total (1 + 1) → outside, which is exactly outer-minus-holes
+    * when holes nest inside the outer ring (the ClickHouse contract;
+    * nested-hole-islands follow the same parity and also match).
+    * Same per-row codegen'd projection — ring count only widens the
+    * unrolled expression. */
+  def pointInPolygonRings(points: DataFrame, id: Column, lonMicro: Column,
+      latMicro: Column, rings: Seq[Seq[(Long, Long)]]): DataFrame = {
+    require(rings.nonEmpty && rings.forall(_.length >= 3),
+      "each ring needs >= 3 vertices")
     val base = points.select(id.as("pid"), lonMicro.as("px"), latMicro.as("py"))
     val px = col("px"); val py = col("py")
-    val crossings: Column = poly.indices.map { i =>
-      val (x1, y1) = poly(i)
-      val (x2, y2) = poly((i + 1) % poly.length)
-      val spans = (lit(y1) <= py) =!= (lit(y2) <= py)
-      val cross = lit(x2 - x1) * (py - lit(y1)) - (px - lit(x1)) * lit(y2 - y1)
-      val hit = if (y2 > y1) cross > 0 else cross < 0
-      when(spans && hit, 1).otherwise(0)
+    val crossings: Column = rings.flatMap { poly =>
+      poly.indices.map { i =>
+        val (x1, y1) = poly(i)
+        val (x2, y2) = poly((i + 1) % poly.length)
+        val spans = (lit(y1) <= py) =!= (lit(y2) <= py)
+        val cross = lit(x2 - x1) * (py - lit(y1)) - (px - lit(x1)) * lit(y2 - y1)
+        val hit = if (y2 > y1) cross > 0 else cross < 0
+        when(spans && hit, 1).otherwise(0)
+      }
     }.reduce(_ + _)
     base.select(col("pid"), px.as("lon_u"), py.as("lat_u"),
       crossings.as("crossings"),
@@ -113,12 +130,19 @@ FROM pts a JOIN pts b ON a.pid < b.pid
     * terms, unrolled from the same vertex list. `pointsSql` must
     * yield (pid, px, py). */
   def pointInPolygonOracleSql(pointsSql: String,
-      poly: Seq[(Long, Long)]): String = {
-    val terms = poly.indices.map { i =>
-      val (x1, y1) = poly(i)
-      val (x2, y2) = poly((i + 1) % poly.length)
-      val cmp = if (y2 > y1) ">" else "<"
-      s"(CASE WHEN (($y1 <= py) <> ($y2 <= py)) AND ((${x2 - x1}) * (py - ($y1)) - (px - ($x1)) * (${y2 - y1}) $cmp 0) THEN 1 ELSE 0 END)"
+      poly: Seq[(Long, Long)]): String =
+    pointInPolygonRingsOracleSql(pointsSql, Seq(poly))
+
+  /** DuckDB replica of [[pointInPolygonRings]]. */
+  def pointInPolygonRingsOracleSql(pointsSql: String,
+      rings: Seq[Seq[(Long, Long)]]): String = {
+    val terms = rings.flatMap { poly =>
+      poly.indices.map { i =>
+        val (x1, y1) = poly(i)
+        val (x2, y2) = poly((i + 1) % poly.length)
+        val cmp = if (y2 > y1) ">" else "<"
+        s"(CASE WHEN (($y1 <= py) <> ($y2 <= py)) AND ((${x2 - x1}) * (py - ($y1)) - (px - ($x1)) * (${y2 - y1}) $cmp 0) THEN 1 ELSE 0 END)"
+      }
     }.mkString(" + ")
     s"""WITH pts AS ($pointsSql),
 c AS (SELECT pid, px, py, $terms AS crossings FROM pts)

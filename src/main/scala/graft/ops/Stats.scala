@@ -641,11 +641,25 @@ FROM m"""
     * Output: (n, g_card, s1 STRING exact, sq_q STRING exact,
     *          f_stat r6, df_between, df_within LONG — f null when
     * G < 2, n ≤ G, or SSW = 0). */
-  def anovaF(df: DataFrame, v: Column, group: Column): DataFrame = {
-    val per = df.select(group.as("g"), v.as("v"))
+  def anovaF(df: DataFrame, v: Column, group: Column): DataFrame =
+    anovaFromPartials(anovaPartials(df, v, group))
+
+  /** Per-group ADDITIVE partials (ng, s1g, s2g) — the micro-batch
+    * map-side shape of [[anovaF]]. Partials from disjoint chunks sum
+    * per group to the whole-corpus partials (count and decimal sums
+    * are associative+commutative), which is what makes the live
+    * SummingStore MV twin exact: land one partial part per batch, and
+    * the merge-on-read re-sum is bit-identical to a one-shot build. */
+  def anovaPartials(df: DataFrame, v: Column, group: Column): DataFrame =
+    df.select(group.as("g"), v.as("v"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("ng"), sum(d(col("v"))).as("s1g"),
         sum(d(col("v")) * d(col("v"))).as("s2g"))
+
+  /** Scalar F from merged per-group partials — shared by the one-shot
+    * [[anovaF]] and the MV-served q_anova_inc twin, so batch/stream
+    * parity is structural (one code path), not re-implemented. */
+  def anovaFromPartials(per: DataFrame): DataFrame = {
     val sq = col("s1g") * col("s1g")
     val ngD = d(col("ng"))
     val termG = ((sq - pmod(sq, ngD)) / ngD).cast(dec)
@@ -823,6 +837,61 @@ SELECT k, q1, q3, CAST(n_low AS BIGINT) AS n_low, CAST(n_high AS BIGINT) AS n_hi
       when(ok, r6big(varY - lit(2.0) * theta * covG + theta * theta * varX))
         .as("var_adj"))
   }
+
+  /** CUPED composed into the A/B readout — the actual industry
+    * workflow the Stats module mimics: one row reporting the RAW
+    * Welch-style t (unit-level means/variances) next to the
+    * VARIANCE-REDUCED t over the CUPED-adjusted metric, plus the
+    * realized variance-reduction ratio 1 − Σvar_adj/Σvar_post. Arms
+    * must be the two values 0/1 of `arm` (the registered query uses
+    * user parity). Built ON [[cuped]]'s per-arm output (the rounded
+    * per-arm row is the published contract; the composition mirrors
+    * its doubles operation-for-operation in the oracle), so the
+    * whole thing stays two hash aggregates + scalar math on 2 rows.
+    *
+    * se² per arm is var_g/n_g (unit-level t — units are the
+    * randomization grain, the standard guard against within-user
+    * correlation). t null when either arm is a singleton. */
+  def cupedWelch(df: DataFrame, unit: Column, arm: Column, isPre: Column,
+      v: Column): DataFrame = {
+    val c = cuped(df, unit, arm, isPre, v)
+    def side(a: Int, sfx: String) = c.filter(col("arm") === a).select(
+      col("n_units").as(s"n_$sfx"), col("mean_post").as(s"mp_$sfx"),
+      col("mean_adj").as(s"ma_$sfx"), col("var_post").as(s"vp_$sfx"),
+      col("var_adj").as(s"va_$sfx"), col("theta").as(s"th_$sfx"))
+    val j = side(0, "a").crossJoin(side(1, "b"))
+    def t(mA: Column, mB: Column, vA: Column, vB: Column): Column = {
+      val se2 = vA / dbl(col("n_a")) + vB / dbl(col("n_b"))
+      when(col("n_a") > 1 && col("n_b") > 1 && se2 > lit(0.0),
+        r6((mB - mA) / sqrt(se2)))
+    }
+    j.select(col("n_a"), col("n_b"), col("th_a").as("theta"),
+      t(col("mp_a"), col("mp_b"), col("vp_a"), col("vp_b")).as("t_raw"),
+      t(col("ma_a"), col("ma_b"), col("va_a"), col("va_b")).as("t_adj"),
+      when(col("vp_a") + col("vp_b") > lit(0.0),
+        r6(lit(1.0) - (col("va_a") + col("va_b")) /
+          (col("vp_a") + col("vp_b")))).as("var_reduction"))
+  }
+
+  /** DuckDB replica of [[cupedWelch]]: the [[cupedOracleSql]] CTE
+    * self-joined on arm, every double op mirrored. (lazy: it splices
+    * cupedOracleSql, which is declared later in this object — an
+    * eager val would capture null at init order.) */
+  lazy val cupedWelchOracleSql: String =
+    s"""WITH cup AS ($cupedOracleSql),
+a AS (SELECT * FROM cup WHERE arm = 0), b AS (SELECT * FROM cup WHERE arm = 1),
+j AS (SELECT a.n_units AS n_a, b.n_units AS n_b, a.theta AS theta,
+ a.mean_post AS mp_a, b.mean_post AS mp_b, a.mean_adj AS ma_a, b.mean_adj AS ma_b,
+ a.var_post AS vp_a, b.var_post AS vp_b, a.var_adj AS va_a, b.var_adj AS va_b
+ FROM a, b)
+SELECT n_a, n_b, theta,
+ CASE WHEN n_a > 1 AND n_b > 1 AND vp_a/CAST(n_a AS DOUBLE) + vp_b/CAST(n_b AS DOUBLE) > 0.0
+      THEN floor((mp_b - mp_a)/sqrt(vp_a/CAST(n_a AS DOUBLE) + vp_b/CAST(n_b AS DOUBLE))*1e6+0.5)/1e6 END AS t_raw,
+ CASE WHEN n_a > 1 AND n_b > 1 AND va_a/CAST(n_a AS DOUBLE) + va_b/CAST(n_b AS DOUBLE) > 0.0
+      THEN floor((ma_b - ma_a)/sqrt(va_a/CAST(n_a AS DOUBLE) + va_b/CAST(n_b AS DOUBLE))*1e6+0.5)/1e6 END AS t_adj,
+ CASE WHEN vp_a + vp_b > 0.0
+      THEN floor((1.0 - (va_a + va_b)/(vp_a + vp_b))*1e6+0.5)/1e6 END AS var_reduction
+FROM j"""
 
   /** DuckDB replica of [[cuped]] over the registered fixture: unit =
     * user_id, arm = user_id % 2, pre/post split at the midpoint of the

@@ -51,6 +51,27 @@ object Queries {
     (-120000000L, -60000000L), (0L, 80000000L),
     (120000000L, -60000000L), (0L, -10000000L))
 
+  /** Hole ring strictly inside [[dartPolygon]] (a diamond around
+    * (0°, 25°)) — the multi-ring `pointInPolygon(pt, outer, hole)`
+    * fixture: points in the diamond are inside the outer dart but
+    * OUTSIDE the polygon-with-hole. */
+  val dartHole: Seq[(Long, Long)] = Seq(
+    (-20000000L, 20000000L), (0L, 45000000L),
+    (20000000L, 20000000L), (0L, 5000000L))
+
+  /** Point synthesis shared by both polygon queries and their oracles
+    * — event_id-seeded so the coordinates cover the dart (and the
+    * hole) at EVERY test SF. The original user_id%3600 form left all
+    * sf0.001/sf0.01 points outside the polygon's bounding box (user
+    * ids are small there), so the gate never exercised a positive
+    * "inside" — a hash would fix it too, but the multiplier keeps the
+    * fixture mentally checkable. */
+  private val polygonPointsSql: String =
+    """SELECT event_id AS pid,
+ CAST(round((CAST((event_id * 37) % 3600 AS DOUBLE)/10 - 180) * 1e6, 0) AS BIGINT) AS px,
+ CAST(round((CAST((event_id * 91) % 1700 AS DOUBLE)/10 - 85) * 1e6, 0) AS BIGINT) AS py
+ FROM events"""
+
   /** DuckDB replica of [[TextFunctions.qualityScore]] over `documents`
     * — shared by q_quality_score and the q_quality_ensemble gate. */
   private lazy val qualityScoreOracleSql: String = {
@@ -813,16 +834,13 @@ object Queries {
     GraftQuery("q_point_in_polygon",
       (s, dir) => graft.ops.Spatial.pointInPolygon(
         ev(s, dir).select(col("event_id"),
-          round((pmod(col("user_id"), lit(3600)).cast("double") / 10 - 180)
-            * 1e6, 0).cast("long").as("lon_u"),
-          round((pmod(col("event_id"), lit(1700)).cast("double") / 10 - 85)
-            * 1e6, 0).cast("long").as("lat_u")),
+          round((pmod(col("event_id") * 37, lit(3600)).cast("double") / 10
+            - 180) * 1e6, 0).cast("long").as("lon_u"),
+          round((pmod(col("event_id") * 91, lit(1700)).cast("double") / 10
+            - 85) * 1e6, 0).cast("long").as("lat_u")),
         col("event_id"), col("lon_u"), col("lat_u"), Queries.dartPolygon),
       Some(graft.ops.Spatial.pointInPolygonOracleSql(
-        """SELECT event_id AS pid,
- CAST(round((CAST(user_id % 3600 AS DOUBLE)/10 - 180) * 1e6, 0) AS BIGINT) AS px,
- CAST(round((CAST(event_id % 1700 AS DOUBLE)/10 - 85) * 1e6, 0) AS BIGINT) AS py
- FROM events""", Queries.dartPolygon))),
+        polygonPointsSql, Queries.dartPolygon))),
 
     // Multi-key record linkage (entity resolution): deterministic
     // account fixture over customer (re-registrations sharing a phone,
@@ -3269,7 +3287,61 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
           isPre = unix_micros(col("ts")) < col("mid"),
           v = round(col("value") * 1e6, 0).cast("long"))
       },
-      Some(graft.ops.Stats.cupedOracleSql))
+      Some(graft.ops.Stats.cupedOracleSql)),
+
+    // CUPED composed into the A/B readout: raw Welch-style t next to
+    // the variance-reduced t and the realized reduction ratio — the
+    // experiment-calling workflow the Stats tier exists for.
+    GraftQuery("q_cuped_welch",
+      (s, dir) => {
+        val e = ev(s, dir)
+        val mid = e.agg(expr(
+          "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").as("mid"))
+        graft.ops.Stats.cupedWelch(e.crossJoin(broadcast(mid)),
+          unit = col("user_id"), arm = pmod(col("user_id"), lit(2)),
+          isPre = unix_micros(col("ts")) < col("mid"),
+          v = round(col("value") * 1e6, 0).cast("long"))
+      },
+      Some(graft.ops.Stats.cupedWelchOracleSql)),
+
+    // INCREMENTAL ANOVA F: per-group partials (n, Σv, Σv²) are
+    // additive, so three simulated micro-batches land partial parts in
+    // a SummingStore MV and the F readout runs over the merged
+    // per-group row — same oracle as the one-shot q_anova, same
+    // scalar path (anovaFromPartials) as the batch operator.
+    GraftQuery("q_anova_inc",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_anova")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/anovamv"
+        val e = ev(s, dir)
+        (0 until 3).foreach { i =>
+          val part = graft.ops.Stats.anovaPartials(
+            e.filter(pmod(col("event_id"), lit(3)) === i),
+            round(col("value") * 1e6, 0).cast("long"), col("event_type"))
+          graft.sinks.SummingStore.appendDelta(part, mv,
+            tag = Some(s"anova-chunk$i"))
+        }
+        graft.ops.Stats.anovaFromPartials(
+          graft.sinks.SummingStore.read(s, mv,
+            keys = Seq("g"), addCols = Seq("ng", "s1g", "s2g")).get)
+      },
+      Some(graft.ops.Stats.anovaFOracleSql)),
+
+    // pointInPolygon with a HOLE ring (the full ClickHouse signature):
+    // outer concave dart minus an interior diamond — even-odd
+    // crossings over both rings, still one codegen'd projection.
+    GraftQuery("q_point_in_polygon_holes",
+      (s, dir) => graft.ops.Spatial.pointInPolygonRings(
+        ev(s, dir).select(col("event_id"),
+          round((pmod(col("event_id") * 37, lit(3600)).cast("double") / 10
+            - 180) * 1e6, 0).cast("long").as("lon_u"),
+          round((pmod(col("event_id") * 91, lit(1700)).cast("double") / 10
+            - 85) * 1e6, 0).cast("long").as("lat_u")),
+        col("event_id"), col("lon_u"), col("lat_u"),
+        Seq(Queries.dartPolygon, Queries.dartHole)),
+      Some(graft.ops.Spatial.pointInPolygonRingsOracleSql(
+        polygonPointsSql, Seq(Queries.dartPolygon, Queries.dartHole))))
   )
 
   // A duplicate name silently shadows the earlier query once the Seq

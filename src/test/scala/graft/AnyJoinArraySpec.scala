@@ -75,4 +75,27 @@ class AnyJoinArraySpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (1L, 1, true), (2L, 2, false), (3L, 2, false), (4L, 3, true)))
   }
+
+  test("pointInPolygonRings: hole ring flips interior points out, even-odd") {
+    // dart + diamond hole around (0, 25M): a point in the hole counts
+    // one dart crossing + one hole crossing = even -> outside
+    val pts = Seq(
+      (1L, 0L, 20000000L),      // dart body, INSIDE the hole -> outside
+      (2L, 0L, 60000000L),      // dart body, above the hole -> inside
+      (3L, 0L, -30000000L),     // notch -> outside (unchanged by hole)
+      (4L, -60000000L, -20000000L)) // left wing, far from hole -> inside
+      .toDF("pid", "x", "y")
+    val out = Spatial.pointInPolygonRings(pts, col("pid"), col("x"),
+      col("y"), Seq(graft.queries.Queries.dartPolygon,
+        graft.queries.Queries.dartHole))
+      .orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, 2, false), (2L, 1, true), (3L, 2, false), (4L, 3, true)))
+    // single-ring call is the rings form with one ring — same bits
+    val single = Spatial.pointInPolygon(pts, col("pid"), col("x"), col("y"),
+      graft.queries.Queries.dartPolygon).orderBy("pid").collect()
+      .map(_.getBoolean(4)).toSeq
+    assert(single === Seq(true, true, false, true))
+  }
 }

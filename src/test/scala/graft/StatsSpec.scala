@@ -363,4 +363,52 @@ class StatsSpec extends SparkSpec {
     assert(solo.isNullAt(solo.fieldIndex("var_post")))
     assert(solo.isNullAt(solo.fieldIndex("var_adj")))
   }
+
+  test("cupedWelch: composes cuped's per-arm rows; reduction realized on a noisy fixture") {
+    // same paired design as the cuped fixture, plus a pair-alternating
+    // mean-zero residual the covariate can't explain — so var_adj
+    // shrinks toward the residual variance instead of 0
+    val rows = (0L until 40L).map { i =>
+      val arm = i % 2; val pair = i / 2
+      val pre = 1000L + pair * 10L
+      val noise = if (pair % 2 == 0) -50L else 50L
+      Seq((i, arm, true, pre),
+          (i, arm, false, pre + 1000L + arm * 500L + noise))
+    }.flatten
+    val df = rows.toDF("u", "arm", "pre", "v")
+    val w = Stats.cupedWelch(df, col("u"), col("arm"), col("pre"), col("v"))
+      .head()
+    assert(w.getAs[Long]("n_a") === 20L && w.getAs[Long]("n_b") === 20L)
+    val tRaw = w.getAs[Double]("t_raw"); val tAdj = w.getAs[Double]("t_adj")
+    val red = w.getAs[Double]("var_reduction")
+    assert(tRaw > 0 && tAdj > 0, "arm 1 is designed 500 higher")
+    assert(red > 0.3 && red < 0.95, s"var_reduction $red out of band")
+    assert(tAdj > tRaw, "smaller variance, same contrast => larger t")
+    // structural parity: recompute both t's from cuped's own rows
+    val c = Stats.cuped(df, col("u"), col("arm"), col("pre"), col("v"))
+      .collect().map(r => r.getAs[Long]("arm") -> r).toMap
+    def t(m0: Double, m1: Double, v0: Double, v1: Double) =
+      (m1 - m0) / math.sqrt(v0 / 20.0 + v1 / 20.0)
+    val expRaw = t(c(0L).getAs[Double]("mean_post"), c(1L).getAs[Double]("mean_post"),
+      c(0L).getAs[Double]("var_post"), c(1L).getAs[Double]("var_post"))
+    val expAdj = t(c(0L).getAs[Double]("mean_adj"), c(1L).getAs[Double]("mean_adj"),
+      c(0L).getAs[Double]("var_adj"), c(1L).getAs[Double]("var_adj"))
+    assert(math.abs(tRaw - expRaw) < 2e-6 && math.abs(tAdj - expAdj) < 2e-6)
+  }
+
+  test("anovaPartials: chunked partials re-sum to the one-shot anovaF exactly") {
+    val df = spark.range(300).select(col("id"),
+      concat(lit("g"), pmod(col("id"), lit(4))).as("g"),
+      (pmod(col("id") * 7, lit(1000)) + pmod(col("id"), lit(13))).as("v"))
+    val whole = Stats.anovaF(df, col("v"), col("g")).head().toSeq
+    val parts = (0 until 3).map(i =>
+        Stats.anovaPartials(df.filter(pmod(col("id"), lit(3)) === i),
+          col("v"), col("g")))
+      .reduce(_ union _)
+    val merged = parts.groupBy(col("g")).agg(
+      sum(col("ng")).as("ng"), sum(col("s1g")).as("s1g"),
+      sum(col("s2g")).as("s2g"))
+    assert(Stats.anovaFromPartials(merged).head().toSeq === whole,
+      "additive partials must be bit-identical to the one-shot build")
+  }
 }
