@@ -419,13 +419,22 @@ FROM m"""
     *
     * Output: (col_a, col_b, corr r6), one row per unordered pair in
     * input order. */
-  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame = {
+  def corrMatrix(df: DataFrame, cols: Seq[(String, Column)]): DataFrame =
+    corrMatrixFromPartials(corrMatrixPartials(df, cols), cols.map(_._1))
+
+  /** The one-row ADDITIVE partial table behind [[corrMatrix]]:
+    * (k=0, n, s_i, ss_i, sp_i_j) — count and exact decimal sums, so
+    * partials from disjoint chunks re-sum (grouped on the constant k)
+    * to the whole-corpus row, which is what makes the SummingStore MV
+    * twin exact. Aliases are POSITIONAL (s_0, sp_0_1): name-derived
+    * aliases collide for underscore-bearing names ((a, b_c) vs
+    * (a_b, c) both render sp_a_b_c), and display names only ever
+    * appear as lit() values in the readout — never spliced into
+    * parsed SQL. */
+  def corrMatrixPartials(df: DataFrame,
+      cols: Seq[(String, Column)]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val names = cols.map(_._1)
-    // internal aliases are POSITIONAL (s_0, sp_0_1): name-derived
-    // aliases collide for underscore-bearing names ((a, b_c) vs
-    // (a_b, c) both render sp_a_b_c), and display names only ever
-    // appear as lit() values — never spliced into parsed SQL
     val named = df.select(cols.zipWithIndex.map {
       case ((_, c), i) => c.as(s"x_$i") }: _*)
     val idxPairs = for {
@@ -437,7 +446,24 @@ FROM m"""
         sum(d(col(s"x_$i")) * d(col(s"x_$i"))).as(s"ss_$i")) ++
       idxPairs.map { case (i, j) =>
         sum(d(col(s"x_$i")) * d(col(s"x_$j"))).as(s"sp_${i}_$j") }
-    val a = named.agg(aggs.head, aggs.tail: _*)
+    named.groupBy(lit(0L).as("k")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The additive-column list of [[corrMatrixPartials]] for `nCols`
+    * input columns — the SummingStore re-sum spec of the MV twin. */
+  def corrMatrixAddCols(nCols: Int): Seq[String] = {
+    val idx = 0 until nCols
+    Seq("n") ++ idx.map(i => s"s_$i") ++ idx.map(i => s"ss_$i") ++
+      (for { i <- idx; j <- (i + 1) until nCols } yield s"sp_${i}_$j")
+  }
+
+  /** Pairwise-Pearson readout from the (merged) one-row partials —
+    * shared by the one-shot [[corrMatrix]] and the MV-served
+    * q_corr_matrix_inc twin, so batch/stream parity is structural. */
+  def corrMatrixFromPartials(a: DataFrame, names: Seq[String]): DataFrame = {
+    val idxPairs = for {
+      i <- names.indices; j <- (i + 1) until names.size
+    } yield (i, j)
     val pairRows = idxPairs.map { case (i, j) =>
       val num = d(col("n")) * col(s"sp_${i}_$j") - col(s"s_$i") * col(s"s_$j")
       val vx = d(col("n")) * col(s"ss_$i") - col(s"s_$i") * col(s"s_$i")

@@ -3341,7 +3341,35 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_id"), col("lon_u"), col("lat_u"),
         Seq(Queries.dartPolygon, Queries.dartHole)),
       Some(graft.ops.Spatial.pointInPolygonRingsOracleSql(
-        polygonPointsSql, Seq(Queries.dartPolygon, Queries.dartHole))))
+        polygonPointsSql, Seq(Queries.dartPolygon, Queries.dartHole)))),
+
+    // INCREMENTAL correlation matrix: the one-row (n, Σxᵢ, Σxᵢ²,
+    // Σxᵢxⱼ) partial is additive, so three simulated micro-batches
+    // land parts in a SummingStore MV and the pairwise-Pearson readout
+    // runs over the re-summed row — same oracle as the one-shot
+    // q_corr_matrix, same readout path (corrMatrixFromPartials).
+    GraftQuery("q_corr_matrix_inc",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_corr")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/corrmv"
+        val colsSpec = Seq(
+          "v" -> round(col("value") * 1e6, 0).cast("long"),
+          "h" -> hour(col("ts")).cast("long"),
+          "u" -> (col("user_id") % 100))
+        val e = ev(s, dir)
+        (0 until 3).foreach { i =>
+          val part = graft.ops.Stats.corrMatrixPartials(
+            e.filter(pmod(col("event_id"), lit(3)) === i), colsSpec)
+          graft.sinks.SummingStore.appendDelta(part, mv,
+            tag = Some(s"corr-chunk$i"))
+        }
+        graft.ops.Stats.corrMatrixFromPartials(
+          graft.sinks.SummingStore.read(s, mv, keys = Seq("k"),
+            addCols = graft.ops.Stats.corrMatrixAddCols(3)).get,
+          colsSpec.map(_._1))
+      },
+      Some(graft.ops.Stats.corrMatrixOracleSql))
   )
 
   // A duplicate name silently shadows the earlier query once the Seq

@@ -144,4 +144,31 @@ object Dashboard {
       period: Int): Option[DataFrame] =
     servedSeries(spark, mvPath)
       .map(graft.ops.Seasonal.seasonalNaiveEvalFromSeries(_, period))
+
+  /** foreachBatch sink for a LIVE statistics dashboard: land each
+    * micro-batch's per-group ANOVA partials (n, Σv, Σv² in exact
+    * decimals — [[graft.ops.Stats.anovaPartials]]) as one additive
+    * part, idempotent by batch id. The same decomposed-partials
+    * argument serves the whole additive stats tier (z-test, linreg,
+    * corrMatrix — see q_corr_matrix_inc); ANOVA is the registered
+    * live twin. Per batch the part is |groups active in the batch|
+    * rows — the MV grows with group cardinality, never the stream. */
+  def anovaPartialsSink(v: Column, group: Column,
+      mvPath: String): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val tag = s"anova-b$batchId"
+    if (!SnapshotStore.hasTag(spark, mvPath, tag))
+      SummingStore.appendDelta(
+        graft.ops.Stats.anovaPartials(batch, v, group), mvPath,
+        tag = Some(tag))
+  }
+
+  /** Serving read: the F readout over the merged per-group partials —
+    * same scalar path ([[graft.ops.Stats.anovaFromPartials]]) and
+    * output contract as the batch [[graft.ops.Stats.anovaF]], so
+    * batch/stream parity is structural. None before the first part. */
+  def servedAnova(spark: SparkSession, mvPath: String): Option[DataFrame] =
+    SummingStore.read(spark, mvPath, keys = Seq("g"),
+        addCols = Seq("ng", "s1g", "s2g"))
+      .map(graft.ops.Stats.anovaFromPartials)
 }

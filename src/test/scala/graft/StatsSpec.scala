@@ -411,4 +411,29 @@ class StatsSpec extends SparkSpec {
     assert(Stats.anovaFromPartials(merged).head().toSeq === whole,
       "additive partials must be bit-identical to the one-shot build")
   }
+
+  test("corrMatrixPartials: chunked partials re-sum to the one-shot corrMatrix exactly") {
+    val df = spark.range(240).select(col("id"),
+      pmod(col("id") * 17, lit(101)).as("a"),
+      (pmod(col("id") * 17, lit(101)) * 2 + pmod(col("id"), lit(7))).as("b"),
+      pmod(col("id") * 29, lit(53)).as("c"))
+    val spec = Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c"))
+    val whole = Stats.corrMatrix(df, spec).collect().map(_.toSeq).toSet
+    val parts = (0 until 3).map(i =>
+        Stats.corrMatrixPartials(df.filter(pmod(col("id"), lit(3)) === i),
+          spec))
+      .reduce(_ union _)
+    val adds = Stats.corrMatrixAddCols(3)
+    val merged = parts.groupBy(col("k"))
+      .agg(sum(col(adds.head)).as(adds.head),
+        adds.tail.map(c => sum(col(c)).as(c)): _*)
+    val inc = Stats.corrMatrixFromPartials(merged, spec.map(_._1))
+      .collect().map(_.toSeq).toSet
+    assert(inc === whole,
+      "additive partials must be bit-identical to the one-shot build")
+    // sanity: a-b strongly positive (b is 2a + small noise)
+    val ab = Stats.corrMatrix(df, spec).collect()
+      .find(r => r.getString(0) == "a" && r.getString(1) == "b").get
+    assert(ab.getAs[Double]("corr") > 0.99)
+  }
 }

@@ -869,4 +869,35 @@ class StreamingSpec extends SparkSpec {
       } finally { q.stop() }
     }
   }
+
+  test("live ANOVA MV: foreachBatch partials serve the F readout with batch parity") {
+    import graft.streaming.Dashboard
+    val mv = tmp("anovamv") + "/mv"
+    val in = MemoryStream[(String, Long)](spark)
+    val sink = Dashboard.anovaPartialsSink(col("v"), col("g"), mv)
+    val q = in.toDF().toDF("g", "v").writeStream
+      .option("checkpointLocation", tmp("anovackpt"))
+      .foreachBatch(sink).start()
+    val batch1 = Seq(("a", 10L), ("a", 14L), ("b", 20L), ("b", 26L),
+      ("c", 3L))
+    val batch2 = Seq(("a", 12L), ("b", 23L), ("c", 5L), ("c", 4L))
+    def parity(soFar: Seq[(String, Long)]): Unit = {
+      val served = Dashboard.servedAnova(spark, mv).get.head().toSeq
+      val oneShot = graft.ops.Stats.anovaF(soFar.toDF("g", "v"),
+        col("v"), col("g")).head().toSeq
+      assert(served === oneShot,
+        "MV-served F must be bit-identical to the one-shot build")
+    }
+    try {
+      in.addData(batch1: _*)
+      q.processAllAvailable()
+      parity(batch1)
+      in.addData(batch2: _*)
+      q.processAllAvailable()
+      parity(batch1 ++ batch2)
+      // exactly-once: re-offering a landed batch id is a tag-probed no-op
+      sink(batch1.toDF("g", "v"), 0L)
+      parity(batch1 ++ batch2)
+    } finally { q.stop() }
+  }
 }
