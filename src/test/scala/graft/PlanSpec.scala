@@ -467,4 +467,38 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
     assert(exchanges <= 2, s"one group-by shuffle (+AQE read) at most:\n${p.take(1500)}")
   }
+
+  test("q_limit_by: bounded-heap rank + join-back, never a window sort") {
+    val p = plan("q_limit_by")
+    assert(p.contains("bounded_top_k"), p.take(1200))
+    assert(!p.contains("Window"),
+      "per-group pagination must not buffer groups in WindowExec")
+  }
+
+  test("q_sample_clause: the hash cut reaches the scan as a plain filter") {
+    val p = plan("q_sample_clause")
+    // one group-by shuffle for the counts; the sample itself adds none
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3, s"sample must stay a per-row filter:\n${p.take(1500)}")
+    assert(!p.contains("Join"), "SAMPLE is not a join")
+  }
+
+  test("q_kmv_setops: one data-scan aggregate; pair join runs on the sketch table") {
+    val p = plan("q_kmv_setops")
+    val objAggs = p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate"))
+    assert(objAggs >= 2,
+      s"expected partial+final kmv_sketch aggregation:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"),
+      "the g_a < g_b pair join must stay a (broadcast) NL join over the " +
+        "sketch rows, never a fact-side cartesian")
+  }
+
+  test("q_cuped: two hash aggregates + broadcast midpoint, no window/sort") {
+    val p = plan("q_cuped")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row midpoint must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "CUPED is pure aggregation")
+    assert(!p.contains("SortMergeJoin"), "nothing may shuffle-join the fact")
+  }
 }
