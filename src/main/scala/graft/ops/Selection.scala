@@ -223,6 +223,24 @@ SELECT doc_id, CAST(w AS BIGINT) AS weight, CAST(floor(ln(CAST(u_micro AS DOUBLE
       concat(lit("smp:"), key.cast("string"))) < lit(cut.toLong))
   }
 
+  /** ClickHouse `SAMPLE num/den OFFSET offNum/offDen`: the same
+    * by-key hash-domain cut, shifted to start at offNum/offDen of the
+    * 2^60 axis — so K workers reading `SAMPLE 1/K OFFSET i/K` cover
+    * the key space EXACTLY once between them (disjoint by
+    * construction, union = everything; ClickHouse's documented
+    * parallel-full-scan idiom). Still a pure per-row codegen'd
+    * filter. */
+  def sampleByKeyOffset(df: DataFrame, key: Column, num: Long, den: Long,
+      offNum: Long, offDen: Long): DataFrame = {
+    require(num > 0 && num <= den, s"need 0 < num <= den, got $num/$den")
+    require(offNum >= 0 && offNum <= offDen,
+      s"need 0 <= offNum <= offDen, got $offNum/$offDen")
+    val lo = (BigInt(offNum) << 60) / BigInt(offDen)
+    val hi = lo + (BigInt(num) << 60) / BigInt(den)
+    val h = TextFunctions.md5Long(concat(lit("smp:"), key.cast("string")))
+    df.filter(h >= lit(lo.toLong) && h < lit(hi.toLong))
+  }
+
   /** The hash-domain cut [[sampleByKey]] applies, for oracle reuse. */
   def sampleCut(num: Long, den: Long): Long =
     ((BigInt(num) << 60) / BigInt(den)).toLong
@@ -230,6 +248,15 @@ SELECT doc_id, CAST(w AS BIGINT) AS weight, CAST(floor(ln(CAST(u_micro AS DOUBLE
   /** DuckDB predicate replica of [[sampleByKey]] over `keySql`. */
   def sampleByKeyOraclePred(keySql: String, num: Long, den: Long): String =
     s"CAST('0x'||substring(md5('smp:'||CAST($keySql AS VARCHAR)),1,15) AS BIGINT) < ${sampleCut(num, den)}"
+
+  /** DuckDB predicate replica of [[sampleByKeyOffset]]. */
+  def sampleByKeyOffsetOraclePred(keySql: String, num: Long, den: Long,
+      offNum: Long, offDen: Long): String = {
+    val lo = (BigInt(offNum) << 60) / BigInt(offDen)
+    val hi = lo + (BigInt(num) << 60) / BigInt(den)
+    val h = s"CAST('0x'||substring(md5('smp:'||CAST($keySql AS VARCHAR)),1,15) AS BIGINT)"
+    s"($h >= ${lo.toLong} AND $h < ${hi.toLong})"
+  }
 
   /** Token-budget greedy selection: order documents by (quality desc,
     * doc_id asc) and keep the prefix whose cumulative token count stays

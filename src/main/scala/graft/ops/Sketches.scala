@@ -335,15 +335,43 @@ SELECT CAST($m AS BIGINT) AS m, $m - filled AS zeros, num_filled + ($m - filled)
     * the scalar) is what makes theta-style set algebra possible at
     * serve time — union two groups' sketches by re-aggregating. */
   def kmvDistinct(df: DataFrame, group: Column, id: Column,
-      k: Int = 64): DataFrame = {
+      k: Int = 64): DataFrame =
+    kmvDistinctFromSketches(kmvSketchTable(df, group, id, k), k)
+
+  /** Per-group bottom-k sketch table (g, ks) — the shared first
+    * aggregate of [[kmvDistinct]]/[[kmvSetOps]] and the PART shape of
+    * the live sketch MV: the k smallest of a union is a function of
+    * the k-sets alone, so per-batch k-sets stored as parts re-sketch
+    * on read ([[kmvMergeSketches]]) to EXACTLY the one-shot sketch —
+    * the theta serving story at 100 TB (estimates off the MV, never a
+    * fact rescan). */
+  def kmvSketchTable(df: DataFrame, group: Column, id: Column,
+      k: Int): DataFrame = {
     val spark = df.sparkSession
     graft.functions.KmvSketch.register(spark)
-    val hashed = df.select(group.as("g"),
-      graft.functions.TextFunctions.md5Long(
-        concat(lit("kmv:"), id.cast("string"))).as("h"))
-    hashed.groupBy(col("g"))
+    df.select(group.as("g"),
+        graft.functions.TextFunctions.md5Long(
+          concat(lit("kmv:"), id.cast("string"))).as("h"))
+      .groupBy(col("g"))
       .agg(expr(s"kmv_sketch(h, $k)").as("ks"))
-      .select(col("g"), col("ks"),
+  }
+
+  /** Merge per-part sketch tables back to one (g, ks) row per group:
+    * explode the stored k-sets and re-run the bounded aggregate —
+    * exact by the k-smallest-of-a-union law (KmvSketch's tested merge
+    * property), and the only input is |parts|·|groups|·k longs. */
+  def kmvMergeSketches(parts: DataFrame, k: Int): DataFrame = {
+    val spark = parts.sparkSession
+    graft.functions.KmvSketch.register(spark)
+    parts.select(col("g"), explode(col("ks")).as("h"))
+      .groupBy(col("g"))
+      .agg(expr(s"kmv_sketch(h, $k)").as("ks"))
+  }
+
+  /** Distinct-estimate readout from a (g, ks) sketch table — shared by
+    * the one-shot [[kmvDistinct]] and the MV-served twin. */
+  def kmvDistinctFromSketches(sk: DataFrame, k: Int): DataFrame =
+    sk.select(col("g"), col("ks"),
         when(size(col("ks")) < k, size(col("ks")).cast("long"))
           .otherwise(floor(
             lit((k - 1).toDouble * 1152921504606846976.0) /
@@ -352,7 +380,6 @@ SELECT CAST($m AS BIGINT) AS m, $m - filled AS zeros, num_filled + ($m - filled)
       .select(col("g"), col("est"),
         posexplode(col("ks")).as(Seq("rank", "h")))
       .select(col("g"), col("rank"), col("h"), col("est"))
-  }
 
   /** DuckDB replica of [[kmvDistinct]]: distinct hashes, bottom-k by
     * row_number, estimate from the k-th minimum. */
@@ -398,12 +425,12 @@ FROM kept JOIN est ON kept.g = est.g"""
     * Null ids are SKIPPED (kmv_sketch drops null hashes) — the oracle
     * mirrors this with an `IS NOT NULL` guard on the hash CTE. */
   def kmvSetOps(df: DataFrame, group: Column, id: Column,
-      k: Int = 64): DataFrame = {
-    val spark = df.sparkSession
-    graft.functions.KmvSketch.register(spark)
-    val sk = df.select(group.as("g"),
-        TextFunctions.md5Long(concat(lit("kmv:"), id.cast("string"))).as("h"))
-      .groupBy(col("g")).agg(expr(s"kmv_sketch(h, $k)").as("ks"))
+      k: Int = 64): DataFrame =
+    kmvSetOpsFromSketches(kmvSketchTable(df, group, id, k), k)
+
+  /** Pairwise set-algebra readout from a (g, ks) sketch table —
+    * shared by the one-shot [[kmvSetOps]] and the MV-served twin. */
+  def kmvSetOpsFromSketches(sk: DataFrame, k: Int): DataFrame = {
     val pairs = sk.select(col("g").as("g_a"), col("ks").as("ks_a"))
       .join(sk.select(col("g").as("g_b"), col("ks").as("ks_b")),
         col("g_a") < col("g_b"))

@@ -3369,7 +3369,52 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
             addCols = graft.ops.Stats.corrMatrixAddCols(3)).get,
           colsSpec.map(_._1))
       },
-      Some(graft.ops.Stats.corrMatrixOracleSql))
+      Some(graft.ops.Stats.corrMatrixOracleSql)),
+
+    // INCREMENTAL KMV theta sketch: per-batch bottom-64 k-sets land as
+    // SnapshotStore parts; merge-on-read re-sketches the exploded
+    // k-sets (the k smallest of a union is a function of the k-sets
+    // alone — exact, law-tested), so the MV-served distinct estimates
+    // are bit-identical to the one-shot q_kmv_distinct, same oracle.
+    GraftQuery("q_kmv_inc",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_kmv")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/kmvmv"
+        val e = ev(s, dir)
+        (0 until 3).foreach { i =>
+          val part = graft.ops.Sketches.kmvSketchTable(
+            e.filter(pmod(col("event_id"), lit(3)) === i),
+            col("event_type"), col("event_id"), k = 64)
+          graft.sinks.SnapshotStore.commitAppend(s, mv, part,
+            tag = Some(s"kmv-chunk$i"))
+        }
+        graft.ops.Sketches.kmvDistinctFromSketches(
+          graft.ops.Sketches.kmvMergeSketches(
+            graft.sinks.SnapshotStore.read(s, mv).get, k = 64), k = 64)
+      },
+      Some(graft.ops.Sketches.kmvOracleSql("event_type", "event_id",
+        "events", k = 64))),
+
+    // ClickHouse `SAMPLE 1/4 OFFSET i/4`: four disjoint hash-domain
+    // slices covering the key space exactly once between them — the
+    // documented parallel-full-scan idiom (each worker takes one
+    // slice). Slice sums must re-add to the full table; the gate
+    // hashes all four per-slice (events, users) rows.
+    GraftQuery("q_sample_offset",
+      (s, dir) => {
+        val e = ev(s, dir)
+        (0 until 4).map { i =>
+          Selection.sampleByKeyOffset(e, col("user_id"), 1, 4, i, 4)
+            .agg(count(lit(1)).as("n_events"),
+              countDistinct(col("user_id")).as("n_users"))
+            .select(lit(i).as("slice"), col("n_events"), col("n_users"))
+        }.reduce(_ unionByName _)
+      },
+      Some((0 until 4).map { i =>
+        s"SELECT $i AS slice, count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM events WHERE ${
+          Selection.sampleByKeyOffsetOraclePred("user_id", 1, 4, i, 4)}"
+      }.mkString(" UNION ALL ")))
   )
 
   // A duplicate name silently shadows the earlier query once the Seq

@@ -374,4 +374,22 @@ class SelectionSpec extends SparkSpec {
     assert(!plan.contains("Exchange") && !plan.contains("Aggregate"),
       s"SAMPLE must stay a per-row filter, got:\n$plan")
   }
+
+  test("sampleByKeyOffset: K disjoint slices tile the key space exactly once") {
+    val df = spark.range(2000).select((col("id") % 200).as("k"), col("id"))
+    val slices = (0 until 4).map(i =>
+      Selection.sampleByKeyOffset(df, col("k"), 1, 4, i, 4))
+    val counts = slices.map(_.count())
+    assert(counts.sum === 2000L, s"slices must re-add to the table: $counts")
+    // pairwise disjoint on keys
+    val keySets = slices.map(
+      _.select("k").distinct().collect().map(_.getLong(0)).toSet)
+    for (i <- 0 until 4; j <- (i + 1) until 4)
+      assert((keySets(i) & keySets(j)).isEmpty, s"slices $i/$j overlap")
+    assert(keySets.reduce(_ ++ _).size === 200)
+    // OFFSET 0 slice == the plain SAMPLE of the same width
+    val plain = Selection.sampleByKey(df, col("k"), 1, 4)
+      .collect().map(_.toSeq).toSet
+    assert(slices.head.collect().map(_.toSeq).toSet === plain)
+  }
 }

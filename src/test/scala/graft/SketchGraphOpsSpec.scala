@@ -256,4 +256,20 @@ class SketchGraphOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("inter_est") === 1L)
     assert(r.getAs[Long]("b_not_a_est") === 1L)
   }
+
+  test("kmvMergeSketches: per-chunk k-sets re-sketch to the one-shot sketch exactly") {
+    val df = spark.range(5000).select(
+      concat(lit("s"), pmod(col("id"), lit(3))).as("g"), col("id"))
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val oneShot = toMap(
+      Sketches.kmvSketchTable(df, col("g"), col("id"), 64).collect())
+    val parts = (0 until 4).map(i =>
+        Sketches.kmvSketchTable(df.filter(pmod(col("id"), lit(4)) === i),
+          col("g"), col("id"), 64))
+      .reduce(_ union _)
+    val merged = toMap(Sketches.kmvMergeSketches(parts, 64).collect())
+    assert(merged === oneShot,
+      "k smallest of a union is a function of the k-sets alone")
+  }
 }
