@@ -864,6 +864,104 @@ SELECT k, q1, q3, CAST(n_low AS BIGINT) AS n_low, CAST(n_high AS BIGINT) AS n_hi
         .as("var_adj"))
   }
 
+  /** Φ⁻¹(0.975) / Φ⁻¹(0.80) — the two-sided-α=0.05, power=0.8 normal
+    * quantiles ClickHouse's minSampleSize* defaults hardcode; shared
+    * literals so the oracle splices the SAME bits. */
+  val Z975 = 1.9599639845400545
+  val Z80 = 0.8416212335729143
+
+  /** ClickHouse `minSampleSizeContinous` (sic), table form: per group,
+    * the per-arm sample size needed to detect a `mdeRelPct`% change of
+    * the group's own observed mean at two-sided α=0.05 / power 0.8 —
+    * n = (z_{α/2}+z_{pow})²·2σ²/Δ², Δ = mean·pct/100, σ² the sample
+    * variance from the same exact decimal partials as [[welchTTest]].
+    * The experiment-PLANNING half of the A/B tier ([[cupedWelch]] is
+    * the readout half). n_needed null when the mean or variance
+    * degenerates. One hash aggregate; scalar math per group row. */
+  def minSampleSizeContinuous(df: DataFrame, group: Column, v: Column,
+      mdeRelPct: Int = 5): DataFrame = {
+    require(mdeRelPct > 0, "mdeRelPct must be positive")
+    val per = df.select(group.as("g"), v.as("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(d(col("v"))).as("s1"),
+        sum(d(col("v")) * d(col("v"))).as("s2"))
+    val mean = dbl(col("s1")) / dbl(col("n"))
+    val varS = dbl(d(col("n")) * col("s2") - col("s1") * col("s1")) /
+      (dbl(col("n")) * (dbl(col("n")) - lit(1.0)))
+    val delta = mean * lit(mdeRelPct / 100.0)
+    val zsum2 = lit((Z975 + Z80) * (Z975 + Z80))
+    // the n(n-1) divisions sit INSIDE when(n > 1, ...): CaseWhen
+    // short-circuits per row, so a singleton group never evaluates
+    // them (ANSI mode turns /0 into an error, not Infinity)
+    val sized = col("n") > 1
+    per.select(col("g"), col("n"),
+      r6(mean).as("mean"), when(sized, r6big(varS)).as("variance"),
+      r6(delta).as("mde_abs"),
+      when(sized, when(delta =!= lit(0.0) && varS > lit(0.0),
+        ceil(zsum2 * lit(2.0) * varS / (delta * delta))
+          .cast("long"))).as("n_needed"))
+  }
+
+  /** DuckDB replica of [[minSampleSizeContinuous]] over events by
+    * event_type on the µ-value, 5% relative MDE. */
+  lazy val minSampleSizeContinuousOracleSql: String =
+    s"""WITH per AS (SELECT event_type AS g, count(*) AS n,
+ sum(CAST($vMicros AS DECIMAL(38,0))) AS s1,
+ sum(CAST($vMicros AS DECIMAL(38,0))*CAST($vMicros AS DECIMAL(38,0))) AS s2
+ FROM events GROUP BY 1),
+m AS (SELECT g, n, CAST(s1 AS DOUBLE)/CAST(n AS DOUBLE) AS mean,
+ CASE WHEN n > 1 THEN CAST(CAST(n AS DECIMAL(38,0))*s2 - s1*s1 AS DOUBLE)/(CAST(n AS DOUBLE)*(CAST(n AS DOUBLE)-1.0)) END AS vs
+ FROM per),
+t AS (SELECT g, n, mean, vs, mean * 0.05 AS delta FROM m)
+SELECT g, n, floor(mean*1e6 + 0.5)/1e6 AS mean,
+ CASE WHEN n > 1 THEN ${r6bigSql("vs")} END AS variance,
+ floor(delta*1e6 + 0.5)/1e6 AS mde_abs,
+ CASE WHEN n > 1 AND delta <> 0.0 AND vs > 0.0
+      THEN CAST(ceil(${(Z975 + Z80) * (Z975 + Z80)} * 2.0 * vs / (delta * delta)) AS BIGINT) END AS n_needed
+FROM t"""
+
+  /** ClickHouse `minSampleSizeConversion`, table form: per group, the
+    * per-arm sample size to detect a `upliftRelPct`% relative lift of
+    * the group's observed conversion rate p₁ (to p₂ = p₁·(1+pct/100))
+    * at two-sided α=0.05 / power 0.8, by the standard two-proportion
+    * form n = (z_{α/2}·√(2p̄(1−p̄)) + z_{pow}·√(p₁(1−p₁)+p₂(1−p₂)))²/Δ²
+    * with p̄ = (p₁+p₂)/2, Δ = p₁·pct/100. Null when p₁ degenerates
+    * (0, or p₂ ≥ 1). */
+  def minSampleSizeConversion(df: DataFrame, group: Column, isConv: Column,
+      upliftRelPct: Int = 10): DataFrame = {
+    require(upliftRelPct > 0, "upliftRelPct must be positive")
+    val per = df.select(group.as("g"), isConv.as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("conv"))
+    val p1 = dbl(col("conv")) / dbl(col("n"))
+    val p2 = p1 * lit(1.0 + upliftRelPct / 100.0)
+    val delta = p1 * lit(upliftRelPct / 100.0)
+    val pbar = (p1 + p2) / lit(2.0)
+    val num = lit(Z975) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(Z80) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2))
+    val ok = p1 > lit(0.0) && p2 < lit(1.0)
+    per.select(col("g"), col("n"), col("conv"),
+      r6(p1).as("p1"), r6(p2).as("p2"),
+      when(ok, ceil(num * num / (delta * delta)).cast("long")).as("n_needed"))
+  }
+
+  /** DuckDB replica of [[minSampleSizeConversion]] over events by
+    * event_type, conversion = µ-value above 1e6, 10% relative lift. */
+  lazy val minSampleSizeConversionOracleSql: String =
+    s"""WITH per AS (SELECT event_type AS g, count(*) AS n,
+ sum(CASE WHEN $vMicros > 1000000 THEN 1 ELSE 0 END) AS conv
+ FROM events GROUP BY 1),
+m AS (SELECT g, n, conv, CAST(conv AS DOUBLE)/CAST(n AS DOUBLE) AS p1 FROM per),
+t AS (SELECT m.*, p1 * 1.1 AS p2, p1 * 0.1 AS delta FROM m),
+u AS (SELECT t.*, (p1 + p2)/2.0 AS pbar FROM t),
+w AS (SELECT u.*, CASE WHEN p1 > 0.0 AND p2 < 1.0 THEN $Z975 * sqrt(2.0 * pbar * (1.0 - pbar)) + $Z80 * sqrt(p1*(1.0-p1) + p2*(1.0-p2)) END AS num FROM u)
+SELECT g, n, CAST(conv AS BIGINT) AS conv,
+ floor(p1*1e6 + 0.5)/1e6 AS p1, floor(p2*1e6 + 0.5)/1e6 AS p2,
+ CASE WHEN p1 > 0.0 AND p2 < 1.0
+      THEN CAST(ceil(num * num / (delta * delta)) AS BIGINT) END AS n_needed
+FROM w"""
+
   /** CUPED composed into the A/B readout — the actual industry
     * workflow the Stats module mimics: one row reporting the RAW
     * Welch-style t (unit-level means/variances) next to the

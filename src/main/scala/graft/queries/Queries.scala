@@ -3414,7 +3414,25 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       Some((0 until 4).map { i =>
         s"SELECT $i AS slice, count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM events WHERE ${
           Selection.sampleByKeyOffsetOraclePred("user_id", 1, 4, i, 4)}"
-      }.mkString(" UNION ALL ")))
+      }.mkString(" UNION ALL "))),
+
+    // minSampleSizeContinous analog: per event type, the per-arm n to
+    // detect a 5% change of the type's own mean µ-value at α=0.05 /
+    // power 0.8 — the experiment-PLANNING half of the A/B tier.
+    GraftQuery("q_min_sample_continuous",
+      (s, dir) => graft.ops.Stats.minSampleSizeContinuous(ev(s, dir),
+        col("event_type"), round(col("value") * 1e6, 0).cast("long"),
+        mdeRelPct = 5),
+      Some(graft.ops.Stats.minSampleSizeContinuousOracleSql)),
+
+    // minSampleSizeConversion analog: conversion = µ-value above 1e6,
+    // per-arm n to detect a 10% relative lift of each type's rate.
+    GraftQuery("q_min_sample_conversion",
+      (s, dir) => graft.ops.Stats.minSampleSizeConversion(ev(s, dir),
+        col("event_type"),
+        round(col("value") * 1e6, 0).cast("long") > 1000000L,
+        upliftRelPct = 10),
+      Some(graft.ops.Stats.minSampleSizeConversionOracleSql))
   )
 
   // A duplicate name silently shadows the earlier query once the Seq

@@ -436,4 +436,39 @@ class StatsSpec extends SparkSpec {
       .find(r => r.getString(0) == "a" && r.getString(1) == "b").get
     assert(ab.getAs[Double]("corr") > 0.99)
   }
+
+  test("minSampleSizeContinuous: closed form on a hand sample; degenerate guards") {
+    import spark.implicits._
+    // g=a: values 10,20,30 (mean 20, sample var 100); 5% MDE => delta=1
+    // n = (z975+z80)^2 * 2*100 / 1 = 7.8489...*200 = 1569.79 -> 1570
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 7L), ("b", 7L),
+      ("c", 5L)).toDF("g", "v")
+    val out = Stats.minSampleSizeContinuous(df, col("g"), col("v"), 5)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Double]("mean") === 20.0 && a.getAs[Double]("variance") === 100.0)
+    val z = Stats.Z975 + Stats.Z80
+    assert(a.getAs[Long]("n_needed") === math.ceil(z * z * 200.0).toLong)
+    // constant column (var 0) and singleton group null out
+    assert(out("b").isNullAt(out("b").fieldIndex("n_needed")))
+    assert(out("c").isNullAt(out("c").fieldIndex("n_needed")))
+  }
+
+  test("minSampleSizeConversion: two-proportion form; p2 >= 1 nulls out") {
+    import spark.implicits._
+    // g=a: 1 conversion in 4 (p1=0.25, p2=0.275, delta=0.025)
+    val df = Seq(("a", true), ("a", false), ("a", false), ("a", false),
+      ("z", true), ("z", true)).toDF("g", "c")
+    val out = Stats.minSampleSizeConversion(df, col("g"), col("c"), 10)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Double]("p1") === 0.25 && a.getAs[Double]("p2") === 0.275)
+    val p1 = 0.25; val p2 = 0.275; val pbar = (p1 + p2) / 2
+    val num = Stats.Z975 * math.sqrt(2 * pbar * (1 - pbar)) +
+      Stats.Z80 * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+    assert(a.getAs[Long]("n_needed") ===
+      math.ceil(num * num / (0.025 * 0.025)).toLong)
+    // p1 = 1 -> p2 = 1.1 >= 1: planning impossible, null
+    assert(out("z").isNullAt(out("z").fieldIndex("n_needed")))
+  }
 }
