@@ -646,6 +646,88 @@ q(q_num, q_den) AS (VALUES $qrows)
 SELECT q_num, q_den, min(v) AS value FROM cum, tot, q WHERE cw * q_den >= q_num * tw GROUP BY 1, 2"""
   }
 
+  /** ClickHouse `quantileExactInclusive` / `quantileExactExclusive`
+    * analog: INTERPOLATED exact quantiles (type 7 / type 6 — the
+    * Excel-family conventions ClickHouse documents), next to
+    * [[weightedQuantiles]]' type-1 lower-value form. The target rank
+    * is the exact rational h = (n−1)·p (inclusive) or (n+1)·p − 1
+    * clamped to [0, n−1] (exclusive, 0-based), split into integer
+    * floor and remainder with NO float division (pmod + exact
+    * subtraction); the answer interpolates the order statistics at
+    * ranks ⌊h⌋ and ⌊h⌋+1: v_lo + (rem/den)·(v_hi − v_lo), the only
+    * doubles in the pipeline, mirrored operation-for-operation in the
+    * oracle.
+    *
+    * Plan: the same bucketed two-phase cumulative as
+    * [[weightedQuantilesFromWeights]] (per-value-bucket windows + a
+    * ≤|buckets| carry — never a global one-task window), then the
+    * rank probes run as ONE conditional-min hash aggregate over the
+    * (cum × quantiles × offset∈{0,1}) filter — no per-quantile
+    * rescan. */
+  def interpolatedQuantiles(df: DataFrame, value: Column,
+      qs: Seq[(Int, Int)], exclusive: Boolean = false,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n >= 0 && n <= d },
+      "quantiles must be rationals in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byV = df.select(value.as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("w"))
+    val bucketed = byV
+      .select(floorDiv(col("v"), lit(bucketWidth)).as("b"), col("v"), col("w"))
+    val inB = Window.partitionBy(col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = bucketed.withColumn("cw_in", sum(col("w")).over(inB))
+    val perB = bucketed.groupBy(col("b")).agg(sum(col("w")).as("net"))
+    val carryW = Window.orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perB
+      .select(col("b"), coalesce(sum(col("net")).over(carryW), lit(0L)).as("cin"))
+    val cum = inBucket.join(Joins.corpusSide(carry), "b")
+      .select(col("v"), (col("cw_in") + col("cin")).as("cw"))
+    val tot = perB.agg(sum(col("net")).as("tw"))
+    val qdf = qs.flatMap { case (n, d) => Seq((n, d, 0), (n, d, 1)) }
+      .toDF("q_num", "q_den", "o")
+    val n = col("tw")
+    val hraw =
+      if (exclusive) (n + lit(1L)) * col("q_num") - col("q_den")
+      else (n - lit(1L)) * col("q_num")
+    val hn = greatest(lit(0L), least(hraw, (n - lit(1L)) * col("q_den")))
+    val probed = cum.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
+      .withColumn("hn", hn)
+      .withColumn("hf", floorDiv(col("hn"), col("q_den")))
+      .withColumn("rem", pmod(col("hn"), col("q_den")))
+      .filter(col("cw") >= col("hf") + lit(1L) + col("o"))
+      .groupBy(col("q_num"), col("q_den"))
+      .agg(min(when(col("o") === 0, col("v"))).as("v_lo"),
+        min(when(col("o") === 1, col("v"))).as("v_hi"),
+        max(col("rem")).as("rem"))
+    probed.select(col("q_num"), col("q_den"),
+      (floor((col("v_lo").cast("double") +
+        col("rem").cast("double") / col("q_den").cast("double") *
+          (coalesce(col("v_hi"), col("v_lo")).cast("double") -
+            col("v_lo").cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6))
+        .as("value"))
+  }
+
+  /** DuckDB replica of [[interpolatedQuantiles]] over events on the
+    * µ-value — single global window allowed in the spec, identical
+    * rank arithmetic and interpolation doubles. */
+  def interpolatedQuantilesOracleSql(qs: Seq[(Int, Int)],
+      exclusive: Boolean = false): String = {
+    val qrows = qs.flatMap { case (n, d) => Seq(s"($n, $d, 0)", s"($n, $d, 1)") }
+      .mkString(", ")
+    val hraw = if (exclusive) "(tw + 1) * q_num - q_den" else "(tw - 1) * q_num"
+    s"""WITH byv AS (SELECT CAST(round(value*1000000,0) AS BIGINT) AS v, count(*) AS w FROM events GROUP BY 1),
+cum AS (SELECT v, sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM byv),
+tot AS (SELECT sum(w) AS tw FROM byv),
+q(q_num, q_den, o) AS (VALUES $qrows),
+t AS (SELECT v, cw, tw, q_num, q_den, o, greatest(0, least($hraw, (tw - 1) * q_den)) AS hn FROM cum, tot, q),
+t2 AS (SELECT *, (hn - hn % q_den) // q_den AS hf, hn % q_den AS rem FROM t),
+f AS (SELECT q_num, q_den, min(CASE WHEN o = 0 THEN v END) AS v_lo, min(CASE WHEN o = 1 THEN v END) AS v_hi, max(rem) AS rem FROM t2 WHERE cw >= hf + 1 + o GROUP BY 1, 2)
+SELECT q_num, q_den, floor((CAST(v_lo AS DOUBLE) + CAST(rem AS DOUBLE)/CAST(q_den AS DOUBLE)*(CAST(coalesce(v_hi, v_lo) AS DOUBLE) - CAST(v_lo AS DOUBLE)))*1e6 + 0.5)/1e6 AS value FROM f"""
+  }
+
   /** ClickHouse `deltaSumTimestamp`/`deltaSum` analog: per key, the sum
     * of POSITIVE steps between consecutive values in (ts, tiebreak)
     * order — the standard monotone-counter-with-resets accumulator

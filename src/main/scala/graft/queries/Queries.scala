@@ -3432,7 +3432,25 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"),
         round(col("value") * 1e6, 0).cast("long") > 1000000L,
         upliftRelPct = 10),
-      Some(graft.ops.Stats.minSampleSizeConversionOracleSql))
+      Some(graft.ops.Stats.minSampleSizeConversionOracleSql)),
+
+    // quantileExactInclusive analog (type-7 interpolation, the
+    // Excel/R default): exact rational ranks, bucketed two-phase
+    // cumulative, one conditional-min probe pass.
+    GraftQuery("q_quantile_interp",
+      (s, dir) => graft.ops.TimeSeries.interpolatedQuantiles(ev(s, dir),
+        round(col("value") * 1e6, 0).cast("long"),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)),
+      Some(graft.ops.TimeSeries.interpolatedQuantilesOracleSql(
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
+
+    // quantileExactExclusive analog (type-6, clamped (n+1)p rank).
+    GraftQuery("q_quantile_interp_excl",
+      (s, dir) => graft.ops.TimeSeries.interpolatedQuantiles(ev(s, dir),
+        round(col("value") * 1e6, 0).cast("long"),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), exclusive = true),
+      Some(graft.ops.TimeSeries.interpolatedQuantilesOracleSql(
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), exclusive = true)))
   )
 
   // A duplicate name silently shadows the earlier query once the Seq

@@ -690,4 +690,37 @@ class TimeSeriesSpec extends SparkSpec {
     // the anomaly bleeds into at most the MA window around it
     assert(hits.forall(b => math.abs(b - 31L) <= 3), hits.toSeq.toString)
   }
+
+  test("interpolatedQuantiles: matches R type-7/type-6 on hand samples") {
+    import spark.implicits._
+    // values 10,20,30,40 (n=4)
+    val df = Seq(10L, 20L, 30L, 40L).toDF("v")
+    val inc = TimeSeries.interpolatedQuantiles(df, col("v"),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 0 -> 1, 1 -> 1))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // type-7: h = (n-1)p -> q25 at h=0.75 => 10 + 0.75*10 = 17.5
+    assert(inc((1, 4)) === 17.5)
+    assert(inc((1, 2)) === 25.0)
+    assert(inc((3, 4)) === 32.5)
+    assert(inc((0, 1)) === 10.0 && inc((1, 1)) === 40.0)
+    // type-6: h = (n+1)p - 1 -> q25 at h=0.25 => 12.5; q75 at 2.75 => 37.5
+    val exc = TimeSeries.interpolatedQuantiles(df, col("v"),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 0 -> 1, 1 -> 1), exclusive = true)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(exc((1, 4)) === 12.5)
+    assert(exc((1, 2)) === 25.0)
+    assert(exc((3, 4)) === 37.5)
+    // exclusive rank clamps at the extremes
+    assert(exc((0, 1)) === 10.0 && exc((1, 1)) === 40.0)
+    // duplicates collapse into the cumulative weights, ranks still exact
+    val dup = Seq(1L, 1L, 1L, 5L).toDF("v")
+    val d = TimeSeries.interpolatedQuantiles(dup, col("v"), Seq(1 -> 2))
+      .head().getDouble(2)
+    assert(d === 1.0) // h = 1.5 sits between the 2nd and 3rd ones
+    // bucket-boundary invariance: a tiny bucket width changes no answer
+    val fine = TimeSeries.interpolatedQuantiles(df, col("v"),
+        Seq(1 -> 4, 3 -> 4), bucketWidth = 7L)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(fine((1, 4)) === 17.5 && fine((3, 4)) === 32.5)
+  }
 }
