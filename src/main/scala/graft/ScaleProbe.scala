@@ -157,6 +157,11 @@ object ScaleProbe {
           (lit(1L) + pmod(col("id"), lit(9L))).as("w"))
         withShufflePartitions(math.max(32L, eventsN / 250000L)) {
           force(graft.ops.TimeSeries.weightedQuantiles(e, col("v"), col("w"),
+            Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), bucketWidth = 10000000L)) +
+          // the round-10 interpolated (type-7) form shares the exact
+          // bucketed-cumulative core and the exact hazard: probe it on
+          // the same continuous axis in the same rung
+          force(graft.ops.TimeSeries.interpolatedQuantiles(e, col("v"),
             Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), bucketWidth = 10000000L))
         }
       }),

@@ -501,4 +501,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), "CUPED is pure aggregation")
     assert(!p.contains("SortMergeJoin"), "nothing may shuffle-join the fact")
   }
+
+  test("q_quantile_interp: bucketed cumulative — every WindowExec is partitioned except the carry") {
+    val p = plan("q_quantile_interp")
+    // phase-1 window partitions by bucket; the only unpartitioned
+    // window is the <=|buckets|-row carry (the documented two-phase
+    // contract shared with q_weighted_quantile)
+    val unpart = p.linesIterator.count(l =>
+      l.contains("Window") && !l.contains("partitionBy") &&
+        !l.contains("PartitionBy"))
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), "probes broadcast, never cartesian")
+  }
+
+  test("q_min_sample_continuous: one partial+final hash aggregate, no join") {
+    val p = plan("q_min_sample_continuous")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, p.take(1200))
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "power planning is pure aggregation")
+  }
 }
