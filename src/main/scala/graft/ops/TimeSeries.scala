@@ -710,6 +710,76 @@ SELECT q_num, q_den, min(v) AS value FROM cum, tot, q WHERE cw * q_den >= q_num 
         .as("value"))
   }
 
+  /** GROUPED [[interpolatedQuantiles]] — `quantileExactInclusive(v)
+    * ... GROUP BY key`, the per-segment dashboard form. Same exact
+    * rational ranks and interpolation, with the cumulative running per
+    * (key, value-bucket) — the [[graft.ops.Stats.tukeyOutliers]]
+    * keyed two-phase discipline, so a hot key's windows stay at
+    * bucket granularity. The per-key totals and the quantile spec
+    * broadcast (|keys| and |qs|·2 rows — the same bounded-side
+    * posture as tukey's fence join). */
+  def interpolatedQuantilesBy(df: DataFrame, key: Column, value: Column,
+      qs: Seq[(Int, Int)], exclusive: Boolean = false,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n >= 0 && n <= d },
+      "quantiles must be rationals in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byV = df.select(key.as("k"), value.as("v"))
+      .groupBy(col("k"), col("v")).agg(count(lit(1)).as("w"))
+    val bucketed = byV.withColumn("b", floorDiv(col("v"), lit(bucketWidth)))
+    val inB = Window.partitionBy(col("k"), col("b")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = bucketed.withColumn("cw_in", sum(col("w")).over(inB))
+    val perB = bucketed.groupBy(col("k"), col("b")).agg(sum(col("w")).as("net"))
+    val carryW = Window.partitionBy(col("k")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perB.select(col("k"), col("b"),
+      coalesce(sum(col("net")).over(carryW), lit(0L)).as("cin"))
+    val cum = inBucket.join(Joins.corpusSide(carry), Seq("k", "b"))
+      .select(col("k"), col("v"), (col("cw_in") + col("cin")).as("cw"))
+    val tot = perB.groupBy(col("k")).agg(sum(col("net")).as("tw"))
+    val qdf = qs.flatMap { case (n, d) => Seq((n, d, 0), (n, d, 1)) }
+      .toDF("q_num", "q_den", "o")
+    val n = col("tw")
+    val hraw =
+      if (exclusive) (n + lit(1L)) * col("q_num") - col("q_den")
+      else (n - lit(1L)) * col("q_num")
+    val hn = greatest(lit(0L), least(hraw, (n - lit(1L)) * col("q_den")))
+    cum.join(broadcast(tot), "k").crossJoin(broadcast(qdf))
+      .withColumn("hn", hn)
+      .withColumn("hf", floorDiv(col("hn"), col("q_den")))
+      .withColumn("rem", pmod(col("hn"), col("q_den")))
+      .filter(col("cw") >= col("hf") + lit(1L) + col("o"))
+      .groupBy(col("k"), col("q_num"), col("q_den"))
+      .agg(min(when(col("o") === 0, col("v"))).as("v_lo"),
+        min(when(col("o") === 1, col("v"))).as("v_hi"),
+        max(col("rem")).as("rem"))
+      .select(col("k"), col("q_num"), col("q_den"),
+        (floor((col("v_lo").cast("double") +
+          col("rem").cast("double") / col("q_den").cast("double") *
+            (coalesce(col("v_hi"), col("v_lo")).cast("double") -
+              col("v_lo").cast("double"))) * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("value"))
+  }
+
+  /** DuckDB replica of [[interpolatedQuantilesBy]] over events by
+    * event_type on the µ-value. */
+  def interpolatedQuantilesByOracleSql(qs: Seq[(Int, Int)],
+      exclusive: Boolean = false): String = {
+    val qrows = qs.flatMap { case (n, d) => Seq(s"($n, $d, 0)", s"($n, $d, 1)") }
+      .mkString(", ")
+    val hraw = if (exclusive) "(tw + 1) * q_num - q_den" else "(tw - 1) * q_num"
+    s"""WITH byv AS (SELECT event_type AS k, CAST(round(value*1000000,0) AS BIGINT) AS v, count(*) AS w FROM events GROUP BY 1, 2),
+cum AS (SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM byv),
+tot AS (SELECT k, sum(w) AS tw FROM byv GROUP BY 1),
+q(q_num, q_den, o) AS (VALUES $qrows),
+t AS (SELECT cum.k, v, cw, tw, q_num, q_den, o, greatest(0, least($hraw, (tw - 1) * q_den)) AS hn FROM cum JOIN tot ON cum.k = tot.k, q),
+t2 AS (SELECT *, (hn - hn % q_den) // q_den AS hf, hn % q_den AS rem FROM t),
+f AS (SELECT k, q_num, q_den, min(CASE WHEN o = 0 THEN v END) AS v_lo, min(CASE WHEN o = 1 THEN v END) AS v_hi, max(rem) AS rem FROM t2 WHERE cw >= hf + 1 + o GROUP BY 1, 2, 3)
+SELECT k, q_num, q_den, floor((CAST(v_lo AS DOUBLE) + CAST(rem AS DOUBLE)/CAST(q_den AS DOUBLE)*(CAST(coalesce(v_hi, v_lo) AS DOUBLE) - CAST(v_lo AS DOUBLE)))*1e6 + 0.5)/1e6 AS value FROM f"""
+  }
+
   /** DuckDB replica of [[interpolatedQuantiles]] over events on the
     * µ-value — single global window allowed in the spec, identical
     * rank arithmetic and interpolation doubles. */

@@ -3450,7 +3450,17 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         round(col("value") * 1e6, 0).cast("long"),
         Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), exclusive = true),
       Some(graft.ops.TimeSeries.interpolatedQuantilesOracleSql(
-        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), exclusive = true)))
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), exclusive = true))),
+
+    // per-segment interpolated quantiles (quantileExactInclusive ...
+    // GROUP BY event_type): keyed two-phase cumulative, hot keys stay
+    // at bucket granularity.
+    GraftQuery("q_quantile_interp_by",
+      (s, dir) => graft.ops.TimeSeries.interpolatedQuantilesBy(ev(s, dir),
+        col("event_type"), round(col("value") * 1e6, 0).cast("long"),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)),
+      Some(graft.ops.TimeSeries.interpolatedQuantilesByOracleSql(
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))))
   )
 
   // A duplicate name silently shadows the earlier query once the Seq

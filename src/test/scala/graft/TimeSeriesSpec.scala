@@ -723,4 +723,25 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(fine((1, 4)) === 17.5 && fine((3, 4)) === 32.5)
   }
+
+  test("interpolatedQuantilesBy: per-key type-7, keys fully isolated") {
+    import spark.implicits._
+    val df = (Seq(10L, 20L, 30L, 40L).map(("a", _)) ++
+      Seq(100L, 200L).map(("b", _))).toDF("k", "v")
+    val out = TimeSeries.interpolatedQuantilesBy(df, col("k"), col("v"),
+        Seq(1 -> 4, 1 -> 2))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    assert(out(("a", 1, 4)) === 17.5 && out(("a", 1, 2)) === 25.0)
+    // b has n=2: h(p=.25)=0.25 -> 100+0.25*100=125; h(.5)=0.5 -> 150
+    assert(out(("b", 1, 4)) === 125.0 && out(("b", 1, 2)) === 150.0)
+    // grouped answers == per-key global answers (key isolation)
+    val aOnly = TimeSeries.interpolatedQuantiles(
+        df.filter(col("k") === "a").select(col("v")), col("v"),
+        Seq(1 -> 4, 1 -> 2))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(aOnly((1, 4)) === out(("a", 1, 4)))
+    assert(aOnly((1, 2)) === out(("a", 1, 2)))
+  }
 }
