@@ -359,7 +359,13 @@ object ScaleProbe {
             bucketWidth = 10000000L)) +
           force(graft.ops.Sketches.sketchQuantiles(
             graft.ops.Sketches.quantileSketch(e, col("v")),
-            Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))
+            Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))) +
+          // round-10 keyed interpolated quantiles: same keyed
+          // bucketed-cumulative core as tukey above, same hot-key
+          // adversary (key 0 owns half the events)
+          force(graft.ops.TimeSeries.interpolatedQuantilesBy(e, col("k"),
+            col("v"), Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100),
+            bucketWidth = 10000000L))
         }
       }),
       // spatial band join at CONSTANT density over a GROWING area —
