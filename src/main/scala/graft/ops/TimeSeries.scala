@@ -666,13 +666,36 @@ SELECT q_num, q_den, min(v) AS value FROM cum, tot, q WHERE cw * q_den >= q_num 
     * rescan. */
   def interpolatedQuantiles(df: DataFrame, value: Column,
       qs: Seq[(Int, Int)], exclusive: Boolean = false,
+      bucketWidth: Long = 1L << 20): DataFrame =
+    interpolatedQuantilesFromWeights(
+      df.select(value.as("v")).groupBy(col("v")).agg(count(lit(1)).as("w")),
+      qs, exclusive, bucketWidth)
+
+  /** WEIGHTED interpolated quantiles
+    * (`quantileExactWeightedInterpolated` analog), defined cleanly as
+    * type-7/6 over the UNIT-EXPANDED multiset (each value repeated
+    * `weight` times): rank h = (W−1)·p exactly, interpolate the
+    * expanded order statistics at ⌊h⌋/⌊h⌋+1 — identical machinery to
+    * [[interpolatedQuantiles]] with per-value weight sums in place of
+    * counts (and reduces to it at weight 1). Integer weights > 0. */
+  def interpolatedQuantilesWeighted(df: DataFrame, value: Column,
+      weight: Column, qs: Seq[(Int, Int)], exclusive: Boolean = false,
+      bucketWidth: Long = 1L << 20): DataFrame =
+    interpolatedQuantilesFromWeights(
+      df.select(value.as("v"), weight.as("w0"))
+        .groupBy(col("v")).agg(sum(col("w0")).as("w")),
+      qs, exclusive, bucketWidth)
+
+  /** Core of the interpolated family over a (v, w) per-distinct-value
+    * weight table — also the MV-served entry (the same additive (v, w)
+    * SummingStore parts as q_weighted_quantile_inc serve this read). */
+  def interpolatedQuantilesFromWeights(byV: DataFrame,
+      qs: Seq[(Int, Int)], exclusive: Boolean = false,
       bucketWidth: Long = 1L << 20): DataFrame = {
     require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n >= 0 && n <= d },
       "quantiles must be rationals in [0,1]")
-    val spark = df.sparkSession
+    val spark = byV.sparkSession
     import spark.implicits._
-    val byV = df.select(value.as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("w"))
     val bucketed = byV
       .select(floorDiv(col("v"), lit(bucketWidth)).as("b"), col("v"), col("w"))
     val inB = Window.partitionBy(col("b")).orderBy(col("v"))
@@ -778,6 +801,24 @@ t AS (SELECT cum.k, v, cw, tw, q_num, q_den, o, greatest(0, least($hraw, (tw - 1
 t2 AS (SELECT *, (hn - hn % q_den) // q_den AS hf, hn % q_den AS rem FROM t),
 f AS (SELECT k, q_num, q_den, min(CASE WHEN o = 0 THEN v END) AS v_lo, min(CASE WHEN o = 1 THEN v END) AS v_hi, max(rem) AS rem FROM t2 WHERE cw >= hf + 1 + o GROUP BY 1, 2, 3)
 SELECT k, q_num, q_den, floor((CAST(v_lo AS DOUBLE) + CAST(rem AS DOUBLE)/CAST(q_den AS DOUBLE)*(CAST(coalesce(v_hi, v_lo) AS DOUBLE) - CAST(v_lo AS DOUBLE)))*1e6 + 0.5)/1e6 AS value FROM f"""
+  }
+
+  /** DuckDB replica of [[interpolatedQuantilesWeighted]] over events
+    * on the µ-value, weight = 1 + user_id % 9 (the
+    * q_weighted_quantile fixture). */
+  def interpolatedQuantilesWeightedOracleSql(qs: Seq[(Int, Int)],
+      exclusive: Boolean = false): String = {
+    val qrows = qs.flatMap { case (n, d) => Seq(s"($n, $d, 0)", s"($n, $d, 1)") }
+      .mkString(", ")
+    val hraw = if (exclusive) "(tw + 1) * q_num - q_den" else "(tw - 1) * q_num"
+    s"""WITH byv AS (SELECT CAST(round(value*1000000,0) AS BIGINT) AS v, sum(1 + user_id % 9) AS w FROM events GROUP BY 1),
+cum AS (SELECT v, sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw FROM byv),
+tot AS (SELECT sum(w) AS tw FROM byv),
+q(q_num, q_den, o) AS (VALUES $qrows),
+t AS (SELECT v, cw, tw, q_num, q_den, o, greatest(0, least($hraw, (tw - 1) * q_den)) AS hn FROM cum, tot, q),
+t2 AS (SELECT *, (hn - hn % q_den) // q_den AS hf, hn % q_den AS rem FROM t),
+f AS (SELECT q_num, q_den, min(CASE WHEN o = 0 THEN v END) AS v_lo, min(CASE WHEN o = 1 THEN v END) AS v_hi, max(rem) AS rem FROM t2 WHERE cw >= hf + 1 + o GROUP BY 1, 2)
+SELECT q_num, q_den, floor((CAST(v_lo AS DOUBLE) + CAST(rem AS DOUBLE)/CAST(q_den AS DOUBLE)*(CAST(coalesce(v_hi, v_lo) AS DOUBLE) - CAST(v_lo AS DOUBLE)))*1e6 + 0.5)/1e6 AS value FROM f"""
   }
 
   /** DuckDB replica of [[interpolatedQuantiles]] over events on the

@@ -3460,7 +3460,43 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"), round(col("value") * 1e6, 0).cast("long"),
         Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)),
       Some(graft.ops.TimeSeries.interpolatedQuantilesByOracleSql(
-        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))))
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
+
+    // quantileExactWeightedInterpolated analog: type-7 over the
+    // unit-expanded weighted multiset (weight = 1 + user_id % 9, the
+    // q_weighted_quantile fixture) — interpolated companion to the
+    // type-1 q_weighted_quantile.
+    GraftQuery("q_quantile_interp_weighted",
+      (s, dir) => graft.ops.TimeSeries.interpolatedQuantilesWeighted(
+        ev(s, dir), round(col("value") * 1e6, 0).cast("long"),
+        lit(1L) + pmod(col("user_id"), lit(9L)),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)),
+      Some(graft.ops.TimeSeries.interpolatedQuantilesWeightedOracleSql(
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)))),
+
+    // INCREMENTAL interpolated quantiles: the SAME additive (v, Σw)
+    // SummingStore MV as q_weighted_quantile_inc, read through the
+    // interpolated (type-7) readout — one MV serves both quantile
+    // conventions.
+    GraftQuery("q_quantile_interp_inc",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_wqi")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/wqimv"
+        val e = ev(s, dir)
+        (0 until 3).foreach { i =>
+          val part = e.filter(pmod(col("event_id"), lit(3)) === i)
+            .groupBy(round(col("value") * 1e6, 0).cast("long").as("v"))
+            .agg(sum(lit(1L) + pmod(col("user_id"), lit(9L))).as("w"))
+          graft.sinks.SummingStore.appendDelta(part, mv,
+            tag = Some(s"wqi-chunk$i"))
+        }
+        graft.ops.TimeSeries.interpolatedQuantilesFromWeights(
+          graft.sinks.SummingStore.read(s, mv, Seq("v"), Seq("w")).get,
+          Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16))
+      },
+      Some(graft.ops.TimeSeries.interpolatedQuantilesWeightedOracleSql(
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16))))
   )
 
   // A duplicate name silently shadows the earlier query once the Seq

@@ -744,4 +744,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(aOnly((1, 4)) === out(("a", 1, 4)))
     assert(aOnly((1, 2)) === out(("a", 1, 2)))
   }
+
+  test("interpolatedQuantilesWeighted: type-7 on the unit-expanded multiset") {
+    import spark.implicits._
+    // (v=10, w=3), (v=20, w=1) expands to 10,10,10,20 (n=4):
+    // median h = 1.5 -> between two 10s -> 10; q75 h = 2.25 -> 12.5
+    val df = Seq((10L, 3L), (20L, 1L)).toDF("v", "w")
+    val out = TimeSeries.interpolatedQuantilesWeighted(df, col("v"),
+        col("w"), Seq(1 -> 2, 3 -> 4))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(out((1, 2)) === 10.0)
+    assert(out((3, 4)) === 12.5)
+    // weight 1 everywhere == the unweighted form, bit-identical
+    val flat = Seq(10L, 20L, 30L, 40L).toDF("v")
+    val wq = TimeSeries.interpolatedQuantilesWeighted(flat, col("v"),
+        lit(1L), Seq(1 -> 4, 3 -> 4))
+      .collect().map(_.toSeq).toSet
+    val uq = TimeSeries.interpolatedQuantiles(flat, col("v"),
+        Seq(1 -> 4, 3 -> 4))
+      .collect().map(_.toSeq).toSet
+    assert(wq === uq)
+  }
 }
