@@ -1537,4 +1537,100 @@ SELECT k, string_agg(substring(' ▁▂▃▄▅▆▇█', CAST(lvl + 1 AS INT)
   val sumMapOracleSql: String =
     """WITH s AS (SELECT user_id AS k, event_type AS mk, CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS v FROM events GROUP BY 1,2)
 SELECT k, array_to_string(list_sort(list(mk || ':' || CAST(v AS VARCHAR))), ',') AS m FROM s GROUP BY 1"""
+
+  /** ClickHouse `exponentialTimeDecayedSum/Count/Avg/Max(λ)(v, t)`
+    * analog: per key, the exponentially time-decayed aggregate of the
+    * value series relative to the key's OWN latest activity — the
+    * "current decayed score" a serving tier reads (freshness-weighted
+    * engagement, decayed QPS, trending rank).
+    *
+    * Exactness contract (the HDR-grid discipline): instead of
+    * `exp(-λΔt)` per row — transcendental, so never bit-portable —
+    * time is quantized to the HALF-LIFE GRID `b = ⌊t_µs / h⌋` and the
+    * weight of bucket b is the dyadic rational 2^(b − b_max). That
+    * keeps every step in integer algebra: per-(key, bucket) sums are
+    * plain hash-agg partials, the weighting multiplies by the integer
+    * `2^(cap−1−kk)` (kk = b_max − b), and the ONLY float ops are one
+    * exact DECIMAL→DOUBLE conversion plus two divisions by exact
+    * power-of-two / power-of-ten literals — identical IEEE steps both
+    * engines run. Buckets older than `cap` half-lives weigh 0
+    * (< 2^-19 ≈ 1.9e-6 of a current-bucket row at the default).
+    *
+    * Scale: the decayed mass is INTRINSICALLY bounded — the geometric
+    * series caps the effective window at ~2 half-lives of event volume
+    * no matter how old the corpus is — and the plan never windows raw
+    * rows: phase 1 is one hash agg to (key, bucket) partials
+    * (DECIMAL(38,0), overflow-safe; additive, so a Summing MV can
+    * serve them), phase 2 windows over the per-key BUCKET rows (≤
+    * span/halfLife rows per key, bounded by construction — the
+    * movingAgg exception). Exact-conversion bound: partials stay below
+    * 2^53 while Σ|v_milli|·2^(cap−1) per key does, i.e. ~10^10
+    * milli-mass per key at the default cap — raise the grid (or emit
+    * `sq`/`cq` fixed-point integers) past that.
+    *
+    * Contract: key/ts/valueMilli non-null (nulls dropped), ts ≥ epoch
+    * (DIV truncation = floor only for non-negative micros).
+    *
+    * Output: (key k, decayed_sum DOUBLE units, decayed_cnt DOUBLE,
+    * decayed_avg DOUBLE units, decayed_max DOUBLE units). */
+  def expTimeDecayed(events: DataFrame, key: Column, ts: Column,
+      valueMilli: Column, halfLifeSeconds: Long, cap: Int = 20): DataFrame = {
+    require(halfLifeSeconds > 0, "halfLifeSeconds must be positive")
+    val dec = DecimalType(38, 0)
+    val h = halfLifeSeconds * 1000000L
+    val perBucket = events
+      .where(key.isNotNull && ts.isNotNull && valueMilli.isNotNull)
+      .select(key.as("k"), unix_micros(ts).as("tu"), valueMilli.as("v"))
+      .withColumn("b", expr(s"tu div $h"))
+      .groupBy(col("k"), col("b"))
+      .agg(sum(col("v").cast(dec)).as("s"),
+        count(lit(1)).cast(dec).as("c"),
+        max(col("v")).as("mx"))
+    expTimeDecayedFromBuckets(perBucket, cap)
+  }
+
+  /** [[expTimeDecayed]] phase 2 over an already-built per-(key,
+    * half-life-bucket) table (k, b BIGINT, s DECIMAL Σv_milli,
+    * c DECIMAL count, mx BIGINT max v_milli) — the INCREMENTAL entry
+    * point: every bucket column is cnt/sum/max-additive, so an
+    * [[graft.sinks.AggregatingStore]] MV maintains the table across
+    * micro-batches and this readout serves the live decayed score. */
+  def expTimeDecayedFromBuckets(perBucket: DataFrame, cap: Int = 20): DataFrame = {
+    require(cap >= 1 && cap <= 62, "cap must be in [1, 62]")
+    val dec = DecimalType(38, 0)
+    val wK = Window.partitionBy(col("k"))
+    val p2 = math.pow(2, cap - 1) // exact double: 2^(cap-1), cap ≤ 62
+    perBucket
+      .withColumn("kk", (max(col("b")).over(wK) - col("b")).cast("int"))
+      .where(col("kk") < cap)
+      .withColumn("w2", expr(s"shiftleft(CAST(1 AS BIGINT), ${cap - 1} - kk)"))
+      .groupBy(col("k"))
+      .agg(sum(col("s") * col("w2")).as("sq"),
+        sum(col("c") * col("w2")).as("cq"),
+        max(col("mx").cast(dec) * col("w2")).as("mq"))
+      .select(col("k"),
+        (col("sq").cast("double") / lit(p2) / lit(1000.0)).as("decayed_sum"),
+        (col("cq").cast("double") / lit(p2)).as("decayed_cnt"),
+        (col("sq").cast("double") / col("cq").cast("double") / lit(1000.0))
+          .as("decayed_avg"),
+        (col("mq").cast("double") / lit(p2) / lit(1000.0)).as("decayed_max"))
+  }
+
+  /** DuckDB replica of [[expTimeDecayed]] keyed by user_id on
+    * milli-unit value — HUGEINT partials mirror the DECIMAL(38,0)
+    * ones; the weighting shift, the single exact cast and the division
+    * order are operation-for-operation identical. */
+  def expTimeDecayedOracleSql(halfLifeSeconds: Long, cap: Int = 20): String = {
+    val h = halfLifeSeconds * 1000000L
+    val p2 = (1L << (cap - 1)).toDouble
+    s"""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS tu, CAST(round(value*1000,0) AS BIGINT) AS v FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+pb AS (SELECT k, tu // $h AS b, sum(CAST(v AS HUGEINT)) AS s, CAST(count(*) AS HUGEINT) AS c, max(v) AS mx FROM e GROUP BY 1, 2),
+w AS (SELECT *, CAST(max(b) OVER (PARTITION BY k) - b AS INT) AS kk FROM pb),
+f AS (SELECT k, s, c, mx, (CAST(1 AS BIGINT) << (${cap - 1} - kk)) AS w2 FROM w WHERE kk < $cap),
+a AS (SELECT k, sum(s * w2) AS sq, sum(c * w2) AS cq, max(CAST(mx AS HUGEINT) * w2) AS mq FROM f GROUP BY 1)
+SELECT k, CAST(sq AS DOUBLE) / $p2 / 1000.0 AS decayed_sum,
+ CAST(cq AS DOUBLE) / $p2 AS decayed_cnt,
+ CAST(sq AS DOUBLE) / CAST(cq AS DOUBLE) / 1000.0 AS decayed_avg,
+ CAST(mq AS DOUBLE) / $p2 / 1000.0 AS decayed_max FROM a"""
+  }
 }

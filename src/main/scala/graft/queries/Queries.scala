@@ -2871,6 +2871,50 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         round(col("value") * 1e6, 0).cast("long")),
       Some(graft.ops.TimeSeries.deltaSumOracleSql)),
 
+    // exponentialTimeDecayedSum/Count/Avg/Max analog: per-user decayed
+    // engagement relative to the user's own latest activity, 12 h
+    // half-life on the dyadic half-life grid (exact — no exp() in
+    // either engine; see TimeSeries.expTimeDecayed's contract).
+    GraftQuery("q_exp_decay",
+      (s, dir) => graft.ops.TimeSeries.expTimeDecayed(ev(s, dir),
+        col("user_id"), col("ts"),
+        round(col("value") * 1e3, 0).cast("long"), halfLifeSeconds = 43200L),
+      Some(graft.ops.TimeSeries.expTimeDecayedOracleSql(43200L))),
+
+    // INCREMENTAL decayed score: the (key, half-life-bucket) partials
+    // are cnt/sum/max-additive, so three simulated micro-batches land
+    // AggregatingStore states (with a mid-stream OPTIMIZE) and the
+    // serve-time readout weights the merged buckets — same oracle as
+    // the one-shot q_exp_decay, merged-state exactness by construction.
+    GraftQuery("q_exp_decay_inc",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_expdec")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/expdecmv"
+        val A = graft.sinks.AggregatingStore
+        val h = 43200L * 1000000L
+        val e = ev(s, dir)
+          .where(col("user_id").isNotNull && col("ts").isNotNull &&
+            col("value").isNotNull)
+          .select(col("event_id"), col("user_id").as("k"),
+            unix_micros(col("ts")).as("tu"),
+            round(col("value") * 1e3, 0).cast("long").as("v"))
+          .withColumn("b", expr(s"tu div $h"))
+        (0 until 3).foreach { i =>
+          val delta = e.filter(pmod(col("event_id"), lit(3)) === i)
+          A.appendDelta(A.partialState(delta, Seq(col("k"), col("b")),
+            col("v"), col("k")), mv, tag = Some(s"expdec-chunk$i"))
+          if (i == 1) A.compact(s, mv, Seq("k", "b"))
+        }
+        val states = A.readStates(s, mv, Seq("k", "b")).get
+        graft.ops.TimeSeries.expTimeDecayedFromBuckets(states.select(
+          col("k"), col("b"),
+          col("sum_state").cast(DecimalType(38, 0)).as("s"),
+          col("cnt_state").cast(DecimalType(38, 0)).as("c"),
+          col("max_state").as("mx")))
+      },
+      Some(graft.ops.TimeSeries.expTimeDecayedOracleSql(43200L))),
+
     // retention(cond1, cond2, cond3) analog — ClickHouse's LITERAL
     // condition-flag aggregate: users ever doing 'view', and of those
     // the counts also doing 'click' / 'purchase' (the calendar-cohort
@@ -3168,6 +3212,22 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
             col("c.lon").as("lon_c"), col("c.lat").as("lat_c"))
       },
       Some(graft.functions.GeoFunctions.geohashRoundtripOracleSql)),
+
+    // greatCircleDistance analog: haversine meters between two
+    // event-synthesized points. No libm trig in either engine — the
+    // shared-algebra polynomial renders the IDENTICAL IEEE op sequence
+    // to Spark and DuckDB, so the raw doubles hash-match bit-for-bit
+    // (see GeoFunctions' portability note).
+    GraftQuery("q_geo_distance",
+      (s, dir) => ev(s, dir).select(col("event_id"),
+          (pmod(col("user_id"), lit(3600)).cast("double") / 10 - 180).as("lon1"),
+          (pmod(col("event_id"), lit(1700)).cast("double") / 10 - 85).as("lat1"),
+          (pmod(col("event_id") * 37, lit(3600)).cast("double") / 10 - 180).as("lon2"),
+          (pmod(col("event_id") * 91, lit(1700)).cast("double") / 10 - 85).as("lat2"))
+        .select(col("event_id"),
+          graft.functions.GeoFunctions.greatCircleDistance(
+            col("lon1"), col("lat1"), col("lon2"), col("lat2")).as("dist_m")),
+      Some(graft.functions.GeoFunctions.geoDistanceOracleSql)),
 
     // IPv4 function family: num→string→num round-trip + /24 range
     // over a hash-derived address.

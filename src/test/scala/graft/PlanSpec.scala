@@ -521,4 +521,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Window"),
       "power planning is pure aggregation")
   }
+
+  test("q_geo_distance: pure map-stage scalar math — no shuffle, no join, codegen'd") {
+    val p = plan("q_geo_distance")
+    assert(!p.contains("Exchange"),
+      s"per-row haversine must not shuffle:\n${p.take(1200)}")
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(1200))
+    assert(p.contains("*(1)"), "polynomial trig must stay whole-stage codegen")
+  }
+
+  test("q_exp_decay: raw rows hash-agg once; the window runs on bucket rows") {
+    val p = plan("q_exp_decay")
+    val hashAggs = p.linesIterator.count(_.contains("HashAggregate"))
+    // partial+final for phase 1 (events→buckets) and phase 2 (key agg)
+    assert(hashAggs >= 3, s"expected bucket + final hash aggs:\n${p.take(1500)}")
+    assert(p.contains("Window"), p.take(1200))
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1200))
+  }
 }

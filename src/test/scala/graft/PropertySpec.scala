@@ -419,6 +419,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: greatCircleDistance matches libm haversine to sub-mm") {
+    import graft.functions.GeoFunctions
+    def ref(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val (p1, p2) = (math.toRadians(lat1), math.toRadians(lat2))
+      val dp = math.toRadians(lat2 - lat1) / 2
+      val dl = math.toRadians(lon2 - lon1) / 2
+      val a = math.pow(math.sin(dp), 2) +
+        math.cos(p1) * math.cos(p2) * math.pow(math.sin(dl), 2)
+      6371000.0 * 2 * math.asin(math.sqrt(math.min(1.0, math.max(0.0, a))))
+    }
+    val rng = new scala.util.Random(29)
+    val pts = Seq.fill(80)((rng.nextDouble() * 360 - 180,
+      rng.nextDouble() * 180 - 90, rng.nextDouble() * 360 - 180,
+      rng.nextDouble() * 180 - 90)) ++ Seq(
+      (0.0, 0.0, 0.0, 0.0), // identical points → 0
+      (0.0, 0.0, 180.0, 0.0), // antipodal → π·R exactly via asin(1)
+      (-180.0, 10.0, 180.0, 10.0), // dateline wrap: Δλ = 360 → 0 m
+      (12.5, 90.0, -37.0, -90.0), // pole to pole
+      (10.0, 89.999, 190.0 - 360.0, 89.999)) // near-pole short hop
+    val out = pts.toDF("lon1", "lat1", "lon2", "lat2")
+      .select(col("lon1"), col("lat1"), col("lon2"), col("lat2"),
+        GeoFunctions.greatCircleDistance(col("lon1"), col("lat1"),
+          col("lon2"), col("lat2")).as("d"))
+      .collect()
+    out.foreach { r =>
+      val e = ref(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val d = r.getDouble(4)
+      assert(math.abs(d - e) < 1e-4, s"$r expected $e")
+      assert(d >= 0 && d <= math.Pi * 6371000.0 + 1e-6, r)
+    }
+  }
+
   test("property: bitmap pair algebra equals brute-force set algebra") {
     import graft.ops.Bitmaps
     val rng = new scala.util.Random(12)

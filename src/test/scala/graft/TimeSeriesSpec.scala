@@ -765,4 +765,32 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(wq === uq)
   }
+
+  test("expTimeDecayed: dyadic half-life grid weights, cap, null-skip") {
+    // 1 h half-life; epoch-hour grid. Key 1: one event 2 buckets back
+    // (weight 2^-2) and two in the newest bucket (weight 1).
+    val events = Seq(
+      (1L, ts("2024-03-01 00:30:00"), 1.0),
+      (1L, ts("2024-03-01 02:30:00"), 2.0),
+      (1L, ts("2024-03-01 02:45:00"), 4.0),
+      // key 2: single event — all aggregates equal the event itself
+      (2L, ts("2024-03-01 05:00:00"), 10.0),
+      // key 3: 25 half-lives of gap > cap 20 → the old event weighs 0
+      (3L, ts("2024-03-01 00:10:00"), 100.0),
+      (3L, ts("2024-03-02 01:10:00"), 3.0))
+      .toDF("k", "t", "v")
+    val nulled = events.union(Seq((1L, null.asInstanceOf[Timestamp], 99.0))
+      .toDF("k", "t", "v"))
+    val out = TimeSeries.expTimeDecayed(nulled, col("k"), col("t"),
+        round(col("v") * 1e3, 0).cast("long"), halfLifeSeconds = 3600L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out(1L)._1 === 1.0 / 4 + 2.0 + 4.0) // decayed_sum = 6.25
+    assert(out(1L)._2 === 2.25) // decayed_cnt
+    assert(math.abs(out(1L)._3 - 6.25 / 2.25) < 1e-12) // decayed_avg
+    assert(out(1L)._4 === 4.0) // decayed_max (the old 1.0 weighs 0.25)
+    assert(out(2L) === ((10.0, 1.0, 10.0, 10.0)))
+    assert(out(3L) === ((3.0, 1.0, 3.0, 3.0))) // capped history dropped
+  }
 }
