@@ -170,7 +170,11 @@ object ScaleProbe {
       // each now runs its window per (user, minute bucket) with a
       // per-user carry over the bucket aggregates, so the hot user's
       // groups stay in the hundreds of rows — the shared zero-spill
-      // invariant asserts it. One rung, four forced ops, same input.
+      // invariant asserts it. One rung, five forced ops, same input
+      // (expTimeDecayed joined in round 10: its phase 1 is a map-side-
+      // combinable (user, half-life-bucket) hash agg, so the hot user
+      // collapses to ≤ span/halfLife bucket rows before its per-user
+      // window ever runs — the same bucket-form claim, probed here).
       "hotkey_windows" -> (() => {
         val spanUs = 64L * 86400L * 1000000L
         val users = math.max(eventsN / 100, 1)
@@ -194,7 +198,9 @@ object ScaleProbe {
           force(graft.ops.TimeSeries.pathTrigrams(e, col("user_id"),
             col("ts"), col("event_id"), col("et"), minute)) +
           force(graft.ops.Intervals.intervalLengthSum(e, col("user_id"),
-            col("ts"), endCol, minute))
+            col("ts"), endCol, minute)) +
+          force(graft.ops.TimeSeries.expTimeDecayed(e, col("user_id"),
+            col("ts"), col("v"), halfLifeSeconds = 86400L))
         }
       }),
       // LIMIT n BY key + ANY JOIN under the seq_count_skew adversary
