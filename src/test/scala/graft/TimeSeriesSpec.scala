@@ -766,6 +766,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(wq === uq)
   }
 
+  test("expTimeDecayed bucket partials merge to the one-shot under any batch split") {
+    val events = spark.range(0, 500).select(
+      pmod(col("id"), lit(7L)).as("k"),
+      timestamp_micros(lit(1700000000000000L) +
+        col("id") * lit(1800000000L)).as("ts"), // every 30 min
+      col("id").as("event_id"),
+      pmod(hash(col("id")), lit(100000L)).as("v"))
+    val oneShot = TimeSeries.expTimeDecayed(events, col("k"), col("ts"),
+        col("v"), halfLifeSeconds = 86400L)
+      .collect().map(_.toString).toSeq.sorted
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    for (chunks <- Seq(2, 5)) {
+      // per-chunk bucket partials, merged with the additive combinators
+      // (sum/sum/max) an AggregatingStore part-union read applies
+      val parts = (0 until chunks).map { i =>
+        events.filter(pmod(col("event_id"), lit(chunks)) === i)
+          .select(col("k"), unix_micros(col("ts")).as("tu"), col("v"))
+          .withColumn("b", expr(s"tu div ${86400L * 1000000L}"))
+          .groupBy(col("k"), col("b"))
+          .agg(sum(col("v").cast(dec38)).as("s"),
+            count(lit(1)).cast(dec38).as("c"), max(col("v")).as("mx"))
+      }.reduce(_ unionAll _)
+      val merged = parts.groupBy(col("k"), col("b"))
+        .agg(sum(col("s")).cast(dec38).as("s"),
+          sum(col("c")).cast(dec38).as("c"), max(col("mx")).as("mx"))
+      val out = TimeSeries.expTimeDecayedFromBuckets(merged)
+        .collect().map(_.toString).toSeq.sorted
+      assert(out === oneShot, s"batch split $chunks diverged")
+    }
+  }
+
   test("expTimeDecayed: dyadic half-life grid weights, cap, null-skip") {
     // 1 h half-life; epoch-hour grid. Key 1: one event 2 buckets back
     // (weight 2^-2) and two in the newest bucket (weight 1).
