@@ -33,6 +33,14 @@ object Spatial {
     * reaches the other's cell), so no distinct pass is needed and the
     * replication factor drops 9 → 5. */
   def boxPairs(points: DataFrame, id: Column, lonMicro: Column,
+      latMicro: Column, boxMicroDeg: Long): DataFrame =
+    boxPairsCoords(points, id, lonMicro, latMicro, boxMicroDeg)
+      .select(col("id_a"), col("id_b"), col("dlon_u"), col("dlat_u"))
+
+  /** [[boxPairs]] plus id_a's own coordinates (x_a, y_a µ-degrees) —
+    * the refine stage of [[radiusPairs]] reconstructs id_b's exactly
+    * as (x_a + dlon_u, y_a + dlat_u). */
+  def boxPairsCoords(points: DataFrame, id: Column, lonMicro: Column,
       latMicro: Column, boxMicroDeg: Long): DataFrame = {
     require(boxMicroDeg > 0, "box must be positive")
     val pts = points.select(id.as("pid"), lonMicro.as("x"), latMicro.as("y"))
@@ -62,7 +70,9 @@ object Spatial {
       when(aFirst, col("xr") - col("xl")).otherwise(col("xl") - col("xr"))
         .as("dlon_u"),
       when(aFirst, col("yr") - col("yl")).otherwise(col("yl") - col("yr"))
-        .as("dlat_u"))
+        .as("dlat_u"),
+      when(aFirst, col("xl")).otherwise(col("xr")).as("x_a"),
+      when(aFirst, col("yl")).otherwise(col("yr")).as("y_a"))
   }
 
   /** DuckDB replica (brute-force spec — valid because the registered
@@ -75,6 +85,86 @@ object Spatial {
 SELECT a.pid AS id_a, b.pid AS id_b, b.x - a.x AS dlon_u, b.y - a.y AS dlat_u
 FROM pts a JOIN pts b ON a.pid < b.pid
  AND abs(a.x - b.x) <= $boxMicroDeg AND abs(a.y - b.y) <= $boxMicroDeg"""
+
+  /** Candidate box size (µ-degrees) that makes the grid COMPLETE for a
+    * metric radius up to |lat| ≤ latCapDeg: 1° of latitude is
+    * π·R/180 m everywhere; 1° of longitude shrinks by cos(lat), so the
+    * box inflates by 1/cos(latCap). Shared by engine and oracle so the
+    * prefilter is one expression. */
+  def radiusBoxMicro(radiusMeters: Double, latCapDeg: Double): Long = {
+    require(radiusMeters > 0, "radius must be positive")
+    require(latCapDeg > 0 && latCapDeg < 90, "latCap must be in (0, 90)")
+    val mPerDeg = math.Pi * 6371000.0 / 180.0
+    math.ceil(radiusMeters /
+      (mPerDeg * math.cos(math.toRadians(latCapDeg))) * 1e6).toLong
+  }
+
+  /** Radius search in METERS — unordered point pairs within
+    * `radiusMeters` great-circle distance: [[boxPairsCoords]] generates
+    * the grid candidates (box sized by [[radiusBoxMicro]], so the grid
+    * is complete up to |lat| ≤ latCapDeg), then the bit-portable
+    * polynomial haversine ([[graft.functions.GeoFunctions
+    * .greatCircleDistance]]) refines — the comparison runs on doubles
+    * both engines reproduce bit-for-bit, so even boundary pairs agree.
+    *
+    * Contract (documented flat-grid semantics, mirrored by the oracle):
+    * points with |lat| > latCapDeg are EXCLUDED from pairing (partition
+    * polar caps separately — at cos(82°)≈0.14 the box inflation makes
+    * grids pointless anyway), and pairs do not wrap the ±180 dateline
+    * (pre-rotate longitudes if the corpus straddles it).
+    *
+    * Scale: the [[boxPairs]] posture verbatim (5-cell half-stencil,
+    * density-bounded candidates, no all-pairs stage) plus a codegen'd
+    * per-candidate refine — no extra shuffle, no join-back (id_b's
+    * coordinates reconstruct exactly from integer deltas).
+    *
+    * Output: (id_a, id_b, dist_m DOUBLE) with id_a < id_b. */
+  def radiusPairs(points: DataFrame, id: Column, lonMicro: Column,
+      latMicro: Column, radiusMeters: Double,
+      latCapDeg: Double = 66.0): DataFrame = {
+    val boxMicro = radiusBoxMicro(radiusMeters, latCapDeg)
+    val latCapMicro = math.round(latCapDeg * 1e6)
+    val cands = boxPairsCoords(
+      points.filter(abs(latMicro) <= latCapMicro),
+      id, lonMicro, latMicro, boxMicro)
+    def degs(c: Column): Column = c.cast("double") / lit(1e6)
+    cands
+      .select(col("id_a"), col("id_b"),
+        graft.functions.GeoFunctions.greatCircleDistance(
+          degs(col("x_a")), degs(col("y_a")),
+          degs(col("x_a") + col("dlon_u")),
+          degs(col("y_a") + col("dlat_u"))).as("dist_m"))
+      .filter(col("dist_m") <= radiusMeters)
+  }
+
+  /** DuckDB replica of [[radiusPairs]] over the sampled fixture
+    * (brute-force pairs under the SAME box prefilter — the documented
+    * grid contract — then the identical rendered haversine). */
+  def radiusPairsOracleSql(sampleMod: Long, radiusMeters: Double,
+      latCapDeg: Double = 66.0): String = {
+    val boxMicro = radiusBoxMicro(radiusMeters, latCapDeg)
+    val latCapMicro = math.round(latCapDeg * 1e6)
+    val cand = s"""(WITH pts AS (SELECT event_id AS pid,
+ CAST(round((CAST(user_id % 3600 AS DOUBLE)/10 - 180) * 1e6, 0) AS BIGINT) AS x,
+ CAST(round((CAST(event_id % 1700 AS DOUBLE)/10 - 85) * 1e6, 0) AS BIGINT) AS y
+ FROM events WHERE user_id % $sampleMod = 0)
+SELECT a.pid AS id_a, b.pid AS id_b,
+ CAST(a.x AS DOUBLE) / 1000000.0 AS lon1, CAST(a.y AS DOUBLE) / 1000000.0 AS lat1,
+ CAST(a.x + (b.x - a.x) AS DOUBLE) / 1000000.0 AS lon2,
+ CAST(a.y + (b.y - a.y) AS DOUBLE) / 1000000.0 AS lat2
+FROM pts a JOIN pts b ON a.pid < b.pid
+ AND abs(a.x - b.x) <= $boxMicro AND abs(a.y - b.y) <= $boxMicro
+ AND abs(a.y) <= $latCapMicro AND abs(b.y) <= $latCapMicro) cand"""
+    val sel = graft.functions.GeoFunctions.greatCircleDistanceSql(
+      srcSql = cand, keepSql = "id_a, id_b", alias = "dist_m",
+      lon1 = "lon1", lat1 = "lat1", lon2 = "lon2", lat2 = "lat2")
+    // MATERIALIZED is an optimizer fence: without it DuckDB pushes the
+    // dist_m filter down through the 22 let-binding projections,
+    // substituting each _gbN by its definition transitively — the same
+    // combinatorial inlining the let-bindings exist to prevent (a
+    // filter that planned for minutes at sf0.1; 0.5 s fenced).
+    s"WITH d AS MATERIALIZED ($sel) SELECT * FROM d WHERE dist_m <= $radiusMeters"
+  }
 
   /** Point-in-polygon (ClickHouse `pointInPolygon`) by the crossing-
     * number rule, EXACT in integer µ-degrees: a horizontal ray from

@@ -3186,6 +3186,21 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         boxMicroDeg = 2000000L),
       Some(graft.ops.Spatial.boxPairsOracleSql(37L, 2000000L))),
 
+    // Radius search in METERS: grid candidates refined by the
+    // bit-portable haversine — boundary pairs agree across engines
+    // because both compute the identical IEEE double before the <=.
+    GraftQuery("q_geo_radius_join",
+      (s, dir) => graft.ops.Spatial.radiusPairs(
+        ev(s, dir).filter(pmod(col("user_id"), lit(37)) === 0)
+          .select(col("event_id"),
+            round((pmod(col("user_id"), lit(3600)).cast("double") / 10 - 180)
+              * 1e6, 0).cast("long").as("lon_u"),
+            round((pmod(col("event_id"), lit(1700)).cast("double") / 10 - 85)
+              * 1e6, 0).cast("long").as("lat_u")),
+        col("event_id"), col("lon_u"), col("lat_u"),
+        radiusMeters = 300000.0),
+      Some(graft.ops.Spatial.radiusPairsOracleSql(37L, 300000.0))),
+
     // geohashEncode over synthesized coordinates (precision 6).
     GraftQuery("q_geohash",
       (s, dir) => ev(s, dir).select(col("event_id"),

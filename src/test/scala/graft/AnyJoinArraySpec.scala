@@ -98,4 +98,32 @@ class AnyJoinArraySpec extends SparkSpec {
       .map(_.getBoolean(4)).toSeq
     assert(single === Seq(true, true, false, true))
   }
+
+  test("radiusPairs: metric refine over grid candidates, lon shrink at high lat") {
+    // µ-degree points: p1=(0,0), p2=(0.5°E,0) ≈ 55.6 km from p1;
+    // p3=(0, 2.6°N) ≈ 289 km (outside radius AND outside the box);
+    // p4 far away; p5/p6 at 65°N, 1° of lon apart ≈ 47 km — INSIDE the
+    // 60 km radius only because longitude degrees shrink by cos(lat),
+    // which the inflated candidate box must not lose; p7 above the
+    // 66° cap is excluded from pairing entirely (documented contract).
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 500000L, 0L), (3L, 0L, 2600000L),
+      (4L, 100000000L, 0L),
+      (5L, 0L, 65000000L), (6L, 1000000L, 65000000L),
+      (7L, 0L, 80000000L))
+      .toDF("pid", "x", "y")
+    val out = graft.ops.Spatial.radiusPairs(pts, col("pid"), col("x"),
+        col("y"), radiusMeters = 60000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.keySet === Set((1L, 2L), (5L, 6L)))
+    def ref(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val a = math.pow(math.sin(math.toRadians(lat2 - lat1) / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(math.toRadians(lon2 - lon1) / 2), 2)
+      6371000.0 * 2 * math.asin(math.sqrt(a))
+    }
+    assert(math.abs(out((1L, 2L)) - ref(0, 0, 0.5, 0)) < 1e-4)
+    assert(math.abs(out((5L, 6L)) - ref(0, 65, 1, 65)) < 1e-4)
+  }
 }
