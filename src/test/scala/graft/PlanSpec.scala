@@ -522,6 +522,17 @@ class PlanSpec extends SparkSpec {
       "power planning is pure aggregation")
   }
 
+  test("q_geo_radius_join: stencil join only — refine adds no exchange, no cartesian, no window") {
+    val p = plan("q_geo_radius_join")
+    assert(!p.contains("CartesianProduct"),
+      s"radius refine must ride the cell-key join:\n${p.take(1500)}")
+    assert(!p.contains("Window"), p.take(1200))
+    // exchanges: left/right stencil-key repartitions (+AQE reads) only —
+    // the haversine refine is a projection and must add none
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 4, s"refine added a shuffle:\n${p.take(1500)}")
+  }
+
   test("q_geo_distance: pure map-stage scalar math — no shuffle, no join, codegen'd") {
     val p = plan("q_geo_distance")
     assert(!p.contains("Exchange"),
