@@ -235,10 +235,24 @@ SELECT doc_id, CAST(w AS BIGINT) AS weight, CAST(floor(ln(CAST(u_micro AS DOUBLE
     require(num > 0 && num <= den, s"need 0 < num <= den, got $num/$den")
     require(offNum >= 0 && offNum <= offDen,
       s"need 0 <= offNum <= offDen, got $offNum/$offDen")
-    val lo = (BigInt(offNum) << 60) / BigInt(offDen)
-    val hi = lo + (BigInt(num) << 60) / BigInt(den)
+    val (lo, hi) = offsetBounds(num, den, offNum, offDen)
     val h = TextFunctions.md5Long(concat(lit("smp:"), key.cast("string")))
-    df.filter(h >= lit(lo.toLong) && h < lit(hi.toLong))
+    df.filter(h >= lit(lo) && h < lit(hi))
+  }
+
+  /** The [lo, hi) hash cut of [[sampleByKeyOffset]]. hi is floored from
+    * the COMBINED rational end offset (offNum/offDen + num/den), not
+    * from independently-floored start and width — independent floors
+    * leave up to one hash value per slice boundary in a gap and stop
+    * the last slice short of 2^60; with the combined form slice i's hi
+    * equals slice i+1's lo exactly and an end offset of 1 yields
+    * hi = 2^60, so K workers at 1/K OFFSET i/K tile the domain with no
+    * gap and no overlap. */
+  def offsetBounds(num: Long, den: Long, offNum: Long, offDen: Long): (Long, Long) = {
+    val lo = (BigInt(offNum) << 60) / BigInt(offDen)
+    val hi = ((BigInt(offNum) * den + BigInt(num) * offDen) << 60) /
+      (BigInt(offDen) * den)
+    (lo.toLong, hi.toLong)
   }
 
   /** The hash-domain cut [[sampleByKey]] applies, for oracle reuse. */
@@ -252,10 +266,9 @@ SELECT doc_id, CAST(w AS BIGINT) AS weight, CAST(floor(ln(CAST(u_micro AS DOUBLE
   /** DuckDB predicate replica of [[sampleByKeyOffset]]. */
   def sampleByKeyOffsetOraclePred(keySql: String, num: Long, den: Long,
       offNum: Long, offDen: Long): String = {
-    val lo = (BigInt(offNum) << 60) / BigInt(offDen)
-    val hi = lo + (BigInt(num) << 60) / BigInt(den)
+    val (lo, hi) = offsetBounds(num, den, offNum, offDen)
     val h = s"CAST('0x'||substring(md5('smp:'||CAST($keySql AS VARCHAR)),1,15) AS BIGINT)"
-    s"($h >= ${lo.toLong} AND $h < ${hi.toLong})"
+    s"($h >= $lo AND $h < $hi)"
   }
 
   /** Token-budget greedy selection: order documents by (quality desc,

@@ -87,16 +87,25 @@ FROM pts a JOIN pts b ON a.pid < b.pid
  AND abs(a.x - b.x) <= $boxMicroDeg AND abs(a.y - b.y) <= $boxMicroDeg"""
 
   /** Candidate box size (µ-degrees) that makes the grid COMPLETE for a
-    * metric radius up to |lat| ≤ latCapDeg: 1° of latitude is
-    * π·R/180 m everywhere; 1° of longitude shrinks by cos(lat), so the
-    * box inflates by 1/cos(latCap). Shared by engine and oracle so the
+    * metric radius up to |lat| ≤ latCapDeg. Latitude separation is the
+    * linear bound r/(π·R/180) exactly. Longitude is NOT linear: from
+    * the haversine, two points at latitude φ and distance ≤ r satisfy
+    * Δλ ≤ 2·asin(sin(r/2R)/cos φ), which EXCEEDS the naive
+    * r/(mPerDeg·cos φ) (asin convexity amplified by 1/cos φ — at
+    * r = 300 km, φ = 66° the linear bound loses ~2,500 µdeg of real
+    * pairs near the radius boundary). The box is the max of the two
+    * bounds (one Chebyshev cell size serves both axes; the refine
+    * filter discards the slack). Shared by engine and oracle so the
     * prefilter is one expression. */
   def radiusBoxMicro(radiusMeters: Double, latCapDeg: Double): Long = {
     require(radiusMeters > 0, "radius must be positive")
     require(latCapDeg > 0 && latCapDeg < 90, "latCap must be in (0, 90)")
-    val mPerDeg = math.Pi * 6371000.0 / 180.0
-    math.ceil(radiusMeters /
-      (mPerDeg * math.cos(math.toRadians(latCapDeg))) * 1e6).toLong
+    val r = 6371000.0
+    val latBound = math.ceil(radiusMeters / (math.Pi * r / 180.0) * 1e6).toLong
+    val lonBound = math.ceil(math.toDegrees(2.0 * math.asin(math.min(1.0,
+      math.sin(radiusMeters / (2.0 * r)) /
+        math.cos(math.toRadians(latCapDeg))))) * 1e6).toLong
+    math.max(latBound, lonBound)
   }
 
   /** Radius search in METERS — unordered point pairs within

@@ -53,10 +53,14 @@ object Stats {
     * 1e17+): Spark's floor(double) returns a LONG, so c·1e6 beyond
     * 2^63 clamps to Long.MaxValue — silently wrong. Below 4e9 the
     * scaled product stays under 2^52 (exact in the long conversion
-    * AND as a double, so both engines agree bit-for-bit); above it a
-    * double's ulp already exceeds 1e-6 and rounding is the identity.
-    * Both engines take the same branch on the same operand →
-    * identical bits. Oracle twin: [[r6bigSql]]. */
+    * AND as a double, so both engines agree bit-for-bit). Above 4e9
+    * values pass through UNROUNDED: between 4e9 and 2^33 (~8.6e9,
+    * where a double's ulp first exceeds 1e-6) they are representable
+    * finer than 6 dp but are deliberately left raw to keep the scaled
+    * product under 2^52; from 2^33 up, rounding would be the identity
+    * anyway. So the column contract is "6-dp-quantized below 4e9, raw
+    * above" — both engines take the same branch on the same operand →
+    * identical bits either way. Oracle twin: [[r6bigSql]]. */
   private def r6big(c: Column): Column =
     when(abs(c) < lit(4.0e9), r6(c)).otherwise(c)
 

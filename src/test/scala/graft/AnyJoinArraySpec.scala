@@ -126,4 +126,26 @@ class AnyJoinArraySpec extends SparkSpec {
     assert(math.abs(out((1L, 2L)) - ref(0, 0, 0.5, 0)) < 1e-4)
     assert(math.abs(out((5L, 6L)) - ref(0, 65, 1, 65)) < 1e-4)
   }
+
+  test("radiusPairs: boundary pair at the lat cap beyond the linear lon bound") {
+    // At lat 66° and r = 300 km the true max longitude separation is
+    // 2·asin(sin(r/2R)/cos 66°) ≈ 6.6360° — MORE than the naive linear
+    // r/(mPerDeg·cos 66°) ≈ 6.6333° (asin convexity amplified by
+    // 1/cos). This pair sits in that sliver: a linear-sized grid box
+    // silently drops it; the asin-sized box must keep it.
+    val r = 6371000.0
+    val naive = math.ceil(300000.0 /
+      (math.Pi * r / 180.0 * math.cos(math.toRadians(66.0))) * 1e6).toLong
+    val box = Spatial.radiusBoxMicro(300000.0, 66.0)
+    assert(box > naive, s"box=$box must exceed the linear lon bound $naive")
+    val dlon = 6634500L // > naive; haversine dist ≈ 299.93 km < 300 km
+    assert(dlon > naive && dlon <= box)
+    val pts = Seq((1L, 0L, 66000000L), (2L, dlon, 66000000L))
+      .toDF("pid", "x", "y")
+    val out = Spatial.radiusPairs(pts, col("pid"), col("x"), col("y"),
+      radiusMeters = 300000.0).collect()
+    assert(out.length === 1 && out(0).getLong(0) === 1L &&
+      out(0).getLong(1) === 2L)
+    assert(out(0).getDouble(2) <= 300000.0 && out(0).getDouble(2) > 299000.0)
+  }
 }

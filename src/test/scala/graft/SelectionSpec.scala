@@ -392,4 +392,23 @@ class SelectionSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(slices.head.collect().map(_.toSeq).toSet === plain)
   }
+
+  test("sampleByKeyOffset: non-dyadic denominators tile with no boundary gaps") {
+    // 3 and 7 don't divide 2^60 — independently-floored lo and width
+    // would leave up to one hash value per slice boundary uncovered and
+    // stop the last slice short of 2^60; the combined-rational hi makes
+    // slice i's hi exactly slice i+1's lo and the last hi exactly 2^60.
+    for (den <- Seq(3, 7)) {
+      val bounds = (0 until den).map(i =>
+        Selection.offsetBounds(1, den, i, den))
+      for (i <- 0 until den - 1)
+        assert(bounds(i)._2 === bounds(i + 1)._1, s"gap at slice $i of $den")
+      assert(bounds.head._1 === 0L)
+      assert(bounds.last._2 === (1L << 60), "last slice must reach 2^60")
+    }
+    val df = spark.range(3000).select((col("id") % 300).as("k"), col("id"))
+    val counts = (0 until 3).map(i =>
+      Selection.sampleByKeyOffset(df, col("k"), 1, 3, i, 3).count())
+    assert(counts.sum === 3000L, s"3 slices must re-add to the table: $counts")
+  }
 }
