@@ -556,7 +556,8 @@ object Queries {
           col("event_type") === "purchase"),
         window = "7 DAYS", strictOrder = true),
       Some(graft.ops.Funnel.windowFunnelStrictOracleSql(
-        "view", "click", "purchase", "7 DAY"))),
+        "view", "click", "purchase", "7 DAY")),
+      headline = true),
 
     // windowFunnel 'strict_dedup' mode: only a repeat of an already-
     // matched condition interrupts; condition-free events pass.
@@ -1399,7 +1400,8 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
           .getOrElse(sys.error("empty store after merge"))
           .select("event_id", "user_id", "value")
       },
-      Some("SELECT event_id, user_id, CASE WHEN event_id % 97 = 0 AND event_id % 101 <> 0 THEN value + 1000 ELSE value END AS value FROM events WHERE event_id % 101 <> 0")),
+      Some("SELECT event_id, user_id, CASE WHEN event_id % 97 = 0 AND event_id % 101 <> 0 THEN value + 1000 ELSE value END AS value FROM events WHERE event_id % 101 <> 0"),
+      headline = true),
 
     // Benchmark decontamination: every 20th document's 10-token prefix
     // plays the "eval benchmark"; docs sharing any 5-gram with it are
@@ -2323,7 +2325,8 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
         graft.ops.Bm25Index.maintain(s, corpus, idx)
         graft.ops.Bm25Index.bm25TopK(s, idx, bm25Terms, k = 20)
       },
-      Some(Retrieval.bm25OracleSql(bm25Terms, k = 20))),
+      Some(Retrieval.bm25OracleSql(bm25Terms, k = 20)),
+      headline = true),
 
     // Transitive duplicate GROUPS from the verified MinHash pairs:
     // connected components via DataFrame min-label propagation (pointer-
@@ -2563,7 +2566,8 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
         ev(s, dir).filter(col("event_type") === "purchase"),
         col("user_id"), col("ts"),
         round(col("value") * 1e6, 0).cast("long")),
-      Some(graft.ops.TimeSeries.gapFillDailyOracleSql("purchase"))),
+      Some(graft.ops.TimeSeries.gapFillDailyOracleSql("purchase")),
+      headline = true),
 
     // Composed dashboard series — the ClickHouse `WITH FILL …
     // INTERPOLATE` + window-function combo every engagement dashboard
@@ -2687,7 +2691,8 @@ FROM gf""")),
         lit(1L) + pmod(col("user_id"), lit(9L)),
         Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)),
       Some(graft.ops.TimeSeries.weightedQuantilesOracleSql(
-        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)))),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16))),
+      headline = true),
 
     // INCREMENTAL weighted quantiles: per-value weights are additive,
     // so three simulated micro-batches land per-chunk (v → Σw) parts
@@ -2729,7 +2734,8 @@ FROM gf""")),
     GraftQuery("q_bitmap_overlap",
       (s, dir) => graft.ops.Bitmaps.segmentOverlap(ev(s, dir),
         col("event_type"), col("user_id")),
-      Some(graft.ops.Bitmaps.segmentOverlapOracleSql)),
+      Some(graft.ops.Bitmaps.segmentOverlapOracleSql),
+      headline = true),
 
     // bitmapMin/bitmapMax analog: per-segment id extremes read off
     // the bitmap words (struct-min/max + branch-free bit arithmetic).
@@ -2879,7 +2885,8 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       (s, dir) => graft.ops.TimeSeries.expTimeDecayed(ev(s, dir),
         col("user_id"), col("ts"),
         round(col("value") * 1e3, 0).cast("long"), halfLifeSeconds = 43200L),
-      Some(graft.ops.TimeSeries.expTimeDecayedOracleSql(43200L))),
+      Some(graft.ops.TimeSeries.expTimeDecayedOracleSql(43200L)),
+      headline = true),
 
     // INCREMENTAL decayed score: the (key, half-life-bucket) partials
     // are cnt/sum/max-additive, so three simulated micro-batches land
@@ -3019,7 +3026,8 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"), col("ts"),
         round(col("value") * 1e6, 0).cast("long"),
         bucketUs = 3600000000L, period = 24),
-      Some(graft.ops.Seasonal.stlDecomposeOracleSql(3600000000L, 24))),
+      Some(graft.ops.Seasonal.stlDecomposeOracleSql(3600000000L, 24)),
+      headline = true),
 
     // seasonal-aware anomalies: STL residuals beyond 3σ of the
     // per-key residual distribution, exact integer comparison.
@@ -3092,7 +3100,8 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         ev(s, dir).filter(col("event_type").isin("click", "view")),
         round(col("value") * 1e6, 0).cast("long"),
         round(col("value") * 1e3, 0).cast("long") % 1000),
-      Some(graft.ops.Stats.rankCorrOracleSql)),
+      Some(graft.ops.Stats.rankCorrOracleSql),
+      headline = true),
 
     // meanZTest with variances pinned at the µ²-unit scale.
     GraftQuery("q_mean_ztest",
@@ -3199,7 +3208,8 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
               * 1e6, 0).cast("long").as("lat_u")),
         col("event_id"), col("lon_u"), col("lat_u"),
         radiusMeters = 300000.0),
-      Some(graft.ops.Spatial.radiusPairsOracleSql(37L, 300000.0))),
+      Some(graft.ops.Spatial.radiusPairsOracleSql(37L, 300000.0)),
+      headline = true),
 
     // geohashEncode over synthesized coordinates (precision 6).
     GraftQuery("q_geohash",
@@ -3327,7 +3337,8 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       Some(graft.ops.LimitBy.oracleSql(
         src = s"(SELECT user_id, event_id, event_type, $scoreSql AS sc FROM events) t",
         groupSql = Seq("user_id"), scoreSql = "sc", rowKeySql = "event_id",
-        selectSql = "user_id, event_id, event_type", n = 3, offset = 1))),
+        selectSql = "user_id, event_id, event_type", n = 3, offset = 1)),
+      headline = true),
 
     // ClickHouse `SAMPLE 1/8` clause: by-key consistent hash-domain
     // cut, then per-type raw + den/num-extrapolated counts (the doc'd
@@ -3535,7 +3546,8 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         col("event_type"), round(col("value") * 1e6, 0).cast("long"),
         Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)),
       Some(graft.ops.TimeSeries.interpolatedQuantilesByOracleSql(
-        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))),
+      headline = true),
 
     // quantileExactWeightedInterpolated analog: type-7 over the
     // unit-expanded weighted multiset (weight = 1 + user_id % 9, the
