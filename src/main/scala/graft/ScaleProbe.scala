@@ -521,6 +521,17 @@ object ScaleProbe {
         force(graft.ops.Bpe.learnMerges(
           ScaleData.docs(spark, docsN, vocab = 2000, uniqueTail = false),
           col("doc_id"), col("text"), nMerges = 64))),
+      // two-tier unigram-LM tokenizer trainer (the bpe_train hazard
+      // class, joined per the standing rung policy): seed + 2 Viterbi-EM
+      // rounds + prune over a 2000-word vocab must cost a FIXED handful
+      // of driver round-trips (word-freq checkpoint + count + collect),
+      // never per-EM-round corpus jobs — the jobs column is the rung's
+      // headline metric, pinned by ScaleProbeSpec's invariant-4 twin
+      "unigram_train" -> (() =>
+        force(graft.ops.UnigramTok.trainPieces(
+          ScaleData.docs(spark, docsN, vocab = 2000, uniqueTail = false),
+          col("doc_id"), col("text"),
+          maxPieceLen = 4, seedSize = 512, vocabSize = 256, emIters = 2))),
       // multi-key blocked entity resolution on SKEWED keys: the junk
       // mega-blocks (shared default phone / placeholder email, size
       // ∝ n) must be dropped by the maxBlock cap so candidate-pair

@@ -996,6 +996,29 @@ object Queries {
         col("text"), nMerges = 4),
       Some(graft.ops.Bpe.encodeOracleSql(nMerges = 4))),
 
+    // Unigram-LM (SentencePiece-style) tokenizer TRAINING: substring
+    // seed counts over the Heaps'-bounded word vocab, deterministic
+    // Viterbi-EM rounds on integer-quantized log-probs, count-ranked
+    // pruning to the target vocab with the single-char coverage floor.
+    // Oracle replays the identical EM with recursive-CTE Viterbi DPs.
+    GraftQuery("q_unigram_train",
+      (s, dir) => graft.ops.UnigramTok.trainPieces(docs(s, dir),
+        col("doc_id"), col("text"),
+        maxPieceLen = 4, seedSize = 48, vocabSize = 32, emIters = 2),
+      Some(graft.ops.UnigramTok.trainOracleSql(
+        maxPieceLen = 4, seedSize = 48, vocabSize = 32, emIters = 2))),
+
+    // Unigram-LM ENCODING under the trained pieces: Viterbi-segment
+    // each distinct word once (vocab-sized work), then the corpus token
+    // stream joins the per-word piece counts on the word key
+    // (sort-merge pinned — corpus side never broadcasts).
+    GraftQuery("q_unigram_encode",
+      (s, dir) => graft.ops.UnigramTok.encode(docs(s, dir),
+        col("doc_id"), col("text"),
+        maxPieceLen = 4, seedSize = 48, vocabSize = 32, emIters = 2),
+      Some(graft.ops.UnigramTok.encodeOracleSql(
+        maxPieceLen = 4, seedSize = 48, vocabSize = 32, emIters = 2))),
+
     // Polynomial rolling-hash fingerprint over the token stream
     // (order-sensitive, unlike the md5 content fingerprint): a left fold
     // of (acc*131 + tokenHash) mod (2^31-1).

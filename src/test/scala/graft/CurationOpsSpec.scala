@@ -189,6 +189,65 @@ class CurationOpsSpec extends SparkSpec {
     assert(localE.toSeq === distE.toSeq)
   }
 
+  // ---- unigram-LM tokenizer -------------------------------------------------
+
+  test("unigramTok: seed, one Viterbi-EM round, prune — hand-checked") {
+    // words: abab ×3, ab ×2. Seed counts (overlapping, freq-weighted):
+    // a=8, b=8, ab=8, ba=3, aba=3, bab=3, abab=3. seedSize=2 multi-char
+    // picks ab (8) then aba (3, utf8-least of the tied four). One EM
+    // round: Viterbi gives abab→[ab,ab] (aba's lower prob loses to
+    // ab+ab... actually ab@p2 then ab@p4 beats aba+b) and ab→[ab], so
+    // counts ab=8, chars floor to 1, aba dies at 0. Prune keeps both
+    // chars + ab. lp over total 10: ab=ln(.8)µ=-223144, a=b=ln(.1)µ=
+    // -2302585 (floor-half-up).
+    val docs = Seq(
+      (1L, "abab abab ab"),
+      (2L, "abab ab"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.UnigramTok.trainPieces(docs, col("doc_id"),
+        col("text"), maxPieceLen = 4, seedSize = 2, vocabSize = 4,
+        emIters = 1)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(
+      ("a", 1L, -2302585L), ("ab", 8L, -223144L), ("b", 1L, -2302585L)))
+  }
+
+  test("unigramTok: encode counts Viterbi pieces per document") {
+    val docs = Seq(
+      (1L, "abab abab ab"),
+      (2L, "abab ab"))
+      .toDF("doc_id", "text")
+    val out = graft.ops.UnigramTok.encode(docs, col("doc_id"), col("text"),
+        maxPieceLen = 4, seedSize = 2, vocabSize = 4, emIters = 1)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_words") === 3L) // abab abab ab
+    assert(out(0).getAs[Long]("n_pieces") === 5L) // [ab ab][ab ab][ab]
+    assert(out(1).getAs[Long]("n_words") === 2L)
+    assert(out(1).getAs[Long]("n_pieces") === 3L)
+  }
+
+  test("unigramTok: local EM loop is byte-equal to the distributed fallback") {
+    // rich corpus: count ties (piece-asc tie-breaks in seed + prune),
+    // Viterbi score ties (longer-piece tie-break), char coverage floor
+    val docs = graft.ScaleData.docs(spark, n = 200, vocab = 40, tokens = 12)
+    def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
+    def params = (4, 24, 30, 2) // K, seedSize, vocabSize, emIters
+    val (k, ss, vs, em) = params
+    val localT = graft.ops.UnigramTok.trainPieces(docs, col("doc_id"),
+      col("text"), k, ss, vs, em).orderBy("piece").collect().map(key)
+    val distT = graft.ops.UnigramTok.trainPieces(docs, col("doc_id"),
+      col("text"), k, ss, vs, em, localVocabLimit = 0L)
+      .orderBy("piece").collect().map(key)
+    assert(localT.toSeq === distT.toSeq)
+    val localE = graft.ops.UnigramTok.encode(docs, col("doc_id"),
+      col("text"), k, ss, vs, em).orderBy("doc_id").collect().map(key)
+    val distE = graft.ops.UnigramTok.encode(docs, col("doc_id"),
+      col("text"), k, ss, vs, em, localVocabLimit = 0L)
+      .orderBy("doc_id").collect().map(key)
+    assert(localE.toSeq === distE.toSeq)
+  }
+
   // ---- hard negatives -----------------------------------------------------
 
   test("knnClassify: majority label of the k nearest wins; label asc breaks ties") {

@@ -70,6 +70,18 @@ class ScaleProbeSpec extends SparkSpec {
     assert(b <= 12L, s"bpe_train used $b jobs at 10x — merge loop not batched")
   }
 
+  test("unigram_train: driver round-trips are O(1) in EM rounds (two-tier loop)") {
+    // seed + 2 EM rounds + prune over a 2000-word vocab in the local
+    // tier: word-freq checkpoint + count + collect + the forced
+    // parallelize write — flat in corpus size AND in EM rounds (the
+    // distributed fallback would spend several vocab-sized jobs per
+    // round; the local tier spends zero)
+    val s = small("unigram_train")._2.jobs
+    val b = big("unigram_train")._2.jobs
+    assert(s <= 12L, s"unigram_train used $s jobs at 1x — EM loop not local")
+    assert(b <= 12L, s"unigram_train used $b jobs at 10x — EM loop not local")
+  }
+
   test("driver materialization stays bounded at 10x (no corpus-sized collect)") {
     // resultBytes has a plan-width × task-count noise floor (per-task
     // accumulator/metric payload), so the invariant is GROWTH, not an
