@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ClickHouse external-dictionary analog (`dictGet` /
+  * `dictGetOrDefault` / `dictGetHierarchy` / `dictIsIn`): the
+  * reference's broadcast dim-enrichment join (J1,
+  * EnhancedEngagementStreamingJob.java:114-122) IS ClickHouse-land's
+  * flat-dictionary pattern, so the flat lookup here is a thin,
+  * explicitly-broadcast API over it — what's new is the HIERARCHICAL
+  * family, the one dictionary feature with no analog elsewhere in the
+  * repo: a parent-keyed dimension (category trees) resolved to
+  * self→root ancestor chains.
+  *
+  * Hierarchy resolution is bounded-depth iterative self-broadcast:
+  * `maxDepth` rounds, each broadcasting the (id, parent) dictionary
+  * and advancing every chain by one hop (a chain already at its root
+  * passes through a left-join miss unchanged). Dictionaries are
+  * model/dimension-sized by definition — ClickHouse materializes them
+  * IN RAM on every server — so broadcasting each round is the correct
+  * posture at any fact-table scale, and the closure is computed once
+  * per DICTIONARY (dict-sized work), never per fact row: fact streams
+  * join the finished closure with one more broadcast. Nothing here
+  * ever shuffles the fact side.
+  *
+  * Conventions (the ClickHouse ones): keys are positive longs; parent
+  * 0 or NULL means "no parent" (root). Chains longer than `maxDepth`
+  * truncate (hierarchical dictionaries assume shallow trees; size
+  * maxDepth ≥ the tree depth — a cycle, which ClickHouse documents as
+  * user error, also just truncates at maxDepth instead of hanging).
+  * `dictIsIn(child, anc)` is true when `anc` appears in child's chain
+  * INCLUDING child itself (the ClickHouse equal-key behavior).
+  */
+object Dict {
+
+  /** Ancestor-chain closure of a parent-keyed dictionary:
+    * (id, path array<long> self→root, root_id, depth) — `path` is
+    * `dictGetHierarchy`, `depth` = ancestor count (0 for roots). */
+  def hierarchy(dim: DataFrame, id: Column, parent: Column,
+      maxDepth: Int = 10): DataFrame = {
+    require(maxDepth >= 1 && maxDepth <= 64, "maxDepth must be in [1, 64]")
+    val base = dim.select(id.cast("long").as("h_id"),
+      parent.cast("long").as("h_par"))
+    var cur = base.select(col("h_id"), col("h_par").as("nxt"),
+      array(col("h_id")).as("path"))
+    var i = 0
+    while (i < maxDepth) {
+      cur = cur.join(
+          broadcast(base.select(col("h_id").as("p_id"), col("h_par").as("p_par"))),
+          col("nxt") === col("p_id"), "left")
+        .select(col("h_id"),
+          coalesce(col("p_par"), lit(0L)).as("nxt"),
+          when(col("p_id").isNotNull,
+            concat(col("path"), array(col("p_id"))))
+            .otherwise(col("path")).as("path"))
+      i += 1
+    }
+    cur.select(col("h_id").as("id"), col("path"),
+      element_at(col("path"), -1).as("root_id"),
+      (size(col("path")) - 1).as("depth"))
+  }
+
+  /** `dictIsIn(child, ancestor)` over a [[hierarchy]] row's path. */
+  def dictIsIn(path: Column, ancestor: Long): Column =
+    array_contains(path, lit(ancestor))
+
+  /** `dictGetOrDefault`: flat attribute lookup with a default on a
+    * missing key. The dictionary broadcasts — ClickHouse keeps
+    * dictionaries resident in RAM per server, and that is exactly what
+    * an explicit broadcast hash join is on Spark — so the fact side
+    * never shuffles. */
+  def dictGetOrDefault(facts: DataFrame, key: Column, dim: DataFrame,
+      dimKey: Column, attr: Column, outName: String,
+      default: Column): DataFrame = {
+    val d = dim.select(dimKey.as("__dk"), attr.as("__dv"))
+    facts.withColumn("__fk", key)
+      .join(broadcast(d), col("__fk") === col("__dk"), "left")
+      .withColumn(outName, coalesce(col("__dv"), default))
+      .drop("__fk", "__dk", "__dv")
+  }
+
+  /** DuckDB replica of [[hierarchy]] as a recursive CTE chain over a
+    * dictionary relation `dimSql` (must yield columns id, parent).
+    * Emits CTE `${p}hier`: (id, path_str '/'-joined self→root,
+    * root_id, depth, path-as-list `pl` for dictIsIn predicates). */
+  def hierarchyOracleCtes(dimSql: String, p: String = ""): String =
+    s"""${p}dim AS ($dimSql),
+${p}chain AS (
+  SELECT id AS id, id AS node, 0 AS depth FROM ${p}dim
+  UNION ALL
+  SELECT c.id, d.parent AS node, c.depth + 1
+  FROM ${p}chain c JOIN ${p}dim d ON c.node = d.id
+  WHERE d.parent >= 1
+),
+${p}hier AS (
+  SELECT id,
+    string_agg(CAST(node AS VARCHAR), '/' ORDER BY depth ASC) AS path_str,
+    max_by(node, depth) AS root_id,
+    CAST(max(depth) AS INTEGER) AS depth,
+    list(node ORDER BY depth ASC) AS pl
+  FROM ${p}chain GROUP BY id
+)"""
+}

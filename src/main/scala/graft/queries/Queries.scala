@@ -3606,7 +3606,56 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
           Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16))
       },
       Some(graft.ops.TimeSeries.interpolatedQuantilesWeightedOracleSql(
-        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16))))
+        Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)))),
+
+    // ClickHouse hierarchical dictionary (dictGetHierarchy + dictIsIn):
+    // a parent-keyed category tree (id // 4, depth 5 over 340 ids —
+    // bounded by the modulus, a model-sized dictionary) resolved to
+    // self→root chains by bounded-depth iterative self-broadcast; the
+    // fact side never shuffles past its own rollup. Oracle resolves the
+    // same tree with a recursive CTE.
+    GraftQuery("q_dict_hierarchy",
+      (s, dir) => {
+        val facts = ev(s, dir)
+          .select((pmod(col("event_id"), lit(340)) + 1).cast("long").as("cat_id"))
+        val dim = facts.select(col("cat_id").as("id")).distinct()
+          .select(col("id"),
+            ((col("id") - pmod(col("id"), lit(4))) / 4).cast("long").as("parent"))
+        val hier = graft.ops.Dict.hierarchy(dim, col("id"), col("parent"),
+          maxDepth = 8)
+        facts.groupBy(col("cat_id")).agg(count(lit(1)).as("n_events"))
+          .join(broadcast(hier), col("cat_id") === col("id"))
+          .select(col("cat_id"), col("n_events"), col("root_id"), col("depth"),
+            concat_ws("/", transform(col("path"), _.cast("string"))).as("path_str"),
+            graft.ops.Dict.dictIsIn(col("path"), 5L).as("in_anc5"))
+      },
+      Some(s"""WITH RECURSIVE facts AS (SELECT event_id % 340 + 1 AS cat_id FROM events),
+${graft.ops.Dict.hierarchyOracleCtes(
+        "SELECT DISTINCT cat_id AS id, cat_id // 4 AS parent FROM facts")},
+agg AS (SELECT cat_id, CAST(count(*) AS BIGINT) AS n_events FROM facts GROUP BY cat_id)
+SELECT a.cat_id, a.n_events, h.root_id, h.depth, h.path_str, list_contains(h.pl, 5) AS in_anc5
+FROM agg a JOIN hier h ON a.cat_id = h.id""")),
+
+    // dictGetOrDefault: flat broadcast attribute lookup with a default
+    // on missing keys — the dictionary covers ids ≤ 300, so categories
+    // 301..340 exercise the default path for real.
+    GraftQuery("q_dict_get",
+      (s, dir) => {
+        val facts = ev(s, dir)
+          .select((pmod(col("event_id"), lit(340)) + 1).cast("long").as("cat_id"))
+        val dimNamed = facts.select(col("cat_id").as("id")).distinct()
+          .filter(col("id") <= 300)
+          .select(col("id"), concat(lit("cat-"), col("id").cast("string")).as("name"))
+        graft.ops.Dict.dictGetOrDefault(
+          facts.groupBy(col("cat_id")).agg(count(lit(1)).as("n_events")),
+          col("cat_id"), dimNamed, col("id"), col("name"),
+          "cat_name", lit("unknown"))
+          .select(col("cat_id"), col("cat_name"), col("n_events"))
+      },
+      Some("""WITH facts AS (SELECT event_id % 340 + 1 AS cat_id FROM events),
+agg AS (SELECT cat_id, CAST(count(*) AS BIGINT) AS n_events FROM facts GROUP BY cat_id),
+dimn AS (SELECT DISTINCT cat_id AS id, 'cat-' || CAST(cat_id AS VARCHAR) AS name FROM facts WHERE cat_id <= 300)
+SELECT a.cat_id, coalesce(d.name, 'unknown') AS cat_name, a.n_events FROM agg a LEFT JOIN dimn d ON a.cat_id = d.id"""))
   )
 
   // A duplicate name silently shadows the earlier query once the Seq

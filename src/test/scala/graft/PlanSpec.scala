@@ -177,6 +177,17 @@ class PlanSpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("q_dict_hierarchy: every hop of the dictionary resolution broadcasts") {
+    // 8 self-broadcast hops + the closure joining back to the fact
+    // rollup — the dictionary side must broadcast at EVERY level and
+    // the fact side must never sort-merge
+    val p = plan("q_dict_hierarchy")
+    val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 9, s"expected >= 9 broadcast joins (8 hops + fact join), got $bhj:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "dictionary resolution must never shuffle-join:\n" + p.take(2000))
+  }
+
   test("q_mix_weights: one tiny aggregate + broadcast scalar, no sort-merge join") {
     val p = plan("q_mix_weights")
     assert(!p.contains("SortMergeJoin"), p.take(2000))
