@@ -152,8 +152,13 @@ object MinHash {
 SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= ${cfg.threshold}"""
 
   /** The WITH-clause body shared by oracleSql and composed pipelines
-    * (ends with CTE `verified`: doc_a, doc_b, jaccard — unfiltered). */
-  def oracleCtes(cfg: Config = Config()): String = {
+    * (ends with CTE `verified`: doc_a, doc_b, jaccard — unfiltered).
+    * `src` is the (doc_id, text) relation to dedup — `documents` by
+    * default, a pipeline-stage CTE when composed; `pre` holds CTE
+    * definitions `src` depends on, spliced in right after WITH (pass
+    * them WITHOUT a trailing comma). */
+  def oracleCtes(cfg: Config = Config(), src: String = "documents",
+      pre: String = ""): String = {
     val shingle =
       raw"""list_distinct([array_to_string(toks[i:i+${cfg.shingleSize - 1}], ' ') FOR i IN range(1, greatest(len(toks)-${cfg.shingleSize - 1}, 1)+1)])"""
     val sigExprs = (0 until cfg.numPerms).map { j =>
@@ -164,7 +169,8 @@ SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= ${cfg.threshold}"""
       val hi = (b + 1) * cfg.rowsPerBand
       s"WHEN $b THEN md5(array_to_string(list_transform(signature[$lo:$hi], x -> CAST(x AS VARCHAR)), ','))"
     }.mkString(" ")
-    raw"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+    val lead = if (pre.isEmpty) "WITH " else s"WITH $pre,\n"
+    raw"""${lead}toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM $src),
 sh AS (SELECT doc_id, $shingle AS sh FROM toks),
 sig AS (SELECT doc_id, sh, $sigExprs AS signature FROM sh),
 bands AS (SELECT doc_id, i.i AS band_idx, CASE i.i $bandCase END AS band_key FROM sig, (SELECT unnest(range(${cfg.bands})) AS i) i),

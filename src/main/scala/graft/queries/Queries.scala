@@ -3655,8 +3655,88 @@ FROM agg a JOIN hier h ON a.cat_id = h.id""")),
       Some("""WITH facts AS (SELECT event_id % 340 + 1 AS cat_id FROM events),
 agg AS (SELECT cat_id, CAST(count(*) AS BIGINT) AS n_events FROM facts GROUP BY cat_id),
 dimn AS (SELECT DISTINCT cat_id AS id, 'cat-' || CAST(cat_id AS VARCHAR) AS name FROM facts WHERE cat_id <= 300)
-SELECT a.cat_id, coalesce(d.name, 'unknown') AS cat_name, a.n_events FROM agg a LEFT JOIN dimn d ON a.cat_id = d.id"""))
+SELECT a.cat_id, coalesce(d.name, 'unknown') AS cat_name, a.n_events FROM agg a LEFT JOIN dimn d ON a.cat_id = d.id""")),
+
+    // The STREAMING training-data flagship: the corpus arrives in three
+    // id-monotone micro-batches through CorpusIngest.pipelineBatch
+    // (Gopher gate → quality gate + exact dedup vs the store → near-dup
+    // eviction vs the persisted MinHash band index → exactly-once seen/
+    // eviction landing + SummingStore monitor), then the serve-time
+    // readout (seen ∖ evictions) feeds sequence packing. One DuckDB
+    // BATCH oracle replays the whole flow — the streaming decomposition
+    // must be invisible in the result. Side-effecting scratch stores:
+    // never headline.
+    GraftQuery("q_training_pipeline_stream",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_tps")
+        deleteRecursivelyOnExit(tmpPath)
+        val (base, idx, pairs, mv) = (s"$tmpPath/corpus", s"$tmpPath/idx",
+          s"$tmpPath/pairs", s"$tmpPath/mv")
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        Seq(0L -> 170L, 170L -> 340L, 340L -> Long.MaxValue)
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            graft.streaming.CorpusIngest.pipelineBatch(s, base, idx, pairs,
+              mv, d.filter(col("doc_id") >= lo && col("doc_id") < hi), i.toLong)
+          }
+        val served = graft.streaming.CorpusIngest.servedCorpus(s, base, pairs)
+        Corpus.concatChunk(served, col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long"),
+          seqLen = 512, bucketSize = 100)
+      },
+      Some(trainingStreamOracle(
+        s"""drops AS (SELECT DISTINCT doc_b AS doc_id FROM verified WHERE jaccard >= ${graft.dedup.MinHash.Config().threshold}),
+kept AS (SELECT doc_id, text FROM exact_keep WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok FROM kept),
+c AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t)
+SELECT doc_id, n_tok, start_tok, CAST(floor(start_tok / 512.0) AS BIGINT) AS first_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 512.0) AS BIGINT) AS last_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 512.0) AS BIGINT) - CAST(floor(start_tok / 512.0) AS BIGINT) + 1 AS n_seqs FROM c"""))),
+
+    // The MV-served MONITORING tier of the same streaming pipeline:
+    // per-batch additive counters (docs in, Gopher+quality gated,
+    // exact-new, near-dup evictions, landed tokens) from the
+    // SummingStore the pipeline maintains — gated against the batch
+    // replay assigning each doc/eviction to its arrival batch.
+    GraftQuery("q_training_monitor_stream",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_tpm")
+        deleteRecursivelyOnExit(tmpPath)
+        val (base, idx, pairs, mv) = (s"$tmpPath/corpus", s"$tmpPath/idx",
+          s"$tmpPath/pairs", s"$tmpPath/mv")
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        Seq(0L -> 170L, 170L -> 340L, 340L -> Long.MaxValue)
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            graft.streaming.CorpusIngest.pipelineBatch(s, base, idx, pairs,
+              mv, d.filter(col("doc_id") >= lo && col("doc_id") < hi), i.toLong)
+          }
+        graft.sinks.SummingStore.read(s, mv, Seq("batch_id"),
+          Seq("n_in", "n_gated", "n_fresh", "n_evicted", "tok_fresh")).get
+      },
+      Some {
+        val b = (c: String) =>
+          s"CASE WHEN $c < 170 THEN 0 WHEN $c < 340 THEN 1 ELSE 2 END"
+        trainingStreamOracle(
+          raw"""m1 AS (SELECT ${b("doc_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_in FROM documents GROUP BY 1),
+m2 AS (SELECT ${b("doc_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_gated FROM gated GROUP BY 1),
+m3 AS (SELECT ${b("doc_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_fresh, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tok_fresh FROM exact_keep GROUP BY 1),
+m4 AS (SELECT ${b("doc_b")} AS batch_id, CAST(count(*) AS BIGINT) AS n_evicted FROM verified WHERE jaccard >= ${graft.dedup.MinHash.Config().threshold} GROUP BY 1)
+SELECT m1.batch_id, m1.n_in, CAST(coalesce(m2.n_gated, 0) AS BIGINT) AS n_gated, CAST(coalesce(m3.n_fresh, 0) AS BIGINT) AS n_fresh, CAST(coalesce(m4.n_evicted, 0) AS BIGINT) AS n_evicted, CAST(coalesce(m3.tok_fresh, 0) AS BIGINT) AS tok_fresh
+FROM m1 LEFT JOIN m2 USING (batch_id) LEFT JOIN m3 USING (batch_id) LEFT JOIN m4 USING (batch_id)""")
+      })
   )
+
+  /** Shared oracle skeleton of the q_training_*_stream pair: the BATCH
+    * replay of the streaming pipeline's gate + exact-dedup + near-dup
+    * stages (CTEs gated, exact_keep, then MinHash's chain ending in
+    * `verified`), with the query-specific tail CTEs + SELECT appended.
+    * Valid because arrival is id-monotone (the stream contract the
+    * registered queries honor), so "first landed" = min doc_id. */
+  private def trainingStreamOracle(tail: String): String = {
+    val pre =
+      raw"""${TextFunctions.gopherSignalsOracleCtes("documents", "gp")},
+gated AS (SELECT d.doc_id, d.text FROM documents d JOIN gpgsig g USING (doc_id) WHERE g.passes AND $qualitySqlExpr >= 0.2),
+exact_keep AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER (PARTITION BY substring(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) ORDER BY doc_id ASC) AS rn FROM gated) WHERE rn = 1)"""
+    s"""${graft.dedup.MinHash.oracleCtes(src = "exact_keep", pre = pre)},
+$tail"""
+  }
 
   // A duplicate name silently shadows the earlier query once the Seq
   // collapses to the runners/oracles maps — the shadowed entry drops

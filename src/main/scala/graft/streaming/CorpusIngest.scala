@@ -44,7 +44,26 @@ object CorpusIngest {
       dsirModel: Option[Map[Long, Long]] = None,
       minLogWeight: Double = 0.0,
       logregModel: Option[Map[Long, Long]] = None,
-      minPMicros: Long = 500000L): Unit = {
+      minPMicros: Long = 500000L): Unit =
+    SnapshotStore.commitAppend(spark, base,
+      freshRows(spark, base, batch, minQuality, bloomBits, dsirModel,
+        minLogWeight, logregModel, minPMicros),
+      tag = Some(s"ingest-$batchId"))
+
+  /** The gate + exact-dedup core of [[ingestBatch]], WITHOUT the
+    * landing commit: returns the batch rows that survive the quality /
+    * model gates, in-batch fingerprint collapse, and the bloom-
+    * prefiltered anti-join against what `base` already holds (plus the
+    * `fp` fingerprint column). [[pipelineBatch]] reuses it so the
+    * composed pipeline can run near-dedup on exactly the rows plain
+    * ingest would land. */
+  def freshRows(spark: SparkSession, base: String, batch: DataFrame,
+      minQuality: Double = 0.2,
+      bloomBits: Long = 1L << 22,
+      dsirModel: Option[Map[Long, Long]] = None,
+      minLogWeight: Double = 0.0,
+      logregModel: Option[Map[Long, Long]] = None,
+      minPMicros: Long = 500000L): DataFrame = {
     val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
     // optional trained gates, both served IN-ROW (literal-map lookup —
     // no join, no state): a Dsir.trainModel target-domain importance
@@ -84,6 +103,79 @@ object CorpusIngest {
         }
       case None => inBatch
     }
-    SnapshotStore.commitAppend(spark, base, fresh, tag = Some(s"ingest-$batchId"))
+    fresh
+  }
+
+  /** The COMPOSED streaming training-data pipeline — one micro-batch of
+    * the end-to-end flow the batch q_training_pipeline family gates in
+    * isolation: Gopher gate → quality gate + exact dedup (in-batch and
+    * against everything landed, [[freshRows]]) → near-dedup against the
+    * persisted MinHash band index ([[graft.dedup.MinHashIndex
+    * .processBatch]]) → exactly-once landing + eviction records +
+    * MV-served monitoring.
+    *
+    * Landing semantics: every exact-new gated doc lands in the `seen`
+    * store at `base` (so exact dedup and the index see the full
+    * arrival history), and near-dup verdicts land as EVICTION records
+    * in the pairs store at `pairsBase` — an append-only stream cannot
+    * retro-delete a doc a later batch reveals as a near-dup, so the
+    * serve-time readout ([[servedCorpus]]) anti-joins the evictions
+    * (fold them in with a SnapshotStore mutation to compact, exactly
+    * the ClickHouse lightweight-delete pattern). Under id-monotone
+    * arrival this reproduces the batch pipeline bit-for-bit: the
+    * registered q_training_pipeline_stream/q_training_monitor_stream
+    * replay it against one DuckDB batch oracle.
+    *
+    * Monitoring: one additive row per batch (docs in, gated, exact-new,
+    * near-dup evictions, landed tokens) lands in a [[graft.sinks
+    * .SummingStore]] MV at `mvBase` — the dashboard tier reads
+    * MV-cardinality data, never the corpus.
+    *
+    * Scale posture: composition adds NO corpus-scale work to the
+    * stages' own — the gates are per-row maps, exact dedup moves
+    * 16-char digests, the index probe touches only this batch's band
+    * buckets, and the monitor delta is one aggregate of the batch. */
+  def pipelineBatch(spark: SparkSession, base: String, indexBase: String,
+      pairsBase: String, mvBase: String, batch: DataFrame, batchId: Long,
+      minQuality: Double = 0.2): Unit = {
+    import graft.functions.TextFunctions
+    val nIn = batch.count()
+    val gated = batch.filter(
+      TextFunctions.gopherSignals(col("text")).getField("passes"))
+    val fresh = freshRows(spark, base, gated, minQuality).localCheckpoint()
+    val pairs = graft.dedup.MinHashIndex.processBatch(spark, indexBase,
+      fresh, col("doc_id"), col("text"), tag = s"pipe-$batchId")
+      .localCheckpoint()
+    SnapshotStore.commitAppend(spark, base, fresh,
+      tag = Some(s"ingest-$batchId"))
+    SnapshotStore.commitAppend(spark, pairsBase,
+      pairs.select(col("doc_b").as("evicted"), col("doc_a").as("kept_twin"),
+        col("jaccard")),
+      tag = Some(s"evict-$batchId"))
+    val stats = fresh.agg(count(lit(1)).as("n_fresh"),
+        coalesce(sum(TextFunctions.tokenCount(col("text")).cast("long")),
+          lit(0L)).as("tok_fresh")).head
+    val delta = spark.range(1).select(lit(batchId).as("batch_id"),
+      lit(nIn).as("n_in"), lit(gated.count()).as("n_gated"),
+      lit(stats.getLong(0)).as("n_fresh"),
+      lit(pairs.count()).as("n_evicted"),
+      lit(stats.getLong(1)).as("tok_fresh"))
+    graft.sinks.SummingStore.appendDelta(delta, mvBase,
+      tag = Some(s"mv-$batchId"))
+  }
+
+  /** Serve-time readout of a [[pipelineBatch]] corpus: everything
+    * landed minus the eviction records — (doc_id, text, …) of the
+    * training-ready documents. */
+  def servedCorpus(spark: SparkSession, base: String,
+      pairsBase: String): DataFrame = {
+    val seen = SnapshotStore.read(spark, base)
+      .getOrElse(sys.error(s"empty corpus store at $base"))
+    SnapshotStore.read(spark, pairsBase) match {
+      case Some(ev) => seen.join(
+        ev.select(col("evicted").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      case None => seen
+    }
   }
 }

@@ -555,6 +555,70 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("composed training pipeline: gates, exact dedup, near-dup eviction, monitor MV, idempotent replay") {
+    val root = tmp("pipe-stores")
+    val (base, idx, pairs, mv) =
+      (s"$root/corpus", s"$root/idx", s"$root/pairs", s"$root/mv")
+    // 55 ordinary english words: clears the Gopher gate (>= 50 tokens,
+    // alpha words, stopwords) and the quality gate
+    val textA = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs down to the river where it drinks in the cool morning light " +
+      "of a calm clear day while birds sing in the trees and the wind " +
+      "moves softly through the tall green grass near the old stone " +
+      "bridge by the mill").trim
+    val textNear = textA.replace("stone bridge", "stone tower") // near-dup of A
+    val textB = ("a completely different document about streams of data " +
+      "and the engines that process them for training large models " +
+      "every day with care and patience across many machines in the " +
+      "wide network where each batch lands exactly once and the state " +
+      "stays correct under replays of any kind at all times").trim
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", tmp("pipe-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.CorpusIngest.pipelineBatch(spark, base, idx, pairs,
+          mv, batch, id)
+      }
+      .start()
+    try {
+      // batch 0: garbage (gate drop), a good doc, its exact in-batch copy
+      in.addData((0L, "%%% !!!"), (1L, textA), (2L, textA))
+      q.processAllAvailable()
+      // batch 1: cross-batch exact copy, a near-dup (one phrase changed),
+      // and a genuinely new doc
+      in.addData((3L, textA), (4L, textNear), (5L, textB))
+      q.processAllAvailable()
+      val served = graft.streaming.CorpusIngest.servedCorpus(spark, base, pairs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(served === Set(1L, 5L),
+        s"served corpus must drop the gate-fail, both exact copies, and the near-dup: $served")
+      // the near-dup LANDED in the seen store (exact-new) and is evicted
+      // by the pairs record — the serve-time (ClickHouse lightweight-
+      // delete) semantics
+      val seen = graft.sinks.SnapshotStore.read(spark, base).get
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(seen === Set(1L, 4L, 5L), s"seen store: $seen")
+      val mvRows = graft.sinks.SummingStore.read(spark, mv, Seq("batch_id"),
+          Seq("n_in", "n_gated", "n_fresh", "n_evicted", "tok_fresh")).get
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(mvRows(0) === ((0L, 3L, 2L, 1L, 0L)), s"batch 0 monitor: ${mvRows(0)}")
+      assert(mvRows(1) === ((1L, 3L, 3L, 2L, 1L)), s"batch 1 monitor: ${mvRows(1)}")
+      // replay of batch 1 (the at-least-once window): every landing is
+      // tag-idempotent — seen store, evictions, and MV all unchanged
+      graft.streaming.CorpusIngest.pipelineBatch(spark, base, idx, pairs, mv,
+        Seq((3L, textA), (4L, textNear), (5L, textB)).toDF("doc_id", "text"),
+        batchId = 1L)
+      assert(graft.sinks.SnapshotStore.read(spark, base).get.count() === 3L)
+      assert(graft.sinks.SnapshotStore.read(spark, pairs).get.count() === 1L)
+      val mvAfter = graft.sinks.SummingStore.read(spark, mv, Seq("batch_id"),
+          Seq("n_in")).get.agg(org.apache.spark.sql.functions.sum("n_in"))
+        .head.getLong(0)
+      assert(mvAfter === 6L, s"MV must absorb the replayed batch, got n_in sum $mvAfter")
+    } finally { q.stop() }
+  }
+
   test("failure injection: crash after store-commit before checkpoint → restart appends once") {
     // The at-least-once window the exactly-once contract must close:
     // foreachBatch commits batch N to the SnapshotStore, then the
