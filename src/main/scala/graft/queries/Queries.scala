@@ -3657,6 +3657,53 @@ agg AS (SELECT cat_id, CAST(count(*) AS BIGINT) AS n_events FROM facts GROUP BY 
 dimn AS (SELECT DISTINCT cat_id AS id, 'cat-' || CAST(cat_id AS VARCHAR) AS name FROM facts WHERE cat_id <= 300)
 SELECT a.cat_id, coalesce(d.name, 'unknown') AS cat_name, a.n_events FROM agg a LEFT JOIN dimn d ON a.cat_id = d.id""")),
 
+    // PROJECTION routing, oracle-gated and live (the ClickHouse
+    // PROJECTION idiom, MvRouting's layout sibling): a selective 2-D
+    // box Filter against the FACT path rewrites onto the z-ordered
+    // SnapshotStore copy, opening only the files whose recorded
+    // min/max stats intersect the box. The runner REQUIRES the routed
+    // plan to scan the projection (not the fact) AND the opened-file
+    // fraction to hold the zorder_box rung's <= 35% bound — a routing
+    // or clustering regression fails the gate. Oracle replays the box
+    // filter over the raw events.
+    GraftQuery("q_projection_routed",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_proj")
+        deleteRecursivelyOnExit(tmpP)
+        val factPath = s"$tmpP/fact"
+        val projBase = s"$tmpP/proj"
+        // dense independent-ish axes from event_id (user_id's domain is
+        // too sparse at sf0.001 to populate a selective box)
+        val d = ev(s, dir).select(col("event_id").as("id"),
+          pmod(col("event_id"), lit(1000)).cast("long").as("x"),
+          pmod(col("event_id") * lit(31L), lit(1000)).cast("long").as("y"))
+        d.write.mode("overwrite").parquet(factPath)
+        graft.sinks.ZOrder.commitReplaceZOrdered(s, projBase,
+          s.read.parquet(factPath), zCols = Seq("x", "y"), numFiles = 32)
+        val rule = graft.plans.ProjectionRouting(s, factPath, projBase,
+          zCols = Seq("x", "y"))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ rule
+        try {
+          val routed = s.read.parquet(factPath)
+            .filter(col("x") >= 100L && col("x") <= 150L &&
+              col("y") >= 200L && col("y") <= 260L)
+            .select(col("id"), col("x"), col("y"))
+          val phys = routed.queryExecution.executedPlan.toString()
+          require(phys.contains(projBase) && !phys.contains(factPath),
+            "q_projection_routed did not route onto the projection")
+          val frac = graft.sinks.ZOrder.filesOpenedFraction(s, projBase,
+            Seq(("x", 100.0, 150.0), ("y", 200.0, 260.0)))
+          require(frac <= 0.35,
+            f"projection box opened $frac%.2f of files (> 0.35 bound)")
+          routed.localCheckpoint()
+        } finally {
+          s.experimental.extraOptimizations =
+            s.experimental.extraOptimizations.filterNot(_ == rule)
+        }
+      },
+      Some("""SELECT event_id AS id, event_id % 1000 AS x, (event_id * 31) % 1000 AS y FROM events WHERE event_id % 1000 BETWEEN 100 AND 150 AND (event_id * 31) % 1000 BETWEEN 200 AND 260""")),
+
     // The STREAMING training-data flagship: the corpus arrives in three
     // id-monotone micro-batches through CorpusIngest.pipelineBatch
     // (Gopher gate → quality gate + exact dedup vs the store → near-dup
