@@ -408,6 +408,32 @@ object ScaleProbe {
             col("y"), boxMicroDeg = 1000000L))
         }
       }),
+      // the wrap/polar-complete metric radius join on a FIXED globe:
+      // with area constant, constant density needs the radius to
+      // shrink as 1/√N (expected neighbors per point ≈ π r² N / A
+      // stays ~2) — a fixed 300 km radius over 100M uniform global
+      // points has genuinely quadratic answers no strategy can bound.
+      // The polar caps get a FIXED ~2000-point population (the
+      // spatial_join hot-cell pattern): the cap partition's 1-D
+      // lat-band join is quadratic in per-band cap density by
+      // contract, so the rung pins that its cost stays flat while the
+      // main zone grows
+      "geo_wrap" -> (() => {
+        val inParts = math.max(32L, eventsN / 250000L).toInt
+        val r = 6371000.0 * 3.0 / math.sqrt(eventsN.toDouble)
+        val capEvery = math.max(eventsN / 2000L, 1L)
+        val pts = spark.range(0, eventsN, 1, inParts).select(
+          col("id").as("pid"),
+          (pmod(hash(col("id")), lit(360000000L)) - lit(180000000L)).as("x"),
+          when(pmod(col("id"), lit(capEvery)) === 0,
+            lit(66000000L) + pmod(hash(col("id") * lit(5L)), lit(23000000L)))
+            .otherwise(pmod(hash(col("id") * lit(3L)), lit(130000000L))
+              - lit(65000000L)).as("y"))
+        withShufflePartitions(math.max(32L, eventsN / 50000L)) {
+          force(graft.ops.Spatial.radiusPairsWrapped(pts, col("pid"),
+            col("x"), col("y"), radiusMeters = r))
+        }
+      }),
       // seasonality: the event-side cost is ONE per-(key, bucket) hash
       // agg (linear, map-side combinable); everything after runs on
       // the series table (keys × span-buckets — here keys grow with N

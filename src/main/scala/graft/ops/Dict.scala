@@ -65,6 +65,41 @@ object Dict {
   def dictIsIn(path: Column, ancestor: Long): Column =
     array_contains(path, lit(ancestor))
 
+  /** `dictGetChildren`: every dictionary key with its IMMEDIATE
+    * children, sorted ascending (keys without children get an empty
+    * array). One dictionary-sized groupBy + broadcast join back —
+    * the inverse edge direction needs no iteration. */
+  def dictGetChildren(dim: DataFrame, id: Column, parent: Column): DataFrame = {
+    val base = dim.select(id.cast("long").as("id"),
+      parent.cast("long").as("c_par"))
+    // rename the child id BEFORE grouping by the parent-as-id alias so
+    // collect_list aggregates the child ids, not the grouping key
+    val kids = base.filter(col("c_par") >= 1)
+      .select(col("id").as("kid"), col("c_par").as("id"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("kid"))).as("children"))
+    base.select(col("id"))
+      .join(broadcast(kids), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("children"), array().cast("array<long>")).as("children"))
+  }
+
+  /** `dictGetDescendants` (all levels), counted: inverting the
+    * [[hierarchy]] closure — id D is a descendant of A iff A appears in
+    * D's self→root path at depth ≥ 1 — turns the whole-subtree question
+    * into one posexplode + count, no second iteration. Returns
+    * (id, n_desc) for every dictionary key (0 for leaves). */
+  def descendantCounts(hier: DataFrame): DataFrame = {
+    val counts = hier
+      .select(posexplode(col("path")).as(Seq("pos", "anc")))
+      .filter(col("pos") >= 1)
+      .groupBy(col("anc").as("id"))
+      .agg(count(lit(1)).as("n_desc"))
+    hier.select(col("id"))
+      .join(broadcast(counts), Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_desc"), lit(0L)).as("n_desc"))
+  }
+
   /** `dictGetOrDefault`: flat attribute lookup with a default on a
     * missing key. The dictionary broadcasts — ClickHouse keeps
     * dictionaries resident in RAM per server, and that is exactly what

@@ -175,6 +175,146 @@ FROM pts a JOIN pts b ON a.pid < b.pid
     s"WITH d AS MATERIALIZED ($sel) SELECT * FROM d WHERE dist_m <= $radiusMeters"
   }
 
+  /** Exact latitude bound (µ-degrees) for a metric radius: 1° of
+    * latitude is π·R/180 m everywhere. */
+  def latBandMicro(radiusMeters: Double): Long =
+    math.ceil(radiusMeters / (math.Pi * 6371000.0 / 180.0) * 1e6).toLong
+
+  /** 180°-rotated longitude (µ-degrees): x' = wrap(x + 180°), i.e.
+    * pmod(x, 360°) − 180° — moves the ±180 seam to 0, so a grid in the
+    * rotated frame finds the pairs the original frame's seam splits.
+    * (NOT ((x+180°) mod 360°) − 180°, which is the IDENTITY on
+    * [−180°, 180°) — the hand fixture pins the distinction.) Exact
+    * integer arithmetic, its own inverse. */
+  def rotLon(c: Column): Column =
+    pmod(c, lit(360000000L)) - lit(180000000L)
+
+  /** [[radiusPairs]] COMPLETED across its two documented exclusions —
+    * the ±180 dateline and the polar caps:
+    *
+    *  - SEAM: the mid-latitude zone (|lat| ≤ latCapDeg) runs the grid
+    *    TWICE — once in the original frame, once with longitudes
+    *    rotated by 180° ([[rotLon]]) so seam-straddling pairs become
+    *    local. Both frames' candidates un-rotate to the ORIGINAL
+    *    coordinates before the refine, so a pair found in both frames
+    *    produces bit-identical rows and one `distinct` dedups — no
+    *    preference logic, no cross-frame float drift. (The polynomial
+    *    haversine is wrap-correct by construction: sin²(Δλ/2) folds
+    *    |Δλ| up to 360° into [−π, π], inside sinF's reduction domain.)
+    *  - POLAR CAPS: above the cap a longitude grid degenerates
+    *    (cos φ → 0), but latitude never does — cap points (widened by
+    *    one latitude band so cap↔main-zone pairs are caught) pair via
+    *    a 1-D latitude-band half-stencil (own cell + next, the
+    *    [[boxPairs]] dedup logic in one dimension), with the exact
+    *    |Δlat| ≤ band filter and the wrap-safe haversine refine — no
+    *    longitude prefilter at all, which is what makes it pole- and
+    *    seam-proof. Pairs emit from the cap partition only when at
+    *    least one point is strictly above the cap, so the zones
+    *    partition the pair space exactly.
+    *
+    * Scale: the main zone is [[radiusPairs]] × 2 (two grid passes, the
+    * same density-bounded candidates). The cap partition's candidates
+    * are quadratic in per-latitude-band population WITHIN the caps —
+    * the caps cover (1−sin latCap)/1... ~4% of the sphere at 66° and
+    * real corpora are near-empty there; a polar-dense corpus salts the
+    * band key (Skew.saltedJoin) or lowers latCap to shrink the cap.
+    *
+    * Output: (id_a, id_b, dist_m) with id_a < id_b, distances always
+    * computed from the ORIGINAL coordinates. */
+  def radiusPairsWrapped(points: DataFrame, id: Column, lonMicro: Column,
+      latMicro: Column, radiusMeters: Double,
+      latCapDeg: Double = 66.0): DataFrame = {
+    val boxMicro = radiusBoxMicro(radiusMeters, latCapDeg)
+    val latBand = latBandMicro(radiusMeters)
+    val capMicro = math.round(latCapDeg * 1e6)
+    val pts = points.select(id.as("pid"), lonMicro.as("x"), latMicro.as("y"))
+    def degs(c: Column): Column = c.cast("double") / lit(1e6)
+    def dist(lonA: Column, latA: Column, lonB: Column, latB: Column): Column =
+      graft.functions.GeoFunctions.greatCircleDistance(
+        degs(lonA), degs(latA), degs(lonB), degs(latB))
+
+    // main zone: grid candidates in both frames, un-rotated to original
+    // coordinates, distinct, one refine
+    val main = pts.filter(abs(col("y")) <= capMicro)
+    val candA = boxPairsCoords(main, col("pid"), col("x"), col("y"), boxMicro)
+      .select(col("id_a"), col("id_b"), col("x_a").as("lon_a"),
+        col("y_a").as("lat_a"), (col("x_a") + col("dlon_u")).as("lon_b"),
+        (col("y_a") + col("dlat_u")).as("lat_b"))
+    val candB = boxPairsCoords(
+        main.select(col("pid"), rotLon(col("x")).as("x"), col("y")),
+        col("pid"), col("x"), col("y"), boxMicro)
+      .select(col("id_a"), col("id_b"), rotLon(col("x_a")).as("lon_a"),
+        col("y_a").as("lat_a"),
+        rotLon(col("x_a") + col("dlon_u")).as("lon_b"),
+        (col("y_a") + col("dlat_u")).as("lat_b"))
+    val mainPairs = candA.unionByName(candB).distinct()
+      .select(col("id_a"), col("id_b"),
+        dist(col("lon_a"), col("lat_a"), col("lon_b"), col("lat_b")).as("dist_m"))
+      .filter(col("dist_m") <= radiusMeters)
+
+    // polar caps (north and south land in far-apart latitude cells, so
+    // one band join serves both): 1-D half-stencil on the lat cell
+    val cap = pts.filter(abs(col("y")) >= capMicro - latBand)
+    def cellOf(c: Column): Column =
+      ((c - pmod(c, lit(latBand))) / lit(latBand)).cast("long")
+    val right = cap.select(col("pid").as("id_r"), col("x").as("xr"),
+      col("y").as("yr"), cellOf(col("y")).as("cy"))
+    val capJoined = cap
+      .withColumn("o", explode(typedLit(Seq(0, 1))))
+      .select(col("pid").as("id_l"), col("x").as("xl"), col("y").as("yl"),
+        col("o"), (cellOf(col("y")) + col("o")).as("cy"))
+      .join(Joins.corpusSide(right), Seq("cy"))
+      .filter(abs(col("yl") - col("yr")) <= latBand &&
+        greatest(abs(col("yl")), abs(col("yr"))) > capMicro &&
+        (col("o") =!= 0 || col("id_l") < col("id_r")))
+    val aFirst = col("id_l") < col("id_r")
+    val capPairs = capJoined
+      .select(
+        when(aFirst, col("id_l")).otherwise(col("id_r")).as("id_a"),
+        when(aFirst, col("id_r")).otherwise(col("id_l")).as("id_b"),
+        when(aFirst, col("xl")).otherwise(col("xr")).as("lon_a"),
+        when(aFirst, col("yl")).otherwise(col("yr")).as("lat_a"),
+        when(aFirst, col("xr")).otherwise(col("xl")).as("lon_b"),
+        when(aFirst, col("yr")).otherwise(col("yl")).as("lat_b"))
+      .select(col("id_a"), col("id_b"),
+        dist(col("lon_a"), col("lat_a"), col("lon_b"), col("lat_b")).as("dist_m"))
+      .filter(col("dist_m") <= radiusMeters)
+
+    mainPairs.unionByName(capPairs)
+  }
+
+  /** DuckDB replica of [[radiusPairsWrapped]] over the sampled fixture:
+    * the identical zone partition (two-frame box prefilter in the main
+    * zone, lat-band prefilter in the caps), the identical rendered
+    * haversine on original coordinates. */
+  def radiusPairsWrappedOracleSql(sampleMod: Long, radiusMeters: Double,
+      latCapDeg: Double = 66.0): String = {
+    val boxMicro = radiusBoxMicro(radiusMeters, latCapDeg)
+    val latBand = latBandMicro(radiusMeters)
+    val capMicro = math.round(latCapDeg * 1e6)
+    def rot(c: String) = s"((((($c) % 360000000) + 360000000) % 360000000) - 180000000)"
+    val cand = s"""(WITH pts AS (SELECT event_id AS pid,
+ CAST(round((CAST(user_id % 3600 AS DOUBLE)/10 - 180) * 1e6, 0) AS BIGINT) AS x,
+ CAST(round((CAST(event_id % 1700 AS DOUBLE)/10 - 85) * 1e6, 0) AS BIGINT) AS y
+ FROM events WHERE user_id % $sampleMod = 0),
+mcand AS (SELECT a.pid AS id_a, b.pid AS id_b, a.x AS lon_a, a.y AS lat_a, b.x AS lon_b, b.y AS lat_b
+ FROM pts a JOIN pts b ON a.pid < b.pid
+ WHERE abs(a.y) <= $capMicro AND abs(b.y) <= $capMicro AND abs(a.y - b.y) <= $boxMicro
+  AND (abs(a.x - b.x) <= $boxMicro OR abs(${rot("a.x")} - ${rot("b.x")}) <= $boxMicro)),
+ccand AS (SELECT a.pid AS id_a, b.pid AS id_b, a.x AS lon_a, a.y AS lat_a, b.x AS lon_b, b.y AS lat_b
+ FROM pts a JOIN pts b ON a.pid < b.pid
+ WHERE abs(a.y) >= ${capMicro - latBand} AND abs(b.y) >= ${capMicro - latBand}
+  AND greatest(abs(a.y), abs(b.y)) > $capMicro AND abs(a.y - b.y) <= $latBand)
+SELECT id_a, id_b,
+ CAST(lon_a AS DOUBLE) / 1000000.0 AS lon1, CAST(lat_a AS DOUBLE) / 1000000.0 AS lat1,
+ CAST(lon_b AS DOUBLE) / 1000000.0 AS lon2, CAST(lat_b AS DOUBLE) / 1000000.0 AS lat2
+FROM (SELECT * FROM mcand UNION ALL SELECT * FROM ccand)) cand"""
+    val sel = graft.functions.GeoFunctions.greatCircleDistanceSql(
+      srcSql = cand, keepSql = "id_a, id_b", alias = "dist_m",
+      lon1 = "lon1", lat1 = "lat1", lon2 = "lon2", lat2 = "lat2")
+    s"WITH d AS MATERIALIZED ($sel) SELECT * FROM d WHERE dist_m <= $radiusMeters"
+  }
+
   /** Point-in-polygon (ClickHouse `pointInPolygon`) by the crossing-
     * number rule, EXACT in integer µ-degrees: a horizontal ray from
     * the point crosses edge (x1,y1)→(x2,y2) iff the edge spans the

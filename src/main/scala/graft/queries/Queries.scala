@@ -3234,6 +3234,24 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       Some(graft.ops.Spatial.radiusPairsOracleSql(37L, 300000.0)),
       headline = true),
 
+    // The radius join COMPLETED across the ±180 dateline (two-frame
+    // grid, candidates un-rotated before one shared refine) and the
+    // polar caps (1-D latitude-band half-stencil — no longitude grid,
+    // so pole- and seam-proof by construction). The fixture's synthetic
+    // coordinates straddle both: lon spans the full [-180, 179.9] seam
+    // and lat reaches ±85, 19° above the cap.
+    GraftQuery("q_geo_radius_wrap",
+      (s, dir) => graft.ops.Spatial.radiusPairsWrapped(
+        ev(s, dir).filter(pmod(col("user_id"), lit(37)) === 0)
+          .select(col("event_id"),
+            round((pmod(col("user_id"), lit(3600)).cast("double") / 10 - 180)
+              * 1e6, 0).cast("long").as("lon_u"),
+            round((pmod(col("event_id"), lit(1700)).cast("double") / 10 - 85)
+              * 1e6, 0).cast("long").as("lat_u")),
+        col("event_id"), col("lon_u"), col("lat_u"),
+        radiusMeters = 300000.0),
+      Some(graft.ops.Spatial.radiusPairsWrappedOracleSql(37L, 300000.0))),
+
     // geohashEncode over synthesized coordinates (precision 6).
     GraftQuery("q_geohash",
       (s, dir) => ev(s, dir).select(col("event_id"),
@@ -3656,6 +3674,37 @@ FROM agg a JOIN hier h ON a.cat_id = h.id""")),
 agg AS (SELECT cat_id, CAST(count(*) AS BIGINT) AS n_events FROM facts GROUP BY cat_id),
 dimn AS (SELECT DISTINCT cat_id AS id, 'cat-' || CAST(cat_id AS VARCHAR) AS name FROM facts WHERE cat_id <= 300)
 SELECT a.cat_id, coalesce(d.name, 'unknown') AS cat_name, a.n_events FROM agg a LEFT JOIN dimn d ON a.cat_id = d.id""")),
+
+    // dictGetChildren + dictGetDescendants (counted): the inverse edge
+    // direction — children from one dictionary-sized groupBy,
+    // whole-subtree descendant counts by INVERTING the ancestor-chain
+    // closure (D descends from A iff A is in D's path at depth >= 1),
+    // so no second iteration exists to get wrong. Oracle recurses the
+    // same tree.
+    GraftQuery("q_dict_descendants",
+      (s, dir) => {
+        val facts = ev(s, dir)
+          .select((pmod(col("event_id"), lit(340)) + 1).cast("long").as("cat_id"))
+        val dim = facts.select(col("cat_id").as("id")).distinct()
+          .select(col("id"),
+            ((col("id") - pmod(col("id"), lit(4))) / 4).cast("long").as("parent"))
+        val hier = graft.ops.Dict.hierarchy(dim, col("id"), col("parent"),
+          maxDepth = 8)
+        graft.ops.Dict.dictGetChildren(dim, col("id"), col("parent"))
+          .join(graft.ops.Dict.descendantCounts(hier), Seq("id"))
+          .select(col("id").as("cat_id"),
+            size(col("children")).cast("long").as("n_children"),
+            concat_ws("/", transform(col("children"), _.cast("string")))
+              .as("children_str"),
+            col("n_desc"))
+      },
+      Some(s"""WITH RECURSIVE facts AS (SELECT event_id % 340 + 1 AS cat_id FROM events),
+${graft.ops.Dict.hierarchyOracleCtes(
+        "SELECT DISTINCT cat_id AS id, cat_id // 4 AS parent FROM facts")},
+ch AS (SELECT parent AS id, CAST(count(*) AS BIGINT) AS n_children, string_agg(CAST(id AS VARCHAR), '/' ORDER BY id ASC) AS children_str FROM dim WHERE parent >= 1 GROUP BY parent),
+dc AS (SELECT node AS id, CAST(count(*) AS BIGINT) AS n_desc FROM chain WHERE depth >= 1 GROUP BY node)
+SELECT d.id AS cat_id, CAST(coalesce(ch.n_children, 0) AS BIGINT) AS n_children, coalesce(ch.children_str, '') AS children_str, CAST(coalesce(dc.n_desc, 0) AS BIGINT) AS n_desc
+FROM dim d LEFT JOIN ch ON d.id = ch.id LEFT JOIN dc ON d.id = dc.id""")),
 
     // PROJECTION routing, oracle-gated and live (the ClickHouse
     // PROJECTION idiom, MvRouting's layout sibling): a selective 2-D

@@ -127,6 +127,54 @@ class AnyJoinArraySpec extends SparkSpec {
     assert(math.abs(out((5L, 6L)) - ref(0, 65, 1, 65)) < 1e-4)
   }
 
+  test("radiusPairsWrapped: recovers seam, over-the-pole, and cap-boundary pairs") {
+    // three pair classes the flat-grid radiusPairs documents as
+    // excluded: (1,2) straddles the ±180 dateline 0.1° apart (~11 km);
+    // (3,4) both at 89°N, 180° of longitude apart — over the pole,
+    // ~222 km; (5,6) spans the 66° cap boundary, 0.7° of lat (~78 km).
+    val pts = Seq(
+      (1L, 179950000L, 0L), (2L, -179950000L, 0L),
+      (3L, 0L, 89000000L), (4L, 180000000L, 89000000L),
+      (5L, 0L, 65800000L), (6L, 0L, 66500000L),
+      (7L, 90000000L, 0L))
+      .toDF("pid", "x", "y")
+    val plain = Spatial.radiusPairs(pts, col("pid"), col("x"), col("y"),
+      radiusMeters = 300000.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain === Set.empty,
+      s"flat grid must miss all three excluded classes, found $plain")
+    val out = Spatial.radiusPairsWrapped(pts, col("pid"), col("x"), col("y"),
+        radiusMeters = 300000.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set((1L, 2L), (3L, 4L), (5L, 6L)), s"got ${out.keySet}")
+    def ref(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val a = math.pow(math.sin(math.toRadians(lat2 - lat1) / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+          math.pow(math.sin(math.toRadians(lon2 - lon1) / 2), 2)
+      6371000.0 * 2 * math.asin(math.sqrt(a))
+    }
+    assert(math.abs(out((1L, 2L)) - ref(179.95, 0, -179.95, 0)) < 1e-3)
+    assert(math.abs(out((3L, 4L)) - ref(0, 89, 180, 89)) < 1e-3)
+    assert(math.abs(out((5L, 6L)) - ref(0, 65.8, 0, 66.5)) < 1e-3)
+  }
+
+  test("radiusPairsWrapped: agrees with radiusPairs away from seam and caps") {
+    // the mid-latitude fixture from the radiusPairs test: identical
+    // pairs AND identical distances (same refine on original coords)
+    val pts = Seq(
+      (1L, 0L, 0L), (2L, 500000L, 0L), (3L, 0L, 2600000L),
+      (4L, 100000000L, 0L),
+      (5L, 0L, 65000000L), (6L, 1000000L, 65000000L))
+      .toDF("pid", "x", "y")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = collect(Spatial.radiusPairs(pts, col("pid"), col("x"),
+      col("y"), radiusMeters = 60000.0))
+    val wrapped = collect(Spatial.radiusPairsWrapped(pts, col("pid"),
+      col("x"), col("y"), radiusMeters = 60000.0))
+    assert(wrapped === plain)
+  }
+
   test("radiusPairs: boundary pair at the lat cap beyond the linear lon bound") {
     // At lat 66° and r = 300 km the true max longitude separation is
     // 2·asin(sin(r/2R)/cos 66°) ≈ 6.6360° — MORE than the naive linear

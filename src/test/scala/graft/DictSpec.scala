@@ -42,6 +42,21 @@ class DictSpec extends SparkSpec {
     assert(row.getBoolean(2), "equal-key behavior: 4 is 'in' 4")
   }
 
+  test("dictGetChildren/descendantCounts: inverse edges, leaves at zero") {
+    val kids = Dict.dictGetChildren(dim, col("id"), col("parent"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList))
+    assert(kids.toSeq === Seq(
+      (1L, List(2L, 3L)), (2L, List(4L)), (3L, Nil), (4L, Nil),
+      (10L, List(10L)))) // the self-cycle is its own child
+    val h = Dict.hierarchy(dim, col("id"), col("parent"), maxDepth = 4)
+    val nd = Dict.descendantCounts(h).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 1 has {2, 3, 4}; 2 has {4}; the cycle's truncated chain counts
+    // its own repeats (4 depth->=1 occurrences of 10)
+    assert(nd.toSeq === Seq((1L, 3L), (2L, 1L), (3L, 0L), (4L, 0L), (10L, 4L)))
+  }
+
   test("dictGetOrDefault: hit resolves the attribute, miss takes the default") {
     val facts = Seq(2L, 99L).toDF("k")
     val named = dim.select(col("id"), concat(lit("n"), col("id")).as("nm"))
