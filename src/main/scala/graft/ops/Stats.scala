@@ -411,6 +411,73 @@ FROM m"""
       when(ok, r6((meanA - meanB) / sqrt(se))).as("z"))
   }
 
+  /** ClickHouse `proportionsZTest(sx, sy, nx, ny, conf, usevar)` analog
+    * — the last member of the hypothesis-test six (welch/student t,
+    * meanZ, mannWhitneyU, kolmogorovSmirnov, proportionsZ): a
+    * two-sample proportion z from ONE hash aggregate of exact counts.
+    * p_g = x_g/n_g; pooled se uses p̂ = (x_a+x_b)/(n_a+n_b), unpooled
+    * uses each arm's own variance (ClickHouse's usevar knob); the
+    * conf-level CI on p_a − p_b uses the same se (the ClickHouse
+    * behavior). The z-critical value is a caller-supplied IEEE literal
+    * (1.959963984540054 for 95%) so both engines parse the identical
+    * double — the p-value itself is omitted, the family's standing
+    * z-only convention (no portable Φ). Doubles appear only after the
+    * exact integer counts; every emitted double is r6.
+    *
+    * Output: (n_a, n_b, x_a, x_b, p_a, p_b, z, ci_lo, ci_hi). */
+  def proportionsZTest(df: DataFrame, isA: Column, isSuccess: Column,
+      pooled: Boolean = true,
+      zCrit: Double = 1.959963984540054): DataFrame = {
+    val p = df.select(isA.as("ga"), isSuccess.as("s"))
+      .agg(
+        sum(when(col("ga"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("ga"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("ga") && col("s"), 1L).otherwise(0L)).as("x_a"),
+        sum(when(!col("ga") && col("s"), 1L).otherwise(0L)).as("x_b"))
+    val naD = dbl(col("n_a")); val nbD = dbl(col("n_b"))
+    val pa = dbl(col("x_a")) / naD
+    val pb = dbl(col("x_b")) / nbD
+    val se2 =
+      if (pooled) {
+        val ph = dbl(col("x_a") + col("x_b")) / dbl(col("n_a") + col("n_b"))
+        ph * (lit(1.0) - ph) * (lit(1.0) / naD + lit(1.0) / nbD)
+      } else pa * (lit(1.0) - pa) / naD + pb * (lit(1.0) - pb) / nbD
+    val ok = col("n_a") > 0 && col("n_b") > 0 && se2 > lit(0.0)
+    p.select(col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+      when(col("n_a") > 0, r6(pa)).as("p_a"),
+      when(col("n_b") > 0, r6(pb)).as("p_b"),
+      when(ok, r6((pa - pb) / sqrt(se2))).as("z"),
+      when(ok, r6(pa - pb - lit(zCrit) * sqrt(se2))).as("ci_lo"),
+      when(ok, r6(pa - pb + lit(zCrit) * sqrt(se2))).as("ci_hi"))
+  }
+
+  /** DuckDB replica of [[proportionsZTest]] over `events` with the
+    * registered fixture's arms and success predicate. */
+  def proportionsZTestOracleSql(successSql: String, pooled: Boolean = true,
+      zCrit: Double = 1.959963984540054): String = {
+    val se2 =
+      if (pooled)
+        "(CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))"
+      else
+        "(CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE)) * (1.0 - CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE))/CAST(n_a AS DOUBLE) + (CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE)) * (1.0 - CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE))/CAST(n_b AS DOUBLE)"
+    s"""WITH p AS (SELECT
+ sum(CASE WHEN $armIsA THEN 1 ELSE 0 END) AS n_a,
+ sum(CASE WHEN $armIsA THEN 0 ELSE 1 END) AS n_b,
+ sum(CASE WHEN $armIsA AND ($successSql) THEN 1 ELSE 0 END) AS x_a,
+ sum(CASE WHEN NOT ($armIsA) AND ($successSql) THEN 1 ELSE 0 END) AS x_b
+ FROM events WHERE $armFilter),
+m AS (SELECT *, CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS pa,
+ CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS pb, $se2 AS se2 FROM p)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+ CAST(x_a AS BIGINT) AS x_a, CAST(x_b AS BIGINT) AS x_b,
+ CASE WHEN n_a > 0 THEN floor(pa*1e6+0.5)/1e6 END AS p_a,
+ CASE WHEN n_b > 0 THEN floor(pb*1e6+0.5)/1e6 END AS p_b,
+ CASE WHEN n_a > 0 AND n_b > 0 AND se2 > 0.0 THEN floor((pa-pb)/sqrt(se2)*1e6+0.5)/1e6 END AS z,
+ CASE WHEN n_a > 0 AND n_b > 0 AND se2 > 0.0 THEN floor((pa-pb-$zCrit*sqrt(se2))*1e6+0.5)/1e6 END AS ci_lo,
+ CASE WHEN n_a > 0 AND n_b > 0 AND se2 > 0.0 THEN floor((pa-pb+$zCrit*sqrt(se2))*1e6+0.5)/1e6 END AS ci_hi
+FROM m"""
+  }
+
   // ------------------------------------------- categorical association
 
   /** ClickHouse `corrMatrix(x1, …, xk)` analog: pairwise Pearson

@@ -3134,6 +3134,23 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         round(col("value") * 1e6, 0).cast("long"), 1e14, 1e14),
       Some(graft.ops.Stats.meanZTestOracleSql)),
 
+    // proportionsZTest (pooled): conversion = value >= 0.5, arms
+    // click vs view — completes the ClickHouse hypothesis-test six.
+    GraftQuery("q_proportions_ztest",
+      (s, dir) => graft.ops.Stats.proportionsZTest(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click", col("value") >= 0.5),
+      Some(graft.ops.Stats.proportionsZTestOracleSql("value >= 0.5"))),
+
+    // the unpooled (usevar = 'unpooled') variant of the same test —
+    // ClickHouse's other usevar arm, distinct se algebra.
+    GraftQuery("q_proportions_ztest_unpooled",
+      (s, dir) => graft.ops.Stats.proportionsZTest(
+        ev(s, dir).filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click", col("value") >= 0.5, pooled = false),
+      Some(graft.ops.Stats.proportionsZTestOracleSql("value >= 0.5",
+        pooled = false))),
+
     // simpleLinearRegression analog: per-event-type trend of the
     // µ-value over the hour-of-epoch axis (integer-exact hour index).
     GraftQuery("q_linreg",

@@ -138,6 +138,29 @@ class StatsSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("z")))
   }
 
+  test("proportionsZTest: pooled and unpooled z and CI match hand computation") {
+    // A: 3/4 successes, B: 1/4. p̂ = 4/8 = 0.5
+    // pooled  se² = 0.5·0.5·(1/4+1/4) = 0.125 → z = 0.5/√0.125 = √2
+    // unpooled se² = 0.75·0.25/4 + 0.25·0.75/4 = 0.09375
+    val df = Seq((true, true), (true, true), (true, true), (true, false),
+      (false, true), (false, false), (false, false), (false, false))
+      .toDF("is_a", "s")
+    val rp = Stats.proportionsZTest(df, col("is_a"), col("s")).collect().head
+    assert(math.abs(rp.getAs[Double]("p_a") - 0.75) < 1e-9)
+    assert(math.abs(rp.getAs[Double]("p_b") - 0.25) < 1e-9)
+    assert(math.abs(rp.getAs[Double]("z") - math.sqrt(2.0)) < 1e-5)
+    val seP = math.sqrt(0.125)
+    assert(math.abs(rp.getAs[Double]("ci_lo") - (0.5 - 1.959963984540054 * seP)) < 1e-5)
+    assert(math.abs(rp.getAs[Double]("ci_hi") - (0.5 + 1.959963984540054 * seP)) < 1e-5)
+    val ru = Stats.proportionsZTest(df, col("is_a"), col("s"),
+      pooled = false).collect().head
+    assert(math.abs(ru.getAs[Double]("z") - 0.5 / math.sqrt(0.09375)) < 1e-5)
+    // degenerate: all-success both arms → pooled variance 0 → null z
+    val allS = Seq((true, true), (false, true)).toDF("is_a", "s")
+    val rd = Stats.proportionsZTest(allS, col("is_a"), col("s")).collect().head
+    assert(rd.isNullAt(rd.fieldIndex("z")))
+  }
+
   test("cramersV bias-corrected variant shrinks toward 0 on small n") {
     val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L))
       .toDF("a", "b")
