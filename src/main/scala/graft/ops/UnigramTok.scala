@@ -283,8 +283,17 @@ object UnigramTok {
 
   // ------------------------------------------------------------ public API
 
+  /** Corpus (word, freq) table. Empty tokens (the "" a fully-blank
+    * text splits to) are excluded HERE and in [[encode]]'s stream so
+    * all three implementations agree on adversarial input: the local
+    * tier's Viterbi of "" is a harmless no-op, but the distributed
+    * tier's `sequence(1, length(word))` on a zero-length word yields
+    * [1, 0] (Spark infers step −1 when start > stop), not an empty
+    * lattice — filtering the token is the honest contract anyway (a
+    * blank document has no words). */
   private def wordFreqs(docs: DataFrame, text: Column): DataFrame =
     docs.select(explode(TextFunctions.tokens(text)).as("word"))
+      .filter(length(col("word")) >= 1)
       .groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("freq"))
 
   /** Final piece table (piece, cnt, lp_q): cnt = last-EM count of the
@@ -338,7 +347,8 @@ object UnigramTok {
           .select(col("word"), size(col("parts")).cast(LongType).as("n_sub"))
       }
     val stream = docs.select(id.as("doc_id"),
-      explode(TextFunctions.tokens(text)).as("word"))
+        explode(TextFunctions.tokens(text)).as("word"))
+      .filter(length(col("word")) >= 1)
     val enc = stream.join(Joins.corpusSide(perWord), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_pieces"))
@@ -385,7 +395,7 @@ seg$sfx AS (
       emIters: Int): String = {
     val head =
       raw"""WITH RECURSIVE
-w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents) GROUP BY tok),
+w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents) WHERE tok <> '' GROUP BY tok),
 sub AS (SELECT substr(word, CAST(tp.p AS INTEGER), CAST(tl.l AS INTEGER)) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
   FROM w, LATERAL unnest(range(1, len(word) + 1)) AS tp(p), LATERAL unnest(range(1, $k + 1)) AS tl(l)
   WHERE tp.p + tl.l - 1 <= len(word) GROUP BY 1),
@@ -418,7 +428,7 @@ SELECT piece, cnt, lp AS lp_q FROM vf"""
     raw"""${chainCtes(maxPieceLen, seedSize, vocabSize, emIters)},
 ${dpCtes("E", "vf", maxPieceLen)},
 wenc AS (SELECT word, CAST(len(parts) AS BIGINT) AS n_sub FROM segE WHERE j = 0),
-tokd AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents),
+tokd AS (SELECT doc_id, word FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) WHERE word <> ''),
 enc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(e.n_sub) AS BIGINT) AS n_pieces FROM tokd t JOIN wenc e ON t.word = e.word GROUP BY t.doc_id)
 SELECT d.doc_id, CAST(coalesce(enc.n_words, 0) AS BIGINT) AS n_words, CAST(coalesce(enc.n_pieces, 0) AS BIGINT) AS n_pieces FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"""
 }

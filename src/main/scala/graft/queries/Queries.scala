@@ -1400,7 +1400,12 @@ SELECT p.event_id, interval_id, ts_us, start_us, end_us FROM p JOIN iv ON ts_us 
     // (change keys × broadcast manifest ranges, only file NAMES reach
     // the driver). Read-back equals the SQL merge semantics, which is
     // the oracle; the pruning ratio on a clustered batch is pinned in
-    // SnapshotStoreSpec. Side-effecting scratch store — never headline.
+    // SnapshotStoreSpec. Side-effecting (scratch store per invocation,
+    // deleted on JVM exit) but HEADLINE since round 11: the bench
+    // deliberately times the whole write+merge+read cycle — the keyed
+    // MERGE is the CDC hot path, and a regression in the stats-pruned
+    // partial rewrite should move a tracked number, not hide. Scratch
+    // churn at bench scale (6 temp stores per bench run) is trivial.
     GraftQuery("q_snapshot_merge",
       (s, dir) => {
         val tmpPath = java.nio.file.Files.createTempDirectory("graft_snapmerge")
@@ -2333,8 +2338,11 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
     // then the query touches only term-pruned postings + doclens. The
     // oracle is q_bm25_topk's own brute-force SQL — the gate thereby
     // enforces bit-identical scores between the two paths.
-    // NOTE: side-effecting like q_snapshot_changes (scratch stores per
-    // invocation, deleted on JVM exit) — never headline/benched.
+    // Side-effecting (scratch stores per invocation, deleted on JVM
+    // exit) but HEADLINE since round 11: the bench deliberately times
+    // the full commit→incremental-maintain→pruned-query cycle so an
+    // index-maintenance regression moves a tracked number; scratch
+    // churn at bench scale is trivial.
     GraftQuery("q_bm25_indexed",
       (s, dir) => {
         val tmpPath = java.nio.file.Files.createTempDirectory("graft_bm25idx")

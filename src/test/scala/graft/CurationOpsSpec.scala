@@ -229,8 +229,11 @@ class CurationOpsSpec extends SparkSpec {
 
   test("unigramTok: local EM loop is byte-equal to the distributed fallback") {
     // rich corpus: count ties (piece-asc tie-breaks in seed + prune),
-    // Viterbi score ties (longer-piece tie-break), char coverage floor
+    // Viterbi score ties (longer-piece tie-break), char coverage floor;
+    // plus one all-whitespace doc — its empty token must be ignored
+    // identically by both tiers (the distributed sequence(1,0) hazard)
     val docs = graft.ScaleData.docs(spark, n = 200, vocab = 40, tokens = 12)
+      .unionByName(Seq((90001L, "   ")).toDF("doc_id", "text"))
     def key(r: org.apache.spark.sql.Row) = r.toSeq.map(String.valueOf).mkString("|")
     def params = (4, 24, 30, 2) // K, seedSize, vocabSize, emIters
     val (k, ss, vs, em) = params
