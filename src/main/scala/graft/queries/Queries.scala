@@ -3142,6 +3142,25 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         round(col("value") * 1e6, 0).cast("long"), 1e14, 1e14),
       Some(graft.ops.Stats.meanZTestOracleSql)),
 
+    // The ClickHouse dashboard-rounding ladders in one sweep:
+    // roundToExp2 over the event id (bit-exact via binary digit count,
+    // no libm log2), roundDuration over value-as-seconds, roundAge over
+    // a synthesized age axis — grouped so the gate checks every ladder
+    // band's population, not just per-row values.
+    GraftQuery("q_round_ladders",
+      (s, dir) => ev(s, dir).groupBy(
+          graft.functions.Rounding.roundToExp2(pmod(col("event_id"), lit(100000)))
+            .as("exp2_bucket"),
+          graft.functions.Rounding.roundDuration(
+            floor(col("value") * 40).cast("long")).as("dur_bucket"),
+          graft.functions.Rounding.roundAge(pmod(col("user_id"), lit(90)))
+            .as("age_bucket"))
+        .agg(count(lit(1)).as("cnt")),
+      Some(s"""SELECT ${graft.functions.Rounding.roundToExp2Sql("event_id % 100000")} AS exp2_bucket,
+ ${graft.functions.Rounding.roundDurationSql("CAST(floor(value * 40) AS BIGINT)")} AS dur_bucket,
+ ${graft.functions.Rounding.roundAgeSql("user_id % 90")} AS age_bucket,
+ count(*) AS cnt FROM events GROUP BY 1, 2, 3""")),
+
     // proportionsZTest (pooled): conversion = value >= 0.5, arms
     // click vs view — completes the ClickHouse hypothesis-test six.
     GraftQuery("q_proportions_ztest",

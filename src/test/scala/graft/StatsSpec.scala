@@ -138,6 +138,23 @@ class StatsSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("z")))
   }
 
+  test("rounding ladders: exp2 boundaries, duration steps, age bands") {
+    import graft.functions.Rounding
+    val df = Seq(0L, 1L, 2L, 3L, 7L, 8L, 1023L, 1024L).toDF("x")
+    val exp2 = df.select(Rounding.roundToExp2(col("x"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(exp2 === Seq(0L, 1L, 2L, 2L, 4L, 8L, 512L, 1024L))
+    val dd = Seq(0L, 1L, 9L, 10L, 59L, 60L, 36001L).toDF("x")
+    val dur = dd.select(Rounding.roundDuration(col("x"))).collect()
+      .map(_.getLong(0)).toSeq
+    assert(dur === Seq(0L, 1L, 1L, 10L, 30L, 60L, 36000L))
+    val ad = Seq(0L, 1L, 17L, 18L, 24L, 25L, 54L, 55L, 90L).toDF("x")
+    val age = ad.select(Rounding.roundAge(col("x"))).collect()
+      .map(_.getLong(0)).toSeq
+    // 1..17 rounds UP to 17 — the one non-monotone band, pinned
+    assert(age === Seq(0L, 17L, 17L, 18L, 18L, 25L, 45L, 55L, 55L))
+  }
+
   test("proportionsZTest: pooled and unpooled z and CI match hand computation") {
     // A: 3/4 successes, B: 1/4. p̂ = 4/8 = 0.5
     // pooled  se² = 0.5·0.5·(1/4+1/4) = 0.125 → z = 0.5/√0.125 = √2
