@@ -69,6 +69,75 @@ object Multimodal {
     * environment injects [[decodeStub]]. */
   type Decoder = Array[Byte] => Array[Float]
 
+  case class MediaResized(doc_id: Long, media_type: String,
+      width: Int, height: Int, payload: Array[Byte])
+
+  /** The resizer contract (the `Decoder` discipline for the resize
+    * stage): (payload, srcW, srcH, dstW, dstH) → resized payload.
+    * Serializable + deterministic; a real deployment injects a codec's
+    * scaler here. */
+  type Resizer = (Array[Byte], Int, Int, Int, Int) => Array[Byte]
+
+  /** STUB resize: nearest-neighbor over the payload read as a
+    * row-major srcW×srcH byte grid — dst(r, c) = src(⌊r·srcH/dstH⌋,
+    * ⌊c·srcW/dstW⌋), source index taken mod payload length (the
+    * synthetic payloads aren't truly w·h bytes; a real decoder's
+    * buffer is). Pure integer arithmetic, so the whole chain stays
+    * hash-checkable cross-engine. */
+  def resizeStub(payload: Array[Byte], srcW: Int, srcH: Int,
+      dstW: Int, dstH: Int): Array[Byte] = {
+    if (payload == null || payload.isEmpty || dstW <= 0 || dstH <= 0)
+      return Array.emptyByteArray
+    val out = new Array[Byte](dstW * dstH)
+    var r = 0
+    while (r < dstH) {
+      val sr = r.toLong * srcH / dstH
+      var c = 0
+      while (c < dstW) {
+        val sc = c.toLong * srcW / dstW
+        out(r * dstW + c) = payload(((sr * srcW + sc) % payload.length).toInt)
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Partition-parallel resize to a fixed target — the normalization
+    * pass every vision-training pipeline runs before batching (uniform
+    * tensor shapes). Same mapPartitions batch shape as
+    * [[extractFeatures]]: per-partition scaler init amortized, rows
+    * stream, nothing reaches the driver; metadata (width/height)
+    * updates with the payload. */
+  def resize(media: DataFrame, dstW: Int, dstH: Int,
+      resizer: Resizer = resizeStub): Dataset[MediaResized] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "media_type", "format", "width", "height",
+        "duration_ms", "payload")
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition scaler init would go here
+        rows.map { r =>
+          MediaResized(r.doc_id, r.media_type, dstW, dstH,
+            resizer(r.payload, r.width, r.height, dstW, dstH))
+        }
+      }
+  }
+
+  /** DuckDB replica of [[resize]] ∘ [[synthesize]] digests: rebuilds
+    * each resized payload character-by-character (the synthetic
+    * payloads are the documents' ASCII bytes, so byte = char) and
+    * md5-digests it — the registered query compares the digest, byte
+    * count, and updated metadata. */
+  def resizeOracleSql(dstW: Int, dstH: Int): String =
+    s"""WITH m AS (SELECT doc_id, CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w, CAST(64 + (doc_id % 4) * 16 AS BIGINT) AS h, text, length(text) AS len FROM documents),
+px AS (SELECT doc_id, t.i AS i,
+  substring(text, CAST((((t.i // $dstW) * h // $dstH) * w + ((t.i % $dstW) * w // $dstW)) % len AS INTEGER) + 1, 1) AS ch
+ FROM m, LATERAL unnest(range(0, ${dstW.toLong * dstH})) AS t(i))
+SELECT doc_id, $dstW AS width, $dstH AS height, ${dstW * dstH} AS n_bytes, md5(string_agg(ch, '' ORDER BY i)) AS resized_md5
+FROM px GROUP BY doc_id"""
+
   /** Partition-parallel feature extraction: the INJECTED decoder is
     * applied per-partition (mapPartitions ≈ mapInPandas batch shape:
     * amortize per-task decoder setup across the partition's rows,

@@ -2530,6 +2530,21 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
       },
       Some(graft.multimodal.Multimodal.featuresOracleSql())),
 
+    // Multimodal RESIZE plumbing (the vision-pipeline normalization
+    // pass): synthesize → injected scaler (nearest-neighbor stub over
+    // the byte grid, pure integer arithmetic) → fixed 32×32 payloads
+    // with updated metadata. The oracle rebuilds each resized payload
+    // character-by-character and compares the md5 digest — the whole
+    // byte path is hash-gated, not just the shapes.
+    GraftQuery("q_multimodal_resize",
+      (s, dir) => graft.multimodal.Multimodal.resize(
+          graft.multimodal.Multimodal.synthesize(docs(s, dir)),
+          dstW = 32, dstH = 32).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          md5(col("payload")).as("resized_md5")),
+      Some(graft.multimodal.Multimodal.resizeOracleSql(32, 32))),
+
     // The composed multimodal PIPELINE: synthesize → injected decoder
     // (stub here; the signature is the swap point for a real codec) →
     // k-means clustering over the decoded features → within-cluster

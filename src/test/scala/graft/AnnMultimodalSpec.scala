@@ -228,4 +228,23 @@ class AnnMultimodalSpec extends SparkSpec {
     assert(frames.map(_.length).sum === 100)
     assert(Multimodal.frameSampleStub(Array.emptyByteArray, 4).isEmpty)
   }
+
+  test("resize stub: nearest-neighbor picks, shape contract, degenerate inputs") {
+    // 4×2 grid 0..7 row-major → 2×1: dst(0,0) = src(r=0,c=0) = 0,
+    // dst(0,1) = src(r=0, c=⌊1·4/2⌋=2) = byte 2
+    val grid = Array.tabulate[Byte](8)(_.toByte)
+    val down = Multimodal.resizeStub(grid, 4, 2, 2, 1)
+    assert(down.toSeq === Seq[Byte](0, 2))
+    // upscale 2×1 (bytes 10, 20) → 4×2: each source byte repeats 2×2
+    val up = Multimodal.resizeStub(Array[Byte](10, 20), 2, 1, 4, 2)
+    assert(up.toSeq === Seq[Byte](10, 10, 20, 20, 10, 10, 20, 20))
+    assert(Multimodal.resizeStub(Array.emptyByteArray, 4, 4, 2, 2).isEmpty)
+    assert(Multimodal.resizeStub(grid, 4, 2, 0, 3).isEmpty)
+    // dataset plumbing: metadata updates with the payload
+    import spark.implicits._
+    val media = Multimodal.synthesize(
+      Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text"))
+    val r = Multimodal.resize(media, dstW = 8, dstH = 4).collect().head
+    assert(r.width === 8 && r.height === 4 && r.payload.length === 32)
+  }
 }
