@@ -286,7 +286,18 @@ FROM pts a JOIN pts b ON a.pid < b.pid
   /** DuckDB replica of [[radiusPairsWrapped]] over the sampled fixture:
     * the identical zone partition (two-frame box prefilter in the main
     * zone, lat-band prefilter in the caps), the identical rendered
-    * haversine on original coordinates. */
+    * haversine on original coordinates.
+    *
+    * FIXTURE (mirrored by the registered query): longitudes sit in a
+    * 12° strip STRADDLING ±180 ([174°, 186°) wrapped), latitudes span
+    * ±85° — so the gate's corpus actually populates all three pair
+    * classes at every SF: seam-crossing (frame-B-only), polar-cap, and
+    * plain. The first fixture derived lon from user_id across the full
+    * circle; a class audit found ZERO seam pairs at both gate SFs
+    * (sf0.001 has only 15 distinct user_ids), i.e. the rotation path
+    * was gated only by the hand spec — the round-10 polygon-fixture
+    * lesson, reapplied. RadiusWrapFixtureSpec pins the class counts so
+    * a future testdata regeneration that empties a class fails CI. */
   def radiusPairsWrappedOracleSql(sampleMod: Long, radiusMeters: Double,
       latCapDeg: Double = 66.0): String = {
     val boxMicro = radiusBoxMicro(radiusMeters, latCapDeg)
@@ -294,9 +305,10 @@ FROM pts a JOIN pts b ON a.pid < b.pid
     val capMicro = math.round(latCapDeg * 1e6)
     def rot(c: String) = s"((((($c) % 360000000) + 360000000) % 360000000) - 180000000)"
     val cand = s"""(WITH pts AS (SELECT event_id AS pid,
- CAST(round((CAST(user_id % 3600 AS DOUBLE)/10 - 180) * 1e6, 0) AS BIGINT) AS x,
- CAST(round((CAST(event_id % 1700 AS DOUBLE)/10 - 85) * 1e6, 0) AS BIGINT) AS y
- FROM events WHERE user_id % $sampleMod = 0),
+ CASE WHEN lr >= 180000000 THEN lr - 360000000 ELSE lr END AS x, y FROM (
+  SELECT event_id, CAST(round((CAST(event_id % 120 AS DOUBLE)/10 + 174) * 1e6, 0) AS BIGINT) AS lr,
+   CAST(round((CAST((event_id * 7) % 1700 AS DOUBLE)/10 - 85) * 1e6, 0) AS BIGINT) AS y
+  FROM events WHERE event_id % $sampleMod = 0)),
 mcand AS (SELECT a.pid AS id_a, b.pid AS id_b, a.x AS lon_a, a.y AS lat_a, b.x AS lon_b, b.y AS lat_b
  FROM pts a JOIN pts b ON a.pid < b.pid
  WHERE abs(a.y) <= $capMicro AND abs(b.y) <= $capMicro AND abs(a.y - b.y) <= $boxMicro

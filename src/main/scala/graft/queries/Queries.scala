@@ -3296,20 +3296,25 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
     // The radius join COMPLETED across the ±180 dateline (two-frame
     // grid, candidates un-rotated before one shared refine) and the
     // polar caps (1-D latitude-band half-stencil — no longitude grid,
-    // so pole- and seam-proof by construction). The fixture's synthetic
-    // coordinates straddle both: lon spans the full [-180, 179.9] seam
-    // and lat reaches ±85, 19° above the cap.
+    // so pole- and seam-proof by construction). The fixture is a 12°
+    // longitude strip STRADDLING ±180 with latitudes to ±85, so the
+    // corpus gate populates all three pair classes (seam-crossing /
+    // polar-cap / plain) at every SF — RadiusWrapFixtureSpec pins the
+    // class counts (a full-circle lon fixture gated zero seam pairs).
     GraftQuery("q_geo_radius_wrap",
-      (s, dir) => graft.ops.Spatial.radiusPairsWrapped(
-        ev(s, dir).filter(pmod(col("user_id"), lit(37)) === 0)
-          .select(col("event_id"),
-            round((pmod(col("user_id"), lit(3600)).cast("double") / 10 - 180)
-              * 1e6, 0).cast("long").as("lon_u"),
-            round((pmod(col("event_id"), lit(1700)).cast("double") / 10 - 85)
-              * 1e6, 0).cast("long").as("lat_u")),
-        col("event_id"), col("lon_u"), col("lat_u"),
-        radiusMeters = 300000.0),
-      Some(graft.ops.Spatial.radiusPairsWrappedOracleSql(37L, 300000.0))),
+      (s, dir) => {
+        val lr = round((pmod(col("event_id"), lit(120)).cast("double") / 10
+          + 174) * 1e6, 0).cast("long")
+        graft.ops.Spatial.radiusPairsWrapped(
+          ev(s, dir).filter(pmod(col("event_id"), lit(7)) === 0)
+            .select(col("event_id"),
+              when(lr >= 180000000L, lr - 360000000L).otherwise(lr).as("lon_u"),
+              round((pmod(col("event_id") * 7, lit(1700)).cast("double") / 10
+                - 85) * 1e6, 0).cast("long").as("lat_u")),
+          col("event_id"), col("lon_u"), col("lat_u"),
+          radiusMeters = 300000.0)
+      },
+      Some(graft.ops.Spatial.radiusPairsWrappedOracleSql(7L, 300000.0))),
 
     // geohashEncode over synthesized coordinates (precision 6).
     GraftQuery("q_geohash",
