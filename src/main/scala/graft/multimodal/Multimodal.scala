@@ -126,17 +126,28 @@ object Multimodal {
   }
 
   /** DuckDB replica of [[resize]] ∘ [[synthesize]] digests: rebuilds
-    * each resized payload character-by-character (the synthetic
-    * payloads are the documents' ASCII bytes, so byte = char) and
-    * md5-digests it — the registered query compares the digest, byte
-    * count, and updated metadata. */
+    * each resized payload character-by-character and md5-digests it —
+    * the registered query compares the digest, byte count, and updated
+    * metadata.
+    *
+    * Fixture contract (asserted by FixtureCoverageSpec, not just
+    * assumed): the documents' text must be ASCII — the rebuild indexes
+    * CHARACTERS while the engine indexes UTF-8 BYTES, so byte = char
+    * must hold. Empty text needs no fixture guarantee: the engine
+    * returns an empty payload for an empty source buffer
+    * ([[resizeStub]]'s payload.isEmpty branch), and the oracle mirrors
+    * it below (n_bytes 0, digest of the empty string) instead of
+    * dividing by a zero modulus. */
   def resizeOracleSql(dstW: Int, dstH: Int): String =
     s"""WITH m AS (SELECT doc_id, CAST(64 + (doc_id % 8) * 16 AS BIGINT) AS w, CAST(64 + (doc_id % 4) * 16 AS BIGINT) AS h, text, length(text) AS len FROM documents),
 px AS (SELECT doc_id, t.i AS i,
   substring(text, CAST((((t.i // $dstW) * h // $dstH) * w + ((t.i % $dstW) * w // $dstW)) % len AS INTEGER) + 1, 1) AS ch
- FROM m, LATERAL unnest(range(0, ${dstW.toLong * dstH})) AS t(i))
-SELECT doc_id, $dstW AS width, $dstH AS height, ${dstW * dstH} AS n_bytes, md5(string_agg(ch, '' ORDER BY i)) AS resized_md5
-FROM px GROUP BY doc_id"""
+ FROM m, LATERAL unnest(range(0, ${dstW.toLong * dstH})) AS t(i) WHERE len >= 1),
+dg AS (SELECT doc_id, md5(string_agg(ch, '' ORDER BY i)) AS resized_md5 FROM px GROUP BY doc_id)
+SELECT m.doc_id, $dstW AS width, $dstH AS height,
+  CASE WHEN m.len >= 1 THEN ${dstW * dstH} ELSE 0 END AS n_bytes,
+  CASE WHEN m.len >= 1 THEN dg.resized_md5 ELSE md5('') END AS resized_md5
+FROM m LEFT JOIN dg ON m.doc_id = dg.doc_id"""
 
   /** Partition-parallel feature extraction: the INJECTED decoder is
     * applied per-partition (mapPartitions ≈ mapInPandas batch shape:

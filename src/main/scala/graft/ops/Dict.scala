@@ -118,15 +118,27 @@ object Dict {
   /** DuckDB replica of [[hierarchy]] as a recursive CTE chain over a
     * dictionary relation `dimSql` (must yield columns id, parent).
     * Emits CTE `${p}hier`: (id, path_str '/'-joined self→root,
-    * root_id, depth, path-as-list `pl` for dictIsIn predicates). */
-  def hierarchyOracleCtes(dimSql: String, p: String = ""): String =
+    * root_id, depth, path-as-list `pl` for dictIsIn predicates).
+    *
+    * Mirrors the engine on MALFORMED dictionaries too, not just the
+    * dense acyclic fixtures the gate sees: the recursive step (a) only
+    * advances to a parent that EXISTS as a dictionary id — the engine's
+    * left-join miss on a dangling parent leaves the chain at its last
+    * resolved node, so the CTE must not append the dangling id — and
+    * (b) is bounded by `maxDepth` hops, so a self/longer cycle (which
+    * the engine documents as truncating after maxDepth rounds) also
+    * truncates here instead of recursing DuckDB to death. Pass the SAME
+    * maxDepth as the engine-side [[hierarchy]] call. */
+  def hierarchyOracleCtes(dimSql: String, p: String = "",
+      maxDepth: Int = 10): String =
     s"""${p}dim AS ($dimSql),
 ${p}chain AS (
   SELECT id AS id, id AS node, 0 AS depth FROM ${p}dim
   UNION ALL
   SELECT c.id, d.parent AS node, c.depth + 1
   FROM ${p}chain c JOIN ${p}dim d ON c.node = d.id
-  WHERE d.parent >= 1
+  WHERE d.parent >= 1 AND c.depth < $maxDepth
+    AND d.parent IN (SELECT id FROM ${p}dim)
 ),
 ${p}hier AS (
   SELECT id,

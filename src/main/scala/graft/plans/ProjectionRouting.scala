@@ -41,9 +41,17 @@ case class ProjectionRouting(spark: SparkSession, factPath: String,
     projectionBase: String, zCols: Seq[String])
     extends Rule[LogicalPlan] {
 
+  /** Project nodes are traversed ONLY when they are pure
+    * AttributeReference pass-through: an Alias in the projectList can
+    * rename or compute a column whose name collides with a base column
+    * (swap x/y, `(x%10).as("x")`), and the rewrite below maps columns
+    * by NAME onto the projection scan — routing through such a Project
+    * would prune on the wrong column. Declining is always sound (the
+    * original plan stands). */
   @scala.annotation.tailrec
-  private def isFactScan(plan: LogicalPlan): Boolean = plan match {
-    case p: Project => isFactScan(p.child)
+  private[graft] final def isFactScan(plan: LogicalPlan): Boolean = plan match {
+    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      isFactScan(p.child)
     case s: SubqueryAlias => isFactScan(s.child)
     case LogicalRelation(fsRel: HadoopFsRelation, _, _, _, _) => pathMatches(fsRel)
     case _ => false
@@ -62,8 +70,26 @@ case class ProjectionRouting(spark: SparkSession, factPath: String,
     }
   }
 
-  private def numLit(e: Expression): Option[Double] = e match {
+  /** Literal → Double bound, rounded OUTWARD in the caller's direction
+    * (`widenDown = true` for lo bounds, false for hi). Integral and
+    * decimal literals above 2^53 are not exactly representable as
+    * doubles; nearest-rounding could move a bound INWARD and exclude a
+    * file whose min/max equals the literal — rows the retained Filter
+    * can never recover because the file was never scanned. Widening by
+    * one ulp when the conversion was inexact keeps pruning strictly
+    * conservative (at worst one extra file scanned). */
+  private def numLit(e: Expression, widenDown: Boolean): Option[Double] = e match {
     case Literal(v, _) if v != null => e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           _: org.apache.spark.sql.types.DecimalType =>
+        val exact = BigDecimal(v.toString)
+        val d = v.toString.toDouble
+        if (widenDown && BigDecimal(d) > exact) Some(Math.nextDown(d))
+        else if (!widenDown && BigDecimal(d) < exact) Some(Math.nextUp(d))
+        else Some(d)
       case _: org.apache.spark.sql.types.NumericType =>
         Some(v.toString.toDouble)
       case _ => None
@@ -76,28 +102,26 @@ case class ProjectionRouting(spark: SparkSession, factPath: String,
     * columns bounded on BOTH sides count — a half-open range can still
     * prune, but the conservative rule keeps the decision obviously
     * sound. */
-  private def bounds(cond: Expression): Map[String, (Double, Double)] = {
+  private[graft] def bounds(cond: Expression): Map[String, (Double, Double)] = {
     val los = scala.collection.mutable.Map.empty[String, Double]
     val his = scala.collection.mutable.Map.empty[String, Double]
     def visit(e: Expression): Unit = e match {
       case And(l, r) => visit(l); visit(r)
       case GreaterThanOrEqual(a: AttributeReference, l) if zCols.contains(a.name) =>
-        numLit(l).foreach(v => los(a.name) = math.max(v, los.getOrElse(a.name, v)))
+        numLit(l, widenDown = true).foreach(v => los(a.name) = math.max(v, los.getOrElse(a.name, v)))
       case GreaterThan(a: AttributeReference, l) if zCols.contains(a.name) =>
-        numLit(l).foreach(v => los(a.name) = math.max(v, los.getOrElse(a.name, v)))
+        numLit(l, widenDown = true).foreach(v => los(a.name) = math.max(v, los.getOrElse(a.name, v)))
       case LessThanOrEqual(a: AttributeReference, l) if zCols.contains(a.name) =>
-        numLit(l).foreach(v => his(a.name) = math.min(v, his.getOrElse(a.name, v)))
+        numLit(l, widenDown = false).foreach(v => his(a.name) = math.min(v, his.getOrElse(a.name, v)))
       case LessThan(a: AttributeReference, l) if zCols.contains(a.name) =>
-        numLit(l).foreach(v => his(a.name) = math.min(v, his.getOrElse(a.name, v)))
+        numLit(l, widenDown = false).foreach(v => his(a.name) = math.min(v, his.getOrElse(a.name, v)))
       case GreaterThanOrEqual(l, a: AttributeReference) if zCols.contains(a.name) =>
-        numLit(l).foreach(v => his(a.name) = math.min(v, his.getOrElse(a.name, v)))
+        numLit(l, widenDown = false).foreach(v => his(a.name) = math.min(v, his.getOrElse(a.name, v)))
       case LessThanOrEqual(l, a: AttributeReference) if zCols.contains(a.name) =>
-        numLit(l).foreach(v => los(a.name) = math.max(v, los.getOrElse(a.name, v)))
+        numLit(l, widenDown = true).foreach(v => los(a.name) = math.max(v, los.getOrElse(a.name, v)))
       case EqualTo(a: AttributeReference, l) if zCols.contains(a.name) =>
-        numLit(l).foreach { v =>
-          los(a.name) = math.max(v, los.getOrElse(a.name, v))
-          his(a.name) = math.min(v, his.getOrElse(a.name, v))
-        }
+        numLit(l, widenDown = true).foreach(v => los(a.name) = math.max(v, los.getOrElse(a.name, v)))
+        numLit(l, widenDown = false).foreach(v => his(a.name) = math.min(v, his.getOrElse(a.name, v)))
       case _ => // non-range conjunct: rides along on top of the routed scan
     }
     visit(cond)

@@ -3713,7 +3713,8 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       },
       Some(s"""WITH RECURSIVE facts AS (SELECT event_id % 340 + 1 AS cat_id FROM events),
 ${graft.ops.Dict.hierarchyOracleCtes(
-        "SELECT DISTINCT cat_id AS id, cat_id // 4 AS parent FROM facts")},
+        "SELECT DISTINCT cat_id AS id, cat_id // 4 AS parent FROM facts",
+        maxDepth = 8)},
 agg AS (SELECT cat_id, CAST(count(*) AS BIGINT) AS n_events FROM facts GROUP BY cat_id)
 SELECT a.cat_id, a.n_events, h.root_id, h.depth, h.path_str, list_contains(h.pl, 5) AS in_anc5
 FROM agg a JOIN hier h ON a.cat_id = h.id""")),
@@ -3764,7 +3765,8 @@ SELECT a.cat_id, coalesce(d.name, 'unknown') AS cat_name, a.n_events FROM agg a 
       },
       Some(s"""WITH RECURSIVE facts AS (SELECT event_id % 340 + 1 AS cat_id FROM events),
 ${graft.ops.Dict.hierarchyOracleCtes(
-        "SELECT DISTINCT cat_id AS id, cat_id // 4 AS parent FROM facts")},
+        "SELECT DISTINCT cat_id AS id, cat_id // 4 AS parent FROM facts",
+        maxDepth = 8)},
 ch AS (SELECT parent AS id, CAST(count(*) AS BIGINT) AS n_children, string_agg(CAST(id AS VARCHAR), '/' ORDER BY id ASC) AS children_str FROM dim WHERE parent >= 1 GROUP BY parent),
 dc AS (SELECT node AS id, CAST(count(*) AS BIGINT) AS n_desc FROM chain WHERE depth >= 1 GROUP BY node)
 SELECT d.id AS cat_id, CAST(coalesce(ch.n_children, 0) AS BIGINT) AS n_children, coalesce(ch.children_str, '') AS children_str, CAST(coalesce(dc.n_desc, 0) AS BIGINT) AS n_desc
