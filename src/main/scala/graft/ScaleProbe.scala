@@ -162,7 +162,16 @@ object ScaleProbe {
           // bucketed-cumulative core and the exact hazard: probe it on
           // the same continuous axis in the same rung
           force(graft.ops.TimeSeries.interpolatedQuantiles(e, col("v"),
-            Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), bucketWidth = 10000000L))
+            Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), bucketWidth = 10000000L)) +
+          // the round-12 t-digest on the SAME continuous axis, shifted
+          // to exercise both sign branches of the grid: unlike the
+          // exact forms above, its only data-sized stage is the
+          // map-side-combined grid histogram (≤29k counters), so its
+          // shuffle contribution must stay near-FLAT as n grows — the
+          // whole point of the sketch tier
+          force(graft.ops.TDigest.quantileTDigest(e,
+            col("v") - lit(500000000000L),
+            Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), w = col("w")))
         }
       }),
       // the four remaining per-key window operators under the

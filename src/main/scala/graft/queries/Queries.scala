@@ -3690,6 +3690,54 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       Some(graft.ops.TimeSeries.interpolatedQuantilesWeightedOracleSql(
         Seq(1 -> 4, 1 -> 2, 3 -> 4, 15 -> 16)))),
 
+    // quantileTDigest analog, BATCH: order-free two-layer sketch
+    // (signed log-linear grid histogram -> fixed k0 compression to
+    // <= 64 integer centroids) with midpoint-interpolated readout.
+    // The fixture centers the value at 0 so BOTH sign branches of the
+    // grid carry weight (FixtureCoverageSpec pins the classes); weight
+    // = 1 + user_id % 9 (the weighted-quantile fixture). The oracle
+    // replays grid, compression, and interpolation bit-for-bit.
+    GraftQuery("q_quantile_tdigest",
+      (s, dir) => graft.ops.TDigest.quantileTDigest(
+        ev(s, dir), round((col("value") - 0.5) * 1e6, 0).cast("long"),
+        Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100),
+        w = lit(1L) + pmod(col("user_id"), lit(9L))),
+      Some(graft.ops.TDigest.oracleSql(
+        "round((value - 0.5)*1000000, 0)", "1 + user_id % 9", "events",
+        Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
+
+    // quantileTDigest analog, MV-SERVED: the grid histogram is an
+    // additive (idx, w) SummingStore view — three disjoint chunks land
+    // as parts, merge-on-read re-sums, and the digest+readout run on
+    // the sketch-sized merged state. Because the grid is fixed and the
+    // state additive, the chunked build is BIT-IDENTICAL to the batch
+    // one — the same full-data oracle gates it, which is exactly the
+    // merge-invariance claim under test. This is the refresh-cost fix
+    // over the exact quantile MVs: a refresh re-sums <= 29k counters,
+    // never the per-distinct-value table.
+    GraftQuery("q_quantile_tdigest_inc",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_tdig")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/tdigmv"
+        val e = ev(s, dir)
+        (0 until 3).foreach { i =>
+          val part = graft.ops.TDigest.sketch(
+            e.filter(pmod(col("event_id"), lit(3)) === i),
+            round((col("value") - 0.5) * 1e6, 0).cast("long"),
+            lit(1L) + pmod(col("user_id"), lit(9L)))
+          graft.sinks.SummingStore.appendDelta(part, mv,
+            tag = Some(s"tdig-chunk$i"))
+        }
+        graft.ops.TDigest.quantiles(
+          graft.ops.TDigest.digest(
+            graft.sinks.SummingStore.read(s, mv, Seq("idx"), Seq("w")).get),
+          Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))
+      },
+      Some(graft.ops.TDigest.oracleSql(
+        "round((value - 0.5)*1000000, 0)", "1 + user_id % 9", "events",
+        Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
+
     // ClickHouse hierarchical dictionary (dictGetHierarchy + dictIsIn):
     // a parent-keyed category tree (id // 4, depth 5 over 340 ids —
     // bounded by the modulus, a model-sized dictionary) resolved to

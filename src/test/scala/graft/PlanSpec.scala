@@ -371,6 +371,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_quantile_tdigest: one data-sized hash agg feeds bounded windows; no sort-merge") {
+    val p = plan("q_quantile_tdigest")
+    val lines = p.linesIterator.toList
+    // the ONLY stage that sees event volume is the grid-histogram hash
+    // aggregate (map-side combinable: partial+final pair below every
+    // window); the windows and joins after it run on the ≤29k-counter
+    // state / ≤64-centroid digest
+    val winIdx = lines.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, p.take(800))
+    assert(lines.drop(winIdx).exists(_.contains("HashAggregate")),
+      "windows must consume the sketch state, not raw rows:\n" +
+        lines.slice(winIdx, winIdx + 8).mkString("\n"))
+    val hashAggs = lines.count(_.contains("HashAggregate"))
+    assert(hashAggs >= 2, s"expected partial+final grid aggregate:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      "tot/quantile sides are broadcast; nothing may shuffle the state")
+  }
+
   test("q_welch_ttest: one partial+final hash aggregate, no window, no join") {
     val p = plan("q_welch_ttest")
     assert(!p.contains("WindowExec") && !p.contains("Join"), p.take(2000))
