@@ -296,7 +296,7 @@ FROM pts a JOIN pts b ON a.pid < b.pid
     * circle; a class audit found ZERO seam pairs at both gate SFs
     * (sf0.001 has only 15 distinct user_ids), i.e. the rotation path
     * was gated only by the hand spec — the round-10 polygon-fixture
-    * lesson, reapplied. RadiusWrapFixtureSpec pins the class counts so
+    * lesson, reapplied. FixtureCoverageSpec pins the class counts so
     * a future testdata regeneration that empties a class fails CI. */
   def radiusPairsWrappedOracleSql(sampleMod: Long, radiusMeters: Double,
       latCapDeg: Double = 66.0): String = {

@@ -3299,7 +3299,7 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
     // so pole- and seam-proof by construction). The fixture is a 12°
     // longitude strip STRADDLING ±180 with latitudes to ±85, so the
     // corpus gate populates all three pair classes (seam-crossing /
-    // polar-cap / plain) at every SF — RadiusWrapFixtureSpec pins the
+    // polar-cap / plain) at every SF — FixtureCoverageSpec pins the
     // class counts (a full-circle lon fixture gated zero seam pairs).
     GraftQuery("q_geo_radius_wrap",
       (s, dir) => {

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Queries
+
+/** Fixture-CLASS coverage as CI — the institutionalized form of the
+  * round-10/11 audits. The cross-engine hash gate proves engine ==
+  * oracle on whatever rows the fixture populates; it is structurally
+  * BLIND to a fixture that populates zero rows of a semantic branch
+  * (both sides agree on the empty set — the r10 polygon fixture never
+  * gated an "inside" point, the r11 radius-wrap fixture never gated a
+  * seam-crossing pair). This spec is the table the audits kept
+  * rediscovering by hand: for every gated query with semantic
+  * branches, each branch class must be NON-EMPTY at BOTH gate SFs
+  * (sf0.001 and sf0.01), so the next fixture edit or testdata
+  * regeneration that silently empties a class fails `sbt test`
+  * instead of waiting for a human to notice the gate got weaker.
+  *
+  * Adding a geo/sampling/sequence query with semantic branches? Add a
+  * row here naming each branch and how to count it from the REGISTERED
+  * query's own output (or its exact fixture rebuild — keep any rebuild
+  * expression textually identical to the registration). */
+class FixtureCoverageSpec extends SparkSpec {
+
+  private val sfDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+
+  private def run(name: String, dir: String): DataFrame =
+    Queries.runners(name)(spark, dir)
+
+  /** (label, dir => className -> populatedCount); every class must
+    * come back >= 1 at every gate SF. */
+  private lazy val table: Seq[(String, String => Map[String, Long])] = Seq(
+
+    // point-in-polygon: the r10 escape class — a fixture whose points
+    // all miss the dart gates the crossing-number logic against
+    // nothing. Both verdicts of the registered query must appear.
+    "q_point_in_polygon" -> { dir =>
+      run("q_point_in_polygon", dir)
+        .groupBy(col("inside")).count().collect()
+        .map(r => (if (r.getBoolean(0)) "inside" else "outside") -> r.getLong(1))
+        .toMap
+    },
+
+    // polygon-with-hole adds the third class: points inside the OUTER
+    // ring but inside the hole (even crossings -> outside). Without it
+    // the hole ring's edges are dead weight the gate never checks.
+    "q_point_in_polygon_holes" -> { dir =>
+      val outer = run("q_point_in_polygon", dir)
+        .select(col("pid"), col("inside").as("in_outer"))
+      val holes = run("q_point_in_polygon_holes", dir)
+        .select(col("pid"), col("inside").as("in_rings"))
+      val j = outer.join(holes, "pid")
+      Map(
+        "inside" -> j.filter(col("in_rings")).count(),
+        "outside" -> j.filter(!col("in_rings")).count(),
+        "in_hole" -> j.filter(col("in_outer") && !col("in_rings")).count())
+    },
+
+    // metric radius join: at least one pair within radius AND at least
+    // one point pairing with nothing — a fixture dense enough to pair
+    // everything (or sparse enough to pair nothing) stops gating the
+    // <= radius refine in one direction.
+    "q_geo_radius_join" -> { dir =>
+      val pairs = run("q_geo_radius_join", dir)
+      val pts = Tables.events(spark, dir)
+        .filter(pmod(col("user_id"), lit(37)) === 0)
+        .select(col("event_id")).distinct()
+      val pairedIds = pairs.select(col("id_a").as("event_id"))
+        .union(pairs.select(col("id_b").as("event_id"))).distinct()
+      Map(
+        "paired" -> pairs.count(),
+        "unpaired" -> pts.join(pairedIds, Seq("event_id"), "left_anti").count())
+    },
+
+    // wrap/polar radius join: the r11 escape classes — seam-crossing
+    // pairs (the frame-B rotation path), polar-cap pairs (the 1-D
+    // lat-band path), and plain mid-zone pairs must ALL be gated.
+    // Coordinate rebuild textually mirrors the registration.
+    "q_geo_radius_wrap" -> { dir =>
+      val lr = round((pmod(col("event_id"), lit(120)).cast("double") / 10
+        + 174) * 1e6, 0).cast("long")
+      val pts = Tables.events(spark, dir)
+        .filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("event_id"),
+          when(lr >= 180000000L, lr - 360000000L).otherwise(lr).as("x"),
+          round((pmod(col("event_id") * 7, lit(1700)).cast("double") / 10
+            - 85) * 1e6, 0).cast("long").as("y"))
+      val classed = run("q_geo_radius_wrap", dir)
+        .join(pts.select(col("event_id").as("id_a"), col("x").as("xa"),
+          col("y").as("ya")), Seq("id_a"))
+        .join(pts.select(col("event_id").as("id_b"), col("x").as("xb"),
+          col("y").as("yb")), Seq("id_b"))
+        .select(
+          (greatest(abs(col("ya")), abs(col("yb"))) > 66000000L).as("cap"),
+          (abs(col("xa") - col("xb")) > 180000000L).as("seam"))
+        .groupBy(col("cap"), col("seam")).count()
+        .collect().map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2))
+        .toMap
+      Map(
+        "seam" -> classed.collect { case ((false, true), n) => n }.sum,
+        "cap" -> classed.filter(_._1._1).values.sum,
+        "plain" -> classed.getOrElse((false, false), 0L))
+    },
+
+    // SAMPLE k/n OFFSET: all four hash-domain slices must carry rows
+    // (and users) — a degenerate key domain could park everything in
+    // one slice and the other three would gate empty aggregates.
+    "q_sample_offset" -> { dir =>
+      run("q_sample_offset", dir).collect().flatMap { r =>
+        Seq(s"slice${r.getInt(0)}_events" -> r.getLong(1),
+          s"slice${r.getInt(0)}_users" -> r.getLong(2))
+      }.toMap
+    },
+
+    // windowFunnel: every step level must be reached AND conversion
+    // must be partial — if nobody chains to step 3 the chaining logic
+    // gates nothing, and if EVERYBODY does, the window/order breakers
+    // gate nothing either.
+    "q_funnel" -> { dir =>
+      val steps = run("q_funnel", dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      Map(
+        "step1" -> steps.getOrElse(1L, 0L),
+        "step2" -> steps.getOrElse(2L, 0L),
+        "step3" -> steps.getOrElse(3L, 0L),
+        "partial_conversion" ->
+          math.max(steps.getOrElse(1L, 0L) - steps.getOrElse(3L, 0L), 0L))
+    },
+
+    // t-digest: the fixture centers value at 0 precisely so BOTH sign
+    // branches of the signed grid carry weight — pin it.
+    "q_quantile_tdigest" -> { dir =>
+      val st = graft.ops.TDigest.sketch(Tables.events(spark, dir),
+        round((col("value") - 0.5) * 1e6, 0).cast("long"))
+      Map(
+        "neg_grid" -> st.filter(col("idx") < 0).count(),
+        "pos_grid" -> st.filter(col("idx") > 0).count())
+    })
+
+  test("every fixture class is populated at both gate SFs") {
+    for (dir <- sfDirs; (label, classesOf) <- table) {
+      val classes = classesOf(dir)
+      assert(classes.nonEmpty, s"$label produced no classes at $dir")
+      classes.foreach { case (cls, n) =>
+        assert(n >= 1L,
+          s"$label fixture class '$cls' is EMPTY at $dir — the gate is " +
+            "blind to this branch; re-aim the fixture")
+      }
+    }
+  }
+
+  test("documents fixture honors the resize-oracle byte==char contract") {
+    // Multimodal.resizeOracleSql rebuilds UTF-8 BYTE payloads from
+    // CHARACTER indexing — sound only while every document's text is
+    // ASCII. (Empty text is handled by the oracle itself.) A testdata
+    // regeneration that introduces non-ASCII must fail here, not
+    // surface as an inscrutable md5 mismatch in the gate.
+    for (dir <- sfDirs) {
+      val nonAscii = Tables.documents(spark, dir)
+        .filter(length(col("text")) =!= octet_length(col("text")))
+        .count()
+      assert(nonAscii === 0L,
+        s"$nonAscii non-ASCII documents at $dir break the resize oracle's " +
+          "byte==char rebuild")
+    }
+  }
+}
