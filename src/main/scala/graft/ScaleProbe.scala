@@ -257,7 +257,15 @@ object ScaleProbe {
           force(graft.ops.LimitBy.limitBy(e, Seq("user_id"), col("v"),
             col("event_id"), n = 3, offset = 1)) +
           force(graft.ops.AnyJoin.anyJoin(e, r, Seq("user_id"),
-            tiebreak = Seq("rank_key"), joinType = "left"))
+            tiebreak = Seq("rank_key"), joinType = "left")) +
+          // round-12 WITH TIES: same bounded-heap-then-filter shape,
+          // same hot key (key 0 owns half the events); the COARSE
+          // score (1000 buckets) makes the hot key's boundary tie
+          // thousands of rows — the result may extend well past n,
+          // but no group's raw cardinality may reach a sort
+          force(graft.ops.LimitBy.limitByWithTies(
+            e.withColumn("vc", floor(col("v") / lit(1000.0))),
+            Seq("user_id"), col("vc"), col("event_id"), n = 3))
         } finally {
           restore("spark.sql.autoBroadcastJoinThreshold", prevB)
           restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)

@@ -67,6 +67,63 @@ object LimitBy {
       .drop(rkC)
   }
 
+  /** ClickHouse `ORDER BY score DESC LIMIT n WITH TIES` (grouped when
+    * `groupCols` is non-empty; pass Nil for the global statement
+    * form): the first n rows per group PLUS every row tying the
+    * boundary — the n-th — score, so a group can legitimately return
+    * MORE than n rows. Same bounded-heap discipline as [[limitBy]]:
+    * the boundary score comes from one partial+final bounded_top_k
+    * aggregate (state ≤ 2n pairs/key, map-side combined), the
+    * |groups|-row boundary table joins back corpus-side (broadcast for
+    * the one-row global form), and the ties resolve as a plain
+    * `score >= boundary` filter — no group's raw cardinality ever
+    * reaches a sort or window buffer, which is what lets WITH TIES
+    * join the limit_by_skew rung. Contract mirrors limitBy: rank
+    * order compares score as double; null scores / rowKeys are
+    * skipped; a group smaller than n returns whole (its boundary is
+    * its minimum score). */
+  def limitByWithTies(df: DataFrame, groupCols: Seq[String], score: Column,
+      rowKey: Column, n: Int): DataFrame = {
+    require(n > 0, s"need n > 0; got $n")
+    val nonce = Iterator.from(0).map(i => s"_g$i")
+      .find(sfx => !df.columns.exists(_.endsWith(sfx))).get
+    val sC = s"_s$nonce"; val rkC = s"_rk$nonce"
+    val topC = s"_top$nonce"; val bC = s"_b$nonce"
+    val spark = df.sparkSession
+    graft.functions.BoundedTopK.register(spark)
+    val g = groupCols.map(col)
+    val boundary = when(size(col(topC)) > 0,
+      element_at(col(topC), size(col(topC))).getField("score"))
+    val bounds = df
+      .select(g :+ score.cast("double").as(sC) :+
+        rowKey.cast("long").as(rkC): _*)
+      .groupBy(g: _*)
+      .agg(expr(s"bounded_top_k(`$sC`, `$rkC`, $n)").as(topC))
+      .select(g :+ boundary.as(bC): _*)
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(bounds))
+      else df.join(Joins.corpusSide(bounds), groupCols)
+    joined
+      .where(score.isNotNull && rowKey.isNotNull &&
+        score.cast("double") >= col(bC))
+      .drop(bC)
+  }
+
+  /** DuckDB replica of [[limitByWithTies]]: rank the group, take the
+    * boundary score at rank min(n, group size), keep score >= it. */
+  def withTiesOracleSql(src: String, groupSql: Seq[String],
+      scoreSql: String, rowKeySql: String, selectSql: String,
+      n: Int): String = {
+    val part = if (groupSql.isEmpty) "" else s"PARTITION BY ${groupSql.mkString(", ")}"
+    val joinOn = if (groupSql.isEmpty) "TRUE"
+      else groupSql.map(c => s"r.$c = b.$c").mkString(" AND ")
+    val bKeys = if (groupSql.isEmpty) "" else groupSql.mkString(", ") + ","
+    val bGroup = if (groupSql.isEmpty) "" else s"GROUP BY ${groupSql.mkString(", ")}"
+    s"""WITH r AS (SELECT *, CAST($scoreSql AS DOUBLE) AS __s, row_number() OVER ($part ORDER BY CAST($scoreSql AS DOUBLE) DESC, $rowKeySql ASC) AS rn FROM $src WHERE ($scoreSql) IS NOT NULL AND ($rowKeySql) IS NOT NULL),
+b AS (SELECT $bKeys min(CASE WHEN rn <= $n THEN __s END) AS __b FROM r $bGroup)
+SELECT $selectSql FROM r JOIN b ON $joinOn WHERE r.__s >= b.__b"""
+  }
+
   /** DuckDB replica: row_number pagination (the semantics spec — the
     * oracle may sort whole groups; the engine may not). Mirrors the
     * engine's contract explicitly: double-cast rank order and the

@@ -183,6 +183,80 @@ SELECT k, x, v IS NOT NULL AS observed, prev AS v_ffill,
 FROM w"""
   }
 
+  /** ClickHouse `ORDER BY x WITH FILL [STEP s] INTERPOLATE (c AS
+    * c + Δ)` analog — the ONE-SIDED column rules the two-sided
+    * [[gapFillNumeric]] deliberately doesn't have: ClickHouse's
+    * INTERPOLATE computes each fill row's column from the PREVIOUS
+    * row's value (a recurrence — no lookahead), and a fill row before
+    * a series' first observation takes the column's type DEFAULT (0
+    * for numbers). `interpolations` gives one output column per rule
+    * as (name, Δ-per-step): Δ = 0 is the plain carry-forward WITH FILL
+    * applies to un-INTERPOLATEd columns; Δ ≠ 0 is the documented
+    * `INTERPOLATE (v AS v + Δ)` linear rule. The g-step recurrence
+    * collapses to the exact closed form prev + Δ·g (pure integers — no
+    * per-row iteration, no float drift), where g = (x − prevX)/s.
+    *
+    * The axis is GLOBAL (ClickHouse fills the ORDER BY column's
+    * [min, max] span when FROM/TO are omitted — the form implemented
+    * here), dense with step `s`, and every series fills the whole
+    * axis: keys starting late get the default-valued prefix ClickHouse
+    * would produce. Contract: observed x values are step-ALIGNED to
+    * the global min (fill rows interleave exactly; unaligned originals
+    * belong to the raw-row-preserving form, not this grid form).
+    *
+    * Scale: obs is already per-(key, x) aggregated; the one-row global
+    * span and the ≤axis-length sequence BROADCAST (the axis is a
+    * dashboard-bounded dimension by contract — ClickHouse materializes
+    * the same fill axis per query); obs joins the grid corpus-side
+    * (never broadcast — keys × axis is corpus-sized). The per-key
+    * window orders axis rows only, each group bounded by the axis
+    * length.
+    *
+    * Output: (k, x, observed, <name> BIGINT µ per rule). */
+  def withFillInterpolate(obs: DataFrame, step: Long,
+      interpolations: Seq[(String, Long)]): DataFrame = {
+    require(step > 0, "step must be positive")
+    require(interpolations.nonEmpty &&
+      interpolations.map(_._1).distinct.size == interpolations.size,
+      "need distinct interpolation column names")
+    val axis = obs.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(step))).as("x"))
+    val keys = obs.select(col("k")).distinct()
+    val grid = keys.crossJoin(broadcast(axis))
+    val j = grid.join(Joins.corpusSide(obs), Seq("k", "x"), "left")
+    val back = Window.partitionBy(col("k")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = last(col("v"), ignoreNulls = true).over(back)
+    val prevX = last(when(col("v").isNotNull, col("x")), ignoreNulls = true)
+      .over(back)
+    val g = floorDiv(col("x") - prevX, lit(step))
+    val rules = interpolations.map { case (name, add) =>
+      when(col("v").isNotNull, col("v"))
+        .when(prev.isNull, lit(0L)) // pre-first fill: the type default
+        .otherwise(prev + lit(add) * g).as(name)
+    }
+    j.select(Seq(col("k"), col("x"), col("v").isNotNull.as("observed"))
+      ++ rules: _*)
+  }
+
+  /** DuckDB replica of [[withFillInterpolate]] over per-(key, x)
+    * µ-sums from `obsSql` (must yield k, x, v). */
+  def withFillInterpolateOracleSql(obsSql: String, step: Long,
+      interpolations: Seq[(String, Long)]): String = {
+    def ignb(e: String) =
+      s"last_value($e IGNORE NULLS) OVER (PARTITION BY k ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    val rules = interpolations.map { case (name, add) =>
+      s"CASE WHEN v IS NOT NULL THEN v WHEN prev IS NULL THEN 0 ELSE prev + ($add) * ((x - prevx) // $step) END AS $name"
+    }.mkString(", ")
+    s"""WITH obs AS ($obsSql),
+span AS (SELECT min(x) AS lo, max(x) AS hi FROM obs),
+axis AS (SELECT unnest(generate_series(lo, hi, $step)) AS x FROM span),
+grid AS (SELECT k, x FROM (SELECT DISTINCT k FROM obs), axis),
+j AS (SELECT g.k, g.x, o.v FROM grid g LEFT JOIN obs o ON g.k=o.k AND g.x=o.x),
+w AS (SELECT k, x, v, ${ignb("v")} AS prev, ${ignb("CASE WHEN v IS NOT NULL THEN x END")} AS prevx FROM j)
+SELECT k, x, v IS NOT NULL AS observed, $rules FROM w"""
+  }
+
   /** ClickHouse `sequenceMatch('(?1).*(?2).*…')` analog: does the user's
     * event stream contain cond₁ … condₙ at strictly increasing
     * timestamps? Same chained-min-ts construction as

@@ -2615,6 +2615,31 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
       Some(graft.ops.TimeSeries.gapFillDailyOracleSql("purchase")),
       headline = true),
 
+    // ClickHouse INTERPOLATE's actual column rules, one-sided: fill
+    // rows compute from the PREVIOUS row only (carry-forward Δ=0 and
+    // the documented `v AS v + Δ` linear-step rule as the exact closed
+    // form prev + Δ·gaps), the axis is the GLOBAL [min, max] span
+    // (the FROM/TO-omitted form), and a series' pre-first fill rows
+    // take the type default 0 — three behaviors q_gap_fill's
+    // two-sided bracketing deliberately does not have. The value>250
+    // filter (≈ the 99.5th percentile) sparsifies the per-type series
+    // so observed / interior-gap / pre-first classes ALL populate at
+    // both gate SFs (measured 7/34/35 at sf0.001, 54/95/1 at sf0.01 —
+    // FixtureCoverageSpec pins them against testdata drift).
+    GraftQuery("q_gap_fill_interpolate",
+      (s, dir) => graft.ops.TimeSeries.withFillInterpolate(
+        ev(s, dir).filter(col("value") > 250)
+          .groupBy(col("event_type").as("k"),
+            datediff(to_date(col("ts")), lit(java.sql.Date.valueOf("1970-01-01")))
+              .cast("long").as("x"))
+          .agg(sum(round(col("value") * 1e6, 0).cast("long")).as("v")),
+        step = 1L,
+        interpolations = Seq("v_carry" -> 0L, "v_linstep" -> 250000L)),
+      Some(graft.ops.TimeSeries.withFillInterpolateOracleSql(
+        "SELECT event_type AS k, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS x, CAST(sum(CAST(round(value*1000000,0) AS BIGINT)) AS BIGINT) AS v FROM events WHERE value > 250 GROUP BY 1,2",
+        step = 1L,
+        interpolations = Seq("v_carry" -> 0L, "v_linstep" -> 250000L)))),
+
     // Composed dashboard series — the ClickHouse `WITH FILL …
     // INTERPOLATE` + window-function combo every engagement dashboard
     // runs: sparse high-value daily sums per event_type, densified over
@@ -3444,6 +3469,23 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         groupSql = Seq("user_id"), scoreSql = "sc", rowKeySql = "event_id",
         selectSql = "user_id, event_id, event_type", n = 3, offset = 1)),
       headline = true),
+
+    // `LIMIT n WITH TIES` per user: top-3 events by a deliberately
+    // COARSE score (floor(value/20) — ~17 buckets, dense ties) plus every row tying
+    // the 3rd score, so groups legitimately return > n rows
+    // (FixtureCoverageSpec pins that the ties actually extend). Same
+    // bounded-heap-then-filter plan as q_limit_by — per-group raw
+    // cardinality never reaches a sort.
+    GraftQuery("q_limit_with_ties",
+      (s, dir) => graft.ops.LimitBy.limitByWithTies(
+          ev(s, dir).select(col("user_id"), col("event_id"),
+            col("event_type"), floor(col("value") / 20).cast("long").as("sc")),
+          Seq("user_id"), col("sc"), col("event_id"), n = 3)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("sc")),
+      Some(graft.ops.LimitBy.withTiesOracleSql(
+        src = "(SELECT user_id, event_id, event_type, CAST(floor(value/20) AS BIGINT) AS sc FROM events) t",
+        groupSql = Seq("user_id"), scoreSql = "sc", rowKeySql = "event_id",
+        selectSql = "r.user_id, r.event_id, r.event_type, r.sc", n = 3))),
 
     // ClickHouse `SAMPLE 1/8` clause: by-key consistent hash-domain
     // cut, then per-type raw + den/num-extrapolated counts (the doc'd

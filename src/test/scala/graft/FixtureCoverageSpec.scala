@@ -129,6 +129,33 @@ class FixtureCoverageSpec extends SparkSpec {
           math.max(steps.getOrElse(1L, 0L) - steps.getOrElse(3L, 0L), 0L))
     },
 
+    // WITH FILL INTERPOLATE: all three row kinds must be gated —
+    // observed rows, interior gap rows (the prev+Δ·g recurrence), and
+    // pre-first rows (the type-default-0 rule). The first cut of this
+    // fixture (value > 0.8 against a [0.03, 327] value range) gated
+    // 150 observed / 0 gaps / 0 pre-first — this spec's raison d'être.
+    "q_gap_fill_interpolate" -> { dir =>
+      val out = run("q_gap_fill_interpolate", dir)
+      Map(
+        "observed" -> out.filter(col("observed")).count(),
+        "gap" -> out.filter(!col("observed") && col("v_carry") =!= 0L).count(),
+        "pre_first" -> out.filter(!col("observed") && col("v_carry") === 0L
+          && col("v_linstep") === 0L).count())
+    },
+
+    // LIMIT WITH TIES: some group must EXTEND past n on a boundary tie
+    // (else the >= filter degenerates to plain LIMIT) and some group
+    // must return exactly n (else ties are so dense the boundary rule
+    // gates nothing). First cut (floor(value·10), ~3276 buckets) had
+    // zero extended groups at both SFs.
+    "q_limit_with_ties" -> { dir =>
+      val sizes = run("q_limit_with_ties", dir)
+        .groupBy(col("user_id")).count()
+      Map(
+        "ties_extend" -> sizes.filter(col("count") > 3).count(),
+        "exact_n" -> sizes.filter(col("count") === 3).count())
+    },
+
     // t-digest: the fixture centers value at 0 precisely so BOTH sign
     // branches of the signed grid carry weight — pin it.
     "q_quantile_tdigest" -> { dir =>

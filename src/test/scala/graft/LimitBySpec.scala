@@ -56,6 +56,49 @@ class LimitBySpec extends SparkSpec {
       ("b", 6L, 0, "occupied"), ("c", 8L, 0, "occupied")))
   }
 
+  test("limitByWithTies extends past n on boundary ties, per group") {
+    // grp a, n=2: ranks are id1(3.0), id2(2.0), id3(2.0 — TIES the
+    // boundary) → 3 rows. b has 2 rows (= n). c has 1 (< n → whole).
+    val out = LimitBy.limitByWithTies(fixture, Seq("grp"), col("score"),
+        col("id"), n = 2)
+      .select(col("grp"), col("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out === Set(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 6L), ("b", 7L), ("c", 8L)))
+  }
+
+  test("limitByWithTies global form (empty groupCols) = statement LIMIT WITH TIES") {
+    val out = LimitBy.limitByWithTies(fixture, Seq.empty, col("score"),
+        col("id"), n = 3)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // global ranks: id6(9.0), id7(8.0), id8(4.0) — no tie at 4.0
+    assert(out === Set(6L, 7L, 8L))
+    val tied = LimitBy.limitByWithTies(fixture, Seq.empty, col("score"),
+        col("id"), n = 4)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    // 4th is id1(3.0); no tie → exactly 4. n=5 boundary 2.0 ties id2+id3
+    assert(tied === Set(6L, 7L, 8L, 1L))
+    val tied5 = LimitBy.limitByWithTies(fixture, Seq.empty, col("score"),
+        col("id"), n = 5)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(tied5 === Set(6L, 7L, 8L, 1L, 2L, 3L))
+  }
+
+  test("limitByWithTies skips null scores and never routes through a window") {
+    val df = Seq(
+      (Some("a"), Some(1L), Some(5.0)), (Some("a"), Some(2L), None),
+      (Some("a"), None, Some(9.0)), (Some("a"), Some(3L), Some(1.0))
+    ).toDF("grp", "id", "score")
+    val out = LimitBy.limitByWithTies(df, Seq("grp"), col("score"),
+        col("id"), n = 1)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L)) // null-score and null-key rows never rank
+    val plan = LimitBy.limitByWithTies(fixture, Seq("grp"), col("score"),
+      col("id"), n = 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "WITH TIES must keep the bounded-heap discipline, never a window sort")
+  }
+
   test("plan: bounded-heap aggregate, no per-key window sort") {
     val plan = LimitBy.limitBy(fixture, Seq("grp"), col("score"), col("id"),
       n = 3).queryExecution.executedPlan.toString

@@ -99,6 +99,30 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, 1L), (2L, 2L), (3L, 0L), (4L, 0L), (5L, 2L)))
   }
 
+  test("withFillInterpolate: one-sided recurrence, global axis, default-0 prefix") {
+    import graft.ops.TimeSeries
+    // A observes at x=2 (100) and x=5 (400); B only at x=4 (50).
+    // Global axis [2,5]. Carry = Δ0 rule; linstep = Δ10 rule.
+    val obs = Seq(("A", 2L, 100L), ("A", 5L, 400L), ("B", 4L, 50L))
+      .toDF("k", "x", "v")
+    val out = TimeSeries.withFillInterpolate(obs, step = 1L,
+        interpolations = Seq("c" -> 0L, "l" -> 10L))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size === 8, "2 keys x 4 axis rows")
+    assert(out(("A", 2L)) === ((true, 100L, 100L)))
+    assert(out(("A", 3L)) === ((false, 100L, 110L))) // prev + 10*1
+    assert(out(("A", 4L)) === ((false, 100L, 120L))) // prev + 10*2
+    assert(out(("A", 5L)) === ((true, 400L, 400L)))
+    // B before its first observation: ClickHouse type default, NOT a
+    // backward fill (the two-sided gapFill would emit 50 here)
+    assert(out(("B", 2L)) === ((false, 0L, 0L)))
+    assert(out(("B", 3L)) === ((false, 0L, 0L)))
+    assert(out(("B", 4L)) === ((true, 50L, 50L)))
+    assert(out(("B", 5L)) === ((false, 50L, 60L)))
+  }
+
   test("sequenceCountPairs two-phase carry is exact across bucket boundaries") {
     import graft.ops.TimeSeries
     // u1 spans two DAYS (the default bucket): B | A B B. The deficit
