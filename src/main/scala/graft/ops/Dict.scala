@@ -115,6 +115,82 @@ object Dict {
       .drop("__fk", "__dk", "__dv")
   }
 
+  /** ClickHouse `range_hashed` dictionary layout — the slowly-changing
+    * dimension lookup (`dictGetOrDefault(dict, attr, key, date)`): each
+    * dictionary key carries VERSIONED attribute ranges
+    * [range_start, range_end] (inclusive, integer day/time units), and
+    * a probe at date d resolves to the covering range with the MAX
+    * range_start (ClickHouse `range_lookup_strategy: max` — the as-of
+    * convention, so a version that opens before the prior one closes
+    * wins over the overlap suffix).
+    *
+    * The fact side never groups or shuffles: the ARGMAX is moved into
+    * the DICTIONARY by breakpoint decomposition ([[rangeSegments]]) —
+    * all range boundaries per key cut the axis into elementary
+    * segments, each segment resolving once (dict-sized work: windows
+    * and a boundaries×ranges cover join over the dictionary only,
+    * exactly the interval index ClickHouse builds in RAM at dictionary
+    * load). The segments are DISJOINT by construction, so the fact
+    * probe is one broadcast left range-join matching ≤ 1 row — never a
+    * per-fact-row dedupe. Contract: (key, range_start) unique (one
+    * version per effective date). */
+  def rangeSegments(dim: DataFrame, key: Column, rangeStart: Column,
+      rangeEnd: Column, attr: Column): DataFrame = {
+    val base = dim.select(key.cast("long").as("rk"),
+      rangeStart.cast("long").as("rs"), rangeEnd.cast("long").as("re"),
+      attr.as("rv")).filter(col("rs") <= col("re"))
+    // segment starts: every range start, plus the day AFTER every range
+    // end (where coverage can change); a segment runs to the next
+    // boundary - 1 (or the key's max end)
+    val bounds = base.select(col("rk"), col("rs").as("b"))
+      .union(base.select(col("rk"), (col("re") + 1).as("b")))
+      .distinct()
+    val nextB = lead(col("b"), 1).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("rk")).orderBy(col("b")))
+    val segs = bounds
+      .select(col("rk"), col("b").as("seg_lo"),
+        (coalesce(nextB, col("b") + 1) - 1).as("seg_hi"))
+    // resolve each segment once: covering ranges, max range_start wins
+    segs.join(base, Seq("rk"))
+      .filter(col("rs") <= col("seg_lo") && col("re") >= col("seg_hi"))
+      .groupBy(col("rk"), col("seg_lo"), col("seg_hi"))
+      .agg(max_by(col("rv"), col("rs")).as("rv"))
+  }
+
+  /** The `range_hashed` probe: facts resolve (key, date) against
+    * [[rangeSegments]] output via ONE broadcast left join (≤ 1 match
+    * by disjointness) with a default on miss. The fact side never
+    * shuffles — the Dict contract. */
+  def dictGetRange(facts: DataFrame, key: Column, date: Column,
+      segments: DataFrame, outName: String, default: Column): DataFrame = {
+    val seg = segments.select(col("rk").as("__rk"),
+      col("seg_lo").as("__sl"), col("seg_hi").as("__sh"),
+      col("rv").as("__rv"))
+    facts.withColumn("__fk", key.cast("long"))
+      .withColumn("__fd", date.cast("long"))
+      .join(broadcast(seg),
+        col("__fk") === col("__rk") && col("__fd") >= col("__sl") &&
+          col("__fd") <= col("__sh"), "left")
+      .withColumn(outName, coalesce(col("__rv"), default))
+      .drop("__fk", "__fd", "__rk", "__sl", "__sh", "__rv")
+  }
+
+  /** DuckDB replica of [[rangeSegments]] ∘ [[dictGetRange]] as the
+    * DIRECT as-of semantics (max-start covering range per probe, else
+    * default) — deliberately NOT a replay of the decomposition, so a
+    * decomposition bug diverges from the spec instead of being
+    * reproduced by it. `factsSql` must yield (fid, fk, fd) and
+    * `dimSql` (rk, rs, re, rv). */
+  def dictGetRangeOracleSql(factsSql: String, dimSql: String,
+      defaultSql: String): String =
+    s"""WITH f AS ($factsSql), d AS ($dimSql),
+hit AS (SELECT f.fid, max_by(d.rv, d.rs) AS rv
+  FROM f JOIN d ON f.fk = d.rk AND f.fd >= d.rs AND f.fd <= d.re
+  GROUP BY f.fid)
+SELECT f.fid, coalesce(hit.rv, $defaultSql) AS rv
+FROM f LEFT JOIN hit ON f.fid = hit.fid"""
+
   /** DuckDB replica of [[hierarchy]] as a recursive CTE chain over a
     * dictionary relation `dimSql` (must yield columns id, parent).
     * Emits CTE `${p}hier`: (id, path_str '/'-joined self→root,

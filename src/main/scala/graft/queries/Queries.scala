@@ -3862,6 +3862,44 @@ dc AS (SELECT node AS id, CAST(count(*) AS BIGINT) AS n_desc FROM chain WHERE de
 SELECT d.id AS cat_id, CAST(coalesce(ch.n_children, 0) AS BIGINT) AS n_children, coalesce(ch.children_str, '') AS children_str, CAST(coalesce(dc.n_desc, 0) AS BIGINT) AS n_desc
 FROM dim d LEFT JOIN ch ON d.id = ch.id LEFT JOIN dc ON d.id = dc.id""")),
 
+    // ClickHouse range_hashed dictionary (dictGetOrDefault with an
+    // effective-date range key — the slowly-changing-dim as-of lookup;
+    // the reference's content dim IS this shape when versioned). Each
+    // category carries three versioned name ranges: v1 opens 3 days
+    // before v0 closes (overlap -> max-start wins), a 3-day gap
+    // precedes v2, and v2 closes mid-corpus (gap + tail + pre-open
+    // probes all hit the default). The ARGMAX lives in the dictionary
+    // (breakpoint decomposition into disjoint segments, dict-sized);
+    // the fact side is ONE broadcast left join — PlanSpec asserts it
+    // never shuffles. Oracle specs the DIRECT as-of semantics, not the
+    // decomposition.
+    GraftQuery("q_dict_range",
+      (s, dir) => {
+        val facts = ev(s, dir).select(col("event_id"),
+          (pmod(col("event_id"), lit(50)) + 1).cast("long").as("cat_id"),
+          datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"))
+        val dim = facts.select(col("cat_id").as("k")).distinct()
+          .select(col("k"), explode(array(lit(0), lit(1), lit(2))).as("ver"))
+          .withColumn("rs", lit(19720L) + pmod(col("k"), lit(5)) +
+            when(col("ver") === 2, 20).otherwise(col("ver") * 7))
+          .withColumn("re", col("rs") +
+            when(col("ver") === 2, 5).otherwise(9))
+          .withColumn("nm", concat(lit("v"), col("ver").cast("string"),
+            lit("-"), col("k").cast("string")))
+        val segs = graft.ops.Dict.rangeSegments(dim, col("k"), col("rs"),
+          col("re"), col("nm"))
+        graft.ops.Dict.dictGetRange(facts, col("cat_id"), col("d"),
+            segs, "rv", lit("none"))
+          .select(col("event_id").as("fid"), col("rv"))
+      },
+      Some(graft.ops.Dict.dictGetRangeOracleSql(
+        factsSql = "SELECT event_id AS fid, event_id % 50 + 1 AS fk, CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS fd FROM events",
+        dimSql = """SELECT k AS rk, rs, rs + CASE WHEN ver = 2 THEN 5 ELSE 9 END AS re, 'v' || ver || '-' || k AS rv
+ FROM (SELECT k, ver, 19720 + k % 5 + CASE WHEN ver = 2 THEN 20 ELSE ver * 7 END AS rs
+       FROM (SELECT DISTINCT event_id % 50 + 1 AS k FROM events), (VALUES (0), (1), (2)) v(ver))""",
+        defaultSql = "'none'"))),
+
     // PROJECTION routing, oracle-gated and live (the ClickHouse
     // PROJECTION idiom, MvRouting's layout sibling): a selective 2-D
     // box Filter against the FACT path rewrites onto the z-ordered

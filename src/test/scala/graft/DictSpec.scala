@@ -65,4 +65,44 @@ class DictSpec extends SparkSpec {
       .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(out.toSeq === Seq((2L, "n2"), (99L, "?")))
   }
+
+  test("rangeSegments decomposition == direct as-of semantics, nested included") {
+    // key 1: plain SCD2 — v0 [10,19], v1 opens at 17 (3-day overlap),
+    //        v2 [25,30] after a [20,24] gap.
+    // key 2: NESTED — wide [10,40] with narrow [15,20] inside: probes
+    //        in [15,20] take the narrow (max start); [21,40] must fall
+    //        BACK to the wide — the case a clip-to-next-start rewrite
+    //        gets wrong and the gate's fixture never nests.
+    val rdim = Seq(
+      (1L, 10L, 19L, "a0"), (1L, 17L, 26L, "a1"), (1L, 25L, 30L, "a2"),
+      (2L, 10L, 40L, "wide"), (2L, 15L, 20L, "narrow"))
+      .toDF("k", "rs", "re", "nm")
+    val segs = Dict.rangeSegments(rdim, col("k"), col("rs"), col("re"),
+      col("nm"))
+    // disjointness: no two segments of a key overlap
+    val overl = segs.as("a").join(segs.as("b"),
+      col("a.rk") === col("b.rk") && col("a.seg_lo") < col("b.seg_lo") &&
+        col("b.seg_lo") <= col("a.seg_hi")).count()
+    assert(overl === 0L, "segments must be disjoint per key")
+    // probe every day 5..45 for both keys against the DIRECT semantics
+    val probes = (5L to 45L).flatMap(d => Seq((1L, d), (2L, d))).toDF("k", "d")
+    val got = Dict.dictGetRange(probes, col("k"), col("d"), segs, "v",
+        lit("-")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    def direct(k: Long, d: Long): String = {
+      val rows = Seq((1L, 10L, 19L, "a0"), (1L, 17L, 26L, "a1"),
+        (1L, 25L, 30L, "a2"), (2L, 10L, 40L, "wide"), (2L, 15L, 20L, "narrow"))
+        .filter(r => r._1 == k && r._2 <= d && d <= r._3)
+      if (rows.isEmpty) "-" else rows.maxBy(_._2)._4
+    }
+    for (k <- Seq(1L, 2L); d <- 5L to 45L)
+      assert(got((k, d)) === direct(k, d), s"k=$k d=$d")
+    // spot-pin the interesting cells by hand
+    assert(got((1L, 18L)) === "a1", "overlap resolves to the later version")
+    assert(got((1L, 22L)) === "a1" && got((1L, 26L)) === "a2")
+    assert(got((1L, 24L)) === "a1") // a1 runs to 26; a2 wins only from 25
+    assert(got((2L, 18L)) === "narrow" && got((2L, 30L)) === "wide",
+      "nested range falls back to the enclosing one after it closes")
+    assert(got((1L, 31L)) === "-" && got((2L, 9L)) === "-")
+  }
 }

@@ -156,6 +156,34 @@ class FixtureCoverageSpec extends SparkSpec {
         "exact_n" -> sizes.filter(col("count") === 3).count())
     },
 
+    // range_hashed dictionary: every version must be chosen somewhere,
+    // some probe must sit in an OVERLAP (two covering ranges — the
+    // max-start rule actually discriminating), and some probe must
+    // miss to the default. Rebuild mirrors the registration.
+    "q_dict_range" -> { dir =>
+      val out = run("q_dict_range", dir)
+      val facts = Tables.events(spark, dir).select(
+        (pmod(col("event_id"), lit(50)) + 1).cast("long").as("fk"),
+        datediff(to_date(col("ts")),
+          lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("fd"))
+      val dim = facts.select(col("fk").as("k")).distinct()
+        .select(col("k"), explode(array(lit(0), lit(1), lit(2))).as("ver"))
+        .withColumn("rs", lit(19720L) + pmod(col("k"), lit(5)) +
+          when(col("ver") === 2, 20).otherwise(col("ver") * 7))
+        .withColumn("re", col("rs") + when(col("ver") === 2, 5).otherwise(9))
+      val overlapped = facts.join(dim,
+          col("fk") === col("k") && col("fd") >= col("rs") &&
+            col("fd") <= col("re"))
+        .groupBy(col("fk"), col("fd")).count()
+        .filter(col("count") >= 2).count()
+      Map(
+        "v0" -> out.filter(col("rv").startsWith("v0-")).count(),
+        "v1" -> out.filter(col("rv").startsWith("v1-")).count(),
+        "v2" -> out.filter(col("rv").startsWith("v2-")).count(),
+        "default" -> out.filter(col("rv") === "none").count(),
+        "overlap_probes" -> overlapped)
+    },
+
     // t-digest: the fixture centers value at 0 precisely so BOTH sign
     // branches of the signed grid carry weight — pin it.
     "q_quantile_tdigest" -> { dir =>

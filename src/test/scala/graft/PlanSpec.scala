@@ -188,6 +188,17 @@ class PlanSpec extends SparkSpec {
       "dictionary resolution must never shuffle-join:\n" + p.take(2000))
   }
 
+  test("q_dict_range: the range probe broadcasts; the fact side never shuffles") {
+    // range_hashed contract: the argmax lives in the DICTIONARY
+    // (segment decomposition — dict-sized windows are fine), and the
+    // fact probe is one broadcast join. A SortMergeJoin anywhere means
+    // the fact table shuffled for a dictionary lookup.
+    val p = plan("q_dict_range")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "range dictionary probe must never shuffle-join:\n" + p.take(2000))
+  }
+
   test("q_mix_weights: one tiny aggregate + broadcast scalar, no sort-merge join") {
     val p = plan("q_mix_weights")
     assert(!p.contains("SortMergeJoin"), p.take(2000))
