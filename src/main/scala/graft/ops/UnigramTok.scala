@@ -358,6 +358,57 @@ object UnigramTok {
         coalesce(col("n_pieces"), lit(0L)).cast(LongType).as("n_pieces"))
   }
 
+  /** [[encode]] under a GIVEN piece table (piece, cnt, lp_q) instead
+    * of retraining — the stream-serving half of the refresh loop:
+    * segment this batch's distinct words once against the vocab
+    * (vocab-sized lattice work), then the batch token stream joins the
+    * per-word piece counts. The vocab never trains here, so a
+    * micro-batch pays encode cost only. */
+  def encodeWithVocab(docs: DataFrame, id: Column, text: Column,
+      vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val words = wordFreqs(docs, text)
+    val perWord = segmented(candidatesK(words, vocab, maxPieceLen))
+      .select(col("word"), size(col("parts")).cast(LongType).as("n_sub"))
+    val stream = docs.select(id.as("doc_id"),
+        explode(TextFunctions.tokens(text)).as("word"))
+      .filter(length(col("word")) >= 1)
+    val enc = stream.join(Joins.corpusSide(perWord), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_pieces"))
+    docs.select(id.as("doc_id")).join(enc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).cast(LongType).as("n_words"),
+        coalesce(col("n_pieces"), lit(0L)).cast(LongType).as("n_pieces"))
+  }
+
+  /** Versioned vocab publication — the tokenizer half of the
+    * batch-trained / stream-served refresh loop ([[graft.ops.Dsir
+    * .trainModel]]'s discipline, persisted): [[trainPieces]] over the
+    * training corpus lands atomically in a [[graft.sinks
+    * .SnapshotStore]] at `storeBase`, stamped with `version`. Readers
+    * ([[currentVocab]]) always see a complete vocab — the commit is an
+    * atomic manifest swap, never a partial file set — so a streaming
+    * job re-reading the store each micro-batch swaps models WITHOUT
+    * restart, and the version column says which model scored which
+    * batch. Prior versions remain RESTORE-able from the manifest log. */
+  def publishVocab(spark: org.apache.spark.sql.SparkSession,
+      storeBase: String, docs: DataFrame, id: Column, text: Column,
+      version: Long, maxPieceLen: Int = 4, seedSize: Int = 48,
+      vocabSize: Int = 32, emIters: Int = 2): Unit =
+    graft.sinks.SnapshotStore.commitReplace(spark, storeBase,
+      trainPieces(docs, id, text, maxPieceLen, seedSize, vocabSize, emIters)
+        .withColumn("version", lit(version)))
+
+  /** The currently-published (version, pieces) — None before the first
+    * [[publishVocab]]. */
+  def currentVocab(spark: org.apache.spark.sql.SparkSession,
+      storeBase: String): Option[(Long, DataFrame)] =
+    graft.sinks.SnapshotStore.read(spark, storeBase).map { df =>
+      val v = df.agg(max(col("version"))).head.getLong(0)
+      (v, df.drop("version"))
+    }
+
   // ------------------------------------------------------------ oracle SQL
 
   /** One Viterbi DP + backtrace replay in DuckDB: recursive CTE `dp$sfx`
@@ -392,10 +443,10 @@ seg$sfx AS (
   /** The full training replay: CTE chain ending in `vf` (piece, cnt,
     * lp) — seed, `emIters` Viterbi-EM rounds, prune + renormalize. */
   private def chainCtes(k: Int, seedSize: Int, vocabSize: Int,
-      emIters: Int): String = {
+      emIters: Int, trainWhere: String = "TRUE"): String = {
     val head =
       raw"""WITH RECURSIVE
-w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents) WHERE tok <> '' GROUP BY tok),
+w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents WHERE $trainWhere) WHERE tok <> '' GROUP BY tok),
 sub AS (SELECT substr(word, CAST(tp.p AS INTEGER), CAST(tl.l AS INTEGER)) AS piece, CAST(sum(freq) AS BIGINT) AS cnt
   FROM w, LATERAL unnest(range(1, len(word) + 1)) AS tp(p), LATERAL unnest(range(1, $k + 1)) AS tl(l)
   WHERE tp.p + tl.l - 1 <= len(word) GROUP BY 1),
@@ -425,10 +476,33 @@ SELECT piece, cnt, lp AS lp_q FROM vf"""
   /** DuckDB replica of [[encode]] over table `documents`. */
   def encodeOracleSql(maxPieceLen: Int = 4, seedSize: Int = 48,
       vocabSize: Int = 32, emIters: Int = 2): String =
-    raw"""${chainCtes(maxPieceLen, seedSize, vocabSize, emIters)},
+    encodeScopedOracleSql("TRUE", "TRUE", version = None,
+      maxPieceLen, seedSize, vocabSize, emIters)
+
+  /** [[encodeOracleSql]] with independent TRAIN and ENCODE scopes over
+    * `documents`, optionally stamping a vocab `version` column — one
+    * phase of the refresh replay: train the chain on `trainWhere`
+    * rows, encode the `encodeWhere` rows under it. The refresh oracle
+    * UNION ALLs one such phase per published model (each phase is a
+    * self-contained parenthesized WITH, so CTE names never collide). */
+  def encodeScopedOracleSql(trainWhere: String, encodeWhere: String,
+      version: Option[Long], maxPieceLen: Int = 4, seedSize: Int = 48,
+      vocabSize: Int = 32, emIters: Int = 2): String = {
+    val vCol = version.fold("")(v => s", CAST($v AS BIGINT) AS vocab_version")
+    raw"""${chainCtes(maxPieceLen, seedSize, vocabSize, emIters, trainWhere)},
 ${dpCtes("E", "vf", maxPieceLen)},
 wenc AS (SELECT word, CAST(len(parts) AS BIGINT) AS n_sub FROM segE WHERE j = 0),
-tokd AS (SELECT doc_id, word FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents) WHERE word <> ''),
+tokd AS (SELECT doc_id, word FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents WHERE $encodeWhere) WHERE word <> ''),
 enc AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(e.n_sub) AS BIGINT) AS n_pieces FROM tokd t JOIN wenc e ON t.word = e.word GROUP BY t.doc_id)
-SELECT d.doc_id, CAST(coalesce(enc.n_words, 0) AS BIGINT) AS n_words, CAST(coalesce(enc.n_pieces, 0) AS BIGINT) AS n_pieces FROM documents d LEFT JOIN enc ON d.doc_id = enc.doc_id"""
+SELECT d.doc_id, CAST(coalesce(enc.n_words, 0) AS BIGINT) AS n_words, CAST(coalesce(enc.n_pieces, 0) AS BIGINT) AS n_pieces$vCol FROM (SELECT doc_id FROM documents WHERE $encodeWhere) d LEFT JOIN enc ON d.doc_id = enc.doc_id"""
+  }
+
+  /** DuckDB replica of the refresh loop: one [[encodeScopedOracleSql]]
+    * phase per (trainWhere, encodeWhere, version), UNION ALLed. */
+  def refreshOracleSql(phases: Seq[(String, String, Long)],
+      maxPieceLen: Int = 4, seedSize: Int = 48, vocabSize: Int = 32,
+      emIters: Int = 2): String =
+    phases.map { case (tw, ew, v) =>
+      s"(${encodeScopedOracleSql(tw, ew, Some(v), maxPieceLen, seedSize, vocabSize, emIters)})"
+    }.mkString("\nUNION ALL\n")
 }

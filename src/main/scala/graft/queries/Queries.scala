@@ -1019,6 +1019,42 @@ object Queries {
       Some(graft.ops.UnigramTok.encodeOracleSql(
         maxPieceLen = 4, seedSize = 48, vocabSize = 32, emIters = 2))),
 
+    // Tokenizer REFRESH loop (batch-trained / stream-served /
+    // version-stamped, the Dsir precedent persisted through
+    // SnapshotStore): v1 trains on the first-arrived 60% of the corpus
+    // and scores those arrivals; a mid-stream re-train publishes v2
+    // over everything seen, and later arrivals encode under v2 — no
+    // restart, the reader just sees the store's next atomic snapshot.
+    // Each doc carries the version that scored it. The oracle replays
+    // one full train+encode chain per published model over the same
+    // scopes (StreamingSpec drives the same swap through an actual
+    // MemoryStream and asserts parity with this batch decomposition).
+    GraftQuery("q_unigram_refresh",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_uvref")
+        deleteRecursivelyOnExit(tmpP)
+        val store = s"$tmpP/vocab"
+        val d = docs(s, dir)
+        val early = d.filter(pmod(col("doc_id"), lit(5)) < 3)
+        graft.ops.UnigramTok.publishVocab(s, store, early,
+          col("doc_id"), col("text"), version = 1L)
+        val (v1, vocab1) = graft.ops.UnigramTok.currentVocab(s, store).get
+        val enc12 = graft.ops.UnigramTok.encodeWithVocab(early,
+            col("doc_id"), col("text"), vocab1)
+          .withColumn("vocab_version", lit(v1))
+        graft.ops.UnigramTok.publishVocab(s, store, d,
+          col("doc_id"), col("text"), version = 2L)
+        val (v2, vocab2) = graft.ops.UnigramTok.currentVocab(s, store).get
+        val enc3 = graft.ops.UnigramTok.encodeWithVocab(
+            d.filter(pmod(col("doc_id"), lit(5)) >= 3),
+            col("doc_id"), col("text"), vocab2)
+          .withColumn("vocab_version", lit(v2))
+        enc12.unionByName(enc3)
+      },
+      Some(graft.ops.UnigramTok.refreshOracleSql(Seq(
+        ("doc_id % 5 < 3", "doc_id % 5 < 3", 1L),
+        ("TRUE", "doc_id % 5 >= 3", 2L))))),
+
     // Polynomial rolling-hash fingerprint over the token stream
     // (order-sensitive, unlike the md5 content fingerprint): a left fold
     // of (acc*131 + tokenHash) mod (2^31-1).

@@ -666,6 +666,71 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("unigram vocab refresh: mid-stream model swap keeps batch parity, no restart") {
+    import graft.ops.UnigramTok
+    val store = tmp("uvocab") + "/vocab"
+    val outBase = tmp("uvout") + "/enc"
+    val d1 = Seq((1L, "aba abba cab"), (2L, "abba cab aba"))
+    val d2 = Seq((3L, "aba cab cab abba"))
+    val d3 = Seq((4L, "dada abad aba"), (5L, "abba dada dada"))
+    val early = (d1 ++ d2).toDF("doc_id", "text")
+    val all = (d1 ++ d2 ++ d3).toDF("doc_id", "text")
+    def publish(docsDf: DataFrame, v: Long): Unit =
+      UnigramTok.publishVocab(spark, store, docsDf, col("doc_id"),
+        col("text"), version = v, maxPieceLen = 3, seedSize = 8,
+        vocabSize = 8, emIters = 1)
+    publish(early, 1L) // v1: trained on what will arrive first
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.option("checkpointLocation", tmp("uv-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // each micro-batch reads the CURRENT snapshot — a publish
+        // between batches swaps the model with no query restart
+        val (v, vocab) = UnigramTok.currentVocab(spark, store).get
+        graft.sinks.SnapshotStore.commitAppend(spark, outBase,
+          UnigramTok.encodeWithVocab(batch.toDF(), col("doc_id"),
+              col("text"), vocab, maxPieceLen = 3)
+            .withColumn("vocab_version", lit(v)),
+          tag = Some(s"enc-$id"))
+      }
+      .start()
+    try {
+      in.addData(d1: _*); q.processAllAvailable()
+      in.addData(d2: _*); q.processAllAvailable()
+      publish(all, 2L) // the mid-stream REFRESH; the query keeps running
+      in.addData(d3: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.sinks.SnapshotStore.read(spark, outBase).get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // batch decomposition with the same public API: early docs under
+    // the v1 vocab, late docs under the v2 vocab — must be BIT-equal
+    def vocabOf(docsDf: DataFrame) = UnigramTok.trainPieces(docsDf,
+      col("doc_id"), col("text"), maxPieceLen = 3, seedSize = 8,
+      vocabSize = 8, emIters = 1)
+    val expect =
+      (UnigramTok.encodeWithVocab(early, col("doc_id"), col("text"),
+          vocabOf(early), maxPieceLen = 3)
+        .withColumn("vocab_version", lit(1L)) unionByName
+      UnigramTok.encodeWithVocab(d3.toDF("doc_id", "text"), col("doc_id"),
+          col("text"), vocabOf(all), maxPieceLen = 3)
+        .withColumn("vocab_version", lit(2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(got === expect, s"stream/batch divergence:\n got=$got\n exp=$expect")
+    // the swap really happened: late docs carry v2, early docs v1
+    assert(got.filter(t => t._1 >= 4L).forall(_._4 === 2L))
+    assert(got.filter(t => t._1 <= 3L).forall(_._4 === 1L))
+    // and the two models genuinely differ on the late docs (else the
+    // parity assertion proves nothing about the swap)
+    val underV1 = UnigramTok.encodeWithVocab(d3.toDF("doc_id", "text"),
+        col("doc_id"), col("text"), vocabOf(early), maxPieceLen = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val v2Pieces = got.filter(_._1 >= 4L).map(t => t._1 -> t._3).toMap
+    assert(underV1 !== v2Pieces,
+      "fixture too weak: v1 and v2 segment the late docs identically")
+  }
+
   test("stream-stream attribution join: in-window pairs, watermark-bounded state, batch parity") {
     def evStream(in: MemoryStream[(Long, Long, String)]): DataFrame =
       in.toDF().toDF("event_id", "user_id", "ts_s")
