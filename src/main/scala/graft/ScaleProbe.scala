@@ -271,6 +271,28 @@ object ScaleProbe {
           restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
         }
       }),
+      // dictionary hierarchy closure under a PLANTED deep+wide tree:
+      // keys/12 per layer, parent one layer down, so EVERY chain runs
+      // the full maxDepth=12 hops — the worst case for the iterative
+      // self-broadcast. The claim under measurement: closure work is
+      // dict-sized (12 broadcast hops, each dict-sized — jobs stay
+      // FLAT as keys grow; no fact side exists to shuffle). Keys scale
+      // with input to 1M (the ask's target, hit at the spec's 10×) and
+      // CAP at 2M: dictionaries are model-sized by definition —
+      // ClickHouse materializes them in RAM on every server — so an
+      // unboundedly growing dictionary is out of contract, and the cap
+      // keeps the 100× probe honest about what the operator is for
+      "dict_closure" -> (() => {
+        val keys = math.min(math.max(eventsN / 10, 1200L), 2000000L)
+        val width = math.max(keys / 12, 1L)
+        val inParts = math.max(4L, keys / 500000L).toInt
+        val dim = spark.range(1, keys + 1, 1, inParts).select(
+          col("id"),
+          when(col("id") <= width, lit(0L))
+            .otherwise(col("id") - width).as("parent"))
+        force(graft.ops.Dict.hierarchy(dim, col("id"), col("parent"),
+          maxDepth = 12))
+      }),
       // degree-oriented triangle counting under a PLANTED HUB (half of
       // all edges touch node 0): the orientation points every hub edge
       // INTO the hub, so wedge volume tracks Σ out-degree² of the

@@ -88,13 +88,36 @@ class ScaleProbeSpec extends SparkSpec {
     // absolute: a corpus-proportional collect would show ~10× bytes on
     // 10× input; bounded collects (centroids, stats rows, counts) and
     // metric payloads stay ~flat because task counts are partition-
-    // bound, not row-bound
-    rungNames.foreach { n =>
+    // bound, not row-bound.
+    // dict_closure is the one DOCUMENTED exception: its driver bytes
+    // ARE the dictionary broadcast collect — linear in dictionary
+    // size (which the rung grows 10×), bounded by the model-size cap,
+    // never by the corpus. It gets the absolute-cap test below.
+    rungNames.filterNot(_ == "dict_closure").foreach { n =>
       val s = math.max(small(n)._2.resultBytes, 4L * MB) // tiny-base floor
       val b = big(n)._2.resultBytes
       assert(b <= 3L * s,
         s"$n driver-result bytes grew ${b.toDouble / s}x on 10x input " +
           s"(${small(n)._2.resultBytes} -> $b) — corpus-proportional collect")
+    }
+  }
+
+  test("dict_closure: jobs flat, zero shuffle, driver bytes under the model-size cap") {
+    // the closure's only driver cost is the dictionary broadcast —
+    // capped at 2M keys by the rung (the range_hashed/hierarchy
+    // contract: dictionaries are RAM-resident model-sized tables), so
+    // the invariant is an ABSOLUTE bound plus flat round-trips, not a
+    // growth ratio over a deliberately growing dictionary
+    for ((label, (_, m)) <- Seq("1x" -> small("dict_closure"),
+        "10x" -> big("dict_closure"))) {
+      assert(m.jobs <= 6L, s"dict_closure $label used ${m.jobs} jobs — " +
+        "the 12 hops must fold into one chained broadcast stage")
+      assert(m.shuffleWriteBytes <= 4L * MB,
+        s"dict_closure $label shuffled ${m.shuffleWriteBytes} bytes — " +
+          "nothing in the closure may shuffle")
+      assert(m.resultBytes <= 40L * MB,
+        s"dict_closure $label driver bytes ${m.resultBytes} exceed the " +
+          "2M-key model-size cap's broadcast cost")
     }
   }
 }
