@@ -172,6 +172,108 @@ object TDigest {
       w: Column = lit(1L), delta: Int = 64, m: Int = 8): DataFrame =
     quantiles(digest(sketch(df, v, w, m), delta, m), qs)
 
+  // ------------------------------------------------- grouped (BY key)
+
+  /** GROUPED [[sketch]]: one additive (k, idx, w) histogram per key —
+    * the per-segment dashboard form (`quantileTDigest(v) ... GROUP BY
+    * segment`). Still one map-side-combined hash aggregate; state per
+    * key is grid-bounded, keys may be corpus-sized. The output is the
+    * per-group MV part shape (SummingStore keys = (k, idx)). */
+  def sketchBy(df: DataFrame, key: Column, v: Column,
+      w: Column = lit(1L), m: Int = 8): DataFrame =
+    df.select(key.as("k"), gridIdx(v.cast("long"), m).as("idx"),
+        w.cast("long").as("w0"))
+      .groupBy(col("k"), col("idx")).agg(sum(col("w0")).as("w"))
+
+  /** GROUPED [[digest]]: the same fixed k0 compression per key. The
+    * windows partition by key (each group ≤ grid-size rows); per-key
+    * totals join back CORPUS-SIDE — |keys| is corpus-derived, so the
+    * totals table must never broadcast ([[Joins.corpusSide]]). */
+  def digestBy(state: DataFrame, delta: Int = 64, m: Int = 8): DataFrame = {
+    require(delta >= 2 && delta <= 4096, "delta must be in [2, 4096]")
+    val cumW = Window.partitionBy(col("k")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = state.groupBy(col("k")).agg(sum(col("w")).as("tw"))
+    val assigned = state
+      .withColumn("cwb", coalesce(sum(col("w")).over(cumW), lit(0L)))
+      .join(Joins.corpusSide(tot), Seq("k"))
+      .withColumn("cent_id", exactDiv(col("cwb") * delta, col("tw")))
+    val cents = assigned.groupBy(col("k"), col("cent_id"))
+      .agg(sum(col("w")).as("w"),
+        sum(gridValue(col("idx"), m).cast("decimal(20,0)") *
+          col("w").cast("decimal(18,0)")).as("vsum"))
+    val cumC = Window.partitionBy(col("k")).orderBy(col("cent_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    cents
+      .withColumn("c2",
+        lit(2L) * coalesce(sum(col("w")).over(cumC), lit(0L)) + col("w"))
+      .select(col("k"), col("cent_id"), col("w"), col("vsum"), col("c2"))
+  }
+
+  /** GROUPED [[quantiles]]: the same bracket probe per (key, q). */
+  def quantilesBy(dig: DataFrame, qs: Seq[(Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (n, d) => d > 0 && n >= 0 && n <= d },
+      "quantiles must be rationals in [0,1]")
+    val spark = dig.sparkSession
+    import spark.implicits._
+    val tot = dig.groupBy(col("k")).agg(sum(col("w")).as("tw"))
+    val qdf = qs.toDF("q_num", "q_den")
+    val mean = col("vsum").cast("double") / col("w").cast("double")
+    val t2n = lit(2L) * col("tw") * col("q_num")
+    val isLo = col("c2") * col("q_den") <= t2n
+    val br = dig.join(Joins.corpusSide(tot), Seq("k"))
+      .crossJoin(broadcast(qdf))
+      .groupBy(col("k"), col("q_num"), col("q_den"))
+      .agg(max(when(isLo, col("c2"))).as("c2_lo"),
+        max(when(isLo, mean)).as("m_lo"),
+        min(when(!isLo, col("c2"))).as("c2_hi"),
+        min(when(!isLo, mean)).as("m_hi"),
+        first(col("tw")).as("tw"))
+    val frac = (lit(2L) * col("tw") * col("q_num") -
+        col("c2_lo") * col("q_den")).cast("double") /
+      ((col("c2_hi") - col("c2_lo")) * col("q_den")).cast("double")
+    br.select(col("k"), col("q_num"), col("q_den"),
+      floor(
+        when(col("c2_lo").isNull, col("m_hi"))
+          .when(col("c2_hi").isNull, col("m_lo"))
+          .otherwise(col("m_lo") + (col("m_hi") - col("m_lo")) * frac)
+        + lit(0.5)).cast("long").as("est"))
+  }
+
+  /** DuckDB replica of the grouped pipeline over `keySql`/`valueSql`/
+    * `weightSql` from `src` — [[oracleSql]] with PARTITION BY k. */
+  def oracleByKeySql(keySql: String, valueSql: String, weightSql: String,
+      src: String, qs: Seq[(Int, Int)], delta: Int = 64,
+      m: Int = 8): String = {
+    val base = 1L << m
+    def magSql(a: String) =
+      s"CASE WHEN $a < $base THEN $a ELSE CAST(length(bin($a)) - 1 - $m AS BIGINT) * $base + ($a >> CAST(length(bin($a)) - 1 - $m AS BIGINT)) END"
+    def decSql(a: String) =
+      s"CASE WHEN $a < $base THEN $a ELSE ($base + $a % $base) << CAST($a // $base - 1 AS BIGINT) END"
+    val qrows = qs.map { case (n, d) => s"($n, $d)" }.mkString(", ")
+    s"""WITH vals AS (SELECT $keySql AS k, CAST($valueSql AS BIGINT) AS v, CAST($weightSql AS BIGINT) AS w0 FROM $src),
+sk AS (SELECT k, CASE WHEN v >= 0 THEN ${magSql("v")} ELSE -(${magSql("(-v)")}) END AS idx, sum(w0) AS w FROM vals GROUP BY 1, 2),
+asg AS (SELECT k, idx, w, coalesce(sum(w) OVER (PARTITION BY k ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cwb, sum(w) OVER (PARTITION BY k) AS tw FROM sk),
+cents AS (SELECT k, (cwb * $delta) // tw AS cent_id, sum(w) AS w,
+  sum(CAST(CASE WHEN idx >= 0 THEN ${decSql("idx")} ELSE -(${decSql("(-idx)")}) END AS DECIMAL(20,0)) * CAST(w AS DECIMAL(18,0))) AS vsum
+ FROM asg GROUP BY 1, 2),
+dig AS (SELECT k, cent_id, w, vsum, 2 * coalesce(sum(w) OVER (PARTITION BY k ORDER BY cent_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w AS c2 FROM cents),
+tot AS (SELECT k, sum(w) AS tw FROM dig GROUP BY 1),
+q(q_num, q_den) AS (VALUES $qrows),
+br AS (SELECT dig.k, q_num, q_den,
+  max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN c2 END) AS c2_lo,
+  max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_lo,
+  min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN c2 END) AS c2_hi,
+  min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_hi,
+  min(tw) AS tw
+ FROM dig JOIN tot ON dig.k = tot.k, q GROUP BY 1, 2, 3)
+SELECT k, q_num, q_den, CAST(floor(
+  CASE WHEN c2_lo IS NULL THEN m_hi WHEN c2_hi IS NULL THEN m_lo
+    ELSE m_lo + (m_hi - m_lo) * (CAST(2 * tw * q_num - c2_lo * q_den AS DOUBLE) / CAST((c2_hi - c2_lo) * q_den AS DOUBLE)) END
+  + 0.5) AS BIGINT) AS est
+FROM br"""
+  }
+
   /** DuckDB CTEs replaying [[sketch]] (from `valueSql`/`weightSql`
     * over `src`) and [[digest]]: emits CTE `dig`
     * (cent_id, w, vsum, c2). */

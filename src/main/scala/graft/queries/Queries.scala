@@ -1055,6 +1055,27 @@ object Queries {
         ("doc_id % 5 < 3", "doc_id % 5 < 3", 1L),
         ("TRUE", "doc_id % 5 >= 3", 2L))))),
 
+    // Sequence PACKING (concat-and-chunk, the GPT-style batching step
+    // between corpus and loader): docs concatenate in doc_id order and
+    // the token stream cuts into 256-token training sequences; the
+    // ledger says where every doc landed (sequence, offset, span).
+    // The prefix sum is the two-phase bucketed cumulative — never a
+    // global one-task window. seqLen 256 vs the fixture's ~tens-of-
+    // tokens docs makes both classes real: most docs pack interior,
+    // some cross a boundary (FixtureCoverageSpec pins both).
+    GraftQuery("q_pack_sequences",
+      (s, dir) => graft.ops.Packing.packSequences(docs(s, dir),
+        col("doc_id"), col("text"), seqLen = 256L),
+      Some(graft.ops.Packing.packOracleSql(256L))),
+
+    // The packing-efficiency readout a seqLen sweep compares: one row
+    // of docs/tokens/sequences/boundary-crossusers/last-fill.
+    GraftQuery("q_pack_stats",
+      (s, dir) => graft.ops.Packing.packStats(
+        graft.ops.Packing.packSequences(docs(s, dir),
+          col("doc_id"), col("text"), seqLen = 256L), seqLen = 256L),
+      Some(graft.ops.Packing.packStatsOracleSql(256L))),
+
     // Polynomial rolling-hash fingerprint over the token stream
     // (order-sensitive, unlike the md5 content fingerprint): a left fold
     // of (acc*131 + tokenHash) mod (2^31-1).
@@ -3815,6 +3836,37 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
       Some(graft.ops.TDigest.oracleSql(
         "round((value - 0.5)*1000000, 0)", "1 + user_id % 9", "events",
         Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
+
+    // GROUPED t-digest, MV-SERVED end-to-end (`quantileTDigest(v) ...
+    // GROUP BY segment`, the per-segment dashboard form): three chunks
+    // land per-(key, grid-idx) histogram parts in a SummingStore, the
+    // merged state digests per key (windows per key, per-key totals
+    // joined corpus-side — |keys| never broadcasts), and the readout
+    // probes every (key, q). One query proves the grouped path AND its
+    // incremental maintenance against the full-data oracle.
+    GraftQuery("q_quantile_tdigest_by",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_tdigby")
+        deleteRecursivelyOnExit(tmpP)
+        val mv = s"$tmpP/tdigbymv"
+        val e = ev(s, dir)
+        (0 until 3).foreach { i =>
+          val part = graft.ops.TDigest.sketchBy(
+            e.filter(pmod(col("event_id"), lit(3)) === i),
+            col("event_type"),
+            round((col("value") - 0.5) * 1e6, 0).cast("long"),
+            lit(1L) + pmod(col("user_id"), lit(9L)))
+          graft.sinks.SummingStore.appendDelta(part, mv,
+            tag = Some(s"tdigby-chunk$i"))
+        }
+        graft.ops.TDigest.quantilesBy(
+          graft.ops.TDigest.digestBy(
+            graft.sinks.SummingStore.read(s, mv, Seq("k", "idx"), Seq("w")).get),
+          Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))
+      },
+      Some(graft.ops.TDigest.oracleByKeySql(
+        "event_type", "round((value - 0.5)*1000000, 0)", "1 + user_id % 9",
+        "events", Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
 
     // ClickHouse hierarchical dictionary (dictGetHierarchy + dictIsIn):
     // a parent-keyed category tree (id // 4, depth 5 over 340 ids —

@@ -184,6 +184,17 @@ class FixtureCoverageSpec extends SparkSpec {
         "overlap_probes" -> overlapped)
     },
 
+    // sequence packing: both placement classes must be gated —
+    // interior docs (whole doc inside one sequence) and boundary-
+    // crossing docs (n_seqs > 1, the fragmentation arithmetic).
+    "q_pack_sequences" -> { dir =>
+      val out = run("q_pack_sequences", dir)
+      Map(
+        "interior" -> out.filter(col("n_seqs") === 1).count(),
+        "crossing" -> out.filter(col("n_seqs") > 1).count(),
+        "nonzero_offset" -> out.filter(col("off_first") > 0).count())
+    },
+
     // t-digest: the fixture centers value at 0 precisely so BOTH sign
     // branches of the signed grid carry weight — pin it.
     "q_quantile_tdigest" -> { dir =>
