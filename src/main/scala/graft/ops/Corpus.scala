@@ -164,6 +164,94 @@ mr AS (SELECT stratum, tokens, target_share, floor(least(1.0, target_share * bud
     s"""WITH ${mixtureRatesOracleCtes(stratumCol, shares)}
 SELECT stratum, tokens, target_share, rate FROM mr"""
 
+  /** EPOCH planning — [[mixtureRates]]' complement for the
+    * over-subscribed direction: mixtureRates can only sample a stratum
+    * DOWN (rate ≤ 1), but a real pretraining mix also runs scarce,
+    * high-value strata for MULTIPLE passes (Wikipedia at 3.4 epochs is
+    * the canonical example). Given the same target shares and an
+    * explicit total token budget, each stratum's target = budget·share
+    * resolves into n_epochs = ⌊target/tokens⌋ FULL passes plus one
+    * FRACTIONAL pass at rate (target mod tokens)/tokens in basis
+    * points — the same 10k-bucket deterministic hash space as
+    * [[sampleKeepByRate]], so plan and apply compose exactly and the
+    * whole plan hash-gates. Strata outside `shares` are excluded (no
+    * row). One stratum-sized aggregate; the corpus never shuffles.
+    *
+    * Output: (stratum, tokens, target_tokens, n_epochs, frac_bp). */
+  def epochPlan(docs: DataFrame, stratum: Column, nTokens: Column,
+      shares: Seq[(String, Double)], budgetTokens: Long): DataFrame = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0) && budgetTokens > 0)
+    val t = docs.select(stratum.as("stratum"), nTokens.cast(LongType).as("n_tok"))
+      .groupBy(col("stratum")).agg(sum(col("n_tok")).as("tokens"))
+    val shareCol = shares.foldRight(lit(null).cast("double")) {
+      case ((k, v), acc) => when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    val target = floor(lit(budgetTokens).cast("double") * col("target_share")
+      + lit(0.5)).cast(LongType)
+    t.withColumn("target_share", shareCol)
+      .filter(col("target_share").isNotNull && col("tokens") > 0)
+      .withColumn("target_tokens", target)
+      .withColumn("n_epochs",
+        ((col("target_tokens") - pmod(col("target_tokens"), col("tokens")))
+          / col("tokens")).cast(LongType))
+      .withColumn("frac_bp",
+        floor(pmod(col("target_tokens"), col("tokens")).cast("double")
+          * lit(10000.0) / col("tokens").cast("double") + lit(0.5))
+          .cast(LongType))
+      .select(col("stratum"), col("tokens"), col("target_tokens"),
+        col("n_epochs"), col("frac_bp"))
+  }
+
+  /** Apply an [[epochPlan]]: materialize the per-document training
+    * instances — every doc of a planned stratum appears `n_epochs`
+    * times plus once more when its hash bucket falls under the
+    * fractional rate. Output one row per INSTANCE (doc_id, stratum,
+    * epoch_idx, n_copies); docs drawing zero copies emit nothing. The
+    * plan broadcasts (strata-count rows); the explode is per-row. */
+  def epochApply(docs: DataFrame, id: Column, stratum: Column,
+      plan: DataFrame): DataFrame = {
+    // bucket binds to the RENAMED columns (the input's stratum/id
+    // expressions are gone after the select below)
+    val bucket = pmod(TextFunctions.md5Long(
+      concat(lit("epoch:"), col("stratum").cast(StringType), lit(":"),
+        col("doc_id").cast(StringType))), lit(10000L))
+    docs.select(id.as("doc_id"), stratum.as("stratum"))
+      .join(broadcast(plan.select(col("stratum"), col("n_epochs"),
+        col("frac_bp"))), Seq("stratum"))
+      .withColumn("n_copies",
+        col("n_epochs") + when(bucket < col("frac_bp"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .select(col("doc_id"), col("stratum"), col("n_copies"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("epoch_idx"))
+  }
+
+  /** Shared oracle CTEs for [[epochPlan]] over `documents` (ends with
+    * CTE `ep`: stratum, tokens, target_tokens, n_epochs, frac_bp). */
+  def epochPlanOracleCtes(stratumCol: String, shares: Seq[(String, Double)],
+      budgetTokens: Long): String = {
+    val caseArms = shares.map { case (k, v) =>
+      s"WHEN '${k.replace("'", "''")}' THEN CAST($v AS DOUBLE)"
+    }.mkString(" ")
+    raw"""et AS (SELECT $stratumCol AS stratum, CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens FROM documents GROUP BY 1),
+ew AS (SELECT stratum, tokens, CASE stratum $caseArms ELSE NULL END AS target_share FROM et WHERE CASE stratum $caseArms ELSE NULL END IS NOT NULL AND tokens > 0),
+ep AS (SELECT stratum, tokens, CAST(floor(CAST($budgetTokens AS DOUBLE) * target_share + 0.5) AS BIGINT) AS target_tokens, CAST(floor(CAST($budgetTokens AS DOUBLE) * target_share + 0.5) AS BIGINT) // tokens AS n_epochs, CAST(floor(CAST(CAST(floor(CAST($budgetTokens AS DOUBLE) * target_share + 0.5) AS BIGINT) % tokens AS DOUBLE) * 10000.0 / CAST(tokens AS DOUBLE) + 0.5) AS BIGINT) AS frac_bp FROM ew)"""
+  }
+
+  /** DuckDB replica of [[epochPlan]]. */
+  def epochPlanOracleSql(stratumCol: String, shares: Seq[(String, Double)],
+      budgetTokens: Long): String =
+    s"""WITH ${epochPlanOracleCtes(stratumCol, shares, budgetTokens)}
+SELECT stratum, tokens, target_tokens, n_epochs, frac_bp FROM ep"""
+
+  /** DuckDB replica of [[epochApply]] ∘ [[epochPlan]]. */
+  def epochApplyOracleSql(stratumCol: String, shares: Seq[(String, Double)],
+      budgetTokens: Long): String =
+    s"""WITH ${epochPlanOracleCtes(stratumCol, shares, budgetTokens)},
+ec AS (SELECT d.doc_id, ep.stratum, ep.n_epochs + CASE WHEN CAST('0x'||substring(md5('epoch:'||ep.stratum||':'||CAST(d.doc_id AS VARCHAR)),1,15) AS BIGINT) % 10000 < ep.frac_bp THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN ep ON d.$stratumCol = ep.stratum)
+SELECT doc_id, stratum, CAST(n_copies AS BIGINT) AS n_copies, CAST(t.i AS BIGINT) AS epoch_idx
+FROM ec, LATERAL unnest(range(0, n_copies)) AS t(i) WHERE n_copies >= 1"""
+
   /** [[sampleKeep]] with the rate coming from a COLUMN (a planned rate
     * joined in, e.g. [[mixtureRates]] output) instead of a literal
     * table — same hash, same bucket space, so planning and applying

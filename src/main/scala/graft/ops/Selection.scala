@@ -72,6 +72,54 @@ SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams, CAST(sum(CASE WHEN f.first
 qsig AS (SELECT doc_id, lang, source, n_tok, $qualityMicrosSql AS q_micros FROM (SELECT *, CASE WHEN n_tokq > 0 THEN n_tokq ELSE 1.0 END AS ntq FROM qraw))"""
   }
 
+  /** CURRICULUM sharding — the ordering plan between selection and
+    * the loader: documents bucket into global quality deciles (or
+    * `nBuckets`-iles) and spread across `nShards` shards within each
+    * bucket, so a curriculum schedule ("easy/high-quality first", or
+    * any per-bucket mixing rule) can be materialized shard-by-shard
+    * without a global sort at training time. Bucket cuts are the
+    * type-1 ([[graft.ops.TimeSeries.weightedQuantiles]]) quantiles of
+    * the integer quality score — exact BIGINT cut values from the
+    * bucketed two-phase cumulative, broadcast as one (nBuckets−1)-row
+    * array; bucket(q) = #cuts ≤ q, so every assignment is an integer
+    * comparison (ties land deterministically in the bucket whose cut
+    * they equal). Shard = md5 hash of the doc id mod nShards —
+    * deterministic, uniform, independent of quality.
+    *
+    * Scale: the cut computation is the weighted_quantile rung shape;
+    * assignment is one per-row map against a broadcast array. Output:
+    * (doc_id, q_micros, bucket, shard). */
+  def curriculumShards(docs: DataFrame, id: Column, text: Column,
+      nShards: Int, nBuckets: Int = 10): DataFrame = {
+    require(nShards >= 1 && nBuckets >= 2, "need nShards >= 1, nBuckets >= 2")
+    val q = docs.select(id.as("doc_id"), qualityMicros(text).as("q_micros"))
+    val cuts = graft.ops.TimeSeries.weightedQuantiles(
+        q, col("q_micros"), lit(1L), (1 until nBuckets).map(d => d -> nBuckets))
+      .agg(sort_array(collect_list(col("value"))).as("cuts"))
+    q.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("q_micros"),
+        size(filter(col("cuts"), c => c <= col("q_micros")))
+          .cast(LongType).as("bucket"),
+        pmod(TextFunctions.md5Long(
+          concat(lit("shard:"), col("doc_id").cast("string"))),
+          lit(nShards.toLong)).as("shard"))
+  }
+
+  /** DuckDB replica of [[curriculumShards]] over `documents`. */
+  def curriculumShardsOracleSql(nShards: Int, nBuckets: Int = 10): String = {
+    val qrows = (1 until nBuckets).map(d => s"($d, $nBuckets)").mkString(", ")
+    raw"""WITH ${qSignalsOracleCte()},
+cum AS (SELECT q_micros AS v, count(*) AS w FROM qsig GROUP BY 1),
+cw AS (SELECT v, sum(w) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM cum),
+tot AS (SELECT sum(w) AS tw FROM cum),
+qq(q_num, q_den) AS (VALUES $qrows),
+cuts AS (SELECT q_num, q_den, min(v) AS cut FROM cw, tot, qq WHERE c * q_den >= q_num * tw GROUP BY 1, 2)
+SELECT doc_id, q_micros,
+ CAST((SELECT count(*) FROM cuts WHERE cut <= qsig.q_micros) AS BIGINT) AS bucket,
+ CAST('0x'||substring(md5('shard:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % $nShards AS shard
+FROM qsig"""
+  }
+
   /** Source-level quality statistics (the RefinedWeb/C4-style
     * domain-blocklist planning step, with `source` standing in for the
     * registered domain): per source, document count, total tokens, and

@@ -2091,6 +2091,41 @@ FROM agg a JOIN summary s ON a.event_type = s.event_type""")),
 SELECT d.doc_id, d.lang FROM documents d JOIN mr ON d.lang = mr.stratum
 WHERE CAST('0x'||substring(md5('sample:'||d.lang||':'||CAST(d.doc_id AS VARCHAR)),1,15) AS BIGINT) % 10000 < floor(mr.rate * 10000.0 + 0.5)""")),
 
+    // EPOCH planning (mixture rates' over-subscribed complement): a
+    // 60k-token budget against the fixture's ~20k-token corpus forces
+    // multi-epoch passes — per stratum, full passes n_epochs plus a
+    // fractional pass in hash basis points. Strata land with epochs
+    // >= 1 AND genuinely fractional tails (FixtureCoverageSpec pins
+    // both classes).
+    GraftQuery("q_epoch_plan",
+      (s, dir) => Corpus.epochPlan(docs(s, dir), col("lang"),
+        TextFunctions.tokenCount(col("text")), mixShares,
+        budgetTokens = 60000L),
+      Some(Corpus.epochPlanOracleSql("lang", mixShares, 60000L))),
+
+    // The plan APPLIED: one row per training INSTANCE — each doc
+    // repeats n_epochs times plus once more when its hash bucket falls
+    // under the stratum's fractional rate. Plan broadcasts; the
+    // explode is per-row; nothing corpus-sized shuffles.
+    GraftQuery("q_epoch_apply",
+      (s, dir) => {
+        val d = docs(s, dir)
+        Corpus.epochApply(d, col("doc_id"), col("lang"),
+          Corpus.epochPlan(d, col("lang"),
+            TextFunctions.tokenCount(col("text")), mixShares,
+            budgetTokens = 60000L))
+      },
+      Some(Corpus.epochApplyOracleSql("lang", mixShares, 60000L))),
+
+    // CURRICULUM sharding: global quality deciles (type-1 integer cut
+    // values from the two-phase cumulative, broadcast as one array) ×
+    // hash shards — the ordering plan a curriculum schedule
+    // materializes shard-by-shard without a training-time global sort.
+    GraftQuery("q_curriculum_shards",
+      (s, dir) => Selection.curriculumShards(docs(s, dir),
+        col("doc_id"), col("text"), nShards = 4),
+      Some(Selection.curriculumShardsOracleSql(nShards = 4))),
+
     // Gopher-style intra-document repetition signal: 1 - distinct/total
     // word trigrams, floor-form at 4 decimals.
     GraftQuery("q_repetition",

@@ -195,6 +195,39 @@ class FixtureCoverageSpec extends SparkSpec {
         "nonzero_offset" -> out.filter(col("off_first") > 0).count())
     },
 
+    // epoch planning: the budget must force multi-epoch strata
+    // (n_epochs >= 1), genuinely fractional tails (0 < frac_bp <
+    // 10000), and — in the applied form — docs drawing the extra
+    // fractional copy AND docs not drawing it, else the hash-cut rule
+    // gates nothing.
+    "q_epoch_plan" -> { dir =>
+      val plan = run("q_epoch_plan", dir)
+      val applied = run("q_epoch_apply", dir)
+        .groupBy(col("doc_id"), col("stratum"))
+        .agg(max(col("n_copies")).as("nc"), max(col("epoch_idx")).as("mx"))
+      val extras = applied
+        .join(plan.select(col("stratum"), col("n_epochs")), Seq("stratum"))
+      Map(
+        "multi_epoch" -> plan.filter(col("n_epochs") >= 1).count(),
+        "fractional" -> plan.filter(col("frac_bp") > 0 && col("frac_bp") < 10000).count(),
+        "drew_extra" -> extras.filter(col("nc") === col("n_epochs") + 1).count(),
+        "no_extra" -> extras.filter(col("nc") === col("n_epochs")
+          && col("n_epochs") >= 1).count(),
+        "epoch_indices_dense" ->
+          applied.filter(col("mx") === col("nc") - 1).count())
+    },
+
+    // curriculum shards: every bucket and every shard must carry docs
+    // (a degenerate quality distribution could empty interior deciles
+    // and gate the cut arithmetic against nothing).
+    "q_curriculum_shards" -> { dir =>
+      val out = run("q_curriculum_shards", dir)
+      val buckets = out.groupBy(col("bucket")).count().count()
+      val shards = out.groupBy(col("shard")).count().count()
+      Map("buckets_populated" -> (if (buckets >= 5) 1L else 0L),
+        "shards_populated" -> (if (shards == 4) 1L else 0L))
+    },
+
     // t-digest: the fixture centers value at 0 precisely so BOTH sign
     // branches of the signed grid carry weight — pin it.
     "q_quantile_tdigest" -> { dir =>
