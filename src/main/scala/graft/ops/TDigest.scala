@@ -293,25 +293,39 @@ cents AS (SELECT (cwb * $delta) // tw AS cent_id, sum(w) AS w,
 dig AS (SELECT cent_id, w, vsum, 2 * coalesce(sum(w) OVER (ORDER BY cent_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w AS c2 FROM cents)"""
   }
 
-  /** Full DuckDB replica: [[digestOracleCtes]] + the [[quantiles]]
-    * probe, identical bracket logic and final doubles. */
-  def oracleSql(valueSql: String, weightSql: String, src: String,
-      qs: Seq[(Int, Int)], delta: Int = 64, m: Int = 8): String = {
+  /** Oracle BODY (no leading WITH): "ctes…, final SELECT" — the form
+    * composable as the tail of a larger CTE chain (the streaming
+    * monitor oracle appends it after the batch-replay CTEs). `p`
+    * prefixes every CTE name against collisions with the host chain. */
+  def oracleBodySql(valueSql: String, weightSql: String, src: String,
+      qs: Seq[(Int, Int)], delta: Int = 64, m: Int = 8,
+      p: String = ""): String = {
     val qrows = qs.map { case (n, d) => s"($n, $d)" }.mkString(", ")
-    s"""WITH ${digestOracleCtes(valueSql, weightSql, src, delta, m)},
-tot AS (SELECT sum(w) AS tw FROM dig),
-q(q_num, q_den) AS (VALUES $qrows),
-br AS (SELECT q_num, q_den,
+    val ctes = digestOracleCtes(valueSql, weightSql, src, delta, m)
+    val prefixed = if (p.isEmpty) ctes else
+      Seq("vals", "sk", "asg", "cents", "dig").foldLeft(ctes) { (s, n) =>
+        s.replaceAll(s"\\b$n\\b", s"$p$n")
+      }
+    s"""$prefixed,
+${p}qtot AS (SELECT sum(w) AS tw FROM ${p}dig),
+${p}qq(q_num, q_den) AS (VALUES $qrows),
+${p}br AS (SELECT q_num, q_den,
   max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN c2 END) AS c2_lo,
   max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_lo,
   min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN c2 END) AS c2_hi,
   min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_hi,
   min(tw) AS tw
- FROM dig, tot, q GROUP BY 1, 2)
+ FROM ${p}dig, ${p}qtot, ${p}qq GROUP BY 1, 2)
 SELECT q_num, q_den, CAST(floor(
   CASE WHEN c2_lo IS NULL THEN m_hi WHEN c2_hi IS NULL THEN m_lo
     ELSE m_lo + (m_hi - m_lo) * (CAST(2 * tw * q_num - c2_lo * q_den AS DOUBLE) / CAST((c2_hi - c2_lo) * q_den AS DOUBLE)) END
   + 0.5) AS BIGINT) AS est
-FROM br"""
+FROM ${p}br"""
   }
+
+  /** Full DuckDB replica: [[digestOracleCtes]] + the [[quantiles]]
+    * probe, identical bracket logic and final doubles. */
+  def oracleSql(valueSql: String, weightSql: String, src: String,
+      qs: Seq[(Int, Int)], delta: Int = 64, m: Int = 8): String =
+    s"WITH ${oracleBodySql(valueSql, weightSql, src, qs, delta, m)}"
 }

@@ -4103,6 +4103,37 @@ t AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGI
 c AS (SELECT doc_id, n_tok, CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok FROM t)
 SELECT doc_id, n_tok, start_tok, CAST(floor(start_tok / 512.0) AS BIGINT) AS first_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 512.0) AS BIGINT) AS last_seq, CAST(floor((start_tok + greatest(n_tok, 1) - 1) / 512.0) AS BIGINT) - CAST(floor(start_tok / 512.0) AS BIGINT) + 1 AS n_seqs FROM c"""))),
 
+    // The DISTRIBUTION monitor of the same streaming pipeline: each
+    // batch lands its fresh docs' token-length t-digest GRID deltas in
+    // a second SummingStore, and the dashboard digests the merged
+    // state for length-drift quantiles (p1/p50/p99) — sketch-sized
+    // refresh, never a corpus rescan. The grid's order-invariance
+    // makes the 3-batch streamed build bit-equal to the one-shot
+    // batch, so the SAME batch-replay oracle gates it (the tdigest
+    // oracle body appended after the pipeline-replay CTEs).
+    GraftQuery("q_training_monitor_quantiles",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_tpq")
+        deleteRecursivelyOnExit(tmpPath)
+        val (base, idx, pairs, mv, lenMv) = (s"$tmpPath/corpus",
+          s"$tmpPath/idx", s"$tmpPath/pairs", s"$tmpPath/mv",
+          s"$tmpPath/lenmv")
+        val d = docs(s, dir).select(col("doc_id"), col("text"))
+        Seq(0L -> 170L, 170L -> 340L, 340L -> Long.MaxValue)
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            graft.streaming.CorpusIngest.pipelineBatch(s, base, idx, pairs,
+              mv, d.filter(col("doc_id") >= lo && col("doc_id") < hi),
+              i.toLong, lenMvBase = Some(lenMv))
+          }
+        graft.ops.TDigest.quantiles(
+          graft.ops.TDigest.digest(
+            graft.sinks.SummingStore.read(s, lenMv, Seq("idx"), Seq("w")).get),
+          Seq(1 -> 100, 1 -> 2, 99 -> 100))
+      },
+      Some(trainingStreamOracle(graft.ops.TDigest.oracleBodySql(
+        raw"len(regexp_split_to_array(trim(text), '\s+'))", "1",
+        "exact_keep", Seq(1 -> 100, 1 -> 2, 99 -> 100), p = "td")))),
+
     // The MV-served MONITORING tier of the same streaming pipeline:
     // per-batch additive counters (docs in, Gopher+quality gated,
     // exact-new, near-dup evictions, landed tokens) from the

@@ -137,12 +137,24 @@ object CorpusIngest {
     * buckets, and the monitor delta is one aggregate of the batch. */
   def pipelineBatch(spark: SparkSession, base: String, indexBase: String,
       pairsBase: String, mvBase: String, batch: DataFrame, batchId: Long,
-      minQuality: Double = 0.2): Unit = {
+      minQuality: Double = 0.2,
+      lenMvBase: Option[String] = None): Unit = {
     import graft.functions.TextFunctions
     val nIn = batch.count()
     val gated = batch.filter(
       TextFunctions.gopherSignals(col("text")).getField("passes"))
     val fresh = freshRows(spark, base, gated, minQuality).localCheckpoint()
+    // optional distribution monitor: the landed docs' token-length
+    // t-digest GRID histogram is additive (graft.ops.TDigest state),
+    // so per-batch (idx, w) deltas land in a SummingStore and the
+    // dashboard digests the merged ≤29k-counter state — length-drift
+    // quantiles (p1/p50/p99) per refresh WITHOUT rescanning the corpus
+    lenMvBase.foreach { lm =>
+      graft.sinks.SummingStore.appendDelta(
+        graft.ops.TDigest.sketch(fresh,
+          TextFunctions.tokenCount(col("text")).cast("long")),
+        lm, tag = Some(s"lenmv-$batchId"))
+    }
     val pairs = graft.dedup.MinHashIndex.processBatch(spark, indexBase,
       fresh, col("doc_id"), col("text"), tag = s"pipe-$batchId")
       .localCheckpoint()

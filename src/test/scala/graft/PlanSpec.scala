@@ -515,6 +515,45 @@ class PlanSpec extends SparkSpec {
       "per-group pagination must not buffer groups in WindowExec")
   }
 
+  test("q_limit_with_ties: bounded-heap boundary + filter, never a window sort") {
+    val p = plan("q_limit_with_ties")
+    assert(p.contains("bounded_top_k"), p.take(1200))
+    assert(!p.contains("Window"),
+      "WITH TIES must keep limitBy's no-window discipline")
+  }
+
+  test("q_pack_sequences: every WindowExec is partitioned except the bucket carry") {
+    // the prefix sum is the two-phase bucketed cumulative: per-bucket
+    // windows partition by b; only the <=|buckets|-row carry may run
+    // single-partition (the q_quantile_interp contract)
+    val p = plan("q_pack_sequences")
+    val lines = p.linesIterator.toList
+    assert(lines.exists(_.contains("Window")), p.take(800))
+    val singleParts = lines.count(_.contains("SinglePartition"))
+    assert(singleParts <= 2,
+      s"expected at most the carry + result single-partition stages, got " +
+        s"$singleParts:\n${lines.filter(_.contains("SinglePartition")).mkString("\n")}")
+  }
+
+  test("q_epoch_apply: the plan broadcasts; the corpus never sort-merges") {
+    val p = plan("q_epoch_apply")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"),
+      "the strata plan is dimension-sized; the corpus must not shuffle:\n" +
+        p.take(1500))
+  }
+
+  test("q_curriculum_shards: decile cuts broadcast as one array onto the corpus") {
+    val p = plan("q_curriculum_shards")
+    // the assignment join must be the broadcast of the one-row cut
+    // array (the cut COMPUTATION inside weightedQuantiles keeps its
+    // own pinned corpus-side sort-merge carry join — that one is the
+    // two-phase cumulative's contract, not a corpus shuffle)
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+        p.contains("collect_list"),
+      "the cut array must broadcast onto the corpus scan:\n" + p.take(1500))
+  }
+
   test("q_sample_clause: the hash cut reaches the scan as a plain filter") {
     val p = plan("q_sample_clause")
     // one group-by shuffle for the counts; the sample itself adds none
