@@ -271,6 +271,22 @@ object ScaleProbe {
           restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
         }
       }),
+      // the round-12 corpus-LEDGER pair: sequence packing's global
+      // exclusive prefix sum and curriculum sharding's global decile
+      // cuts are both the bucketed two-phase cumulative shape over the
+      // full document set — the weighted_quantile hazard with the DOC
+      // LEDGER (every row survives to the output) instead of a
+      // quantile probe, so output and shuffle must track docs linearly
+      // and the windows stay bucket-partitioned (zero spill)
+      "pack_curriculum" -> (() => {
+        val d = docs
+        withShufflePartitions(math.max(32L, docsN / 50000L)) {
+          force(graft.ops.Packing.packSequences(d, col("doc_id"),
+            col("text"), seqLen = 2048L)) +
+          force(graft.ops.Selection.curriculumShards(d, col("doc_id"),
+            col("text"), nShards = 16))
+        }
+      }),
       // dictionary hierarchy closure under a PLANTED deep+wide tree:
       // keys/12 per layer, parent one layer down, so EVERY chain runs
       // the full maxDepth=12 hops — the worst case for the iterative
