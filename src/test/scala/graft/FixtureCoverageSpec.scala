@@ -228,6 +228,32 @@ class FixtureCoverageSpec extends SparkSpec {
         "shards_populated" -> (if (shards == 4) 1L else 0L))
     },
 
+    // decontamination: both verdicts must be gated — contaminated docs
+    // (n-gram hits against the eval set) AND clean docs; an eval set
+    // overlapping everything (or nothing) gates only one branch of the
+    // overlap join.
+    "q_decontaminate" -> { dir =>
+      val out = run("q_decontaminate", dir)
+      Map(
+        "contaminated" -> out.filter(col("n_hit") >= 1).count(),
+        "clean" -> out.filter(col("n_hit") === 0).count())
+    },
+
+    // ASOF join: probes with a version at-or-before them AND probes
+    // before any version (the left-join miss branch) — plus at least
+    // one probe that skipped a NEWER version to take an older one
+    // (the actual as-of discrimination; equality-only fixtures can't
+    // see a wrong inequality direction).
+    "q_asof_join" -> { dir =>
+      val out = run("q_asof_join", dir)
+      val discriminating = out.filter(col("version_ts").isNotNull &&
+        col("version_ts") < col("ts_str")).count()
+      Map(
+        "matched" -> out.filter(col("price_asof").isNotNull).count(),
+        "missed" -> out.filter(col("price_asof").isNull).count(),
+        "strictly_before" -> discriminating)
+    },
+
     // t-digest: the fixture centers value at 0 precisely so BOTH sign
     // branches of the signed grid carry weight — pin it.
     "q_quantile_tdigest" -> { dir =>
