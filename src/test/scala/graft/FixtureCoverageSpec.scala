@@ -228,6 +228,14 @@ class FixtureCoverageSpec extends SparkSpec {
         "shards_populated" -> (if (shards == 4) 1L else 0L))
     },
 
+    // train/val/test split: all three splits must carry docs at both
+    // SFs — a 500-doc fixture drawing zero val or test rows would gate
+    // the threshold arithmetic against nothing.
+    "q_data_split" -> { dir =>
+      run("q_data_split", dir).groupBy(col("split")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    },
+
     // decontamination: both verdicts must be gated — contaminated docs
     // (n-gram hits against the eval set) AND clean docs; an eval set
     // overlapping everything (or nothing) gates only one branch of the
