@@ -120,47 +120,6 @@ SELECT doc_id, q_micros,
 FROM qsig"""
   }
 
-  /** Deterministic TRAIN/VAL/TEST split assignment — the held-out
-    * carve every training corpus needs before packing: each document
-    * hashes into the 10k-bucket space ([[graft.ops.Corpus
-    * .sampleKeepByRate]]'s domain) and the bucket falls into the first
-    * split whose CUMULATIVE basis-point threshold exceeds it. Hash on
-    * the DOC ID only — so the assignment is stable under re-ingest,
-    * re-ordering, and text edits (a doc can never migrate between
-    * splits and leak) — and salted with `salt` so independent
-    * experiments draw independent carves. Per-row map, no shuffle, no
-    * state; fractions realize in expectation (the sampling idiom), and
-    * an exact-stratified carve is a rank problem the curriculum cuts
-    * already solve.
-    *
-    * Output: input id + (bucket, split). `splits` = (name, bp) with
-    * bp summing to 10000. */
-  def splitAssign(docs: DataFrame, id: Column,
-      splits: Seq[(String, Int)], salt: String = "s0"): DataFrame = {
-    require(splits.nonEmpty && splits.forall(_._2 > 0) &&
-      splits.map(_._2).sum == 10000, "split basis points must sum to 10000")
-    val bucket = pmod(TextFunctions.md5Long(
-      concat(lit(s"split:$salt:"), id.cast("string"))), lit(10000L))
-    val cum = splits.scanLeft(0) { case (acc, (_, bp)) => acc + bp }.tail
-    val splitCol = splits.zip(cum).foldRight(lit(null).cast("string")) {
-      case (((name, _), hi), acc) => when(col("__sb") < hi, lit(name)).otherwise(acc)
-    }
-    docs.select(id.as("doc_id"))
-      .withColumn("__sb", bucket)
-      .select(col("doc_id"), col("__sb").as("bucket"), splitCol.as("split"))
-  }
-
-  /** DuckDB replica of [[splitAssign]] over `documents`. */
-  def splitAssignOracleSql(splits: Seq[(String, Int)],
-      salt: String = "s0"): String = {
-    val cum = splits.scanLeft(0) { case (acc, (_, bp)) => acc + bp }.tail
-    val arms = splits.zip(cum).map { case ((name, _), hi) =>
-      s"WHEN b < $hi THEN '${name.replace("'", "''")}'"
-    }.mkString(" ")
-    s"""SELECT doc_id, b AS bucket, CASE $arms END AS split
-FROM (SELECT doc_id, CAST('0x'||substring(md5('split:$salt:'||CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 10000 AS b FROM documents)"""
-  }
-
   /** Source-level quality statistics (the RefinedWeb/C4-style
     * domain-blocklist planning step, with `source` standing in for the
     * registered domain): per source, document count, total tokens, and

@@ -240,58 +240,65 @@ object TDigest {
         + lit(0.5)).cast("long").as("est"))
   }
 
-  /** DuckDB replica of the grouped pipeline over `keySql`/`valueSql`/
-    * `weightSql` from `src` — [[oracleSql]] with PARTITION BY k. */
-  def oracleByKeySql(keySql: String, valueSql: String, weightSql: String,
-      src: String, qs: Seq[(Int, Int)], delta: Int = 64,
-      m: Int = 8): String = {
+  /** SINGLE source of truth for the oracle SQL — grid, compression,
+    * bracket, interpolation — parameterized by an optional group key
+    * (PARTITION BY / GROUP BY k threads through every stage) and a
+    * CTE-name prefix `p` GENERATED into the names (never a post-hoc
+    * rewrite, which would also mangle caller-supplied SQL fragments
+    * that happen to contain a CTE name). One copy is load-bearing:
+    * these strings must stay op-identical to the engine for the hash
+    * gates to mean anything — a fix applied to one of two copies
+    * would leave the other registered query gating a stale spec. */
+  private def oracleChain(valueSql: String, weightSql: String, src: String,
+      qs: Seq[(Int, Int)], delta: Int, m: Int, p: String,
+      keySql: Option[String]): String = {
     val base = 1L << m
     def magSql(a: String) =
       s"CASE WHEN $a < $base THEN $a ELSE CAST(length(bin($a)) - 1 - $m AS BIGINT) * $base + ($a >> CAST(length(bin($a)) - 1 - $m AS BIGINT)) END"
     def decSql(a: String) =
       s"CASE WHEN $a < $base THEN $a ELSE ($base + $a % $base) << CAST($a // $base - 1 AS BIGINT) END"
     val qrows = qs.map { case (n, d) => s"($n, $d)" }.mkString(", ")
-    s"""WITH vals AS (SELECT $keySql AS k, CAST($valueSql AS BIGINT) AS v, CAST($weightSql AS BIGINT) AS w0 FROM $src),
-sk AS (SELECT k, CASE WHEN v >= 0 THEN ${magSql("v")} ELSE -(${magSql("(-v)")}) END AS idx, sum(w0) AS w FROM vals GROUP BY 1, 2),
-asg AS (SELECT k, idx, w, coalesce(sum(w) OVER (PARTITION BY k ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cwb, sum(w) OVER (PARTITION BY k) AS tw FROM sk),
-cents AS (SELECT k, (cwb * $delta) // tw AS cent_id, sum(w) AS w,
+    val keyed = keySql.isDefined
+    val kSel = keySql.fold("")(k => s"$k AS k, ")
+    val kCol = if (keyed) "k, " else ""
+    val part = if (keyed) "PARTITION BY k " else ""
+    val twOver = if (keyed) "sum(w) OVER (PARTITION BY k)" else "sum(w) OVER ()"
+    val grpIdx = if (keyed) "GROUP BY 1, 2" else "GROUP BY 1"
+    val totSql = if (keyed) s"SELECT k, sum(w) AS tw FROM ${p}dig GROUP BY 1"
+                 else s"SELECT sum(w) AS tw FROM ${p}dig"
+    val brKey = if (keyed) s"${p}dig.k, " else ""
+    val brFrom = if (keyed) s"FROM ${p}dig JOIN ${p}qtot ON ${p}dig.k = ${p}qtot.k, ${p}qq"
+                 else s"FROM ${p}dig, ${p}qtot, ${p}qq"
+    val brGrp = if (keyed) "GROUP BY 1, 2, 3" else "GROUP BY 1, 2"
+    s"""${p}vals AS (SELECT ${kSel}CAST($valueSql AS BIGINT) AS v, CAST($weightSql AS BIGINT) AS w0 FROM $src),
+${p}sk AS (SELECT ${kCol}CASE WHEN v >= 0 THEN ${magSql("v")} ELSE -(${magSql("(-v)")}) END AS idx, sum(w0) AS w FROM ${p}vals $grpIdx),
+${p}asg AS (SELECT ${kCol}idx, w, coalesce(sum(w) OVER (${part}ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cwb, $twOver AS tw FROM ${p}sk),
+${p}cents AS (SELECT ${kCol}(cwb * $delta) // tw AS cent_id, sum(w) AS w,
   sum(CAST(CASE WHEN idx >= 0 THEN ${decSql("idx")} ELSE -(${decSql("(-idx)")}) END AS DECIMAL(20,0)) * CAST(w AS DECIMAL(18,0))) AS vsum
- FROM asg GROUP BY 1, 2),
-dig AS (SELECT k, cent_id, w, vsum, 2 * coalesce(sum(w) OVER (PARTITION BY k ORDER BY cent_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w AS c2 FROM cents),
-tot AS (SELECT k, sum(w) AS tw FROM dig GROUP BY 1),
-q(q_num, q_den) AS (VALUES $qrows),
-br AS (SELECT dig.k, q_num, q_den,
+ FROM ${p}asg $grpIdx),
+${p}dig AS (SELECT ${kCol}cent_id, w, vsum, 2 * coalesce(sum(w) OVER (${part}ORDER BY cent_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w AS c2 FROM ${p}cents),
+${p}qtot AS ($totSql),
+${p}qq(q_num, q_den) AS (VALUES $qrows),
+${p}br AS (SELECT ${brKey}q_num, q_den,
   max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN c2 END) AS c2_lo,
   max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_lo,
   min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN c2 END) AS c2_hi,
   min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_hi,
   min(tw) AS tw
- FROM dig JOIN tot ON dig.k = tot.k, q GROUP BY 1, 2, 3)
-SELECT k, q_num, q_den, CAST(floor(
+ $brFrom $brGrp)
+SELECT ${kCol}q_num, q_den, CAST(floor(
   CASE WHEN c2_lo IS NULL THEN m_hi WHEN c2_hi IS NULL THEN m_lo
     ELSE m_lo + (m_hi - m_lo) * (CAST(2 * tw * q_num - c2_lo * q_den AS DOUBLE) / CAST((c2_hi - c2_lo) * q_den AS DOUBLE)) END
   + 0.5) AS BIGINT) AS est
-FROM br"""
+FROM ${p}br"""
   }
 
-  /** DuckDB CTEs replaying [[sketch]] (from `valueSql`/`weightSql`
-    * over `src`) and [[digest]]: emits CTE `dig`
-    * (cent_id, w, vsum, c2). */
-  def digestOracleCtes(valueSql: String, weightSql: String, src: String,
-      delta: Int = 64, m: Int = 8): String = {
-    val base = 1L << m
-    def magSql(a: String) =
-      s"CASE WHEN $a < $base THEN $a ELSE CAST(length(bin($a)) - 1 - $m AS BIGINT) * $base + ($a >> CAST(length(bin($a)) - 1 - $m AS BIGINT)) END"
-    def decSql(a: String) =
-      s"CASE WHEN $a < $base THEN $a ELSE ($base + $a % $base) << CAST($a // $base - 1 AS BIGINT) END"
-    s"""vals AS (SELECT CAST($valueSql AS BIGINT) AS v, CAST($weightSql AS BIGINT) AS w0 FROM $src),
-sk AS (SELECT CASE WHEN v >= 0 THEN ${magSql("v")} ELSE -(${magSql("(-v)")}) END AS idx, sum(w0) AS w FROM vals GROUP BY 1),
-asg AS (SELECT idx, w, coalesce(sum(w) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cwb, sum(w) OVER () AS tw FROM sk),
-cents AS (SELECT (cwb * $delta) // tw AS cent_id, sum(w) AS w,
-  sum(CAST(CASE WHEN idx >= 0 THEN ${decSql("idx")} ELSE -(${decSql("(-idx)")}) END AS DECIMAL(20,0)) * CAST(w AS DECIMAL(18,0))) AS vsum
- FROM asg GROUP BY 1),
-dig AS (SELECT cent_id, w, vsum, 2 * coalesce(sum(w) OVER (ORDER BY cent_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w AS c2 FROM cents)"""
-  }
+  /** DuckDB replica of the grouped pipeline over `keySql`/`valueSql`/
+    * `weightSql` from `src` — [[oracleSql]] with PARTITION BY k. */
+  def oracleByKeySql(keySql: String, valueSql: String, weightSql: String,
+      src: String, qs: Seq[(Int, Int)], delta: Int = 64,
+      m: Int = 8): String =
+    s"WITH ${oracleChain(valueSql, weightSql, src, qs, delta, m, p = "", keySql = Some(keySql))}"
 
   /** Oracle BODY (no leading WITH): "ctes…, final SELECT" — the form
     * composable as the tail of a larger CTE chain (the streaming
@@ -299,33 +306,12 @@ dig AS (SELECT cent_id, w, vsum, 2 * coalesce(sum(w) OVER (ORDER BY cent_id ROWS
     * prefixes every CTE name against collisions with the host chain. */
   def oracleBodySql(valueSql: String, weightSql: String, src: String,
       qs: Seq[(Int, Int)], delta: Int = 64, m: Int = 8,
-      p: String = ""): String = {
-    val qrows = qs.map { case (n, d) => s"($n, $d)" }.mkString(", ")
-    val ctes = digestOracleCtes(valueSql, weightSql, src, delta, m)
-    val prefixed = if (p.isEmpty) ctes else
-      Seq("vals", "sk", "asg", "cents", "dig").foldLeft(ctes) { (s, n) =>
-        s.replaceAll(s"\\b$n\\b", s"$p$n")
-      }
-    s"""$prefixed,
-${p}qtot AS (SELECT sum(w) AS tw FROM ${p}dig),
-${p}qq(q_num, q_den) AS (VALUES $qrows),
-${p}br AS (SELECT q_num, q_den,
-  max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN c2 END) AS c2_lo,
-  max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_lo,
-  min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN c2 END) AS c2_hi,
-  min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_hi,
-  min(tw) AS tw
- FROM ${p}dig, ${p}qtot, ${p}qq GROUP BY 1, 2)
-SELECT q_num, q_den, CAST(floor(
-  CASE WHEN c2_lo IS NULL THEN m_hi WHEN c2_hi IS NULL THEN m_lo
-    ELSE m_lo + (m_hi - m_lo) * (CAST(2 * tw * q_num - c2_lo * q_den AS DOUBLE) / CAST((c2_hi - c2_lo) * q_den AS DOUBLE)) END
-  + 0.5) AS BIGINT) AS est
-FROM ${p}br"""
-  }
+      p: String = ""): String =
+    oracleChain(valueSql, weightSql, src, qs, delta, m, p, keySql = None)
 
-  /** Full DuckDB replica: [[digestOracleCtes]] + the [[quantiles]]
-    * probe, identical bracket logic and final doubles. */
+  /** Full DuckDB replica: the whole chain + the [[quantiles]] probe,
+    * identical bracket logic and final doubles. */
   def oracleSql(valueSql: String, weightSql: String, src: String,
       qs: Seq[(Int, Int)], delta: Int = 64, m: Int = 8): String =
-    s"WITH ${oracleBodySql(valueSql, weightSql, src, qs, delta, m)}"
+    s"WITH ${oracleChain(valueSql, weightSql, src, qs, delta, m, p = "", keySql = None)}"
 }

@@ -2117,15 +2117,6 @@ WHERE CAST('0x'||substring(md5('sample:'||d.lang||':'||CAST(d.doc_id AS VARCHAR)
       },
       Some(Corpus.epochApplyOracleSql("lang", mixShares, 60000L))),
 
-    // Deterministic train/val/test split (90/5/5): id-hash carve in
-    // the 10k-bucket space, stable under re-ingest and text edits so
-    // documents can never migrate between splits and leak.
-    GraftQuery("q_data_split",
-      (s, dir) => Selection.splitAssign(docs(s, dir), col("doc_id"),
-        Seq("train" -> 9000, "val" -> 500, "test" -> 500)),
-      Some(Selection.splitAssignOracleSql(
-        Seq("train" -> 9000, "val" -> 500, "test" -> 500)))),
-
     // CURRICULUM sharding: global quality deciles (type-1 integer cut
     // values from the two-phase cumulative, broadcast as one array) ×
     // hash shards — the ordering plan a curriculum schedule

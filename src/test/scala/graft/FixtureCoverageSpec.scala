@@ -33,28 +33,25 @@ class FixtureCoverageSpec extends SparkSpec {
     * come back >= 1 at every gate SF. */
   private lazy val table: Seq[(String, String => Map[String, Long])] = Seq(
 
-    // point-in-polygon: the r10 escape class — a fixture whose points
-    // all miss the dart gates the crossing-number logic against
-    // nothing. Both verdicts of the registered query must appear.
-    "q_point_in_polygon" -> { dir =>
-      run("q_point_in_polygon", dir)
-        .groupBy(col("inside")).count().collect()
-        .map(r => (if (r.getBoolean(0)) "inside" else "outside") -> r.getLong(1))
-        .toMap
-    },
-
-    // polygon-with-hole adds the third class: points inside the OUTER
-    // ring but inside the hole (even crossings -> outside). Without it
-    // the hole ring's edges are dead weight the gate never checks.
-    "q_point_in_polygon_holes" -> { dir =>
+    // point-in-polygon + polygon-with-hole, all classes from ONE pass
+    // per query: both verdicts of the outer-only query, both verdicts
+    // with the hole ring, and the in-hole class (inside the OUTER ring
+    // but outside the rings — even crossings; without it the hole
+    // ring's edges are dead weight the gate never checks). Counts are
+    // explicit filter().count() — a groupBy-derived map would simply
+    // LACK the key for an empty class and pass vacuously, the exact
+    // r10 escape this spec exists to fail on.
+    "q_point_in_polygon(+holes)" -> { dir =>
       val outer = run("q_point_in_polygon", dir)
         .select(col("pid"), col("inside").as("in_outer"))
       val holes = run("q_point_in_polygon_holes", dir)
         .select(col("pid"), col("inside").as("in_rings"))
-      val j = outer.join(holes, "pid")
+      val j = outer.join(holes, "pid").localCheckpoint()
       Map(
-        "inside" -> j.filter(col("in_rings")).count(),
-        "outside" -> j.filter(!col("in_rings")).count(),
+        "outer_inside" -> j.filter(col("in_outer")).count(),
+        "outer_outside" -> j.filter(!col("in_outer")).count(),
+        "rings_inside" -> j.filter(col("in_rings")).count(),
+        "rings_outside" -> j.filter(!col("in_rings")).count(),
         "in_hole" -> j.filter(col("in_outer") && !col("in_rings")).count())
     },
 
@@ -108,9 +105,13 @@ class FixtureCoverageSpec extends SparkSpec {
     // (and users) — a degenerate key domain could park everything in
     // one slice and the other three would gate empty aggregates.
     "q_sample_offset" -> { dir =>
-      run("q_sample_offset", dir).collect().flatMap { r =>
-        Seq(s"slice${r.getInt(0)}_events" -> r.getLong(1),
-          s"slice${r.getInt(0)}_users" -> r.getLong(2))
+      val rows = run("q_sample_offset", dir).collect()
+        .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // enumerate the EXPECTED slices — a missing output row must read
+      // as an empty class, not as an absent (vacuously passing) key
+      (0 until 4).flatMap { i =>
+        val (ev, us) = rows.getOrElse(i, (0L, 0L))
+        Seq(s"slice${i}_events" -> ev, s"slice${i}_users" -> us)
       }.toMap
     },
 
@@ -226,14 +227,6 @@ class FixtureCoverageSpec extends SparkSpec {
       val shards = out.groupBy(col("shard")).count().count()
       Map("buckets_populated" -> (if (buckets >= 5) 1L else 0L),
         "shards_populated" -> (if (shards == 4) 1L else 0L))
-    },
-
-    // train/val/test split: all three splits must carry docs at both
-    // SFs — a 500-doc fixture drawing zero val or test rows would gate
-    // the threshold arithmetic against nothing.
-    "q_data_split" -> { dir =>
-      run("q_data_split", dir).groupBy(col("split")).count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
     },
 
     // decontamination: both verdicts must be gated — contaminated docs
