@@ -271,6 +271,22 @@ object ScaleProbe {
           restore("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
         }
       }),
+      // the round-12 t-digest ISOLATED (it also rides the
+      // weighted_quantile rung next to the exact forms, but the claim
+      // that distinguishes the sketch tier — shuffle stays ~FLAT at
+      // the ≤29k-counter grid size however large the input — is only
+      // measurable alone): continuous 1e12-domain values, both sign
+      // branches, weighted. ScaleProbeSpec asserts the flatness
+      // explicitly (≤2× bytes on 10× input), not just linearity
+      "tdigest_sketch" -> (() => {
+        val inParts = math.max(32L, eventsN / 1000000L).toInt
+        val e = spark.range(0, eventsN, 1, inParts).select(
+          (pmod(hash(col("id") * lit(17L)), lit(1000000000000L))
+            - lit(500000000000L)).as("v"),
+          (lit(1L) + pmod(col("id"), lit(9L))).as("w"))
+        force(graft.ops.TDigest.quantileTDigest(e, col("v"),
+          Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), w = col("w")))
+      }),
       // the round-12 corpus-LEDGER pair: sequence packing's global
       // exclusive prefix sum and curriculum sharding's global decile
       // cuts are both the bucketed two-phase cumulative shape over the

@@ -102,6 +102,19 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("tdigest_sketch: shuffle stays FLAT at the grid size on 10x input") {
+    // the sketch tier's defining property — stronger than the generic
+    // <= 30x linearity: the only shuffled bytes are the map-side-
+    // combined grid histogram (<= 29k counters), so 10x input may move
+    // at most ~the same bytes (2x allows partial-combine slack)
+    val s = math.max(small("tdigest_sketch")._2.shuffleWriteBytes, MB)
+    val b = big("tdigest_sketch")._2.shuffleWriteBytes
+    assert(b <= 2L * s,
+      s"tdigest_sketch shuffle grew ${b.toDouble / s}x on 10x input " +
+        s"(${small("tdigest_sketch")._2.shuffleWriteBytes} -> $b bytes) — " +
+        "the grid histogram stopped combining map-side")
+  }
+
   test("dict_closure: jobs flat, zero shuffle, driver bytes under the model-size cap") {
     // the closure's only driver cost is the dictionary broadcast —
     // capped at 2M keys by the rung (the range_hashed/hierarchy
