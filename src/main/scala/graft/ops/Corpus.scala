@@ -191,9 +191,11 @@ SELECT stratum, tokens, target_share, rate FROM mr"""
     t.withColumn("target_share", shareCol)
       .filter(col("target_share").isNotNull && col("tokens") > 0)
       .withColumn("target_tokens", target)
+      // exactDiv (DECIMAL route), not double division: target_tokens is
+      // budget-scale and passes 2^53 at the 100 TB posture — the double
+      // quotient could land one ulp below the exact epoch count.
       .withColumn("n_epochs",
-        ((col("target_tokens") - pmod(col("target_tokens"), col("tokens")))
-          / col("tokens")).cast(LongType))
+        TDigest.exactDiv(col("target_tokens"), col("tokens")))
       .withColumn("frac_bp",
         floor(pmod(col("target_tokens"), col("tokens")).cast("double")
           * lit(10000.0) / col("tokens").cast("double") + lit(0.5))

@@ -34,8 +34,13 @@ import graft.functions.TextFunctions
   */
 object Packing {
 
+  /** Exact ⌊n/den⌋ for non-negative longs via [[TDigest.exactDiv]]'s
+    * DECIMAL route: the global token prefix sum this divides is
+    * corpus-proportional and passes 2^53 well before 100 TB — double
+    * division would lose ulps exactly where the ledger must stay
+    * bit-exact. */
   private def floorDiv(n: Column, den: Column): Column =
-    ((n - pmod(n, den)) / den).cast("long")
+    TDigest.exactDiv(n, den)
 
   def packSequences(docs: DataFrame, id: Column, text: Column,
       seqLen: Long, bucketWidth: Long = 1L << 20): DataFrame = {

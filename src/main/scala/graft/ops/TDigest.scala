@@ -69,10 +69,28 @@ object TDigest {
 
   /** Exact ⌊n/den⌋ for non-negative longs whose product context can
     * pass 2^52 (where [[TimeSeries]]'s double-division floorDiv loses
-    * ulps): route the exactly-divisible numerator through DECIMAL. */
-  private def exactDiv(n: Column, den: Column): Column =
+    * ulps): route the exactly-divisible numerator through DECIMAL.
+    * Shared package-wide ([[Packing]], [[Corpus.epochPlan]]) so every
+    * corpus-scale prefix-sum division has the same 2^53-proof route. */
+  private[ops] def exactDiv(n: Column, den: Column): Column =
     ((n - pmod(n, den)).cast("decimal(38,0)") /
       den.cast("decimal(38,0)")).cast("long")
+
+  /** cwb·delta with DECIMAL headroom: cwb ranges up to the full total
+    * weight W (a BIGINT) and delta ≤ 4096, so the 64-bit product wraps
+    * silently in Spark above W ≈ 2^51 while DuckDB raises — the engine
+    * and the oracle would diverge instead of failing loudly. Both now
+    * route the product through DECIMAL (engine) / HUGEINT (oracle):
+    * overflow-proof for ANY W that itself fits BIGINT, which is the
+    * only remaining total-weight contract (sum(w) is stored as long). */
+  private def centProd(cwb: Column, delta: Int): Column =
+    cwb.cast("decimal(20,0)") * lit(delta).cast("decimal(4,0)")
+
+  /** 2·tw·q_num and c2·q_den with the same DECIMAL headroom as
+    * [[centProd]] — the bracket compare and interpolation numerators
+    * stay exact integers for any BIGINT total weight. */
+  private def q2Prod(a: Column, b: Column): Column =
+    a.cast("decimal(21,0)") * b.cast("decimal(9,0)")
 
   /** Signed log-linear grid index, MONOTONE in v: 0 maps to 0,
     * positive v to [[Sketches.quantileSketch]]'s grid, negative v to
@@ -120,7 +138,7 @@ object TDigest {
     val assigned = state
       .withColumn("cwb", coalesce(sum(col("w")).over(cumW), lit(0L)))
       .crossJoin(broadcast(tot))
-      .withColumn("cent_id", exactDiv(col("cwb") * delta, col("tw")))
+      .withColumn("cent_id", exactDiv(centProd(col("cwb"), delta), col("tw")))
     val cents = assigned.groupBy(col("cent_id"))
       .agg(sum(col("w")).as("w"),
         sum(gridValue(col("idx"), m).cast("decimal(20,0)") *
@@ -147,8 +165,8 @@ object TDigest {
     val tot = dig.agg(sum(col("w")).as("tw"))
     val qdf = qs.toDF("q_num", "q_den")
     val mean = col("vsum").cast("double") / col("w").cast("double")
-    val t2n = lit(2L) * col("tw") * col("q_num") // target ·q_den
-    val isLo = col("c2") * col("q_den") <= t2n
+    val t2n = lit(2L) * q2Prod(col("tw"), col("q_num")) // target ·q_den
+    val isLo = q2Prod(col("c2"), col("q_den")) <= t2n
     val br = dig.crossJoin(broadcast(tot)).crossJoin(broadcast(qdf))
       .groupBy(col("q_num"), col("q_den"))
       .agg(max(when(isLo, col("c2"))).as("c2_lo"),
@@ -156,9 +174,9 @@ object TDigest {
         min(when(!isLo, col("c2"))).as("c2_hi"),
         min(when(!isLo, mean)).as("m_hi"),
         first(col("tw")).as("tw"))
-    val frac = (lit(2L) * col("tw") * col("q_num") -
-        col("c2_lo") * col("q_den")).cast("double") /
-      ((col("c2_hi") - col("c2_lo")) * col("q_den")).cast("double")
+    val frac = (lit(2L) * q2Prod(col("tw"), col("q_num")) -
+        q2Prod(col("c2_lo"), col("q_den"))).cast("double") /
+      q2Prod(col("c2_hi") - col("c2_lo"), col("q_den")).cast("double")
     br.select(col("q_num"), col("q_den"),
       floor(
         when(col("c2_lo").isNull, col("m_hi"))
@@ -197,7 +215,7 @@ object TDigest {
     val assigned = state
       .withColumn("cwb", coalesce(sum(col("w")).over(cumW), lit(0L)))
       .join(Joins.corpusSide(tot), Seq("k"))
-      .withColumn("cent_id", exactDiv(col("cwb") * delta, col("tw")))
+      .withColumn("cent_id", exactDiv(centProd(col("cwb"), delta), col("tw")))
     val cents = assigned.groupBy(col("k"), col("cent_id"))
       .agg(sum(col("w")).as("w"),
         sum(gridValue(col("idx"), m).cast("decimal(20,0)") *
@@ -219,8 +237,8 @@ object TDigest {
     val tot = dig.groupBy(col("k")).agg(sum(col("w")).as("tw"))
     val qdf = qs.toDF("q_num", "q_den")
     val mean = col("vsum").cast("double") / col("w").cast("double")
-    val t2n = lit(2L) * col("tw") * col("q_num")
-    val isLo = col("c2") * col("q_den") <= t2n
+    val t2n = lit(2L) * q2Prod(col("tw"), col("q_num"))
+    val isLo = q2Prod(col("c2"), col("q_den")) <= t2n
     val br = dig.join(Joins.corpusSide(tot), Seq("k"))
       .crossJoin(broadcast(qdf))
       .groupBy(col("k"), col("q_num"), col("q_den"))
@@ -229,9 +247,9 @@ object TDigest {
         min(when(!isLo, col("c2"))).as("c2_hi"),
         min(when(!isLo, mean)).as("m_hi"),
         first(col("tw")).as("tw"))
-    val frac = (lit(2L) * col("tw") * col("q_num") -
-        col("c2_lo") * col("q_den")).cast("double") /
-      ((col("c2_hi") - col("c2_lo")) * col("q_den")).cast("double")
+    val frac = (lit(2L) * q2Prod(col("tw"), col("q_num")) -
+        q2Prod(col("c2_lo"), col("q_den"))).cast("double") /
+      q2Prod(col("c2_hi") - col("c2_lo"), col("q_den")).cast("double")
     br.select(col("k"), col("q_num"), col("q_den"),
       floor(
         when(col("c2_lo").isNull, col("m_hi"))
@@ -273,22 +291,22 @@ object TDigest {
     s"""${p}vals AS (SELECT ${kSel}CAST($valueSql AS BIGINT) AS v, CAST($weightSql AS BIGINT) AS w0 FROM $src),
 ${p}sk AS (SELECT ${kCol}CASE WHEN v >= 0 THEN ${magSql("v")} ELSE -(${magSql("(-v)")}) END AS idx, sum(w0) AS w FROM ${p}vals $grpIdx),
 ${p}asg AS (SELECT ${kCol}idx, w, coalesce(sum(w) OVER (${part}ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cwb, $twOver AS tw FROM ${p}sk),
-${p}cents AS (SELECT ${kCol}(cwb * $delta) // tw AS cent_id, sum(w) AS w,
+${p}cents AS (SELECT ${kCol}(CAST(cwb AS HUGEINT) * $delta) // tw AS cent_id, sum(w) AS w,
   sum(CAST(CASE WHEN idx >= 0 THEN ${decSql("idx")} ELSE -(${decSql("(-idx)")}) END AS DECIMAL(20,0)) * CAST(w AS DECIMAL(18,0))) AS vsum
  FROM ${p}asg $grpIdx),
 ${p}dig AS (SELECT ${kCol}cent_id, w, vsum, 2 * coalesce(sum(w) OVER (${part}ORDER BY cent_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w AS c2 FROM ${p}cents),
 ${p}qtot AS ($totSql),
 ${p}qq(q_num, q_den) AS (VALUES $qrows),
 ${p}br AS (SELECT ${brKey}q_num, q_den,
-  max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN c2 END) AS c2_lo,
-  max(CASE WHEN c2 * q_den <= 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_lo,
-  min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN c2 END) AS c2_hi,
-  min(CASE WHEN c2 * q_den > 2 * tw * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_hi,
+  max(CASE WHEN CAST(c2 AS HUGEINT) * q_den <= 2 * CAST(tw AS HUGEINT) * q_num THEN c2 END) AS c2_lo,
+  max(CASE WHEN CAST(c2 AS HUGEINT) * q_den <= 2 * CAST(tw AS HUGEINT) * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_lo,
+  min(CASE WHEN CAST(c2 AS HUGEINT) * q_den > 2 * CAST(tw AS HUGEINT) * q_num THEN c2 END) AS c2_hi,
+  min(CASE WHEN CAST(c2 AS HUGEINT) * q_den > 2 * CAST(tw AS HUGEINT) * q_num THEN CAST(vsum AS DOUBLE) / CAST(w AS DOUBLE) END) AS m_hi,
   min(tw) AS tw
  $brFrom $brGrp)
 SELECT ${kCol}q_num, q_den, CAST(floor(
   CASE WHEN c2_lo IS NULL THEN m_hi WHEN c2_hi IS NULL THEN m_lo
-    ELSE m_lo + (m_hi - m_lo) * (CAST(2 * tw * q_num - c2_lo * q_den AS DOUBLE) / CAST((c2_hi - c2_lo) * q_den AS DOUBLE)) END
+    ELSE m_lo + (m_hi - m_lo) * (CAST(2 * CAST(tw AS HUGEINT) * q_num - CAST(c2_lo AS HUGEINT) * q_den AS DOUBLE) / CAST(CAST(c2_hi - c2_lo AS HUGEINT) * q_den AS DOUBLE)) END
   + 0.5) AS BIGINT) AS est
 FROM ${p}br"""
   }

@@ -190,8 +190,11 @@ FROM w"""
     * row's value (a recurrence — no lookahead), and a fill row before
     * a series' first observation takes the column's type DEFAULT (0
     * for numbers). `interpolations` gives one output column per rule
-    * as (name, Δ-per-step): Δ = 0 is the plain carry-forward WITH FILL
-    * applies to un-INTERPOLATEd columns; Δ ≠ 0 is the documented
+    * as (name, Δ-per-step): Δ = 0 models `INTERPOLATE (c)` with the
+    * expression omitted (ClickHouse then carries the previous value;
+    * un-INTERPOLATEd columns instead take TYPE DEFAULTS in fill rows —
+    * that is the rule's pre-first branch, not the Δ = 0 case); Δ ≠ 0
+    * is the documented
     * `INTERPOLATE (v AS v + Δ)` linear rule. The g-step recurrence
     * collapses to the exact closed form prev + Δ·g (pure integers — no
     * per-row iteration, no float drift), where g = (x − prevX)/s.

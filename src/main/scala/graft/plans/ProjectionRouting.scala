@@ -90,6 +90,13 @@ case class ProjectionRouting(spark: SparkSession, factPath: String,
         if (widenDown && BigDecimal(d) > exact) Some(Math.nextDown(d))
         else if (!widenDown && BigDecimal(d) < exact) Some(Math.nextUp(d))
         else Some(d)
+      // Float→double widening is exact (every float IS a double), so no
+      // ulp nudge is needed — but the toString round-trip below is NOT:
+      // Float.toString prints the shortest decimal that round-trips to
+      // FLOAT, and parsing that decimal as a DOUBLE can land on either
+      // side of the float's exact value, moving a bound inward.
+      case org.apache.spark.sql.types.FloatType =>
+        Some(v.asInstanceOf[Float].toDouble)
       case _: org.apache.spark.sql.types.NumericType =>
         Some(v.toString.toDouble)
       case _ => None
