@@ -1,0 +1,330 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+import graft.functions.TextFunctions
+
+/** Conversation / SFT data operators — the multi-turn-chat modality a
+  * training-data platform curates alongside plain documents. Raw
+  * conversations arrive as a JSON array payload per row (the
+  * reference's `raw_payload` JSONB column, `sql/init.sql:24`, is the
+  * wire shape modeled here); the operators are:
+  *
+  *  1. [[flatten]] — parse the payload into one row per turn with
+  *     (conv_id, turn_idx, role, content, n_turns), ordering given by
+  *     ARRAY POSITION (the only deterministic turn order a JSON array
+  *     carries). Pure per-row projection: the JSON parse
+  *     (`from_json`, interpreted — JSON decode is not codegen-able)
+  *     fans out via `posexplode`; no shuffle at any scale.
+  *  2. [[dedupExact]] — conversation-level exact dedup over the
+  *     ROLE-NORMALIZED transcript ([[convText]]): per-conv md5 key,
+  *     min-conv_id canonicalization. Two map-side-combined hash
+  *     aggregates; the per-conv turn sort is bounded by the turn
+  *     count, never corpus-sized.
+  *  3. [[nearDupPairs]] — conversation-level NEAR dedup: the same
+  *     normalized transcript fed through [[graft.dedup.MinHash]]'s
+  *     banded LSH path unchanged (signatures → capped band join →
+  *     exact-Jaccard verify). No new join shape: the conversation
+  *     pass inherits the skew cap, the merge-hint pins, and the
+  *     100 TB posture of the document pass.
+  *  4. [[gate]] — per-turn gating (PII regex / token length / quality
+  *     score) aggregated to a conversation-level VERDICT: `keep` (no
+  *     failing turn), `drop_turns` (failing minority — strip the
+  *     turns, keep the conversation), `drop_conv` (failing half or
+  *     more, or any failing SYSTEM turn — the instruction frame
+  *     itself is compromised). One hash aggregate over turns.
+  *  5. [[templates]] — system-prompt fingerprint grouping (the
+  *     boilerplate analog at conversation scope): md5-fingerprint of
+  *     the NORMALIZED system turn, so whitespace/case variants of one
+  *     template collapse to one group. Filter + one hash aggregate.
+  *
+  * Test carrier: the synthetic corpus has no conversation table, so
+  * [[fixture]] derives one deterministically from `documents` — the
+  * payload JSON is BUILT here and PARSED by [[flatten]], which makes
+  * the encode→decode round-trip itself gated: the DuckDB oracles
+  * replay the pre-payload turn relation directly (an independent
+  * spec, never a JSON re-parse), so any engine-side JSON bug breaks
+  * the hash gate.
+  */
+object Conversations {
+
+  // ------------------------------------------------------------ flatten
+
+  /** JSON wire schema of one payload: an array of {role, content}. */
+  val turnSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType))))
+
+  /** One row per turn from a (id, payload-JSON) relation. Turn order =
+    * array position. Output: conv_id, turn_idx, role, content,
+    * n_turns. */
+  def flatten(conv: DataFrame, id: Column, payload: Column): DataFrame =
+    conv.select(id.cast("long").as("conv_id"),
+        from_json(payload, turnSchema).as("turns"))
+      .withColumn("n_turns", size(col("turns")).cast("long"))
+      .select(col("conv_id"), col("n_turns"),
+        posexplode(col("turns")).as(Seq("ti", "t")))
+      .select(col("conv_id"), col("ti").cast("long").as("turn_idx"),
+        col("t.role").as("role"), col("t.content").as("content"),
+        col("n_turns"))
+
+  // ------------------------------------- normalized transcript + dedup
+
+  /** Role-normalized transcript per conversation: turns sorted by
+    * index, each rendered `role: normText(content)`, space-joined —
+    * the canonical string conversation-level dedup keys on (case and
+    * whitespace variants of the same exchange collapse; different
+    * role assignments do NOT). The in-group sort is turn-bounded. */
+  def convText(turns: DataFrame): DataFrame =
+    turns.groupBy(col("conv_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("turn_idx"),
+          concat(col("role"), lit(": "),
+            TextFunctions.normText(col("content"))).as("t")))),
+        x => x.getField("t")), " ").as("text"))
+
+  /** Exact conversation dedup: md5 over [[convText]], canonical =
+    * min conv_id per key. Output: conv_id, canon_id, is_dup. */
+  def dedupExact(turns: DataFrame): DataFrame = {
+    val keyed = convText(turns).select(col("conv_id"), md5(col("text")).as("k"))
+    val canon = keyed.groupBy(col("k")).agg(min(col("conv_id")).as("canon_id"))
+    keyed.join(Joins.corpusSide(canon), Seq("k"))
+      .select(col("conv_id"), col("canon_id"),
+        (col("conv_id") =!= col("canon_id")).as("is_dup"))
+  }
+
+  /** Near-duplicate conversation pairs: [[convText]] through the
+    * MinHash banded path verbatim. Output: conv_a, conv_b, jaccard. */
+  def nearDupPairs(turns: DataFrame,
+      cfg: graft.dedup.MinHash.Config = graft.dedup.MinHash.Config()): DataFrame =
+    graft.dedup.MinHash.verifiedPairs(convText(turns), col("conv_id"),
+        col("text"), cfg)
+      .select(col("doc_a").as("conv_a"), col("doc_b").as("conv_b"),
+        col("jaccard"))
+
+  // --------------------------------------------------------------- gate
+
+  /** Quality floor a turn must clear (see [[TextFunctions.qualityScore]],
+    * floor-rounded at 4 decimals on both engines). */
+  val QualityFloor = 0.2
+  /** Minimum whitespace tokens per turn. */
+  val MinTurnTokens = 3
+
+  /** Per-turn fail predicate: planted-PII regex hit, under-length, or
+    * under-quality. All three signals are codegen'd Column exprs. */
+  private def turnFails(content: Column): Column =
+    content.rlike(TextFunctions.EmailRe) ||
+      content.rlike(TextFunctions.PhoneRe) ||
+      content.rlike(TextFunctions.Ipv4Re) ||
+      TextFunctions.tokenCount(content) < MinTurnTokens ||
+      TextFunctions.qualityScore(content) < QualityFloor
+
+  /** Conversation-level verdict from per-turn gates. Rules:
+    *  - any failing turn with role `system` → `drop_conv` (a poisoned
+    *    instruction frame invalidates every turn under it);
+    *  - 2·n_fail ≥ n_turns → `drop_conv` (majority-or-half damaged);
+    *  - any other failing turn → `drop_turns` (strip-and-keep);
+    *  - otherwise `keep`.
+    * n_kept = surviving turns under the verdict. One hash aggregate. */
+  def gate(turns: DataFrame): DataFrame = {
+    val f = turnFails(col("content"))
+    val agg = turns.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(f, 1L).otherwise(0L)).as("n_fail"),
+      max(when(f && col("role") === "system", 1L).otherwise(0L)).as("sys_fail"))
+    agg.select(col("conv_id"), col("n_turns"), col("n_fail"),
+        when(col("n_fail") === 0, "keep")
+          .when(col("sys_fail") === 1 ||
+            lit(2L) * col("n_fail") >= col("n_turns"), "drop_conv")
+          .otherwise("drop_turns").as("verdict"))
+      .withColumn("n_kept",
+        when(col("verdict") === "drop_conv", 0L)
+          .otherwise(col("n_turns") - col("n_fail")))
+  }
+
+  // ---------------------------------------------------------- templates
+
+  /** System-prompt template groups: fingerprint of the NORMALIZED
+    * system turn (array position 0, role `system`) → conversations
+    * per template + min-conv exemplar. Conversations without a
+    * system turn group under the empty-fingerprint sentinel. */
+  def templates(turns: DataFrame): DataFrame =
+    turns.filter(col("turn_idx") === 0 && col("role") === "system")
+      .select(col("conv_id"),
+        TextFunctions.fingerprint(col("content")).as("template_fp"))
+      .groupBy(col("template_fp"))
+      .agg(count(lit(1)).as("n_convs"), min(col("conv_id")).as("exemplar"))
+
+  // ----------------------------------------------------------- fixture
+
+  /** Deterministic conversation fixture from `documents` — the test
+    * carrier both engines rebuild op-for-op. Shape (all arithmetic on
+    * nonnegative longs, so `%` == pmod on both engines):
+    *  - conv_of = doc_id / 4, turn_of = doc_id % 4; a turn exists iff
+    *    turn_of < 1 + conv_of % 4 → conversation lengths cycle
+    *    1,2,3,4 (single-turn class: conv_of % 4 == 0);
+    *  - roles: turn 0 `system`, odd `user`, even `assistant`;
+    *  - system content is one of FIVE templates (`conv_of % 5`),
+    *    upper-cased on odd conv_of — the case variant [[templates]]'
+    *    normalization must collapse;
+    *  - other turns carry the doc's text, quote/backslash-stripped so
+    *    the hand-built JSON needs no escaping;
+    *  - gate plants: conv_of % 8 == 3 → turn 1 is `ok` (under-length
+    *    → 1 fail of 4 → drop_turns class); conv_of % 8 == 7 → turn 1
+    *    `ok` AND turn 2 gets a planted email (2 fails of ≤4 →
+    *    drop_conv class);
+    *  - NEAR mirror: conv_of % 8 == 2 (length 3) re-emitted as
+    *    conv_id + 10000 with a token suffix on turn 2 — near but not
+    *    exact;
+    *  - EXACT mirror: conv_of % 8 == 5 (length 2) re-emitted as
+    *    conv_id + 20000 upper-cased with doubled spaces — equal after
+    *    normalization only, so [[dedupExact]]'s normText is what the
+    *    gate checks.
+    * Output: (conv_id, payload) with payload a hand-concatenated JSON
+    * array in turn order. */
+  def fixture(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = turnRows(docs, id, text)
+    base.groupBy(col("conv_id")).agg(
+      concat(lit("["), array_join(transform(
+        array_sort(collect_list(struct(col("turn_of"), col("tj")))),
+        x => x.getField("tj")), ","), lit("]")).as("payload"))
+  }
+
+  /** The pre-payload turn relation behind [[fixture]]:
+    * (conv_id, turn_of, role, content, tj) — base + mirror rows. */
+  private def turnRows(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    val d = docs.select(id.cast("long").as("doc_id"),
+        regexp_replace(text, "[\"\\\\]", "").as("ct"))
+      .withColumn("conv_of", TDigest.exactDiv(col("doc_id"), lit(4L)))
+      .withColumn("turn_of", pmod(col("doc_id"), lit(4L)))
+      .filter(col("turn_of") < lit(1L) + pmod(col("conv_of"), lit(4L)))
+    val tpl = concat(lit("You are assistant profile "),
+      pmod(col("conv_of"), lit(5L)).cast("string"),
+      lit(" always follow the system rules carefully"))
+    val sysContent = when(pmod(col("conv_of"), lit(2L)) === 1, upper(tpl))
+      .otherwise(tpl)
+    val m8 = pmod(col("conv_of"), lit(8L))
+    val userContent =
+      when(col("turn_of") === 1 && (m8 === 3 || m8 === 7), lit("ok"))
+        .when(col("turn_of") === 2 && m8 === 7,
+          concat(col("ct"), lit(" contact agent"),
+            col("doc_id").cast("string"), lit("@mail.example.com now")))
+        .otherwise(col("ct"))
+    val turns = d.select(col("conv_of"), col("turn_of"),
+      when(col("turn_of") === 0, "system")
+        .when(pmod(col("turn_of"), lit(2L)) === 1, "user")
+        .otherwise("assistant").as("role"),
+      when(col("turn_of") === 0, sysContent).otherwise(userContent)
+        .as("content"))
+    val nearMirror = turns.filter(pmod(col("conv_of"), lit(8L)) === 2)
+      .select((col("conv_of") + 10000L).as("conv_of"), col("turn_of"),
+        col("role"),
+        when(col("turn_of") === 2,
+          concat(col("content"), lit(" extra trailing marker tokens")))
+          .otherwise(col("content")).as("content"))
+    val exactMirror = turns.filter(pmod(col("conv_of"), lit(8L)) === 5)
+      .select((col("conv_of") + 20000L).as("conv_of"), col("turn_of"),
+        col("role"),
+        upper(regexp_replace(col("content"), " ", "  ")).as("content"))
+    turns.unionByName(nearMirror).unionByName(exactMirror)
+      .select(col("conv_of").as("conv_id"), col("turn_of"), col("role"),
+        col("content"),
+        concat(lit("{\"role\":\""), col("role"),
+          lit("\",\"content\":\""), col("content"), lit("\"}")).as("tj"))
+  }
+
+  // ------------------------------------------------- DuckDB oracles
+
+  /** DuckDB normText. */
+  private def normSql(e: String): String =
+    raw"""regexp_replace(lower(trim($e)), '\s+', ' ', 'g')"""
+
+  /** Fixture turn-relation CTEs (independent spec: rebuilds the
+    * pre-payload turns, NEVER re-parses the JSON — ends with CTE
+    * `${p}cturns(conv_id, turn_of, role, content)`). */
+  def fixtureTurnCtes(src: String = "documents", p: String = ""): String =
+    raw"""${p}cdocs AS (SELECT doc_id, regexp_replace(text, '["\\]', '', 'g') AS ct, doc_id // 4 AS conv_of, doc_id % 4 AS turn_of FROM $src WHERE doc_id % 4 < 1 + (doc_id // 4) % 4),
+${p}cbase AS (SELECT conv_of, turn_of,
+  CASE WHEN turn_of = 0 THEN 'system' WHEN turn_of % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+  CASE WHEN turn_of = 0 THEN
+    CASE WHEN conv_of % 2 = 1 THEN upper('You are assistant profile ' || CAST(conv_of % 5 AS VARCHAR) || ' always follow the system rules carefully')
+         ELSE 'You are assistant profile ' || CAST(conv_of % 5 AS VARCHAR) || ' always follow the system rules carefully' END
+  WHEN turn_of = 1 AND (conv_of % 8 = 3 OR conv_of % 8 = 7) THEN 'ok'
+  WHEN turn_of = 2 AND conv_of % 8 = 7 THEN ct || ' contact agent' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+  ELSE ct END AS content FROM ${p}cdocs),
+${p}cturns AS (SELECT conv_of AS conv_id, turn_of, role, content FROM ${p}cbase
+ UNION ALL SELECT conv_of + 10000, turn_of, role,
+   CASE WHEN turn_of = 2 THEN content || ' extra trailing marker tokens' ELSE content END
+   FROM ${p}cbase WHERE conv_of % 8 = 2
+ UNION ALL SELECT conv_of + 20000, turn_of, role, upper(regexp_replace(content, ' ', '  ', 'g'))
+   FROM ${p}cbase WHERE conv_of % 8 = 5)"""
+
+  /** Oracle for [[flatten]] ∘ [[fixture]]: the turn relation plus the
+    * per-conv turn count — array positions equal turn_of because the
+    * payload is built in turn order. */
+  def flattenOracleSql(src: String = "documents"): String =
+    s"""WITH ${fixtureTurnCtes(src)}
+SELECT conv_id, turn_of AS turn_idx, role, content,
+ count(*) OVER (PARTITION BY conv_id) AS n_turns
+FROM cturns"""
+
+  /** Normalized-transcript CTE (appends to [[fixtureTurnCtes]]; ends
+    * with `${p}ctext(doc_id, text)` — doc_id-named so
+    * [[graft.dedup.MinHash.oracleCtes]] can consume it as `src`). */
+  def convTextCte(p: String = ""): String =
+    s"""${p}ctext AS (SELECT conv_id AS doc_id, string_agg(role || ': ' || ${normSql("content")}, ' ' ORDER BY turn_of) AS text FROM ${p}cturns GROUP BY conv_id)"""
+
+  /** Oracle for [[dedupExact]] ∘ [[flatten]] ∘ [[fixture]]. */
+  def dedupExactOracleSql(src: String = "documents"): String =
+    s"""WITH ${fixtureTurnCtes(src)},
+${convTextCte()},
+keyed AS (SELECT doc_id AS conv_id, md5(text) AS k FROM ctext)
+SELECT conv_id, min(conv_id) OVER (PARTITION BY k) AS canon_id,
+ conv_id <> min(conv_id) OVER (PARTITION BY k) AS is_dup
+FROM keyed"""
+
+  /** Oracle for [[nearDupPairs]]: the MinHash oracle chain verbatim
+    * over the conversation transcript relation. */
+  def nearDupOracleSql(src: String = "documents",
+      cfg: graft.dedup.MinHash.Config = graft.dedup.MinHash.Config()): String = {
+    val pre = s"${fixtureTurnCtes(src)},\n${convTextCte()}"
+    s"""${graft.dedup.MinHash.oracleCtes(cfg, src = "ctext", pre = pre)}
+SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard FROM verified WHERE jaccard >= ${cfg.threshold}"""
+  }
+
+  /** Per-turn fail predicate in DuckDB (mirrors [[turnFails]]). */
+  private def turnFailsSql(c: String): String = {
+    val stopPat = TextFunctions.langStopwords.toMap.apply("en")
+    val n = raw"CAST(len(regexp_split_to_array(trim($c), '\s+')) AS DOUBLE)"
+    val nt = s"greatest($n, 1.0)"
+    val pu = s"CAST(len(regexp_extract_all($c, '[.,;:!?]')) AS DOUBLE)"
+    val st = s"CAST(len(regexp_extract_all(lower($c), '$stopPat')) AS DOUBLE)"
+    val q = s"floor((0.5 * least(1.0, $n/64.0) + 0.3 * (1.0 - least(1.0, $pu/$nt)) + 0.2 * least(1.0, 4.0*$st/$nt)) * 10000.0 + 0.5) / 10000.0"
+    s"""(regexp_matches($c, '${TextFunctions.EmailRe}') OR regexp_matches($c, '${TextFunctions.PhoneRe}') OR regexp_matches($c, '${TextFunctions.Ipv4Re}') OR $n < $MinTurnTokens OR $q < $QualityFloor)"""
+  }
+
+  /** Oracle for [[gate]] ∘ [[flatten]] ∘ [[fixture]]. */
+  def gateOracleSql(src: String = "documents"): String =
+    s"""WITH ${fixtureTurnCtes(src)},
+sig AS (SELECT conv_id, role, ${turnFailsSql("content")} AS f FROM cturns),
+agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+  max(CASE WHEN f AND role = 'system' THEN 1 ELSE 0 END) AS sys_fail
+ FROM sig GROUP BY conv_id)
+SELECT conv_id, n_turns, n_fail,
+ CASE WHEN n_fail = 0 THEN 'keep'
+      WHEN sys_fail = 1 OR 2 * n_fail >= n_turns THEN 'drop_conv'
+      ELSE 'drop_turns' END AS verdict,
+ CASE WHEN n_fail > 0 AND (sys_fail = 1 OR 2 * n_fail >= n_turns) THEN 0
+      ELSE n_turns - n_fail END AS n_kept
+FROM agg"""
+
+  /** Oracle for [[templates]] ∘ [[flatten]] ∘ [[fixture]]. */
+  def templatesOracleSql(src: String = "documents"): String =
+    s"""WITH ${fixtureTurnCtes(src)}
+SELECT substring(md5(${normSql("content")}), 1, 16) AS template_fp,
+ CAST(count(*) AS BIGINT) AS n_convs, min(conv_id) AS exemplar
+FROM cturns WHERE turn_of = 0 AND role = 'system'
+GROUP BY 1"""
+}

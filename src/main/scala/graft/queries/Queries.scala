@@ -144,6 +144,14 @@ object Queries {
     s"$textSql || ' contact user' || CAST($idSql AS VARCHAR) || '@mail.example.com or +1 (555) 010-' || CAST(1000 + $idSql % 9000 AS VARCHAR) || ' from 10.' || CAST($idSql % 256 AS VARCHAR) || '.0.1 see https://ex.example/d/' || CAST($idSql AS VARCHAR)"
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
+  /** Flattened conversation turns over the documents-derived fixture —
+    * shared by every q_conv_* query so the registrations can't drift
+    * from each other. */
+  private def convTurns(s: SparkSession, dir: String) =
+    graft.ops.Conversations.flatten(
+      graft.ops.Conversations.fixture(docs(s, dir), col("doc_id"), col("text")),
+      col("conv_id"), col("payload"))
+
   private val tsFull = "yyyy-MM-dd HH:mm:ss.SSSSSS"
   private val tsFullSql = "%Y-%m-%d %H:%M:%S.%f"
 
@@ -2415,6 +2423,48 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
       },
       Some(graft.dedup.MinHash.oracleSql())),
 
+    // ---- conversation / SFT data operators --------------------------------
+    // Fixture: deterministic multi-turn conversations derived from
+    // `documents`, hand-built as a JSON-array payload per conversation
+    // (the reference's raw_payload JSONB wire shape, sql/init.sql:24)
+    // and PARSED back by the engine's flatten. The oracles rebuild the
+    // PRE-payload turn relation directly — an independent spec, never
+    // a JSON re-parse — so the engine's encode→decode round-trip is
+    // itself under the hash gate.
+
+    // Turn explode with role columns; ordering = array position.
+    GraftQuery("q_conv_flatten",
+      (s, dir) => convTurns(s, dir),
+      Some(graft.ops.Conversations.flattenOracleSql())),
+
+    // Conversation-level EXACT dedup over the role-normalized
+    // transcript: the planted case/whitespace mirror (conv_of%8==5 →
+    // conv+20000) must collapse; byte-compare would miss it.
+    GraftQuery("q_conv_dedup",
+      (s, dir) => graft.ops.Conversations.dedupExact(convTurns(s, dir)),
+      Some(graft.ops.Conversations.dedupExactOracleSql())),
+
+    // Conversation-level NEAR dedup: the MinHash banded path verbatim
+    // over the normalized transcript (no new join shape) — the planted
+    // suffix mirror (conv_of%8==2 → conv+10000) pairs below J=1.
+    GraftQuery("q_conv_dedup_near",
+      (s, dir) => graft.ops.Conversations.nearDupPairs(convTurns(s, dir)),
+      Some(graft.ops.Conversations.nearDupOracleSql())),
+
+    // Per-turn gating (PII/length/quality) → conversation verdicts:
+    // keep / drop_turns (failing minority stripped) / drop_conv
+    // (failing system turn, or half-or-more failing turns).
+    GraftQuery("q_conv_gate",
+      (s, dir) => graft.ops.Conversations.gate(convTurns(s, dir)),
+      Some(graft.ops.Conversations.gateOracleSql())),
+
+    // System-prompt template fingerprint groups: five planted
+    // templates, each present in BOTH case variants — normalization
+    // must collapse them to five groups.
+    GraftQuery("q_conv_template",
+      (s, dir) => graft.ops.Conversations.templates(convTurns(s, dir)),
+      Some(graft.ops.Conversations.templatesOracleSql())),
+
     // BM25 ranked retrieval (Lucene idf form): one partial+final stats
     // aggregate broadcast back over the corpus, per-row tf array ops,
     // TakeOrderedAndProject top-k. Score floor-rounded at 4 decimals for
@@ -3833,11 +3883,11 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
     // replays grid, compression, and interpolation bit-for-bit.
     GraftQuery("q_quantile_tdigest",
       (s, dir) => graft.ops.TDigest.quantileTDigest(
-        ev(s, dir), round((col("value") - 0.5) * 1e6, 0).cast("long"),
+        ev(s, dir), round((col("value") - 0.5) * 1e3, 0).cast("long"),
         Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100),
         w = lit(1L) + pmod(col("user_id"), lit(9L))),
       Some(graft.ops.TDigest.oracleSql(
-        "round((value - 0.5)*1000000, 0)", "1 + user_id % 9", "events",
+        "round((value - 0.5)*1000, 0)", "1 + user_id % 9", "events",
         Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
 
     // quantileTDigest analog, MV-SERVED: the grid histogram is an
@@ -3858,7 +3908,7 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
         (0 until 3).foreach { i =>
           val part = graft.ops.TDigest.sketch(
             e.filter(pmod(col("event_id"), lit(3)) === i),
-            round((col("value") - 0.5) * 1e6, 0).cast("long"),
+            round((col("value") - 0.5) * 1e3, 0).cast("long"),
             lit(1L) + pmod(col("user_id"), lit(9L)))
           graft.sinks.SummingStore.appendDelta(part, mv,
             tag = Some(s"tdig-chunk$i"))
@@ -3869,7 +3919,7 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
           Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))
       },
       Some(graft.ops.TDigest.oracleSql(
-        "round((value - 0.5)*1000000, 0)", "1 + user_id % 9", "events",
+        "round((value - 0.5)*1000, 0)", "1 + user_id % 9", "events",
         Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
 
     // GROUPED t-digest, MV-SERVED end-to-end (`quantileTDigest(v) ...
@@ -3889,7 +3939,7 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
           val part = graft.ops.TDigest.sketchBy(
             e.filter(pmod(col("event_id"), lit(3)) === i),
             col("event_type"),
-            round((col("value") - 0.5) * 1e6, 0).cast("long"),
+            round((col("value") - 0.5) * 1e3, 0).cast("long"),
             lit(1L) + pmod(col("user_id"), lit(9L)))
           graft.sinks.SummingStore.appendDelta(part, mv,
             tag = Some(s"tdigby-chunk$i"))
@@ -3900,7 +3950,7 @@ SELECT event_id, content_key, strftime(ts, '$tsFullSql') AS ts_str, CASE WHEN vt
           Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100))
       },
       Some(graft.ops.TDigest.oracleByKeySql(
-        "event_type", "round((value - 0.5)*1000000, 0)", "1 + user_id % 9",
+        "event_type", "round((value - 0.5)*1000, 0)", "1 + user_id % 9",
         "events", Seq(1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100)))),
 
     // ClickHouse hierarchical dictionary (dictGetHierarchy + dictIsIn):

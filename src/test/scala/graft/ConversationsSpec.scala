@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Queries
+
+/** Semantics of the conversation/SFT operators over the documents-
+  * derived fixture (sf0.001) — branch behavior the hash gate proves
+  * cross-engine but cannot NAME: which conv is a mirror of which,
+  * which verdict a planted damage pattern earns, that near≠exact. */
+class ConversationsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val turns =
+    Queries.runners("q_conv_flatten")(spark, dir).cache()
+
+  test("flatten: array position is turn order, roles follow the frame") {
+    val bad = turns.filter(
+      (col("turn_idx") === 0 && col("role") =!= "system") ||
+      (pmod(col("turn_idx"), lit(2)) === 1 && col("turn_idx") > 0 &&
+        col("role") =!= "user") ||
+      (pmod(col("turn_idx"), lit(2)) === 0 && col("turn_idx") > 0 &&
+        col("role") =!= "assistant")).count()
+    assert(bad === 0L)
+    // n_turns is consistent with the exploded cardinality
+    val inconsistent = turns.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("c"), max(col("n_turns")).as("n"))
+      .filter(col("c") =!= col("n")).count()
+    assert(inconsistent === 0L)
+    // base conversation lengths cycle 1..4 with conv_id % 4
+    val wrongLen = turns.filter(col("conv_id") < 10000)
+      .groupBy(col("conv_id")).agg(max(col("n_turns")).as("n"))
+      .filter(col("n") =!= lit(1) + pmod(col("conv_id"), lit(4))).count()
+    assert(wrongLen === 0L)
+  }
+
+  test("dedupExact collapses the case/whitespace mirror, not the suffix mirror") {
+    val d = Queries.runners("q_conv_dedup")(spark, dir).cache()
+    // every exact mirror (conv_of%8==5 → +20000) canonicalizes to its base
+    val exactMirrors = d.filter(col("conv_id") >= 20000)
+    assert(exactMirrors.count() > 0)
+    assert(exactMirrors.filter(!col("is_dup") ||
+      col("canon_id") =!= col("conv_id") - 20000).count() === 0L)
+    // the near mirrors (+10000) are NOT exact dups — the suffix survives
+    // normalization
+    assert(d.filter(col("conv_id") >= 10000 && col("conv_id") < 20000 &&
+      col("is_dup")).count() === 0L)
+  }
+
+  test("nearDupPairs finds the suffix mirror below J=1 and the exact mirror at J=1") {
+    val pairs = Queries.runners("q_conv_dedup_near")(spark, dir).cache()
+    val nearMirror = pairs.filter(col("conv_b") === col("conv_a") + 10000)
+    assert(nearMirror.count() > 0)
+    assert(nearMirror.filter(col("jaccard") >= 1.0).count() === 0L,
+      "suffix mirrors must be NEAR duplicates, not exact")
+    val exactMirror = pairs.filter(col("conv_b") === col("conv_a") + 20000)
+    assert(exactMirror.count() > 0)
+    assert(exactMirror.filter(col("jaccard") < 1.0).count() === 0L,
+      "normalized case mirrors must verify at J=1")
+  }
+
+  test("gate verdicts: planted minority damage strips turns, half-damage drops the conversation") {
+    val g = Queries.runners("q_conv_gate")(spark, dir)
+      .filter(col("conv_id") < 10000).cache()
+    // conv_of%8==3 (length 4, one short turn) → drop_turns, 3 kept
+    val minority = g.filter(pmod(col("conv_id"), lit(8)) === 3)
+    assert(minority.count() > 0)
+    assert(minority.filter(col("verdict") =!= "drop_turns" ||
+      col("n_kept") =!= col("n_turns") - col("n_fail")).count() === 0L)
+    // conv_of%8==7 → 2 planted fails → drop_conv, nothing kept
+    val half = g.filter(pmod(col("conv_id"), lit(8)) === 7)
+    assert(half.count() > 0)
+    assert(half.filter(col("verdict") =!= "drop_conv" ||
+      col("n_kept") =!= 0).count() === 0L)
+    // clean conversations keep everything
+    val clean = g.filter(col("verdict") === "keep")
+    assert(clean.count() > 0)
+    assert(clean.filter(col("n_fail") =!= 0 ||
+      col("n_kept") =!= col("n_turns")).count() === 0L)
+  }
+
+  test("templates: five planted templates collapse across case variants") {
+    val t = Queries.runners("q_conv_template")(spark, dir).cache()
+    assert(t.count() === 5L, "normalization must collapse case variants " +
+      "to exactly the five planted templates")
+    // each group holds both parities (mirrors ride along), so > 1 conv
+    assert(t.filter(col("n_convs") < 2).count() === 0L)
+  }
+
+  test("fixture honors the hand-built-JSON escaping contract") {
+    // the payload is concatenated, not escaped — sound only while no
+    // content carries a quote or backslash (the fixture strips both
+    // from document text and plants none). A testdata regeneration
+    // that breaks this must fail HERE, not as an inscrutable
+    // parse-null mismatch in the hash gate.
+    val breaking = turns.filter(
+      col("content").contains("\"") || col("content").contains("\\") ||
+        col("content").rlike("[\\x00-\\x1f]")).count()
+    assert(breaking === 0L)
+    // and the parse really consumed every payload: a malformed JSON
+    // row would surface as a null-role turn
+    assert(turns.filter(col("role").isNull || col("content").isNull)
+      .count() === 0L)
+  }
+}

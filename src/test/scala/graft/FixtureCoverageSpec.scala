@@ -141,7 +141,13 @@ class FixtureCoverageSpec extends SparkSpec {
         "observed" -> out.filter(col("observed")).count(),
         "gap" -> out.filter(!col("observed") && col("v_carry") =!= 0L).count(),
         "pre_first" -> out.filter(!col("observed") && col("v_carry") === 0L
-          && col("v_linstep") === 0L).count())
+          && col("v_linstep") === 0L).count(),
+        // the Δ-rule must DIVERGE from carry-forward on some gap row
+        // (prev + Δ·g ≠ prev), else the linear recurrence is gated
+        // only where it degenerates to the Δ=0 case
+        "delta_rule_discriminates" -> out.filter(!col("observed") &&
+          col("v_carry") =!= 0L && col("v_linstep") =!= col("v_carry"))
+          .count())
     },
 
     // LIMIT WITH TIES: some group must EXTEND past n on a boundary tie
@@ -256,13 +262,50 @@ class FixtureCoverageSpec extends SparkSpec {
     },
 
     // t-digest: the fixture centers value at 0 precisely so BOTH sign
-    // branches of the signed grid carry weight — pin it.
+    // branches of the signed grid carry weight — and within each sign
+    // BOTH grid regimes must be gated: the exact region (|v| < 2^m,
+    // idx = v verbatim — no log arithmetic runs) and the log-bucket
+    // region (|idx| >= 2^m, the msb/shift encode-decode pair). A
+    // fixture whose magnitudes all clear 2^m would never gate the
+    // exact-region identity branch, and vice versa.
     "q_quantile_tdigest" -> { dir =>
+      val base = 1L << 8 // m = 8, the registration's grid
       val st = graft.ops.TDigest.sketch(Tables.events(spark, dir),
-        round((col("value") - 0.5) * 1e6, 0).cast("long"))
+        round((col("value") - 0.5) * 1e3, 0).cast("long"))
       Map(
-        "neg_grid" -> st.filter(col("idx") < 0).count(),
-        "pos_grid" -> st.filter(col("idx") > 0).count())
+        "neg_exact" -> st.filter(col("idx") < 0 && col("idx") > -base).count(),
+        "neg_log" -> st.filter(col("idx") <= -base).count(),
+        "pos_exact" -> st.filter(col("idx") > 0 && col("idx") < base).count(),
+        "pos_log" -> st.filter(col("idx") >= base).count())
+    },
+
+    // conversation fixture: every semantic class the q_conv_* gates
+    // discriminate on must be populated — single- vs multi-turn
+    // conversations (flatten's n_turns arithmetic), all three gate
+    // verdicts (a fixture with no drop_conv never gates the
+    // half-damage rule), the exact-dup mirror (normText collapse),
+    // the near-but-not-exact mirror (J < 1 through the banded path),
+    // and template groups actually spanning case variants.
+    "q_conv_*" -> { dir =>
+      val turns = run("q_conv_flatten", dir).localCheckpoint()
+      val convs = turns.groupBy(col("conv_id"))
+        .agg(max(col("n_turns")).as("n"))
+      val gate = run("q_conv_gate", dir).localCheckpoint()
+      val dedup = run("q_conv_dedup", dir)
+      val near = run("q_conv_dedup_near", dir).localCheckpoint()
+      val tmpl = run("q_conv_template", dir)
+      Map(
+        "single_turn" -> convs.filter(col("n") === 1).count(),
+        "multi_turn" -> convs.filter(col("n") > 1).count(),
+        "verdict_keep" -> gate.filter(col("verdict") === "keep").count(),
+        "verdict_drop_turns" ->
+          gate.filter(col("verdict") === "drop_turns").count(),
+        "verdict_drop_conv" ->
+          gate.filter(col("verdict") === "drop_conv").count(),
+        "exact_dup" -> dedup.filter(col("is_dup")).count(),
+        "near_not_exact" -> near.filter(col("jaccard") < 1.0).count(),
+        "near_exact" -> near.filter(col("jaccard") >= 1.0).count(),
+        "template_collapsed" -> tmpl.filter(col("n_convs") >= 2).count())
     })
 
   test("every fixture class is populated at both gate SFs") {
