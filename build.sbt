@@ -29,3 +29,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
 Test / parallelExecution := false
+// Two test profiles (suite wall-time budget): `sbt test` is the FULL
+// shipping gate — everything runs, including the graft.Slow-tagged
+// 10×-scale rung re-runs in ScaleProbeSpec (the dominant cost). For
+// the inner development loop, `sbt quick` excludes the Slow tag; the
+// 1× rung assertions, every oracle-backed spec, and all semantics
+// suites still run. Ship only on a green FULL `sbt test`.
+addCommandAlias("quick", "testOnly * -- -l graft.Slow")

@@ -106,4 +106,37 @@ object ScaleData {
         ((pmod(hash(col("id") * lit(31L) + lit(j)), lit(2001)) - lit(1000))
           .cast("float") / lit(1000.0f))
       }: _*).as("embedding"))
+
+  /** Embedding cloud with PLANTED nearest-neighbor structure — ground
+    * truth BY CONSTRUCTION, so recall@k is measurable at any scale
+    * without an O(N·Q) brute-force oracle pass:
+    *  - ids < nQueries are query vectors (the same uniform components
+    *    as [[embeddings]]);
+    *  - ids in [nQueries, nQueries·(1+kPlanted)) are planted
+    *    neighbors: neighbor id's query is (id − nQueries) % nQueries,
+    *    its vector the query's plus eps-scaled uniform noise. At
+    *    eps = 0.15 over dim 64 the planted cosine is ≈ 0.99 while the
+    *    max background cosine stays ≈ 0.65 even at millions of rows
+    *    (background cosines concentrate at ±1/√dim), so each query's
+    *    EXACT top-kPlanted is precisely its planted set — asserted by
+    *    the ann_recall_brute rung reading 10000 bp;
+    *  - all other ids are the uniform background cloud.
+    * Everything is hash-derived: recall values are deterministic per
+    * (n, dim, nQueries, kPlanted), so floors can be asserted in CI. */
+  def plantedEmbeddings(spark: SparkSession, n: Long, dim: Int = 64,
+      nQueries: Int = 100, kPlanted: Int = 10, eps: Float = 0.15f): DataFrame = {
+    val q = nQueries.toLong
+    val planted = q * (1 + kPlanted)
+    require(n > 2 * planted, s"need n > ${2 * planted} for a real background")
+    val isNbr = col("id") >= q && col("id") < planted
+    val seed = when(isNbr, pmod(col("id") - q, lit(q))).otherwise(col("id"))
+    spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map { j =>
+        val base = (pmod(hash(seed * lit(31L) + lit(j)), lit(2001)) - lit(1000))
+          .cast("float") / lit(1000.0f)
+        val noise = (pmod(hash(col("id") * lit(127L) + lit(j)), lit(2001))
+          - lit(1000)).cast("float") / lit(1000.0f) * lit(eps)
+        (base + when(isNbr, noise).otherwise(lit(0.0f))).cast("float")
+      }: _*).as("embedding"))
+  }
 }

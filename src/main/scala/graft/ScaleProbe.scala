@@ -65,6 +65,68 @@ object ScaleProbe {
           isQuery = col("vec_id") < 100, k = 10, nCentroids = 16,
           nProbe = 2, ivfIters = 2, m = 4, pqK = 8, pqIters = 2,
           dim = dim))),
+      // ---- approximation-QUALITY rungs ---------------------------------
+      // The ANN/dedup family is hash-gated for determinism and
+      // rung-proven for bytes; these rungs measure whether it stays
+      // ACCURATE as the corpus grows. Returned value is recall (or
+      // precision) in BASIS POINTS — not a row count — against planted
+      // ground truth ([[ScaleData.plantedEmbeddings]] / the docs
+      // generator's id%5==1 near-dup families), so the truth set needs
+      // no oracle pass and the curve is measurable at 100×.
+      // ann_recall_brute doubles as the planted-structure sanity proof:
+      // the exact path must read 10000 bp (every planted neighbor IS a
+      // true top-k neighbor), anchoring what the approximate paths are
+      // measured against.
+      // the heap form IS the brute path at scale: the window form's
+      // per-task memory grows with the corpus (whole query group in
+      // WindowExec — measured ~2 GB/task at 300k), the heap form's is
+      // O(k) and gate-enforced bit-identical (q_ann_topk_heap)
+      "ann_recall_brute" -> (() =>
+        annRecallBp(graft.similarity.Ann.bruteForceTopKHeap(
+          ScaleData.plantedEmbeddings(spark, embN, dim),
+          col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 100, k = 10))),
+      "ann_recall_lsh" -> (() =>
+        annRecallBp(graft.similarity.Ann.lshTopK(
+          ScaleData.plantedEmbeddings(spark, embN, dim),
+          col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 100, k = 10, dim = dim, nPlanes = 8))),
+      "ann_recall_ivf" -> (() =>
+        annRecallBp(graft.similarity.Ann.ivfTopK(
+          ScaleData.plantedEmbeddings(spark, embN, dim),
+          col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 100, k = 10, nCentroids = 64,
+          nProbe = 2, kmeansIters = 3))),
+      "ann_recall_ivfpq" -> (() =>
+        annRecallBp(graft.similarity.Pq.ivfPqTopK(
+          ScaleData.plantedEmbeddings(spark, embN, dim),
+          col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 100, k = 10, nCentroids = 16,
+          nProbe = 2, ivfIters = 2, m = 4, pqK = 8, pqIters = 2,
+          dim = dim))),
+      // pair recall of the banded/chunked candidate generation against
+      // the generator's planted near-dup families ((id−1, id) for
+      // id%5==1, shingle-Jaccard ≈ 0.9 by construction — the only
+      // ≥-threshold pairs a hash-vocab corpus contains). MinHash pair
+      // PRECISION vs exact Jaccard is 10000 bp by construction (the
+      // banded path ends in an exact-Jaccard verify), so recall is its
+      // one free quality axis; SimHash emits unverified hamming
+      // candidates, so it gets both a recall and a precision rung.
+      "dedup_recall_minhash" -> (() =>
+        plantedPairRecallBp(minhashPairs, docsN)),
+      "dedup_recall_simhash" -> (() =>
+        plantedPairRecallBp(
+          graft.dedup.SimHash.pairs(docs, col("doc_id"), col("text")), docsN)),
+      "dedup_precision_simhash" -> (() => {
+        val found = graft.dedup.SimHash.pairs(docs, col("doc_id"), col("text"))
+          .select(col("doc_a"), col("doc_b")).localCheckpoint()
+        val nFound = found.count()
+        val sets = docs.select(col("doc_id"),
+          graft.functions.TextFunctions.shingles(col("text"), 3).as("sh"))
+        val ok = graft.dedup.MinHash.verify(found, sets,
+          graft.dedup.MinHash.Config(threshold = 0.7)).count()
+        if (nFound == 0) 0L else ok * 10000L / nFound
+      }),
       "funnel" -> (() =>
         force(graft.ops.Funnel.windowFunnel(events, col("user_id"), col("ts"),
           Seq(col("event_type") === "view", col("event_type") === "click",
@@ -724,6 +786,33 @@ object ScaleProbe {
           .withColumn("keep", col("gopher_pass") && col("quality") >= 0.5 &&
             col("clf_p_micros") >= 500000L))
       }))
+  }
+
+  /** recall@k in basis points of a top-k result (query_id, vec_id)
+    * against [[ScaleData.plantedEmbeddings]]'s constructed truth:
+    * vec_id v is the planted neighbor of query (v − Q) % Q iff
+    * Q ≤ v < Q·(1+k). Q = 100 queries, k = 10 planted — the rungs'
+    * fixed probe head. */
+  private def annRecallBp(topk: DataFrame): Long = {
+    val q = 100L
+    val kP = 10
+    val hits = topk.filter(col("vec_id") >= q &&
+      col("vec_id") < q * (1 + kP) &&
+      pmod(col("vec_id") - q, lit(q)) === col("query_id")).count()
+    hits * 10000L / (q * kP)
+  }
+
+  /** Pair recall in basis points against [[ScaleData.docs]]'s planted
+    * near-dup families: truth pairs are exactly (id−1, id) for
+    * id % 5 == 1 (the generator's Jaccard-≈0.9 construction). */
+  private def plantedPairRecallBp(found: DataFrame, docsN: Long): Long = {
+    val spark = found.sparkSession
+    val planted = spark.range(docsN).filter(pmod(col("id"), lit(5)) === 1)
+      .select((col("id") - 1).as("doc_a"), col("id").as("doc_b"))
+    val total = planted.count()
+    val hits = found.select(col("doc_a"), col("doc_b"))
+      .join(planted, Seq("doc_a", "doc_b"), "left_semi").count()
+    if (total == 0) 0L else hits * 10000L / total
   }
 
   /** Force FULL evaluation of `df` and return its row count.

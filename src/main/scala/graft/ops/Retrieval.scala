@@ -199,6 +199,162 @@ fused AS (SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, rank_sparse, rank_dense
 SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDER BY rrf_micros DESC, doc_id ASC) AS INTEGER) AS rank FROM fused ORDER BY rrf_micros DESC, doc_id ASC LIMIT $k"""
   }
 
+  // ---------------------------------------------- retrieval QUALITY
+
+  /** Rank discounts 1/log2(i+1) for ranks 1..k, computed ONCE in Scala
+    * and injected as LITERALS into both engines — the nDCG log never
+    * runs cross-engine, so there is no libm-ulp hazard to round away:
+    * the discounts are data, identical by construction (Double.toString
+    * is shortest-round-trip; DuckDB parses it back to the same bits). */
+  private def discounts(k: Int): Seq[Double] =
+    (1 to k).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** Retrieval-quality metrics — nDCG@k, MRR@k, recall@k — for a fixed
+    * query set over the BM25 ranking, as one gated aggregation.
+    *
+    * Qrels are DERIVED deterministically (the judged-fixture stand-in
+    * both engines replay): rel(doc, q) = number of q's distinct terms
+    * the doc contains — graded 0..|terms|, so nDCG's gain curve
+    * (2^rel − 1) is non-trivial. At production scale qrels are a
+    * human-judged artifact of bounded size; here they are a rule so
+    * the oracle can rebuild them.
+    *
+    * Scale shape: ONE stats pass (N, sum_dl, per-term df — the
+    * [[bm25TopK]] aggregate over the union of all queries' terms), one
+    * scoring map emitting a (qid, score, rel) row per (doc, query),
+    * then bounded-heap top-k per query (`bounded_top_k` — no corpus
+    * sort, map slices reduce to ≤2k pairs) for BOTH the retrieved list
+    * and the ideal-gain list. Every metric folds over a ≤k array in
+    * rank order, so float addition order is pinned on both engines.
+    *
+    * Output, one row per query: (query_id, n_rel, recall_micros,
+    * mrr_micros, dcg_micros, idcg_micros, ndcg_micros) — µ-scaled
+    * floor-rounded BIGINTs. */
+  def retrievalMetrics(docs: DataFrame, id: Column, text: Column,
+      queries: Seq[(Int, Seq[String])], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 10): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty) && k > 0)
+    val spark = docs.sparkSession
+    graft.functions.BoundedTopK.register(spark)
+    val allTerms = queries.flatMap(_._2).distinct
+    val base = docs.select(id.as("doc_id"),
+        TextFunctions.tokens(lower(text)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val dfAggs = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val allAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")) ++ dfAggs
+    val stats = base.agg(allAggs.head, allAggs.tail: _*)
+    val termIdx = allTerms.zipWithIndex.toMap
+    def termScore(t: String): Column = {
+      val dfT = col(s"df_${termIdx(t)}").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }
+    val perQuery = queries.map { case (qid, terms) =>
+      val score = terms.map(termScore).reduce(_ + _)
+      val rel = terms.map(t =>
+        when(array_contains(col("toks"), t), 1L).otherwise(0L)).reduce(_ + _)
+      struct(lit(qid).as("qid"),
+        (floor(score * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("score"),
+        rel.as("rel"))
+    }
+    val long = base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .select(col("doc_id"), col("q.qid").as("qid"),
+        col("q.score").as("score"), col("q.rel").as("rel"))
+    // retrieved list: bounded-heap top-k by (score desc, doc_id asc) —
+    // the bm25TopK total order — then rel re-attached corpus-side
+    val ret = long.groupBy(col("qid"))
+      .agg(expr(s"bounded_top_k(score, doc_id, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), (col("p") + 1).cast("int").as("rank"),
+        col("t.key").as("doc_id"))
+      .join(Joins.corpusSide(long.select(col("qid"), col("doc_id"), col("rel"))),
+        Seq("qid", "doc_id"))
+    val d = discounts(k)
+    def gainAt(rel: Column, rank: Column): Column =
+      (call_function("shiftleft", lit(1L), rel.cast("int")) - 1L)
+        .cast("double") * element_at(typedLit(d), rank)
+    val retAgg = ret.groupBy(col("qid")).agg(
+      array_sort(collect_list(struct(col("rank"), col("rel")))).as("rr"))
+    // ideal list: bounded-heap top-k of rel itself (desc, doc_id asc) —
+    // the eval() array IS the ideal ordering, positions are ranks
+    val idealAgg = long.groupBy(col("qid")).agg(
+      expr(s"bounded_top_k(CAST(rel AS DOUBLE), doc_id, $k)").as("ideal"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+    def foldSum(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val dcgRaw = foldSum(transform(col("rr"),
+      r => gainAt(r.getField("rel"), r.getField("rank"))))
+    val idcgRaw = foldSum(zip_with(col("ideal"),
+      sequence(lit(1), greatest(size(col("ideal")), lit(1))),
+      (s, i) => gainAt(s.getField("score").cast("long"), i)))
+    val hits = size(filter(col("rr"), r => r.getField("rel") > 0)).cast("long")
+    val minRank = array_min(transform(
+      filter(col("rr"), r => r.getField("rel") > 0), r => r.getField("rank")))
+    retAgg.join(idealAgg, Seq("qid"))
+      .select(col("qid").as("query_id"), col("n_rel"),
+        when(col("n_rel") > 0,
+          floor(hits.cast("double") * lit(1e6) / col("n_rel").cast("double")
+            + lit(0.5)).cast("long")).otherwise(0L).as("recall_micros"),
+        when(minRank.isNotNull,
+          floor(lit(1e6) / minRank.cast("double") + lit(0.5)).cast("long"))
+          .otherwise(0L).as("mrr_micros"),
+        floor(dcgRaw * lit(1e6) + lit(0.5)).cast("long").as("dcg_micros"),
+        floor(idcgRaw * lit(1e6) + lit(0.5)).cast("long").as("idcg_micros"),
+        when(idcgRaw > 0,
+          floor(dcgRaw / idcgRaw * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(0L).as("ndcg_micros"))
+  }
+
+  /** DuckDB replica of [[retrievalMetrics]] over table `documents` —
+    * same stats, same fixed term order, same floor-4 scores, same
+    * LITERAL discounts, same rank-ordered folds. */
+  def retrievalMetricsOracleSql(queries: Seq[(Int, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 10): String = {
+    val allTerms = queries.flatMap(_._2).distinct
+    val termIdx = allTerms.zipWithIndex.toMap
+    val dfExprs = allTerms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS df_$i"
+    }.mkString(", ")
+    def termScoreSql(t: String): String = {
+      val i = termIdx(t)
+      s"""(ln(1.0 + (CAST(n AS DOUBLE) - CAST(df_$i AS DOUBLE) + 0.5) / (CAST(df_$i AS DOUBLE) + 0.5)) * (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) * ${k1 + 1.0}) / (CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)))"""
+    }
+    val qRows = queries.map { case (qid, terms) =>
+      val score = terms.map(termScoreSql).mkString(" + ")
+      val rel = terms.map(t =>
+        s"(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)").mkString(" + ")
+      s"SELECT doc_id, $qid AS qid, floor(($score) * 10000.0 + 0.5) / 10000.0 AS score, CAST($rel AS BIGINT) AS rel FROM sc"
+    }.mkString(" UNION ALL ")
+    val dList = discounts(k).mkString("[", ", ", "]")
+    raw"""WITH base AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS dl FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfExprs FROM base),
+sc AS (SELECT * FROM base, (SELECT *, CAST(sum_dl AS DOUBLE) / n AS avgdl FROM stats)),
+lng AS ($qRows),
+ret AS (SELECT qid, rank, rel FROM (SELECT qid, doc_id, rel, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM lng) WHERE rank <= $k),
+d(ds) AS (VALUES ($dList)),
+ragg AS (SELECT qid, list_sum([CAST((1::BIGINT << CAST(g.rel AS INTEGER)) - 1 AS DOUBLE) * ds[g.rank] FOR g IN gains]) AS dcg_raw,
+  len(list_filter(gains, g -> g.rel > 0)) AS hits,
+  list_min([g.rank FOR g IN list_filter(gains, g -> g.rel > 0)]) AS min_rank
+ FROM (SELECT qid, list({'rank': rank, 'rel': rel} ORDER BY rank) AS gains FROM ret GROUP BY qid), d),
+iagg AS (SELECT qid, list_sum([CAST((1::BIGINT << CAST(ideal[i] AS INTEGER)) - 1 AS DOUBLE) * ds[i] FOR i IN range(1, len(ideal)+1)]) AS idcg_raw,
+  n_rel
+ FROM (SELECT qid, (list(rel ORDER BY rel DESC, doc_id ASC))[1:$k] AS ideal, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS n_rel FROM lng GROUP BY qid), d)
+SELECT r.qid AS query_id, CAST(i.n_rel AS BIGINT) AS n_rel,
+ CASE WHEN i.n_rel > 0 THEN CAST(floor(CAST(r.hits AS DOUBLE) * 1000000.0 / CAST(i.n_rel AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END AS recall_micros,
+ CASE WHEN r.min_rank IS NOT NULL THEN CAST(floor(1000000.0 / CAST(r.min_rank AS DOUBLE) + 0.5) AS BIGINT) ELSE 0 END AS mrr_micros,
+ CAST(floor(r.dcg_raw * 1000000.0 + 0.5) AS BIGINT) AS dcg_micros,
+ CAST(floor(i.idcg_raw * 1000000.0 + 0.5) AS BIGINT) AS idcg_micros,
+ CASE WHEN i.idcg_raw > 0 THEN CAST(floor(r.dcg_raw / i.idcg_raw * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS ndcg_micros
+FROM ragg r JOIN iagg i ON r.qid = i.qid"""
+  }
+
   /** DuckDB replica of [[tfIdfTopTerms]] over table `documents`. */
   def tfIdfOracleSql(k: Int = 3): String =
     raw"""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term FROM documents),

@@ -107,6 +107,16 @@ object Queries {
   /** Fixed BM25 query-term bag (order matters: scores sum in this order). */
   private val bm25Terms = Seq("spark", "stream", "vector", "hash")
 
+  /** Fixed query set for the retrieval-quality metrics — term bags over
+    * the synthetic vocabulary, two of them carrying the one RARE term
+    * (`dup`, df≈26 vs ~900 for everything else) so graded relevance
+    * actually varies across documents. */
+  private val retrievalQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "hash"),
+    2 -> Seq("dup", "stream", "window"),
+    3 -> Seq("vector", "sort", "merge", "slow"),
+    4 -> Seq("dup", "fast"))
+
   /** Per-lang keep rates for the stratified-sample query. */
   private val stratRates = Seq("en" -> 0.5, "de" -> 0.25, "zh" -> 0.05)
 
@@ -2375,6 +2385,42 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
       Some(graft.similarity.Ann.ivfTopKOracle("vec_id < 20", k = 5,
         nCentroids = 16, nProbe = 2, kmeansIters = 5, dim = 64))),
 
+    // The IVF REFRESH loop (batch-trained / stream-served /
+    // version-stamped — the Bm25Index/unigram-vocab precedent applied
+    // to the ANN serving index): v1 centroids train on a budgeted
+    // (200-vector) hash-order sample of the first chunk and the cell
+    // store assigns that chunk; the second chunk arrives under the
+    // SAME model and maintenance assigns ONLY the new vectors
+    // (incremental — IvfIndexSpec pins the counts); the v2 publish
+    // retrains on the full corpus sample and triggers the one full
+    // re-assign a centroid change requires. The served top-k is gated
+    // against an oracle replaying sample → fit → assign → probe, so
+    // the refresh loop's final state must be bit-identical to a
+    // batch build. Side-effecting scratch stores; never headline.
+    GraftQuery("q_ivf_refresh",
+      (s, dir) => {
+        val tmpP = java.nio.file.Files.createTempDirectory("graft_ivfref")
+        deleteRecursivelyOnExit(tmpP)
+        val cents = s"$tmpP/cents"
+        val cells = s"$tmpP/cells"
+        val e = Tables.embeddings(s, dir)
+        val first = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+        graft.similarity.IvfIndex.publish(s, cents, first,
+          col("vec_id"), col("embedding"), version = 1L)
+        graft.similarity.IvfIndex.maintainCells(s, cells, cents, first,
+          col("vec_id"), col("embedding"))
+        graft.similarity.IvfIndex.maintainCells(s, cells, cents, e,
+          col("vec_id"), col("embedding")) // incremental: new chunk only
+        graft.similarity.IvfIndex.publish(s, cents, e,
+          col("vec_id"), col("embedding"), version = 2L)
+        graft.similarity.IvfIndex.maintainCells(s, cells, cents, e,
+          col("vec_id"), col("embedding")) // version bump: full re-assign
+        graft.similarity.IvfIndex.topK(s, cells, cents, e,
+          col("vec_id"), col("embedding"), isQuery = col("vec_id") < 20,
+          k = 5)
+      },
+      Some(graft.similarity.IvfIndex.refreshOracleSql("vec_id < 20", k = 5))),
+
     // Product quantization (the IVF-PQ compression rung): 4 subspaces
     // of 16 dims, each with its own deterministic 8-entry k-means
     // codebook; every vector becomes 4 small codes. The oracle replays
@@ -2501,6 +2547,18 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
       Some(Retrieval.bm25OracleSql(bm25Terms, k = 20)),
       headline = true),
 
+    // Retrieval-QUALITY metrics as a gated query: nDCG@10 / MRR@10 /
+    // recall@10 per query over the BM25 ranking against rule-derived
+    // graded qrels (rel = #query-terms contained). The nDCG rank
+    // discounts are Scala-computed LITERALS injected into both engines
+    // (no cross-engine log), every metric folds over a ≤k array in
+    // rank order, and the heap top-k never sorts the corpus — this
+    // turns the RAG/BM25/RRF stack into a measurable system.
+    GraftQuery("q_retrieval_metrics",
+      (s, dir) => Retrieval.retrievalMetrics(docs(s, dir), col("doc_id"),
+        col("text"), retrievalQueries),
+      Some(Retrieval.retrievalMetricsOracleSql(retrievalQueries))),
+
     // Transitive duplicate GROUPS from the verified MinHash pairs:
     // connected components via DataFrame min-label propagation (pointer-
     // jumped, localCheckpoint-bounded lineage). Oracle replays the same
@@ -2616,6 +2674,16 @@ pairs AS (SELECT doc_a, doc_b FROM verified WHERE jaccard >= ${cfg.threshold}),
         isQuery = col("vec_id") < 20, k = 5),
       Some(graft.similarity.Ann.bruteForceTopKOracle("vec_id < 20", 5)),
       headline = true),
+
+    // The bounded-heap form of the same exact top-k (per-task memory
+    // O(k), never corpus-group-sized — the 100×-safe path the
+    // ann_recall_brute rung runs). Shares the window form's oracle, so
+    // the gate enforces bit-identical output between the two paths.
+    GraftQuery("q_ann_topk_heap",
+      (s, dir) => graft.similarity.Ann.bruteForceTopKHeap(
+        Tables.embeddings(s, dir), col("vec_id"), col("embedding"),
+        isQuery = col("vec_id") < 20, k = 5),
+      Some(graft.similarity.Ann.bruteForceTopKOracle("vec_id < 20", 5))),
 
     // Approximate variant (multi-probe LSH buckets + exact re-rank).
     // All hashing is deterministic md5, so the oracle replays bucket

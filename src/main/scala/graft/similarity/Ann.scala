@@ -70,6 +70,38 @@ object Ann {
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rk").cast("int").as("rk"))
   }
 
+  /** Exact top-k as a bounded-heap partial+final aggregation — the
+    * 100×-safe form of [[bruteForceTopK]]: the window form buffers an
+    * entire query group (the whole corpus per query) inside
+    * WindowExec, so per-task memory grows with N (measured ~2 GB/task
+    * at 300k×64d); this form reduces every map slice to ≤2k (score,
+    * id) pairs BEFORE the shuffle ([[graft.functions.BoundedTopK]]),
+    * so per-task memory is O(k·queries) at any corpus size and the
+    * shuffle carries k rows per (partition, query), never the scored
+    * corpus. Output and total order (cosine desc, vec_id asc) are
+    * identical to the window form — the registration shares its
+    * oracle, so the gate enforces bit-equality between the two paths
+    * (the q_bm25_indexed precedent). Queries broadcast (the probe head
+    * is dashboard-sized by contract). */
+  def bruteForceTopKHeap(emb: DataFrame, id: Column, vec: Column,
+      isQuery: Column, k: Int): DataFrame = {
+    graft.functions.BoundedTopK.register(emb.sparkSession)
+    val e = emb.select(id.as("vec_id"), vec.as("v"),
+      VectorFunctions.norm(vec).as("nrm"))
+    val queries = emb.filter(isQuery).select(id.as("query_id"), vec.as("qv"),
+      VectorFunctions.norm(vec).as("qnrm"))
+    val scored = e.join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("qnrm") > 0 && col("nrm") > 0,
+          nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+          .as("cosine"))
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"bounded_top_k(cosine, vec_id, $k)").as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("query_id"), col("t.key").as("vec_id"),
+        col("t.score").as("cosine"), (col("p") + 1).cast("int").as("rk"))
+  }
+
   /** Deterministic pseudo-random hyperplane i over `dim` dimensions:
     * component j = (md5Long("i:j") mod 2001 - 1000) / 1000 ∈ [-1, 1]. */
   private def hyperplane(i: Int, dim: Int): Column =
@@ -150,7 +182,12 @@ object Ann {
       VectorFunctions.norm(vec).as("qnrm"), lshBucket(vec, dim, nPlanes).as("bucket0"))
       .select(col("query_id"), col("qv"), col("qnrm"),
         explode(array(col("bucket0") +: probes: _*)).as("bucket"))
-    val scored = queries.join(e, Seq("bucket"))
+    // corpus-side pin (the ann_recall_lsh rung caught this live: at a
+    // 300k-vector probe Catalyst's estimate under the projection chain
+    // broadcast the CORPUS side — ~40 MB of vectors collected through
+    // the driver, the OOM shape at real scale; at 2M it flipped to
+    // sort-merge on its own, i.e. the plan was scale-DEPENDENT)
+    val scored = queries.join(graft.ops.Joins.corpusSide(e), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
         when(col("qnrm") > 0 && col("nrm") > 0,
@@ -182,7 +219,12 @@ object Ann {
       lshBucket(vec, dim, nPlanes).as("bucket0"))
       .select(col("query_id"), col("qv"), col("qlbl"), col("qnrm"),
         explode(array(col("bucket0") +: probes: _*)).as("bucket"))
-    val scored = queries.join(e, Seq("bucket"))
+    // corpus-side pin (the ann_recall_lsh rung caught this live: at a
+    // 300k-vector probe Catalyst's estimate under the projection chain
+    // broadcast the CORPUS side — ~40 MB of vectors collected through
+    // the driver, the OOM shape at real scale; at 2M it flipped to
+    // sort-merge on its own, i.e. the plan was scale-DEPENDENT)
+    val scored = queries.join(graft.ops.Joins.corpusSide(e), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id") && col("neg_label") =!= col("qlbl"))
       .select(col("query_id"), col("vec_id"), col("neg_label"),
         when(col("qnrm") > 0 && col("nrm") > 0,
@@ -218,7 +260,12 @@ object Ann {
       lshBucket(vec, dim, nPlanes).as("bucket0"))
       .select(col("query_id"), col("true_label"), col("qv"), col("qnrm"),
         explode(array(col("bucket0") +: probes: _*)).as("bucket"))
-    val scored = queries.join(e, Seq("bucket"))
+    // corpus-side pin (the ann_recall_lsh rung caught this live: at a
+    // 300k-vector probe Catalyst's estimate under the projection chain
+    // broadcast the CORPUS side — ~40 MB of vectors collected through
+    // the driver, the OOM shape at real scale; at 2M it flipped to
+    // sort-merge on its own, i.e. the plan was scale-DEPENDENT)
+    val scored = queries.join(graft.ops.Joins.corpusSide(e), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("true_label"), col("vec_id"), col("nbr_label"),
         when(col("qnrm") > 0 && col("nrm") > 0,

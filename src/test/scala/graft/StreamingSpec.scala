@@ -1029,4 +1029,75 @@ class StreamingSpec extends SparkSpec {
       parity(batch1 ++ batch2)
     } finally { q.stop() }
   }
+
+  test("IVF index refresh: mid-stream centroid swap keeps batch parity, no restart") {
+    import graft.similarity.IvfIndex
+    val dir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, dir)
+    val cents = tmp("ivfs-c") + "/cents"
+    val cells = tmp("ivfs-a") + "/cells"
+    val outBase = tmp("ivfs-o") + "/topk"
+    val first = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    // v1: trained on (and serving) the half-corpus; the stream is the
+    // QUERY side — each micro-batch of query ids is served against the
+    // stores as published at that moment
+    IvfIndex.publish(spark, cents, first, col("vec_id"), col("embedding"), 1L)
+    IvfIndex.maintainCells(spark, cells, cents, first,
+      col("vec_id"), col("embedding"))
+    def serve(ids: Seq[Long]) = IvfIndex.topK(spark, cells, cents, emb,
+      col("vec_id"), col("embedding"),
+      isQuery = col("vec_id").isin(ids: _*), k = 5)
+    val in = MemoryStream[Long](spark)
+    val q = in.toDF().toDF("qid").writeStream
+      .option("checkpointLocation", tmp("ivfs-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ids = batch.collect().map(_.getLong(0)).toSeq
+        if (ids.nonEmpty)
+          graft.sinks.SnapshotStore.commitAppend(spark, outBase,
+            serve(ids), tag = Some(s"topk-$id"))
+      }
+      .start()
+    val early = Seq(0L, 1L, 2L)
+    val late = Seq(3L, 4L)
+    try {
+      in.addData(early: _*); q.processAllAvailable()
+      // the mid-stream REFRESH: retrain on the full corpus, re-assign;
+      // the query keeps running and the next batch reads the new model
+      IvfIndex.publish(spark, cents, emb, col("vec_id"), col("embedding"), 2L)
+      IvfIndex.maintainCells(spark, cells, cents, emb,
+        col("vec_id"), col("embedding"))
+      in.addData(late: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = graft.sinks.SnapshotStore.read(spark, outBase).get
+    // the swap happened: early queries served under v1, late under v2
+    assert(got.filter(col("query_id").isin(early: _*) &&
+      col("model_version") =!= 1L).count() === 0L)
+    assert(got.filter(col("query_id").isin(late: _*) &&
+      col("model_version") =!= 2L).count() === 0L)
+    assert(got.filter(col("query_id").isin(late: _*)).count() > 0L)
+    // batch parity: each side must equal a fresh one-shot serve under
+    // the same stores' final state... which for v2 is rebuildable, and
+    // for v1 was the half-corpus index — rebuild both and compare
+    val c1 = tmp("ivfs-c1") + "/cents"; val a1 = tmp("ivfs-a1") + "/cells"
+    IvfIndex.publish(spark, c1, first, col("vec_id"), col("embedding"), 1L)
+    IvfIndex.maintainCells(spark, a1, c1, first, col("vec_id"), col("embedding"))
+    val c2 = tmp("ivfs-c2") + "/cents"; val a2 = tmp("ivfs-a2") + "/cells"
+    IvfIndex.publish(spark, c2, emb, col("vec_id"), col("embedding"), 2L)
+    IvfIndex.maintainCells(spark, a2, c2, emb, col("vec_id"), col("embedding"))
+    val expect = IvfIndex.topK(spark, a1, c1, emb, col("vec_id"),
+        col("embedding"), isQuery = col("vec_id").isin(early: _*), k = 5)
+      .unionByName(IvfIndex.topK(spark, a2, c2, emb, col("vec_id"),
+        col("embedding"), isQuery = col("vec_id").isin(late: _*), k = 5))
+    assert(got.exceptAll(expect).count() === 0L)
+    assert(expect.exceptAll(got).count() === 0L)
+    // and the two models genuinely differ for some late query (else
+    // the parity assertion proves nothing about the swap): v1 serves
+    // only the half-corpus cells, so a v1 serve of the late ids must
+    // differ from what the stream recorded under v2
+    val lateUnderV1 = IvfIndex.topK(spark, a1, c1, emb, col("vec_id"),
+      col("embedding"), isQuery = col("vec_id").isin(late: _*), k = 5)
+    assert(got.filter(col("query_id").isin(late: _*))
+      .drop("model_version")
+      .exceptAll(lateUnderV1.drop("model_version")).count() > 0L)
+  }
 }
