@@ -29,12 +29,14 @@ import graft.functions.TextFunctions
   *     exact-Jaccard verify). No new join shape: the conversation
   *     pass inherits the skew cap, the merge-hint pins, and the
   *     100 TB posture of the document pass.
-  *  4. [[gate]] — per-turn gating (PII regex / token length / quality
-  *     score) aggregated to a conversation-level VERDICT: `keep` (no
-  *     failing turn), `drop_turns` (failing minority — strip the
-  *     turns, keep the conversation), `drop_conv` (failing half or
+  *  4. [[gate]] — per-turn gating aggregated to a conversation-level
+  *     VERDICT: STRUCTURAL fails (token length / quality score) earn
+  *     `keep` (none), `drop_turns` (failing minority — strip the
+  *     turns, keep the conversation), or `drop_conv` (failing half or
   *     more, or any failing SYSTEM turn — the instruction frame
-  *     itself is compromised). One hash aggregate over turns.
+  *     itself is compromised); redactable PII is COUNTED (n_pii) but
+  *     never drops a turn — [[clean]] redacts it in place instead of
+  *     discarding training signal. One hash aggregate over turns.
   *  5. [[templates]] — system-prompt fingerprint grouping (the
   *     boilerplate analog at conversation scope): md5-fingerprint of
   *     the NORMALIZED system turn, so whitespace/case variants of one
@@ -111,14 +113,22 @@ object Conversations {
   /** Minimum whitespace tokens per turn. */
   val MinTurnTokens = 3
 
-  /** Per-turn fail predicate: planted-PII regex hit, under-length, or
-    * under-quality. All three signals are codegen'd Column exprs. */
+  /** Per-turn STRUCTURAL fail predicate: under-length or
+    * under-quality — damage no transform repairs, so the turn (or the
+    * conversation) drops. PII is deliberately NOT a fail: it is
+    * FIXABLE, so [[gate]] counts it ([[piiHit]]) and [[clean]]
+    * redacts it in place — dropping a turn over a redactable email
+    * would throw away training signal. Codegen'd Column exprs. */
   private def turnFails(content: Column): Column =
+    TextFunctions.tokenCount(content) < MinTurnTokens ||
+      TextFunctions.qualityScore(content) < QualityFloor
+
+  /** Redactable-PII signal (email/phone/IPv4 — exactly what
+    * [[TextFunctions.redactPii]] rewrites). */
+  private def piiHit(content: Column): Column =
     content.rlike(TextFunctions.EmailRe) ||
       content.rlike(TextFunctions.PhoneRe) ||
-      content.rlike(TextFunctions.Ipv4Re) ||
-      TextFunctions.tokenCount(content) < MinTurnTokens ||
-      TextFunctions.qualityScore(content) < QualityFloor
+      content.rlike(TextFunctions.Ipv4Re)
 
   /** Conversation-level verdict from per-turn gates. Rules:
     *  - any failing turn with role `system` → `drop_conv` (a poisoned
@@ -132,8 +142,9 @@ object Conversations {
     val agg = turns.groupBy(col("conv_id")).agg(
       count(lit(1)).as("n_turns"),
       sum(when(f, 1L).otherwise(0L)).as("n_fail"),
+      sum(when(piiHit(col("content")), 1L).otherwise(0L)).as("n_pii"),
       max(when(f && col("role") === "system", 1L).otherwise(0L)).as("sys_fail"))
-    agg.select(col("conv_id"), col("n_turns"), col("n_fail"),
+    agg.select(col("conv_id"), col("n_turns"), col("n_fail"), col("n_pii"),
         when(col("n_fail") === 0, "keep")
           .when(col("sys_fail") === 1 ||
             lit(2L) * col("n_fail") >= col("n_turns"), "drop_conv")
@@ -141,6 +152,28 @@ object Conversations {
       .withColumn("n_kept",
         when(col("verdict") === "drop_conv", 0L)
           .otherwise(col("n_turns") - col("n_fail")))
+  }
+
+  /** APPLY the [[gate]] verdicts — the step that turns judgments into
+    * training data: `drop_conv` conversations vanish, `drop_turns`
+    * conversations lose exactly their failing turns, survivors keep
+    * everything; retained content is PII-REDACTED
+    * ([[TextFunctions.redactPii]] — planted contacts become tokens)
+    * and turns re-index densely (row_number per conversation over the
+    * original order — a turn-bounded sort) so downstream consumers
+    * see a gap-free transcript. Output: (conv_id, turn_idx, role,
+    * content, orig_turn_idx). One aggregate + one corpus-side join. */
+  def clean(turns: DataFrame): DataFrame = {
+    val verdicts = gate(turns).select(col("conv_id"), col("verdict"))
+    val kept = turns.join(Joins.corpusSide(verdicts), Seq("conv_id"))
+      .filter(col("verdict") === "keep" ||
+        (col("verdict") === "drop_turns" && !turnFails(col("content"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    kept.withColumn("new_idx", row_number().over(w) - 1)
+      .select(col("conv_id"), col("new_idx").cast("long").as("turn_idx"),
+        col("role"), TextFunctions.redactPii(col("content")).as("content"),
+        col("turn_idx").as("orig_turn_idx"))
   }
 
   // ---------------------------------------------------------- templates
@@ -171,9 +204,11 @@ object Conversations {
     *  - other turns carry the doc's text, quote/backslash-stripped so
     *    the hand-built JSON needs no escaping;
     *  - gate plants: conv_of % 8 == 3 → turn 1 is `ok` (under-length
-    *    → 1 fail of 4 → drop_turns class); conv_of % 8 == 7 → turn 1
-    *    `ok` AND turn 2 gets a planted email (2 fails of ≤4 →
-    *    drop_conv class);
+    *    → 1 structural fail of 4 → drop_turns class); conv_of % 8 ==
+    *    7 → turns 1 AND 2 `ok` (2 fails of 4 → drop_conv class);
+    *    conv_of % 8 == 1 → turn 1 carries a planted email (PII in an
+    *    otherwise-clean conversation — kept by [[gate]], REDACTED by
+    *    [[clean]], so the redaction path is never vacuously gated);
     *  - NEAR mirror: conv_of % 8 == 2 (length 3) re-emitted as
     *    conv_id + 10000 with a token suffix on turn 2 — near but not
     *    exact;
@@ -207,7 +242,8 @@ object Conversations {
     val m8 = pmod(col("conv_of"), lit(8L))
     val userContent =
       when(col("turn_of") === 1 && (m8 === 3 || m8 === 7), lit("ok"))
-        .when(col("turn_of") === 2 && m8 === 7,
+        .when(col("turn_of") === 2 && m8 === 7, lit("ok"))
+        .when(col("turn_of") === 1 && m8 === 1,
           concat(col("ct"), lit(" contact agent"),
             col("doc_id").cast("string"), lit("@mail.example.com now")))
         .otherwise(col("ct"))
@@ -251,7 +287,8 @@ ${p}cbase AS (SELECT conv_of, turn_of,
     CASE WHEN conv_of % 2 = 1 THEN upper('You are assistant profile ' || CAST(conv_of % 5 AS VARCHAR) || ' always follow the system rules carefully')
          ELSE 'You are assistant profile ' || CAST(conv_of % 5 AS VARCHAR) || ' always follow the system rules carefully' END
   WHEN turn_of = 1 AND (conv_of % 8 = 3 OR conv_of % 8 = 7) THEN 'ok'
-  WHEN turn_of = 2 AND conv_of % 8 = 7 THEN ct || ' contact agent' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+  WHEN turn_of = 2 AND conv_of % 8 = 7 THEN 'ok'
+  WHEN turn_of = 1 AND conv_of % 8 = 1 THEN ct || ' contact agent' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
   ELSE ct END AS content FROM ${p}cdocs),
 ${p}cturns AS (SELECT conv_of AS conv_id, turn_of, role, content FROM ${p}cbase
  UNION ALL SELECT conv_of + 10000, turn_of, role,
@@ -301,24 +338,51 @@ SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard FROM verified WHERE jaccard >= 
     val pu = s"CAST(len(regexp_extract_all($c, '[.,;:!?]')) AS DOUBLE)"
     val st = s"CAST(len(regexp_extract_all(lower($c), '$stopPat')) AS DOUBLE)"
     val q = s"floor((0.5 * least(1.0, $n/64.0) + 0.3 * (1.0 - least(1.0, $pu/$nt)) + 0.2 * least(1.0, 4.0*$st/$nt)) * 10000.0 + 0.5) / 10000.0"
-    s"""(regexp_matches($c, '${TextFunctions.EmailRe}') OR regexp_matches($c, '${TextFunctions.PhoneRe}') OR regexp_matches($c, '${TextFunctions.Ipv4Re}') OR $n < $MinTurnTokens OR $q < $QualityFloor)"""
+    s"""($n < $MinTurnTokens OR $q < $QualityFloor)"""
   }
+
+  /** DuckDB twin of [[piiHit]]. */
+  private def piiHitSql(c: String): String =
+    s"""(regexp_matches($c, '${TextFunctions.EmailRe}') OR regexp_matches($c, '${TextFunctions.PhoneRe}') OR regexp_matches($c, '${TextFunctions.Ipv4Re}'))"""
 
   /** Oracle for [[gate]] ∘ [[flatten]] ∘ [[fixture]]. */
   def gateOracleSql(src: String = "documents"): String =
     s"""WITH ${fixtureTurnCtes(src)},
-sig AS (SELECT conv_id, role, ${turnFailsSql("content")} AS f FROM cturns),
+sig AS (SELECT conv_id, role, ${turnFailsSql("content")} AS f, ${piiHitSql("content")} AS pii FROM cturns),
 agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
   CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+  CAST(sum(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii,
   max(CASE WHEN f AND role = 'system' THEN 1 ELSE 0 END) AS sys_fail
  FROM sig GROUP BY conv_id)
-SELECT conv_id, n_turns, n_fail,
+SELECT conv_id, n_turns, n_fail, n_pii,
  CASE WHEN n_fail = 0 THEN 'keep'
       WHEN sys_fail = 1 OR 2 * n_fail >= n_turns THEN 'drop_conv'
       ELSE 'drop_turns' END AS verdict,
  CASE WHEN n_fail > 0 AND (sys_fail = 1 OR 2 * n_fail >= n_turns) THEN 0
       ELSE n_turns - n_fail END AS n_kept
 FROM agg"""
+
+  /** Oracle for [[clean]] ∘ [[flatten]] ∘ [[fixture]] — verdicts,
+    * turn filter, dense re-index, and the email→IP→phone redaction
+    * chain in [[TextFunctions.redactPii]]'s exact order. */
+  def cleanOracleSql(src: String = "documents"): String = {
+    val redacted =
+      s"""regexp_replace(regexp_replace(regexp_replace(content, '${TextFunctions.EmailRe}', '<EMAIL>', 'g'), '${TextFunctions.Ipv4Re}', '<IP>', 'g'), '${TextFunctions.PhoneRe}', '<PHONE>', 'g')"""
+    s"""WITH ${fixtureTurnCtes(src)},
+sig AS (SELECT conv_id, turn_of, role, content, ${turnFailsSql("content")} AS f FROM cturns),
+agg AS (SELECT conv_id,
+  CASE WHEN sum(CASE WHEN f THEN 1 ELSE 0 END) = 0 THEN 'keep'
+       WHEN max(CASE WHEN f AND role = 'system' THEN 1 ELSE 0 END) = 1
+            OR 2 * sum(CASE WHEN f THEN 1 ELSE 0 END) >= count(*) THEN 'drop_conv'
+       ELSE 'drop_turns' END AS verdict
+ FROM sig GROUP BY conv_id),
+kept AS (SELECT s.* FROM sig s JOIN agg a ON s.conv_id = a.conv_id
+ WHERE a.verdict = 'keep' OR (a.verdict = 'drop_turns' AND NOT s.f))
+SELECT conv_id,
+ CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_of) - 1 AS BIGINT) AS turn_idx,
+ role, $redacted AS content, turn_of AS orig_turn_idx
+FROM kept"""
+  }
 
   /** Oracle for [[templates]] ∘ [[flatten]] ∘ [[fixture]]. */
   def templatesOracleSql(src: String = "documents"): String =

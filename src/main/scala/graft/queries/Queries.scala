@@ -2497,12 +2497,21 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
       (s, dir) => graft.ops.Conversations.nearDupPairs(convTurns(s, dir)),
       Some(graft.ops.Conversations.nearDupOracleSql())),
 
-    // Per-turn gating (PII/length/quality) → conversation verdicts:
-    // keep / drop_turns (failing minority stripped) / drop_conv
-    // (failing system turn, or half-or-more failing turns).
+    // Per-turn gating → conversation verdicts: STRUCTURAL fails
+    // (length/quality) earn keep / drop_turns (failing minority
+    // stripped) / drop_conv (failing system turn, or half-or-more
+    // failing turns); redactable PII is counted (n_pii), never
+    // dropped — q_conv_clean redacts it in place.
     GraftQuery("q_conv_gate",
       (s, dir) => graft.ops.Conversations.gate(convTurns(s, dir)),
       Some(graft.ops.Conversations.gateOracleSql())),
+
+    // The gate APPLIED: drop_conv conversations vanish, drop_turns
+    // conversations lose exactly their failing turns, retained content
+    // is PII-redacted and turn indices re-pack densely.
+    GraftQuery("q_conv_clean",
+      (s, dir) => graft.ops.Conversations.clean(convTurns(s, dir)),
+      Some(graft.ops.Conversations.cleanOracleSql())),
 
     // System-prompt template fingerprint groups: five planted
     // templates, each present in BOTH case variants — normalization

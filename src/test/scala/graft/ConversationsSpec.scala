@@ -67,7 +67,7 @@ class ConversationsSpec extends SparkSpec {
     assert(minority.count() > 0)
     assert(minority.filter(col("verdict") =!= "drop_turns" ||
       col("n_kept") =!= col("n_turns") - col("n_fail")).count() === 0L)
-    // conv_of%8==7 → 2 planted fails → drop_conv, nothing kept
+    // conv_of%8==7 (length 4, two short turns) → drop_conv, nothing kept
     val half = g.filter(pmod(col("conv_id"), lit(8)) === 7)
     assert(half.count() > 0)
     assert(half.filter(col("verdict") =!= "drop_conv" ||
@@ -85,6 +85,34 @@ class ConversationsSpec extends SparkSpec {
       "to exactly the five planted templates")
     // each group holds both parities (mirrors ride along), so > 1 conv
     assert(t.filter(col("n_convs") < 2).count() === 0L)
+  }
+
+  test("clean applies the verdicts: drops, dense re-index, redaction") {
+    val cleaned = Queries.runners("q_conv_clean")(spark, dir).cache()
+    val g = Queries.runners("q_conv_gate")(spark, dir).cache()
+    // drop_conv conversations are gone entirely
+    val droppedConvs = g.filter(col("verdict") === "drop_conv")
+      .select(col("conv_id"))
+    assert(cleaned.join(droppedConvs, Seq("conv_id")).count() === 0L)
+    // drop_turns conversations lost exactly n_fail turns
+    val sizes = cleaned.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("kept"), max(col("turn_idx")).as("max_idx"))
+    val j = sizes.join(g, Seq("conv_id"))
+    assert(j.filter(col("kept") =!= col("n_kept")).count() === 0L)
+    // indices re-packed densely from 0
+    assert(j.filter(col("max_idx") =!= col("kept") - 1).count() === 0L)
+    // PII is retained-and-REDACTED, never dropped: the conv_of%8==1
+    // plant puts an email in an otherwise-clean (keep) conversation,
+    // so redacted turns must actually EXIST in the output — without
+    // this the redaction path would gate vacuously (PII turns used to
+    // be gate-fails, which silently dropped every redactable row)
+    assert(cleaned.filter(col("content")
+      .rlike(graft.functions.TextFunctions.EmailRe)).count() === 0L)
+    assert(cleaned.filter(col("content").contains("<EMAIL>")).count() > 0L)
+    val piiConvs = g.filter(col("n_pii") > 0 && col("verdict") === "keep")
+    assert(piiConvs.count() > 0L)
+    assert(piiConvs.join(cleaned, Seq("conv_id"))
+      .filter(col("content").contains("<EMAIL>")).count() > 0L)
   }
 
   test("fixture honors the hand-built-JSON escaping contract") {

@@ -294,6 +294,7 @@ class FixtureCoverageSpec extends SparkSpec {
       val dedup = run("q_conv_dedup", dir)
       val near = run("q_conv_dedup_near", dir).localCheckpoint()
       val tmpl = run("q_conv_template", dir)
+      val cleaned = run("q_conv_clean", dir)
       Map(
         "single_turn" -> convs.filter(col("n") === 1).count(),
         "multi_turn" -> convs.filter(col("n") > 1).count(),
@@ -302,6 +303,12 @@ class FixtureCoverageSpec extends SparkSpec {
           gate.filter(col("verdict") === "drop_turns").count(),
         "verdict_drop_conv" ->
           gate.filter(col("verdict") === "drop_conv").count(),
+        // PII must exist in a KEPT conversation (so clean's redaction
+        // actually rewrites retained rows, not only dropped ones)
+        "pii_in_kept_conv" -> gate.filter(col("n_pii") > 0 &&
+          col("verdict") === "keep").count(),
+        "pii_redacted_retained" ->
+          cleaned.filter(col("content").contains("<EMAIL>")).count(),
         "exact_dup" -> dedup.filter(col("is_dup")).count(),
         "near_not_exact" -> near.filter(col("jaccard") < 1.0).count(),
         "near_exact" -> near.filter(col("jaccard") >= 1.0).count(),
