@@ -276,15 +276,58 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
         col("t.key").as("doc_id"))
       .join(Joins.corpusSide(long.select(col("qid"), col("doc_id"), col("rel"))),
         Seq("qid", "doc_id"))
+    metricsCore(ret, long.select(col("qid"), col("doc_id"), col("rel")), k)
+  }
+
+  /** The same metric suite over the HYBRID ranking: each query's
+    * [[rrfFusion]] (BM25 arm + hashing-vectorizer dense arm, RRF
+    * fused) evaluated against the identical rule-derived qrels — the
+    * fused stack becomes directly comparable to the sparse-only
+    * q_retrieval_metrics numbers. Per-query fusion runs the two
+    * corpus-scan arms per query (fixture-scale; a production batch
+    * would share the stats pass as [[retrievalMetrics]] does). */
+  def retrievalMetricsRrf(docs: DataFrame, id: Column, text: Column,
+      queries: Seq[(Int, Seq[String])], dim: Int = 16, kEach: Int = 20,
+      k: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty) && k > 0)
+    val ranked = queries.map { case (qid, terms) =>
+      rrfFusion(docs, id, text, terms, dim, kEach, k, rrfK)
+        .select(lit(qid).as("qid"), col("doc_id"),
+          col("rank").cast("int").as("rank"))
+    }.reduce(_ unionByName _)
+    val rels = relsOf(docs, id, text, queries)
+    metricsCore(ranked.join(Joins.corpusSide(rels), Seq("qid", "doc_id")),
+      rels, k)
+  }
+
+  /** (qid, doc_id, rel) under the rule-derived qrels. */
+  private def relsOf(docs: DataFrame, id: Column, text: Column,
+      queries: Seq[(Int, Seq[String])]): DataFrame =
+    docs.select(id.as("doc_id"),
+        TextFunctions.tokens(lower(text)).as("toks"))
+      .select(col("doc_id"), explode(array(queries.map { case (qid, terms) =>
+        struct(lit(qid).as("qid"), terms.map(t =>
+          when(array_contains(col("toks"), t), 1L).otherwise(0L))
+          .reduce(_ + _).as("rel"))
+      }: _*)).as("q"))
+      .select(col("q.qid").as("qid"), col("doc_id"), col("q.rel").as("rel"))
+
+  /** Shared metric tail: `retrieved` (qid, rank, rel — the ranking
+    * under evaluation, ≤k rows per query) + `rels` (qid, doc_id, rel —
+    * the full qrels) → one metric row per query. Folds run over
+    * rank-ordered ≤k arrays (pinned float addition order); the ideal
+    * list is a bounded-heap top-k of rel (its eval() array IS the
+    * ideal ordering). */
+  private def metricsCore(retrieved: DataFrame, rels: DataFrame,
+      k: Int): DataFrame = {
+    graft.functions.BoundedTopK.register(rels.sparkSession)
     val d = discounts(k)
     def gainAt(rel: Column, rank: Column): Column =
       (call_function("shiftleft", lit(1L), rel.cast("int")) - 1L)
         .cast("double") * element_at(typedLit(d), rank)
-    val retAgg = ret.groupBy(col("qid")).agg(
+    val retAgg = retrieved.groupBy(col("qid")).agg(
       array_sort(collect_list(struct(col("rank"), col("rel")))).as("rr"))
-    // ideal list: bounded-heap top-k of rel itself (desc, doc_id asc) —
-    // the eval() array IS the ideal ordering, positions are ranks
-    val idealAgg = long.groupBy(col("qid")).agg(
+    val idealAgg = rels.groupBy(col("qid")).agg(
       expr(s"bounded_top_k(CAST(rel AS DOUBLE), doc_id, $k)").as("ideal"),
       sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
     def foldSum(arr: Column): Column =
@@ -332,13 +375,43 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
         s"(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)").mkString(" + ")
       s"SELECT doc_id, $qid AS qid, floor(($score) * 10000.0 + 0.5) / 10000.0 AS score, CAST($rel AS BIGINT) AS rel FROM sc"
     }.mkString(" UNION ALL ")
-    val dList = discounts(k).mkString("[", ", ", "]")
     raw"""WITH base AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks, CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS dl FROM documents),
 stats AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl, $dfExprs FROM base),
 sc AS (SELECT * FROM base, (SELECT *, CAST(sum_dl AS DOUBLE) / n AS avgdl FROM stats)),
 lng AS ($qRows),
 ret AS (SELECT qid, rank, rel FROM (SELECT qid, doc_id, rel, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank FROM lng) WHERE rank <= $k),
-d(ds) AS (VALUES ($dList)),
+${metricsTailSql(k)}"""
+  }
+
+  /** DuckDB replica of [[retrievalMetricsRrf]]: each query's fused
+    * ranking replayed via [[rrfFusionOracleSql]] (nested WITH in a
+    * derived table), joined to the shared rule-derived qrels, then
+    * the identical metric tail. */
+  def retrievalMetricsRrfOracleSql(queries: Seq[(Int, Seq[String])],
+      dim: Int = 16, kEach: Int = 20, k: Int = 10, rrfK: Int = 60): String = {
+    val relRows = queries.map { case (qid, terms) =>
+      val rel = terms.map(t =>
+        s"(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)").mkString(" + ")
+      s"SELECT doc_id, $qid AS qid, CAST($rel AS BIGINT) AS rel FROM base"
+    }.mkString(" UNION ALL ")
+    val rankedRows = queries.map { case (qid, terms) =>
+      s"SELECT $qid AS qid, doc_id, CAST(rank AS INTEGER) AS rank FROM (${rrfFusionOracleSql(terms, dim, kEach, k, rrfK)})"
+    }.mkString(" UNION ALL ")
+    raw"""WITH base AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+lng AS ($relRows),
+ranked AS ($rankedRows),
+ret AS (SELECT r.qid, r.rank, l.rel FROM ranked r JOIN lng l ON r.qid = l.qid AND r.doc_id = l.doc_id),
+${metricsTailSql(k)}"""
+  }
+
+  /** The metric-tail CTEs + final SELECT shared by both oracle
+    * builders — expects CTEs `ret(qid, rank, rel)` (the ranking under
+    * evaluation) and `lng(qid, doc_id, rel, …)` (the full qrels) in
+    * scope. One copy is load-bearing: the sparse and fused gates must
+    * score with the same spec or a tail fix could drift them apart. */
+  private def metricsTailSql(k: Int): String = {
+    val dList = discounts(k).mkString("[", ", ", "]")
+    s"""d(ds) AS (VALUES ($dList)),
 ragg AS (SELECT qid, list_sum([CAST((1::BIGINT << CAST(g.rel AS INTEGER)) - 1 AS DOUBLE) * ds[g.rank] FOR g IN gains]) AS dcg_raw,
   len(list_filter(gains, g -> g.rel > 0)) AS hits,
   list_min([g.rank FOR g IN list_filter(gains, g -> g.rel > 0)]) AS min_rank

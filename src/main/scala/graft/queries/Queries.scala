@@ -2568,6 +2568,15 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
         col("text"), retrievalQueries),
       Some(Retrieval.retrievalMetricsOracleSql(retrievalQueries))),
 
+    // The same metric suite over the HYBRID (BM25 + dense, RRF-fused)
+    // ranking against the identical qrels — the fused stack's quality
+    // becomes directly comparable to the sparse-only numbers above,
+    // scored by the ONE shared metric tail (engine and oracle both).
+    GraftQuery("q_retrieval_metrics_rrf",
+      (s, dir) => Retrieval.retrievalMetricsRrf(docs(s, dir), col("doc_id"),
+        col("text"), retrievalQueries),
+      Some(Retrieval.retrievalMetricsRrfOracleSql(retrievalQueries))),
+
     // Transitive duplicate GROUPS from the verified MinHash pairs:
     // connected components via DataFrame min-label propagation (pointer-
     // jumped, localCheckpoint-bounded lineage). Oracle replays the same

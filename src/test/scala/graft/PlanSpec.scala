@@ -628,4 +628,63 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(1200))
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p.take(1200))
   }
+
+  test("q_ann_lsh_topk: the corpus bucket join is sort-merge, never a corpus broadcast") {
+    // the ann_recall_lsh rung caught Catalyst broadcasting the CORPUS
+    // side of this join at 300k vectors (40 MB of vectors through the
+    // driver) while flipping to sort-merge at 2M — pin the shape so
+    // the corpus side can never be collected again. The query-side
+    // explode (nPlanes+1 probes) stays tiny and may sit anywhere.
+    val p = plan("q_ann_lsh_topk")
+    assert(p.contains("SortMergeJoin"),
+      s"bucket join must be the pinned sort-merge:\n${p.take(1500)}")
+  }
+
+  test("q_ann_topk_heap: bounded_top_k partial+final, no Window over the scored corpus") {
+    val p = plan("q_ann_topk_heap")
+    val aggs = p.linesIterator.count(l =>
+      l.contains("Aggregate") && l.contains("bounded_top_k"))
+    assert(aggs >= 2, s"expected partial+final bounded_top_k:\n${p.take(1500)}")
+    assert(!p.contains("Window"),
+      "the heap form must never buffer a query group in WindowExec")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the 20-query probe head must broadcast, not shuffle the corpus")
+  }
+
+  test("q_conv_flatten: parse+explode is one map stage — no shuffle, no join") {
+    // fixture assembly aggregates per conversation (one exchange);
+    // the FLATTEN itself adds nothing on top: no join, no window, and
+    // exactly the fixture's single aggregation exchange
+    val p = plan("q_conv_flatten")
+    assert(!p.contains("Join"), p.take(1500))
+    assert(!p.contains("Window"), p.take(1500))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, // fixture groupBy partial+final
+      s"flatten added shuffles beyond the fixture aggregation:\n${p.take(1500)}")
+  }
+
+  test("q_conv_gate: one partial+final hash aggregate over turns, no window") {
+    val p = plan("q_conv_gate")
+    assert(!p.contains("Window"), p.take(1500))
+    val objAggs = p.linesIterator.count(l =>
+      l.contains("Aggregate") && (l.contains("n_fail") || l.contains("count")))
+    assert(objAggs >= 1, p.take(1500))
+  }
+
+  test("q_ivf_refresh: centroids broadcast onto the corpus; cells join corpus-side") {
+    val p = plan("q_ivf_refresh")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"published centroids must broadcast:\n${p.take(1500)}")
+    assert(p.contains("SortMergeJoin"),
+      "the cell-store join is corpus-sized and must stay sort-merge")
+  }
+
+  test("q_retrieval_metrics: stats broadcast back; rankings via bounded heap, no corpus window") {
+    val p = plan("q_retrieval_metrics")
+    assert(!p.contains("Window"),
+      s"per-query rankings must come from bounded_top_k, not a window sort:\n${p.take(1500)}")
+    val heapAggs = p.linesIterator.count(l =>
+      l.contains("Aggregate") && l.contains("bounded_top_k"))
+    assert(heapAggs >= 2, s"expected partial+final bounded_top_k:\n${p.take(1500)}")
+  }
 }
