@@ -104,6 +104,27 @@ object ScaleProbe {
           isQuery = col("vec_id") < 100, k = 10, nCentroids = 16,
           nProbe = 2, ivfIters = 2, m = 4, pqK = 8, pqIters = 2,
           dim = dim))),
+      // the two IVF-PQ recall dials MEASURED against the decline the
+      // base rung shows (8140 → 6000 bp): doubling nProbe buys ~nothing
+      // (the candidates were already probed — ADC ranking is what
+      // misorders them; at 1× it even LOSES 340 bp to extra background
+      // candidates), while doubling PQ resolution (m 4 → 8 subspaces,
+      // 8 → 16 bytes/vector) is the real lever. The pair turns the
+      // SCALE.md curve from a problem into a tuning table.
+      "ann_recall_ivfpq_probe4" -> (() =>
+        annRecallBp(graft.similarity.Pq.ivfPqTopK(
+          ScaleData.plantedEmbeddings(spark, embN, dim),
+          col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 100, k = 10, nCentroids = 16,
+          nProbe = 4, ivfIters = 2, m = 4, pqK = 8, pqIters = 2,
+          dim = dim))),
+      "ann_recall_ivfpq_m8" -> (() =>
+        annRecallBp(graft.similarity.Pq.ivfPqTopK(
+          ScaleData.plantedEmbeddings(spark, embN, dim),
+          col("vec_id"), col("embedding"),
+          isQuery = col("vec_id") < 100, k = 10, nCentroids = 16,
+          nProbe = 2, ivfIters = 2, m = 8, pqK = 8, pqIters = 2,
+          dim = dim))),
       // pair recall of the banded/chunked candidate generation against
       // the generator's planted near-dup families ((id−1, id) for
       // id%5==1, shingle-Jaccard ≈ 0.9 by construction — the only

@@ -268,14 +268,16 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
       .select(col("doc_id"), col("q.qid").as("qid"),
         col("q.score").as("score"), col("q.rel").as("rel"))
     // retrieved list: bounded-heap top-k by (score desc, doc_id asc) —
-    // the bm25TopK total order — then rel re-attached corpus-side
-    val ret = long.groupBy(col("qid"))
+    // the bm25TopK total order — then rel re-attached by BROADCASTING
+    // the ≤k×|queries|-row head onto the qrels scan (merge-pinning the
+    // qrels side here would shuffle the corpus to serve 40 rows)
+    val head = long.groupBy(col("qid"))
       .agg(expr(s"bounded_top_k(score, doc_id, $k)").as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
       .select(col("qid"), (col("p") + 1).cast("int").as("rank"),
         col("t.key").as("doc_id"))
-      .join(Joins.corpusSide(long.select(col("qid"), col("doc_id"), col("rel"))),
-        Seq("qid", "doc_id"))
+    val ret = long.select(col("qid"), col("doc_id"), col("rel"))
+      .join(broadcast(head), Seq("qid", "doc_id"))
     metricsCore(ret, long.select(col("qid"), col("doc_id"), col("rel")), k)
   }
 
@@ -296,8 +298,9 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
           col("rank").cast("int").as("rank"))
     }.reduce(_ unionByName _)
     val rels = relsOf(docs, id, text, queries)
-    metricsCore(ranked.join(Joins.corpusSide(rels), Seq("qid", "doc_id")),
-      rels, k)
+    // the fused head is ≤k×|queries| rows — broadcast it onto the
+    // qrels scan rather than shuffling the corpus-sized qrels
+    metricsCore(rels.join(broadcast(ranked), Seq("qid", "doc_id")), rels, k)
   }
 
   /** (qid, doc_id, rel) under the rule-derived qrels. */

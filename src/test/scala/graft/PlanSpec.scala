@@ -686,5 +686,10 @@ class PlanSpec extends SparkSpec {
     val heapAggs = p.linesIterator.count(l =>
       l.contains("Aggregate") && l.contains("bounded_top_k"))
     assert(heapAggs >= 2, s"expected partial+final bounded_top_k:\n${p.take(1500)}")
+    // the top-k head re-attaches rel by BROADCAST — merge-joining the
+    // head against the corpus-sized qrels would shuffle the corpus to
+    // serve 40 rows
+    assert(!p.contains("SortMergeJoin"),
+      s"the head⋈qrels join must broadcast the head:\n${p.take(1500)}")
   }
 }

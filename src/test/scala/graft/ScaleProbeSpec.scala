@@ -148,6 +148,8 @@ class ScaleProbeSpec extends SparkSpec {
     "ann_recall_lsh" -> 9000L,
     "ann_recall_ivf" -> 9000L,
     "ann_recall_ivfpq" -> 5500L,
+    "ann_recall_ivfpq_probe4" -> 5500L,
+    "ann_recall_ivfpq_m8" -> 9000L,
     "dedup_recall_minhash" -> 9500L,
     "dedup_recall_simhash" -> 6000L,
     "dedup_precision_simhash" -> 9500L)
