@@ -88,9 +88,24 @@ object TDigest {
 
   /** 2·tw·q_num and c2·q_den with the same DECIMAL headroom as
     * [[centProd]] — the bracket compare and interpolation numerators
-    * stay exact integers for any BIGINT total weight. */
+    * stay exact integers for any BIGINT total weight. The c2 column
+    * itself is BUILT in DECIMAL too ([[c2Col]]), so no stage of the
+    * bracket arithmetic ever runs a 64-bit product or sum that W >
+    * 2^62 could wrap. */
   private def q2Prod(a: Column, b: Column): Column =
     a.cast("decimal(21,0)") * b.cast("decimal(9,0)")
+
+  /** Cumulative midpoint key c2 = 2·(Σ w before) + w, routed through
+    * DECIMAL: cumw approaches the total weight W, and 2·cumw computed
+    * as a 64-bit long wraps SILENTLY for W > 2^62 in Spark while the
+    * DuckDB oracle's HUGEINT side keeps going — the engines would
+    * diverge without an error. c2 ≤ 2W < 2^64 always fits
+    * DECIMAL(21,0), so the DECIMAL route is exact for ANY W that
+    * itself fits BIGINT — the same total-weight contract as
+    * [[centProd]] (sum(w) is stored as long). */
+  private def c2Col(cumw: Column, w: Column): Column =
+    (cumw.cast("decimal(20,0)") * lit(2) + w.cast("decimal(20,0)"))
+      .cast("decimal(21,0)")
 
   /** Signed log-linear grid index, MONOTONE in v: 0 maps to 0,
     * positive v to [[Sketches.quantileSketch]]'s grid, negative v to
@@ -147,7 +162,7 @@ object TDigest {
       .rowsBetween(Window.unboundedPreceding, -1)
     cents
       .withColumn("c2",
-        lit(2L) * coalesce(sum(col("w")).over(cumC), lit(0L)) + col("w"))
+        c2Col(coalesce(sum(col("w")).over(cumC), lit(0L)), col("w")))
       .select(col("cent_id"), col("w"), col("vsum"), col("c2"))
   }
 
@@ -224,7 +239,7 @@ object TDigest {
       .rowsBetween(Window.unboundedPreceding, -1)
     cents
       .withColumn("c2",
-        lit(2L) * coalesce(sum(col("w")).over(cumC), lit(0L)) + col("w"))
+        c2Col(coalesce(sum(col("w")).over(cumC), lit(0L)), col("w")))
       .select(col("k"), col("cent_id"), col("w"), col("vsum"), col("c2"))
   }
 
@@ -294,7 +309,7 @@ ${p}asg AS (SELECT ${kCol}idx, w, coalesce(sum(w) OVER (${part}ORDER BY idx ROWS
 ${p}cents AS (SELECT ${kCol}(CAST(cwb AS HUGEINT) * $delta) // tw AS cent_id, sum(w) AS w,
   sum(CAST(CASE WHEN idx >= 0 THEN ${decSql("idx")} ELSE -(${decSql("(-idx)")}) END AS DECIMAL(20,0)) * CAST(w AS DECIMAL(18,0))) AS vsum
  FROM ${p}asg $grpIdx),
-${p}dig AS (SELECT ${kCol}cent_id, w, vsum, 2 * coalesce(sum(w) OVER (${part}ORDER BY cent_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + w AS c2 FROM ${p}cents),
+${p}dig AS (SELECT ${kCol}cent_id, w, vsum, 2 * CAST(coalesce(sum(w) OVER (${part}ORDER BY cent_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) + w AS c2 FROM ${p}cents),
 ${p}qtot AS ($totSql),
 ${p}qq(q_num, q_den) AS (VALUES $qrows),
 ${p}br AS (SELECT ${brKey}q_num, q_den,

@@ -39,6 +39,48 @@ object Ann {
     call_function("graft_dot", a, b)
   }
 
+  /** Sentinel standing in for a NULL similarity inside the bounded
+    * heap: cosines live in [−1, 1] (Cauchy–Schwarz), so −2 is strictly
+    * below every real score and can never collide with one — heap
+    * order (−2 ties → key asc) is exactly the window form's
+    * `desc_nulls_last, vec_id asc`, and the sentinel is restored to
+    * NULL on output. This is what makes the heap form's equivalence
+    * to the window form UNCONDITIONAL (zero-norm vectors included),
+    * not just "when every query has ≥ k non-null cosines". */
+  private[similarity] val NullScore = -2.0
+
+  /** The per-query candidate re-rank, in its ONLY scale-safe form: a
+    * `bounded_top_k` partial+final aggregation over the scored
+    * candidate stream ([[graft.functions.BoundedTopK]]). The window
+    * formulation (`row_number() OVER (PARTITION BY query_id)`) buffers
+    * an entire query group inside WindowExec, so per-task memory grows
+    * with candidate volume — measured ~2 GB/task on the brute path at
+    * 300k×64d and 0.7–3.6 GB of spill in the IVF-PQ ADC re-rank at the
+    * 2M-vector rung; per-query candidates grow linearly with the
+    * corpus (corpus/nCells × nProbe), so at 100 TB those groups are
+    * unbounded. The heap form reduces every map slice to ≤2k
+    * (score, id) pairs BEFORE the shuffle, total order
+    * (score desc nulls last, vec_id asc) bit-identical to the window
+    * form — every caller keeps its window-replay DuckDB oracle
+    * unchanged, so the gates enforce the equivalence per query.
+    *
+    * Input: (query_id, vec_id, `scoreName`) — extra columns are
+    * ignored (re-attach corpus attributes by broadcasting the ≤
+    * k×|queries| head back onto the corpus scan, the retrievalMetrics
+    * precedent). Output: (query_id, vec_id, `scoreName`, rk). */
+  private[graft] def heapTopK(scored: DataFrame, k: Int,
+      scoreName: String = "cosine"): DataFrame = {
+    graft.functions.BoundedTopK.register(scored.sparkSession)
+    scored.groupBy(col("query_id"))
+      .agg(expr(s"bounded_top_k(coalesce(`$scoreName`, ${NullScore}D), vec_id, $k)")
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("query_id"), col("t.key").as("vec_id"),
+        when(col("t.score") === NullScore, lit(null).cast("double"))
+          .otherwise(col("t.score")).as(scoreName),
+        (col("p") + 1).cast("int").as("rk"))
+  }
+
   /** All pairs (a < b) with cosine >= threshold. EXACT baseline: a
     * deliberate O(N²) theta join — use [[lshCosinePairs]] at scale. */
   def cosinePairs(emb: DataFrame, id: Column, vec: Column, threshold: Double): DataFrame = {
@@ -74,18 +116,19 @@ object Ann {
     * 100×-safe form of [[bruteForceTopK]]: the window form buffers an
     * entire query group (the whole corpus per query) inside
     * WindowExec, so per-task memory grows with N (measured ~2 GB/task
-    * at 300k×64d); this form reduces every map slice to ≤2k (score,
+    * at 300k×64d); [[heapTopK]] reduces every map slice to ≤2k (score,
     * id) pairs BEFORE the shuffle ([[graft.functions.BoundedTopK]]),
     * so per-task memory is O(k·queries) at any corpus size and the
     * shuffle carries k rows per (partition, query), never the scored
-    * corpus. Output and total order (cosine desc, vec_id asc) are
-    * identical to the window form — the registration shares its
-    * oracle, so the gate enforces bit-equality between the two paths
-    * (the q_bm25_indexed precedent). Queries broadcast (the probe head
-    * is dashboard-sized by contract). */
+    * corpus. Output and total order (cosine desc NULLS LAST, vec_id
+    * asc — the null ranking via heapTopK's sub-range sentinel, so the
+    * equivalence holds even for zero-norm vectors) are identical to
+    * the window form — the registration shares its oracle, so the gate
+    * enforces bit-equality between the two paths (the q_bm25_indexed
+    * precedent). Queries broadcast (the probe head is dashboard-sized
+    * by contract). */
   def bruteForceTopKHeap(emb: DataFrame, id: Column, vec: Column,
       isQuery: Column, k: Int): DataFrame = {
-    graft.functions.BoundedTopK.register(emb.sparkSession)
     val e = emb.select(id.as("vec_id"), vec.as("v"),
       VectorFunctions.norm(vec).as("nrm"))
     val queries = emb.filter(isQuery).select(id.as("query_id"), vec.as("qv"),
@@ -95,11 +138,7 @@ object Ann {
         when(col("qnrm") > 0 && col("nrm") > 0,
           nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
-    scored.groupBy(col("query_id"))
-      .agg(expr(s"bounded_top_k(cosine, vec_id, $k)").as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "t")))
-      .select(col("query_id"), col("t.key").as("vec_id"),
-        col("t.score").as("cosine"), (col("p") + 1).cast("int").as("rk"))
+    heapTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane i over `dim` dimensions:
@@ -193,10 +232,10 @@ object Ann {
         when(col("qnrm") > 0 && col("nrm") > 0,
           nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rk").cast("int").as("rk"))
+    // candidate re-rank as the bounded heap, never a window: per-query
+    // candidate volume grows with the corpus (bucket population), so a
+    // WindowExec group here is unbounded at scale — see [[heapTopK]]
+    heapTopK(scored, k)
   }
 
   /** Hard-negative mining for contrastive embedding training (the
@@ -226,15 +265,19 @@ object Ann {
     // sort-merge on its own, i.e. the plan was scale-DEPENDENT)
     val scored = queries.join(graft.ops.Joins.corpusSide(e), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id") && col("neg_label") =!= col("qlbl"))
-      .select(col("query_id"), col("vec_id"), col("neg_label"),
+      .select(col("query_id"), col("vec_id"),
         when(col("qnrm") > 0 && col("nrm") > 0,
           nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // bounded-heap re-rank ([[heapTopK]] — no WindowExec over the
+    // candidate stream); the mined label rides back in by BROADCASTING
+    // the ≤ k×|queries| head onto the corpus scan — merge-joining it
+    // against corpus-sized labels would shuffle the corpus to serve a
+    // handful of rows (the retrievalMetrics head-join precedent)
+    e.select(col("vec_id"), col("neg_label"))
+      .join(broadcast(heapTopK(scored, k)), Seq("vec_id"))
       .select(col("query_id"), col("vec_id"), col("neg_label"), col("cosine"),
-        col("rk").cast("int").as("rk"))
+        col("rk"))
   }
 
   /** kNN majority-vote classification over the embedding space — the
@@ -248,8 +291,13 @@ object Ann {
     * any candidate: (query_id, true_label, pred_label, votes, correct).
     *
     * Scale: corpus buckets once (map-only); shuffle tracks candidate
-    * volume (queries × probed-bucket sizes), never corpus²; the vote
-    * aggregate sees ≤ k rows per query with map-side combine. */
+    * volume (queries × probed-bucket sizes), never corpus²; the top-k
+    * runs as the bounded heap ([[heapTopK]] — no WindowExec group ever
+    * holds a query's candidate stream), neighbor labels ride back in by
+    * broadcasting the ≤ k×|queries| head onto the corpus scan, and the
+    * election is a pure map-side-combinable min(struct) aggregate
+    * ((−votes, label) ascending == (votes desc, label asc)) — no
+    * window anywhere in the plan. */
   def knnClassify(emb: DataFrame, id: Column, vec: Column, label: Column,
       isQuery: Column, k: Int, dim: Int, nPlanes: Int = 8): DataFrame = {
     val e = emb.select(id.as("vec_id"), vec.as("v"), label.as("nbr_label"),
@@ -267,21 +315,28 @@ object Ann {
     // sort-merge on its own, i.e. the plan was scale-DEPENDENT)
     val scored = queries.join(graft.ops.Joins.corpusSide(e), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("true_label"), col("vec_id"), col("nbr_label"),
+      .select(col("query_id"), col("vec_id"),
         when(col("qnrm") > 0 && col("nrm") > 0,
           nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
-    val topk = scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-    val votes = topk.groupBy(col("query_id"), col("true_label"), col("nbr_label"))
+    // bounded-heap top-k, neighbor labels broadcast-joined back from
+    // the corpus (see [[hardNegatives]] for the head-join rationale)
+    val topk = e.select(col("vec_id"), col("nbr_label"))
+      .join(broadcast(heapTopK(scored, k)), Seq("vec_id"))
+    val votes = topk.groupBy(col("query_id"), col("nbr_label"))
       .agg(count(lit(1)).as("votes"))
-    val wv = Window.partitionBy(col("query_id"))
-      .orderBy(col("votes").desc, col("nbr_label").asc)
-    votes.withColumn("vr", row_number().over(wv)).filter(col("vr") === 1)
+    // the election as an aggregate, not a window: min of the struct
+    // (−votes, label) is the (votes desc, label asc) winner — a total
+    // order, replayed exactly by the oracle's row_number election
+    val elected = votes.groupBy(col("query_id"))
+      .agg(min(struct((-col("votes")).as("nv"), col("nbr_label").as("lbl")))
+        .as("w"))
+    val qlbl = emb.filter(isQuery)
+      .select(id.as("query_id"), label.as("true_label"))
+    elected.join(broadcast(qlbl), Seq("query_id"))
       .select(col("query_id"), col("true_label"),
-        col("nbr_label").as("pred_label"), col("votes"),
-        (col("nbr_label") === col("true_label")).as("correct"))
+        col("w.lbl").as("pred_label"), (-col("w.nv")).as("votes"),
+        (col("w.lbl") === col("true_label")).as("correct"))
   }
 
   /** IVF (inverted-file) approximate top-k with REAL trained centroids:
@@ -310,10 +365,10 @@ object Ann {
         when(col("qnrm") > 0 && col("nrm") > 0,
           nat(emb)(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"), col("rk").cast("int").as("rk"))
+    // per-query candidates are corpus/nCells × nProbe rows — linear in
+    // the corpus, so the re-rank must be the bounded heap, never a
+    // WindowExec group (see [[heapTopK]])
+    heapTopK(scored, k)
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup via k-means

@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions, VectorExpressions, VectorFunctions}
@@ -67,11 +66,14 @@ object IvfIndex {
   }
 
   /** The currently-published (version, centroids(cent_id, cv, cnrm)) —
-    * None before the first [[publish]]. */
+    * None before the first [[publish]]. A store that exists but holds
+    * ZERO rows (e.g. a commitReplace over an empty corpus) has a NULL
+    * max(version) and counts as no store — the isNullAt guard keeps
+    * that from surfacing as an NPE on the next serve/maintain call. */
   def current(spark: SparkSession, centBase: String): Option[(Long, DataFrame)] =
-    SnapshotStore.read(spark, centBase).map { df =>
-      val v = df.agg(max(col("version"))).head.getLong(0)
-      (v, df.drop("version"))
+    SnapshotStore.read(spark, centBase).flatMap { df =>
+      val head = df.agg(max(col("version"))).head
+      if (head.isNullAt(0)) None else Some((head.getLong(0), df.drop("version")))
     }
 
   /** Catch the cell store up to the corpus under the CURRENT model.
@@ -86,21 +88,32 @@ object IvfIndex {
     val e = emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"),
       VectorFunctions.norm(vec).as("nrm"))
     val existing = SnapshotStore.read(spark, cellBase)
-    val sameModel = existing.exists(
-      _.agg(max(col("model_version"))).head.getLong(0) == v)
+    val sameModel = existing.exists { df =>
+      // an EMPTY cell store has a NULL max — treat it as no store
+      // (full assign under the current model), never an NPE
+      val head = df.agg(max(col("model_version"))).head
+      !head.isNullAt(0) && head.getLong(0) == v
+    }
     val todo =
       if (sameModel)
         e.join(existing.get.filter(col("model_version") === v)
           .select(col("vec_id")), Seq("vec_id"), "left_anti")
       else e
+    // the assignment is reused for count + commit: persist(DISK_ONLY)
+    // keeps the LINEAGE intact, so on a real cluster a lost executor
+    // recomputes its blocks — localCheckpoint() would truncate lineage
+    // to non-replicated executor-local blocks and strand the full
+    // re-assign on the first lost node
     val assigned = KMeans.assign(todo, cents, probes = 1)
       .select(col("vec_id"), col("cent_id"), lit(v).as("model_version"))
-      .localCheckpoint() // assignment is reused for count + commit
-    val n = assigned.count()
-    if (sameModel) {
-      if (n > 0) SnapshotStore.commitAppend(spark, cellBase, assigned)
-    } else SnapshotStore.commitReplace(spark, cellBase, assigned)
-    n
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val n = assigned.count()
+      if (sameModel) {
+        if (n > 0) SnapshotStore.commitAppend(spark, cellBase, assigned)
+      } else SnapshotStore.commitReplace(spark, cellBase, assigned)
+      n
+    } finally assigned.unpersist()
   }
 
   /** Serve exact-re-ranked top-k from the published model + cell
@@ -128,11 +141,10 @@ object IvfIndex {
         when(col("qnrm") > 0 && col("nrm") > 0,
           call_function("graft_dot", col("qv"), col("v")) /
             (col("qnrm") * col("nrm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc_nulls_last, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("cosine"),
-        col("rk").cast("int").as("rk"), lit(v).as("model_version"))
+    // serving re-rank = bounded heap (probed cells are corpus/nCells ×
+    // nProbe rows per query — a WindowExec group would grow with the
+    // corpus; see [[Ann.heapTopK]])
+    Ann.heapTopK(scored, k).withColumn("model_version", lit(v))
   }
 
   /** DuckDB replica of the refresh loop's FINAL state over

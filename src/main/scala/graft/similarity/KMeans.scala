@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -118,13 +117,23 @@ object KMeans {
         .select(col(idCol), col(vCol), col(nCol),
           (-col("__m.nc")).as("cent_id"))
     } else {
-      // QUERY path (probes = nProbe): the filtered query side is
-      // bounded, so the rank window is cheap and keeps arbitrary probe
-      // depths simple
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("cent_cos").desc_nulls_last, col("cent_id").asc)
-      scored.withColumn("__r", row_number().over(w)).filter(col("__r") <= probes)
-        .drop("__r", "cent_cos")
+      // QUERY path (probes = nProbe): same winner rule as probes=1 but
+      // keeping the top `probes` — a bounded_top_k partial+final
+      // aggregation ((cent_cos desc NULLS LAST, cent_id asc) == heap
+      // order on (coalesced score, key); nulls coerced below the
+      // cosine range exactly like the probes=1 struct). The query side
+      // is bounded, but running it heap-form keeps EVERY ANN plan
+      // window-free — PlanSpec pins no-WindowExec across the family,
+      // which a window here would break.
+      graft.functions.BoundedTopK.register(e.sparkSession)
+      scored.groupBy(col(idCol))
+        .agg(first(col(vCol)).as(vCol), first(col(nCol)).as(nCol),
+          expr(s"bounded_top_k(coalesce(cent_cos, -2.0D), " +
+            s"CAST(cent_id AS BIGINT), $probes)").as("__top"))
+        .select(col(idCol), col(vCol), col(nCol),
+          explode(col("__top")).as("t"))
+        .select(col(idCol), col(vCol), col(nCol),
+          col("t.key").cast("int").as("cent_id"))
     }
   }
 

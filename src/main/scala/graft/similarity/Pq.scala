@@ -1,7 +1,6 @@
 package graft.similarity
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
@@ -108,11 +107,11 @@ object Pq {
         when(col("qnrm") > 0 && col("rnrm") > 0,
           VectorFunctions.dot(col("qv"), col("rv")) / (col("qnrm") * col("rnrm")))
           .as("approx_cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cosine").desc_nulls_last, col("vec_id").asc)
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("approx_cosine"),
-        col("rk").cast("int").as("rk"))
+    // the ADC re-rank was the engine's one measured window spill
+    // (0.7–3.6 GB/query-group at the 2M-vector rung): per-query
+    // candidates are corpus/nCells × nProbe — the bounded heap is the
+    // only shape whose task memory stays O(k) there ([[Ann.heapTopK]])
+    Ann.heapTopK(scored, k, scoreName = "approx_cosine")
   }
 
   /** DuckDB SQL replaying [[ivfPqTopK]] — IVF fit + m PQ fits +

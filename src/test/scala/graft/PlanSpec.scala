@@ -638,6 +638,44 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_ann_lsh_topk")
     assert(p.contains("SortMergeJoin"),
       s"bucket join must be the pinned sort-merge:\n${p.take(1500)}")
+    assertHeapRerank(p, "q_ann_lsh_topk")
+  }
+
+  /** The round-14 family pin: every ANN candidate re-rank runs as the
+    * bounded_top_k partial+final aggregation, NEVER a WindowExec over
+    * the scored candidate stream — per-query candidates grow linearly
+    * with the corpus (bucket population / corpus÷nCells × nProbe), so
+    * a window group here is unbounded task memory at scale (the brute
+    * path measured ~2 GB/task at 300k; the IVF-PQ ADC re-rank spilled
+    * 0.7–3.6 GB at the 2M rung before the migration). */
+  private def assertHeapRerank(p: String, name: String): Unit = {
+    assert(!p.contains("WindowExec") && !p.contains("Window "),
+      s"$name must not buffer candidate groups in WindowExec:\n${p.take(1500)}")
+    val heapAggs = p.linesIterator.count(l =>
+      l.contains("Aggregate") && l.contains("bounded_top_k"))
+    assert(heapAggs >= 2,
+      s"$name: expected partial+final bounded_top_k:\n${p.take(1500)}")
+  }
+
+  test("q_ann_ivf_topk: heap re-rank, no window anywhere in the IVF plan") {
+    assertHeapRerank(plan("q_ann_ivf_topk"), "q_ann_ivf_topk")
+  }
+
+  test("q_ivf_pq_topk: the ADC re-rank is the bounded heap (the 2M-rung spill shape)") {
+    assertHeapRerank(plan("q_ivf_pq_topk"), "q_ivf_pq_topk")
+  }
+
+  test("q_hard_negatives: heap re-rank; the label join-back broadcasts the head") {
+    val p = plan("q_hard_negatives")
+    assertHeapRerank(p, "q_hard_negatives")
+    // the mined-label re-attach must broadcast the ≤k×|queries| head
+    // onto the corpus scan, never shuffle corpus labels to serve it
+    assert(p.contains("BroadcastHashJoin"),
+      s"head⋈labels must broadcast the head:\n${p.take(1500)}")
+  }
+
+  test("q_knn_classify: heap top-k + aggregate election — no window at all") {
+    assertHeapRerank(plan("q_knn_classify"), "q_knn_classify")
   }
 
   test("q_ann_topk_heap: bounded_top_k partial+final, no Window over the scored corpus") {
@@ -677,6 +715,7 @@ class PlanSpec extends SparkSpec {
       s"published centroids must broadcast:\n${p.take(1500)}")
     assert(p.contains("SortMergeJoin"),
       "the cell-store join is corpus-sized and must stay sort-merge")
+    assertHeapRerank(p, "q_ivf_refresh")
   }
 
   test("q_retrieval_metrics: stats broadcast back; rankings via bounded heap, no corpus window") {
