@@ -176,12 +176,143 @@ object Conversations {
         col("turn_idx").as("orig_turn_idx"))
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Conversation-scope benchmark decontamination — eval prompts leak
+    * into SFT data as TURNS, not documents, so the document-scope
+    * [[Decontaminate.overlap]] can't see them: each turn's distinct
+    * word n-grams join the broadcast eval-gram set (benchmarks are
+    * small by construction — the one broadcast); a turn is
+    * contaminated at ≥ minHits shared grams, and the verdict
+    * aggregates to CONVERSATION level with role awareness:
+    *
+    *  - a contaminated ASSISTANT turn → `drop_conv` (the model would
+    *    be trained to EMIT benchmark answers — no salvage);
+    *  - contaminated system/user turns only → `drop_turns` (leaked
+    *    context: strip the turns, the responses keep training value);
+    *  - otherwise `keep`.
+    *
+    * Scale shape inherited from the document pass: eval grams build in
+    * one tiny aggregate and broadcast; the corpus-side explode joins
+    * map-side and only MATCHING grams shuffle (per-turn hit counts);
+    * the verdict is one hash aggregate over turns. Output: (conv_id,
+    * n_turns, n_hit_turns, asst_hit, verdict). */
+  def decontaminate(turns: DataFrame, eval: DataFrame, evalText: Column,
+      n: Int = 5, minHits: Int = 1): DataFrame = {
+    require(n >= 1 && minHits >= 1)
+    val evalGrams = eval
+      .select(explode(TextFunctions.shingles(evalText, n)).as("gram"))
+      .distinct()
+    val turnGrams = turns.select(col("conv_id"), col("turn_idx"),
+      col("role"), explode(TextFunctions.shingles(col("content"), n)).as("gram"))
+    val hitTurns = turnGrams.join(broadcast(evalGrams), "gram")
+      .groupBy(col("conv_id"), col("turn_idx"), col("role"))
+      .agg(count(lit(1)).as("n_hit")) // turn grams are distinct per turn
+      .filter(col("n_hit") >= minHits)
+    val sizes = turns.groupBy(col("conv_id")).agg(count(lit(1)).as("n_turns"))
+    val hits = hitTurns.groupBy(col("conv_id")).agg(
+      count(lit(1)).as("n_hit_turns"),
+      max(when(col("role") === "assistant", 1L).otherwise(0L)).as("ah"))
+    sizes.join(hits, Seq("conv_id"), "left")
+      .select(col("conv_id"), col("n_turns"),
+        coalesce(col("n_hit_turns"), lit(0L)).as("n_hit_turns"),
+        (coalesce(col("ah"), lit(0L)) === 1L).as("asst_hit"))
+      .withColumn("verdict",
+        when(col("asst_hit"), "drop_conv")
+          .when(col("n_hit_turns") > 0, "drop_turns")
+          .otherwise("keep"))
+  }
+
+  // ------------------------------------------- SFT training assembly
+
+  /** Deterministic chat-template render — the step between curated
+    * conversations and token streams: turn t becomes
+    * `<|role|> content <|end|>` (whitespace-separated marker tokens,
+    * so the ledger stays the whitespace tokenizer used corpus-wide and
+    * every turn renders to ≥ 2 tokens — the packing arithmetic never
+    * sees an empty span). `is_loss` marks the spans a supervised
+    * fine-tune trains on: assistant turns only — system/user turns are
+    * context, their tokens are masked out of the loss. Pure per-row
+    * projection (no shuffle at any scale). Output: (conv_id, turn_idx,
+    * role, rendered, n_tok, is_loss). */
+  def render(turns: DataFrame): DataFrame = {
+    val rendered = concat(lit("<|"), col("role"), lit("|> "),
+      col("content"), lit(" <|end|>"))
+    turns.select(col("conv_id"), col("turn_idx"), col("role"),
+      rendered.as("rendered"),
+      TextFunctions.tokenCount(rendered).cast("long").as("n_tok"),
+      (col("role") === "assistant").as("is_loss"))
+  }
+
+  /** Loss-mask packing — [[render]]ed turns concat-and-chunked into
+    * fixed-length training sequences ([[Packing.packSequences]]'s
+    * ledger discipline at TURN granularity), emitting one SPAN row per
+    * (turn × sequence it touches): `(seq_id, conv_id, turn_idx,
+    * is_loss, off_start, len)` — token positions [off_start,
+    * off_start+len) of sequence seq_id belong to this turn and train
+    * iff is_loss. That is exactly the mask ledger a data loader needs
+    * to materialize any shard independently: concatenation order is
+    * the total (conv_id, turn_idx) order, so a conversation's turns
+    * stay adjacent and a conversation crossing a sequence boundary
+    * splits mid-transcript (the standard GPT-style packing trade —
+    * no padding, bounded fragmentation).
+    *
+    * Scale: the global token prefix sum is the two-phase bucketed
+    * cumulative (in-bucket window per conv_id bucket + a
+    * ≤|buckets|-row carry — never a global one-task window); the span
+    * explode emits ⌈n_tok/seqLen⌉+1 ≤ rows per turn, linear in corpus
+    * tokens; divisions of the corpus-scale prefix sum route through
+    * [[TDigest.exactDiv]]'s DECIMAL path (exact past 2^53). */
+  def packWithLossMask(rendered: DataFrame, seqLen: Long,
+      bucketWidth: Long = 1L << 20): DataFrame = {
+    require(seqLen >= 1, "seqLen must be positive")
+    val d = rendered.select(col("conv_id"), col("turn_idx"),
+      col("is_loss"), col("n_tok"))
+    val bucketed = d.withColumn("b",
+      TDigest.exactDiv(col("conv_id"), lit(bucketWidth)))
+    val inB = org.apache.spark.sql.expressions.Window.partitionBy(col("b"))
+      .orderBy(col("conv_id"), col("turn_idx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val inBucket = bucketed
+      .withColumn("cw_in", coalesce(sum(col("n_tok")).over(inB), lit(0L)))
+    val perB = bucketed.groupBy(col("b")).agg(sum(col("n_tok")).as("net"))
+    val carryW = org.apache.spark.sql.expressions.Window.orderBy(col("b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val carry = perB.select(col("b"),
+      coalesce(sum(col("net")).over(carryW), lit(0L)).as("cin"))
+    val st = col("cw_in") + col("cin")
+    val en = st + col("n_tok") - 1
+    inBucket.join(Joins.corpusSide(carry), "b")
+      .select(col("conv_id"), col("turn_idx"), col("is_loss"),
+        st.as("st"), en.as("en"),
+        explode(sequence(TDigest.exactDiv(st, lit(seqLen)),
+          TDigest.exactDiv(en, lit(seqLen)))).as("seq_id"))
+      .select(col("seq_id"), col("conv_id"), col("turn_idx"), col("is_loss"),
+        greatest(col("st") - col("seq_id") * seqLen, lit(0L)).as("off_start"),
+        (least(col("en") - col("seq_id") * seqLen, lit(seqLen - 1)) -
+          greatest(col("st") - col("seq_id") * seqLen, lit(0L)) + 1).as("len"))
+  }
+
+  /** Per-sequence readout of a [[packWithLossMask]] ledger: span
+    * count, total tokens (== seqLen for every sequence but the last),
+    * and the LOSS-token count — the fill/mask ratio a seqLen sweep
+    * tunes against (a pack whose sequences are 90% masked context is
+    * wasting compute). One hash aggregate over span rows. */
+  def packedSeqStats(spans: DataFrame): DataFrame =
+    spans.groupBy(col("seq_id")).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("len")).as("n_tok"),
+      sum(when(col("is_loss"), col("len")).otherwise(0L)).as("n_loss_tok"))
+
   // ---------------------------------------------------------- templates
 
   /** System-prompt template groups: fingerprint of the NORMALIZED
     * system turn (array position 0, role `system`) → conversations
-    * per template + min-conv exemplar. Conversations without a
-    * system turn group under the empty-fingerprint sentinel. */
+    * per template + min-conv exemplar. Conversations WITHOUT a system
+    * turn are excluded — template analysis is a statement about the
+    * instruction frames that exist, and an artificial sentinel group
+    * would conflate "no template" with a real (empty-string)
+    * template. */
   def templates(turns: DataFrame): DataFrame =
     turns.filter(col("turn_idx") === 0 && col("role") === "system")
       .select(col("conv_id"),
@@ -330,6 +461,23 @@ FROM keyed"""
 SELECT doc_a AS conv_a, doc_b AS conv_b, jaccard FROM verified WHERE jaccard >= ${cfg.threshold}"""
   }
 
+  /** Oracle for [[decontaminate]] ∘ [[flatten]] ∘ [[fixture]] — the
+    * eval set is `evalPredSql` documents' first `evalPrefixToks`
+    * tokens (the q_decontaminate derivation), turns rebuilt from the
+    * pre-payload relation. */
+  def decontaminateOracleSql(evalPredSql: String, evalPrefixToks: Int,
+      n: Int = 5, minHits: Int = 1, src: String = "documents"): String =
+    raw"""WITH ${fixtureTurnCtes(src)},
+dtoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM $src),
+eg AS (SELECT DISTINCT unnest(${Decontaminate.shinglesSql(s"toks[1:$evalPrefixToks]", n)}) AS gram FROM dtoks WHERE $evalPredSql),
+tg AS (SELECT conv_id, turn_of, role, unnest(${Decontaminate.shinglesSql(raw"regexp_split_to_array(trim(content), '\s+')", n)}) AS gram FROM cturns),
+th AS (SELECT conv_id, turn_of, role, count(*) AS n_hit FROM tg JOIN eg USING (gram) GROUP BY 1, 2, 3 HAVING count(*) >= $minHits),
+cs AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM cturns GROUP BY 1),
+ch AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_hit_turns, max(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS ah FROM th GROUP BY 1)
+SELECT cs.conv_id, cs.n_turns, CAST(coalesce(ch.n_hit_turns, 0) AS BIGINT) AS n_hit_turns, coalesce(ch.ah, 0) = 1 AS asst_hit,
+ CASE WHEN coalesce(ch.ah, 0) = 1 THEN 'drop_conv' WHEN coalesce(ch.n_hit_turns, 0) > 0 THEN 'drop_turns' ELSE 'keep' END AS verdict
+FROM cs LEFT JOIN ch ON cs.conv_id = ch.conv_id"""
+
   /** Per-turn fail predicate in DuckDB (mirrors [[turnFails]]). */
   private def turnFailsSql(c: String): String = {
     val stopPat = TextFunctions.langStopwords.toMap.apply("en")
@@ -362,26 +510,117 @@ SELECT conv_id, n_turns, n_fail, n_pii,
       ELSE n_turns - n_fail END AS n_kept
 FROM agg"""
 
-  /** Oracle for [[clean]] ∘ [[flatten]] ∘ [[fixture]] — verdicts,
-    * turn filter, dense re-index, and the email→IP→phone redaction
-    * chain in [[TextFunctions.redactPii]]'s exact order. */
-  def cleanOracleSql(src: String = "documents"): String = {
+  /** CTE chain replaying [[clean]] over a `${p}cturns` relation —
+    * verdicts, turn filter, dense re-index, and the email→IP→phone
+    * redaction chain in [[TextFunctions.redactPii]]'s exact order.
+    * Ends with `${p}cclean(conv_id, turn_idx, role, content,
+    * orig_turn_idx)`, composable so the render/pack/ingest oracles
+    * build on the identical clean spec (one copy is load-bearing: a
+    * fix applied to a private copy would leave the downstream gates
+    * checking a stale clean). */
+  def cleanCtes(p: String = ""): String = {
     val redacted =
       s"""regexp_replace(regexp_replace(regexp_replace(content, '${TextFunctions.EmailRe}', '<EMAIL>', 'g'), '${TextFunctions.Ipv4Re}', '<IP>', 'g'), '${TextFunctions.PhoneRe}', '<PHONE>', 'g')"""
-    s"""WITH ${fixtureTurnCtes(src)},
-sig AS (SELECT conv_id, turn_of, role, content, ${turnFailsSql("content")} AS f FROM cturns),
-agg AS (SELECT conv_id,
+    s"""${p}sig AS (SELECT conv_id, turn_of, role, content, ${turnFailsSql("content")} AS f FROM ${p}cturns),
+${p}agg AS (SELECT conv_id,
   CASE WHEN sum(CASE WHEN f THEN 1 ELSE 0 END) = 0 THEN 'keep'
        WHEN max(CASE WHEN f AND role = 'system' THEN 1 ELSE 0 END) = 1
             OR 2 * sum(CASE WHEN f THEN 1 ELSE 0 END) >= count(*) THEN 'drop_conv'
        ELSE 'drop_turns' END AS verdict
- FROM sig GROUP BY conv_id),
-kept AS (SELECT s.* FROM sig s JOIN agg a ON s.conv_id = a.conv_id
- WHERE a.verdict = 'keep' OR (a.verdict = 'drop_turns' AND NOT s.f))
-SELECT conv_id,
+ FROM ${p}sig GROUP BY conv_id),
+${p}kept AS (SELECT s.* FROM ${p}sig s JOIN ${p}agg a ON s.conv_id = a.conv_id
+ WHERE a.verdict = 'keep' OR (a.verdict = 'drop_turns' AND NOT s.f)),
+${p}cclean AS (SELECT conv_id,
  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_of) - 1 AS BIGINT) AS turn_idx,
  role, $redacted AS content, turn_of AS orig_turn_idx
-FROM kept"""
+FROM ${p}kept)"""
+  }
+
+  /** Oracle for [[clean]] ∘ [[flatten]] ∘ [[fixture]]. */
+  def cleanOracleSql(src: String = "documents"): String =
+    s"""WITH ${fixtureTurnCtes(src)},
+${cleanCtes()}
+SELECT conv_id, turn_idx, role, content, orig_turn_idx FROM cclean"""
+
+  /** Render-relation CTEs over `${p}cclean` (appends to [[cleanCtes]];
+    * ends with `${p}crend(conv_id, turn_idx, role, rendered, n_tok,
+    * is_loss)` — the template string built op-identically to
+    * [[render]], the token count the whitespace ledger). */
+  def renderCtes(p: String = ""): String =
+    raw"""${p}crend AS (SELECT conv_id, turn_idx, role,
+ '<|' || role || '|> ' || content || ' <|end|>' AS rendered,
+ CAST(len(regexp_split_to_array(trim('<|' || role || '|> ' || content || ' <|end|>'), '\s+')) AS BIGINT) AS n_tok,
+ role = 'assistant' AS is_loss FROM ${p}cclean)"""
+
+  /** Oracle for [[render]] ∘ [[clean]] ∘ [[flatten]] ∘ [[fixture]]. */
+  def renderOracleSql(src: String = "documents"): String =
+    s"""WITH ${fixtureTurnCtes(src)},
+${cleanCtes()},
+${renderCtes()}
+SELECT conv_id, turn_idx, role, rendered, n_tok, is_loss FROM crend"""
+
+  /** Span-ledger CTEs replaying [[packWithLossMask]] over `${p}crend`
+    * (the oracle may use the single global window the engine may not —
+    * the [[Packing.packOracleSql]] precedent); ends with
+    * `${p}cspan(seq_id, conv_id, turn_idx, is_loss, off_start, len)`. */
+  def packSpanCtes(seqLen: Long, p: String = ""): String =
+    s"""${p}cled AS (SELECT conv_id, turn_idx, is_loss, n_tok,
+ CAST(coalesce(sum(n_tok) OVER (ORDER BY conv_id, turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+ FROM ${p}crend),
+${p}cspan AS (SELECT seq_id, conv_id, turn_idx, is_loss,
+ CAST(greatest(st - seq_id * $seqLen, 0) AS BIGINT) AS off_start,
+ CAST(least(st + n_tok - 1 - seq_id * $seqLen, ${seqLen - 1}) - greatest(st - seq_id * $seqLen, 0) + 1 AS BIGINT) AS len
+ FROM (SELECT *, unnest(range(st // $seqLen, (st + n_tok - 1) // $seqLen + 1)) AS seq_id FROM ${p}cled))"""
+
+  /** Oracle for [[packWithLossMask]] ∘ [[render]] ∘ [[clean]]. */
+  def packOracleSql(seqLen: Long, src: String = "documents"): String =
+    s"""WITH ${fixtureTurnCtes(src)},
+${cleanCtes()},
+${renderCtes()},
+${packSpanCtes(seqLen)}
+SELECT seq_id, conv_id, turn_idx, is_loss, off_start, len FROM cspan"""
+
+  /** Oracle for [[packedSeqStats]] ∘ [[packWithLossMask]]. */
+  def packStatsOracleSql(seqLen: Long, src: String = "documents"): String =
+    s"""WITH ${fixtureTurnCtes(src)},
+${cleanCtes()},
+${renderCtes()},
+${packSpanCtes(seqLen)}
+SELECT seq_id, CAST(count(*) AS BIGINT) AS n_spans,
+ CAST(sum(len) AS BIGINT) AS n_tok,
+ CAST(sum(CASE WHEN is_loss THEN len ELSE 0 END) AS BIGINT) AS n_loss_tok
+FROM cspan GROUP BY seq_id"""
+
+  /** Cleaned-transcript CTE over `${p}cclean`: (doc_id, text) — the
+    * conversation-level dedup relation of the streaming ingest
+    * ([[graft.streaming.ConvIngest]]); doc_id-named so
+    * [[graft.dedup.MinHash.oracleCtes]] can consume it. */
+  def cleanTextCte(p: String = ""): String =
+    s"""${p}cctext AS (SELECT conv_id AS doc_id, string_agg(role || ': ' || ${normSql("content")}, ' ' ORDER BY turn_idx) AS text FROM ${p}cclean GROUP BY conv_id)"""
+
+  /** ONE batch oracle for the whole streamed SFT flow
+    * (q_conv_pipeline_stream): clean → cleaned transcript → exact keep
+    * (min conv_id per fingerprint — "first landed" under the
+    * conv_id-monotone arrival contract) → MinHash near-dup chain →
+    * evictions dropped → surviving turns rendered and loss-mask
+    * packed. Every stage is the CTE the batch gates already use, so
+    * the streaming decomposition must be invisible in the result. */
+  def pipelineStreamOracleSql(seqLen: Long, src: String = "documents",
+      cfg: graft.dedup.MinHash.Config = graft.dedup.MinHash.Config()): String = {
+    // conversation CTEs carry the "cv" prefix: the MinHash chain owns
+    // the unprefixed namespace (it emits `sig`, which cleanCtes also
+    // would — caught by the gate as a DuckDB duplicate-CTE error)
+    val pre = s"""${fixtureTurnCtes(src, "cv")},
+${cleanCtes("cv")},
+${cleanTextCte("cv")},
+cexact AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER (PARTITION BY substring(md5(${normSql("text")}), 1, 16) ORDER BY doc_id ASC) AS rn FROM cvcctext) WHERE rn = 1)"""
+    s"""${graft.dedup.MinHash.oracleCtes(cfg, src = "cexact", pre = pre)},
+cdrops AS (SELECT DISTINCT doc_b AS conv_id FROM verified WHERE jaccard >= ${cfg.threshold}),
+ckept AS (SELECT doc_id AS conv_id FROM cexact WHERE doc_id NOT IN (SELECT conv_id FROM cdrops)),
+svcclean AS (SELECT c.* FROM cvcclean c JOIN ckept k ON c.conv_id = k.conv_id),
+${renderCtes("sv")},
+${packSpanCtes(seqLen, "sv")}
+SELECT seq_id, conv_id, turn_idx, is_loss, off_start, len FROM svcspan"""
   }
 
   /** Oracle for [[templates]] ∘ [[flatten]] ∘ [[fixture]]. */

@@ -303,6 +303,64 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
     metricsCore(rels.join(broadcast(ranked), Seq("qid", "doc_id")), rels, k)
   }
 
+  /** The same metric suite over the DENSE retrieval stack — the ANN
+    * serving path ([[graft.similarity.Ann.ivfTopK]]'s shape: trained
+    * IVF centroids, nProbe cell probe, exact-cosine re-rank) evaluated
+    * against the identical rule-derived qrels, so sparse
+    * (q_retrieval_metrics), hybrid (…_rrf), and dense rankings share
+    * ONE measurable surface. Documents embed with the deterministic
+    * hashing vectorizer (the bootstrap embedder — at production scale
+    * the column is a learned embedding, same contract); each query's
+    * term bag embeds with the same vectorizer and probes its nProbe
+    * nearest cells.
+    *
+    * Scale shape: the IVF index build is [[KMeans]]'s (centroids are
+    * the only driver state); queries are a handful of literal vectors;
+    * the re-rank is the bounded heap (never a window); rel re-attaches
+    * by broadcasting the ≤k×|queries| head onto the qrels scan.
+    * Output: the [[metricsCore]] row per query. */
+  def retrievalMetricsDense(docs: DataFrame, id: Column, text: Column,
+      queries: Seq[(Int, Seq[String])], dim: Int = 16, k: Int = 10,
+      nCentroids: Int = 8, nProbe: Int = 2, kmeansIters: Int = 3): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty) && k > 0)
+    import graft.functions.{VectorExpressions, VectorFunctions}
+    import graft.similarity.{Ann, KMeans}
+    val spark = docs.sparkSession
+    val emb = docs.select(id.as("vec_id"),
+      VectorFunctions.hashingVectorizer(
+        TextFunctions.tokens(lower(text)), dim).as("emb"))
+    val cents = KMeans.centroidFrame(spark,
+      KMeans.fit(emb, col("vec_id"), col("emb"), nCentroids, kmeansIters))
+    val corpus = KMeans.assign(
+      emb.select(col("vec_id"), col("emb").cast("array<double>").as("v"),
+        VectorFunctions.norm(col("emb")).as("nrm")),
+      cents, probes = 1)
+    val qrows = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        VectorFunctions.hashingVectorizer(
+          typedLit(terms.map(_.toLowerCase)), dim)
+          .cast("array<double>").as("qv"))
+    }
+    val qdf = spark.range(1).select(explode(array(qrows: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("q.qv").as("qv"))
+      .withColumn("qnrm", VectorFunctions.norm(col("qv")))
+    val qAssigned = KMeans.assign(qdf, cents, probes = nProbe,
+      idCol = "query_id", vCol = "qv", nCol = "qnrm")
+    VectorExpressions.register(spark)
+    // external queries are not corpus members — every probed-cell doc
+    // is an eligible candidate (no self-match filter)
+    val scored = qAssigned.join(corpus, Seq("cent_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("qnrm") > 0 && col("nrm") > 0,
+          call_function("graft_dot", col("qv"), col("v")) /
+            (col("qnrm") * col("nrm"))).as("cosine"))
+    val ranked = Ann.heapTopK(scored, k)
+      .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
+        col("rk").as("rank"))
+    val rels = relsOf(docs, id, text, queries)
+    metricsCore(rels.join(broadcast(ranked), Seq("qid", "doc_id")), rels, k)
+  }
+
   /** (qid, doc_id, rel) under the rule-derived qrels. */
   private def relsOf(docs: DataFrame, id: Column, text: Column,
       queries: Seq[(Int, Seq[String])]): DataFrame =
@@ -404,6 +462,45 @@ ${metricsTailSql(k)}"""
 lng AS ($relRows),
 ranked AS ($rankedRows),
 ret AS (SELECT r.qid, r.rank, l.rel FROM ranked r JOIN lng l ON r.qid = l.qid AND r.doc_id = l.doc_id),
+${metricsTailSql(k)}"""
+  }
+
+  /** DuckDB replica of [[retrievalMetricsDense]]: hashing-vectorizer
+    * embeddings → the full [[graft.similarity.KMeans]] fit (replayed
+    * bit-for-bit via KMeans.ctes over the embedding CTE — the
+    * q_rag_pipeline_ivf precedent) → probes=1 corpus assignment →
+    * nProbe query probe over the literal query vectors → exact-cosine
+    * re-rank → the shared metric tail against the same rule-derived
+    * qrels. */
+  def retrievalMetricsDenseOracleSql(queries: Seq[(Int, Seq[String])],
+      dim: Int = 16, k: Int = 10, nCentroids: Int = 8, nProbe: Int = 2,
+      kmeansIters: Int = 3): String = {
+    import graft.functions.VectorFunctions
+    import graft.similarity.KMeans
+    val toksSql = raw"regexp_split_to_array(trim(lower(text)), '\s+')"
+    val kctes = KMeans.ctes(nCentroids, kmeansIters, dim,
+      vecSql = "v0", fromSql = "hsrc")
+    val cos = s"CASE WHEN e.nrm > 0 AND c.cnrm > 0 THEN ${KMeans.dotSql("e.v", "c.cv")} / (e.nrm * c.cnrm) END"
+    val qvRows = queries.map { case (qid, terms) =>
+      val qTermsSql = terms.map(t => s"'${t.toLowerCase}'").mkString("[", ", ", "]")
+      s"SELECT $qid AS query_id, ${VectorFunctions.hashingVectorizerSql(qTermsSql, dim)} AS qv0"
+    }.mkString(" UNION ALL ")
+    val relRows = queries.map { case (qid, terms) =>
+      val rel = terms.map(t =>
+        s"(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END)").mkString(" + ")
+      s"SELECT doc_id, $qid AS qid, CAST($rel AS BIGINT) AS rel FROM base"
+    }.mkString(" UNION ALL ")
+    raw"""WITH base AS (SELECT doc_id, $toksSql AS toks FROM documents),
+hsrc AS (SELECT doc_id AS vec_id, ${VectorFunctions.hashingVectorizerSql("toks", dim)} AS v0 FROM base),
+$kctes,
+corpus AS (SELECT vec_id, v, nrm, cent_id FROM (SELECT e.vec_id, e.v, e.nrm, c.cent_id, row_number() OVER (PARTITION BY e.vec_id ORDER BY ($cos) DESC NULLS LAST, c.cent_id ASC) AS rn FROM e, cents_$kmeansIters c) WHERE rn = 1),
+qsrc AS ($qvRows),
+qe AS (SELECT query_id, CAST(qv0 AS DOUBLE[]) AS qv, sqrt(${KMeans.dotSql("qv0", "qv0")}) AS qnrm FROM qsrc),
+qa AS (SELECT query_id, qv, qnrm, cent_id FROM (SELECT q.query_id, q.qv, q.qnrm, c.cent_id, row_number() OVER (PARTITION BY q.query_id ORDER BY (CASE WHEN q.qnrm > 0 AND c.cnrm > 0 THEN ${KMeans.dotSql("q.qv", "c.cv")} / (q.qnrm * c.cnrm) END) DESC NULLS LAST, c.cent_id ASC) AS rn FROM qe q, cents_$kmeansIters c) WHERE rn <= $nProbe),
+scored AS (SELECT query_id, corpus.vec_id, CASE WHEN qnrm > 0 AND nrm > 0 THEN ${KMeans.dotSql("qv", "v")} / (qnrm * nrm) END AS cosine FROM qa JOIN corpus ON qa.cent_id = corpus.cent_id),
+lng AS ($relRows),
+rtop AS (SELECT qid, doc_id, rank FROM (SELECT query_id AS qid, vec_id AS doc_id, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, vec_id ASC) AS INTEGER) AS rank FROM scored) WHERE rank <= $k),
+ret AS (SELECT r.qid, r.rank, l.rel FROM rtop r JOIN lng l ON r.qid = l.qid AND r.doc_id = l.doc_id),
 ${metricsTailSql(k)}"""
   }
 

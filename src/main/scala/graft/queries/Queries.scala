@@ -2520,6 +2520,89 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
       (s, dir) => graft.ops.Conversations.templates(convTurns(s, dir)),
       Some(graft.ops.Conversations.templatesOracleSql())),
 
+    // SFT training assembly, step 1: the CLEANED conversations through
+    // the deterministic chat template — `<|role|> content <|end|>`
+    // per turn, whitespace-token ledger, is_loss = assistant turns
+    // (the spans a fine-tune trains on). Oracle replays clean + the
+    // template concat on the pre-payload turn relation.
+    GraftQuery("q_conv_render",
+      (s, dir) => graft.ops.Conversations.render(
+        graft.ops.Conversations.clean(convTurns(s, dir))),
+      Some(graft.ops.Conversations.renderOracleSql())),
+
+    // Step 2: loss-mask packing — rendered turns concat-and-chunked
+    // into 128-token sequences, one span row per (turn × sequence):
+    // (seq_id, conv_id, turn_idx, is_loss, off_start, len). The
+    // oracle replays the placement arithmetic off one global prefix
+    // sum; the engine runs the two-phase bucketed form.
+    GraftQuery("q_conv_pack",
+      (s, dir) => graft.ops.Conversations.packWithLossMask(
+        graft.ops.Conversations.render(
+          graft.ops.Conversations.clean(convTurns(s, dir))), seqLen = 128),
+      Some(graft.ops.Conversations.packOracleSql(128))),
+
+    // Per-sequence fill/mask readout of the same ledger: span count,
+    // token fill, loss-token count — the ratio a seqLen sweep tunes.
+    GraftQuery("q_conv_pack_stats",
+      (s, dir) => graft.ops.Conversations.packedSeqStats(
+        graft.ops.Conversations.packWithLossMask(
+          graft.ops.Conversations.render(
+            graft.ops.Conversations.clean(convTurns(s, dir))), seqLen = 128)),
+      Some(graft.ops.Conversations.packStatsOracleSql(128))),
+
+    // Conversation-scope decontamination: eval prompts leak as TURNS
+    // (the document-scope q_decontaminate can't see them) — every 20th
+    // ±1/±6 document's 10-token prefix plays the benchmark, turn
+    // 5-grams join the broadcast eval set, and verdicts are
+    // role-aware: a contaminated ASSISTANT turn drops the whole
+    // conversation (the model would learn to emit benchmark answers),
+    // contaminated context turns only strip.
+    GraftQuery("q_conv_decont",
+      (s, dir) => {
+        val d = docs(s, dir)
+        val eval = d.filter(pmod(col("doc_id"), lit(20)) === 1 ||
+            pmod(col("doc_id"), lit(20)) === 6)
+          .select(concat_ws(" ",
+            slice(TextFunctions.tokens(col("text")), 1, 10)).as("eval_text"))
+        graft.ops.Conversations.decontaminate(convTurns(s, dir), eval,
+          col("eval_text"), n = 5)
+      },
+      Some(graft.ops.Conversations.decontaminateOracleSql(
+        "doc_id % 20 = 1 OR doc_id % 20 = 6", 10, n = 5))),
+
+    // The STREAMING conversation flagship (the q_training_pipeline_
+    // stream twin for the SFT modality): conversations arrive in three
+    // conv_id-monotone micro-batches through ConvIngest.pipelineBatch
+    // (flatten → gate/clean with PII redaction → conversation-level
+    // exact dedup vs the store → near-dup eviction vs the persisted
+    // MinHash band index → exactly-once landing + monitor MV), then
+    // the serve-time readout feeds chat-template render + loss-mask
+    // packing. One DuckDB BATCH oracle replays the whole flow — the
+    // streaming decomposition must be invisible. Side-effecting
+    // scratch stores: never headline.
+    GraftQuery("q_conv_pipeline_stream",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_cps")
+        deleteRecursivelyOnExit(tmpPath)
+        val (base, turnsB, idx, pairs, mv) = (s"$tmpPath/convs",
+          s"$tmpPath/turns", s"$tmpPath/idx", s"$tmpPath/pairs",
+          s"$tmpPath/mv")
+        val conv = graft.ops.Conversations.fixture(docs(s, dir),
+          col("doc_id"), col("text"))
+        Seq(0L -> 40L, 40L -> 90L, 90L -> Long.MaxValue)
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            graft.streaming.ConvIngest.pipelineBatch(s, base, turnsB, idx,
+              pairs, mv,
+              conv.filter(col("conv_id") >= lo && col("conv_id") < hi),
+              i.toLong)
+          }
+        graft.ops.Conversations.packWithLossMask(
+          graft.ops.Conversations.render(
+            graft.streaming.ConvIngest.servedTurns(s, turnsB, pairs)),
+          seqLen = 128)
+      },
+      Some(graft.ops.Conversations.pipelineStreamOracleSql(128))),
+
     // BM25 ranked retrieval (Lucene idf form): one partial+final stats
     // aggregate broadcast back over the corpus, per-row tf array ops,
     // TakeOrderedAndProject top-k. Score floor-rounded at 4 decimals for
@@ -2576,6 +2659,18 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
       (s, dir) => Retrieval.retrievalMetricsRrf(docs(s, dir), col("doc_id"),
         col("text"), retrievalQueries),
       Some(Retrieval.retrievalMetricsRrfOracleSql(retrievalQueries))),
+
+    // The DENSE arm under the same yardstick: the IVF serving shape
+    // (trained k-means cells, nProbe probe, exact-cosine heap re-rank)
+    // over hashing-vectorizer embeddings, scored against the identical
+    // qrels by the one shared metric tail — sparse, hybrid, and dense
+    // rankings now compose on one measurable surface (and the oracle
+    // replays the whole k-means fit, so "dense quality" is itself a
+    // hash-gated number, not a demo).
+    GraftQuery("q_retrieval_metrics_dense",
+      (s, dir) => Retrieval.retrievalMetricsDense(docs(s, dir),
+        col("doc_id"), col("text"), retrievalQueries),
+      Some(Retrieval.retrievalMetricsDenseOracleSql(retrievalQueries))),
 
     // Transitive duplicate GROUPS from the verified MinHash pairs:
     // connected components via DataFrame min-label propagation (pointer-

@@ -130,4 +130,73 @@ class ConversationsSpec extends SparkSpec {
     assert(turns.filter(col("role").isNull || col("content").isNull)
       .count() === 0L)
   }
+
+  test("render: whitespace-token ledger and assistant-only loss flags") {
+    val rendered = graft.ops.Conversations.render(
+      graft.ops.Conversations.clean(turns)).cache()
+    // the two marker tokens are whitespace-separated, so n_tok =
+    // content tokens + 2 for every non-empty content (the fixture
+    // plants none empty)
+    val badTok = rendered.join(
+        graft.ops.Conversations.clean(turns)
+          .select(col("conv_id"), col("turn_idx"),
+            graft.functions.TextFunctions.tokenCount(col("content"))
+              .cast("long").as("ct")),
+        Seq("conv_id", "turn_idx"))
+      .filter(col("n_tok") =!= col("ct") + 2L).count()
+    assert(badTok === 0L)
+    val badLoss = rendered.filter(
+      col("is_loss") =!= (col("role") === "assistant")).count()
+    assert(badLoss === 0L)
+  }
+
+  test("packWithLossMask: the span ledger tiles every sequence exactly") {
+    val rendered = graft.ops.Conversations.render(
+      graft.ops.Conversations.clean(turns)).cache()
+    val spans = graft.ops.Conversations.packWithLossMask(rendered,
+      seqLen = 128).cache()
+    // per-turn: span lengths reassemble the turn's full token count
+    val badTurn = spans.groupBy(col("conv_id"), col("turn_idx"))
+      .agg(sum(col("len")).as("s"))
+      .join(rendered, Seq("conv_id", "turn_idx"))
+      .filter(col("s") =!= col("n_tok")).count()
+    assert(badTurn === 0L)
+    // per-sequence: spans tile [0, fill) — start at 0, end at the
+    // fill, total length equal to the covered extent (no gap/overlap)
+    val seqs = spans.groupBy(col("seq_id")).agg(
+      sum(col("len")).as("fill"), min(col("off_start")).as("mn"),
+      max(col("off_start") + col("len")).as("mx")).cache()
+    assert(seqs.filter(col("mn") =!= 0L || col("mx") =!= col("fill"))
+      .count() === 0L)
+    // every sequence but the last is filled to exactly seqLen
+    val maxSeq = seqs.agg(max(col("seq_id"))).head.getLong(0)
+    assert(seqs.filter(col("seq_id") < maxSeq && col("fill") =!= 128L)
+      .count() === 0L)
+    // per-sequence stats reconcile with the ledger
+    val stats = graft.ops.Conversations.packedSeqStats(spans)
+    assert(stats.filter(col("n_loss_tok") > col("n_tok")).count() === 0L)
+    assert(stats.agg(sum(col("n_tok"))).head.getLong(0) ===
+      rendered.agg(sum(col("n_tok"))).head.getLong(0))
+  }
+
+  test("decontaminate: assistant leak drops the conversation, context leak strips") {
+    import spark.implicits._
+    val eval = Seq("alpha beta gamma delta epsilon zeta").toDF("eval_text")
+    val t = Seq(
+      (1L, 0L, "system", "you are helpful and wise"),
+      (1L, 1L, "user", "tell me alpha beta gamma delta epsilon please"),
+      (2L, 0L, "system", "you are helpful and wise"),
+      (2L, 1L, "user", "an innocent question about the weather"),
+      (2L, 2L, "assistant", "alpha beta gamma delta epsilon zeta is it"),
+      (3L, 0L, "system", "you are helpful and wise"),
+      (3L, 1L, "user", "an innocent question about the weather"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    val out = graft.ops.Conversations.decontaminate(t, eval,
+        col("eval_text"), n = 5)
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Boolean]("asst_hit"))).toMap
+    assert(out(1L) === (("drop_turns", false)))
+    assert(out(2L) === (("drop_conv", true)))
+    assert(out(3L) === (("keep", false)))
+  }
 }

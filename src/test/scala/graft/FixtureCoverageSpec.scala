@@ -313,6 +313,34 @@ class FixtureCoverageSpec extends SparkSpec {
         "near_not_exact" -> near.filter(col("jaccard") < 1.0).count(),
         "near_exact" -> near.filter(col("jaccard") >= 1.0).count(),
         "template_collapsed" -> tmpl.filter(col("n_convs") >= 2).count())
+    },
+
+    // SFT training assembly (round 14): the loss-mask pack must carry
+    // both mask polarities (assistant spans train, system/user spans
+    // don't — a fixture with only one polarity never gates the mask),
+    // at least one TURN split across sequences (the off_start/len
+    // boundary arithmetic), at least one SEQUENCE mixing two
+    // conversations (the concat-and-chunk cross-conversation case),
+    // and conversation decontamination must populate all three
+    // role-aware verdicts (an eval set whose grams never land in an
+    // assistant turn leaves drop_conv dead).
+    "q_conv_pack/q_conv_decont" -> { dir =>
+      val spans = run("q_conv_pack", dir).localCheckpoint()
+      val perTurn = spans.groupBy(col("conv_id"), col("turn_idx"))
+        .agg(count(lit(1)).as("n_seqs"))
+      val perSeq = spans.groupBy(col("seq_id"))
+        .agg(countDistinct(col("conv_id")).as("n_convs"))
+      val dec = run("q_conv_decont", dir).localCheckpoint()
+      Map(
+        "loss_spans" -> spans.filter(col("is_loss")).count(),
+        "masked_spans" -> spans.filter(!col("is_loss")).count(),
+        "turn_split_across_seqs" -> perTurn.filter(col("n_seqs") > 1).count(),
+        "seq_spanning_convs" -> perSeq.filter(col("n_convs") > 1).count(),
+        "decont_keep" -> dec.filter(col("verdict") === "keep").count(),
+        "decont_drop_turns" ->
+          dec.filter(col("verdict") === "drop_turns").count(),
+        "decont_drop_conv" ->
+          dec.filter(col("verdict") === "drop_conv").count())
     })
 
   test("every fixture class is populated at both gate SFs") {

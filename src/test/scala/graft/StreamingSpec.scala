@@ -619,6 +619,115 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop() }
   }
 
+  test("streaming conversation ingest: gate/clean, conv-level dedup, near-dup eviction, batch parity, idempotent replay") {
+    import spark.implicits._
+    val root = tmp("conv-pipe")
+    val (base, turnsB, idx, pairs, mv) = (s"$root/convs", s"$root/turns",
+      s"$root/idx", s"$root/pairs", s"$root/mv")
+    def payload(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("[", ",", "]")
+    val sys0 = "you are a helpful assistant that always answers carefully and well"
+    val usrA = "please tell me how the quick brown fox jumps over the lazy " +
+      "dog near the old stone bridge by the mill"
+    val asstA = "the quick brown fox jumps over the lazy dog and then runs " +
+      "down to the river where it drinks in the cool morning light"
+    val pA = payload("system" -> sys0, "user" -> usrA, "assistant" -> asstA)
+    // exact after normalization only: upper-cased, doubled spaces
+    val pAExact = payload("system" -> sys0.toUpperCase,
+      "user" -> usrA.replace(" ", "  "),
+      "assistant" -> asstA.toUpperCase)
+    // near: one 3-word phrase of the assistant turn changed
+    val pNear = payload("system" -> sys0, "user" -> usrA,
+      "assistant" -> asstA.replace("cool morning light", "warm evening light"))
+    // both turns structurally fail (< 3 tokens) → drop_conv
+    val pBad = payload("user" -> "ok", "assistant" -> "no")
+    // clean conversation carrying redactable PII in the user turn
+    val pB = payload("system" -> sys0,
+      "user" -> ("contact me at agent47@mail.example.com for the full " +
+        "details of the plan we discussed yesterday evening"),
+      "assistant" -> ("a completely different answer about streams of " +
+        "data and the engines that process them for training large models"))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("conv_id", "payload")
+      .writeStream
+      .option("checkpointLocation", tmp("conv-pipe-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.ConvIngest.pipelineBatch(spark, base, turnsB, idx,
+          pairs, mv, batch, id)
+      }
+      .start()
+    try {
+      // batch 0: a good conv, its normalized-exact twin, a drop_conv
+      in.addData((1L, pA), (2L, pAExact), (3L, pBad))
+      q.processAllAvailable()
+      // batch 1: cross-batch exact copy, a near-dup, a new conv
+      in.addData((4L, pA), (5L, pNear), (6L, pB))
+      q.processAllAvailable()
+      val served = graft.streaming.ConvIngest.servedTurns(spark, turnsB, pairs)
+        .localCheckpoint()
+      val servedConvs = served.select("conv_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(servedConvs === Set(1L, 6L),
+        s"serve must drop the gate-fail, both exact twins, and the near-dup: $servedConvs")
+      // PII is redacted IN the landed turns, not dropped with them
+      val piiTurn = served.filter(col("conv_id") === 6L && col("turn_idx") === 1L)
+        .select("content").head.getString(0)
+      assert(piiTurn.contains("<EMAIL>") && !piiTurn.contains("mail.example.com"))
+      // the near-dup LANDED in the registry (exact-new) — eviction is
+      // serve-time, the lightweight-delete semantics
+      val seen = graft.sinks.SnapshotStore.read(spark, base).get
+        .select("conv_id").collect().map(_.getLong(0)).toSet
+      assert(seen === Set(1L, 5L, 6L), s"registry: $seen")
+      val mvRows = graft.sinks.SummingStore.read(spark, mv, Seq("batch_id"),
+          Seq("n_in", "n_cleaned", "n_fresh", "n_evicted", "turns_fresh")).get
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(mvRows(0) === ((0L, 3L, 2L, 1L, 0L, 3L)), s"batch 0 monitor: ${mvRows(0)}")
+      assert(mvRows(1) === ((1L, 3L, 3L, 2L, 1L, 6L)), s"batch 1 monitor: ${mvRows(1)}")
+      // BATCH PARITY: the streamed loss-mask pack equals the one-shot
+      // batch chain over the same conversations (the oracle's claim,
+      // re-proven engine-side on a hand fixture)
+      val allConvs = Seq((1L, pA), (2L, pAExact), (3L, pBad), (4L, pA),
+        (5L, pNear), (6L, pB)).toDF("conv_id", "payload")
+      val cleaned = graft.ops.Conversations.clean(
+        graft.ops.Conversations.flatten(allConvs, col("conv_id"),
+          col("payload"))).localCheckpoint()
+      val ctext = graft.ops.Conversations.convText(cleaned)
+        .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("conv_id"))
+      val exactKeep = ctext.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val drops = graft.dedup.MinHash.verifiedPairs(exactKeep,
+          col("conv_id"), col("text"))
+        .select(col("doc_b").as("conv_id")).distinct()
+      val keptTurns = cleaned
+        .join(exactKeep.select("conv_id"), Seq("conv_id"), "left_semi")
+        .join(drops, Seq("conv_id"), "left_anti")
+      def packed(t: org.apache.spark.sql.DataFrame) =
+        graft.ops.Conversations.packWithLossMask(
+          graft.ops.Conversations.render(t), seqLen = 64)
+          .collect().map(_.toSeq).toSet
+      assert(packed(served) === packed(keptTurns),
+        "streamed pack must be bit-equal to the batch chain")
+      // replay of batch 1 (the at-least-once window): every landing is
+      // tag-idempotent — registry, turns, evictions, MV all unchanged
+      graft.streaming.ConvIngest.pipelineBatch(spark, base, turnsB, idx,
+        pairs, mv,
+        Seq((4L, pA), (5L, pNear), (6L, pB)).toDF("conv_id", "payload"),
+        batchId = 1L)
+      assert(graft.sinks.SnapshotStore.read(spark, base).get.count() === 3L)
+      assert(graft.sinks.SnapshotStore.read(spark, turnsB).get.count() === 9L)
+      assert(graft.sinks.SnapshotStore.read(spark, pairs).get.count() === 1L)
+      val mvAfter = graft.sinks.SummingStore.read(spark, mv, Seq("batch_id"),
+          Seq("n_in")).get.agg(org.apache.spark.sql.functions.sum("n_in"))
+        .head.getLong(0)
+      assert(mvAfter === 6L, s"MV must absorb the replay, got n_in sum $mvAfter")
+    } finally { q.stop() }
+  }
+
   test("failure injection: crash after store-commit before checkpoint → restart appends once") {
     // The at-least-once window the exactly-once contract must close:
     // foreachBatch commits batch N to the SnapshotStore, then the
