@@ -623,6 +623,32 @@ ${packSpanCtes(seqLen, "sv")}
 SELECT seq_id, conv_id, turn_idx, is_loss, off_start, len FROM svcspan"""
   }
 
+  /** Batch replay of the conversation ingest's MONITOR MV
+    * (q_conv_monitor_stream): each additive counter re-derived by
+    * assigning conversations/evictions to their arrival batch
+    * (`lo1`/`lo2` are the batch boundaries — valid because arrival is
+    * conv_id-monotone, the stream contract). Counters: conversations
+    * in, surviving clean, exact-new, near-dup evictions, landed
+    * turns. */
+  def monitorStreamOracleSql(lo1: Long, lo2: Long,
+      src: String = "documents",
+      cfg: graft.dedup.MinHash.Config = graft.dedup.MinHash.Config()): String = {
+    def b(c: String) =
+      s"CASE WHEN $c < $lo1 THEN 0 WHEN $c < $lo2 THEN 1 ELSE 2 END"
+    val pre = s"""${fixtureTurnCtes(src, "cv")},
+${cleanCtes("cv")},
+${cleanTextCte("cv")},
+cexact AS (SELECT doc_id, text FROM (SELECT doc_id, text, row_number() OVER (PARTITION BY substring(md5(${normSql("text")}), 1, 16) ORDER BY doc_id ASC) AS rn FROM cvcctext) WHERE rn = 1)"""
+    s"""${graft.dedup.MinHash.oracleCtes(cfg, src = "cexact", pre = pre)},
+m1 AS (SELECT ${b("conv_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_in FROM (SELECT DISTINCT conv_id FROM cvcturns) GROUP BY 1),
+m2 AS (SELECT ${b("conv_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_cleaned FROM (SELECT DISTINCT conv_id FROM cvcclean) GROUP BY 1),
+m3 AS (SELECT ${b("doc_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_fresh FROM cexact GROUP BY 1),
+m4 AS (SELECT ${b("doc_b")} AS batch_id, CAST(count(*) AS BIGINT) AS n_evicted FROM verified WHERE jaccard >= ${cfg.threshold} GROUP BY 1),
+m5 AS (SELECT ${b("c.conv_id")} AS batch_id, CAST(count(*) AS BIGINT) AS turns_fresh FROM cvcclean c JOIN cexact e ON c.conv_id = e.doc_id GROUP BY 1)
+SELECT m1.batch_id, m1.n_in, CAST(coalesce(m2.n_cleaned, 0) AS BIGINT) AS n_cleaned, CAST(coalesce(m3.n_fresh, 0) AS BIGINT) AS n_fresh, CAST(coalesce(m4.n_evicted, 0) AS BIGINT) AS n_evicted, CAST(coalesce(m5.turns_fresh, 0) AS BIGINT) AS turns_fresh
+FROM m1 LEFT JOIN m2 USING (batch_id) LEFT JOIN m3 USING (batch_id) LEFT JOIN m4 USING (batch_id) LEFT JOIN m5 USING (batch_id)"""
+  }
+
   /** Oracle for [[templates]] ∘ [[flatten]] ∘ [[fixture]]. */
   def templatesOracleSql(src: String = "documents"): String =
     s"""WITH ${fixtureTurnCtes(src)}

@@ -2603,6 +2603,33 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
       },
       Some(graft.ops.Conversations.pipelineStreamOracleSql(128))),
 
+    // The MV-served MONITORING tier of the conversation ingest:
+    // per-batch additive counters (conversations in / surviving clean
+    // / exact-new / near-dup evicted / landed turns) from the
+    // SummingStore the pipeline maintains — gated against the batch
+    // replay assigning each conversation/eviction to its arrival
+    // batch (valid under the conv_id-monotone stream contract).
+    GraftQuery("q_conv_monitor_stream",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_cms")
+        deleteRecursivelyOnExit(tmpPath)
+        val (base, turnsB, idx, pairs, mv) = (s"$tmpPath/convs",
+          s"$tmpPath/turns", s"$tmpPath/idx", s"$tmpPath/pairs",
+          s"$tmpPath/mv")
+        val conv = graft.ops.Conversations.fixture(docs(s, dir),
+          col("doc_id"), col("text"))
+        Seq(0L -> 40L, 40L -> 90L, 90L -> Long.MaxValue)
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            graft.streaming.ConvIngest.pipelineBatch(s, base, turnsB, idx,
+              pairs, mv,
+              conv.filter(col("conv_id") >= lo && col("conv_id") < hi),
+              i.toLong)
+          }
+        graft.sinks.SummingStore.read(s, mv, Seq("batch_id"),
+          Seq("n_in", "n_cleaned", "n_fresh", "n_evicted", "turns_fresh")).get
+      },
+      Some(graft.ops.Conversations.monitorStreamOracleSql(40L, 90L))),
+
     // BM25 ranked retrieval (Lucene idf form): one partial+final stats
     // aggregate broadcast back over the corpus, per-row tf array ops,
     // TakeOrderedAndProject top-k. Score floor-rounded at 4 decimals for

@@ -414,10 +414,19 @@ object Ann {
     * micro-units so both engines rank the identical total order
     * (vec_id tiebreak).
     *
-    * Scale: same shape as [[semDedup]] — centroids are the only
-    * driver-side state (k×dim doubles), the corpus shuffles once on
-    * cluster id, and the rank window partitions by cluster (bounded by
-    * cluster size, never corpus-wide). */
+    * Scale: same shape as [[semDedup]] for clustering — centroids are
+    * the only driver-side state (k×dim doubles), the corpus shuffles
+    * once on cluster id. The within-cluster rank does NOT run as a
+    * per-cluster window: a cluster holds ~corpus/k rows, so a
+    * WindowExec group there grows with the corpus (the exact hazard
+    * the round-14 heap migration killed in the top-k paths — but this
+    * operator ranks EVERY row, so the fix is the two-phase bucketed
+    * cumulative instead: an in-(cluster × cos-bucket) window whose
+    * groups are bounded by the 10k-µ bucket population, plus a
+    * ≤201-row-per-cluster bucket carry; rank = carry + in-bucket
+    * rank, bit-identical to the global window by bucket
+    * monotonicity). NULL cosines ride the usual below-range sentinel,
+    * preserving the desc_nulls_last order exactly. */
   def protoPrune(emb: DataFrame, id: Column, vec: Column, keepFraction: Double,
       nCentroids: Int = 16, kmeansIters: Int = 5): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1)
@@ -433,14 +442,32 @@ object Ann {
         when(col("nrm") > 0 && col("cnrm") > 0,
           floor(nat(emb)(col("v"), col("cv")) / (col("nrm") * col("cnrm"))
             * lit(1000000.0) + lit(0.5)).cast("long")).as("cos_micros"))
-    val part = Window.partitionBy(col("cent_id"))
-    val ord = part.orderBy(col("cos_micros").desc_nulls_last, col("vec_id").asc)
-    scored
-      .withColumn("rk", row_number().over(ord))
-      .withColumn("__n_c", count(lit(1)).over(part))
-      .select(col("vec_id"), col("cent_id"), col("cos_micros"), col("rk"),
-        (col("rk") > floor((lit(1.0) - lit(keepFraction)) * col("__n_c")))
-          .as("keep"))
+    // sort key with the NULLS-LAST sentinel (cos_micros ∈ [−1e6, 1e6],
+    // so −2e6 sits strictly below every real value), bucketed at 10k µ
+    // — floor division via the nonnegative pmod, exact for negatives
+    val bw = 10000L
+    val keyed = scored
+      .withColumn("__sk", coalesce(col("cos_micros"), lit(-2000000L)))
+      .withColumn("__cb",
+        ((col("__sk") - pmod(col("__sk"), lit(bw))) / lit(bw)).cast("long"))
+    val inB = Window.partitionBy(col("cent_id"), col("__cb"))
+      .orderBy(col("__sk").desc, col("vec_id").asc)
+    val perB = keyed.groupBy(col("cent_id"), col("__cb"))
+      .agg(count(lit(1)).as("__nb"))
+    val carryW = Window.partitionBy(col("cent_id")).orderBy(col("__cb").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = perB
+      .withColumn("__before", coalesce(sum(col("__nb")).over(carryW), lit(0L)))
+      .select(col("cent_id"), col("__cb"), col("__before"))
+    val nC = scored.groupBy(col("cent_id")).agg(count(lit(1)).as("__n_c"))
+    keyed
+      .withColumn("__r_in", row_number().over(inB))
+      .join(broadcast(carry), Seq("cent_id", "__cb"))
+      .join(broadcast(nC), Seq("cent_id"))
+      .select(col("vec_id"), col("cent_id"), col("cos_micros"),
+        (col("__before") + col("__r_in")).cast("int").as("rk"),
+        (col("__before") + col("__r_in") >
+          floor((lit(1.0) - lit(keepFraction)) * col("__n_c"))).as("keep"))
   }
 
   // ---- DuckDB oracles ----------------------------------------------------

@@ -678,6 +678,23 @@ class PlanSpec extends SparkSpec {
     assertHeapRerank(plan("q_knn_classify"), "q_knn_classify")
   }
 
+  test("q_proto_prune: rank windows are (cluster × cos-bucket)-bounded, never whole-cluster") {
+    // protoPrune ranks EVERY row, so it can't use the heap — its
+    // scale-safe form is the two-phase bucketed cumulative: every
+    // window in the plan must involve the __cb bucket column (the
+    // in-bucket rank partitions on it; the carry orders by it over
+    // ≤201 bucket rows per cluster). A whole-cluster window
+    // (corpus/k rows per group) is the spill shape the round-14
+    // migration exists to forbid.
+    val p = plan("q_proto_prune")
+    val winLines = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toList
+    assert(winLines.nonEmpty, p.take(1500))
+    assert(winLines.forall(_.contains("__cb")),
+      "every rank window must be bucket-bounded or the bucket carry:\n" +
+        winLines.mkString("\n"))
+  }
+
   test("q_ann_topk_heap: bounded_top_k partial+final, no Window over the scored corpus") {
     val p = plan("q_ann_topk_heap")
     val aggs = p.linesIterator.count(l =>
