@@ -33,6 +33,19 @@ object Bench {
     "q_decontaminate", "q_para_dedup", "q_unigram_logprob",
     "q_dedup_minhash", "q_ann_topk")
 
+  /** EXTENDED tracking set (round 14): representatives of the operator
+    * families added after the 31-query headline set froze (~r6) — the
+    * conversation/SFT modality, retrieval metrics, t-digest, the
+    * range-hashed dictionary, the IVF refresh loop, loss-mask packing.
+    * Reported in a SEPARATE `extended_*` section so the frozen
+    * `value`/`core19_*` estimators keep their cross-round
+    * comparability; these queries get wall-clock tracking from r14
+    * forward without rebasing any historical band. */
+  val extended: Seq[String] = Seq(
+    "q_conv_clean", "q_conv_dedup_near", "q_conv_pack",
+    "q_retrieval_metrics", "q_quantile_tdigest", "q_dict_range",
+    "q_ivf_refresh")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -112,6 +125,22 @@ object Bench {
     }
     val chosen = attempts(chosenIdx)._2
 
+    // extended section: timed AFTER the headline attempts (so its
+    // wall-clock never perturbs the frozen estimators), skipped when
+    // explicit names were passed (local probing)
+    val extRes =
+      if (args.nonEmpty) Seq.empty
+      else { extended.foreach(force); timed(extended) }
+    val extJson =
+      if (extRes.isEmpty) ""
+      else {
+        val (ev, emv) = sums(extRes)
+        val eqs = extRes.map { case (k, (mn, med, mx)) =>
+          s""""$k":{"min":${f(mn)},"median":${f(med)},"max":${f(mx)}}"""
+        }.mkString("{", ",", "}")
+        s""","extended_value":${f(ev)},"extended_min_value":${f(emv)},"extended_queries":$eqs"""
+      }
+
     val full = attempts.head._2
     val qs = full.map { case (k, (_, med, _)) => s""""$k":${f(med)}""" }.mkString("{", ",", "}")
     val spread = full.map { case (k, (mn, med, mx)) =>
@@ -143,8 +172,8 @@ object Bench {
     // the same host, so the 1.35->1.73 r11->r12 movement is
     // session-to-session swing around a ~1.5 s single-iteration floor,
     // not a code regression.
-    val notes = """{"q_snapshot_merge":"full-8-file rewrite is the fixture's intent (keyspace-spanning change keys); floor ~1.5s, r11->r12 movement adjudicated as session variance - see Bench.scala comment"}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","min_value":${f(totalMin)},"core19_value":${f(coreTotal)},"core19_min_value":${f(coreMin)},"contention_ratio":${f(contention)},"attempts":$attemptsJson,"chosen_attempt":${chosenIdx + 1},"contention_target":$target,"notes":$notes,"estimators":{"value":"median-of-iters per query, summed over the full set (attempt 1)","min_value":"min-of-iters per query, summed (contention-robust; use for cross-round comparison)","core19_value":"the frozen round-1-6 set of 19 from the CHOSEN attempt; compare against the historical 8.4-9.8 s anchor band","contention_ratio":"median over core-19 queries of max/min spread in the chosen attempt; re-runs trigger while >= $target (max $maxAttempts attempts, see attempts[])"},"queries":$qs,"spread":$spread,"iters":$iters,"sf":"$sfDir"}""")
+    val notes = """{"q_snapshot_merge":"full-8-file rewrite is the fixture's intent (keyspace-spanning change keys); floor ~1.5s, r11->r12 movement adjudicated as session variance - see Bench.scala comment","ann_rerank":"r14: all six ANN window re-rank sites (lsh/ivf/knn/hardneg/ivfpq/IvfIndex) migrated to bounded_top_k partial+final; 100x rungs re-measured ZERO-spill (ivfpq was 0.7-3.6 GB) with recall bit-identical - SCALE.md"}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","min_value":${f(totalMin)},"core19_value":${f(coreTotal)},"core19_min_value":${f(coreMin)},"contention_ratio":${f(contention)},"attempts":$attemptsJson,"chosen_attempt":${chosenIdx + 1},"contention_target":$target,"notes":$notes,"estimators":{"value":"median-of-iters per query, summed over the full set (attempt 1)","min_value":"min-of-iters per query, summed (contention-robust; use for cross-round comparison)","core19_value":"the frozen round-1-6 set of 19 from the CHOSEN attempt; compare against the historical 8.4-9.8 s anchor band","contention_ratio":"median over core-19 queries of max/min spread in the chosen attempt; re-runs trigger while >= $target (max $maxAttempts attempts, see attempts[])"},"queries":$qs,"spread":$spread$extJson,"iters":$iters,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
