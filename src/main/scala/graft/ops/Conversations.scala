@@ -119,13 +119,13 @@ object Conversations {
     * FIXABLE, so [[gate]] counts it ([[piiHit]]) and [[clean]]
     * redacts it in place — dropping a turn over a redactable email
     * would throw away training signal. Codegen'd Column exprs. */
-  private def turnFails(content: Column): Column =
+  private[ops] def turnFails(content: Column): Column =
     TextFunctions.tokenCount(content) < MinTurnTokens ||
       TextFunctions.qualityScore(content) < QualityFloor
 
   /** Redactable-PII signal (email/phone/IPv4 — exactly what
     * [[TextFunctions.redactPii]] rewrites). */
-  private def piiHit(content: Column): Column =
+  private[ops] def piiHit(content: Column): Column =
     content.rlike(TextFunctions.EmailRe) ||
       content.rlike(TextFunctions.PhoneRe) ||
       content.rlike(TextFunctions.Ipv4Re)
@@ -195,8 +195,11 @@ object Conversations {
     * Scale shape inherited from the document pass: eval grams build in
     * one tiny aggregate and broadcast; the corpus-side explode joins
     * map-side and only MATCHING grams shuffle (per-turn hit counts);
-    * the verdict is one hash aggregate over turns. Output: (conv_id,
-    * n_turns, n_hit_turns, asst_hit, verdict). */
+    * the verdict is two hash aggregates (turn sizes, per-conv hits)
+    * plus a conv-keyed join whose hit side holds only CONTAMINATED
+    * conversations — a sliver of the corpus by the benchmark-size
+    * contract. Output: (conv_id, n_turns, n_hit_turns, asst_hit,
+    * verdict). */
   def decontaminate(turns: DataFrame, eval: DataFrame, evalText: Column,
       n: Int = 5, minHits: Int = 1): DataFrame = {
     require(n >= 1 && minHits >= 1)
@@ -260,9 +263,10 @@ object Conversations {
     * Scale: the global token prefix sum is the two-phase bucketed
     * cumulative (in-bucket window per conv_id bucket + a
     * ≤|buckets|-row carry — never a global one-task window); the span
-    * explode emits ⌈n_tok/seqLen⌉+1 ≤ rows per turn, linear in corpus
-    * tokens; divisions of the corpus-scale prefix sum route through
-    * [[TDigest.exactDiv]]'s DECIMAL path (exact past 2^53). */
+    * explode emits at most ⌈n_tok/seqLen⌉+1 rows per turn, so span
+    * volume is linear in corpus tokens; divisions of the corpus-scale
+    * prefix sum route through [[TDigest.exactDiv]]'s DECIMAL path
+    * (exact past 2^53). */
   def packWithLossMask(rendered: DataFrame, seqLen: Long,
       bucketWidth: Long = 1L << 20): DataFrame = {
     require(seqLen >= 1, "seqLen must be positive")
@@ -404,7 +408,7 @@ object Conversations {
   // ------------------------------------------------- DuckDB oracles
 
   /** DuckDB normText. */
-  private def normSql(e: String): String =
+  private[ops] def normSql(e: String): String =
     raw"""regexp_replace(lower(trim($e)), '\s+', ' ', 'g')"""
 
   /** Fixture turn-relation CTEs (independent spec: rebuilds the
@@ -479,7 +483,7 @@ SELECT cs.conv_id, cs.n_turns, CAST(coalesce(ch.n_hit_turns, 0) AS BIGINT) AS n_
 FROM cs LEFT JOIN ch ON cs.conv_id = ch.conv_id"""
 
   /** Per-turn fail predicate in DuckDB (mirrors [[turnFails]]). */
-  private def turnFailsSql(c: String): String = {
+  private[ops] def turnFailsSql(c: String): String = {
     val stopPat = TextFunctions.langStopwords.toMap.apply("en")
     val n = raw"CAST(len(regexp_split_to_array(trim($c), '\s+')) AS DOUBLE)"
     val nt = s"greatest($n, 1.0)"
@@ -490,7 +494,7 @@ FROM cs LEFT JOIN ch ON cs.conv_id = ch.conv_id"""
   }
 
   /** DuckDB twin of [[piiHit]]. */
-  private def piiHitSql(c: String): String =
+  private[ops] def piiHitSql(c: String): String =
     s"""(regexp_matches($c, '${TextFunctions.EmailRe}') OR regexp_matches($c, '${TextFunctions.PhoneRe}') OR regexp_matches($c, '${TextFunctions.Ipv4Re}'))"""
 
   /** Oracle for [[gate]] ∘ [[flatten]] ∘ [[fixture]]. */

@@ -2550,6 +2550,53 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
             graft.ops.Conversations.clean(convTurns(s, dir))), seqLen = 128)),
       Some(graft.ops.Conversations.packStatsOracleSql(128))),
 
+    // ---- preference-pair (RLHF/DPO) curation ------------------------------
+    // Fixture: deterministic (pair_id, prompt, chosen, rejected) rows
+    // derived from documents, planting every verdict class, a PII
+    // side, prompt duplicates, and a negative-margin pair; the
+    // oracles rebuild the pair relation independently.
+
+    // Pair gate: normalized-equal chosen/rejected → drop_degenerate
+    // (zero-margin pairs teach a DPO loss nothing; the upper-cased
+    // double-spaced plant proves byte-compare would miss it); either
+    // side under the SHARED length/quality floors → drop_invalid;
+    // PII counted per side, never a drop.
+    GraftQuery("q_pref_gate",
+      (s, dir) => graft.ops.Preferences.gate(
+        graft.ops.Preferences.fixture(docs(s, dir), col("doc_id"),
+          col("text"))),
+      Some(graft.ops.Preferences.gateOracleSql())),
+
+    // Prompt-level exact dedup (every 8th pair reuses its
+    // predecessor's prompt): repeated prompts concentrate gradient
+    // weight and leak across splits.
+    GraftQuery("q_pref_dedup",
+      (s, dir) => graft.ops.Preferences.promptDedup(
+        graft.ops.Preferences.fixture(docs(s, dir), col("doc_id"),
+          col("text"))),
+      Some(graft.ops.Preferences.promptDedupOracleSql())),
+
+    // Quality-margin ledger for kept pairs: exact-bp per-side quality,
+    // the chosen−rejected margin (negative ⇒ suspected label noise —
+    // the %8==0 short-chosen plant), and the length ratio.
+    GraftQuery("q_pref_margin",
+      (s, dir) => graft.ops.Preferences.margins(
+        graft.ops.Preferences.fixture(docs(s, dir), col("doc_id"),
+          col("text"))),
+      Some(graft.ops.Preferences.marginsOracleSql())),
+
+    // The SFT bridge: kept ∧ deduplicated pairs as two-turn
+    // conversations (PII redacted) through the EXISTING chat-template
+    // render + loss-mask packing — preference data and SFT
+    // conversations share one placement/mask spec end to end.
+    GraftQuery("q_pref_to_sft_pack",
+      (s, dir) => graft.ops.Conversations.packWithLossMask(
+        graft.ops.Conversations.render(
+          graft.ops.Preferences.toSftTurns(
+            graft.ops.Preferences.fixture(docs(s, dir), col("doc_id"),
+              col("text")))), seqLen = 128),
+      Some(graft.ops.Preferences.toSftPackOracleSql(128))),
+
     // Conversation-scope decontamination: eval prompts leak as TURNS
     // (the document-scope q_decontaminate can't see them) — every 20th
     // ±1/±6 document's 10-token prefix plays the benchmark, turn

@@ -341,6 +341,35 @@ class FixtureCoverageSpec extends SparkSpec {
           dec.filter(col("verdict") === "drop_turns").count(),
         "decont_drop_conv" ->
           dec.filter(col("verdict") === "drop_conv").count())
+    },
+
+    // preference-pair fixture (round 14): all three pair verdicts (a
+    // fixture with no degenerate pair never gates the normalized
+    // equality; the upper-cased variant is what byte-compare misses),
+    // PII in a KEPT pair (so the SFT bridge's redaction rewrites a
+    // retained row), the prompt-dup class, a NEGATIVE margin among
+    // kept pairs (the label-noise signal q_pref_margin exists for),
+    // and the redaction visible in the bridged turns.
+    "q_pref_*" -> { dir =>
+      val gate = run("q_pref_gate", dir).localCheckpoint()
+      val dedup = run("q_pref_dedup", dir)
+      val margins = run("q_pref_margin", dir).localCheckpoint()
+      val turns = graft.ops.Preferences.toSftTurns(
+        graft.ops.Preferences.fixture(
+          spark.read.parquet(s"$dir/documents.parquet"),
+          col("doc_id"), col("text"))).localCheckpoint()
+      Map(
+        "pair_keep" -> gate.filter(col("verdict") === "keep").count(),
+        "pair_drop_degenerate" ->
+          gate.filter(col("verdict") === "drop_degenerate").count(),
+        "pair_drop_invalid" ->
+          gate.filter(col("verdict") === "drop_invalid").count(),
+        "pii_in_kept_pair" -> gate.filter(col("verdict") === "keep" &&
+          (col("pii_chosen") || col("pii_rejected"))).count(),
+        "prompt_dup" -> dedup.filter(col("is_dup")).count(),
+        "negative_margin" -> margins.filter(col("margin_bp") < 0).count(),
+        "sft_bridge_redacted" ->
+          turns.filter(col("content").contains("<EMAIL>")).count())
     })
 
   test("every fixture class is populated at both gate SFs") {
