@@ -16,7 +16,7 @@ import graft.functions.TextFunctions
   *     DPO loss nothing) or when either side is structurally unusable
   *     (`drop_invalid`: under the shared length/quality floors —
   *     [[Conversations.turnFails]], the ONE fail spec both modalities
-  *     gate on). Redactable PII is counted per side, never a drop —
+  *     gate on). Redactable PII is FLAGGED per side, never a drop —
   *     [[toSftTurns]] redacts in place, the conversation-clean
   *     discipline.
   *  2. [[promptDedup]] — prompt-level exact dedup (normalized prompt,
@@ -36,9 +36,12 @@ import graft.functions.TextFunctions
   *     ledger discipline across modalities.
   *
   * Scale: every operator is per-row projection + map-side-combined
-  * hash aggregates; the one join in promptDedup is corpus-side on the
-  * prompt-hash (never broadcast — prompt groups are corpus-derived);
-  * margins is pure projection. Fixture: [[fixture]] derives pairs
+  * hash aggregates; promptDedup's canonical join is corpus-side on
+  * the prompt-hash (never broadcast — prompt groups are
+  * corpus-derived); margins/toSftTurns filter through pair_id-keyed
+  * SEMI-joins against the verdict/dedup sets (slim id columns, the
+  * key the pair table would be bucketed by at warehouse scale).
+  * Fixture: [[fixture]] derives pairs
   * deterministically from `documents`, planting every verdict class,
   * a PII side, prompt duplicates, and a negative-margin pair; the
   * DuckDB oracles rebuild the pair relation independently.

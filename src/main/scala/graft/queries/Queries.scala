@@ -2598,12 +2598,14 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
       Some(graft.ops.Preferences.toSftPackOracleSql(128))),
 
     // Conversation-scope decontamination: eval prompts leak as TURNS
-    // (the document-scope q_decontaminate can't see them) — every 20th
-    // ±1/±6 document's 10-token prefix plays the benchmark, turn
-    // 5-grams join the broadcast eval set, and verdicts are
-    // role-aware: a contaminated ASSISTANT turn drops the whole
-    // conversation (the model would learn to emit benchmark answers),
-    // contaminated context turns only strip.
+    // (the document-scope q_decontaminate can't see them) — documents
+    // with doc_id % 20 ∈ {1, 6} lend their 10-token prefixes as the
+    // benchmark (%20==1 texts land in USER turns → drop_turns class;
+    // %20==6 in ASSISTANT turns → drop_conv class), turn 5-grams join
+    // the broadcast eval set, and verdicts are role-aware: a
+    // contaminated assistant turn drops the whole conversation (the
+    // model would learn to emit benchmark answers), contaminated
+    // context turns only strip.
     GraftQuery("q_conv_decont",
       (s, dir) => {
         val d = docs(s, dir)
