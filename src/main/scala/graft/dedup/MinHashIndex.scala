@@ -40,7 +40,18 @@ object MinHashIndex {
   /** Process one doc batch: returns the verified near-dup pairs
     * involving this batch's docs (materialized eagerly — the result
     * must not lazily re-read stores the append below then grows), and
-    * appends the batch to the index. */
+    * appends the batch to the index.
+    *
+    * REPLAY-EXACT: each append probes its own idempotence tag, and
+    * when the tag is already committed (a replay after a crash
+    * downstream of this call) the stored index ALREADY holds this
+    * batch's bands/shingles — so the probe uses the stored side alone
+    * instead of unioning the recomputed batch in a second time.
+    * Without that, the duplicated band rows could push a bucket past
+    * cfg.maxBandBucket on the replay only, flipping it into the
+    * star-degrade and changing the pair set vs the original attempt.
+    * With it, a replay of the same (batch, tag) returns bit-identical
+    * pairs no matter where the prior attempt died. */
   def processBatch(spark: SparkSession, indexBase: String, batch: DataFrame,
       id: Column, text: Column, tag: String,
       cfg: MinHash.Config = MinHash.Config()): DataFrame = {
@@ -48,11 +59,21 @@ object MinHashIndex {
     val newBands = MinHash.bandsOf(sigs, cfg)
     val newSets = sigs.select(col("doc_id"), col("sh"))
     val touched = newBands.select(col("band_idx"), col("band_key")).distinct()
+    val bandsIn = SnapshotStore.hasTag(spark, bandsBase(indexBase), s"bands-$tag")
+    val setsIn = SnapshotStore.hasTag(spark, shinglesBase(indexBase), s"shingles-$tag")
     val storedBands = SnapshotStore.read(spark, bandsBase(indexBase))
       .map(_.join(touched, Seq("band_idx", "band_key"), "left_semi"))
-    val allBands = storedBands.map(_.unionByName(newBands)).getOrElse(newBands)
+    val allBands = storedBands match {
+      case Some(sb) if bandsIn => sb // store already holds this batch
+      case Some(sb) => sb.unionByName(newBands)
+      case None => newBands
+    }
     val storedSets = SnapshotStore.read(spark, shinglesBase(indexBase))
-    val allSets = storedSets.map(_.unionByName(newSets)).getOrElse(newSets)
+    val allSets = storedSets match {
+      case Some(ss) if setsIn => ss // store already holds this batch
+      case Some(ss) => ss.unionByName(newSets)
+      case None => newSets
+    }
     val newIds = sigs.select(col("doc_id").as("__nid"))
     val cands = MinHash.candidatePairsFromBands(allBands, cfg)
     val withNew = cands

@@ -134,7 +134,19 @@ object CorpusIngest {
     * Scale posture: composition adds NO corpus-scale work to the
     * stages' own — the gates are per-row maps, exact dedup moves
     * 16-char digests, the index probe touches only this batch's band
-    * buckets, and the monitor delta is one aggregate of the batch. */
+    * buckets, and the monitor delta is one aggregate of the batch.
+    *
+    * CRASH-ATOMIC across the multi-store landing (the ConvIngest
+    * contract, same mechanism): landed seen-store rows are STAMPED
+    * with `batch_id`, and a replay that finds the `ingest-$batchId`
+    * tag already committed RECOVERS `fresh` from the store's batch
+    * slice instead of recomputing it — the recompute would anti-join
+    * against a store that already holds this batch's fingerprints,
+    * collapse `fresh` to ∅, and land empty evictions/monitor rows
+    * under their tags, silently losing them forever. With read-back
+    * recovery every downstream relation rebuilds from the exact rows
+    * attempt 1 landed; already-present tags no-op; missing ones land
+    * the identical frames. */
   def pipelineBatch(spark: SparkSession, base: String, indexBase: String,
       pairsBase: String, mvBase: String, batch: DataFrame, batchId: Long,
       minQuality: Double = 0.2,
@@ -143,37 +155,50 @@ object CorpusIngest {
     val nIn = batch.count()
     val gated = batch.filter(
       TextFunctions.gopherSignals(col("text")).getField("passes"))
-    val fresh = freshRows(spark, base, gated, minQuality).localCheckpoint()
-    // optional distribution monitor: the landed docs' token-length
-    // t-digest GRID histogram is additive (graft.ops.TDigest state),
-    // so per-batch (idx, w) deltas land in a SummingStore and the
-    // dashboard digests the merged ≤29k-counter state — length-drift
-    // quantiles (p1/p50/p99) per refresh WITHOUT rescanning the corpus
-    lenMvBase.foreach { lm =>
-      graft.sinks.SummingStore.appendDelta(
-        graft.ops.TDigest.sketch(fresh,
-          TextFunctions.tokenCount(col("text")).cast("long")),
-        lm, tag = Some(s"lenmv-$batchId"))
-    }
-    val pairs = graft.dedup.MinHashIndex.processBatch(spark, indexBase,
-      fresh, col("doc_id"), col("text"), tag = s"pipe-$batchId")
-      .localCheckpoint()
-    SnapshotStore.commitAppend(spark, base, fresh,
-      tag = Some(s"ingest-$batchId"))
-    SnapshotStore.commitAppend(spark, pairsBase,
-      pairs.select(col("doc_b").as("evicted"), col("doc_a").as("kept_twin"),
-        col("jaccard")),
-      tag = Some(s"evict-$batchId"))
-    val stats = fresh.agg(count(lit(1)).as("n_fresh"),
-        coalesce(sum(TextFunctions.tokenCount(col("text")).cast("long")),
-          lit(0L)).as("tok_fresh")).head
-    val delta = spark.range(1).select(lit(batchId).as("batch_id"),
-      lit(nIn).as("n_in"), lit(gated.count()).as("n_gated"),
-      lit(stats.getLong(0)).as("n_fresh"),
-      lit(pairs.count()).as("n_evicted"),
-      lit(stats.getLong(1)).as("tok_fresh"))
-    graft.sinks.SummingStore.appendDelta(delta, mvBase,
-      tag = Some(s"mv-$batchId"))
+    val regTag = s"ingest-$batchId"
+    // persist(DISK_ONLY), not localCheckpoint: lineage survives a lost
+    // executor (store reads pin their file lists at read() time, so
+    // the later appends never leak into a recompute)
+    val fresh = (if (SnapshotStore.hasTag(spark, base, regTag))
+        // READ-BACK RECOVERY — see the scaladoc's crash contract
+        SnapshotStore.read(spark, base).get.filter(col("batch_id") === batchId)
+      else freshRows(spark, base, gated, minQuality)
+        .withColumn("batch_id", lit(batchId))
+      ).persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      // optional distribution monitor: the landed docs' token-length
+      // t-digest GRID histogram is additive (graft.ops.TDigest state),
+      // so per-batch (idx, w) deltas land in a SummingStore and the
+      // dashboard digests the merged ≤29k-counter state — length-drift
+      // quantiles (p1/p50/p99) per refresh WITHOUT rescanning the corpus
+      lenMvBase.foreach { lm =>
+        graft.sinks.SummingStore.appendDelta(
+          graft.ops.TDigest.sketch(fresh,
+            TextFunctions.tokenCount(col("text")).cast("long")),
+          lm, tag = Some(s"lenmv-$batchId"))
+      }
+      // replay-exact (MinHashIndex contract) + eagerly materialized
+      val pairs = graft.dedup.MinHashIndex.processBatch(spark, indexBase,
+        fresh, col("doc_id"), col("text"), tag = s"pipe-$batchId")
+      ConvIngest.failpoint("index")
+      SnapshotStore.commitAppend(spark, base, fresh, tag = Some(regTag))
+      ConvIngest.failpoint("registry")
+      SnapshotStore.commitAppend(spark, pairsBase,
+        pairs.select(col("doc_b").as("evicted"), col("doc_a").as("kept_twin"),
+          col("jaccard")),
+        tag = Some(s"evict-$batchId"))
+      ConvIngest.failpoint("evictions")
+      val stats = fresh.agg(count(lit(1)).as("n_fresh"),
+          coalesce(sum(TextFunctions.tokenCount(col("text")).cast("long")),
+            lit(0L)).as("tok_fresh")).head
+      val delta = spark.range(1).select(lit(batchId).as("batch_id"),
+        lit(nIn).as("n_in"), lit(gated.count()).as("n_gated"),
+        lit(stats.getLong(0)).as("n_fresh"),
+        lit(pairs.count()).as("n_evicted"),
+        lit(stats.getLong(1)).as("tok_fresh"))
+      graft.sinks.SummingStore.appendDelta(delta, mvBase,
+        tag = Some(s"mv-$batchId"))
+    } finally fresh.unpersist()
   }
 
   /** Serve-time readout of a [[pipelineBatch]] corpus: everything

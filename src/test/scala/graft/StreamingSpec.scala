@@ -775,6 +775,130 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("failure injection: crash BETWEEN landing commits → replay recovers the full corpus batch") {
+    // The window the post-completion crash test above cannot see: the
+    // composed pipeline lands FOUR stores sequentially (index →
+    // registry → evictions → monitor MV), so a crash BETWEEN commits
+    // strands the batch half-landed. Without read-back recovery the
+    // replay's anti-join sees the already-committed registry rows,
+    // `fresh` collapses to ∅, and the missing stores commit EMPTY
+    // frames under their idempotence tags — the batch's evictions and
+    // monitor row are lost forever. This matrix kills the batch after
+    // EACH commit in turn, replays, and asserts the final state is
+    // bit-equal to a never-crashed run.
+    val textA = ("the quick brown fox jumps over the lazy dog and then " +
+      "runs down to the river where it drinks in the cool morning light " +
+      "of a calm clear day while birds sing in the trees and the wind " +
+      "moves softly through the tall green grass near the old stone " +
+      "bridge by the mill").trim
+    val textNear = textA.replace("stone bridge", "stone tower")
+    val textB = ("a completely different document about streams of data " +
+      "and the engines that process them for training large models " +
+      "every day with care and patience across many machines in the " +
+      "wide network where each batch lands exactly once and the state " +
+      "stays correct under replays of any kind at all times").trim
+    val b1 = Seq((3L, textA), (4L, textNear), (5L, textB))
+    for (site <- Seq("index", "registry", "evictions")) {
+      val root = tmp(s"crash-corpus-$site")
+      val (base, idx, pairs, mv) =
+        (s"$root/corpus", s"$root/idx", s"$root/pairs", s"$root/mv")
+      graft.streaming.CorpusIngest.pipelineBatch(spark, base, idx, pairs, mv,
+        Seq((0L, "%%% !!!"), (1L, textA), (2L, textA)).toDF("doc_id", "text"),
+        batchId = 0L)
+      graft.streaming.ConvIngest.crashAfter = Some(site)
+      try {
+        val e = intercept[RuntimeException] {
+          graft.streaming.CorpusIngest.pipelineBatch(spark, base, idx, pairs,
+            mv, b1.toDF("doc_id", "text"), batchId = 1L)
+        }
+        assert(e.getMessage.contains("injected crash"), e.getMessage)
+      } finally graft.streaming.ConvIngest.crashAfter = None
+      // the restart: foreachBatch re-delivers the SAME batch id + data
+      graft.streaming.CorpusIngest.pipelineBatch(spark, base, idx, pairs, mv,
+        b1.toDF("doc_id", "text"), batchId = 1L)
+      val served = graft.streaming.CorpusIngest.servedCorpus(spark, base, pairs)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(served === Set(1L, 5L), s"[$site] served after recovery: $served")
+      val seen = graft.sinks.SnapshotStore.read(spark, base).get
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(seen === Set(1L, 4L, 5L), s"[$site] seen store: $seen")
+      assert(graft.sinks.SnapshotStore.read(spark, pairs).get.count() === 1L,
+        s"[$site] eviction record lost")
+      val mvRows = graft.sinks.SummingStore.read(spark, mv, Seq("batch_id"),
+          Seq("n_in", "n_gated", "n_fresh", "n_evicted", "tok_fresh")).get
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(mvRows.length === 2, s"[$site] monitor rows: ${mvRows.toSeq}")
+      assert(mvRows(0) === ((0L, 3L, 2L, 1L, 0L)), s"[$site] batch 0 monitor: ${mvRows(0)}")
+      assert(mvRows(1) === ((1L, 3L, 3L, 2L, 1L)), s"[$site] batch 1 monitor: ${mvRows(1)}")
+    }
+  }
+
+  test("failure injection: crash BETWEEN landing commits → replay recovers the full conversation batch") {
+    import spark.implicits._
+    def payload(turns: (String, String)*): String =
+      turns.map { case (r, c) => s"""{"role":"$r","content":"$c"}""" }
+        .mkString("[", ",", "]")
+    val sys0 = "you are a helpful assistant that always answers carefully and well"
+    val usrA = "please tell me how the quick brown fox jumps over the lazy " +
+      "dog near the old stone bridge by the mill"
+    val asstA = "the quick brown fox jumps over the lazy dog and then runs " +
+      "down to the river where it drinks in the cool morning light"
+    val pA = payload("system" -> sys0, "user" -> usrA, "assistant" -> asstA)
+    val pAExact = payload("system" -> sys0.toUpperCase,
+      "user" -> usrA.replace(" ", "  "), "assistant" -> asstA.toUpperCase)
+    val pNear = payload("system" -> sys0, "user" -> usrA,
+      "assistant" -> asstA.replace("cool morning light", "warm evening light"))
+    val pBad = payload("user" -> "ok", "assistant" -> "no")
+    val pB = payload("system" -> sys0,
+      "user" -> ("contact me at agent47@mail.example.com for the full " +
+        "details of the plan we discussed yesterday evening"),
+      "assistant" -> ("a completely different answer about streams of " +
+        "data and the engines that process them for training large models"))
+    val b1 = Seq((4L, pA), (5L, pNear), (6L, pB))
+    // "turns" is the exact window VERDICT r14 named: registry committed,
+    // turns not — the batch's training payload is what recovery saves
+    for (site <- Seq("index", "registry", "turns", "evictions")) {
+      val root = tmp(s"crash-conv-$site")
+      val (base, turnsB, idx, pairs, mv) = (s"$root/convs", s"$root/turns",
+        s"$root/idx", s"$root/pairs", s"$root/mv")
+      graft.streaming.ConvIngest.pipelineBatch(spark, base, turnsB, idx,
+        pairs, mv, Seq((1L, pA), (2L, pAExact), (3L, pBad))
+          .toDF("conv_id", "payload"), batchId = 0L)
+      graft.streaming.ConvIngest.crashAfter = Some(site)
+      try {
+        val e = intercept[RuntimeException] {
+          graft.streaming.ConvIngest.pipelineBatch(spark, base, turnsB, idx,
+            pairs, mv, b1.toDF("conv_id", "payload"), batchId = 1L)
+        }
+        assert(e.getMessage.contains("injected crash"), e.getMessage)
+      } finally graft.streaming.ConvIngest.crashAfter = None
+      graft.streaming.ConvIngest.pipelineBatch(spark, base, turnsB, idx,
+        pairs, mv, b1.toDF("conv_id", "payload"), batchId = 1L)
+      val servedConvs = graft.streaming.ConvIngest
+        .servedTurns(spark, turnsB, pairs)
+        .select("conv_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(servedConvs === Set(1L, 6L), s"[$site] served after recovery: $servedConvs")
+      val seen = graft.sinks.SnapshotStore.read(spark, base).get
+        .select("conv_id").collect().map(_.getLong(0)).toSet
+      assert(seen === Set(1L, 5L, 6L), s"[$site] registry: $seen")
+      // conv 1: 3 turns landed in batch 0; convs 5 + 6: 3 turns each in
+      // batch 1 — a lost cturns commit would leave 3 here
+      assert(graft.sinks.SnapshotStore.read(spark, turnsB).get.count() === 9L,
+        s"[$site] landed turns lost")
+      assert(graft.sinks.SnapshotStore.read(spark, pairs).get.count() === 1L,
+        s"[$site] eviction record lost")
+      val mvRows = graft.sinks.SummingStore.read(spark, mv, Seq("batch_id"),
+          Seq("n_in", "n_cleaned", "n_fresh", "n_evicted", "turns_fresh")).get
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(mvRows.length === 2, s"[$site] monitor rows: ${mvRows.toSeq}")
+      assert(mvRows(0) === ((0L, 3L, 2L, 1L, 0L, 3L)), s"[$site] batch 0 monitor: ${mvRows(0)}")
+      assert(mvRows(1) === ((1L, 3L, 3L, 2L, 1L, 6L)), s"[$site] batch 1 monitor: ${mvRows(1)}")
+    }
+  }
+
   test("unigram vocab refresh: mid-stream model swap keeps batch parity, no restart") {
     import graft.ops.UnigramTok
     val store = tmp("uvocab") + "/vocab"
