@@ -266,7 +266,22 @@ object Conversations {
     * explode emits at most ⌈n_tok/seqLen⌉+1 rows per turn, so span
     * volume is linear in corpus tokens; divisions of the corpus-scale
     * prefix sum route through [[TDigest.exactDiv]]'s DECIMAL path
-    * (exact past 2^53). */
+    * (exact past 2^53).
+    *
+    * DENSE-conv_id CONTRACT: the bucket is `conv_id / bucketWidth`,
+    * so the carry is ≤ max(conv_id)/bucketWidth rows — small only
+    * when conv_ids are reasonably DENSE (sequential ingest ids, the
+    * shape every producer in this repo emits). With sparse ids (e.g.
+    * raw 64-bit hashes) each bucket would hold ~1 conversation and
+    * the carry would degenerate to a one-task window over
+    * ~|conversations| rows — still correct, but the claim above no
+    * longer holds. A sparse-id corpus must densify first (land ids
+    * through an ingest registry, or zipWithIndex once) rather than
+    * widen bucketWidth, because the in-bucket window has the inverse
+    * failure (one bucket holding the whole corpus). Deriving the
+    * bucket from a dense rank inside this operator would itself be
+    * the forbidden global window, so the contract sits at the id
+    * producer — where it is already met. */
   def packWithLossMask(rendered: DataFrame, seqLen: Long,
       bucketWidth: Long = 1L << 20): DataFrame = {
     require(seqLen >= 1, "seqLen must be positive")

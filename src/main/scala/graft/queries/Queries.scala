@@ -1864,9 +1864,12 @@ chsrc AS (SELECT chunk_id AS vec_id, ${graft.functions.VectorFunctions.hashingVe
     // windows → feature-hash chunk embeddings (deterministic, no fitted
     // vocab) → cosine top-5 retrieval for the first chunk of docs 0-2.
     // Chunk ids BIGINT-pack (doc_id, chunk_idx) like span dedup. The
-    // retrieval rung here is the brute-force verification baseline
-    // (bounded: 3 query chunks); the production swap-in at corpus scale
-    // is Ann.ivfTopK/lshTopK over the same (chunk_id, emb) relation.
+    // exact-retrieval rung runs the bounded-heap re-rank
+    // (bruteForceTopKHeap — bit-identical to the window form, which
+    // q_ann_topk keeps as the deliberate gate-pair; per-query chunk
+    // candidates grow with the corpus, so a WindowExec group here is
+    // the r13 spill shape); the approximate swap-in at corpus scale is
+    // q_rag_pipeline_ivf over the same (chunk_id, emb) relation.
     GraftQuery("q_rag_pipeline",
       (s, dir) => {
         val chunks = Corpus.chunkOverlap(docs(s, dir), col("doc_id"),
@@ -1874,7 +1877,8 @@ chsrc AS (SELECT chunk_id AS vec_id, ${graft.functions.VectorFunctions.hashingVe
           .select((col("doc_id") * 65536 + col("chunk_idx")).as("chunk_id"),
             graft.functions.VectorFunctions.hashingVectorizer(
               TextFunctions.tokens(lower(col("chunk_text"))), dim = 16).as("emb"))
-        graft.similarity.Ann.bruteForceTopK(chunks, col("chunk_id"), col("emb"),
+        graft.similarity.Ann.bruteForceTopKHeap(chunks, col("chunk_id"),
+          col("emb"),
           isQuery = pmod(col("chunk_id"), lit(65536L)) === 0 &&
             col("chunk_id") < lit(3L * 65536), k = 5)
       },

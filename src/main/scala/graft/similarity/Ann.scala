@@ -67,7 +67,21 @@ object Ann {
     * Input: (query_id, vec_id, `scoreName`) — extra columns are
     * ignored (re-attach corpus attributes by broadcasting the ≤
     * k×|queries| head back onto the corpus scan, the retrievalMetrics
-    * precedent). Output: (query_id, vec_id, `scoreName`, rk). */
+    * precedent). Output: (query_id, vec_id, `scoreName`, rk).
+    *
+    * CONTRACT (the sentinel's validity bounds — every current caller
+    * passes a cosine, which satisfies both):
+    *  - `scoreName` values must lie in (−2, +∞): a legitimate score of
+    *    exactly [[NullScore]] (−2.0) would be silently rewritten to
+    *    NULL on output, and scores below −2 would order ABOVE real
+    *    NULLs instead of below them (the window form ranks NULLs
+    *    last). A caller with an unbounded score must shift/rescale it
+    *    into range first (or rank on its negation).
+    *  - `vec_id` must be non-null: [[graft.functions.BoundedTopK]]
+    *    drops null-key rows at insert, whereas the window form would
+    *    rank them — the documented "unconditional" window equivalence
+    *    assumes non-null ids (true for every caller: ids are key
+    *    columns of their stores). */
   private[graft] def heapTopK(scored: DataFrame, k: Int,
       scoreName: String = "cosine"): DataFrame = {
     graft.functions.BoundedTopK.register(scored.sparkSession)
@@ -426,7 +440,26 @@ object Ann {
     * ≤201-row-per-cluster bucket carry; rank = carry + in-bucket
     * rank, bit-identical to the global window by bucket
     * monotonicity). NULL cosines ride the usual below-range sentinel,
-    * preserving the desc_nulls_last order exactly. */
+    * preserving the desc_nulls_last order exactly.
+    *
+    * BOUND CAVEAT (data-dependent, not unconditional): the in-bucket
+    * group is bounded by the 10k-µ BUCKET POPULATION, which is a
+    * distributional statement, not a hard cap — a cluster of
+    * near-identical vectors (exactly the near-duplicate regime this
+    * pruning targets) concentrates its centroid-cosines into a few µ
+    * values and can land most of the cluster in ONE bucket, degrading
+    * that group back toward the whole-cluster window (correct, but
+    * with the spill profile the bucketing exists to avoid). The cap
+    * cannot be made unconditional within this decomposition: the rank
+    * order is (cos desc, vec_id asc), so any sub-bucket key must be
+    * order-consistent with it — a cosine-derived sub-key inherits the
+    * same degeneracy (equal cosines stay together) and an id-derived
+    * one interleaves across distinct cosines, which breaks the carry's
+    * additivity; bounding it for real needs a log-depth prefix-sum
+    * tree, unwarranted while the upstream exact/near dedup keeps
+    * identical-vector mass bounded. Mitigation when it bites: shrink
+    * `bw` (splits distinct-but-close cosines; only EXACTLY equal
+    * µ-cosines are irreducible), or exact-dedup vectors first. */
   def protoPrune(emb: DataFrame, id: Column, vec: Column, keepFraction: Double,
       nCentroids: Int = 16, kmeansIters: Int = 5): DataFrame = {
     require(keepFraction > 0 && keepFraction <= 1)

@@ -678,6 +678,13 @@ class PlanSpec extends SparkSpec {
     assertHeapRerank(plan("q_knn_classify"), "q_knn_classify")
   }
 
+  test("q_rag_pipeline: the chunk re-rank is the bounded heap (r14 verdict #2)") {
+    // the last window-form re-rank outside the deliberate q_ann_topk
+    // gate-pair: chunk candidates per query are corpus-sized, so the
+    // family pin extends here
+    assertHeapRerank(plan("q_rag_pipeline"), "q_rag_pipeline")
+  }
+
   test("q_proto_prune: rank windows are (cluster × cos-bucket)-bounded, never whole-cluster") {
     // protoPrune ranks EVERY row, so it can't use the heap — its
     // scale-safe form is the two-phase bucketed cumulative: every
