@@ -323,6 +323,26 @@ object Conversations {
       sum(col("len")).as("n_tok"),
       sum(when(col("is_loss"), col("len")).otherwise(0L)).as("n_loss_tok"))
 
+  /** ATTENTION-boundary ledger of a [[packWithLossMask]] pack: one row
+    * per (sequence × conversation segment) — `(seq_id, conv_id,
+    * off_start, len)` = token positions [off_start, off_start+len) of
+    * sequence seq_id belong to conversation conv_id. GPT-style packing
+    * without these boundaries leaks cross-conversation context at
+    * train time (position t attends to an unrelated transcript packed
+    * before it); with them a loader builds the block-diagonal
+    * attention mask per sequence without re-deriving the pack. The
+    * segment is CONTIGUOUS by construction — concatenation order is
+    * the total (conv_id, turn_idx) order, so a conversation's tokens
+    * inside one sequence form one unbroken run and
+    * `min(off_start) + sum(len)` is its exclusive end. One hash
+    * aggregate over the span relation (it IS the span ledger
+    * re-grouped per (seq_id, conv_id) — no new shuffle shape, and the
+    * output is ≤ the span count, linear in corpus tokens). */
+  def packAttentionBoundaries(spans: DataFrame): DataFrame =
+    spans.groupBy(col("seq_id"), col("conv_id")).agg(
+      min(col("off_start")).as("off_start"),
+      sum(col("len")).as("len"))
+
   // ---------------------------------------------------------- templates
 
   /** System-prompt template groups: fingerprint of the NORMALIZED
@@ -347,7 +367,19 @@ object Conversations {
     *  - conv_of = doc_id / 4, turn_of = doc_id % 4; a turn exists iff
     *    turn_of < 1 + conv_of % 4 → conversation lengths cycle
     *    1,2,3,4 (single-turn class: conv_of % 4 == 0);
-    *  - roles: turn 0 `system`, odd `user`, even `assistant`;
+    *  - roles: turn 0 `system`, odd `user`, even `assistant` —
+    *    EXCEPT conv_of % 8 == 6 (length 3), whose turn 2 is `tool`
+    *    (a function-call result carrying the doc text): real SFT
+    *    corpora interleave tool turns, and the class pins their
+    *    contract through every gated path — rendered as
+    *    `<|tool|> … <|end|>` with is_loss = false (tool output is
+    *    context, never a training target), gate fails strip like any
+    *    non-system turn, and a contaminated tool turn earns
+    *    `drop_turns`, never `drop_conv` (only ASSISTANT leaks teach
+    *    the model to emit benchmark answers — conv_of ≡ 6 (mod 40)
+    *    plants exactly that case: its tool turn carries a %20==6
+    *    eval doc and no other turn of the conversation is
+    *    contaminated);
     *  - system content is one of FIVE templates (`conv_of % 5`),
     *    upper-cased on odd conv_of — the case variant [[templates]]'
     *    normalization must collapse;
@@ -400,6 +432,7 @@ object Conversations {
     val turns = d.select(col("conv_of"), col("turn_of"),
       when(col("turn_of") === 0, "system")
         .when(pmod(col("turn_of"), lit(2L)) === 1, "user")
+        .when(col("turn_of") === 2 && m8 === 6, "tool")
         .otherwise("assistant").as("role"),
       when(col("turn_of") === 0, sysContent).otherwise(userContent)
         .as("content"))
@@ -432,7 +465,7 @@ object Conversations {
   def fixtureTurnCtes(src: String = "documents", p: String = ""): String =
     raw"""${p}cdocs AS (SELECT doc_id, regexp_replace(text, '["\\]', '', 'g') AS ct, doc_id // 4 AS conv_of, doc_id % 4 AS turn_of FROM $src WHERE doc_id % 4 < 1 + (doc_id // 4) % 4),
 ${p}cbase AS (SELECT conv_of, turn_of,
-  CASE WHEN turn_of = 0 THEN 'system' WHEN turn_of % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+  CASE WHEN turn_of = 0 THEN 'system' WHEN turn_of % 2 = 1 THEN 'user' WHEN turn_of = 2 AND conv_of % 8 = 6 THEN 'tool' ELSE 'assistant' END AS role,
   CASE WHEN turn_of = 0 THEN
     CASE WHEN conv_of % 2 = 1 THEN upper('You are assistant profile ' || CAST(conv_of % 5 AS VARCHAR) || ' always follow the system rules carefully')
          ELSE 'You are assistant profile ' || CAST(conv_of % 5 AS VARCHAR) || ' always follow the system rules carefully' END
@@ -609,6 +642,17 @@ SELECT seq_id, CAST(count(*) AS BIGINT) AS n_spans,
  CAST(sum(len) AS BIGINT) AS n_tok,
  CAST(sum(CASE WHEN is_loss THEN len ELSE 0 END) AS BIGINT) AS n_loss_tok
 FROM cspan GROUP BY seq_id"""
+
+  /** Oracle for [[packAttentionBoundaries]] ∘ [[packWithLossMask]]:
+    * the span CTEs re-grouped per (seq_id, conv_id). */
+  def packAttnOracleSql(seqLen: Long, src: String = "documents"): String =
+    s"""WITH ${fixtureTurnCtes(src)},
+${cleanCtes()},
+${renderCtes()},
+${packSpanCtes(seqLen)}
+SELECT seq_id, conv_id, CAST(min(off_start) AS BIGINT) AS off_start,
+ CAST(sum(len) AS BIGINT) AS len
+FROM cspan GROUP BY seq_id, conv_id"""
 
   /** Cleaned-transcript CTE over `${p}cclean`: (doc_id, text) — the
     * conversation-level dedup relation of the streaming ingest

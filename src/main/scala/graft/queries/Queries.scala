@@ -2554,6 +2554,19 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
             graft.ops.Conversations.clean(convTurns(s, dir))), seqLen = 128)),
       Some(graft.ops.Conversations.packStatsOracleSql(128))),
 
+    // Attention-boundary ledger of the same pack: one contiguous
+    // (seq_id, conv_id) segment per conversation a sequence touches —
+    // what a loader needs to build the block-diagonal attention mask
+    // (GPT-style packing without it trains positions against
+    // unrelated packed context). The span ledger re-grouped; oracle
+    // re-groups the identical span CTEs.
+    GraftQuery("q_pack_attn",
+      (s, dir) => graft.ops.Conversations.packAttentionBoundaries(
+        graft.ops.Conversations.packWithLossMask(
+          graft.ops.Conversations.render(
+            graft.ops.Conversations.clean(convTurns(s, dir))), seqLen = 128)),
+      Some(graft.ops.Conversations.packAttnOracleSql(128))),
+
     // ---- preference-pair (RLHF/DPO) curation ------------------------------
     // Fixture: deterministic (pair_id, prompt, chosen, rejected) rows
     // derived from documents, planting every verdict class, a PII
@@ -2605,7 +2618,9 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
     // (the document-scope q_decontaminate can't see them) — documents
     // with doc_id % 20 ∈ {1, 6} lend their 10-token prefixes as the
     // benchmark (%20==1 texts land in USER turns → drop_turns class;
-    // %20==6 in ASSISTANT turns → drop_conv class), turn 5-grams join
+    // %20==6 in ASSISTANT turns → drop_conv class — except
+    // conv_of ≡ 6 (mod 40), where the %20==6 doc rides a TOOL turn
+    // and the tool-only leak must STRIP, not drop), turn 5-grams join
     // the broadcast eval set, and verdicts are role-aware: a
     // contaminated assistant turn drops the whole conversation (the
     // model would learn to emit benchmark answers), contaminated

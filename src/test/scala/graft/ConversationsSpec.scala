@@ -15,13 +15,19 @@ class ConversationsSpec extends SparkSpec {
     Queries.runners("q_conv_flatten")(spark, dir).cache()
 
   test("flatten: array position is turn order, roles follow the frame") {
+    // even non-zero turns are assistant EXCEPT the tool class: turn 2
+    // of conv%8==6 (base convs only — the +10000/+20000 mirror ranges
+    // can never be ≡6 mod 8)
+    val isToolSlot = col("turn_idx") === 2 && pmod(col("conv_id"), lit(8)) === 6
     val bad = turns.filter(
       (col("turn_idx") === 0 && col("role") =!= "system") ||
       (pmod(col("turn_idx"), lit(2)) === 1 && col("turn_idx") > 0 &&
         col("role") =!= "user") ||
       (pmod(col("turn_idx"), lit(2)) === 0 && col("turn_idx") > 0 &&
-        col("role") =!= "assistant")).count()
+        col("role") =!= when(isToolSlot, "tool").otherwise("assistant"))).count()
     assert(bad === 0L)
+    assert(turns.filter(col("role") === "tool").count() > 0L,
+      "the tool-role class must be non-empty")
     // n_turns is consistent with the exploded cardinality
     val inconsistent = turns.groupBy(col("conv_id"))
       .agg(count(lit(1)).as("c"), max(col("n_turns")).as("n"))
@@ -177,6 +183,41 @@ class ConversationsSpec extends SparkSpec {
     assert(stats.filter(col("n_loss_tok") > col("n_tok")).count() === 0L)
     assert(stats.agg(sum(col("n_tok"))).head.getLong(0) ===
       rendered.agg(sum(col("n_tok"))).head.getLong(0))
+  }
+
+  test("tool turns are context: render masks them, gate fails strip, leaks strip — never drop the conversation") {
+    import spark.implicits._
+    val t = Seq(
+      (1L, 0L, "system", "you are a helpful weather assistant for everyone"),
+      (1L, 1L, "user", "please call the weather function for my city now"),
+      (1L, 2L, "tool", "ok"), // structural fail: < 3 tokens
+      (1L, 3L, "assistant", "the weather is sunny and warm all day today"),
+      (2L, 0L, "system", "you are a helpful weather assistant for everyone"),
+      (2L, 1L, "user", "an innocent question about tomorrow perhaps"),
+      (2L, 2L, "tool", "alpha beta gamma delta epsilon zeta result"),
+      (2L, 3L, "assistant", "based on that data tomorrow looks clear"))
+      .toDF("conv_id", "turn_idx", "role", "content")
+    // gate: a failing TOOL turn is a non-system fail → drop_turns
+    // (strip-and-keep), exactly like a failing user turn
+    val g = graft.ops.Conversations.gate(t).collect()
+      .map(r => r.getAs[Long]("conv_id") -> r.getAs[String]("verdict")).toMap
+    assert(g(1L) === "drop_turns")
+    assert(g(2L) === "keep")
+    // render: the tool marker is generic and the span is MASKED
+    val rendered = graft.ops.Conversations.render(
+      graft.ops.Conversations.clean(t))
+    val toolRows = rendered.filter(col("role") === "tool").collect()
+    assert(toolRows.nonEmpty)
+    assert(toolRows.forall(r => !r.getAs[Boolean]("is_loss") &&
+      r.getAs[String]("rendered").startsWith("<|tool|> ")))
+    // decontaminate: a contaminated TOOL turn is a context leak →
+    // drop_turns, never the assistant-leak drop_conv
+    val eval = Seq("alpha beta gamma delta epsilon zeta").toDF("eval_text")
+    val dec = graft.ops.Conversations.decontaminate(t, eval,
+        col("eval_text"), n = 5).collect()
+      .map(r => r.getAs[Long]("conv_id") ->
+        (r.getAs[String]("verdict"), r.getAs[Boolean]("asst_hit"))).toMap
+    assert(dec(2L) === (("drop_turns", false)))
   }
 
   test("decontaminate: assistant leak drops the conversation, context leak strips") {

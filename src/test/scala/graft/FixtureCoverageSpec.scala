@@ -312,7 +312,18 @@ class FixtureCoverageSpec extends SparkSpec {
         "exact_dup" -> dedup.filter(col("is_dup")).count(),
         "near_not_exact" -> near.filter(col("jaccard") < 1.0).count(),
         "near_exact" -> near.filter(col("jaccard") >= 1.0).count(),
-        "template_collapsed" -> tmpl.filter(col("n_convs") >= 2).count())
+        "template_collapsed" -> tmpl.filter(col("n_convs") >= 2).count(),
+        // tool-role class (round 15): tool turns exist, SURVIVE clean
+        // (so downstream render/pack actually see the role), and the
+        // conv_of ≡ 6 (mod 40) decontamination plant lands a
+        // tool-only leak that STRIPS rather than drops
+        "tool_turns" -> turns.filter(col("role") === "tool").count(),
+        "tool_turns_retained" ->
+          cleaned.filter(col("role") === "tool").count(),
+        "tool_leak_strips" -> run("q_conv_decont", dir)
+          .filter(pmod(col("conv_id"), lit(40)) === 6 &&
+            col("n_hit_turns") > 0 && col("verdict") === "drop_turns")
+          .count())
     },
 
     // SFT training assembly (round 14): the loss-mask pack must carry
@@ -336,6 +347,12 @@ class FixtureCoverageSpec extends SparkSpec {
         "masked_spans" -> spans.filter(!col("is_loss")).count(),
         "turn_split_across_seqs" -> perTurn.filter(col("n_seqs") > 1).count(),
         "seq_spanning_convs" -> perSeq.filter(col("n_convs") > 1).count(),
+        // the attention-boundary ledger (q_pack_attn) must see a
+        // sequence holding ≥3 conversations — the block-diagonal mask
+        // with more than one interior boundary, not just a 2-block
+        // split (round-15 ask #4)
+        "seq_spanning_3plus_convs" ->
+          perSeq.filter(col("n_convs") >= 3).count(),
         "decont_keep" -> dec.filter(col("verdict") === "keep").count(),
         "decont_drop_turns" ->
           dec.filter(col("verdict") === "drop_turns").count(),
