@@ -50,17 +50,29 @@ object Preferences {
 
   // ------------------------------------------------------------ gate
 
+  /** The [[gate]] verdict as a Column over (chosen, rejected) — the
+    * ONE spec both the batch gate and the streaming ingest annotate
+    * with (pure projection, so reuse is drift-free and join-free). */
+  private[graft] def verdictExpr: Column =
+    when(TextFunctions.normText(col("chosen")) ===
+        TextFunctions.normText(col("rejected")), "drop_degenerate")
+      .when(Conversations.turnFails(col("chosen")) ||
+        Conversations.turnFails(col("rejected")), "drop_invalid")
+      .otherwise("keep")
+
   /** Pair verdicts — see object doc. Output: (pair_id, verdict,
     * pii_chosen, pii_rejected). */
   def gate(pairs: DataFrame): DataFrame =
-    pairs.select(col("pair_id"),
-      when(TextFunctions.normText(col("chosen")) ===
-          TextFunctions.normText(col("rejected")), "drop_degenerate")
-        .when(Conversations.turnFails(col("chosen")) ||
-          Conversations.turnFails(col("rejected")), "drop_invalid")
-        .otherwise("keep").as("verdict"),
+    pairs.select(col("pair_id"), verdictExpr.as("verdict"),
       Conversations.piiHit(col("chosen")).as("pii_chosen"),
       Conversations.piiHit(col("rejected")).as("pii_rejected"))
+
+  /** The pair relation with the [[gate]] columns APPENDED (the
+    * streaming ingest's shape — all input columns ride along). */
+  private[graft] def withGate(pairs: DataFrame): DataFrame =
+    pairs.withColumn("verdict", verdictExpr)
+      .withColumn("pii_chosen", Conversations.piiHit(col("chosen")))
+      .withColumn("pii_rejected", Conversations.piiHit(col("rejected")))
 
   // ----------------------------------------------------- prompt dedup
 
@@ -74,6 +86,26 @@ object Preferences {
       .select(col("pair_id"), col("canon_id"),
         (col("pair_id") =!= col("canon_id")).as("is_dup"))
   }
+
+  // ------------------------------------------------ response near-dup
+
+  /** Near-duplicate CHOSEN responses ACROSS pairs — the common
+    * synthetic-preference failure [[promptDedup]] cannot see: two
+    * pairs with different prompts but near-identical chosen responses
+    * still concentrate gradient weight on one exchange (and leak
+    * one response across splits). The normalized chosen text rides
+    * [[graft.dedup.MinHash]]'s banded LSH path verbatim (signatures →
+    * capped band join → exact-Jaccard verify — no new join shape, the
+    * conversation near-dup precedent), so the 100 TB posture is
+    * inherited: never all-pairs, skew-capped buckets. Pair-level
+    * verdict: `pair_b` (the LATER pair_id) is the eviction side, the
+    * repo-wide min-id-canonical discipline. Output: (pair_a, pair_b,
+    * jaccard). */
+  def nearDupPairs(pairs: DataFrame,
+      cfg: graft.dedup.MinHash.Config = graft.dedup.MinHash.Config()): DataFrame =
+    graft.dedup.MinHash.verifiedPairs(pairs, col("pair_id"), col("chosen"), cfg)
+      .select(col("doc_a").as("pair_a"), col("doc_b").as("pair_b"),
+        col("jaccard"))
 
   // ---------------------------------------------------------- margins
 
@@ -141,7 +173,12 @@ object Preferences {
     *    verbatim and % 8 == 3 → upper-cased double-spaced chosen
     *    (both drop_degenerate — byte-compare would miss the second),
     *    % 8 == 0 → toks[1..40] (longer than the short chosen),
-    *    else toks[5..44].
+    *    else toks[5..44];
+    *  - NEAR-response mirror: % 8 == 7 pairs re-emitted at pair_id +
+    *    100000 with a FRESH prompt (so promptDedup can't see them —
+    *    exactly the hole [[nearDupPairs]] exists to close) and a
+    *    4-token suffix on chosen — near but not exact, the
+    *    conversation fixture's suffix-mirror discipline.
     * Output: (pair_id, prompt, chosen, rejected). */
   def fixture(docs: DataFrame, id: Column, text: Column): DataFrame = {
     val base = docs.select(id.cast("long").as("pair_id"),
@@ -154,7 +191,7 @@ object Preferences {
       when(m8 === 4, lit("ok"))
         .when(m8 === 0, array_join(slice(col("toks"), 1, 12), " "))
         .otherwise(array_join(slice(col("toks"), 1, 40), " ")).as("chosen0"))
-    staged.select(col("pair_id"), col("prompt"),
+    val basePairs = staged.select(col("pair_id"), col("prompt"),
       when(col("m8") === 6,
         concat(col("chosen0"), lit(" contact agent"),
           col("pair_id").cast("string"), lit("@mail.example.com now")))
@@ -165,6 +202,15 @@ object Preferences {
           upper(regexp_replace(col("chosen0"), " ", "  ")))
         .when(col("m8") === 0, array_join(slice(col("toks"), 1, 40), " "))
         .otherwise(array_join(slice(col("toks"), 5, 40), " ")).as("rejected"))
+    val mirror = basePairs.filter(pmod(col("pair_id"), lit(8L)) === 7)
+      .select((col("pair_id") + 100000L).as("pair_id"),
+        concat(lit("please explain the meaning and context of item "),
+          (col("pair_id") + 100000L).cast("string"),
+          lit(" in two short sentences")).as("prompt"),
+        concat(col("chosen"), lit(" extra trailing marker tokens"))
+          .as("chosen"),
+        col("rejected"))
+    basePairs.unionByName(mirror)
   }
 
   // ------------------------------------------------- DuckDB oracles
@@ -176,10 +222,15 @@ object Preferences {
 ${p}pstage AS (SELECT pair_id, m8, toks,
   'please explain the meaning and context of item ' || CAST(CASE WHEN m8 = 5 THEN pair_id - 1 ELSE pair_id END AS VARCHAR) || ' in two short sentences' AS prompt,
   CASE WHEN m8 = 4 THEN 'ok' WHEN m8 = 0 THEN array_to_string(toks[1:12], ' ') ELSE array_to_string(toks[1:40], ' ') END AS chosen0 FROM ${p}pdocs),
-${p}pairs AS (SELECT pair_id, prompt,
+${p}pairs0 AS (SELECT pair_id, prompt,
   CASE WHEN m8 = 6 THEN chosen0 || ' contact agent' || CAST(pair_id AS VARCHAR) || '@mail.example.com now' ELSE chosen0 END AS chosen,
   CASE WHEN m8 = 1 THEN 'ok' WHEN m8 = 2 THEN chosen0 WHEN m8 = 3 THEN upper(regexp_replace(chosen0, ' ', '  ', 'g')) WHEN m8 = 0 THEN array_to_string(toks[1:40], ' ') ELSE array_to_string(toks[5:44], ' ') END AS rejected
- FROM ${p}pstage)"""
+ FROM ${p}pstage),
+${p}pairs AS (SELECT pair_id, prompt, chosen, rejected FROM ${p}pairs0
+ UNION ALL SELECT pair_id + 100000,
+  'please explain the meaning and context of item ' || CAST(pair_id + 100000 AS VARCHAR) || ' in two short sentences',
+  chosen || ' extra trailing marker tokens', rejected
+ FROM ${p}pairs0 WHERE pair_id % 8 = 7)"""
 
   /** Oracle for [[gate]] ∘ [[fixture]]. */
   def gateOracleSql(src: String = "documents"): String =
@@ -199,6 +250,18 @@ keyed AS (SELECT pair_id, md5(${Conversations.normSql("prompt")}) AS k FROM pair
 SELECT pair_id, min(pair_id) OVER (PARTITION BY k) AS canon_id,
  pair_id <> min(pair_id) OVER (PARTITION BY k) AS is_dup
 FROM keyed"""
+
+  /** Oracle for [[nearDupPairs]] over the gate-KEPT fixture pairs —
+    * the registered pipeline order: near-dup only matters for pairs
+    * that survive the gate (and the drop_invalid `ok` plants would
+    * otherwise form a degenerate identical-text clique). */
+  def nearDupOracleSql(src: String = "documents",
+      cfg: graft.dedup.MinHash.Config = graft.dedup.MinHash.Config()): String = {
+    val pre = s"""${fixtureCtes(src)},
+ptext AS (SELECT pair_id AS doc_id, chosen AS text FROM pairs WHERE $keepPredSql)"""
+    s"""${graft.dedup.MinHash.oracleCtes(cfg, src = "ptext", pre = pre)}
+SELECT doc_a AS pair_a, doc_b AS pair_b, jaccard FROM verified WHERE jaccard >= ${cfg.threshold}"""
+  }
 
   /** DuckDB quality in basis points (mirrors [[qualityBp]]). */
   private def qualityBpSql(c: String): String = {
@@ -226,6 +289,54 @@ SELECT pair_id, ${qualityBpSql("chosen")} AS q_chosen_bp,
  ${qualityBpSql("chosen")} - ${qualityBpSql("rejected")} AS margin_bp,
  CAST(floor(${tc("rejected")} * 10000.0 / ${tc("chosen")}) AS BIGINT) AS len_ratio_bp
 FROM pairs WHERE $keepPredSql"""
+  }
+
+  /** Verdict-blind prompt-canonical CTE over `pairs` (appends to
+    * [[fixtureCtes]]; ends with `dk(pair_id)` — the pairs whose
+    * pair_id is the min of their normalized-prompt group). Under
+    * pair_id-monotone arrival this is exactly the set the streaming
+    * ingest lands as prompt-NEW, dropped verdicts included (keeping
+    * dropped pairs in the registry is what makes the streamed dedup
+    * equal the batch [[promptDedup]]). */
+  private def canonicalCte: String =
+    s"""dk AS (SELECT pair_id FROM (SELECT pair_id, min(pair_id) OVER (PARTITION BY md5(${Conversations.normSql("prompt")})) AS canon_id FROM pairs) WHERE pair_id = canon_id)"""
+
+  /** ONE batch oracle for the streamed preference flow
+    * (q_pref_pipeline_stream): the landed margin ledger = [[margins]]
+    * over gate-kept ∧ prompt-canonical pairs — every predicate the
+    * batch gates already use, so the streaming decomposition must be
+    * invisible in the result. */
+  def pipelineStreamOracleSql(src: String = "documents"): String = {
+    val tc = (c: String) =>
+      raw"CAST(len(regexp_split_to_array(trim($c), '\s+')) AS DOUBLE)"
+    s"""WITH ${fixtureCtes(src)},
+$canonicalCte
+SELECT pair_id, ${qualityBpSql("chosen")} AS q_chosen_bp,
+ ${qualityBpSql("rejected")} AS q_rejected_bp,
+ ${qualityBpSql("chosen")} - ${qualityBpSql("rejected")} AS margin_bp,
+ CAST(floor(${tc("rejected")} * 10000.0 / ${tc("chosen")}) AS BIGINT) AS len_ratio_bp
+FROM pairs JOIN dk USING (pair_id) WHERE $keepPredSql"""
+  }
+
+  /** Batch replay of the preference ingest's MONITOR MV
+    * (q_pref_monitor_stream): per-batch additive counters — pairs in,
+    * gate-kept, prompt-new landed, negative margins among landed kept,
+    * PII-flagged kept — each re-derived by assigning pairs to their
+    * arrival batch (`lo1`/`lo2` boundaries; valid under pair_id-
+    * monotone arrival). */
+  def monitorStreamOracleSql(lo1: Long, lo2: Long,
+      src: String = "documents"): String = {
+    def b(c: String) =
+      s"CASE WHEN $c < $lo1 THEN 0 WHEN $c < $lo2 THEN 1 ELSE 2 END"
+    s"""WITH ${fixtureCtes(src)},
+$canonicalCte,
+m1 AS (SELECT ${b("pair_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_in FROM pairs GROUP BY 1),
+m2 AS (SELECT ${b("pair_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_keep FROM pairs WHERE $keepPredSql GROUP BY 1),
+m3 AS (SELECT ${b("pair_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_fresh FROM dk GROUP BY 1),
+m4 AS (SELECT ${b("pair_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_margin_neg FROM pairs JOIN dk USING (pair_id) WHERE ($keepPredSql) AND ${qualityBpSql("chosen")} - ${qualityBpSql("rejected")} < 0 GROUP BY 1),
+m5 AS (SELECT ${b("pair_id")} AS batch_id, CAST(count(*) AS BIGINT) AS n_pii_kept FROM pairs WHERE ($keepPredSql) AND (${Conversations.piiHitSql("chosen")} OR ${Conversations.piiHitSql("rejected")}) GROUP BY 1)
+SELECT m1.batch_id, m1.n_in, CAST(coalesce(m2.n_keep, 0) AS BIGINT) AS n_keep, CAST(coalesce(m3.n_fresh, 0) AS BIGINT) AS n_fresh, CAST(coalesce(m4.n_margin_neg, 0) AS BIGINT) AS n_margin_neg, CAST(coalesce(m5.n_pii_kept, 0) AS BIGINT) AS n_pii_kept
+FROM m1 LEFT JOIN m2 USING (batch_id) LEFT JOIN m3 USING (batch_id) LEFT JOIN m4 USING (batch_id) LEFT JOIN m5 USING (batch_id)"""
   }
 
   /** Oracle for [[Conversations.packWithLossMask]] ∘ [[render]] ∘

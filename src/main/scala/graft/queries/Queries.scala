@@ -2593,6 +2593,22 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
           col("text"))),
       Some(graft.ops.Preferences.promptDedupOracleSql())),
 
+    // Response-level NEAR dedup over gate-kept pairs: near-identical
+    // chosen responses across different prompts (the synthetic-data
+    // failure promptDedup can't see — the +100000 suffix-mirror class
+    // plants it) through the banded MinHash path verbatim; the later
+    // pair_id is the eviction side.
+    GraftQuery("q_pref_dedup_near",
+      (s, dir) => {
+        val pairs = graft.ops.Preferences.fixture(docs(s, dir),
+          col("doc_id"), col("text"))
+        val kept = graft.ops.Preferences.gate(pairs)
+          .filter(col("verdict") === "keep").select(col("pair_id"))
+        graft.ops.Preferences.nearDupPairs(
+          pairs.join(kept, Seq("pair_id"), "left_semi"))
+      },
+      Some(graft.ops.Preferences.nearDupOracleSql())),
+
     // Quality-margin ledger for kept pairs: exact-bp per-side quality,
     // the chosen−rejected margin (negative ⇒ suspected label noise —
     // the %8==0 short-chosen plant), and the length ratio.
@@ -2613,6 +2629,56 @@ ${graft.ops.Graph.triangleCountsOracleSql()}""")),
             graft.ops.Preferences.fixture(docs(s, dir), col("doc_id"),
               col("text")))), seqLen = 128),
       Some(graft.ops.Preferences.toSftPackOracleSql(128))),
+
+    // The STREAMING preference flagship (completing the modality
+    // triad): pairs arrive in three pair_id-monotone micro-batches
+    // through PrefIngest.pipelineBatch (gate → prompt dedup vs the
+    // landed registry → margin ledger → crash-atomic exactly-once
+    // landing + monitor MV); the output is the landed margin ledger.
+    // One DuckDB batch oracle (gate + prompt-canonical + margin
+    // predicates) — the streaming decomposition must be invisible.
+    // Side-effecting scratch stores: never headline.
+    GraftQuery("q_pref_pipeline_stream",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_pps")
+        deleteRecursivelyOnExit(tmpPath)
+        val (base, marg, mv) =
+          (s"$tmpPath/prompts", s"$tmpPath/margins", s"$tmpPath/mv")
+        val pairs = graft.ops.Preferences.fixture(docs(s, dir),
+          col("doc_id"), col("text"))
+        Seq(0L -> 170L, 170L -> 340L, 340L -> Long.MaxValue)
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            graft.streaming.PrefIngest.pipelineBatch(s, base, marg, mv,
+              pairs.filter(col("pair_id") >= lo && col("pair_id") < hi),
+              i.toLong)
+          }
+        graft.streaming.PrefIngest.servedMargins(s, marg)
+      },
+      Some(graft.ops.Preferences.pipelineStreamOracleSql())),
+
+    // The MV-served MONITORING tier of the preference ingest:
+    // per-batch additive counters (pairs in / gate-kept / prompt-new
+    // landed / negative margins among landed / PII-flagged kept) from
+    // the SummingStore the pipeline maintains, gated against the
+    // batch replay assigning pairs to their arrival batch.
+    GraftQuery("q_pref_monitor_stream",
+      (s, dir) => {
+        val tmpPath = java.nio.file.Files.createTempDirectory("graft_pms")
+        deleteRecursivelyOnExit(tmpPath)
+        val (base, marg, mv) =
+          (s"$tmpPath/prompts", s"$tmpPath/margins", s"$tmpPath/mv")
+        val pairs = graft.ops.Preferences.fixture(docs(s, dir),
+          col("doc_id"), col("text"))
+        Seq(0L -> 170L, 170L -> 340L, 340L -> Long.MaxValue)
+          .zipWithIndex.foreach { case ((lo, hi), i) =>
+            graft.streaming.PrefIngest.pipelineBatch(s, base, marg, mv,
+              pairs.filter(col("pair_id") >= lo && col("pair_id") < hi),
+              i.toLong)
+          }
+        graft.sinks.SummingStore.read(s, mv, Seq("batch_id"),
+          Seq("n_in", "n_keep", "n_fresh", "n_margin_neg", "n_pii_kept")).get
+      },
+      Some(graft.ops.Preferences.monitorStreamOracleSql(170L, 340L))),
 
     // Conversation-scope decontamination: eval prompts leak as TURNS
     // (the document-scope q_decontaminate can't see them) — documents

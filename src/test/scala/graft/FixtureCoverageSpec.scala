@@ -386,7 +386,13 @@ class FixtureCoverageSpec extends SparkSpec {
         "prompt_dup" -> dedup.filter(col("is_dup")).count(),
         "negative_margin" -> margins.filter(col("margin_bp") < 0).count(),
         "sft_bridge_redacted" ->
-          turns.filter(col("content").contains("<EMAIL>")).count())
+          turns.filter(col("content").contains("<EMAIL>")).count(),
+        // response near-dup class (round 15): the +100000 suffix
+        // mirrors must verify below J=1 (near, not exact) against
+        // their base pair — the hole prompt dedup cannot see
+        "near_dup_response" -> run("q_pref_dedup_near", dir)
+          .filter(col("pair_b") === col("pair_a") + 100000L &&
+            col("jaccard") < 1.0).count())
     })
 
   test("every fixture class is populated at both gate SFs") {

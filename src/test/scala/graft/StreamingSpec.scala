@@ -899,6 +899,88 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming preference ingest: gate, cross-batch prompt dedup, margin ledger, monitor MV, crash-atomic replay") {
+    import spark.implicits._
+    val promptA = "please explain how the data pipeline works today"
+    val promptB = "please describe the storage layer design for me"
+    val promptC = "please summarize the compaction strategy briefly now"
+    val promptD = "please outline the serving path for the dashboards"
+    val good = "the pipeline reads the raw events and then cleans " +
+      "and joins them with the dimensions before it lands the result"
+    val alt = "a different answer that describes the storage layer " +
+      "and the way the files are compacted for the readers every day"
+    val short = "the pipeline reads the raw events and then stops"
+    val b0 = Seq((1L, promptA, good, alt),                    // keep
+      (2L, promptA.toUpperCase, good, alt),                   // in-batch prompt dup
+      (3L, promptB, good, good))                              // degenerate (still registers its prompt)
+    val b1 = Seq((4L, promptA, good, alt),                    // cross-batch prompt dup
+      (5L, promptC, short, good),                             // keep, NEGATIVE margin
+      (6L, promptD, good + " mail me at a@b.example.com", alt)) // keep, PII flagged
+    def checkFinal(root: String, label: String): Unit = {
+      val reg = graft.sinks.SnapshotStore.read(spark, s"$root/prompts").get
+        .select("pair_id").collect().map(_.getLong(0)).toSet
+      assert(reg === Set(1L, 3L, 5L, 6L),
+        s"[$label] registry must hold prompt-new pairs of ANY verdict: $reg")
+      val marg = graft.streaming.PrefIngest.servedMargins(spark, s"$root/margins")
+        .collect().map(r => r.getAs[Long]("pair_id") -> r.getAs[Long]("margin_bp"))
+        .toMap
+      assert(marg.keySet === Set(1L, 5L, 6L),
+        s"[$label] ledger must hold kept ∧ prompt-canonical pairs: ${marg.keySet}")
+      assert(marg(5L) < 0L, s"[$label] the short-chosen pair must flag label noise")
+      val mvRows = graft.sinks.SummingStore.read(spark, s"$root/mv",
+          Seq("batch_id"),
+          Seq("n_in", "n_keep", "n_fresh", "n_margin_neg", "n_pii_kept")).get
+        .orderBy("batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      assert(mvRows.length === 2, s"[$label] monitor rows: ${mvRows.toSeq}")
+      assert(mvRows(0) === ((0L, 3L, 2L, 2L, 0L, 0L)), s"[$label] batch 0: ${mvRows(0)}")
+      assert(mvRows(1) === ((1L, 3L, 3L, 2L, 1L, 1L)), s"[$label] batch 1: ${mvRows(1)}")
+    }
+    // healthy streamed build through a real foreachBatch query
+    val root0 = tmp("pref-pipe")
+    val in = MemoryStream[(Long, String, String, String)](spark)
+    val q = in.toDF().toDF("pair_id", "prompt", "chosen", "rejected")
+      .writeStream
+      .option("checkpointLocation", tmp("pref-pipe-ck"))
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.streaming.PrefIngest.pipelineBatch(spark, s"$root0/prompts",
+          s"$root0/margins", s"$root0/mv", batch, id)
+      }
+      .start()
+    try {
+      in.addData(b0: _*); q.processAllAvailable()
+      in.addData(b1: _*); q.processAllAvailable()
+      checkFinal(root0, "stream")
+      // post-completion replay (the classic at-least-once window)
+      graft.streaming.PrefIngest.pipelineBatch(spark, s"$root0/prompts",
+        s"$root0/margins", s"$root0/mv",
+        b1.toDF("pair_id", "prompt", "chosen", "rejected"), batchId = 1L)
+      checkFinal(root0, "replay")
+    } finally q.stop()
+    // failure injection: crash BETWEEN the landing commits, replay,
+    // assert bit-equal recovery (crash-atomic from day one)
+    for (site <- Seq("registry", "margins")) {
+      val root = tmp(s"pref-crash-$site")
+      graft.streaming.PrefIngest.pipelineBatch(spark, s"$root/prompts",
+        s"$root/margins", s"$root/mv",
+        b0.toDF("pair_id", "prompt", "chosen", "rejected"), batchId = 0L)
+      graft.streaming.ConvIngest.crashAfter = Some(site)
+      try {
+        val e = intercept[RuntimeException] {
+          graft.streaming.PrefIngest.pipelineBatch(spark, s"$root/prompts",
+            s"$root/margins", s"$root/mv",
+            b1.toDF("pair_id", "prompt", "chosen", "rejected"), batchId = 1L)
+        }
+        assert(e.getMessage.contains("injected crash"), e.getMessage)
+      } finally graft.streaming.ConvIngest.crashAfter = None
+      graft.streaming.PrefIngest.pipelineBatch(spark, s"$root/prompts",
+        s"$root/margins", s"$root/mv",
+        b1.toDF("pair_id", "prompt", "chosen", "rejected"), batchId = 1L)
+      checkFinal(root, s"crash-$site")
+    }
+  }
+
   test("unigram vocab refresh: mid-stream model swap keeps batch parity, no restart") {
     import graft.ops.UnigramTok
     val store = tmp("uvocab") + "/vocab"
