@@ -88,6 +88,42 @@ object ScaleData {
       concat_ws(" ", words: _*).as("text"))
   }
 
+  /** Raw SFT conversations as (conv_id, payload-JSON) — the wire
+    * shape [[graft.ops.Conversations.flatten]] parses, so the rung
+    * measures the real parse. Turn counts cycle 1..4 (avg 2.5); roles
+    * follow the fixture frame (system / user / assistant); each turn
+    * carries ~24 hash-vocab words, and 1-in-16 turns degrade to a
+    * planted under-length fail (`ok`) so the gate/clean filter paths
+    * do real work at scale. With `hotWidth > 0`, conversations with
+    * conv_id < hotWidth become 8-turn × 96-word monsters (~13× the
+    * average conversation's tokens, ~5× its turn rows) — aim hotWidth
+    * at [[graft.ops.Conversations.packWithLossMask]]'s bucketWidth and
+    * they ALL land in the pack's FIRST bucket: the hot-bucket
+    * adversary. Contents are quote/backslash-free by construction
+    * (the hand-built-JSON contract the fixture also honors). */
+  def convPayloads(spark: SparkSession, n: Long, vocab: Int = 500,
+      hotWidth: Long = 0L): DataFrame = {
+    val isHot = col("id") < lit(hotWidth)
+    def turnJson(j: Int): org.apache.spark.sql.Column = {
+      val role = if (j == 0) "system" else if (j % 2 == 1) "user" else "assistant"
+      val nWords = when(isHot, lit(96)).otherwise(lit(24))
+      val words = array_join(transform(sequence(lit(1), nWords),
+        w => concat(lit("w"), pmod(hash(col("id") * lit(7919L) +
+          lit(j.toLong * 131L) + w), lit(vocab)).cast("string"))), " ")
+      val content = when(
+        pmod(hash(col("id") * lit(13L) + lit(j)), lit(16)) === 0, lit("ok"))
+        .otherwise(words)
+      concat(lit(s"""{"role":"$role","content":""""), content, lit("\"}"))
+    }
+    val nTurns = when(isHot, lit(8L))
+      .otherwise(lit(1L) + pmod(col("id"), lit(4L)))
+    spark.range(n).select(col("id").as("conv_id"),
+      concat(lit("["),
+        array_join(slice(array((0 until 8).map(turnJson): _*),
+          lit(1), nTurns.cast("int")), ","),
+        lit("]")).as("payload"))
+  }
+
   /** Event stream over `users` users: monotone timestamps, four event
     * types hash-assigned — the funnel/rollup workload shape. */
   def events(spark: SparkSession, n: Long, users: Long): DataFrame =

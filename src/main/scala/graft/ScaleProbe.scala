@@ -370,6 +370,31 @@ object ScaleProbe {
         force(graft.ops.TDigest.quantileTDigest(e, col("v"),
           Seq(1 -> 100, 1 -> 4, 1 -> 2, 3 -> 4, 99 -> 100), w = col("w")))
       }),
+      // the composed SFT-modality pipeline (round-15): JSON-payload
+      // parse + posexplode (flatten) → gate/clean (one turn-level hash
+      // agg + corpus-side verdict join + turn-bounded re-index window)
+      // → chat-template render (pure projection) → loss-mask pack (the
+      // two-phase bucketed prefix sum + a span explode linear in
+      // corpus tokens) → per-sequence stats (hash agg over spans).
+      // bucketWidth is the operator's group-size dial, FIXED at 16384
+      // conv-ids/bucket so in-bucket window groups stay ~40k turn rows
+      // at EVERY scale while the carry grows slowly (convN/16384 rows
+      // in one task — ~600k at 10^10 conversations, still one task's
+      // work); the generic invariants measure the composed volume the
+      // r14 verdict flagged as never-probed
+      "conv_pipeline" -> (() => convPipelineRung(spark, docsN, hotWidth = 0L)),
+      // the same pipeline under the HOT-BUCKET adversary: every
+      // conversation in the pack's FIRST bucket is an 8-turn ×
+      // 96-word monster (~13× the average conversation's tokens, ~5×
+      // its turn rows — at the 100× size the one bucket holds ~18% of
+      // all corpus tokens), so a single in-bucket window group
+      // concentrates both rank rows and summed tokens. The zero-spill
+      // + linear-shuffle invariants assert the two-phase form absorbs
+      // the concentration — the per-bucket skew the conversation
+      // modality never had measured (near-duplicate corpora
+      // concentrate pack buckets non-uniformly)
+      "conv_pipeline_skew" -> (() =>
+        convPipelineRung(spark, docsN, hotWidth = 16384L)),
       // the round-12 corpus-LEDGER pair: sequence packing's global
       // exclusive prefix sum and curriculum sharding's global decile
       // cuts are both the bucketed two-phase cumulative shape over the
@@ -807,6 +832,32 @@ object ScaleProbe {
           .withColumn("keep", col("gopher_pass") && col("quality") >= 0.5 &&
             col("clf_p_micros") >= 500000L))
       }))
+  }
+
+  /** The conv_pipeline rung body (shared by the plain and hot-bucket
+    * variants): flatten → clean → render → packWithLossMask →
+    * packedSeqStats over [[ScaleData.convPayloads]] conversations,
+    * bucketWidth fixed at 16384 conv-ids (see the rung comment).
+    * Shuffle partitions scale with turn volume (~2.5 rows/conv) per
+    * the twelfth finding's first constraint. */
+  private def convPipelineRung(spark: SparkSession, convN: Long,
+      hotWidth: Long): Long = {
+    val turns = graft.ops.Conversations.flatten(
+      ScaleData.convPayloads(spark, convN, hotWidth = hotWidth),
+      col("conv_id"), col("payload"))
+    def spans = graft.ops.Conversations.packWithLossMask(
+      graft.ops.Conversations.render(graft.ops.Conversations.clean(turns)),
+      seqLen = 2048L, bucketWidth = 16384L)
+    val prevN = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevC = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.max(32L, convN / 20000L).toString)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try force(spans) + force(graft.ops.Conversations.packedSeqStats(spans))
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevN)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prevC)
+    }
   }
 
   /** recall@k in basis points of a top-k result (query_id, vec_id)
