@@ -267,18 +267,54 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
       .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
       .select(col("doc_id"), col("q.qid").as("qid"),
         col("q.score").as("score"), col("q.rel").as("rel"))
-    // retrieved list: bounded-heap top-k by (score desc, doc_id asc) —
-    // the bm25TopK total order — then rel re-attached by BROADCASTING
-    // the ≤k×|queries|-row head onto the qrels scan (merge-pinning the
-    // qrels side here would shuffle the corpus to serve 40 rows)
-    val head = long.groupBy(col("qid"))
-      .agg(expr(s"bounded_top_k(score, doc_id, $k)").as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
-      .select(col("qid"), (col("p") + 1).cast("int").as("rank"),
-        col("t.key").as("doc_id"))
-    val ret = long.select(col("qid"), col("doc_id"), col("rel"))
-      .join(broadcast(head), Seq("qid", "doc_id"))
-    metricsCore(ret, long.select(col("qid"), col("doc_id"), col("rel")), k)
+    // r15 (guide §2.3/§2.4): the old tail scanned `long` twice more
+    // (once for the bounded-heap head, once to re-attach rel through a
+    // broadcast join) plus a fourth full tokenize pass for the qrels —
+    // every decision here depends only on (qid, doc_id, score, rel),
+    // all present in ONE row of `long`, so the whole metric suite
+    // reduces in a single groupBy(qid) pass: rel rides INSIDE the
+    // retrieved heap's key (key = doc_id·m + rel; rel < m and doc_ids
+    // are unique per qid, so tie order on equal scores is doc_id asc,
+    // bit-identical to the old bounded_top_k(score, doc_id) — valid
+    // while doc_id < 2^63/m, vacuous against real ids), the ideal heap
+    // and n_rel reduce alongside, and the (rank, rel) array decodes
+    // from heap positions. Two corpus scans total (stats + this),
+    // zero joins; results byte-equal (oracle unchanged).
+    val m = queries.map(_._2.length).max + 1 // rel ∈ [0, m)
+    val d = discounts(k)
+    def gainAt(rel: Column, rank: Column): Column =
+      (call_function("shiftleft", lit(1L), rel.cast("int")) - 1L)
+        .cast("double") * element_at(typedLit(d), rank)
+    def foldSum(arr: Column): Column =
+      aggregate(arr, lit(0.0), (acc, x) => acc + x)
+    val agg = long.groupBy(col("qid")).agg(
+      expr(s"bounded_top_k(score, doc_id * ${m}L + rel, $k)").as("topenc"),
+      expr(s"bounded_top_k(CAST(rel AS DOUBLE), doc_id, $k)").as("ideal"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+      .withColumn("rr", zip_with(col("topenc"),
+        sequence(lit(1), greatest(size(col("topenc")), lit(1))),
+        (t, i) => struct(i.cast("int").as("rank"),
+          pmod(t.getField("key"), lit(m.toLong)).as("rel"))))
+    val dcgRaw = foldSum(transform(col("rr"),
+      r => gainAt(r.getField("rel"), r.getField("rank"))))
+    val idcgRaw = foldSum(zip_with(col("ideal"),
+      sequence(lit(1), greatest(size(col("ideal")), lit(1))),
+      (s, i) => gainAt(s.getField("score").cast("long"), i)))
+    val hits = size(filter(col("rr"), r => r.getField("rel") > 0)).cast("long")
+    val minRank = array_min(transform(
+      filter(col("rr"), r => r.getField("rel") > 0), r => r.getField("rank")))
+    agg.select(col("qid").as("query_id"), col("n_rel"),
+      when(col("n_rel") > 0,
+        floor(hits.cast("double") * lit(1e6) / col("n_rel").cast("double")
+          + lit(0.5)).cast("long")).otherwise(0L).as("recall_micros"),
+      when(minRank.isNotNull,
+        floor(lit(1e6) / minRank.cast("double") + lit(0.5)).cast("long"))
+        .otherwise(0L).as("mrr_micros"),
+      floor(dcgRaw * lit(1e6) + lit(0.5)).cast("long").as("dcg_micros"),
+      floor(idcgRaw * lit(1e6) + lit(0.5)).cast("long").as("idcg_micros"),
+      when(idcgRaw > 0,
+        floor(dcgRaw / idcgRaw * lit(1e6) + lit(0.5)).cast("long"))
+        .otherwise(0L).as("ndcg_micros"))
   }
 
   /** The same metric suite over the HYBRID ranking: each query's

@@ -55,12 +55,26 @@ object IvfIndex {
   }
 
   /** Train on the budgeted sample and version-stamp the centroids into
-    * the store (atomic swap — see object doc). */
+    * the store (atomic swap — see object doc).
+    *
+    * r15: the Lloyd's loop runs DRIVER-LOCAL ([[KMeans.fitLocal]] —
+    * byte-equal to the distributed [[KMeans.fit]], KMeansSpec-pinned):
+    * the sample is ≤ `budget` rows BY CONSTRUCTION (the same bounded
+    * driver state the old fit's init collect already pulled), so the
+    * distributed loop's 2 Spark jobs per iteration (×iters ×publishes
+    * in the refresh loop) were pure scheduling overhead at every
+    * corpus size — the budget, not the corpus, caps this collect. The
+    * corpus-scale [[KMeans.fit]] callers (Ann.ivfTopK etc.) keep the
+    * distributed loop. */
   def publish(spark: SparkSession, centBase: String, emb: DataFrame,
       id: Column, vec: Column, version: Long, nCentroids: Int = 16,
       iters: Int = 5, budget: Int = 200): Unit = {
-    val cents = KMeans.fit(sample(emb, id, vec, budget),
-      col("vec_id"), col("embedding"), nCentroids, iters)
+    val vecs = sample(emb, id, vec, budget)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .collect()
+      .map(r => if (r.isNullAt(0)) Array.empty[Double]
+                else r.getSeq[Double](0).toArray)
+    val cents = KMeans.fitLocal(vecs, nCentroids, iters)
     SnapshotStore.commitReplace(spark, centBase,
       KMeans.centroidFrame(spark, cents).withColumn("version", lit(version)))
   }
@@ -99,21 +113,18 @@ object IvfIndex {
         e.join(existing.get.filter(col("model_version") === v)
           .select(col("vec_id")), Seq("vec_id"), "left_anti")
       else e
-    // the assignment is reused for count + commit: persist(DISK_ONLY)
-    // keeps the LINEAGE intact, so on a real cluster a lost executor
-    // recomputes its blocks — localCheckpoint() would truncate lineage
-    // to non-replicated executor-local blocks and strand the full
-    // re-assign on the first lost node
+    // r15 (guide §5): the count and the commit used to force the
+    // assignment TWICE — once into a persist(DISK_ONLY) cache for
+    // count(), once into the committed parquet. The counted-commit
+    // path materializes it exactly once (the parquet write) and reads
+    // the row count from the staged files' footers — driver-side
+    // metadata, no second pass, no cache to manage; at 100 TB this
+    // halves the refresh loop's assignment IO. A zero-row append
+    // commits nothing, exactly like the old `if (n > 0)` guard.
     val assigned = KMeans.assign(todo, cents, probes = 1)
       .select(col("vec_id"), col("cent_id"), lit(v).as("model_version"))
-      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    try {
-      val n = assigned.count()
-      if (sameModel) {
-        if (n > 0) SnapshotStore.commitAppend(spark, cellBase, assigned)
-      } else SnapshotStore.commitReplace(spark, cellBase, assigned)
-      n
-    } finally assigned.unpersist()
+    if (sameModel) SnapshotStore.commitAppendCounted(spark, cellBase, assigned)
+    else SnapshotStore.commitReplaceCounted(spark, cellBase, assigned)
   }
 
   /** Serve exact-re-ranked top-k from the published model + cell

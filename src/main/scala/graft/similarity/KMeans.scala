@@ -81,60 +81,79 @@ object KMeans {
   }
 
   /** Nearest-centroid assignment by cosine (ties → lowest cent_id):
-    * the corpus broadcast-joins k centroid rows and keeps the top
-    * `probes` centroids per vector. Shared by training (probes=1) and
-    * the IVF query path (probes=nProbe).
+    * ONE codegen'd projection per row ([[graft.functions.NearestCentroids]]
+    * — centroids are k×dim driver-side doubles by construction, so they
+    * embed in the plan as literals and every row scores all k centroids
+    * in a single fused loop, keeping its top `probes`). Shared by
+    * training (probes=1) and the IVF query path (probes=nProbe).
     *
-    * The |corpus|×k cosine matrix is THE flop hot spot of every
-    * k-means-backed rung, so the dot runs through the native codegen'd
-    * DoubleDot expression (bit-identical to the HOF form — the
-    * AnnMultimodalSpec equivalence test is what licenses the swap
-    * without touching any oracle) rather than the interpreted
-    * zip_with/aggregate lambda: ~5× wall-time on the assignment
-    * stage at probe scale. */
+    * r15 optimization (guide §2.4 "remove shuffles outright"): the
+    * previous form was a broadcast-nested-loop join materializing
+    * |corpus|×k scored rows followed by a groupBy(vec_id) hash
+    * aggregate that re-shuffled EVERY embedding array (first(v),
+    * first(nrm)) just to pick the per-row winner. The winner is a
+    * per-row decision — no cross-row information — so the whole
+    * shuffle was removable: assignment is now map-only (zero Exchange,
+    * |corpus|×k rows never materialize) and preserves the scan
+    * partitioning. Order semantics are bit-identical:
+    * score = graft_dot/(nrm·cnrm) with the −2.0 NULL-sentinel coalesce,
+    * selection by (score desc, cent_id asc) — the old
+    * max(struct(c, −cent_id)) / bounded_top_k total order — enforced
+    * by every caller's unchanged window-replay DuckDB oracle. */
   def assign(e: DataFrame, cents: DataFrame, probes: Int,
       idCol: String = "vec_id", vCol: String = "v", nCol: String = "nrm"): DataFrame = {
+    // k centroid rows — the ANN family's sanctioned driver state
+    val rows = cents.select(col("cent_id").cast("int"),
+      col("cv").cast("array<double>"), col("cnrm").cast("double")).collect()
+    val sorted = rows.sortBy(_.getInt(0))
+    assignTo(e,
+      sorted.map(_.getInt(0)),
+      sorted.map(_.getSeq[Double](1).toArray),
+      sorted.map(_.getDouble(2)),
+      probes, idCol, vCol, nCol)
+  }
+
+  /** [[assign]] against an in-driver centroid array (the [[fit]] loop's
+    * form — skips the centroidFrame→collect round-trip per iteration).
+    * Norms are the same sequential-fold-then-sqrt the Column form
+    * computes. */
+  private[similarity] def assignLocal(e: DataFrame, cents: Array[Centroid],
+      probes: Int, idCol: String = "vec_id", vCol: String = "v",
+      nCol: String = "nrm"): DataFrame =
+    assignTo(e, cents.map(_.centId), cents.map(_.cv),
+      cents.map(c => localNorm(c.cv)), probes, idCol, vCol, nCol)
+
+  /** Sequential left-fold norm — bit-identical to
+    * [[VectorFunctions.norm]] (same fold order, IEEE sqrt). */
+  private[similarity] def localNorm(v: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  /** The shared map-only assignment: positions from the
+    * graft_nearest_cents projection, mapped back to cent_ids (identity
+    * for the 0..k−1 frames every caller builds; kept general). */
+  private def assignTo(e: DataFrame, ids: Array[Int], cvs: Array[Array[Double]],
+      cnrms: Array[Double], probes: Int, idCol: String, vCol: String,
+      nCol: String): DataFrame = {
+    if (ids.isEmpty) // no centroids ⇒ no assignments (the old join form's shape)
+      return e.select(col(idCol), col(vCol), col(nCol),
+        lit(0).as("cent_id")).filter(lit(false))
     VectorExpressions.register(e.sparkSession)
-    val scored = e.join(broadcast(cents), expr("true"))
-      .select(col(idCol), col(vCol), col(nCol), col("cent_id"),
-        when(col(nCol) > 0 && col("cnrm") > 0,
-          call_function("graft_dot", col(vCol), col("cv")) / (col(nCol) * col("cnrm")))
-          .as("cent_cos"))
-    if (probes == 1) {
-      // CORPUS path: a window over |corpus|×k scored rows would sort —
-      // and, measured at a 300k×64 probe on small shuffle-partition
-      // counts, SPILL tens of GB. The same winner falls out of a
-      // map-side-combinable max(struct) aggregation: highest cosine,
-      // ties to the LOWEST cent_id (the negated id inside the struct),
-      // nulls coerced below the cosine range exactly like the window's
-      // NULLS LAST. Shuffles one row per vector instead of k, no sort.
-      // v/nrm are functionally dependent on the id, so first() is
-      // deterministic here.
-      scored.groupBy(col(idCol))
-        .agg(first(col(vCol)).as(vCol), first(col(nCol)).as(nCol),
-          max(struct(coalesce(col("cent_cos"), lit(-2.0)).as("c"),
-            (-col("cent_id")).as("nc"))).as("__m"))
+    val nc = call_function("graft_nearest_cents",
+      col(vCol).cast("array<double>"), col(nCol).cast("double"),
+      typedLit(cvs.map(_.toSeq).toSeq), typedLit(cnrms.toSeq),
+      lit(math.min(probes, ids.length)))
+    val idLit = typedLit(ids.toSeq)
+    if (probes == 1)
+      e.select(col(idCol), col(vCol), col(nCol),
+        element_at(idLit, element_at(nc, 1) + 1).as("cent_id"))
+    else
+      e.select(col(idCol), col(vCol), col(nCol), explode(nc).as("__p"))
         .select(col(idCol), col(vCol), col(nCol),
-          (-col("__m.nc")).as("cent_id"))
-    } else {
-      // QUERY path (probes = nProbe): same winner rule as probes=1 but
-      // keeping the top `probes` — a bounded_top_k partial+final
-      // aggregation ((cent_cos desc NULLS LAST, cent_id asc) == heap
-      // order on (coalesced score, key); nulls coerced below the
-      // cosine range exactly like the probes=1 struct). The query side
-      // is bounded, but running it heap-form keeps EVERY ANN plan
-      // window-free — PlanSpec pins no-WindowExec across the family,
-      // which a window here would break.
-      graft.functions.BoundedTopK.register(e.sparkSession)
-      scored.groupBy(col(idCol))
-        .agg(first(col(vCol)).as(vCol), first(col(nCol)).as(nCol),
-          expr(s"bounded_top_k(coalesce(cent_cos, -2.0D), " +
-            s"CAST(cent_id AS BIGINT), $probes)").as("__top"))
-        .select(col(idCol), col(vCol), col(nCol),
-          explode(col("__top")).as("t"))
-        .select(col(idCol), col(vCol), col(nCol),
-          col("t.key").cast("int").as("cent_id"))
-    }
+          element_at(idLit, col("__p") + 1).as("cent_id"))
   }
 
   /** Lloyd's fit: returns the trained centroids after `iters`
@@ -142,12 +161,11 @@ object KMeans {
     * iteration (the centroids themselves — the broadcast side). Empty
     * clusters keep their previous centroid. */
   def fit(emb: DataFrame, id: Column, vec: Column, k: Int, iters: Int): Array[Centroid] = {
-    val spark = emb.sparkSession
     val e = corpus(emb, id, vec).cache()
     try {
       var cents = initCentroids(e, k)
       for (_ <- 1 to iters) {
-        val assigned = assign(e, centroidFrame(spark, cents), probes = 1)
+        val assigned = assignLocal(e, cents, probes = 1)
         val means = assigned
           .select(col("cent_id"), posexplode(col("v")).as(Seq("j", "x")))
           .groupBy(col("cent_id"), col("j"))
@@ -168,6 +186,75 @@ object KMeans {
       }
       cents
     } finally e.unpersist()
+  }
+
+  /** Driver-local Lloyd's over an ALREADY-BOUNDED sample, byte-equal to
+    * [[fit]] run on the same rows — the [[graft.ops.UnigramTok]]
+    * driver-EM-under-budget precedent applied to the IVF refresh loop:
+    * [[graft.similarity.IvfIndex.publish]] trains on a ≤budget
+    * hash-order sample (hundreds of rows by parameter), where the
+    * distributed loop's 2 jobs/iteration are pure scheduling overhead.
+    * `vecs` must arrive in the init order ([[initCentroids]]'s
+    * (md5Long(vec_id), vec_id) ascending — [[IvfIndex.sample]]'s own
+    * order), double-cast; the first min(k, n) rows seed centroids
+    * 0..k−1.
+    *
+    * Equivalence, piece by piece (KMeansSpec pins fit == fitLocal):
+    * norms/dots are the same sequential left folds; assignment is
+    * (score desc, cent_id asc) with the −2.0 sentinel via
+    * Double.compare — [[assignLocal]]'s rule; means quantize each
+    * component to floor(x·2^20 + 0.5) longs summed per (cluster, dim)
+    * — integer sums are order-independent, so driver vs distributed
+    * accumulation cannot drift — and divide s/(n·2^20) in the same
+    * double ops; per-(cluster,dim) counts mirror the posexplode
+    * grouping (a dim contributes only where a row has it); clusters
+    * with no component rows keep their previous centroid. */
+  def fitLocal(vecs: Array[Array[Double]], k: Int, iters: Int): Array[Centroid] = {
+    val nrms = vecs.map(localNorm)
+    var cents: Array[Centroid] =
+      vecs.take(k).zipWithIndex.map { case (v, i) => Centroid(i, v) }
+    val dim = vecs.foldLeft(0)((m, v) => math.max(m, v.length))
+    for (_ <- 1 to iters if cents.nonEmpty) {
+      val cnrms = cents.map(c => localNorm(c.cv))
+      val sums = Array.ofDim[Long](cents.length, dim)
+      val cnts = Array.ofDim[Long](cents.length, dim)
+      var r = 0
+      while (r < vecs.length) {
+        val v = vecs(r)
+        val nrm = nrms(r)
+        var best = 0
+        var bestS = Double.NaN
+        var c = 0
+        while (c < cents.length) {
+          val s =
+            if (nrm > 0 && cnrms(c) > 0 && v.length == cents(c).cv.length) {
+              var d = 0.0
+              var i = 0
+              while (i < v.length) { d += v(i) * cents(c).cv(i); i += 1 }
+              d / (nrm * cnrms(c))
+            } else -2.0
+          if (c == 0 || java.lang.Double.compare(s, bestS) > 0) {
+            best = c; bestS = s // strict >: ties keep the LOWEST cent_id
+          }
+          c += 1
+        }
+        var j = 0
+        while (j < v.length) {
+          sums(best)(j) += math.floor(v(j) * QuantScale + 0.5).toLong
+          cnts(best)(j) += 1
+          j += 1
+        }
+        r += 1
+      }
+      cents = cents.map { cen =>
+        val c = cen.centId
+        val js = (0 until dim).filter(j => cnts(c)(j) > 0)
+        if (js.isEmpty) cen // no component rows: carry the previous centroid
+        else Centroid(c,
+          js.map(j => sums(c)(j).toDouble / (cnts(c)(j) * QuantScale)).toArray)
+      }
+    }
+    cents
   }
 
   // ---- DuckDB oracle fragments -------------------------------------------

@@ -292,6 +292,63 @@ object SnapshotStore {
       }
     }
 
+  /** Exact row count of staged files from their parquet FOOTERS —
+    * driver-side metadata reads (one footer per new file, the same
+    * order of work as the manifest write), never a Spark job. This is
+    * what lets a caller that needs "rows committed" avoid the
+    * persist + count() + write double materialization of the data
+    * (r15, guide §5: the count used to force the frame once into a
+    * cache and once into parquet). */
+  private def stagedRowCount(spark: SparkSession, base: String,
+      rels: Seq[String]): Long = {
+    val hconf = conf(spark)
+    rels.map { rel =>
+      val p = new Path(s"${dataDir(base)}/$rel")
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** [[commitAppend]] that also returns the number of rows landed,
+    * counted from the staged files' footers (no extra job, no caching
+    * of the input frame). A zero-row batch commits NOTHING (its empty
+    * files are removed; no manifest version is burned) and returns 0 —
+    * the same observable behavior as the old
+    * `if (count > 0) commitAppend` caller pattern. An
+    * already-present idempotence tag is a no-op returning 0. */
+  def commitAppendCounted(spark: SparkSession, base: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil, tag: Option[String] = None,
+      statsCols: Seq[String] = Nil): Long =
+    commitLock(base).synchronized {
+      if (tag.exists(hasTag(spark, base, _))) 0L
+      else {
+        val existing = listFiles(spark, base)
+        val staged = stageWrite(spark, base, df, partitionBy)
+        val n = stagedRowCount(spark, base, staged)
+        if (n == 0L) {
+          val f = fs(spark, base)
+          staged.foreach(rel => f.delete(new Path(s"${dataDir(base)}/$rel"), false))
+        } else {
+          commitManifest(spark, base, existing ++ staged, tag,
+            newStats = computeStats(spark, base, staged, statsCols))
+        }
+        n
+      }
+    }
+
+  /** [[commitReplace]] returning the rows committed, counted from the
+    * staged footers (the replace ALWAYS commits — replacing a table
+    * with an empty snapshot is a legitimate state). */
+  def commitReplaceCounted(spark: SparkSession, base: String, df: DataFrame,
+      partitionBy: Seq[String] = Nil, statsCols: Seq[String] = Nil): Long =
+    commitLock(base).synchronized {
+      val staged = stageWrite(spark, base, df, partitionBy)
+      commitManifest(spark, base, staged,
+        newStats = computeStats(spark, base, staged, statsCols))
+      stagedRowCount(spark, base, staged)
+    }
+
   /** Replace exactly one partition's files with `df` (which must be the
     * new content of that partition, carrying the partition column):
     * the partition-scoped compaction path — closed partitions commit
