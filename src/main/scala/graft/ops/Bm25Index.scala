@@ -58,13 +58,28 @@ object Bm25Index {
   private def doclensBase(indexBase: String) = s"$indexBase/doclens"
 
   /** Append one doc batch to the index (both tables), idempotent under
-    * replay via the SnapshotStore dedupe tag. */
+    * replay via the SnapshotStore dedupe tag.
+    *
+    * r15 (guide §2.6 "overlap independent jobs"): the postings and
+    * doclens commits are INDEPENDENT (different stores, each with its
+    * own idempotence tag), so they run concurrently from two driver
+    * threads instead of back-to-back — the scheduler back-fills the
+    * first commit's task tail with the second's tasks, hiding one
+    * commit latency per maintenance cycle. Failure semantics are
+    * unchanged: if either lands and the other dies, the replay's
+    * per-store tags no-op the landed one and land the missing one
+    * (exactly the maintain/processNew at-least-once contract). */
   def appendBatch(spark: SparkSession, indexBase: String, docs: DataFrame,
       id: Column, text: Column, tag: String): Unit = {
-    SnapshotStore.commitAppend(spark, postingsBase(indexBase),
-      postingsOf(docs, id, text), tag = Some(s"postings-$tag"))
-    SnapshotStore.commitAppend(spark, doclensBase(indexBase),
-      doclensOf(docs, id, text), tag = Some(s"doclens-$tag"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val posts = Future(SnapshotStore.commitAppend(spark, postingsBase(indexBase),
+      postingsOf(docs, id, text), tag = Some(s"postings-$tag")))
+    val lens = Future(SnapshotStore.commitAppend(spark, doclensBase(indexBase),
+      doclensOf(docs, id, text), tag = Some(s"doclens-$tag")))
+    Await.result(posts, Duration.Inf)
+    Await.result(lens, Duration.Inf)
   }
 
   /** Catch the index up with a corpus SnapshotStore: index every corpus

@@ -318,25 +318,90 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
   }
 
   /** The same metric suite over the HYBRID ranking: each query's
-    * [[rrfFusion]] (BM25 arm + hashing-vectorizer dense arm, RRF
-    * fused) evaluated against the identical rule-derived qrels — the
-    * fused stack becomes directly comparable to the sparse-only
-    * q_retrieval_metrics numbers. Per-query fusion runs the two
-    * corpus-scan arms per query (fixture-scale; a production batch
-    * would share the stats pass as [[retrievalMetrics]] does). */
+    * [[rrfFusion]] semantics (BM25 arm + hashing-vectorizer dense arm,
+    * RRF fused) evaluated against the identical rule-derived qrels —
+    * the fused stack becomes directly comparable to the sparse-only
+    * q_retrieval_metrics numbers.
+    *
+    * r15 (guide §2.3/§2.4, the [[retrievalMetrics]] shared-stats
+    * precedent applied to the hybrid stack): the old form ran
+    * [[rrfFusion]] once PER QUERY — two corpus-scan arms each, ~3
+    * corpus tokenize/vectorize passes × |queries| plus per-query
+    * single-partition rank windows (measured 8.2 s at sf0.1 for 4
+    * queries). Both arms now batch across queries: ONE stats pass over
+    * the union of all terms (each query's score reads its own terms'
+    * df from the shared row — identical doubles), ONE corpus pass
+    * emitting per (doc, query) the floor-4 BM25 score and the µ-floored
+    * cosine, per-query heads via bounded_top_k (== the window's
+    * (score desc, doc_id asc) total order; a NULL cosine is skipped at
+    * heap insert exactly like the old isNotNull filter), and the RRF
+    * fusion/final rank over the ≤kEach×|queries| head rows. Scores,
+    * ranks, and fusion arithmetic are the per-query forms verbatim, so
+    * the output is byte-equal — the unchanged oracle replays the
+    * per-query chain and the gate enforces it. */
   def retrievalMetricsRrf(docs: DataFrame, id: Column, text: Column,
       queries: Seq[(Int, Seq[String])], dim: Int = 16, kEach: Int = 20,
       k: Int = 10, rrfK: Int = 60): DataFrame = {
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty) && k > 0)
-    val ranked = queries.map { case (qid, terms) =>
-      rrfFusion(docs, id, text, terms, dim, kEach, k, rrfK)
-        .select(lit(qid).as("qid"), col("doc_id"),
-          col("rank").cast("int").as("rank"))
-    }.reduce(_ unionByName _)
-    val rels = relsOf(docs, id, text, queries)
+    import graft.functions.VectorFunctions
+    val spark = docs.sparkSession
+    graft.functions.BoundedTopK.register(spark)
+    val allTerms = queries.flatMap(_._2).distinct
+    val base = docs.select(id.as("doc_id"),
+        TextFunctions.tokens(lower(text)).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+      .withColumn("emb", VectorFunctions.hashingVectorizer(col("toks"), dim))
+    val dfAggs = allTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(array_contains(col("toks"), t), 1L).otherwise(0L)).as(s"df_$i")
+    }
+    val allAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")) ++ dfAggs
+    val stats = base.agg(allAggs.head, allAggs.tail: _*)
+    val termIdx = allTerms.zipWithIndex.toMap
+    def termScore(t: String, k1: Double = 1.2, b: Double = 0.75): Column = {
+      val dfT = col(s"df_${termIdx(t)}").cast("double")
+      val idf = log(lit(1.0) +
+        (col("n").cast("double") - dfT + lit(0.5)) / (dfT + lit(0.5)))
+      val tf = size(filter(col("toks"), x => x === lit(t))).cast("double")
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }
+    val perQuery = queries.map { case (qid, terms) =>
+      val score = terms.map(termScore(_)).reduce(_ + _)
+      val qv = VectorFunctions.hashingVectorizer(
+        typedLit(terms.map(_.toLowerCase)), dim)
+      struct(lit(qid).as("qid"),
+        (floor(score * lit(10000.0) + lit(0.5)) / lit(10000.0)).as("score"),
+        floor(VectorFunctions.cosine(col("emb"), qv) * lit(1000000.0)
+          + lit(0.5)).cast("long").as("cos_micros"))
+    }
+    val long = base.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n"))
+      .select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .select(col("doc_id"), col("q.qid").as("qid"),
+        col("q.score").as("score"), col("q.cos_micros").as("cos_micros"))
+    // per-query heads: the heap's (score desc, key asc) == the old
+    // row_number windows' total order; NULL cos_micros never inserts
+    def headOf(scoreSql: String, rankName: String, kk: Int): DataFrame =
+      long.groupBy(col("qid"))
+        .agg(expr(s"bounded_top_k($scoreSql, doc_id, $kk)").as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+        .select(col("qid"), col("t.key").as("doc_id"),
+          (col("p") + 1).cast("int").as(rankName))
+    val sparse = headOf("score", "rank_sparse", kEach)
+    val dense = headOf("CAST(cos_micros AS DOUBLE)", "rank_dense", kEach)
+    def contrib(rank: Column): Column =
+      coalesce(floor(lit(1000000.0) / (lit(rrfK) + rank)).cast("long"), lit(0L))
+    val fused = sparse.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_micros",
+        contrib(col("rank_sparse")) + contrib(col("rank_dense")))
+    val ranked = fused.groupBy(col("qid"))
+      .agg(expr(s"bounded_top_k(CAST(rrf_micros AS DOUBLE), doc_id, $k)").as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("qid"), col("t.key").as("doc_id"),
+        (col("p") + 1).cast("int").as("rank"))
     // the fused head is ≤k×|queries| rows — broadcast it onto the
     // qrels scan rather than shuffling the corpus-sized qrels
-    metricsCore(rels.join(broadcast(ranked), Seq("qid", "doc_id")), rels, k)
+    metricsCore(ranked, relsOf(docs, id, text, queries), k)
   }
 
   /** The same metric suite over the DENSE retrieval stack — the ANN
@@ -393,8 +458,7 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
     val ranked = Ann.heapTopK(scored, k)
       .select(col("query_id").as("qid"), col("vec_id").as("doc_id"),
         col("rk").as("rank"))
-    val rels = relsOf(docs, id, text, queries)
-    metricsCore(rels.join(broadcast(ranked), Seq("qid", "doc_id")), rels, k)
+    metricsCore(ranked, relsOf(docs, id, text, queries), k)
   }
 
   /** (qid, doc_id, rel) under the rule-derived qrels. */
@@ -409,24 +473,38 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
       }: _*)).as("q"))
       .select(col("q.qid").as("qid"), col("doc_id"), col("q.rel").as("rel"))
 
-  /** Shared metric tail: `retrieved` (qid, rank, rel — the ranking
-    * under evaluation, ≤k rows per query) + `rels` (qid, doc_id, rel —
-    * the full qrels) → one metric row per query. Folds run over
-    * rank-ordered ≤k arrays (pinned float addition order); the ideal
-    * list is a bounded-heap top-k of rel (its eval() array IS the
-    * ideal ordering). */
-  private def metricsCore(retrieved: DataFrame, rels: DataFrame,
+  /** Shared metric tail: `ranked` (qid, doc_id, rank — the ranking
+    * under evaluation, ≤k rows per query, unique (qid, doc_id)) +
+    * `rels` (qid, doc_id, rel — the full qrels) → one metric row per
+    * query. Folds run over rank-ordered ≤k arrays (pinned float
+    * addition order); the ideal list is a bounded-heap top-k of rel
+    * (its eval() array IS the ideal ordering).
+    *
+    * r15 (guide §2.3/§2.4): previously the callers inner-joined rels
+    * to the broadcast head and this tail aggregated rels TWICE (the
+    * retrieved side and the ideal side) then joined the two per-qid
+    * aggregates — two full qrels scans (each a corpus re-tokenize)
+    * plus an extra shuffle join. The head now LEFT-broadcast-joins
+    * onto one qrels scan and everything reduces in a single
+    * groupBy(qid): the retrieved (rank, rel) list collects from the
+    * non-null-rank rows (collect_list skips the nulls), the ideal
+    * heap and n_rel reduce alongside. Byte-equal output (the head's
+    * (qid, doc_id) are unique, so the left join duplicates nothing
+    * and the collected pairs are exactly the old inner join's rows);
+    * both oracles unchanged. */
+  private def metricsCore(ranked: DataFrame, rels: DataFrame,
       k: Int): DataFrame = {
     graft.functions.BoundedTopK.register(rels.sparkSession)
     val d = discounts(k)
     def gainAt(rel: Column, rank: Column): Column =
       (call_function("shiftleft", lit(1L), rel.cast("int")) - 1L)
         .cast("double") * element_at(typedLit(d), rank)
-    val retAgg = retrieved.groupBy(col("qid")).agg(
-      array_sort(collect_list(struct(col("rank"), col("rel")))).as("rr"))
-    val idealAgg = rels.groupBy(col("qid")).agg(
-      expr(s"bounded_top_k(CAST(rel AS DOUBLE), doc_id, $k)").as("ideal"),
-      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
+    val agg = rels.join(broadcast(ranked), Seq("qid", "doc_id"), "left")
+      .groupBy(col("qid")).agg(
+        array_sort(collect_list(when(col("rank").isNotNull,
+          struct(col("rank"), col("rel"))))).as("rr"),
+        expr(s"bounded_top_k(CAST(rel AS DOUBLE), doc_id, $k)").as("ideal"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_rel"))
     def foldSum(arr: Column): Column =
       aggregate(arr, lit(0.0), (acc, x) => acc + x)
     val dcgRaw = foldSum(transform(col("rr"),
@@ -437,7 +515,9 @@ SELECT doc_id, rank_sparse, rank_dense, rrf_micros, CAST(row_number() OVER (ORDE
     val hits = size(filter(col("rr"), r => r.getField("rel") > 0)).cast("long")
     val minRank = array_min(transform(
       filter(col("rr"), r => r.getField("rel") > 0), r => r.getField("rank")))
-    retAgg.join(idealAgg, Seq("qid"))
+    // a qid with no ranked rows was absent from the old inner-join
+    // output (and is absent from the oracles' ret CTE) — keep it so
+    agg.filter(size(col("rr")) > 0)
       .select(col("qid").as("query_id"), col("n_rel"),
         when(col("n_rel") > 0,
           floor(hits.cast("double") * lit(1e6) / col("n_rel").cast("double")
