@@ -46,6 +46,18 @@ object Bench {
     "q_retrieval_metrics", "q_quantile_tdigest", "q_dict_range",
     "q_ivf_refresh")
 
+  /** r15 tracking set: the k-means/ANN family the round-15 map-only
+    * assignment optimization restructured (plus the batched hybrid
+    * metrics). ADDITIVE, its own `r15_*` section — the frozen `value`/
+    * `core19_*`/`extended_*` estimators keep their cross-round
+    * definitions; these queries get wall-clock tracking from r15
+    * forward so a regression in the new plan shapes moves a recorded
+    * number. */
+  val r15Set: Seq[String] = Seq(
+    "q_ann_ivf_topk", "q_ivf_pq_topk", "q_pq_codes", "q_semdedup",
+    "q_proto_prune", "q_rag_pipeline_ivf", "q_multimodal_pipeline",
+    "q_retrieval_metrics_rrf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -125,21 +137,21 @@ object Bench {
     }
     val chosen = attempts(chosenIdx)._2
 
-    // extended section: timed AFTER the headline attempts (so its
-    // wall-clock never perturbs the frozen estimators), skipped when
-    // explicit names were passed (local probing)
-    val extRes =
-      if (args.nonEmpty) Seq.empty
-      else { extended.foreach(force); timed(extended) }
-    val extJson =
-      if (extRes.isEmpty) ""
+    // extended + r15 sections: timed AFTER the headline attempts (so
+    // their wall-clock never perturbs the frozen estimators), skipped
+    // when explicit names were passed (local probing)
+    def section(prefix: String, names: Seq[String]): String =
+      if (args.nonEmpty) ""
       else {
-        val (ev, emv) = sums(extRes)
-        val eqs = extRes.map { case (k, (mn, med, mx)) =>
+        names.foreach(force)
+        val res = timed(names)
+        val (v, mv) = sums(res)
+        val qs = res.map { case (k, (mn, med, mx)) =>
           s""""$k":{"min":${f(mn)},"median":${f(med)},"max":${f(mx)}}"""
         }.mkString("{", ",", "}")
-        s""","extended_value":${f(ev)},"extended_min_value":${f(emv)},"extended_queries":$eqs"""
+        s""","${prefix}_value":${f(v)},"${prefix}_min_value":${f(mv)},"${prefix}_queries":$qs"""
       }
+    val extJson = section("extended", extended) + section("r15", r15Set)
 
     val full = attempts.head._2
     val qs = full.map { case (k, (_, med, _)) => s""""$k":${f(med)}""" }.mkString("{", ",", "}")

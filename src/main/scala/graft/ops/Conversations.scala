@@ -162,15 +162,37 @@ object Conversations {
     * and turns re-index densely (row_number per conversation over the
     * original order — a turn-bounded sort) so downstream consumers
     * see a gap-free transcript. Output: (conv_id, turn_idx, role,
-    * content, orig_turn_idx). One aggregate + one corpus-side join. */
+    * content, orig_turn_idx).
+    *
+    * r15 (guide §2.4): previously verdicts came from a [[gate]]
+    * aggregate joined back onto the turns — which computed the
+    * (fixture-derived) turn relation TWICE and paid a corpus-side
+    * shuffle join. The verdict counters are conversation-scoped, so
+    * they fall out of window functions over the SAME conv_id
+    * partitioning the dense re-index window already establishes: one
+    * build of the turn relation, one exchange, no join. Group size is
+    * turns-per-conversation — exactly the bound the re-index window
+    * has always accepted. Formulas are [[gate]]'s verbatim, so the
+    * verdict per row equals the joined verdict and every downstream
+    * oracle (clean/render/pack/ingest) is unchanged. */
   def clean(turns: DataFrame): DataFrame = {
-    val verdicts = gate(turns).select(col("conv_id"), col("verdict"))
-    val kept = turns.join(Joins.corpusSide(verdicts), Seq("conv_id"))
-      .filter(col("verdict") === "keep" ||
-        (col("verdict") === "drop_turns" && !turnFails(col("content"))))
-    val w = org.apache.spark.sql.expressions.Window
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
+    val f = turnFails(col("content"))
+    val annotated = turns
+      .withColumn("__n_turns", count(lit(1)).over(w))
+      .withColumn("__n_fail", sum(when(f, 1L).otherwise(0L)).over(w))
+      .withColumn("__sys_fail",
+        max(when(f && col("role") === "system", 1L).otherwise(0L)).over(w))
+    val verdict =
+      when(col("__n_fail") === 0, "keep")
+        .when(col("__sys_fail") === 1 ||
+          lit(2L) * col("__n_fail") >= col("__n_turns"), "drop_conv")
+        .otherwise("drop_turns")
+    val kept = annotated.withColumn("__v", verdict)
+      .filter(col("__v") === "keep" || (col("__v") === "drop_turns" && !f))
+    val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("conv_id")).orderBy(col("turn_idx"))
-    kept.withColumn("new_idx", row_number().over(w) - 1)
+    kept.withColumn("new_idx", row_number().over(w2) - 1)
       .select(col("conv_id"), col("new_idx").cast("long").as("turn_idx"),
         col("role"), TextFunctions.redactPii(col("content")).as("content"),
         col("turn_idx").as("orig_turn_idx"))

@@ -733,10 +733,15 @@ class PlanSpec extends SparkSpec {
     assert(objAggs >= 1, p.take(1500))
   }
 
-  test("q_ivf_refresh: centroids broadcast onto the corpus; cells join corpus-side") {
+  test("q_ivf_refresh: map-only assignment; cells join corpus-side") {
     val p = plan("q_ivf_refresh")
-    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-      s"published centroids must broadcast:\n${p.take(1500)}")
+    // r15: centroid assignment is the graft_nearest_cents PROJECTION
+    // (centroids ride the plan as literals) — the old broadcast-
+    // nested-loop join + per-id aggregate must never come back
+    assert(p.contains("graft_nearest_cents"),
+      s"assignment must be the map-only projection:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no centroid cross join may reappear:\n${p.take(1500)}")
     assert(p.contains("SortMergeJoin"),
       "the cell-store join is corpus-sized and must stay sort-merge")
     assertHeapRerank(p, "q_ivf_refresh")
@@ -749,10 +754,13 @@ class PlanSpec extends SparkSpec {
     val heapAggs = p.linesIterator.count(l =>
       l.contains("Aggregate") && l.contains("bounded_top_k"))
     assert(heapAggs >= 2, s"expected partial+final bounded_top_k:\n${p.take(1500)}")
-    // the top-k head re-attaches rel by BROADCAST — merge-joining the
-    // head against the corpus-sized qrels would shuffle the corpus to
-    // serve 40 rows
-    assert(!p.contains("SortMergeJoin"),
-      s"the head⋈qrels join must broadcast the head:\n${p.take(1500)}")
+    // r15: rel rides INSIDE the retrieved heap's key and the ideal
+    // heap reduces alongside, so the whole metric suite is two corpus
+    // scans (stats + scoring) with the one-row stats broadcast as its
+    // only join — a shuffle join here would mean the corpus-shuffling
+    // head⋈qrels shape came back
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"the metric tail must stay shuffle-join-free:\n${p.take(1500)}")
   }
 }
